@@ -1,0 +1,372 @@
+package graft
+
+/** DuckDB oracle SQL for every SQL-expressible query in Queries.scala.
+  * Written in DuckDB 1.0 dialect; the driver runs these over the same
+  * parquet tables and hash-compares against our parquet output, so every
+  * column name, type (BIGINT for computed ints, DOUBLE for rounded
+  * aggregates), rounding, and ORDER BY must mirror the Spark side exactly.
+  */
+object Oracles {
+
+  val map: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_filter_pushdown" ->
+      """SELECT p_partkey, p_name, p_brand, p_size FROM part
+        |WHERE p_type = 'ECONOMY' AND p_size BETWEEN 10 AND 30
+        |  AND p_name LIKE '%gear%'
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q_proj_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS charge,
+        |  round(l_extendedprice * l_discount, 4) AS disc_amt
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_join_broadcast" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+        |  round(sum(c_acctbal), 2) AS acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q_join_shuffle" ->
+      """SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS o_date,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey, o_custkey, o_date
+        |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q_join_left" ->
+      """SELECT n_nationkey, n_name, count(c_custkey) AS n_cust
+        |FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+        |GROUP BY n_nationkey, n_name ORDER BY n_nationkey""".stripMargin,
+
+    "q_join_full" ->
+      """WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1),
+        |     s AS (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1)
+        |SELECT coalesce(c.nk, s.nk) AS nationkey,
+        |  coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+        |FROM c FULL OUTER JOIN s ON c.nk = s.nk
+        |ORDER BY nationkey""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN
+        |  (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN
+        |  (SELECT o_custkey FROM orders WHERE o_totalprice > 480000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_cross" ->
+      """SELECT r_name, count(*) AS n FROM region CROSS JOIN nation
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q_agg_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_suppkey) AS n_supp,
+        |  count(DISTINCT l_partkey) AS n_part,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus)*2 + grouping(o_orderpriority) AS BIGINT) AS g,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY g, o_orderstatus, o_orderpriority""".stripMargin,
+
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag)*2 + grouping(l_linestatus) AS BIGINT) AS g,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY g, l_returnflag, l_linestatus""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus)*2 + grouping(o_orderpriority) AS BIGINT) AS g,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g, o_orderstatus, o_orderpriority""".stripMargin,
+
+    "q_window_rownum" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rn
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |        CAST(row_number() OVER (PARTITION BY o_custkey
+        |          ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn
+        |      FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(sum(l_quantity) OVER (PARTITION BY l_orderkey
+        |    ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice, l_quantity
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, running_qty""".stripMargin,
+
+    "q_window_lag" ->
+      """SELECT o_custkey, o_orderkey,
+        |  coalesce(lag(round(o_totalprice, 2)) OVER w, -1.0) AS prev_price,
+        |  coalesce(lead(round(o_totalprice, 2)) OVER w, -1.0) AS next_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_window_moving_avg" ->
+      """SELECT event_id, event_type,
+        |  round(avg(value) OVER (PARTITION BY event_type
+        |    ORDER BY epoch_ms(ts) ASC, event_id ASC
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mavg
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price,
+        |  CAST(o_orderdate AS DATE) AS o_date
+        |FROM orders ORDER BY price DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q_union_all" ->
+      """SELECT 'cust' AS src, c_custkey AS id FROM customer
+        |UNION ALL SELECT 'supp', s_suppkey FROM supplier
+        |ORDER BY src, id""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin,
+
+    "q_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin,
+
+    "q_string_fns" ->
+      """SELECT p_partkey, upper(p_name) AS up_name, substr(p_name, 1, 4) AS prefix,
+        |  concat_ws('-', p_brand, p_type) AS tag,
+        |  lpad(CAST(p_size AS VARCHAR), 3, '0') AS size_pad,
+        |  CAST(length(p_name) AS BIGINT) AS name_len
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_regex" ->
+      """SELECT p_partkey, regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+        |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled
+        |FROM part WHERE regexp_matches(p_type, '^(ECONOMY|SMALL)$')
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q_datetime" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY yr, mo, month_start ORDER BY yr, mo""".stripMargin,
+
+    "q_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(sqrt(l_quantity), 4) AS sqrt_qty,
+        |  round(ln(l_extendedprice), 4) AS ln_price,
+        |  round(pow(1 + l_discount, 2), 4) AS pow_disc,
+        |  CAST(l_partkey % 7 AS BIGINT) AS mod_part,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_price,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS floor_price,
+        |  round(abs(l_tax - 0.5), 4) AS abs_tax
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_array_fns" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+        |SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+        |  tk[1] AS first_tok, tk[-1] AS last_tok,
+        |  list_contains(tk, 'the') AS has_the,
+        |  array_to_string(tk[1:3], ' ') AS head3
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_crypto_hash" ->
+      """SELECT c_custkey, md5(c_name) AS md5_name, sha256(c_name) AS sha256_name
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_encoding" ->
+      """SELECT p_partkey, base64(encode(p_brand)) AS b64,
+        |  hex(p_brand) AS hexed, p_brand AS roundtrip
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_subquery_in" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_subquery_exists" ->
+      """SELECT s_suppkey, s_name FROM supplier s
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q_subquery_scalar" ->
+      """SELECT count(*) AS n, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_events_hourly" ->
+      """SELECT event_type, epoch_ms(date_trunc('hour', ts)) AS hour_ms,
+        |  count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY event_type, hour_ms
+        |ORDER BY event_type, hour_ms""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events),
+        |f AS (SELECT user_id,
+        |        CASE WHEN ts_ms - lag(ts_ms) OVER (PARTITION BY user_id
+        |          ORDER BY ts_ms ASC, event_id ASC) > 1800000 THEN 1 ELSE 0 END AS ns
+        |      FROM e)
+        |SELECT user_id, CAST(sum(ns) + 1 AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // ---- Tier-A rootfs over the documents-derived table ----
+
+    "q_read_dir" ->
+      """SELECT CAST(doc_id AS VARCHAR) || '.txt' AS name, '/' || source AS parent,
+        |  CAST(420 AS INTEGER) AS mode, n_chars AS size,
+        |  CAST(0 AS BIGINT) AS chunk_id, CAST(0 AS BIGINT) AS chunk_offset,
+        |  n_chars AS chunk_size, ''::BLOB AS data
+        |FROM documents WHERE '/' || source = '/src3'
+        |ORDER BY name""".stripMargin,
+
+    "q_read_dir_all" ->
+      """SELECT CAST(doc_id AS VARCHAR) || '.txt' AS name, '/' || source AS parent,
+        |  CAST(420 AS INTEGER) AS mode, n_chars AS size,
+        |  CAST(0 AS BIGINT) AS chunk_id, CAST(0 AS BIGINT) AS chunk_offset,
+        |  n_chars AS chunk_size, ''::BLOB AS data
+        |FROM documents ORDER BY parent, name""".stripMargin,
+
+    "q_read_files_condition" ->
+      """SELECT CAST(doc_id AS VARCHAR) || '.txt' AS name, '/' || source AS parent,
+        |  CAST(420 AS INTEGER) AS mode, n_chars AS size,
+        |  CAST(0 AS BIGINT) AS chunk_id, CAST(0 AS BIGINT) AS chunk_offset,
+        |  n_chars AS chunk_size, encode(text) AS data
+        |FROM documents
+        |WHERE (CAST(doc_id AS VARCHAR) || '.txt') LIKE '1%.txt' AND n_chars > 200
+        |ORDER BY parent, name""".stripMargin,
+
+    "q_len_udf" ->
+      """SELECT '/' || source AS parent, CAST(doc_id AS VARCHAR) || '.txt' AS name,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents
+        |ORDER BY n_chars DESC, name ASC LIMIT 10""".stripMargin,
+
+    // ---- training-data pipeline ops ----
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS digest, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY digest ORDER BY digest""".stripMargin,
+
+    "q_dedup_fingerprint" ->
+      """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint,
+        |  min(doc_id) AS keep_doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY fingerprint ORDER BY fingerprint""".stripMargin,
+
+    "q_dedup_ngram_jaccard" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+        |           i -> array_to_string(t[i:i+2], ' '))) AS shingle
+        |       FROM tk),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |it AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        |       FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+        |       GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_common,
+        |  round(CAST(n_common AS DOUBLE) /
+        |    CAST(sa.n + sb.n - n_common AS DOUBLE), 4) AS jaccard
+        |FROM it JOIN sizes sa ON it.doc_a = sa.doc_id
+        |        JOIN sizes sb ON it.doc_b = sb.doc_id
+        |WHERE round(CAST(n_common AS DOUBLE) /
+        |    CAST(sa.n + sb.n - n_common AS DOUBLE), 4) >= 0.01
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_text_profile" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
+        |feat AS (
+        |  SELECT doc_id, text, tk,
+        |    CAST(len(tk) AS BIGINT) AS n_tokens,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpeish,
+        |    round(CAST(length(text) - len(tk) + 1 AS DOUBLE) /
+        |      CAST(greatest(len(tk), 1) AS DOUBLE), 4) AS mean_tok_len,
+        |    round(CAST(len(list_filter(tk, x -> x IN
+        |        ('the','a','of','and','to','in','is','it'))) AS DOUBLE) /
+        |      CAST(greatest(len(tk), 1) AS DOUBLE), 4) AS stopword_ratio,
+        |    round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) /
+        |      CAST(greatest(length(text), 1) AS DOUBLE), 4) AS punct_ratio,
+        |    len(list_filter(tk, x -> x IN ('der','die','und','ist'))) AS h_de,
+        |    len(list_filter(tk, x -> x IN ('the','and','of','is'))) AS h_en,
+        |    len(list_filter(tk, x -> x IN ('el','los','y','es'))) AS h_es,
+        |    len(list_filter(tk, x -> x IN ('le','la','et','est'))) AS h_fr
+        |  FROM base)
+        |SELECT doc_id, n_tokens, n_bpeish, mean_tok_len, stopword_ratio, punct_ratio,
+        |  round((least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) +
+        |         (1.0 - least(punct_ratio * 5.0, 1.0)) +
+        |         least(stopword_ratio * 4.0, 1.0)) / 3.0, 4) AS quality,
+        |  CASE
+        |    WHEN h_de = greatest(h_de, h_en, h_es, h_fr) AND greatest(h_de, h_en, h_es, h_fr) > 0 THEN 'de'
+        |    WHEN h_en = greatest(h_de, h_en, h_es, h_fr) AND greatest(h_de, h_en, h_es, h_fr) > 0 THEN 'en'
+        |    WHEN h_es = greatest(h_de, h_en, h_es, h_fr) AND greatest(h_de, h_en, h_es, h_fr) > 0 THEN 'es'
+        |    WHEN h_fr = greatest(h_de, h_en, h_es, h_fr) AND greatest(h_de, h_en, h_es, h_fr) > 0 THEN 'fr'
+        |    ELSE 'und' END AS pred_lang,
+        |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+        |FROM feat ORDER BY doc_id""".stripMargin,
+
+    "q_knn_bruteforce" ->
+      """WITH idx AS (SELECT unnest(range(1, 65)) AS i),
+        |q AS (SELECT vec_id AS qid, embedding AS e FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS nid, embedding AS e FROM embeddings WHERE vec_id >= 5),
+        |qe AS (SELECT qid, i, CAST(e[i] AS DOUBLE) AS x FROM q, idx),
+        |ce AS (SELECT nid, i, CAST(e[i] AS DOUBLE) AS x FROM c, idx),
+        |qn AS (SELECT qid, sqrt(sum(x * x)) AS nrm FROM qe GROUP BY qid),
+        |cn AS (SELECT nid, sqrt(sum(x * x)) AS nrm FROM ce GROUP BY nid),
+        |dots AS (SELECT qid, nid, sum(qe.x * ce.x) AS dot
+        |         FROM qe JOIN ce USING (i) GROUP BY qid, nid),
+        |scored AS (SELECT qid AS query_id, nid AS neighbor_id,
+        |             round(dot / (qn.nrm * cn.nrm), 4) AS cosine
+        |           FROM dots JOIN qn USING (qid) JOIN cn USING (nid)),
+        |ranked AS (SELECT query_id, neighbor_id, cosine,
+        |             CAST(row_number() OVER (PARTITION BY query_id
+        |               ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+        |           FROM scored)
+        |SELECT query_id, neighbor_id, cosine, rank FROM ranked
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "q_embedding_norm" ->
+      """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dims,
+        |  round(sqrt(list_aggregate(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 4) AS l2_norm
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id AS item_id, 'text' AS modality,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  'utf8' AS codec,
+        |  CAST(floor((length(text) - 1) / 16) + 1 AS BIGINT) AS n_sampled
+        |FROM documents ORDER BY item_id""".stripMargin
+  )
+}

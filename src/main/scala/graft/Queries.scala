@@ -1,0 +1,486 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** The operator-inventory queries (SURVEY §2) over the driver test tables.
+  *
+  * Conventions shared with the DuckDB oracles (Oracles.scala):
+  *  - every query ends in a deterministic total ORDER BY;
+  *  - double aggregates are round()ed (2 for money, 4 for ratios) so
+  *    summation-order fp noise can't flip a hash;
+  *  - computed integers are cast to BIGINT on both sides;
+  *  - no raw timestamps in outputs — DATE or epoch milliseconds instead
+  *    (sidesteps µs/ns and tz-encoding mismatches between engines).
+  */
+object Queries {
+
+  def rd(s: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events")
+      // events.ts is TIMESTAMP(NANOS); Spark 4 refuses it unless read as
+      // long. All downstream logic uses integer epoch-ms math (never double
+      // division — ns epochs exceed 2^53).
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** events with `ts_ms` (epoch milliseconds, exact integer math). */
+  def events(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "events").withColumn("ts_ms", expr("ts div 1000000"))
+
+  /** Register temp views for SQL-form queries. */
+  def views(s: SparkSession, dir: String, names: String*): Unit =
+    names.foreach(n => rd(s, dir, n).createOrReplaceTempView(n))
+
+  // ---------- Tier-A: rootfs operators (SURVEY §2.1-2.2) ----------
+  // The rootfs table is derived deterministically from `documents` so the
+  // DuckDB oracle can build the identical table in SQL.
+
+  def docsAsRootfs(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "documents").select(
+      concat(col("doc_id").cast("string"), lit(".txt")).as("name"),
+      concat(lit("/"), col("source")).as("parent"),
+      lit(420).as("mode"), // 0o644
+      col("n_chars").as("size"),
+      lit(0L).as("chunk_id"),
+      lit(0L).as("chunk_offset"),
+      col("n_chars").as("chunk_size"),
+      col("text").cast("binary").as("data"))
+
+  /** read_dir: one directory, files only, name-sorted, data BLANKED. */
+  def qReadDir(s: SparkSession, dir: String): DataFrame =
+    docsAsRootfs(s, dir)
+      .filter(col("parent") === "/src3" && col("size").isNotNull)
+      .withColumn("data", lit(Array.emptyByteArray))
+      .orderBy(col("name").asc)
+
+  /** read_dir_all: recursive listing, (parent, name)-sorted. */
+  def qReadDirAll(s: SparkSession, dir: String): DataFrame =
+    docsAsRootfs(s, dir)
+      .filter(col("size").isNotNull)
+      .withColumn("data", lit(Array.emptyByteArray))
+      .orderBy(col("parent").asc, col("name").asc)
+
+  /** read_files_by_condition: arbitrary WHERE, full records w/ payloads. */
+  def qReadFilesCondition(s: SparkSession, dir: String): DataFrame = {
+    docsAsRootfs(s, dir).createOrReplaceTempView("rootfs")
+    s.sql("SELECT * FROM rootfs WHERE name LIKE '1%.txt' AND size > 200 " +
+      "ORDER BY parent, name")
+  }
+
+  /** The reference's custom `len(BINARY)` function via our codegen alias. */
+  def qLenUdf(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.Len.register(s)
+    docsAsRootfs(s, dir).createOrReplaceTempView("rootfs")
+    s.sql("SELECT parent, name, len(data) AS n_bytes FROM rootfs " +
+      "WHERE size IS NOT NULL ORDER BY size DESC, name ASC LIMIT 10")
+  }
+
+  // ---------- Tier-B: relational surface (SURVEY §2.3) ----------
+
+  /** TPC-H Q1-shaped pricing summary: partial-agg-friendly hash aggregate. */
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Filter + projection that must reach the parquet scan as PushedFilters. */
+  def qFilterPushdown(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "part")
+      .filter(col("p_type") === "ECONOMY" && col("p_size").between(10, 30) &&
+        col("p_name").like("%gear%"))
+      .select("p_partkey", "p_name", "p_brand", "p_size")
+      .orderBy("p_partkey")
+
+  /** Pure projection arithmetic — whole-stage-codegen map. */
+  def qProjArith(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      // rounding sits AT the exact decimal width of the product (2dp·2dp·2dp
+      // = 6dp) — rounding below it (e.g. 2) lands on .xx5 ties where the two
+      // engines' double reprs disagree
+      round(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+        (lit(1) + col("l_tax")), 6).as("charge"),
+      round(col("l_extendedprice") * col("l_discount"), 4).as("disc_amt"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Small-dim joins: both dims broadcast — no shuffle of the fact side. */
+  def qJoinBroadcast(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "customer")
+      .join(broadcast(rd(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(rd(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("n_cust"), round(sum("c_acctbal"), 2).as("acctbal"))
+      .orderBy("r_name", "n_name")
+
+  /** Fact-fact shuffle join (TPC-H Q3 shape): top revenue orders. */
+  def qJoinShuffle(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "lineitem")
+      .join(rd(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(rd(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment") === "BUILDING")
+      .groupBy(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate").cast("date").as("o_date"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(10)
+
+  def qJoinLeft(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "nation").as("n")
+      .join(rd(s, dir, "customer").as("c"),
+        col("n_nationkey") === col("c_nationkey"), "left")
+      .groupBy("n_nationkey", "n_name")
+      .agg(count(col("c_custkey")).as("n_cust"))
+      .orderBy("n_nationkey")
+
+  def qJoinFull(s: SparkSession, dir: String): DataFrame = {
+    val c = rd(s, dir, "customer").groupBy(col("c_nationkey").as("nk"))
+      .agg(count(lit(1)).as("n_cust"))
+    val p = rd(s, dir, "supplier").groupBy(col("s_nationkey").as("nk"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(p, Seq("nk"), "full_outer")
+      .select(col("nk").as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy("nationkey")
+  }
+
+  def qJoinSemi(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "customer")
+      .join(rd(s, dir, "orders").filter(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  def qJoinAnti(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "customer")
+      .join(rd(s, dir, "orders").filter(col("o_totalprice") > 480000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  def qJoinCross(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "region").crossJoin(rd(s, dir, "nation"))
+      .groupBy("r_name").agg(count(lit(1)).as("n"))
+      .orderBy("r_name")
+
+  def qAggDistinct(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  def qRollup(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "orders")
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(grouping_id().cast("long").as("g"),
+        count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("g", "o_orderstatus", "o_orderpriority")
+
+  def qCube(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(grouping_id().cast("long").as("g"),
+        round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("g", "l_returnflag", "l_linestatus")
+
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "orders")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus)*2 + grouping(o_orderpriority) AS BIGINT) AS g,
+        |  COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g, o_orderstatus, o_orderpriority""".stripMargin)
+  }
+
+  def qWindowRownum(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    rd(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"), col("rn"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  def qWindowRunning(s: SparkSession, dir: String): DataFrame = {
+    // (l_orderkey, l_linenumber) is NOT unique in this data — the window
+    // order carries enough tiebreakers to be total, else the running sum is
+    // nondeterministic across engines.
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_quantity"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rd(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(sum("l_quantity").over(w), 2).as("running_qty"))
+      .orderBy("l_orderkey", "l_linenumber", "running_qty")
+  }
+
+  def qWindowLag(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    rd(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        coalesce(lag(round(col("o_totalprice"), 2), 1).over(w), lit(-1.0)).as("prev_price"),
+        coalesce(lead(round(col("o_totalprice"), 2), 1).over(w), lit(-1.0)).as("next_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  def qWindowMovingAvg(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("ts_ms").asc, col("event_id").asc)
+      .rowsBetween(-2, Window.currentRow)
+    ev.select(col("event_id"), col("event_type"),
+      round(avg("value").over(w), 4).as("mavg"))
+      .orderBy("event_id")
+  }
+
+  def qTopkOrders(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("price"),
+        col("o_orderdate").cast("date").as("o_date"))
+      .orderBy(col("price").desc, col("o_orderkey").asc)
+      .limit(10)
+
+  def qUnionAll(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "customer").select(lit("cust").as("src"), col("c_custkey").as("id"))
+      .unionAll(rd(s, dir, "supplier").select(lit("supp"), col("s_suppkey")))
+      .orderBy("src", "id")
+
+  def qIntersect(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .intersect(rd(s, dir, "supplier").select(col("s_nationkey")))
+      .orderBy("nationkey")
+
+  def qExcept(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .except(rd(s, dir, "supplier").select(col("s_nationkey")))
+      .orderBy("nationkey")
+
+  def qStringFns(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "part").select(
+      col("p_partkey"),
+      upper(col("p_name")).as("up_name"),
+      substring(col("p_name"), 1, 4).as("prefix"),
+      concat_ws("-", col("p_brand"), col("p_type")).as("tag"),
+      lpad(col("p_size").cast("string"), 3, "0").as("size_pad"),
+      length(col("p_name")).cast("long").as("name_len"))
+      .orderBy("p_partkey")
+
+  def qRegex(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "part")
+      .filter(col("p_type").rlike("^(ECONOMY|SMALL)$"))
+      .select(col("p_partkey"),
+        regexp_extract(col("p_name"), "^([a-z]+)", 1).as("first_word"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"))
+      .orderBy("p_partkey")
+
+  def qDatetime(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "orders")
+      .groupBy(
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month_start"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("yr", "mo")
+
+  def qMath(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      round(sqrt(col("l_quantity")), 4).as("sqrt_qty"),
+      round(log(col("l_extendedprice")), 4).as("ln_price"),
+      round(pow(lit(1) + col("l_discount"), 2), 4).as("pow_disc"),
+      (col("l_partkey") % 7).cast("long").as("mod_part"),
+      ceil(col("l_extendedprice")).cast("long").as("ceil_price"),
+      floor(col("l_extendedprice")).cast("long").as("floor_price"),
+      round(abs(col("l_tax") - 0.5), 4).as("abs_tax"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  def qArrayFns(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    rd(s, dir, "documents").select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      element_at(toks, 1).as("first_tok"),
+      element_at(toks, -1).as("last_tok"),
+      array_contains(toks, "the").as("has_the"),
+      concat_ws(" ", slice(toks, 1, 3)).as("head3"))
+      .orderBy("doc_id")
+  }
+
+  def qCryptoHash(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "customer").select(
+      col("c_custkey"),
+      md5(col("c_name")).as("md5_name"),
+      sha2(col("c_name"), 256).as("sha256_name"))
+      .orderBy("c_custkey")
+
+  def qEncoding(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "part").select(
+      col("p_partkey"),
+      base64(col("p_brand").cast("binary")).as("b64"),
+      hex(col("p_brand").cast("binary")).as("hexed"),
+      decode(unbase64(base64(col("p_brand").cast("binary"))), "UTF-8").as("roundtrip"))
+      .orderBy("p_partkey")
+
+  def qSubqueryIn(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "customer", "orders")
+    s.sql(
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  def qSubqueryExists(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "supplier", "lineitem")
+    s.sql(
+      """SELECT s_suppkey, s_name FROM supplier s
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49)
+        |ORDER BY s_suppkey""".stripMargin)
+  }
+
+  def qSubqueryScalar(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "orders")
+    s.sql(
+      """SELECT COUNT(*) AS n, MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        |FROM orders
+        |WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)""".stripMargin)
+  }
+
+  /** HLL sketch — values engine-specific, so rows-only checked. */
+  def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "lineitem").agg(
+      approx_count_distinct(col("l_partkey")).as("approx_parts"),
+      approx_count_distinct(col("l_suppkey")).as("approx_supps"),
+      countDistinct(col("l_partkey")).as("exact_parts"))
+
+  def qJsonExtract(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .orderBy("event_id")
+
+  def qEventsHourly(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type"),
+        (col("ts_ms") - (col("ts_ms") % 3600000L)).as("hour_ms"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .orderBy("event_type", "hour_ms")
+
+  /** Sessionization: 30-min-gap session id per user via window + cumsum. */
+  def qSessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_ms").asc, col("event_id").asc)
+    events(s, dir)
+      .withColumn("new_sess",
+        when(col("ts_ms") - lag("ts_ms", 1).over(w) > 1800000L, 1L).otherwise(0L))
+      .groupBy("user_id")
+      .agg((sum("new_sess") + 1L).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  // ---------- training-data pipeline ops (north-star extensions) ----------
+
+  def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(rd(s, dir, "documents")).orderBy("digest")
+
+  def qDedupFingerprint(s: SparkSession, dir: String): DataFrame =
+    Dedup.byFingerprint(rd(s, dir, "documents")).orderBy("fingerprint")
+
+  def qDedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(rd(s, dir, "documents"), n = 3, threshold = 0.01)
+      .orderBy("doc_a", "doc_b")
+
+  /** MinHash-LSH candidate counts per doc (0 allowed — synthetic corpus has
+    * few true near-dups; pair semantics are asserted in DedupSpec). */
+  def qDedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val docs = rd(s, dir, "documents")
+    val pairs = Dedup.minhashLshPairs(docs, threshold = 0.0)
+    val touched = pairs.select(col("doc_a").as("doc_id"))
+      .unionAll(pairs.select(col("doc_b")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
+    docs.select("doc_id").join(touched, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
+      .orderBy("doc_id")
+  }
+
+  def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = rd(s, dir, "documents")
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 16)
+    val touched = pairs.select(col("doc_a").as("doc_id"))
+      .unionAll(pairs.select(col("doc_b")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
+    docs.select("doc_id").join(touched, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
+      .orderBy("doc_id")
+  }
+
+  def qTextProfile(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.profile(rd(s, dir, "documents")).orderBy("doc_id")
+
+  def qKnnBruteforce(s: SparkSession, dir: String): DataFrame = {
+    val embs = rd(s, dir, "embeddings")
+    Similarity.bruteForceTopK(
+      embs.filter(col("vec_id") < 5), embs.filter(col("vec_id") >= 5), k = 3)
+      .orderBy("query_id", "rank")
+  }
+
+  def qKnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val embs = rd(s, dir, "embeddings")
+    Similarity.lshTopK(
+      embs.filter(col("vec_id") < 5), embs.filter(col("vec_id") >= 5),
+      k = 3, planes = 4)
+      .orderBy("query_id", "rank")
+  }
+
+  def qEmbeddingNorm(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "embeddings").select(
+      col("vec_id"),
+      size(col("embedding")).cast("long").as("dims"),
+      round(Similarity.l2Norm(col("embedding")), 4).as("l2_norm"))
+      .orderBy("vec_id")
+
+  def qMultimodalMeta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.fromDocuments(rd(s, dir, "documents"))
+      .select(col("item_id"), col("modality"),
+        octet_length(col("payload")).cast("long").as("n_bytes"),
+        col("meta.codec").as("codec"),
+        (floor((col("meta.n_frames") - 1) / 16) + 1).cast("long").as("n_sampled"))
+      .orderBy("item_id")
+
+  /** Feature extraction through the (stub-codec) multimodal pipeline —
+    * deterministic fake features, rows-only checked. */
+  def qMultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val items = Multimodal.fromDocuments(rd(s, dir, "documents"))
+      .as[Multimodal.Item]
+    Multimodal.extractFeatures(items, dims = 16).toDF()
+      .select(col("item_id"), col("n_bytes"),
+        round(Similarity.l2Norm(col("feature")), 4).as("feature_norm"))
+      .orderBy("item_id")
+  }
+}

@@ -1,13 +1,79 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Each entry is one operator from the SURVEY §2 inventory (or a
+  * north-star training-data-pipeline operator); Oracles.map carries the
+  * DuckDB-dialect equivalent for the driver's correctness gate.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Queries.qJoinShuffle(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tier-A rootfs operators (SURVEY §2.1-2.2)
+    "q_read_dir" -> (Queries.qReadDir _),
+    "q_read_dir_all" -> (Queries.qReadDirAll _),
+    "q_read_files_condition" -> (Queries.qReadFilesCondition _),
+    "q_len_udf" -> (Queries.qLenUdf _),
+    // Tier-B relational surface (SURVEY §2.3)
+    "q1_pricing_summary" -> (Queries.q1PricingSummary _),
+    "q_filter_pushdown" -> (Queries.qFilterPushdown _),
+    "q_proj_arith" -> (Queries.qProjArith _),
+    "q_join_broadcast" -> (Queries.qJoinBroadcast _),
+    "q_join_shuffle" -> (Queries.qJoinShuffle _),
+    "q_join_left" -> (Queries.qJoinLeft _),
+    "q_join_full" -> (Queries.qJoinFull _),
+    "q_join_semi" -> (Queries.qJoinSemi _),
+    "q_join_anti" -> (Queries.qJoinAnti _),
+    "q_join_cross" -> (Queries.qJoinCross _),
+    "q_agg_distinct" -> (Queries.qAggDistinct _),
+    "q_rollup" -> (Queries.qRollup _),
+    "q_cube" -> (Queries.qCube _),
+    "q_grouping_sets" -> (Queries.qGroupingSets _),
+    "q_window_rownum" -> (Queries.qWindowRownum _),
+    "q_window_running" -> (Queries.qWindowRunning _),
+    "q_window_lag" -> (Queries.qWindowLag _),
+    "q_window_moving_avg" -> (Queries.qWindowMovingAvg _),
+    "q_topk_orders" -> (Queries.qTopkOrders _),
+    "q_union_all" -> (Queries.qUnionAll _),
+    "q_intersect" -> (Queries.qIntersect _),
+    "q_except" -> (Queries.qExcept _),
+    "q_string_fns" -> (Queries.qStringFns _),
+    "q_regex" -> (Queries.qRegex _),
+    "q_datetime" -> (Queries.qDatetime _),
+    "q_math" -> (Queries.qMath _),
+    "q_array_fns" -> (Queries.qArrayFns _),
+    "q_crypto_hash" -> (Queries.qCryptoHash _),
+    "q_encoding" -> (Queries.qEncoding _),
+    "q_subquery_in" -> (Queries.qSubqueryIn _),
+    "q_subquery_exists" -> (Queries.qSubqueryExists _),
+    "q_subquery_scalar" -> (Queries.qSubqueryScalar _),
+    "q_approx_distinct" -> (Queries.qApproxDistinct _),
+    "q_json_extract" -> (Queries.qJsonExtract _),
+    "q_events_hourly" -> (Queries.qEventsHourly _),
+    "q_sessionize" -> (Queries.qSessionize _),
+    // training-data pipeline operators (north-star extensions)
+    "q_dedup_exact" -> (Queries.qDedupExact _),
+    "q_dedup_fingerprint" -> (Queries.qDedupFingerprint _),
+    "q_dedup_ngram_jaccard" -> (Queries.qDedupNgramJaccard _),
+    "q_dedup_minhash_lsh" -> (Queries.qDedupMinhashLsh _),
+    "q_dedup_simhash" -> (Queries.qDedupSimhash _),
+    "q_text_profile" -> (Queries.qTextProfile _),
+    "q_knn_bruteforce" -> (Queries.qKnnBruteforce _),
+    "q_knn_lsh" -> (Queries.qKnnLsh _),
+    "q_embedding_norm" -> (Queries.qEmbeddingNorm _),
+    "q_multimodal_meta" -> (Queries.qMultimodalMeta _),
+    "q_multimodal_features" -> (Queries.qMultimodalFeatures _)
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (approx sketches, LSH/ANN internals, stub-codec features) → driver
+    * records a weaker rows-only check. */
+  def oracleSql: Map[String, String] = Oracles.map
 }

@@ -1,0 +1,61 @@
+package graft.cli
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.{DatasetCatalog, GlobalPath}
+import graft.fs.{CdlFs, Ingest}
+
+/** CLI with the reference's surface: `cp <from> <to>` and
+  * `query <target> <sql>` (reference: crates/cdl/src/command/mod.rs:10-16).
+  * `mount` is intentionally omitted — it is an unimplemented stub in the
+  * reference (crates/cdl-fuse, SURVEY §2.9). Catalog flags arrive as
+  * `--key value` pairs matching the reference's env/flag names.
+  */
+object Main {
+
+  def main(args: Array[String]): Unit = {
+    val (flags, positional) = parseArgs(args.toList)
+    val catalog = DatasetCatalog.fromMap(flags) match {
+      case Right(c) => c
+      case Left(e)  => sys.error(e)
+    }
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-cdl")
+      .config("spark.sql.shuffle.partitions",
+        math.max(Runtime.getRuntime.availableProcessors(), 8))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, catalog, positional)
+    finally spark.stop()
+  }
+
+  def run(spark: SparkSession, catalog: DatasetCatalog, cmd: List[String]): Unit =
+    cmd match {
+      case "cp" :: from :: to :: Nil =>
+        val src = GlobalPath.parse(from).fold(sys.error, identity)
+        val dst = GlobalPath.parse(to).fold(sys.error, identity)
+        if (src.isLocal && !new java.io.File(
+            s"${src.localPath}/${GlobalPath.DirRootfs}").isDirectory) {
+          // plain local tree → ingest into destination table
+          Ingest.run(CdlFs.open(spark, catalog, dst), src.localPath)
+        } else CdlFs.open(spark, catalog, src).copyTo(dst)
+      case "query" :: target :: sql :: Nil =>
+        // reference prints first 10 rows (`show_limit(10)`,
+        // crates/cdl/src/command/query.rs:20)
+        CdlFs.open(spark, catalog, target).sql(sql).show(10, truncate = false)
+      case other =>
+        sys.error(s"usage: [--catalog-flag value]... {cp <from> <to> | query <target> <sql>}; got $other")
+    }
+
+  private def parseArgs(args: List[String]): (Map[String, String], List[String]) =
+    args match {
+      case key :: value :: rest if key.startsWith("--") =>
+        val (f, p) = parseArgs(rest)
+        (f + (key.stripPrefix("--").replace('-', '_') -> value), p)
+      case rest => (Map.empty, rest)
+    }
+}

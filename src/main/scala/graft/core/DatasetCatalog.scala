@@ -1,0 +1,68 @@
+package graft.core
+
+/** Engine configuration, mirroring the reference catalog's fields and
+  * defaults (reference: crates/cdl-catalog/src/lib.rs:34-226) and its
+  * merge-from-map constructor path (`DatasetCatalog::merge`, :211-226).
+  *
+  * Scale note: these knobs are per-writer bounds — `maxBufferSize` caps
+  * bytes buffered before a flush (reference default 1 GiB), `maxChunkSize`
+  * splits large binary payloads into multiple rows so no single Spark row
+  * exceeds executor memory / the 2 GiB array ceiling. At 100 TB we default
+  * chunking ON (256 MiB) where the reference leaves it off — documented
+  * divergence (SURVEY §7.4.1).
+  */
+final case class DatasetCatalog(
+    cacheDir: String = "./cache",
+    maxBufferSize: Long = 1L << 30,         // 1 GiB
+    maxCacheSize: Long = 32L << 30,         // 32 GiB
+    maxChunkSize: Long = 0L,                // 0 = chunking disabled (ref default)
+    maxWriteThreads: Int = 2,
+    minCacheObjectSize: Long = 64L << 20,   // 64 MiB
+    s3Endpoint: String = "http://object-storage",
+    s3Region: String = "auto",
+    s3AccessKey: Option[String] = None,
+    s3SecretKey: Option[String] = None
+) {
+
+  /** Merge string kwargs (the Python `Cdl(**catalog)` path). Unknown keys
+    * error, matching the reference's strict merge. */
+  def merge(kwargs: Map[String, String]): Either[String, DatasetCatalog] =
+    kwargs.foldLeft[Either[String, DatasetCatalog]](Right(this)) {
+      case (acc, (k, v)) =>
+        acc.flatMap { c =>
+          k match {
+            case "cache_dir"             => Right(c.copy(cacheDir = v))
+            case "max_buffer_size"       => Right(c.copy(maxBufferSize = v.toLong))
+            case "max_cache_size"        => Right(c.copy(maxCacheSize = v.toLong))
+            case "max_chunk_size"        => Right(c.copy(maxChunkSize = v.toLong))
+            case "max_write_threads"     => Right(c.copy(maxWriteThreads = v.toInt))
+            case "min_cache_object_size" => Right(c.copy(minCacheObjectSize = v.toLong))
+            case "s3_endpoint"           => Right(c.copy(s3Endpoint = v))
+            case "s3_region"             => Right(c.copy(s3Region = v))
+            case "s3_access_key"         => Right(c.copy(s3AccessKey = Some(v)))
+            case "s3_secret_key"         => Right(c.copy(s3SecretKey = Some(v)))
+            case other                   => Left(s"unknown catalog key: $other")
+          }
+        }
+    }
+
+  /** Hadoop/S3A conf equivalent of the reference's `storage_options`
+    * (crates/cdl-catalog/src/lib.rs:257-293): endpoint, region, creds,
+    * path-style access, no EC2 metadata lookups. */
+  def storageOptions: Map[String, String] = {
+    val base = Map(
+      "fs.s3a.endpoint" -> s3Endpoint,
+      "fs.s3a.endpoint.region" -> s3Region,
+      "fs.s3a.path.style.access" -> "true",
+      "fs.s3a.readahead.range" -> maxBufferSize.toString
+    )
+    base ++
+      s3AccessKey.map("fs.s3a.access.key" -> _) ++
+      s3SecretKey.map("fs.s3a.secret.key" -> _)
+  }
+}
+
+object DatasetCatalog {
+  def fromMap(kwargs: Map[String, String]): Either[String, DatasetCatalog] =
+    DatasetCatalog().merge(kwargs)
+}

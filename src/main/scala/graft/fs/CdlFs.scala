@@ -1,0 +1,132 @@
+package graft.fs
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core._
+
+/** Session wrapper over one dataset's `rootfs` table — the Spark-native
+  * equivalent of the reference's `CdlFS` (reference:
+  * crates/cdl-fs/src/lib.rs:60-190).
+  *
+  * The table is a parquet directory at `<dataset-root>/rootfs`, registered
+  * lazily as temp view `rootfs` on first query (mirroring the lazy
+  * `ctx.register_table(DIR_ROOTFS, …)` at crates/cdl-fs/src/lib.rs:112-118).
+  * All queries are declarative Spark SQL / DataFrame plans: Catalyst pushes
+  * listing filters (`parent = …`, `size IS NOT NULL`) and column pruning
+  * down to the parquet scan, so a listing never reads the `data` column's
+  * pages at all — at 100 TB the projection prune is what makes `read_dir`
+  * on a petabyte table an O(metadata) operation.
+  */
+final class CdlFs(
+    val spark: SparkSession,
+    val catalog: DatasetCatalog,
+    val root: GlobalPath) {
+
+  import CdlFs._
+
+  /** Physical location of the rootfs parquet table. */
+  def tableLocation: String = {
+    val base = root.dataset.tableUri
+    if (root.dataset.scheme == Scheme.Local) s"$base/${GlobalPath.DirRootfs}"
+    else base
+  }
+
+  /** Storage options for external engine handoff (the reference's
+    * `storage_options()` Python API, python/src/lib.rs:145-150). */
+  def storageOptions: Map[String, String] = catalog.storageOptions
+
+  @volatile private var registered = false
+
+  /** Lazy registration: open the table and register view `rootfs`. */
+  private def ctx(): SparkSession = {
+    if (!registered) synchronized {
+      if (!registered) {
+        Len.registerAll(spark)
+        spark.read.schema(RootFs.schema).parquet(tableLocation)
+          .createOrReplaceTempView(RootFs.TableName)
+        registered = true
+      }
+    }
+    spark
+  }
+
+  /** Force (re-)registration — used after appends so new files are seen. */
+  def refresh(): Unit = { registered = false; ctx() }
+
+  /** Full SQL over `rootfs` (reference `query`, crates/cdl-fs/src/lib.rs:78-81). */
+  def sql(q: String): DataFrame = ctx().sql(q)
+
+  def table: DataFrame = ctx().table(RootFs.TableName)
+
+  /** Listing projection: metadata columns + BLANKED `data` (`x'' AS data`) so
+    * listings never ship payloads (reference list_by,
+    * crates/cdl-fs/src/lib.rs:120-131). `size IS NOT NULL` keeps only
+    * chunk-0 rows — one row per logical file. */
+  private def listing(df: DataFrame): DataFrame =
+    df.filter(col("size").isNotNull)
+      .withColumn("data", lit(Array.emptyByteArray))
+
+  /** List one directory, files only, name-sorted (reference `read_dir`,
+    * crates/cdl-fs/src/lib.rs:84-89). */
+  def readDir(parent: String): DataFrame =
+    listing(table.filter(col("parent") === parent)).orderBy(col("name").asc)
+
+  /** Recursive listing, (parent, name)-sorted (reference `read_dir_all`,
+    * crates/cdl-fs/src/lib.rs:91-95). */
+  def readDirAll(): DataFrame =
+    listing(table).orderBy(col("parent").asc, col("name").asc)
+
+  /** Arbitrary WHERE pushdown returning full records including payloads
+    * (reference `read_files_by_condition`, crates/cdl-fs/src/lib.rs:97-108;
+    * SQL shape `SELECT * FROM rootfs WHERE {cond}` at :167-176). */
+  def readFilesByCondition(condition: String): DataFrame =
+    sql(s"SELECT * FROM ${RootFs.TableName} WHERE $condition")
+
+  /** Typed view for the copy pipeline. */
+  def records(condition: String = "true"): Dataset[RootFs.FileRecord] = {
+    import spark.implicits._
+    readFilesByCondition(condition).as[RootFs.FileRecord]
+  }
+
+  /** Dataset→dataset copy, any direction (reference `copy_to`,
+    * crates/cdl-fs/src/lib.rs:72-76). Local destination re-materializes
+    * files; table destination appends rows. */
+  def copyTo(dst: GlobalPath): Unit =
+    if (dst.isLocal && !isTableDataset(dst)) Export.dumpAll(this, dst.localPath)
+    else {
+      val dstFs = CdlFs.open(spark, catalog, dst)
+      // table→table: one declarative append, no driver materialization.
+      table.write.mode("append").parquet(dstFs.tableLocation)
+      dstFs.refresh()
+    }
+}
+
+object CdlFs {
+
+  /** Open a dataset session (the reference's `GlobalPath::open`,
+    * crates/cdl-fs/src/lib.rs:241-268): applies S3A storage options and
+    * registers the `len` function. */
+  def open(spark: SparkSession, catalog: DatasetCatalog, root: GlobalPath): CdlFs = {
+    catalog.storageOptions.foreach { case (k, v) =>
+      spark.sparkContext.hadoopConfiguration.set(k, v)
+    }
+    Len.registerAll(spark)
+    new CdlFs(spark, catalog, root)
+  }
+
+  def open(spark: SparkSession, catalog: DatasetCatalog, uri: String): CdlFs =
+    GlobalPath.parse(uri) match {
+      case Right(p)  => open(spark, catalog, p)
+      case Left(err) => throw new IllegalArgumentException(err)
+    }
+
+  /** A local path is a "table dataset" if it already holds a rootfs dir. */
+  private def isTableDataset(p: GlobalPath): Boolean =
+    new java.io.File(s"${p.localPath}/${GlobalPath.DirRootfs}").isDirectory
+
+  private object Len {
+    def registerAll(spark: SparkSession): Unit =
+      graft.functions.Len.register(spark)
+  }
+}

@@ -1,0 +1,83 @@
+package graft.fs
+
+import java.nio.file.attribute.{FileTime, PosixFilePermissions}
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import org.apache.spark.sql.functions._
+
+import graft.core.RootFs
+
+/** rootfs table → local tree export (the reference's `dump_all` local sink,
+  * crates/cdl-fs/src/lib.rs:721-770): create dirs, seek to `chunk_offset`,
+  * write bytes, then restore atime/mtime/mode and truncate to `size`.
+  *
+  * Scale design: chunks are written by executors via `foreachPartition` —
+  * each chunk row carries its own (path, offset), so tasks write
+  * independently with positional writes and no shuffle or ordering
+  * requirement. Metadata restore runs per chunk-0 row after its write.
+  * ctime is not restorable on POSIX; the reference doesn't restore it
+  * either (SURVEY §7.4.3).
+  */
+object Export {
+
+  def dumpAll(fs: CdlFs, destRoot: String): Unit = {
+    val dest = Paths.get(destRoot).toAbsolutePath.normalize.toString
+    Files.createDirectories(Paths.get(dest))
+
+    // Pass 1: create every file at full size (chunk-0 rows carry `size`).
+    // Driver-side: one row per FILE (not per chunk) — listing-scale data.
+    val metas = fs.table
+      .filter(col("size").isNotNull)
+      .select("parent", "name", "size", "mode", "atime", "mtime")
+      .collect()
+    metas.foreach { r =>
+      val p = Paths.get(dest + r.getAs[String]("parent"), r.getAs[String]("name"))
+      Files.createDirectories(p.getParent)
+      val ch = java.nio.channels.FileChannel.open(
+        p, StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      try ch.truncate(r.getAs[Long]("size"))
+      finally ch.close()
+    }
+
+    // Pass 2: executors write chunk payloads positionally.
+    fs.table
+      .select("parent", "name", "chunk_offset", "data")
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        rows.foreach { r =>
+          val p = Paths.get(
+            dest + r.getAs[String]("parent"), r.getAs[String]("name"))
+          val ch = java.nio.channels.FileChannel.open(p, StandardOpenOption.WRITE)
+          try ch.write(
+            java.nio.ByteBuffer.wrap(r.getAs[Array[Byte]]("data")),
+            r.getAs[Long]("chunk_offset"))
+          finally ch.close()
+        }
+      }
+
+    // Pass 3: restore metadata last so writes don't bump mtime afterwards.
+    metas.foreach { r =>
+      val p = Paths.get(dest + r.getAs[String]("parent"), r.getAs[String]("name"))
+      Option(r.getAs[java.sql.Timestamp]("mtime")).foreach(t =>
+        Files.setLastModifiedTime(p, FileTime.fromMillis(t.getTime)))
+      Option(r.getAs[Any]("mode")).foreach { m =>
+        Files.setPosixFilePermissions(p, modeToPerms(m.asInstanceOf[Int]))
+      }
+      Option(r.getAs[java.sql.Timestamp]("atime")).foreach { t =>
+        val view = Files.getFileAttributeView(
+          p, classOf[java.nio.file.attribute.BasicFileAttributeView])
+        view.setTimes(null, FileTime.fromMillis(t.getTime), null)
+      }
+    }
+  }
+
+  private[fs] def modeToPerms(mode: Int): java.util.Set[java.nio.file.attribute.PosixFilePermission] = {
+    import java.nio.file.attribute.PosixFilePermission._
+    val bits = Seq(
+      0x100 -> OWNER_READ, 0x80 -> OWNER_WRITE, 0x40 -> OWNER_EXECUTE,
+      0x20 -> GROUP_READ, 0x10 -> GROUP_WRITE, 0x8 -> GROUP_EXECUTE,
+      0x4 -> OTHERS_READ, 0x2 -> OTHERS_WRITE, 0x1 -> OTHERS_EXECUTE)
+    val set = new java.util.HashSet[java.nio.file.attribute.PosixFilePermission]()
+    bits.foreach { case (bit, perm) => if ((mode & bit) != 0) set.add(perm) }
+    set
+  }
+}

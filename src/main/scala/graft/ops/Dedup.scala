@@ -1,0 +1,181 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Scale design notes (the part that matters at 100 TB):
+  *  - Exact / fingerprint dedup is ONE hash-partitioned aggregation on a
+  *    64/128-bit digest — the only shuffle moves (digest, doc_id), never
+  *    document bodies.
+  *  - MinHash/LSH near-dup generates (band_hash, doc_id) candidate keys and
+  *    finds pairs with a self-equi-join on band_hash — the classic
+  *    shingle→minhash→band→bucket-join plan. No O(n²) pair scan ever
+  *    materializes; the join key distributes uniformly by construction
+  *    (hash values), so no skew salting is needed.
+  *  - SimHash dedup joins on 64-bit signature bands (Hamming-ball blocking).
+  *  - All candidate pairs are verified with an exact measure AFTER the
+  *    blocking join, on the candidate set only.
+  */
+object Dedup {
+
+  /** Word n-gram shingles of `text` (default 5-gram: synthetic corpora with
+    * tiny vocabularies make 3-grams collide massively; 5-grams keep the
+    * bucket join selective). */
+  def shingles(text: Column, n: Int = 5): Column = {
+    val toks = split(text, " ")
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** Exact duplicates by content digest: one row per distinct digest with
+    * the surviving (min) doc_id and the duplicate count. */
+  def exact(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("digest"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+
+  /** Fingerprint (normalized) duplicates: whitespace/case-normalized md5. */
+  def byFingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact n-gram Jaccard near-dup pairs via a shingle inverted index:
+    * explode distinct shingles → self-join on shingle → |A∩B| by count →
+    * |A∪B| = |A|+|B|−|A∩B|. Output: pairs with jaccard ≥ threshold.
+    * This IS the scalable plan: the shuffle key is the shingle, pair counts
+    * are map-side combinable, and no document text survives the explode. */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      textCol: String = "text",
+      n: Int = 5,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), explode(shingles(col(textCol), n)).as("shingle"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val inter = sh.as("a").join(sh.as("b"), Seq("shingle"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_shingles", "size_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_shingles", "size_b"), "doc_b")
+      .withColumn("jaccard",
+        round(col("n_common").cast("double") /
+          (col("size_a") + col("size_b") - col("n_common")).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "n_common", "jaccard")
+  }
+
+  /** 31-bit Mersenne prime: (p−1)² fits in a signed 64-bit long, so the
+    * permutation multiply never overflows under ANSI mode. */
+  private val MersenneP = (1L << 31) - 1
+
+  /** Deterministic permutation coefficients for MinHash (splitmix64-ish,
+    * seeded — NOT random at runtime so results are reproducible). */
+  private def perm(i: Int): (Long, Long) = {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    (math.abs(mix(i.toLong * 2 + 1)) % MersenneP max 1L,
+      math.abs(mix(i.toLong * 2 + 2)) % MersenneP)
+  }
+
+  /** MinHash signature as an array<long> of length `numHashes`, computed
+    * from xxhash64 shingle hashes with h_i(x) = (a_i·x + b_i) mod 2^61−1.
+    * Pure column expressions — codegen'd, map-only. */
+  def minhashSignature(text: Column, n: Int = 5, numHashes: Int = 64): Column = {
+    val hashes = transform(shingles(text, n), s => pmod(xxhash64(s), lit(MersenneP)))
+    array((0 until numHashes).map { i =>
+      val (a, b) = perm(i)
+      array_min(transform(hashes, h =>
+        pmod(pmod(h * lit(a), lit(MersenneP)) + lit(b), lit(MersenneP))))
+    }: _*)
+  }
+
+  /** MinHash-LSH candidate pairs: band the signature (`bands` ×
+    * `rowsPerBand`), bucket-join on (band_id, band_hash), then verify with
+    * estimated Jaccard = fraction of equal signature positions. */
+  def minhashLshPairs(
+      docs: DataFrame,
+      textCol: String = "text",
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sigs = docs.select(col("doc_id"),
+      minhashSignature(col(textCol), numHashes = numHashes).as("sig"))
+    val banded = sigs.select(
+      col("doc_id"), col("sig"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bh"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bh"))
+    val cand = banded.as("a").join(banded.as("b"), Seq("band", "bh"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .withColumn("est_jaccard",
+        round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
+          (x === y).cast("int")), v => v === 1)).cast("double") / numHashes, 4))
+      .filter(col("est_jaccard") >= threshold)
+      .select("doc_a", "doc_b", "est_jaccard")
+  }
+
+  /** 64-bit SimHash signature via explode/aggregate: per (doc, bit), weight
+    * +1/−1 by token hash bit, sum, sign → bit. Shuffles only (doc_id,
+    * 64 longs) per doc — bounded and combinable. */
+  def simhash(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(col(textCol), " ")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1)).as(s"b$b")
+    }
+    toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce((a, c) => a.bitwiseOR(c)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: block on 4 16-bit bands (any Hamming-distance
+    * ≤ maxHamming pair with maxHamming ≤ 3 shares at least one exact band —
+    * pigeonhole), then verify exact Hamming distance on candidates. */
+  def simhashPairs(
+      docs: DataFrame,
+      textCol: String = "text",
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = simhash(docs, textCol)
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bh"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bh"))
+    banded.as("a").join(banded.as("b"), Seq("band", "bh"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding near-dup pairs: cosine ≥ threshold via LSH blocking
+    * (delegates to Similarity's hyperplane buckets), exact cosine verify. */
+  def embeddingNearDupPairs(
+      embs: DataFrame,
+      threshold: Double = 0.95,
+      planes: Int = 12): DataFrame =
+    Similarity.lshPairs(embs, planes)
+      .filter(col("cosine") >= threshold)
+}

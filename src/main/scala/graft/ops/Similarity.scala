@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two tiers, both declarative (no UDFs, no driver loops):
+  *  - `bruteForceTopK`: exact cosine top-k. The query set is broadcast
+  *    (small dim table), candidates never move; top-k is computed in two
+  *    stages — partial top-k per hash-slice of the candidates, then final
+  *    top-k — so no single partition ever holds all candidates for a query
+  *    (the naive `Window.partitionBy(query)` plan funnels the whole corpus
+  *    through |queries| partitions; at 100 TB that is THE bottleneck).
+  *  - `lshPairs` / `lshTopK`: random-hyperplane LSH. Deterministic planes
+  *    (seeded hash, not RNG) → sign-bit signature → bucket equi-join.
+  *    Exact cosine verifies candidates after blocking.
+  */
+object Similarity {
+
+  /** dot(a, b) over array<float> columns, accumulated in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Exact cosine top-k: for each row of `queries`, the k nearest rows of
+    * `candidates` (both keyed by `idCol`, vectors in `vecCol`). */
+  def bruteForceTopK(
+      queries: DataFrame,
+      candidates: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      slices: Int = 32): DataFrame = {
+    val q = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec")))
+    val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val scored = c.join(q) // broadcast nested loop: candidates × (small) queries
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qvec"), col("cvec")), 4).as("cosine"))
+    // stage 1: top-k within each hash-slice of the candidate space
+    val sliced = scored.withColumn("slice", pmod(hash(col("neighbor_id")), lit(slices)))
+    val w1 = Window.partitionBy("query_id", "slice")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val partial = sliced.withColumn("r", row_number().over(w1)).filter(col("r") <= k)
+    // stage 2: final top-k over ≤ slices·k survivors per query
+    val w2 = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    partial.withColumn("rank", row_number().over(w2)).filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * splitmix64 of the pair, scaled to [-1, 1]. Same constants every run —
+    * reproducible signatures. */
+  private def planeComponent(plane: Int, dim: Column): Column = {
+    val seed = lit(plane.toLong * 0x9e3779b97f4a7c15L)
+    val h = xxhash64(dim + seed)
+    (h.cast("double") / lit(Long.MaxValue.toDouble))
+  }
+
+  /** Sign-bit LSH signature: bit p = (v · plane_p) >= 0. */
+  def lshSignature(vec: Column, planes: Int): Column =
+    (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") * planeComponent(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** All candidate pairs sharing an LSH bucket, with exact cosine. */
+  def lshPairs(
+      embs: DataFrame,
+      planes: Int = 12,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val sig = embs.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("bucket", lshSignature(col("vec"), planes))
+    sig.as("a").join(sig.as("b"), Seq("bucket"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(cosine(col("a.vec"), col("b.vec")), 4).as("cosine"))
+  }
+
+  /** ANN top-k via LSH: search only same-bucket candidates. Recall is
+    * tunable by `planes` (fewer planes → bigger buckets → higher recall). */
+  def lshTopK(
+      queries: DataFrame,
+      candidates: DataFrame,
+      k: Int,
+      planes: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("bucket", lshSignature(col("qvec"), planes)))
+    val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+      .withColumn("bucket", lshSignature(col("cvec"), planes))
+    val scored = c.join(q, Seq("bucket"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qvec"), col("cvec")), 4).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+}

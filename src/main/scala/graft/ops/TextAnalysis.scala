@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines, all
+  * expressed as codegen'd Column expressions (no UDFs) so they stay inside
+  * whole-stage codegen and scale linearly with input splits — no shuffle,
+  * no driver involvement, safe at 100 TB.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Token count on whitespace. */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish token count: word pieces + digit runs + punctuation, the
+    * common pre-tokenizer regex family. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+      .cast("long")
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  /** Fraction of tokens that are (English) stopwords — the standard cheap
+    * quality / language signal. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    round(
+      size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*))).cast("double") /
+        greatest(size(toks), lit(1)).cast("double"),
+      4)
+  }
+
+  /** Mean token length. */
+  def meanTokenLen(text: Column): Column =
+    round(
+      (length(text) - size(tokens(text)) + 1).cast("double") /
+        greatest(size(tokens(text)), lit(1)).cast("double"),
+      4)
+
+  /** Ratio of non-alphanumeric, non-space chars (punctuation density). */
+  def punctRatio(text: Column): Column =
+    round(
+      size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double") /
+        greatest(length(text), lit(1)).cast("double"),
+      4)
+
+  /** Composite quality score in [0,1]: long enough, low punctuation, sane
+    * stopword density. Deterministic and explainable — the usual first
+    * filter in a pretraining pipeline. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / lit(200.0), lit(1.0))
+    val punctScore = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
+    round((lenScore + punctScore + stopScore) / 3.0, 4)
+  }
+
+  /** Language-ID by stopword evidence: counts hits from tiny per-language
+    * marker lexicons and picks the argmax (ties → 'und'). N-gram-free but
+    * the same shape as real lang-id: per-language evidence → argmax. */
+  def langIdHeuristic(text: Column): Column = {
+    val markers = Map(
+      "en" -> Seq("the", "and", "of", "is"),
+      "de" -> Seq("der", "die", "und", "ist"),
+      "fr" -> Seq("le", "la", "et", "est"),
+      "es" -> Seq("el", "los", "y", "es"))
+    val toks = tokens(text)
+    def hits(ws: Seq[String]): Column =
+      size(filter(toks, t => t.isin(ws.map(lit(_)): _*)))
+    val scored = markers.toSeq.sortBy(_._1).map { case (lang, ws) => (lang, hits(ws)) }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    scored.foldRight(lit("und")) { case ((lang, h), els) =>
+      when(h === best && best > 0, lit(lang)).otherwise(els)
+    }
+  }
+
+  /** Document fingerprint: hash of whitespace-normalized, lowercased text.
+    * md5 keeps it oracle-checkable; at scale the hash choice is free since
+    * it's a map-only projection. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "\\s+", " "))
+
+  /** One-call profile of a documents table. */
+  def profile(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col("doc_id"),
+      tokenCount(t).as("n_tokens"),
+      bpeishTokenCount(t).as("n_bpeish"),
+      meanTokenLen(t).as("mean_tok_len"),
+      stopwordRatio(t).as("stopword_ratio"),
+      punctRatio(t).as("punct_ratio"),
+      qualityScore(t).as("quality"),
+      langIdHeuristic(t).as("pred_lang"),
+      fingerprint(t).as("fingerprint"))
+  }
+}
