@@ -165,7 +165,8 @@ object Dedup {
     banded.as("a").join(banded.as("b"), Seq("band", "bh"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long")
+          .as("hamming"))
       .dropDuplicates("doc_a", "doc_b")
       .filter(col("hamming") <= maxHamming)
   }

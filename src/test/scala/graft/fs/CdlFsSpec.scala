@@ -1,0 +1,115 @@
+package graft.fs
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSuite
+import graft.core.{DatasetCatalog, GlobalPath}
+
+/** End-to-end ingest → query → export over a fixture tree (FIXTURES §A2):
+  * the reference `cdlake_cp.py` contract. */
+class CdlFsSpec extends SparkSuite {
+
+  private lazy val root = Files.createTempDirectory("cdlfs").toString
+
+  private lazy val fs: CdlFs = {
+    val fixture = s"$root/fixture"
+    Files.createDirectories(Paths.get(s"$fixture/nested/a/b"))
+    Files.write(Paths.get(s"$fixture/small.txt"), "hello rootfs".getBytes)
+    Files.write(Paths.get(s"$fixture/empty.bin"), Array.emptyByteArray)
+    Files.write(Paths.get(s"$fixture/big.bin"), Array.fill[Byte](2560)('x'))
+    Files.write(Paths.get(s"$fixture/nested/a/b/deep.txt"), "deep".getBytes)
+    Files.write(Paths.get(s"$fixture/perms.sh"), "#!/bin/sh\n".getBytes)
+    Files.setPosixFilePermissions(Paths.get(s"$fixture/perms.sh"),
+      java.nio.file.attribute.PosixFilePermissions.fromString("rwxr-xr-x"))
+    Files.createSymbolicLink(Paths.get(s"$fixture/link"), Paths.get("small.txt"))
+
+    val catalog = DatasetCatalog(maxChunkSize = 1024)
+    val f = CdlFs.open(spark, catalog,
+      GlobalPath.parse(s"$root/ds1").toOption.get)
+    Ingest.run(f, fixture)
+    f
+  }
+
+  test("ingest skips symlinks and records one row per chunk") {
+    val rows = fs.table.count()
+    // 5 files; big.bin = 3 chunks -> 7 rows total; symlink skipped
+    assert(rows == 7)
+    assert(fs.sql("SELECT * FROM rootfs WHERE name = 'link'").count() == 0)
+  }
+
+  test("metadata rides only on chunk 0 (size IS NOT NULL dedupes)") {
+    val withMeta = fs.sql(
+      "SELECT count(*) AS n FROM rootfs WHERE size IS NOT NULL")
+      .collect().head.getLong(0)
+    assert(withMeta == 5)
+    val laterChunks = fs.sql(
+      "SELECT count(*) AS n FROM rootfs WHERE chunk_id > 0 AND size IS NOT NULL")
+      .collect().head.getLong(0)
+    assert(laterChunks == 0)
+  }
+
+  test("readDir lists one directory, name-sorted, data blanked") {
+    val rows = fs.readDir("/").collect()
+    assert(rows.map(_.getAs[String]("name")).toSeq ==
+      Seq("big.bin", "empty.bin", "perms.sh", "small.txt"))
+    assert(rows.forall(_.getAs[Array[Byte]]("data").isEmpty))
+  }
+
+  test("readDirAll lists recursively, (parent,name)-sorted") {
+    val rows = fs.readDirAll().collect()
+    assert(rows.map(r => (r.getAs[String]("parent"), r.getAs[String]("name"))).toSeq ==
+      Seq("/" -> "big.bin", "/" -> "empty.bin", "/" -> "perms.sh",
+        "/" -> "small.txt", "/nested/a/b" -> "deep.txt"))
+  }
+
+  test("readFilesByCondition returns payloads") {
+    val rows = fs.readFilesByCondition("name = 'small.txt'").collect()
+    assert(rows.length == 1)
+    assert(new String(rows.head.getAs[Array[Byte]]("data")) == "hello rootfs")
+  }
+
+  test("len() equals payload byte length") {
+    val n = fs.sql(
+      "SELECT len(data) AS n FROM rootfs WHERE name = 'small.txt'")
+      .collect().head.getLong(0)
+    assert(n == 12)
+  }
+
+  test("chunk math: big.bin split 1024/1024/512 with contiguous offsets") {
+    val chunks = fs.sql(
+      """SELECT chunk_id, chunk_offset, chunk_size FROM rootfs
+        |WHERE name = 'big.bin' ORDER BY chunk_id""".stripMargin).collect()
+    assert(chunks.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((0L, 0L, 1024L), (1L, 1024L, 1024L), (2L, 2048L, 512L)))
+  }
+
+  test("export round-trip restores bytes, mode, and mtime") {
+    val dest = s"$root/restore"
+    Export.dumpAll(fs, dest)
+    assert(Files.readAllBytes(Paths.get(s"$dest/small.txt")).sameElements(
+      "hello rootfs".getBytes))
+    assert(Files.readAllBytes(Paths.get(s"$dest/big.bin")).sameElements(
+      Array.fill[Byte](2560)('x')))
+    assert(Files.size(Paths.get(s"$dest/empty.bin")) == 0)
+    assert(Files.readAllBytes(Paths.get(s"$dest/nested/a/b/deep.txt"))
+      .sameElements("deep".getBytes))
+    val perms = java.nio.file.attribute.PosixFilePermissions.toString(
+      Files.getPosixFilePermissions(Paths.get(s"$dest/perms.sh")))
+    assert(perms == "rwxr-xr-x")
+    assert(!Files.exists(Paths.get(s"$dest/link")))
+    val srcM = Files.getLastModifiedTime(Paths.get(s"$root/fixture/small.txt")).toMillis
+    val dstM = Files.getLastModifiedTime(Paths.get(s"$dest/small.txt")).toMillis
+    assert(srcM == dstM)
+  }
+
+  test("copyTo table dataset appends all rows") {
+    // pre-create the rootfs dir so the destination counts as a table
+    // dataset (a bare local dir would get a file dump instead — the
+    // reference's local-destination semantics)
+    Files.createDirectories(Paths.get(s"$root/ds2/rootfs"))
+    val dst = GlobalPath.parse(s"$root/ds2").toOption.get
+    fs.copyTo(dst)
+    val fs2 = CdlFs.open(spark, fs.catalog, dst)
+    assert(fs2.table.count() == 7)
+  }
+}

@@ -1,0 +1,76 @@
+package graft.ops
+
+import graft.SparkSuite
+
+/** Dedup operators on a corpus with planted exact and near duplicates —
+  * the semantic assertions the synthetic testdata (no true dups) can't
+  * exercise. */
+class DedupSpec extends SparkSuite {
+
+  import org.apache.spark.sql.functions._
+
+  private lazy val docs = {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away " +
+      "into the deep green forest while birds sing songs above the tall trees"
+    val near = base.replace("lazy dog", "sleepy dog") // 1-token change
+    val far = "completely different text about spark shuffles partitions " +
+      "joins aggregates windows and the catalyst optimizer pipeline stages"
+    Seq(
+      (0L, base), (1L, base),         // exact dup pair
+      (2L, near),                     // near-dup of 0/1
+      (3L, far),
+      (4L, "the " + base)             // shifted near-dup
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts, keeps min doc_id") {
+    val r = Dedup.exact(docs).collect()
+    assert(r.length == 4) // 5 docs, one exact-dup pair
+    val dup = r.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dup.getAs[Long]("keep_doc_id") == 0L)
+  }
+
+  test("fingerprint dedup normalizes whitespace and case") {
+    import spark.implicits._
+    val d = Seq((0L, "Hello  World"), (1L, "hello world"), (2L, "other"))
+      .toDF("doc_id", "text")
+    val r = Dedup.byFingerprint(d).collect()
+    assert(r.length == 2)
+    assert(r.find(_.getAs[Long]("n_copies") == 2).get.getAs[Long]("keep_doc_id") == 0L)
+  }
+
+  test("ngram jaccard finds the near-dup pairs and not the unrelated doc") {
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L))) // exact dup -> jaccard 1.0
+    assert(pairs.contains((0L, 2L))) // near dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated
+  }
+
+  test("minhash LSH surfaces near-dup candidates with high est_jaccard") {
+    val pairs = Dedup.minhashLshPairs(docs, threshold = 0.5).collect()
+    val keys = pairs.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(keys.contains((0L, 1L)))
+    val exact = pairs.find(r =>
+      r.getAs[Long]("doc_a") == 0L && r.getAs[Long]("doc_b") == 1L).get
+    assert(exact.getAs[Double]("est_jaccard") == 1.0)
+    assert(!keys.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash signature is deterministic across runs") {
+    val s1 = docs.select(Dedup.minhashSignature(col("text")).as("sig")).collect()
+    val s2 = docs.select(Dedup.minhashSignature(col("text")).as("sig")).collect()
+    assert(s1.map(_.getSeq[Long](0)).toSeq == s2.map(_.getSeq[Long](0)).toSeq)
+  }
+
+  test("simhash: near-identical docs within small hamming distance") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 12).collect()
+    val keys = pairs.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(keys.contains((0L, 1L))) // identical -> hamming 0
+    val h01 = pairs.find(r =>
+      r.getAs[Long]("doc_a") == 0L && r.getAs[Long]("doc_b") == 1L).get
+    assert(h01.getAs[Long]("hamming") == 0L)
+  }
+}

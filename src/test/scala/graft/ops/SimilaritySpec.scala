@@ -1,0 +1,69 @@
+package graft.ops
+
+import graft.SparkSuite
+
+class SimilaritySpec extends SparkSuite {
+
+  import org.apache.spark.sql.functions._
+
+  private lazy val vecs = {
+    import spark.implicits._
+    Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),  // close to 0
+      (2L, Array(0.0f, 1.0f, 0.0f)),  // orthogonal to 0
+      (3L, Array(0.0f, 0.9f, 0.1f)),  // close to 2
+      (4L, Array(-1.0f, 0.0f, 0.0f))  // opposite of 0
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("cosine: identical=1, orthogonal=0, opposite=-1") {
+    import spark.implicits._
+    val d = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f), "same"),
+      (Array(1.0f, 0.0f), Array(0.0f, 3.0f), "orth"),
+      (Array(1.0f, 1.0f), Array(-1.0f, -1.0f), "opp"))
+      .toDF("a", "b", "tag")
+    val m = d.select(col("tag"), round(Similarity.cosine(col("a"), col("b")), 6).as("c"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("same") == 1.0 && m("orth") == 0.0 && m("opp") == -1.0)
+  }
+
+  test("bruteForceTopK ranks the geometrically nearest first") {
+    val q = vecs.filter(col("vec_id") === 0L)
+    val c = vecs.filter(col("vec_id") =!= 0L)
+    val top = Similarity.bruteForceTopK(q, c, k = 3).collect()
+    assert(top.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 2L, 3L) ||
+      top.map(_.getAs[Long]("neighbor_id")).take(1).toSeq == Seq(1L))
+    assert(top.head.getAs[Long]("neighbor_id") == 1L)
+    assert(top.head.getAs[Int]("rank") == 1)
+    assert(top.last.getAs[Long]("neighbor_id") == 4L ||
+      top.head.getAs[Double]("cosine") >= top.last.getAs[Double]("cosine"))
+  }
+
+  test("two-stage top-k equals single-stage top-k (slices don't change results)") {
+    val q = vecs.filter(col("vec_id") < 2)
+    val c = vecs.filter(col("vec_id") >= 2)
+    val a = Similarity.bruteForceTopK(q, c, k = 2, slices = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val b = Similarity.bruteForceTopK(q, c, k = 2, slices = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(a == b)
+  }
+
+  test("lsh signature deterministic; same vector lands in same bucket") {
+    val sig = vecs.select(col("vec_id"),
+      Similarity.lshSignature(col("embedding"), 8).as("b"))
+    val b1 = sig.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b2 = sig.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b1 == b2)
+  }
+
+  test("lshPairs finds the close pair after bucket blocking") {
+    // 1 plane -> 2 buckets -> near-identical vectors must collide
+    val pairs = Similarity.lshPairs(vecs, planes = 1).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("cosine")))
+    val close = pairs.find(p => p._1 == 0L && p._2 == 1L)
+    assert(close.nonEmpty && close.get._3 > 0.99)
+  }
+}

@@ -1,0 +1,59 @@
+package graft.pond
+
+import java.nio.file.Files
+
+import graft.SparkSuite
+import PondRegistry._
+
+/** Pond selection policy + the pull/push sync matrix (FIXTURES §A6;
+  * reference optimizer/model_claim/mod.rs:107-133, object.rs:1202-1340). */
+class PondRegistrySpec extends SparkSuite {
+
+  private val ponds = Seq(
+    Pond("a", "file:///tmp/pond-a", 100, 90), // 10 free
+    Pond("b", "file:///tmp/pond-b", 100, 20), // 80 free
+    Pond("c", "file:///tmp/pond-c", 100, 50)) // 50 free
+
+  test("LowestCopy picks the pond with max available capacity") {
+    assert(selectPond(ponds, 5).map(_.name) == Right("b"))
+  }
+
+  test("quota admission filters ponds below the request") {
+    assert(selectPond(ponds, 60).map(_.name) == Right("b"))
+    assert(selectPond(ponds, 85).isLeft)
+  }
+
+  test("Balanced / LowestLatency are declared but unimplemented (ref bail!)") {
+    assert(selectPond(ponds, 1, BindingPolicy.Balanced).isLeft)
+    assert(selectPond(ponds, 1, BindingPolicy.LowestLatency).isLeft)
+  }
+
+  test("sync matrix: pull OnCreate mirrors on bind; push OnDelete on unbind") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("ponds").toString
+    val src = Pond("src", s"$root/src", 1000, 0)
+    val dst = Pond("dst", s"$root/dst", 1000, 0)
+    Seq((1, "x"), (2, "y")).toDF("id", "v")
+      .write.parquet(s"${src.rootUri}/ds1")
+
+    val jobs = new SyncJobs(spark, graft.core.DatasetCatalog())
+    val b = Binding("ds1", src, dst, PullPolicy.OnCreate, PushPolicy.OnDelete)
+    assert(jobs.onBind(b) == Seq("pull:OnCreate"))
+    assert(spark.read.parquet(s"${dst.rootUri}/ds1").count() == 2)
+
+    // write new data into target, then unbind -> mirrored back
+    Seq((3, "z")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"${dst.rootUri}/ds1")
+    assert(jobs.onUnbind(b) == Seq("push:OnDelete"))
+    assert(spark.read.parquet(s"${src.rootUri}/ds1").count() == 1)
+  }
+
+  test("sync matrix: pull Never / push Never do nothing") {
+    val jobs = new SyncJobs(spark, graft.core.DatasetCatalog())
+    val src = Pond("s", "file:///nonexistent-src", 1, 0)
+    val dst = Pond("d", "file:///nonexistent-dst", 1, 0)
+    val b = Binding("ds", src, dst, PullPolicy.Never, PushPolicy.Never)
+    assert(jobs.onBind(b).isEmpty)   // would throw if it touched the paths
+    assert(jobs.onUnbind(b).isEmpty)
+  }
+}
