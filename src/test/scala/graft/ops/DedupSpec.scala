@@ -60,9 +60,17 @@ class DedupSpec extends SparkSuite {
   }
 
   test("minhash signature is deterministic across runs") {
-    val s1 = docs.select(Dedup.minhashSignature(col("text")).as("sig")).collect()
-    val s2 = docs.select(Dedup.minhashSignature(col("text")).as("sig")).collect()
-    assert(s1.map(_.getSeq[Long](0)).toSeq == s2.map(_.getSeq[Long](0)).toSeq)
+    def sigs() = Dedup.minhashSignatures(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1)).toMap
+    assert(sigs() == sigs())
+  }
+
+  test("identical docs share a signature; near-dups agree on most positions") {
+    val s = Dedup.minhashSignatures(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1)).toMap
+    assert(s(0L) == s(1L))
+    val agree02 = s(0L).zip(s(2L)).count { case (x, y) => x == y }
+    assert(agree02 > 32, s"near-dup agreement $agree02/64")
   }
 
   test("simhash: near-identical docs within small hamming distance") {
