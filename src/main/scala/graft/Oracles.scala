@@ -274,6 +274,15 @@ object Oracles {
         |FROM documents
         |ORDER BY n_chars DESC, name ASC LIMIT 10""".stripMargin,
 
+    "q_random_access" ->
+      """WITH r AS (SELECT '/' || source AS parent,
+        |  CAST(doc_id AS VARCHAR) || '.txt' AS name, n_chars AS size FROM documents),
+        |o AS (SELECT parent, name, size,
+        |  CAST(row_number() OVER (ORDER BY parent, name) AS BIGINT) - 1 AS row_id
+        |  FROM r)
+        |SELECT row_id, parent, name, size FROM o
+        |WHERE row_id IN (0, 7, 42, 123, 400) ORDER BY row_id""".stripMargin,
+
     // ---- training-data pipeline ops ----
 
     "q_dedup_exact" ->

@@ -79,6 +79,16 @@ object Queries {
       "WHERE size IS NOT NULL ORDER BY size DESC, name ASC LIMIT 10")
   }
 
+  /** Random access by row ordinal (the reference's Lance `take`). */
+  def qRandomAccess(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("parent"), col("name"), col("chunk_id"))
+    docsAsRootfs(s, dir)
+      .withColumn("row_id", row_number().over(w).cast("long") - 1)
+      .filter(col("row_id").isin(0L, 7L, 42L, 123L, 400L))
+      .select(col("row_id"), col("parent"), col("name"), col("size"))
+      .orderBy("row_id")
+  }
+
   // ---------- Tier-B: relational surface (SURVEY §2.3) ----------
 
   /** TPC-H Q1-shaped pricing summary: partial-agg-friendly hash aggregate. */

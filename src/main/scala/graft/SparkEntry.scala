@@ -20,6 +20,7 @@ object SparkEntry {
     "q_read_dir_all" -> (Queries.qReadDirAll _),
     "q_read_files_condition" -> (Queries.qReadFilesCondition _),
     "q_len_udf" -> (Queries.qLenUdf _),
+    "q_random_access" -> (Queries.qRandomAccess _),
     // Tier-B relational surface (SURVEY §2.3)
     "q1_pricing_summary" -> (Queries.q1PricingSummary _),
     "q_filter_pushdown" -> (Queries.qFilterPushdown _),

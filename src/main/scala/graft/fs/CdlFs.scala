@@ -89,6 +89,22 @@ final class CdlFs(
     readFilesByCondition(condition).as[RootFs.FileRecord]
   }
 
+  /** Random access: rows by ordinal in (parent, name, chunk_id) order with
+    * projected columns — the reference's Lance `take(indices, columns)`
+    * (python/cdlake/filesystem.py:58-63). Parquet has no native row
+    * ordinal, so this is a window rank + semi-filter: the one capability
+    * where the format is structurally weaker than Lance (SURVEY §7.4.4).
+    * At scale, stamp a persistent row_id at ingest instead and let
+    * min/max row-group stats prune the scan to the touched files. */
+  def take(indices: Seq[Long], columns: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("parent"), col("name"), col("chunk_id"))
+    table
+      .withColumn("row_id", row_number().over(w).cast("long") - 1)
+      .filter(col("row_id").isin(indices: _*))
+      .select(("row_id" +: columns).map(col): _*)
+  }
+
   /** Dataset→dataset copy, any direction (reference `copy_to`,
     * crates/cdl-fs/src/lib.rs:72-76). Local destination re-materializes
     * files; table destination appends rows. */

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Physical-plan shape assertions: the properties that make these
+  * operators survive a 100×-1000× scale-up — filter/projection pushdown
+  * into the parquet scan, broadcast joins for small dims, partial
+  * aggregation, top-k instead of global sort. */
+class PlanSpec extends SparkSuite {
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("filter pushdown reaches the parquet scan") {
+    val p = formatted(Queries.qFilterPushdown(spark, sf))
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("EqualTo(p_type,ECONOMY)"), p)
+    assert(p.contains("GreaterThanOrEqual(p_size,10)"), p)
+  }
+
+  test("projection pruning: arithmetic query reads only the 6 needed columns") {
+    val p = formatted(Queries.qProjArith(spark, sf))
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(readSchema.contains("l_orderkey"))
+    assert(!readSchema.contains("l_shipdate"), readSchema)
+    assert(!readSchema.contains("l_returnflag"), readSchema)
+  }
+
+  test("listing never reads the data column (payload prune)") {
+    import graft.core.{DatasetCatalog, GlobalPath}
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("planspec").toString
+    Files.write(java.nio.file.Paths.get(s"$root/f.txt"), "x".getBytes)
+    val fs = graft.fs.CdlFs.open(spark, DatasetCatalog(),
+      GlobalPath.parse(s"$root/ds").toOption.get)
+    graft.fs.Ingest.run(fs, root)
+    val p = formatted(fs.readDirAll())
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("data"), readSchema)
+  }
+
+  test("small-dim joins broadcast (no shuffle of the fact side)") {
+    val p = planOf(Queries.qJoinBroadcast(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val p = planOf(Queries.qTopkOrders(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("aggregation is partial+final (map-side combine)") {
+    val p = planOf(Queries.q1PricingSummary(spark, sf))
+    assert(p.contains("partial_sum") || p.contains("partial_"), p)
+  }
+
+  test("whole-stage codegen covers the scan->project pipeline") {
+    // AQE finalizes the physical plan only on execution
+    val df = Queries.qProjArith(spark, sf)
+    df.collect() // executes df's own QueryExecution so AQE finalizes it
+    val p = formatted(df)
+    assert(p.contains("codegen id"), p) // WholeStageCodegen stage markers
+  }
+
+  test("semi/anti joins plan as join types, not subquery re-scans") {
+    assert(planOf(Queries.qJoinSemi(spark, sf)).contains("LeftSemi"))
+    assert(planOf(Queries.qJoinAnti(spark, sf)).contains("LeftAnti"))
+  }
+
+  test("minhash aggregation is partial (combinable) on the exploded side") {
+    val p = planOf(graft.ops.Dedup.minhashSignatures(
+      spark.read.parquet(s"$sf/documents.parquet")))
+    assert(p.contains("partial_min") || p.contains("partial_"), p)
+  }
+}

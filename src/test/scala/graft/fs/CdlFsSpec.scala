@@ -102,6 +102,13 @@ class CdlFsSpec extends SparkSuite {
     assert(srcM == dstM)
   }
 
+  test("take returns rows by ordinal with projected columns") {
+    val rows = fs.take(Seq(0L, 2L), Seq("parent", "name")).collect()
+    // ordinal order: (parent,name,chunk_id) — big.bin chunks 0,1,2 first
+    assert(rows.map(r => (r.getAs[Long]("row_id"), r.getAs[String]("name"))).toSeq ==
+      Seq((0L, "big.bin"), (2L, "big.bin")))
+  }
+
   test("copyTo table dataset appends all rows") {
     // pre-create the rootfs dir so the destination counts as a table
     // dataset (a bare local dir would get a file dump instead — the

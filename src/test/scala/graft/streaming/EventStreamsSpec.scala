@@ -1,0 +1,66 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Streaming results must agree with their batch equivalents on the same
+  * input (the one-batch case of the incremental plan). */
+class EventStreamsSpec extends SparkSuite {
+
+  // stage the sf0.001 events parquet into a stream-source directory
+  private lazy val streamDir: String = {
+    val dir = Files.createTempDirectory("evstream").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sf/events.parquet")
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("windowed aggregation matches the batch computation") {
+    val stream = EventStreams.read(spark, streamDir)
+    EventStreams.runToMemory(
+      EventStreams.hourlyByType(stream), "hourly", outputMode = "complete")
+    val got = spark.table("hourly")
+      .select("event_type", "hour_ms", "n")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+    val want = Queries.batchHourly(spark, streamDir)
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("stateful sessionization matches the batch window computation") {
+    import spark.implicits._
+    val stream = EventStreams.read(spark, streamDir)
+      .select(col("event_id"), col("user_id"), col("ts_ms"))
+      .as[EventStreams.Event]
+    val out = EventStreams.sessionize(stream)
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("sessions").start()
+    q.processAllAvailable()
+    q.stop()
+    // one input batch -> last update per user is the final total
+    val got = spark.table("sessions")
+      .groupBy("user_id")
+      .agg(max("n_sessions").as("n_sessions"), max("n_events").as("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val want = graft.Queries.qSessionize(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
+}
+
+private object Queries {
+  /** Batch twin of hourlyByType over the staged (ns-as-long) copy. */
+  def batchHourly(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    s.read.parquet(dir)
+      .withColumn("ts_ms", expr("ts div 1000000"))
+      .groupBy(col("event_type"),
+        (col("ts_ms") - (col("ts_ms") % 3600000L)).as("hour_ms"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+  }
+}
