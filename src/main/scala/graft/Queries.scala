@@ -467,6 +467,14 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  def qKnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val embs = rd(s, dir, "embeddings")
+    Similarity.ivfTopK(
+      embs.filter(col("vec_id") < 5), embs.filter(col("vec_id") >= 5),
+      k = 3, nlist = 16, nprobe = 4)
+      .orderBy("query_id", "rank")
+  }
+
   def qEmbeddingNorm(s: SparkSession, dir: String): DataFrame =
     rd(s, dir, "embeddings").select(
       col("vec_id"),

@@ -67,6 +67,7 @@ object SparkEntry {
     "q_text_profile" -> (Queries.qTextProfile _),
     "q_knn_bruteforce" -> (Queries.qKnnBruteforce _),
     "q_knn_lsh" -> (Queries.qKnnLsh _),
+    "q_knn_ivf" -> (Queries.qKnnIvf _),
     "q_embedding_norm" -> (Queries.qEmbeddingNorm _),
     "q_multimodal_meta" -> (Queries.qMultimodalMeta _),
     "q_multimodal_features" -> (Queries.qMultimodalFeatures _)

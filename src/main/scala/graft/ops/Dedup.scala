@@ -59,8 +59,12 @@ object Dedup {
       textCol: String = "text",
       n: Int = 5,
       threshold: Double = 0.5): DataFrame = {
+    // materialized once: consumed by both the size aggregate and the
+    // inverted index (self-join re-aliasing defeats ReuseExchange, so
+    // without this the explode+distinct runs twice)
     val sh = docs
       .select(col("doc_id"), explode(shingles(col(textCol), n)).as("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val inter = sh.groupBy("shingle")
       .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
@@ -145,6 +149,10 @@ object Dedup {
           xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bh"))
       }: _*)).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bh"))
+      // the signature aggregation feeds both sides of the bucket self-join;
+      // materialize it once (at production scale this is the "signature
+      // table" a pipeline would checkpoint anyway)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = banded.as("a").join(banded.as("b"), Seq("band", "bh"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -188,6 +196,7 @@ object Dedup {
           shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bh"))
       }: _*)).as("bb"))
       .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     banded.as("a").join(banded.as("b"), Seq("band", "bh"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),

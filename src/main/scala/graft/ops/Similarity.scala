@@ -82,10 +82,56 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     val sig = embs.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("bucket", lshSignature(col("vec"), planes))
+      // both sides of the bucket self-join read this; materialize once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sig.as("a").join(sig.as("b"), Seq("bucket"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(cosine(col("a.vec"), col("b.vec")), 4).as("cosine"))
+  }
+
+  /** IVF (inverted-file) ANN top-k: candidates are partitioned into
+    * `nlist` cells by nearest centroid; each query probes only its
+    * `nprobe` nearest cells. Centroids are the first `nlist` candidates in
+    * id order (deterministic; swap in k-means centroids without changing
+    * the plan). Cell assignment is a broadcast nested-loop + max_by —
+    * candidates never shuffle by anything except their cell id, so the
+    * index build is one pass over the corpus and the probe reads
+    * nprobe/nlist of it. */
+  def ivfTopK(
+      queries: DataFrame,
+      candidates: DataFrame,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cand = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val centroids = broadcast(
+      cand.orderBy("neighbor_id").limit(nlist)
+        .select(col("neighbor_id").as("cell"), col("cvec").as("centroid")))
+    // argmax cell per candidate via max(struct(cos, cell)) — no window
+    val assigned = cand.join(centroids)
+      .groupBy("neighbor_id")
+      .agg(max(struct(cosine(col("cvec"), col("centroid")).as("c"),
+        col("cell").as("cell"))).as("best"),
+        first(col("cvec")).as("cvec"))
+      .select(col("neighbor_id"), col("cvec"), col("best.cell").as("cell"))
+    val qcells = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .join(centroids)
+      .withColumn("r", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(cosine(col("qvec"), col("centroid")).desc, col("cell").asc)))
+      .filter(col("r") <= nprobe)
+      .select(col("query_id"), col("qvec"), col("cell"))
+    val scored = assigned.join(broadcast(qcells), Seq("cell"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qvec"), col("cvec")), 4).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
   /** ANN top-k via LSH: search only same-bucket candidates. Recall is

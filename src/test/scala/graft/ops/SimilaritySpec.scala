@@ -58,6 +58,23 @@ class SimilaritySpec extends SparkSuite {
     assert(b1 == b2)
   }
 
+  test("ivfTopK: exhaustive probe equals brute force; partial probe recalls most") {
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = embs.filter(col("vec_id") < 5)
+    val c = embs.filter(col("vec_id") >= 5)
+    val exact = Similarity.bruteForceTopK(q, c, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // nprobe == nlist -> every cell searched -> identical to brute force
+    val full = Similarity.ivfTopK(q, c, k = 3, nlist = 16, nprobe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact)
+    // partial probe: deterministic recall on this corpus, must stay useful
+    val approx = Similarity.ivfTopK(q, c, k = 3, nlist = 16, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    assert(recall >= 0.4, s"ivf recall $recall")
+  }
+
   test("lshPairs finds the close pair after bucket blocking") {
     // 1 plane -> 2 buckets -> near-identical vectors must collide
     val pairs = Similarity.lshPairs(vecs, planes = 1).collect()
