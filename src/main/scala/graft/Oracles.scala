@@ -345,6 +345,13 @@ object Oracles {
         |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
         |FROM feat ORDER BY doc_id""".stripMargin,
 
+    "q_fingerprint_rolling" ->
+      """SELECT doc_id,
+        |  list_reduce(list_transform(range(1, length(text) + 1),
+        |    i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)),
+        |    (a, x) -> (a * 31 + x) % 2147483647) AS rhash
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q_knn_bruteforce" ->
       """WITH idx AS (SELECT unnest(range(1, 65)) AS i),
         |q AS (SELECT vec_id AS qid, embedding AS e FROM embeddings WHERE vec_id < 5),

@@ -449,6 +449,14 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Rolling-hash fingerprint via the native codegen expression. */
+  def qFingerprintRolling(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.RabinFingerprint.register(s)
+    rd(s, dir, "documents")
+      .selectExpr("doc_id", "rabin_fingerprint(text) AS rhash")
+      .orderBy("doc_id")
+  }
+
   def qTextProfile(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.profile(rd(s, dir, "documents")).orderBy("doc_id")
 

@@ -65,6 +65,7 @@ object SparkEntry {
     "q_dedup_minhash_lsh" -> (Queries.qDedupMinhashLsh _),
     "q_dedup_simhash" -> (Queries.qDedupSimhash _),
     "q_text_profile" -> (Queries.qTextProfile _),
+    "q_fingerprint_rolling" -> (Queries.qFingerprintRolling _),
     "q_knn_bruteforce" -> (Queries.qKnnBruteforce _),
     "q_knn_lsh" -> (Queries.qKnnLsh _),
     "q_knn_ivf" -> (Queries.qKnnIvf _),

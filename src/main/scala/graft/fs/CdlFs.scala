@@ -38,13 +38,20 @@ final class CdlFs(
 
   @volatile private var registered = false
 
-  /** Lazy registration: open the table and register view `rootfs`. */
+  /** Physical table incl. the `p0` partition column when present (tables
+    * written before partitioning, or by external writers, lack it). */
+  private def fullTable: DataFrame = spark.read.parquet(tableLocation)
+
+  private def canonical(df: DataFrame): DataFrame =
+    df.select(RootFs.schema.fieldNames.map(col(_)): _*)
+
+  /** Lazy registration: open the table and register view `rootfs` with
+    * exactly the 11 canonical columns. */
   private def ctx(): SparkSession = {
     if (!registered) synchronized {
       if (!registered) {
         Len.registerAll(spark)
-        spark.read.schema(RootFs.schema).parquet(tableLocation)
-          .createOrReplaceTempView(RootFs.TableName)
+        canonical(fullTable).createOrReplaceTempView(RootFs.TableName)
         registered = true
       }
     }
@@ -68,9 +75,17 @@ final class CdlFs(
       .withColumn("data", lit(Array.emptyByteArray))
 
   /** List one directory, files only, name-sorted (reference `read_dir`,
-    * crates/cdl-fs/src/lib.rs:84-89). */
-  def readDir(parent: String): DataFrame =
-    listing(table.filter(col("parent") === parent)).orderBy(col("name").asc)
+    * crates/cdl-fs/src/lib.rs:84-89). On a partitioned table the filter
+    * hits the `p0` partition key first, so listing one directory of a
+    * 100 TB table scans only that top-level segment's partition. */
+  def readDir(parent: String): DataFrame = {
+    val ft = fullTable
+    val seg = parent.split("/").find(_.nonEmpty).getOrElse("_root")
+    val pruned =
+      if (ft.columns.contains("p0")) ft.filter(col("p0") === seg) else ft
+    listing(canonical(pruned).filter(col("parent") === parent))
+      .orderBy(col("name").asc)
+  }
 
   /** Recursive listing, (parent, name)-sorted (reference `read_dir_all`,
     * crates/cdl-fs/src/lib.rs:91-95). */
@@ -112,8 +127,9 @@ final class CdlFs(
     if (dst.isLocal && !isTableDataset(dst)) Export.dumpAll(this, dst.localPath)
     else {
       val dstFs = CdlFs.open(spark, catalog, dst)
-      // table→table: one declarative append, no driver materialization.
-      table.write.mode("append").parquet(dstFs.tableLocation)
+      // table→table: one declarative partitioned append, no driver
+      // materialization.
+      Ingest.writeRootfs(table, dstFs.tableLocation)
       dstFs.refresh()
     }
 }

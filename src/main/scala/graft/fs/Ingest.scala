@@ -105,13 +105,30 @@ object Ingest {
     spark.createDataset(rows).toDF()
   }
 
-  /** Ingest a local tree into a dataset's rootfs table (append — the
-    * reference write path is append-only, WriteMode::Append at
+  /** Top-level directory segment of `parent` — the rootfs partition key.
+    * Partitioning by the first path segment keeps partition cardinality
+    * bounded (top-level dirs, not full paths) while letting `read_dir`
+    * and prefix queries prune entire partitions at 100 TB. */
+  def topSegment(parent: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val seg = split(parent, "/").getItem(1)
+    when(seg.isNull || seg === "", lit("_root")).otherwise(seg)
+  }
+
+  /** Append rootfs rows to a table location, hive-partitioned by `p0`
+    * (append-only — the reference write path is WriteMode::Append at
     * crates/cdl-fs/src/lib.rs:831). */
+  def writeRootfs(rows: DataFrame, location: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    rows.withColumn("p0", topSegment(col("parent")))
+      .write.mode("append").partitionBy("p0").parquet(location)
+  }
+
+  /** Ingest a local tree into a dataset's rootfs table. */
   def run(fs: CdlFs, localRoot: String): Unit = {
     val files = walk(localRoot)
-    rootfsRows(fs.spark, files, fs.catalog.maxChunkSize)
-      .write.mode("append").parquet(fs.tableLocation)
+    writeRootfs(rootfsRows(fs.spark, files, fs.catalog.maxChunkSize),
+      fs.tableLocation)
     fs.refresh()
   }
 }

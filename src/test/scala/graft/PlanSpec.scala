@@ -44,6 +44,23 @@ class PlanSpec extends SparkSuite {
     assert(!readSchema.contains("data"), readSchema)
   }
 
+  test("read_dir prunes partitions on a partitioned table") {
+    import graft.core.{DatasetCatalog, GlobalPath}
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("prunespec").toString
+    Files.createDirectories(Paths.get(s"$root/tree/deep/x"))
+    Files.write(Paths.get(s"$root/tree/top.txt"), "t".getBytes)
+    Files.write(Paths.get(s"$root/tree/deep/x/inner.txt"), "i".getBytes)
+    val fs = graft.fs.CdlFs.open(spark, DatasetCatalog(),
+      GlobalPath.parse(s"$root/ds").toOption.get)
+    graft.fs.Ingest.run(fs, s"$root/tree")
+    val p = formatted(fs.readDir("/deep/x"))
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert(pf.contains("p0"), p)
+    assert(fs.readDir("/deep/x").collect().map(_.getAs[String]("name")).toSeq ==
+      Seq("inner.txt"))
+  }
+
   test("small-dim joins broadcast (no shuffle of the fact side)") {
     val p = planOf(Queries.qJoinBroadcast(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p)

@@ -1,0 +1,48 @@
+package graft.functions
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class RabinFingerprintSpec extends SparkSuite {
+
+  test("expression matches the plain-Scala reference fold") {
+    import spark.implicits._
+    RabinFingerprint.register(spark)
+    val texts = Seq("", "a", "hello rootfs", "the quick brown fox",
+      "x" * 10000)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val got = df.selectExpr("id", "rabin_fingerprint(text) AS h")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == RabinFingerprint.reference(t), s"text #$i")
+    }
+  }
+
+  test("codegen and interpreted paths agree") {
+    import spark.implicits._
+    RabinFingerprint.register(spark)
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+    val withCodegen = df.selectExpr("doc_id", "rabin_fingerprint(text) AS h")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // force interpreted evaluation
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interpreted = df.selectExpr("doc_id", "rabin_fingerprint(text) AS h")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(withCodegen == interpreted)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("null input yields null, not a crash") {
+    import spark.implicits._
+    RabinFingerprint.register(spark)
+    val df = Seq(Some("x"), None).toDF("text")
+    val r = df.selectExpr("rabin_fingerprint(text) AS h").collect()
+    assert(r.count(_.isNullAt(0)) == 1)
+  }
+}
