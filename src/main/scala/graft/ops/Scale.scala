@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale levers for skewed and co-located workloads.
+  *
+  * AQE's skew-join split handles sort-merge skew adaptively at runtime;
+  * these are the declarative fallbacks for when the skew is known ahead
+  * of time (hot keys in a 100 TB fact table) or when a shuffle should not
+  * exist at all (repeated joins on the same key → bucketing).
+  */
+object Scale {
+
+  /** Skew-safe inner equi-join: the skewed (large) side is salted
+    * deterministically, the other side is replicated `factor`× — hot keys
+    * spread over `factor` tasks instead of one straggler. Semantics are
+    * exactly an inner join on `keys`; only the physical distribution
+    * changes. Use when one side is small enough to replicate (but too big
+    * or too skewed to broadcast whole). */
+  def saltedJoin(
+      skewed: DataFrame,
+      other: DataFrame,
+      keys: Seq[String],
+      factor: Int = 8): DataFrame = {
+    require(factor > 0, "salt factor must be positive")
+    // deterministic salt: hash of the whole row — no RNG, so retries and
+    // recomputed partitions agree
+    val salted = skewed.withColumn("__salt",
+      pmod(xxhash64(skewed.columns.map(col): _*), lit(factor)).cast("int"))
+    val replicated = other.withColumn("__salt",
+      explode(sequence(lit(0), lit(factor - 1))))
+    salted.join(replicated, keys :+ "__salt").drop("__salt")
+  }
+
+  /** Top-k heavy hitters per group without funneling any group through a
+    * single task: partial top-k per (group, hash-slice of the value),
+    * then final top-k over the ≤ slices·k survivors. */
+  def heavyHitters(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      k: Int,
+      slices: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("n"))
+    val sliced = counts.withColumn("__slice",
+      pmod(xxhash64(col(valueCol)), lit(slices)))
+    val w1 = Window.partitionBy(groupCol, "__slice")
+      .orderBy(col("n").desc, col(valueCol).asc)
+    val partial = sliced.withColumn("__r", row_number().over(w1))
+      .filter(col("__r") <= k)
+    val w2 = Window.partitionBy(groupCol)
+      .orderBy(col("n").desc, col(valueCol).asc)
+    partial.withColumn("rank", row_number().over(w2)).filter(col("rank") <= k)
+      .select(col(groupCol), col(valueCol), col("n"), col("rank"))
+  }
+
+  /** Write a table bucketed+sorted on its join key: subsequent equi-joins
+    * between tables bucketed the same way need NO shuffle (bucket-local
+    * sort-merge). The standard answer to "this join runs every hour on
+    * the same key". */
+  def writeBucketed(
+      df: DataFrame,
+      tableName: String,
+      bucketCol: String,
+      numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(tableName)
+}
