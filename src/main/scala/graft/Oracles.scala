@@ -242,6 +242,16 @@ object Oracles {
         |  count(*) AS n_events
         |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    "q_asof_join" ->
+      """WITH r AS (SELECT o_custkey, epoch_ms(o_orderdate) AS ot,
+        |             max(o_orderkey) AS o_orderkey
+        |           FROM orders GROUP BY o_custkey, ot),
+        |l AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events)
+        |SELECT l.event_id, l.user_id, r.o_orderkey
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.o_custkey AND l.ts_ms >= r.ot
+        |ORDER BY event_id""".stripMargin,
+
     // ---- Tier-A rootfs over the documents-derived table ----
 
     "q_read_dir" ->

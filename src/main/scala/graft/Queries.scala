@@ -413,6 +413,21 @@ object Queries {
       .orderBy("user_id")
   }
 
+  /** Point-in-time (as-of backward) join: each event matched to the
+    * latest at-or-before order of the same customer. */
+  def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val l = events(s, dir).select("event_id", "user_id", "ts_ms")
+    // o_orderdate is TIMESTAMP_NTZ; cast to LTZ in the UTC session so
+    // unix_millis matches DuckDB's epoch_ms on the naive value
+    val r = rd(s, dir, "orders")
+      .groupBy(col("o_custkey"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("ot"))
+      .agg(max("o_orderkey").as("o_orderkey"))
+    graft.ops.AsOf.joinBackward(l, r, "user_id", "o_custkey", "ts_ms", "ot")
+      .select("event_id", "user_id", "o_orderkey")
+      .orderBy("event_id")
+  }
+
   // ---------- training-data pipeline ops (north-star extensions) ----------
 
   def qDedupExact(s: SparkSession, dir: String): DataFrame =

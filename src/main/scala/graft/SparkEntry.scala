@@ -58,6 +58,7 @@ object SparkEntry {
     "q_json_extract" -> (Queries.qJsonExtract _),
     "q_events_hourly" -> (Queries.qEventsHourly _),
     "q_sessionize" -> (Queries.qSessionize _),
+    "q_asof_join" -> (Queries.qAsofJoin _),
     // training-data pipeline operators (north-star extensions)
     "q_dedup_exact" -> (Queries.qDedupExact _),
     "q_dedup_fingerprint" -> (Queries.qDedupFingerprint _),
