@@ -252,6 +252,20 @@ object Oracles {
         |  ON l.user_id = r.o_custkey AND l.ts_ms >= r.ot
         |ORDER BY event_id""".stripMargin,
 
+    "q_range_join" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events)
+        |SELECT a.user_id, count(*) AS n_pairs
+        |FROM e a JOIN e b
+        |  ON a.user_id = b.user_id AND a.event_id <> b.event_id
+        |  AND abs(b.ts_ms - a.ts_ms) <= 60000
+        |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
+
+    "q_subquery_correlated" ->
+      """SELECT c_custkey,
+        |  (SELECT round(max(o_totalprice), 2) FROM orders
+        |   WHERE o_custkey = c_custkey) AS max_price
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
     // ---- Tier-A rootfs over the documents-derived table ----
 
     "q_read_dir" ->

@@ -428,6 +428,25 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Range (interval) join: events of the same user within ±60 s of each
+    * other, counted per user — banded-bucket plan, exact predicate. */
+  def qRangeJoin(s: SparkSession, dir: String): DataFrame =
+    graft.ops.RangeJoin.selfPairsWithinBand(
+      events(s, dir), "user_id", "ts_ms", "event_id", band = 60000L)
+      .groupBy(col("k").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("user_id")
+
+  /** Correlated scalar subquery (Catalyst decorrelation). */
+  def qSubqueryCorrelated(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "customer", "orders")
+    s.sql(
+      """SELECT c_custkey,
+        |  (SELECT round(max(o_totalprice), 2) FROM orders
+        |   WHERE o_custkey = c_custkey) AS max_price
+        |FROM customer ORDER BY c_custkey""".stripMargin)
+  }
+
   // ---------- training-data pipeline ops (north-star extensions) ----------
 
   def qDedupExact(s: SparkSession, dir: String): DataFrame =

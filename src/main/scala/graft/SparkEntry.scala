@@ -59,6 +59,8 @@ object SparkEntry {
     "q_events_hourly" -> (Queries.qEventsHourly _),
     "q_sessionize" -> (Queries.qSessionize _),
     "q_asof_join" -> (Queries.qAsofJoin _),
+    "q_range_join" -> (Queries.qRangeJoin _),
+    "q_subquery_correlated" -> (Queries.qSubqueryCorrelated _),
     // training-data pipeline operators (north-star extensions)
     "q_dedup_exact" -> (Queries.qDedupExact _),
     "q_dedup_fingerprint" -> (Queries.qDedupFingerprint _),
