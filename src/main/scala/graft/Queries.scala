@@ -491,6 +491,12 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Winnowing sketch sizes (sketch hashes are xxhash64 — rows-only). */
+  def qWinnowing(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.winnowingSketch(rd(s, dir, "documents"))
+      .select(col("doc_id"), size(col("sketch")).cast("long").as("sketch_size"))
+      .orderBy("doc_id")
+
   def qTextProfile(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.profile(rd(s, dir, "documents")).orderBy("doc_id")
 

@@ -69,6 +69,7 @@ object SparkEntry {
     "q_dedup_simhash" -> (Queries.qDedupSimhash _),
     "q_text_profile" -> (Queries.qTextProfile _),
     "q_fingerprint_rolling" -> (Queries.qFingerprintRolling _),
+    "q_winnowing" -> (Queries.qWinnowing _),
     "q_knn_bruteforce" -> (Queries.qKnnBruteforce _),
     "q_knn_lsh" -> (Queries.qKnnLsh _),
     "q_knn_ivf" -> (Queries.qKnnIvf _),

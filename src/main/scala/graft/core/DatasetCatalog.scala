@@ -7,9 +7,10 @@ package graft.core
   * Scale note: these knobs are per-writer bounds — `maxBufferSize` caps
   * bytes buffered before a flush (reference default 1 GiB), `maxChunkSize`
   * splits large binary payloads into multiple rows so no single Spark row
-  * exceeds executor memory / the 2 GiB array ceiling. At 100 TB we default
-  * chunking ON (256 MiB) where the reference leaves it off — documented
-  * divergence (SURVEY §7.4.1).
+  * exceeds executor memory / the 2 GiB array ceiling. The default 0 keeps
+  * the reference's one-row-per-file semantics, but ingest still applies a
+  * 256 MiB safety chunk to oversized files (`Ingest.SafetyChunkSize`) —
+  * documented divergence (SURVEY §7.4.1).
   */
 final case class DatasetCatalog(
     cacheDir: String = "./cache",

@@ -72,11 +72,20 @@ object Ingest {
       .foldLeft(0x8000)(_ | _) // S_IFREG
   }
 
+  /** Hard ceiling applied when chunking is disabled: a single rootfs row
+    * cannot exceed JVM array limits (and shouldn't approach executor
+    * memory), so files larger than this are chunked regardless. The
+    * reference leaves chunking off and would build an unbounded row
+    * (SURVEY §7.4.1 documents this divergence). */
+  val SafetyChunkSize: Long = 256L << 20 // 256 MiB
+
   /** Build the rootfs rows DataFrame for a walked tree. Bytes are read on
     * executors; metadata rides only on chunk 0 (reference `metadata.take()`,
     * crates/cdl-fs/src/lib.rs:687). */
-  def rootfsRows(spark: SparkSession, files: Seq[FileMeta], maxChunkSize: Long): DataFrame = {
+  def rootfsRows(spark: SparkSession, files: Seq[FileMeta], maxChunkSize0: Long): DataFrame = {
     import spark.implicits._
+    val maxChunkSize =
+      if (maxChunkSize0 > 0) maxChunkSize0 else SafetyChunkSize
     val parallelism = math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism))
     val rows = spark.sparkContext.parallelize(files, parallelism).flatMap { m =>
       val layout = RootFs.chunkLayout(m.size, maxChunkSize)

@@ -83,6 +83,33 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "\\s+", " "))
 
+  /** Winnowing document sketch (the MOSS fingerprint): hash every word
+    * k-gram, then keep the minimum hash of each sliding window of `w`
+    * consecutive k-grams — a position-robust subset of shingle hashes
+    * whose overlap estimates document similarity.
+    *
+    * Shape: k-gram hashes are exploded ONCE and the window minimum runs
+    * as a frame aggregate — a lambda of the form
+    * `transform(seq, i -> array_min(slice(hashes, i, w)))` would
+    * re-evaluate the whole hash array per window (the same
+    * subexpression-inlining trap as minhash). */
+  def winnowingSketch(
+      docs: org.apache.spark.sql.DataFrame,
+      textCol: String = "text",
+      k: Int = 5,
+      w: Int = 4): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hashes = transform(Dedup.shingles(col(textCol), k), s => xxhash64(s))
+    val posed = docs.select(col("doc_id"),
+      posexplode(hashes).as(Seq("pos", "h")))
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(-(w - 1), Window.currentRow)
+    posed.withColumn("m", min("h").over(win))
+      .filter(col("pos") >= w - 1)
+      .groupBy("doc_id")
+      .agg(array_sort(array_distinct(collect_list("m"))).as("sketch"))
+  }
+
   /** One-call profile of a documents table. */
   def profile(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -52,6 +52,22 @@ class TextAnalysisSpec extends SparkSuite {
     assert(fps(0) == fps(1))
   }
 
+  test("winnowing: identical docs share sketches; near-dups overlap heavily") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far " +
+      "away into the deep green forest while birds sing above the trees"
+    val d = Seq((0L, base), (1L, base),
+      (2L, base.replace("lazy", "sleepy")),
+      (3L, "totally unrelated words about catalyst plans and shuffles here"))
+      .toDF("doc_id", "text")
+    val s = TextAnalysis.winnowingSketch(d, k = 3, w = 3).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(s(0L) == s(1L))
+    val overlap02 = (s(0L) & s(2L)).size.toDouble / (s(0L) | s(2L)).size
+    assert(overlap02 >= 0.5, s"near-dup overlap $overlap02")
+    assert((s(0L) & s(3L)).isEmpty)
+  }
+
   test("quality score bounded in [0,1] on the real corpus") {
     val r = TextAnalysis.profile(
       spark.read.parquet(s"$sf/documents.parquet"))
