@@ -523,6 +523,18 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** Embedding-cosine near-dup candidates per vector (LSH-blocked). */
+  def qDedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val embs = rd(s, dir, "embeddings")
+    val pairs = graft.ops.Dedup.embeddingNearDupPairs(embs, threshold = 0.8)
+    val touched = pairs.select(col("id_a").as("vec_id"))
+      .unionAll(pairs.select(col("id_b")))
+      .groupBy("vec_id").agg(count(lit(1)).as("n_candidates"))
+    embs.select("vec_id").join(touched, Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
+      .orderBy("vec_id")
+  }
+
   def qEmbeddingNorm(s: SparkSession, dir: String): DataFrame =
     rd(s, dir, "embeddings").select(
       col("vec_id"),

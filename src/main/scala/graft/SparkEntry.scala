@@ -67,6 +67,7 @@ object SparkEntry {
     "q_dedup_ngram_jaccard" -> (Queries.qDedupNgramJaccard _),
     "q_dedup_minhash_lsh" -> (Queries.qDedupMinhashLsh _),
     "q_dedup_simhash" -> (Queries.qDedupSimhash _),
+    "q_dedup_embedding" -> (Queries.qDedupEmbedding _),
     "q_text_profile" -> (Queries.qTextProfile _),
     "q_fingerprint_rolling" -> (Queries.qFingerprintRolling _),
     "q_winnowing" -> (Queries.qWinnowing _),

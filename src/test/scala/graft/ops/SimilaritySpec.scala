@@ -75,6 +75,20 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.4, s"ivf recall $recall")
   }
 
+  test("embeddingNearDupPairs surfaces a planted near-identical pair") {
+    import spark.implicits._
+    val planted = Seq(
+      (0L, Array(1.0f, 0.01f, 0.0f, 0.02f)),
+      (1L, Array(0.99f, 0.012f, 0.001f, 0.019f)), // ~same direction as 0
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(planted, threshold = 0.95, planes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._2 == 3L && p._1 == 2L))
+  }
+
   test("lshPairs finds the close pair after bucket blocking") {
     // 1 plane -> 2 buckets -> near-identical vectors must collide
     val pairs = Similarity.lshPairs(vecs, planes = 1).collect()
