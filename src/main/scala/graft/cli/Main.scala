@@ -21,6 +21,7 @@ object Main {
     }
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .withExtensions(new graft.GraftExtensions)
       .appName("graft-cdl")
       .config("spark.sql.shuffle.partitions",
         math.max(Runtime.getRuntime.availableProcessors(), 8))

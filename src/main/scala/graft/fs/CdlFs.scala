@@ -36,8 +36,6 @@ final class CdlFs(
     * `storage_options()` Python API, python/src/lib.rs:145-150). */
   def storageOptions: Map[String, String] = catalog.storageOptions
 
-  @volatile private var registered = false
-
   /** Physical table incl. the `p0` partition column when present (tables
     * written before partitioning, or by external writers, lack it). */
   private def fullTable: DataFrame = spark.read.parquet(tableLocation)
@@ -45,26 +43,26 @@ final class CdlFs(
   private def canonical(df: DataFrame): DataFrame =
     df.select(RootFs.schema.fieldNames.map(col(_)): _*)
 
-  /** Lazy registration: open the table and register view `rootfs` with
-    * exactly the 11 canonical columns. */
+  /** (Re-)register this dataset's canonical 11-column view as `rootfs`.
+    * The reference binds one dataset per session
+    * (crates/cdl-fs/src/lib.rs:112-118); with several CdlFs instances on
+    * one SparkSession the view name is shared, so `sql` re-registers
+    * before each query rather than trusting a stale binding. */
   private def ctx(): SparkSession = {
-    if (!registered) synchronized {
-      if (!registered) {
-        Len.registerAll(spark)
-        canonical(fullTable).createOrReplaceTempView(RootFs.TableName)
-        registered = true
-      }
-    }
+    Len.registerAll(spark)
+    canonical(fullTable).createOrReplaceTempView(RootFs.TableName)
     spark
   }
 
-  /** Force (re-)registration — used after appends so new files are seen. */
-  def refresh(): Unit = { registered = false; ctx() }
+  /** Refresh table state after an append. */
+  def refresh(): Unit = { ctx(); () }
 
   /** Full SQL over `rootfs` (reference `query`, crates/cdl-fs/src/lib.rs:78-81). */
   def sql(q: String): DataFrame = ctx().sql(q)
 
-  def table: DataFrame = ctx().table(RootFs.TableName)
+  /** This dataset's canonical table — bound to its files, not to the
+    * shared view name. */
+  def table: DataFrame = canonical(fullTable)
 
   /** Listing projection: metadata columns + BLANKED `data` (`x'' AS data`) so
     * listings never ship payloads (reference list_by,

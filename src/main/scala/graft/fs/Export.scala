@@ -1,6 +1,6 @@
 package graft.fs
 
-import java.nio.file.attribute.{FileTime, PosixFilePermissions}
+import java.nio.file.attribute.FileTime
 import java.nio.file.{Files, Paths, StandardOpenOption}
 
 import org.apache.spark.sql.functions._
@@ -11,35 +11,38 @@ import graft.core.RootFs
   * crates/cdl-fs/src/lib.rs:721-770): create dirs, seek to `chunk_offset`,
   * write bytes, then restore atime/mtime/mode and truncate to `size`.
   *
-  * Scale design: chunks are written by executors via `foreachPartition` —
-  * each chunk row carries its own (path, offset), so tasks write
-  * independently with positional writes and no shuffle or ordering
-  * requirement. Metadata restore runs per chunk-0 row after its write.
-  * ctime is not restorable on POSIX; the reference doesn't restore it
-  * either (SURVEY §7.4.3).
+  * Scale design: ALL three passes run on executors via `foreachPartition`
+  * — file creation/truncate (chunk-0 rows), positional chunk writes (each
+  * chunk row carries its own (path, offset), so tasks write independently
+  * with no shuffle or ordering requirement), then metadata restore. The
+  * sequential jobs provide the barriers (no chunk write after its file's
+  * mtime is restored). The driver never materializes a row. ctime is not
+  * restorable on POSIX; the reference doesn't restore it either
+  * (SURVEY §7.4.3).
   */
 object Export {
 
   def dumpAll(fs: CdlFs, destRoot: String): Unit = {
     val dest = Paths.get(destRoot).toAbsolutePath.normalize.toString
     Files.createDirectories(Paths.get(dest))
-
-    // Pass 1: create every file at full size (chunk-0 rows carry `size`).
-    // Driver-side: one row per FILE (not per chunk) — listing-scale data.
-    val metas = fs.table
-      .filter(col("size").isNotNull)
+    val files = fs.table.filter(col("size").isNotNull)
       .select("parent", "name", "size", "mode", "atime", "mtime")
-      .collect()
-    metas.foreach { r =>
-      val p = Paths.get(dest + r.getAs[String]("parent"), r.getAs[String]("name"))
-      Files.createDirectories(p.getParent)
-      val ch = java.nio.channels.FileChannel.open(
-        p, StandardOpenOption.CREATE, StandardOpenOption.WRITE)
-      try ch.truncate(r.getAs[Long]("size"))
-      finally ch.close()
-    }
 
-    // Pass 2: executors write chunk payloads positionally.
+    // Pass 1: create every file at full size (createDirectories is
+    // idempotent, so concurrent tasks sharing a parent dir are safe).
+    files.select("parent", "name", "size")
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        rows.foreach { r =>
+          val p = Paths.get(dest + r.getAs[String]("parent"), r.getAs[String]("name"))
+          Files.createDirectories(p.getParent)
+          val ch = java.nio.channels.FileChannel.open(
+            p, StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+          try ch.truncate(r.getAs[Long]("size"))
+          finally ch.close()
+        }
+      }
+
+    // Pass 2: positional chunk payload writes.
     fs.table
       .select("parent", "name", "chunk_offset", "data")
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
@@ -54,20 +57,23 @@ object Export {
         }
       }
 
-    // Pass 3: restore metadata last so writes don't bump mtime afterwards.
-    metas.foreach { r =>
-      val p = Paths.get(dest + r.getAs[String]("parent"), r.getAs[String]("name"))
-      Option(r.getAs[java.sql.Timestamp]("mtime")).foreach(t =>
-        Files.setLastModifiedTime(p, FileTime.fromMillis(t.getTime)))
-      Option(r.getAs[Any]("mode")).foreach { m =>
-        Files.setPosixFilePermissions(p, modeToPerms(m.asInstanceOf[Int]))
+    // Pass 3: metadata restore, after every write has finished.
+    files.select("parent", "name", "mode", "atime", "mtime")
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        rows.foreach { r =>
+          val p = Paths.get(dest + r.getAs[String]("parent"), r.getAs[String]("name"))
+          Option(r.getAs[java.sql.Timestamp]("mtime")).foreach(t =>
+            Files.setLastModifiedTime(p, FileTime.fromMillis(t.getTime)))
+          Option(r.getAs[Any]("mode")).foreach { m =>
+            Files.setPosixFilePermissions(p, modeToPerms(m.asInstanceOf[Int]))
+          }
+          Option(r.getAs[java.sql.Timestamp]("atime")).foreach { t =>
+            Files.getFileAttributeView(
+              p, classOf[java.nio.file.attribute.BasicFileAttributeView])
+              .setTimes(null, FileTime.fromMillis(t.getTime), null)
+          }
+        }
       }
-      Option(r.getAs[java.sql.Timestamp]("atime")).foreach { t =>
-        val view = Files.getFileAttributeView(
-          p, classOf[java.nio.file.attribute.BasicFileAttributeView])
-        view.setTimes(null, FileTime.fromMillis(t.getTime), null)
-      }
-    }
   }
 
   private[fs] def modeToPerms(mode: Int): java.util.Set[java.nio.file.attribute.PosixFilePermission] = {

@@ -140,4 +140,56 @@ object Ingest {
       fs.tableLocation)
     fs.refresh()
   }
+
+  /** Fully-distributed ingest via the `binaryFile` source: executors do
+    * BOTH the listing and the reading, so no driver walk bounds the job —
+    * the path for 100 M-file trees on shared storage. Trade-off vs
+    * `run()`: metadata fidelity is (mtime, size) only — binaryFile
+    * exposes no atime/ctime/mode — and ZERO-BYTE files are invisible to
+    * the source (Hadoop listing skips them); symlinks, which the
+    * reference skips at ingest, are filtered executor-side. Use `run()`
+    * when full POSIX fidelity matters. Chunking is declarative: explode
+    * over chunk ids + binary substring. */
+  def runDistributed(fs: CdlFs, localRoot: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val rootAbs = Paths.get(localRoot).toAbsolutePath.normalize.toString
+    val cs = if (fs.catalog.maxChunkSize > 0) fs.catalog.maxChunkSize
+      else SafetyChunkSize
+    val notSymlink = udf { (p: String) =>
+      !Files.isSymbolicLink(Paths.get(new java.net.URI(p).getPath))
+    }
+    val bin = fs.spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true").load(rootAbs)
+      .filter(notSymlink(col("path"))) // per-file metadata check, executor-side
+    val rel = regexp_replace(col("path"), "^file:(//)?" +
+      java.util.regex.Pattern.quote(rootAbs), "")
+    val name = substring_index(rel, "/", -1)
+    val parentLen = length(rel) - length(name) - 1
+    val parent = when(parentLen <= 0, lit("/"))
+      .otherwise(expr("substring(__rel, 1, __plen)"))
+    val nChunks = (floor((greatest(col("size"), lit(1L)) - 1) / cs) + 1)
+      .cast("long")
+    val rows = bin
+      .withColumn("__rel", rel).withColumn("__plen", parentLen)
+      .select(
+        name.as("name"), parent.as("parent"),
+        col("modificationTime").cast("timestamp").as("mtime"),
+        col("length").as("size"), col("content"))
+      .withColumn("chunk_id", explode(sequence(lit(0L), nChunks - 1)))
+      .select(
+        col("name"), col("parent"),
+        lit(null).cast("timestamp").as("atime"),
+        lit(null).cast("timestamp").as("ctime"),
+        when(col("chunk_id") === 0, col("mtime")).cast("timestamp").as("mtime"),
+        lit(null).cast("int").as("mode"),
+        when(col("chunk_id") === 0, col("size")).as("size"),
+        col("chunk_id"),
+        (col("chunk_id") * cs).as("chunk_offset"),
+        least(col("size") - col("chunk_id") * cs, lit(cs)).as("chunk_size"),
+        // binaryFile caps files at 2 GiB, so int positions are safe
+        expr(s"substring(content, CAST(chunk_id * ${cs}L + 1 AS INT), ${math.min(cs, Int.MaxValue).toInt})")
+          .as("data"))
+    writeRootfs(rows, fs.tableLocation)
+    fs.refresh()
+  }
 }

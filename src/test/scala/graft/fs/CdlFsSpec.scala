@@ -3,6 +3,7 @@ package graft.fs
 import java.nio.file.{Files, Paths}
 
 import graft.SparkSuite
+import org.apache.spark.sql.functions.col
 import graft.core.{DatasetCatalog, GlobalPath}
 
 /** End-to-end ingest → query → export over a fixture tree (FIXTURES §A2):
@@ -107,6 +108,29 @@ class CdlFsSpec extends SparkSuite {
     // ordinal order: (parent,name,chunk_id) — big.bin chunks 0,1,2 first
     assert(rows.map(r => (r.getAs[Long]("row_id"), r.getAs[String]("name"))).toSeq ==
       Seq((0L, "big.bin"), (2L, "big.bin")))
+  }
+
+  test("distributed (binaryFile) ingest matches walk ingest on bytes and layout") {
+    import graft.core.{DatasetCatalog, GlobalPath}
+    // binaryFile cannot see zero-byte files (documented gap) — compare
+    // everything else
+    val a = fs.table // forces fixture + walk-ingest initialization
+      .filter(col("name") =!= "empty.bin")
+      .selectExpr("parent", "name", "chunk_id", "chunk_size", "md5(data) AS h")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSet
+    val fs2 = CdlFs.open(spark, DatasetCatalog(maxChunkSize = 1024),
+      GlobalPath.parse(s"$root/ds-dist").toOption.get)
+    Ingest.runDistributed(fs2, s"$root/fixture")
+    val b = fs2.table
+      .selectExpr("parent", "name", "chunk_id", "chunk_size", "md5(data) AS h")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSet
+    assert(b == a)
+    // mtime preserved; mode/atime are nulls in the distributed path
+    val m = fs2.sql("SELECT count(*) AS n FROM rootfs " +
+      "WHERE chunk_id = 0 AND mtime IS NULL").collect().head.getLong(0)
+    assert(m == 0)
   }
 
   test("copyTo table dataset appends all rows") {
