@@ -90,11 +90,51 @@ object Similarity {
         round(cosine(col("a.vec"), col("b.vec")), 4).as("cosine"))
   }
 
+  /** Lloyd-iteration k-means centroids for the IVF index, fully
+    * deterministic: init = first `nlist` vectors in id order, then
+    * `iters` rounds of (broadcast-assign → per-dimension mean). Each
+    * round is one pass over the corpus; the k×dim centroid table rides
+    * on the driver between rounds (tiny). Means are computed in double
+    * via posexplode + avg — no vector UDFs. */
+  def kmeansCentroids(
+      candidates: DataFrame,
+      nlist: Int,
+      iters: Int = 3,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val cand = candidates.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+    var cents = cand.orderBy("cid").limit(nlist)
+      .withColumn("cell",
+        row_number().over(Window.orderBy("cid")).cast("long") - 1)
+      .select(col("cell"), col("cvec").cast("array<double>").as("centroid"))
+    (0 until iters).foreach { _ =>
+      val assigned = cand.join(broadcast(cents))
+        .groupBy("cid")
+        .agg(max(struct(cosine(col("cvec"), col("centroid")).as("c"),
+          col("cell").as("cell"))).as("best"),
+          first(col("cvec")).as("cvec"))
+        .select(col("best.cell").as("cell"), col("cvec"))
+      val means = assigned
+        .select(col("cell"), posexplode(col("cvec")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          p => p.getField("m")).as("centroid"))
+      // k×dim round-trip through the driver keeps the next round's plan flat
+      val rows = means.collect().map(r =>
+        (r.getAs[Long]("cell"), r.getSeq[Double](1)))
+      cents = rows.toSeq.toDF("cell", "centroid")
+    }
+    cents
+  }
+
   /** IVF (inverted-file) ANN top-k: candidates are partitioned into
     * `nlist` cells by nearest centroid; each query probes only its
-    * `nprobe` nearest cells. Centroids are the first `nlist` candidates in
-    * id order (deterministic; swap in k-means centroids without changing
-    * the plan). Cell assignment is a broadcast nested-loop + max_by —
+    * `nprobe` nearest cells. Default centroids are the first `nlist`
+    * candidates in id order; pass `kmeansIters > 0` for Lloyd-refined
+    * cells. Cell assignment is a broadcast nested-loop + max_by —
     * candidates never shuffle by anything except their cell id, so the
     * index build is one pass over the corpus and the probe reads
     * nprobe/nlist of it. */
@@ -105,11 +145,15 @@ object Similarity {
       nlist: Int = 16,
       nprobe: Int = 4,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      kmeansIters: Int = 0): DataFrame = {
     val cand = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
     val centroids = broadcast(
-      cand.orderBy("neighbor_id").limit(nlist)
-        .select(col("neighbor_id").as("cell"), col("cvec").as("centroid")))
+      if (kmeansIters > 0)
+        kmeansCentroids(candidates, nlist, kmeansIters, idCol, vecCol)
+      else
+        cand.orderBy("neighbor_id").limit(nlist)
+          .select(col("neighbor_id").as("cell"), col("cvec").as("centroid")))
     // argmax cell per candidate via max(struct(cos, cell)) — no window
     val assigned = cand.join(centroids)
       .groupBy("neighbor_id")

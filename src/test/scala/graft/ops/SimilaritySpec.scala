@@ -75,6 +75,23 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.4, s"ivf recall $recall")
   }
 
+  test("k-means IVF: exhaustive probe still equals brute force; recall holds") {
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = embs.filter(col("vec_id") < 5)
+    val c = embs.filter(col("vec_id") >= 5)
+    val exact = Similarity.bruteForceTopK(q, c, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Similarity.ivfTopK(q, c, k = 3, nlist = 8, nprobe = 8,
+      kmeansIters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact)
+    val approx = Similarity.ivfTopK(q, c, k = 3, nlist = 8, nprobe = 3,
+      kmeansIters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    assert(recall >= 0.4, s"kmeans ivf recall $recall")
+  }
+
   test("embeddingNearDupPairs surfaces a planted near-identical pair") {
     import spark.implicits._
     val planted = Seq(
