@@ -71,6 +71,17 @@ def main(sf_dir, out_dir):
         if scols != dcols:
             bad.append((name, f"SCHEMA: spark={scols} duck={dcols}"))
             continue
+
+        def dtype(t, c):
+            s = str(t.schema.field(c).type)
+            return {"large_string": "string", "large_binary": "binary",
+                    "timestamp[us]": "ts", "timestamp[ns]": "ts",
+                    "timestamp[ms]": "ts", "date32[day]": "date"}.get(s, s)
+        tmis = [(c, dtype(spark_tbl, c), dtype(duck_tbl, c))
+                for c in scols if dtype(spark_tbl, c) != dtype(duck_tbl, c)]
+        if tmis:
+            bad.append((name, f"DTYPES differ: {tmis}"))
+            continue
         if len(srows) != len(drows):
             bad.append((name, f"ROWS: spark={len(srows)} duck={len(drows)}"))
             continue

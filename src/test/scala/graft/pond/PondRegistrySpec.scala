@@ -48,6 +48,19 @@ class PondRegistrySpec extends SparkSuite {
     assert(spark.read.parquet(s"${src.rootUri}/ds1").count() == 1)
   }
 
+  test("sync matrix: pull Always mirrors on bind and push Always arms replication") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("ponds2").toString
+    val src = Pond("src", s"$root/src", 1000, 0)
+    val dst = Pond("dst", s"$root/dst", 1000, 0)
+    Seq((1, "x")).toDF("id", "v").write.parquet(s"${src.rootUri}/dsA")
+    val jobs = new SyncJobs(spark, graft.core.DatasetCatalog())
+    val acts = jobs.onBind(Binding("dsA", src, dst,
+      PullPolicy.Always, PushPolicy.Always))
+    assert(acts.toSet == Set("pull:Always", "push:replication-rule-armed"))
+    assert(spark.read.parquet(s"${dst.rootUri}/dsA").count() == 1)
+  }
+
   test("sync matrix: pull Never / push Never do nothing") {
     val jobs = new SyncJobs(spark, graft.core.DatasetCatalog())
     val src = Pond("s", "file:///nonexistent-src", 1, 0)
