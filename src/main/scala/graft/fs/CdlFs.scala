@@ -64,6 +64,15 @@ final class CdlFs(
     * shared view name. */
   def table: DataFrame = canonical(fullTable)
 
+  /** Committed snapshot versions of this table (appends create one each). */
+  def versions: Seq[Int] = CommitLog.versions(tableLocation)
+
+  /** Time travel: the table as of a committed version — reads exactly
+    * that snapshot's data files, unaffected by later appends. */
+  def tableAt(version: Int): DataFrame =
+    canonical(spark.read.parquet(
+      CommitLog.snapshotFilePaths(tableLocation, version): _*))
+
   /** Listing projection: metadata columns + BLANKED `data` (`x'' AS data`) so
     * listings never ship payloads (reference list_by,
     * crates/cdl-fs/src/lib.rs:120-131). `size IS NOT NULL` keeps only

@@ -131,6 +131,11 @@ object Ingest {
     import org.apache.spark.sql.functions.col
     rows.withColumn("p0", topSegment(col("parent")))
       .write.mode("append").partitionBy("p0").parquet(location)
+    // data files land first, then the snapshot manifest — readers of a
+    // committed version never observe a partial append (local tables;
+    // remote object stores would commit through the Hadoop FS API)
+    if (!location.contains("://") || location.startsWith("file:"))
+      CommitLog.commit(location)
   }
 
   /** Ingest a local tree into a dataset's rootfs table. */

@@ -133,6 +133,28 @@ class CdlFsSpec extends SparkSuite {
     assert(m == 0)
   }
 
+  test("commit log: each append is a version; time travel reads old snapshots") {
+    val fsV = CdlFs.open(spark, DatasetCatalog(),
+      GlobalPath.parse(s"$root/ds-ver").toOption.get)
+    val treeA = s"$root/treeA"
+    Files.createDirectories(Paths.get(treeA))
+    Files.write(Paths.get(s"$treeA/a.txt"), "aaa".getBytes)
+    Ingest.run(fsV, treeA)
+    assert(fsV.versions == Seq(1))
+    assert(fsV.tableAt(1).count() == 1)
+
+    val treeB = s"$root/treeB"
+    Files.createDirectories(Paths.get(treeB))
+    Files.write(Paths.get(s"$treeB/b.txt"), "bbbb".getBytes)
+    Ingest.run(fsV, treeB)
+    assert(fsV.versions == Seq(1, 2))
+    assert(fsV.tableAt(1).count() == 1) // snapshot unaffected by the append
+    assert(fsV.tableAt(2).count() == 2)
+    assert(fsV.table.count() == 2)
+    assert(fsV.tableAt(1).select("name").collect().head.getString(0) == "a.txt")
+    intercept[IllegalArgumentException] { fsV.tableAt(99) }
+  }
+
   test("copyTo table dataset appends all rows") {
     // pre-create the rootfs dir so the destination counts as a table
     // dataset (a bare local dir would get a file dump instead — the
