@@ -48,6 +48,13 @@ object Main {
         // reference prints first 10 rows (`show_limit(10)`,
         // crates/cdl/src/command/query.rs:20)
         CdlFs.open(spark, catalog, target).sql(sql).show(10, truncate = false)
+      case "query" :: target :: sql :: "--at-version" :: v :: Nil =>
+        // time travel: bind `rootfs` to the requested snapshot
+        val fs = CdlFs.open(spark, catalog, target)
+        fs.tableAt(v.toInt).createOrReplaceTempView(graft.core.RootFs.TableName)
+        spark.sql(sql).show(10, truncate = false)
+      case "versions" :: target :: Nil =>
+        CdlFs.open(spark, catalog, target).versions.foreach(println)
       case other =>
         sys.error(s"usage: [--catalog-flag value]... {cp <from> <to> | query <target> <sql>}; got $other")
     }

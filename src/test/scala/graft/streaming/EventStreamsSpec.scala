@@ -31,6 +31,45 @@ class EventStreamsSpec extends SparkSuite {
     assert(got.nonEmpty)
   }
 
+  test("state carries across triggers: two-batch arrival equals one-batch") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("evstream2").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val all = spark.read.parquet(s"$sf/events.parquet")
+    // the file stream source lists top-level files only — stage each
+    // batch's part files flat into the source dir
+    def stage(df: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      val tmp = Files.createTempDirectory("evbatch").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      import scala.jdk.CollectionConverters._
+      Files.list(java.nio.file.Paths.get(tmp)).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .foreach(p => Files.move(p,
+          java.nio.file.Paths.get(dir, s"$tag-${p.getFileName}")))
+    }
+    // batch 1: first half by event_id
+    stage(all.filter(col("event_id") < 500), "b1")
+
+    val stream = EventStreams.read(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts_ms"))
+      .as[EventStreams.Event]
+    val q = EventStreams.sessionize(stream).writeStream
+      .outputMode("update").format("memory").queryName("sessions2").start()
+    q.processAllAvailable()
+    // batch 2 arrives while the query runs
+    stage(all.filter(col("event_id") >= 500), "b2")
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("sessions2")
+      .groupBy("user_id")
+      .agg(max("n_events").as("n_events"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = graft.Queries.qSessionize(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got == want)
+  }
+
   test("stateful sessionization matches the batch window computation") {
     import spark.implicits._
     val stream = EventStreams.read(spark, streamDir)
