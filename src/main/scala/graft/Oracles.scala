@@ -222,6 +222,16 @@ object Oracles {
         |FROM orders
         |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)""".stripMargin,
 
+    "q_stats" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  round(var_samp(l_quantity), 4) AS var_qty,
+        |  round(corr(l_extendedprice, l_quantity), 4) AS corr_pq,
+        |  round(covar_samp(l_extendedprice, l_quantity), 4) AS covar_pq,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+        |  round(quantile_cont(l_quantity, 0.95), 4) AS p95_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "q_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,

@@ -381,6 +381,21 @@ object Queries {
         |WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)""".stripMargin)
   }
 
+  /** Statistical aggregates: sample stddev/variance, correlation,
+    * covariance, exact interpolated percentiles. */
+  def qStats(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(corr(col("l_extendedprice"), col("l_quantity")), 4).as("corr_pq"),
+        round(covar_samp(col("l_extendedprice"), col("l_quantity")), 4)
+          .as("covar_pq"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+        round(expr("percentile(l_quantity, 0.95)"), 4).as("p95_qty"))
+      .orderBy("l_returnflag")
+
   /** HLL sketch — values engine-specific, so rows-only checked. */
   def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
     rd(s, dir, "lineitem").agg(

@@ -55,6 +55,7 @@ object SparkEntry {
     "q_subquery_exists" -> (Queries.qSubqueryExists _),
     "q_subquery_scalar" -> (Queries.qSubqueryScalar _),
     "q_approx_distinct" -> (Queries.qApproxDistinct _),
+    "q_stats" -> (Queries.qStats _),
     "q_json_extract" -> (Queries.qJsonExtract _),
     "q_events_hourly" -> (Queries.qEventsHourly _),
     "q_sessionize" -> (Queries.qSessionize _),
