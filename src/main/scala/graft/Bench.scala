@@ -40,10 +40,11 @@ object Bench {
       spark.catalog.clearCache()
       dt
     }
+    // single-shot per query: exactly what the grading driver measures.
+    // (Best-of-N de-noising was removed — it masked real regressions and
+    // made the private numbers incomparable to the driver's.)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val first = timeOne(name, fn)
-      // shared-host noise dominates the slow tail — best-of-two there
-      name -> (if (first > 1.5) math.min(first, timeOne(name, fn)) else first)
+      name -> timeOne(name, fn)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

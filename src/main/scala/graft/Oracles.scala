@@ -32,7 +32,8 @@ object Oracles {
       """SELECT l_orderkey, l_linenumber,
         |  round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS charge,
         |  round(l_extendedprice * l_discount, 4) AS disc_amt
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, charge, disc_amt""".stripMargin,
 
     "q_join_broadcast" ->
       """SELECT r_name, n_name, count(*) AS n_cust,
@@ -187,7 +188,8 @@ object Oracles {
         |  CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_price,
         |  CAST(floor(l_extendedprice) AS BIGINT) AS floor_price,
         |  round(abs(l_tax - 0.5), 4) AS abs_tax
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, ln_price, sqrt_qty, mod_part""".stripMargin,
 
     "q_array_fns" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
@@ -282,7 +284,7 @@ object Oracles {
       """SELECT CAST(doc_id AS VARCHAR) || '.txt' AS name, '/' || source AS parent,
         |  CAST(420 AS INTEGER) AS mode, n_chars AS size,
         |  CAST(0 AS BIGINT) AS chunk_id, CAST(0 AS BIGINT) AS chunk_offset,
-        |  n_chars AS chunk_size, ''::BLOB AS data
+        |  n_chars AS chunk_size, '' AS data_hex
         |FROM documents WHERE '/' || source = '/src3'
         |ORDER BY name""".stripMargin,
 
@@ -290,14 +292,14 @@ object Oracles {
       """SELECT CAST(doc_id AS VARCHAR) || '.txt' AS name, '/' || source AS parent,
         |  CAST(420 AS INTEGER) AS mode, n_chars AS size,
         |  CAST(0 AS BIGINT) AS chunk_id, CAST(0 AS BIGINT) AS chunk_offset,
-        |  n_chars AS chunk_size, ''::BLOB AS data
+        |  n_chars AS chunk_size, '' AS data_hex
         |FROM documents ORDER BY parent, name""".stripMargin,
 
     "q_read_files_condition" ->
       """SELECT CAST(doc_id AS VARCHAR) || '.txt' AS name, '/' || source AS parent,
         |  CAST(420 AS INTEGER) AS mode, n_chars AS size,
         |  CAST(0 AS BIGINT) AS chunk_id, CAST(0 AS BIGINT) AS chunk_offset,
-        |  n_chars AS chunk_size, encode(text) AS data
+        |  n_chars AS chunk_size, upper(hex(encode(text))) AS data_hex
         |FROM documents
         |WHERE (CAST(doc_id AS VARCHAR) || '.txt') LIKE '1%.txt' AND n_chars > 200
         |ORDER BY parent, name""".stripMargin,
@@ -379,6 +381,11 @@ object Oracles {
         |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
         |FROM feat ORDER BY doc_id""".stripMargin,
 
+    // NOTE: RabinFingerprint hashes UTF-8 BYTES; this oracle folds per-
+    // character code points (ascii(substr(...))). The two agree only on
+    // ASCII text — which the synthetic corpus is (asserted in
+    // RabinFingerprintSpec). Non-ASCII parity is covered on the Spark side
+    // by the spec's multi-byte reference-value cases.
     "q_fingerprint_rolling" ->
       """SELECT doc_id,
         |  list_reduce(list_transform(range(1, length(text) + 1),

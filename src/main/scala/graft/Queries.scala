@@ -50,11 +50,15 @@ object Queries {
       col("n_chars").as("chunk_size"),
       col("text").cast("binary").as("data"))
 
-  /** read_dir: one directory, files only, name-sorted, data BLANKED. */
+  /** read_dir: one directory, files only, name-sorted, data BLANKED.
+    * The raw operator returns BINARY `data`; the gate query hex-encodes it
+    * (blank → '') because the driver's pandas compare cannot sort raw
+    * bytes — the blank-binary invariant itself is asserted in CdlFsSpec. */
   def qReadDir(s: SparkSession, dir: String): DataFrame =
     docsAsRootfs(s, dir)
       .filter(col("parent") === "/src3" && col("size").isNotNull)
       .withColumn("data", lit(Array.emptyByteArray))
+      .withColumn("data_hex", hex(col("data"))).drop("data")
       .orderBy(col("name").asc)
 
   /** read_dir_all: recursive listing, (parent, name)-sorted. */
@@ -62,13 +66,16 @@ object Queries {
     docsAsRootfs(s, dir)
       .filter(col("size").isNotNull)
       .withColumn("data", lit(Array.emptyByteArray))
+      .withColumn("data_hex", hex(col("data"))).drop("data")
       .orderBy(col("parent").asc, col("name").asc)
 
-  /** read_files_by_condition: arbitrary WHERE, full records w/ payloads. */
+  /** read_files_by_condition: arbitrary WHERE, full records w/ payloads
+    * (hex-projected for the oracle hash — see qReadDir). */
   def qReadFilesCondition(s: SparkSession, dir: String): DataFrame = {
     docsAsRootfs(s, dir).createOrReplaceTempView("rootfs")
-    s.sql("SELECT * FROM rootfs WHERE name LIKE '1%.txt' AND size > 200 " +
-      "ORDER BY parent, name")
+    s.sql("SELECT name, parent, mode, size, chunk_id, chunk_offset, " +
+      "chunk_size, hex(data) AS data_hex FROM rootfs " +
+      "WHERE name LIKE '1%.txt' AND size > 200 ORDER BY parent, name")
   }
 
   /** The reference's custom `len(BINARY)` function via our codegen alias. */
@@ -79,11 +86,16 @@ object Queries {
       "WHERE size IS NOT NULL ORDER BY size DESC, name ASC LIMIT 10")
   }
 
-  /** Random access by row ordinal (the reference's Lance `take`). */
+  /** Random access by row ordinal (the reference's Lance `take`).
+    * Ordinals come from the two-pass range-partitioned stamp (Ordinal) —
+    * never `row_number() OVER (ORDER BY …)`, whose plan funnels the whole
+    * table through one partition. On an ingested rootfs table the ordinal
+    * is persistent (stamped at ingest, row-group stats prune the scan);
+    * here it is recomputed because the table is derived on the fly. */
   def qRandomAccess(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("parent"), col("name"), col("chunk_id"))
-    docsAsRootfs(s, dir)
-      .withColumn("row_id", row_number().over(w).cast("long") - 1)
+    val stamped = graft.ops.Ordinal.stamp(
+      docsAsRootfs(s, dir), Seq(col("parent"), col("name"), col("chunk_id")))
+    stamped
       .filter(col("row_id").isin(0L, 7L, 42L, 123L, 400L))
       .select(col("row_id"), col("parent"), col("name"), col("size"))
       .orderBy("row_id")
@@ -124,7 +136,9 @@ object Queries {
       round(col("l_extendedprice") * (lit(1) - col("l_discount")) *
         (lit(1) + col("l_tax")), 6).as("charge"),
       round(col("l_extendedprice") * col("l_discount"), 4).as("disc_amt"))
-      .orderBy("l_orderkey", "l_linenumber")
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem —
+      // the computed columns break remaining ties so the order is total
+      .orderBy("l_orderkey", "l_linenumber", "charge", "disc_amt")
 
   /** Small-dim joins: both dims broadcast — no shuffle of the fact side. */
   def qJoinBroadcast(s: SparkSession, dir: String): DataFrame =
@@ -327,7 +341,9 @@ object Queries {
       ceil(col("l_extendedprice")).cast("long").as("ceil_price"),
       floor(col("l_extendedprice")).cast("long").as("floor_price"),
       round(abs(col("l_tax") - 0.5), 4).as("abs_tax"))
-      .orderBy("l_orderkey", "l_linenumber")
+      // see qProjArith: extra keys make the ORDER BY total despite dup
+      // (l_orderkey, l_linenumber) pairs
+      .orderBy("l_orderkey", "l_linenumber", "ln_price", "sqrt_qty", "mod_part")
 
   def qArrayFns(s: SparkSession, dir: String): DataFrame = {
     val toks = split(col("text"), " ")
@@ -403,10 +419,16 @@ object Queries {
       approx_count_distinct(col("l_suppkey")).as("approx_supps"),
       countDistinct(col("l_partkey")).as("exact_parts"))
 
+  /** JSON field extraction. `from_json` with an explicit schema parses
+    * each document ONCE — `get_json_object` re-parses the string per
+    * extracted field, which multiplies at 100 TB (and was measurably
+    * slower even for one field). */
   def qJsonExtract(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
       .select(col("event_id"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"))
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
+          .getField("k").as("k"))
       .orderBy("event_id")
 
   def qEventsHourly(s: SparkSession, dir: String): DataFrame =

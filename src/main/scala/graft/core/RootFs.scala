@@ -22,7 +22,13 @@ object RootFs {
     StructField("chunk_id", LongType, nullable = false),
     StructField("chunk_offset", LongType, nullable = false),
     StructField("chunk_size", LongType, nullable = false),
-    StructField("data", BinaryType, nullable = true)
+    StructField("data", BinaryType, nullable = true),
+    // Beyond the reference's 11 columns: a STABLE per-row ordinal stamped
+    // at ingest (append-monotonic, recorded in the commit manifest), the
+    // equivalent of Lance's row ids that back the reference's O(1)
+    // `take` (python/cdlake/filesystem.py:58-63). Parquet min/max
+    // row-group stats on it prune random access to the touched files.
+    StructField("row_id", LongType, nullable = true)
   ))
 
   /** One row of rootfs. Metadata (atime..size) is present only on
@@ -40,13 +46,19 @@ object RootFs {
       chunk_id: Long,
       chunk_offset: Long,
       chunk_size: Long,
-      data: Array[Byte])
+      data: Array[Byte],
+      row_id: Option[Long] = None)
 
   /** Chunk layout for a file of `size` bytes under `maxChunkSize`
     * (0 disables chunking → one chunk). Closed form matches the
     * reference loop (crates/cdl-fs/src/lib.rs:666-697):
     * chunk_id ∈ 0..=((size-1)/max), offset = id*max,
     * chunk_size = min(size, (id+1)*max) - offset. */
+  /** Number of chunks a file of `size` bytes occupies (closed form of
+    * `chunkLayout(...).size` — no Seq materialization for huge files). */
+  def chunkCount(size: Long, maxChunkSize: Long): Long =
+    if (maxChunkSize <= 0 || size == 0) 1L else (size - 1) / maxChunkSize + 1
+
   def chunkLayout(size: Long, maxChunkSize: Long): Seq[(Long, Long, Long)] = {
     require(size >= 0, s"negative size $size")
     if (maxChunkSize <= 0 || size == 0) Seq((0L, 0L, size))

@@ -40,8 +40,15 @@ final class CdlFs(
     * written before partitioning, or by external writers, lack it). */
   private def fullTable: DataFrame = spark.read.parquet(tableLocation)
 
-  private def canonical(df: DataFrame): DataFrame =
-    df.select(RootFs.schema.fieldNames.map(col(_)): _*)
+  private def canonical(df: DataFrame): DataFrame = {
+    // tables written by external engines may predate the row_id column
+    val withRid =
+      if (df.columns.contains("row_id")) df
+      else df.withColumn("row_id", lit(null).cast("long"))
+    withRid.select(RootFs.schema.fieldNames.map(col(_)): _*)
+  }
+
+  private def hconf = spark.sparkContext.hadoopConfiguration
 
   /** (Re-)register this dataset's canonical 11-column view as `rootfs`.
     * The reference binds one dataset per session
@@ -65,13 +72,14 @@ final class CdlFs(
   def table: DataFrame = canonical(fullTable)
 
   /** Committed snapshot versions of this table (appends create one each). */
-  def versions: Seq[Int] = CommitLog.versions(tableLocation)
+  def versions: Seq[Int] = CommitLog.versions(tableLocation, hconf)
 
   /** Time travel: the table as of a committed version — reads exactly
-    * that snapshot's data files, unaffected by later appends. */
+    * that snapshot's data files, unaffected by later appends. Works on
+    * any Hadoop scheme (the CommitLog is FileSystem-API-backed). */
   def tableAt(version: Int): DataFrame =
     canonical(spark.read.parquet(
-      CommitLog.snapshotFilePaths(tableLocation, version): _*))
+      CommitLog.snapshotFilePaths(tableLocation, version, hconf): _*))
 
   /** Listing projection: metadata columns + BLANKED `data` (`x'' AS data`) so
     * listings never ship payloads (reference list_by,
@@ -111,19 +119,23 @@ final class CdlFs(
     readFilesByCondition(condition).as[RootFs.FileRecord]
   }
 
-  /** Random access: rows by ordinal in (parent, name, chunk_id) order with
-    * projected columns — the reference's Lance `take(indices, columns)`
-    * (python/cdlake/filesystem.py:58-63). Parquet has no native row
-    * ordinal, so this is a window rank + semi-filter: the one capability
-    * where the format is structurally weaker than Lance (SURVEY §7.4.4).
-    * At scale, stamp a persistent row_id at ingest instead and let
-    * min/max row-group stats prune the scan to the touched files. */
+  /** Random access: rows by stable ordinal with projected columns — the
+    * reference's Lance `take(indices, columns)`
+    * (python/cdlake/filesystem.py:58-63). `row_id` is stamped persistently
+    * at ingest (dense, append-monotonic, like Lance row ids), so this is
+    * a plain filter: parquet min/max row-group stats prune the scan to
+    * the touched files — O(touched rows), never a global sort or window.
+    * Tables written without the stamp (external writers) fall back to the
+    * distributed two-pass ordinal in (parent, name, chunk_id) order —
+    * still no single-partition WindowExec. */
   def take(indices: Seq[Long], columns: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("parent"), col("name"), col("chunk_id"))
-    table
-      .withColumn("row_id", row_number().over(w).cast("long") - 1)
-      .filter(col("row_id").isin(indices: _*))
+    val stamped = CommitLog.latest(tableLocation, hconf).exists(_.rowCount > 0)
+    val src =
+      if (stamped) table
+      else graft.ops.Ordinal.stamp(
+        table.drop("row_id"),
+        Seq(col("parent"), col("name"), col("chunk_id")))
+    src.filter(col("row_id").isin(indices: _*))
       .select(("row_id" +: columns).map(col): _*)
   }
 

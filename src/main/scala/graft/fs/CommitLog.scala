@@ -1,9 +1,9 @@
 package graft.fs
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths}
 
-import scala.jdk.CollectionConverters._
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** Minimal append-only commit log over a parquet table directory,
   * providing snapshot isolation for readers and time travel — the
@@ -12,10 +12,20 @@ import scala.jdk.CollectionConverters._
   * Iceberg jars are unavailable in this environment, so the manifest is
   * self-contained JSON).
   *
+  * All I/O goes through the Hadoop `FileSystem` API, so the log works
+  * identically on `file:`, `s3a:`, or any registered scheme — the
+  * reference's datasets live at `s3://<name>/rootfs`
+  * (crates/cdl-fs/src/lib.rs:343-352) and its commit append is at
+  * lib.rs:822-853.
+  *
   * Layout: `<table>/_graft_log/v%08d.json`, each listing the table's data
-  * files as of that version (relative paths). Appends write data files
-  * first, then the manifest — a reader of version N never sees a partial
-  * append. Commit concurrency is last-writer-wins, matching the
+  * files as of that version (relative paths) plus the cumulative
+  * `row_count` (the base ordinal for the next append's `row_id` stamp).
+  * Appends write data files first, then the manifest — a reader of
+  * version N never sees a partial append. In-flight `_temporary` task
+  * files and dot-prefixed work files are excluded from manifests, so a
+  * concurrent append can never leak paths that job commit will rename
+  * away. Commit concurrency is last-writer-wins, matching the
   * reference's explicitly unsafe commit handler
   * (crates/cdl-catalog/src/lib.rs:241-243; SURVEY §7.4.6).
   */
@@ -23,77 +33,116 @@ object CommitLog {
 
   private val LogDir = "_graft_log"
 
-  final case class Snapshot(version: Int, timestampMs: Long, files: Seq[String])
+  final case class Snapshot(
+      version: Int,
+      timestampMs: Long,
+      rowCount: Long,
+      files: Seq[String])
 
-  private def logPath(tableLocation: String): Path =
-    Paths.get(stripScheme(tableLocation), LogDir)
-
-  private def stripScheme(loc: String): String =
-    loc.stripPrefix("file://").stripPrefix("file:")
-
-  /** All data files currently in the table directory, log-relative. */
-  private def listDataFiles(tableLocation: String): Seq[String] = {
-    val root = Paths.get(stripScheme(tableLocation))
-    if (!Files.isDirectory(root)) return Seq.empty
-    Files.walk(root).iterator().asScala
-      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
-      .filterNot(_.toString.contains(LogDir))
-      .map(p => root.relativize(p).toString)
-      .toSeq.sorted
+  private def open(tableLocation: String, conf: Configuration): (FileSystem, Path) = {
+    val p = new Path(tableLocation)
+    (p.getFileSystem(conf), p)
   }
 
-  def versions(tableLocation: String): Seq[Int] = {
-    val dir = logPath(tableLocation)
-    if (!Files.isDirectory(dir)) Seq.empty
-    else Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.matches("v\\d{8}\\.json") =>
-        s.substring(1, 9).toInt }
-      .toSeq.sorted
+  /** All data files currently in the table directory, root-relative.
+    * Skips the log dir, Spark/Hadoop `_temporary` job attempt dirs, and
+    * hidden (`.`/`_`-prefixed) work files anywhere on the path. */
+  private def listDataFiles(fs: FileSystem, root: Path): Seq[String] = {
+    if (!fs.exists(root)) return Seq.empty
+    val rootUri = root.toUri.getPath.stripSuffix("/")
+    val out = Seq.newBuilder[String]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = st.getPath.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+      val segs = rel.split("/")
+      val hidden = segs.exists(s => s.startsWith(".") || s == "_temporary") ||
+        segs.head == LogDir
+      if (!hidden && rel.endsWith(".parquet")) out += rel
+    }
+    out.result().sorted
   }
 
-  def snapshot(tableLocation: String, version: Int): Option[Snapshot] = {
-    val f = logPath(tableLocation).resolve(f"v$version%08d.json")
-    if (!Files.exists(f)) None
+  def versions(tableLocation: String, conf: Configuration = new Configuration()): Seq[Int] = {
+    val (fs, root) = open(tableLocation, conf)
+    val dir = new Path(root, LogDir)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .collect { case s if s.matches("v\\d{8}\\.json") => s.substring(1, 9).toInt }
+      .sorted
+  }
+
+  def snapshot(
+      tableLocation: String,
+      version: Int,
+      conf: Configuration = new Configuration()): Option[Snapshot] = {
+    val (fs, root) = open(tableLocation, conf)
+    val f = new Path(new Path(root, LogDir), f"v$version%08d.json")
+    if (!fs.exists(f)) None
     else {
-      val node = new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(Files.readString(f))
+      val in = fs.open(f)
+      val body =
+        try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        finally in.close()
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+      import scala.jdk.CollectionConverters._
       Some(Snapshot(
         node.get("version").asInt,
         node.get("timestamp_ms").asLong,
+        Option(node.get("row_count")).map(_.asLong).getOrElse(0L),
         node.get("files").elements().asScala.map(_.asText).toSeq))
     }
   }
 
-  def latest(tableLocation: String): Option[Snapshot] =
-    versions(tableLocation).lastOption.flatMap(snapshot(tableLocation, _))
+  def latest(
+      tableLocation: String,
+      conf: Configuration = new Configuration()): Option[Snapshot] =
+    versions(tableLocation, conf).lastOption
+      .flatMap(snapshot(tableLocation, _, conf))
 
-  /** Record the table's current file set as the next version. Called
-    * after each append's data files land. */
-  def commit(tableLocation: String): Snapshot = {
-    val dir = logPath(tableLocation)
-    Files.createDirectories(dir)
-    val version = versions(tableLocation).lastOption.getOrElse(0) + 1
-    val files = listDataFiles(tableLocation)
+  /** Record the table's current file set as the next version.
+    * `rowsAdded` is this append's row count; the manifest carries the
+    * cumulative total so the next append knows its base ordinal without
+    * scanning the table. Called after the append's data files land. */
+  def commit(
+      tableLocation: String,
+      rowsAdded: Long,
+      conf: Configuration = new Configuration()): Snapshot = {
+    val (fs, root) = open(tableLocation, conf)
+    val dir = new Path(root, LogDir)
+    fs.mkdirs(dir)
+    val prev = latest(tableLocation, conf)
+    val version = prev.map(_.version).getOrElse(0) + 1
+    val rowCount = prev.map(_.rowCount).getOrElse(0L) + rowsAdded
+    val files = listDataFiles(fs, root)
+    val ts = System.currentTimeMillis()
     val json = new StringBuilder()
       .append("{\"version\":").append(version)
-      .append(",\"timestamp_ms\":").append(System.currentTimeMillis())
+      .append(",\"timestamp_ms\":").append(ts)
+      .append(",\"row_count\":").append(rowCount)
       .append(",\"files\":[")
       .append(files.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
         .mkString(","))
       .append("]}").toString
-    Files.write(dir.resolve(f"v$version%08d.json"),
-      json.getBytes(StandardCharsets.UTF_8))
-    Snapshot(version, System.currentTimeMillis(), files)
+    val out = fs.create(new Path(dir, f"v$version%08d.json"), true)
+    try out.write(json.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    Snapshot(version, ts, rowCount, files)
   }
 
-  /** Absolute paths of a snapshot's data files (for spark.read.parquet). */
-  def snapshotFilePaths(tableLocation: String, version: Int): Seq[String] =
-    snapshot(tableLocation, version) match {
+  /** Fully-qualified paths of a snapshot's data files (for
+    * spark.read.parquet) — scheme preserved, so time travel works on
+    * object stores too. */
+  def snapshotFilePaths(
+      tableLocation: String,
+      version: Int,
+      conf: Configuration = new Configuration()): Seq[String] =
+    snapshot(tableLocation, version, conf) match {
       case None => throw new IllegalArgumentException(
         s"no version $version at $tableLocation")
       case Some(s) =>
-        val root = stripScheme(tableLocation)
-        s.files.map(f => s"$root/$f")
+        val base = tableLocation.stripSuffix("/")
+        s.files.map(f => s"$base/$f")
     }
 }

@@ -22,10 +22,27 @@ import graft.core.RootFs
   */
 object Export {
 
+  /** Keep only each path's LATEST append. The rootfs table is append-only,
+    * so a re-uploaded file coexists with its older generations; exporting
+    * all of them would let positional writes race nondeterministically
+    * (the reference's dump streams scan_in_order so the later append
+    * wins — crates/cdl-fs/src/lib.rs:721-770). An append's chunk rows
+    * carry contiguous row_ids (base + chunk_id), so `row_id - chunk_id`
+    * is a per-generation key; max per (parent, name) is the newest. One
+    * hash-partitioned agg + equi-join — no windows, no driver state.
+    * Unstamped legacy tables (null row_id) degrade to no dedupe. */
+  private[fs] def latestGeneration(table: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val gen = table.withColumn("__gen",
+      coalesce(col("row_id") - col("chunk_id"), lit(0L)))
+    val newest = gen.groupBy("parent", "name").agg(max("__gen").as("__gen"))
+    gen.join(newest, Seq("parent", "name", "__gen")).drop("__gen")
+  }
+
   def dumpAll(fs: CdlFs, destRoot: String): Unit = {
     val dest = Paths.get(destRoot).toAbsolutePath.normalize.toString
     Files.createDirectories(Paths.get(dest))
-    val files = fs.table.filter(col("size").isNotNull)
+    val current = latestGeneration(fs.table)
+    val files = current.filter(col("size").isNotNull)
       .select("parent", "name", "size", "mode", "atime", "mtime")
 
     // Pass 1: create every file at full size (createDirectories is
@@ -43,7 +60,7 @@ object Export {
       }
 
     // Pass 2: positional chunk payload writes.
-    fs.table
+    current
       .select("parent", "name", "chunk_offset", "data")
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
         rows.foreach { r =>
@@ -63,18 +80,25 @@ object Export {
         rows.foreach { r =>
           val p = Paths.get(dest + r.getAs[String]("parent"), r.getAs[String]("name"))
           Option(r.getAs[java.sql.Timestamp]("mtime")).foreach(t =>
-            Files.setLastModifiedTime(p, FileTime.fromMillis(t.getTime)))
+            Files.setLastModifiedTime(p, fileTimeMicros(t)))
           Option(r.getAs[Any]("mode")).foreach { m =>
             Files.setPosixFilePermissions(p, modeToPerms(m.asInstanceOf[Int]))
           }
           Option(r.getAs[java.sql.Timestamp]("atime")).foreach { t =>
             Files.getFileAttributeView(
               p, classOf[java.nio.file.attribute.BasicFileAttributeView])
-              .setTimes(null, FileTime.fromMillis(t.getTime), null)
+              .setTimes(null, fileTimeMicros(t), null)
           }
         }
       }
   }
+
+  /** Restore at the µs precision the ingest captured (fromMillis would
+    * drop the Timestamp's sub-millisecond nanos). */
+  private def fileTimeMicros(t: java.sql.Timestamp): FileTime =
+    FileTime.from(
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L,
+      java.util.concurrent.TimeUnit.MICROSECONDS)
 
   private[fs] def modeToPerms(mode: Int): java.util.Set[java.nio.file.attribute.PosixFilePermission] = {
     import java.nio.file.attribute.PosixFilePermission._

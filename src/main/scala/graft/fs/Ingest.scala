@@ -1,7 +1,6 @@
 package graft.fs
 
-import java.nio.file.attribute.PosixFileAttributeView
-import java.nio.file.{Files, LinkOption, Path, Paths}
+import java.nio.file.{Files, LinkOption, Path => JPath, Paths}
 import java.sql.Timestamp
 
 import scala.jdk.CollectionConverters._
@@ -9,6 +8,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core._
+import graft.ops.Ordinal
 
 /** Local tree → rootfs table ingest (the reference's `load_all` +
   * `dump_all_to_s3` pipeline, crates/cdl-fs/src/lib.rs:593-770,822-882).
@@ -22,6 +22,10 @@ import graft.core._
   * size (`maxChunkSize`), so a 100 GiB file becomes N bounded rows instead
   * of one unwritable row — the reference's chunk semantics
   * (crates/cdl-fs/src/lib.rs:666-697) double as our executor-memory bound.
+  *
+  * Every append also stamps a persistent `row_id` (dense, append-monotonic;
+  * base ordinal carried in the CommitLog manifest) so random access is a
+  * stats-pruned filter, never a global window.
   */
 object Ingest {
 
@@ -39,11 +43,15 @@ object Ingest {
 
   /** Walk a local tree. Regular files only: symlinks and special files are
     * skipped (reference: crates/cdl-fs/src/lib.rs:611-613). `parent` is the
-    * directory relative to `root`, `/`-rooted (reference: lib.rs:619-626). */
+    * directory relative to `root`, `/`-rooted (reference: lib.rs:619-626).
+    * Timestamps are µs where the filesystem provides them (FileTime
+    * carries ns; we keep µs — the parquet TIMESTAMP column is µs). */
   def walk(root: String): Seq[FileMeta] = {
     val rootPath = Paths.get(root).toAbsolutePath.normalize
-    def micros(ft: java.nio.file.attribute.FileTime): Long = ft.toMillis * 1000L
-    Files.walk(rootPath).iterator().asScala
+    def micros(ft: java.nio.file.attribute.FileTime): Long =
+      ft.to(java.util.concurrent.TimeUnit.MICROSECONDS)
+    val stream = Files.walk(rootPath)
+    try stream.iterator().asScala
       .filter(p => Files.isRegularFile(p, LinkOption.NOFOLLOW_LINKS))
       .map { p =>
         val rel = rootPath.relativize(p)
@@ -59,9 +67,10 @@ object Ingest {
           micros(attrs.lastModifiedTime), mode, attrs.size)
       }
       .toSeq.sortBy(m => (m.parent, m.name))
+    finally stream.close()
   }
 
-  private def posixMode(p: Path): Int = {
+  private def posixMode(p: JPath): Int = {
     import java.nio.file.attribute.PosixFilePermission._
     val perms = Files.getPosixFilePermissions(p, LinkOption.NOFOLLOW_LINKS).asScala
     val bits = Seq(
@@ -81,37 +90,63 @@ object Ingest {
 
   /** Build the rootfs rows DataFrame for a walked tree. Bytes are read on
     * executors; metadata rides only on chunk 0 (reference `metadata.take()`,
-    * crates/cdl-fs/src/lib.rs:687). */
-  def rootfsRows(spark: SparkSession, files: Seq[FileMeta], maxChunkSize0: Long): DataFrame = {
+    * crates/cdl-fs/src/lib.rs:687). `baseOrdinal` is the table's committed
+    * row count; row_id = base + file's cumulative chunk offset + chunk_id,
+    * computed driver-side from the (already walked) metadata — no extra
+    * Spark pass. */
+  def rootfsRows(
+      spark: SparkSession,
+      files: Seq[FileMeta],
+      maxChunkSize0: Long,
+      baseOrdinal: Long = 0L): DataFrame = {
     import spark.implicits._
     val maxChunkSize =
       if (maxChunkSize0 > 0) maxChunkSize0 else SafetyChunkSize
+    val bases = files.map(m => RootFs.chunkCount(m.size, maxChunkSize))
+      .scanLeft(baseOrdinal)(_ + _)
     val parallelism = math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism))
-    val rows = spark.sparkContext.parallelize(files, parallelism).flatMap { m =>
-      val layout = RootFs.chunkLayout(m.size, maxChunkSize)
-      val ch = java.nio.channels.FileChannel.open(Paths.get(m.absPath))
-      val it = layout.iterator.map { case (id, off, len) =>
-        val buf = java.nio.ByteBuffer.allocate(len.toInt)
-        ch.position(off)
-        var read = 0
-        while (read < len && ch.read(buf) >= 0) read = buf.position()
-        val first = id == 0L
-        RootFs.FileRecord(
-          m.name, m.parent,
-          if (first) Some(new Timestamp(m.atimeMicros / 1000)) else None,
-          if (first) Some(new Timestamp(m.ctimeMicros / 1000)) else None,
-          if (first) Some(new Timestamp(m.mtimeMicros / 1000)) else None,
-          if (first) Some(m.mode) else None,
-          if (first) Some(m.size) else None,
-          id, off, len, buf.array())
+    val rows = spark.sparkContext
+      .parallelize(files.zip(bases), parallelism)
+      .flatMap { case (m, fileBase) =>
+        val layout = RootFs.chunkLayout(m.size, maxChunkSize)
+        val ch = java.nio.channels.FileChannel.open(Paths.get(m.absPath))
+        val it = layout.iterator.map { case (id, off, len) =>
+          val buf = java.nio.ByteBuffer.allocate(len.toInt)
+          ch.position(off)
+          var read = 0
+          while (read < len && ch.read(buf) >= 0) read = buf.position()
+          val first = id == 0L
+          RootFs.FileRecord(
+            m.name, m.parent,
+            if (first) Some(tsFromMicros(m.atimeMicros)) else None,
+            if (first) Some(tsFromMicros(m.ctimeMicros)) else None,
+            if (first) Some(tsFromMicros(m.mtimeMicros)) else None,
+            if (first) Some(m.mode) else None,
+            if (first) Some(m.size) else None,
+            id, off, len, buf.array(),
+            Some(fileBase + id))
+        }
+        // close the channel after the last chunk is consumed
+        new Iterator[RootFs.FileRecord] {
+          def hasNext: Boolean = { val h = it.hasNext; if (!h) ch.close(); h }
+          def next(): RootFs.FileRecord = it.next()
+        }
       }
-      // close the channel after the last chunk is consumed
-      new Iterator[RootFs.FileRecord] {
-        def hasNext: Boolean = { val h = it.hasNext; if (!h) ch.close(); h }
-        def next(): RootFs.FileRecord = it.next()
-      }
-    }
     spark.createDataset(rows).toDF()
+  }
+
+  /** µs-precision java.sql.Timestamp (the plain ms ctor would silently
+    * drop sub-millisecond metadata the walk captured). */
+  private def tsFromMicros(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** Total chunk-row count for a walked tree under a chunk size. */
+  def rowCount(files: Seq[FileMeta], maxChunkSize0: Long): Long = {
+    val cs = if (maxChunkSize0 > 0) maxChunkSize0 else SafetyChunkSize
+    files.iterator.map(m => RootFs.chunkCount(m.size, cs)).sum
   }
 
   /** Top-level directory segment of `parent` — the rootfs partition key.
@@ -126,75 +161,197 @@ object Ingest {
 
   /** Append rootfs rows to a table location, hive-partitioned by `p0`
     * (append-only — the reference write path is WriteMode::Append at
-    * crates/cdl-fs/src/lib.rs:831). */
-  def writeRootfs(rows: DataFrame, location: String): Unit = {
+    * crates/cdl-fs/src/lib.rs:831). Data files land first, then the
+    * snapshot manifest — readers of a committed version never observe a
+    * partial append. The Hadoop FS-backed CommitLog makes this hold on
+    * `file:` and object-store schemes alike.
+    *
+    * `rowsAdded >= 0` asserts the rows already carry a correct `row_id`
+    * stamp (driver-walk ingest). Otherwise rows are (re-)stamped here via
+    * the distributed two-pass ordinal, offset by the committed row count —
+    * the path taken by table→table copies and distributed ingest. */
+  def writeRootfs(rows: DataFrame, location: String, rowsAdded: Long = -1L): Unit = {
     import org.apache.spark.sql.functions.col
-    rows.withColumn("p0", topSegment(col("parent")))
-      .write.mode("append").partitionBy("p0").parquet(location)
-    // data files land first, then the snapshot manifest — readers of a
-    // committed version never observe a partial append (local tables;
-    // remote object stores would commit through the Hadoop FS API)
-    if (!location.contains("://") || location.startsWith("file:"))
-      CommitLog.commit(location)
+    val conf = rows.sparkSession.sparkContext.hadoopConfiguration
+    val (out, n, release) =
+      if (rowsAdded >= 0L && rows.columns.contains("row_id"))
+        (rows, rowsAdded, () => ())
+      else {
+        val base = CommitLog.latest(location, conf).map(_.rowCount).getOrElse(0L)
+        val st = Ordinal.stampWithCount(
+          rows.drop("row_id"),
+          Seq(col("parent"), col("name"), col("chunk_id")))
+        (st.df.withColumn("row_id", col("row_id") + base), st.total, st.release)
+      }
+    try {
+      out.withColumn("p0", topSegment(col("parent")))
+        .write.mode("append").partitionBy("p0").parquet(location)
+      CommitLog.commit(location, n, conf)
+    } finally release()
   }
 
   /** Ingest a local tree into a dataset's rootfs table. */
   def run(fs: CdlFs, localRoot: String): Unit = {
     val files = walk(localRoot)
-    writeRootfs(rootfsRows(fs.spark, files, fs.catalog.maxChunkSize),
-      fs.tableLocation)
+    val conf = fs.spark.sparkContext.hadoopConfiguration
+    val base = CommitLog.latest(fs.tableLocation, conf).map(_.rowCount).getOrElse(0L)
+    val n = rowCount(files, fs.catalog.maxChunkSize)
+    writeRootfs(
+      rootfsRows(fs.spark, files, fs.catalog.maxChunkSize, base),
+      fs.tableLocation, rowsAdded = n)
     fs.refresh()
   }
 
-  /** Fully-distributed ingest via the `binaryFile` source: executors do
-    * BOTH the listing and the reading, so no driver walk bounds the job —
-    * the path for 100 M-file trees on shared storage. Trade-off vs
-    * `run()`: metadata fidelity is (mtime, size) only — binaryFile
-    * exposes no atime/ctime/mode — and ZERO-BYTE files are invisible to
-    * the source (Hadoop listing skips them); symlinks, which the
-    * reference skips at ingest, are filtered executor-side. Use `run()`
-    * when full POSIX fidelity matters. Chunking is declarative: explode
-    * over chunk ids + binary substring. */
+  /** Fully-distributed ingest: executors do BOTH the listing and the
+    * reading, so no driver walk bounds the job — the path for 100 M-file
+    * trees on shared storage.
+    *
+    * The `binaryFile` source is used for METADATA ONLY (its `content`
+    * column is never selected, so column pruning means no byte is read by
+    * the listing scan — and the source's 2 GiB content cap never applies).
+    * Chunk payloads are then read per-chunk through the Hadoop FileSystem
+    * API keyed by (path, offset, length): an N-chunk file streams N
+    * bounded rows, never N copies of the whole file. Works against any
+    * Hadoop scheme (file:, s3a:) since both listing and reads go through
+    * the FS connector.
+    *
+    * Fidelity trade-offs vs `run()`: metadata is (mtime, size) only —
+    * the source exposes no atime/ctime/mode; symlinks are filtered
+    * executor-side; ZERO-BYTE files, which the binaryFile index skips,
+    * are recovered by a streaming driver-side listing (status entries
+    * only — memory O(#empty files), no per-file stat RPCs). */
   def runDistributed(fs: CdlFs, localRoot: String): Unit = {
     import org.apache.spark.sql.functions._
+    val spark = fs.spark
     val rootAbs = Paths.get(localRoot).toAbsolutePath.normalize.toString
     val cs = if (fs.catalog.maxChunkSize > 0) fs.catalog.maxChunkSize
       else SafetyChunkSize
+    val hadoopConfMap = confMap(spark)
     val notSymlink = udf { (p: String) =>
-      !Files.isSymbolicLink(Paths.get(new java.net.URI(p).getPath))
+      // hadoop path strings are not URI-encoded — never java.net.URI them
+      val local = new org.apache.hadoop.fs.Path(p).toUri.getPath
+      !Files.isSymbolicLink(Paths.get(local))
     }
-    val bin = fs.spark.read.format("binaryFile")
+    val meta = spark.read.format("binaryFile")
       .option("recursiveFileLookup", "true").load(rootAbs)
-      .filter(notSymlink(col("path"))) // per-file metadata check, executor-side
-    val rel = regexp_replace(col("path"), "^file:(//)?" +
+      .select(col("path"), col("modificationTime"), col("length"))
+      .filter(notSymlink(col("path")))
+    val empties = emptyFileEntries(spark, rootAbs)
+    val all = meta.unionByName(empties)
+
+    // name/parent from the path string, relative to the ingest root
+    val rel = regexp_replace(col("path"), "^[a-zA-Z0-9+.-]+:(//)?" +
       java.util.regex.Pattern.quote(rootAbs), "")
     val name = substring_index(rel, "/", -1)
     val parentLen = length(rel) - length(name) - 1
     val parent = when(parentLen <= 0, lit("/"))
       .otherwise(expr("substring(__rel, 1, __plen)"))
-    val nChunks = (floor((greatest(col("size"), lit(1L)) - 1) / cs) + 1)
+
+    val readChunk = udf { (p: String, off: Long, len: Long) =>
+      HadoopChunkReader.read(hadoopConfMap, p, off, len)
+    }
+    val nChunks = (floor((greatest(col("fsize"), lit(1L)) - 1) / cs) + 1)
       .cast("long")
-    val rows = bin
+    // chunk rows WITHOUT payloads: the ordinal stamp persists its ranged
+    // intermediate, so it must only ever hold metadata-sized rows
+    val metaRows = all
       .withColumn("__rel", rel).withColumn("__plen", parentLen)
       .select(
         name.as("name"), parent.as("parent"),
-        col("modificationTime").cast("timestamp").as("mtime"),
-        col("length").as("size"), col("content"))
+        col("modificationTime").cast("timestamp").as("mtime0"),
+        col("length").as("fsize"), col("path"))
       .withColumn("chunk_id", explode(sequence(lit(0L), nChunks - 1)))
+      .withColumn("chunk_offset", col("chunk_id") * cs)
+      .withColumn("chunk_size",
+        least(col("fsize") - col("chunk_offset"), lit(cs)))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = CommitLog.latest(fs.tableLocation, conf).map(_.rowCount).getOrElse(0L)
+    val st = Ordinal.stampWithCount(
+      metaRows, Seq(col("parent"), col("name"), col("chunk_id")))
+    val rows = st.df
+      .withColumn("row_id", col("row_id") + base)
       .select(
         col("name"), col("parent"),
         lit(null).cast("timestamp").as("atime"),
         lit(null).cast("timestamp").as("ctime"),
-        when(col("chunk_id") === 0, col("mtime")).cast("timestamp").as("mtime"),
+        when(col("chunk_id") === 0, col("mtime0")).cast("timestamp").as("mtime"),
         lit(null).cast("int").as("mode"),
-        when(col("chunk_id") === 0, col("size")).as("size"),
-        col("chunk_id"),
-        (col("chunk_id") * cs).as("chunk_offset"),
-        least(col("size") - col("chunk_id") * cs, lit(cs)).as("chunk_size"),
-        // binaryFile caps files at 2 GiB, so int positions are safe
-        expr(s"substring(content, CAST(chunk_id * ${cs}L + 1 AS INT), ${math.min(cs, Int.MaxValue).toInt})")
-          .as("data"))
-    writeRootfs(rows, fs.tableLocation)
+        when(col("chunk_id") === 0, col("fsize")).as("size"),
+        col("chunk_id"), col("chunk_offset"), col("chunk_size"),
+        // payload attached AFTER the stamp: an N-chunk file streams N
+        // bounded reads, never N copies of the whole file
+        readChunk(col("path"), col("chunk_offset"), col("chunk_size")).as("data"),
+        col("row_id"))
+    try writeRootfs(rows, fs.tableLocation, rowsAdded = st.total)
+    finally st.release()
     fs.refresh()
+  }
+
+  /** Zero-byte regular files under `root`, shaped like the binaryFile
+    * metadata projection. Streaming RemoteIterator: the driver holds only
+    * the EMPTY files, not the tree. */
+  private def emptyFileEntries(spark: SparkSession, rootAbs: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(rootAbs)
+    val hfs = root.getFileSystem(conf)
+    val out = Seq.newBuilder[(String, java.sql.Timestamp, Long)]
+    val it = hfs.listFiles(root, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val local = st.getPath.toUri.getPath
+      if (st.getLen == 0 && st.isFile &&
+          !Files.isSymbolicLink(Paths.get(local)))
+        out += ((st.getPath.toString,
+          new java.sql.Timestamp(st.getModificationTime), 0L))
+    }
+    out.result()
+      .toDF("path", "modificationTime", "length")
+      .select(col("path"),
+        col("modificationTime").cast("timestamp").as("modificationTime"),
+        col("length"))
+  }
+
+  /** Hadoop conf entries that matter for executor-side FS access (fs.* —
+    * credentials, endpoints, custom scheme impls). A plain Map so the UDF
+    * closure serializes; rebuilt into a Configuration once per executor
+    * JVM by HadoopChunkReader. */
+  private def confMap(spark: SparkSession): Map[String, String] = {
+    val c = spark.sparkContext.hadoopConfiguration
+    c.iterator().asScala
+      .map(e => e.getKey -> e.getValue)
+      .filter(_._1.startsWith("fs."))
+      .toMap
+  }
+}
+
+/** Per-executor-JVM Hadoop FS chunk reader (FileSystem instances are
+  * cached by scheme inside Hadoop itself; only the Configuration is
+  * rebuilt once). */
+object HadoopChunkReader {
+  @transient @volatile private var conf: org.apache.hadoop.conf.Configuration = _
+
+  private def configuration(entries: Map[String, String]): org.apache.hadoop.conf.Configuration = {
+    if (conf == null) synchronized {
+      if (conf == null) {
+        val c = new org.apache.hadoop.conf.Configuration()
+        entries.foreach { case (k, v) => c.set(k, v) }
+        conf = c
+      }
+    }
+    conf
+  }
+
+  def read(entries: Map[String, String], p: String, off: Long, len: Long): Array[Byte] = {
+    if (len <= 0L) return Array.emptyByteArray
+    val path = new org.apache.hadoop.fs.Path(p)
+    val fs = path.getFileSystem(configuration(entries))
+    val in = fs.open(path)
+    try {
+      val buf = new Array[Byte](len.toInt)
+      in.readFully(off, buf)
+      buf
+    } finally in.close()
   }
 }

@@ -50,15 +50,25 @@ object Dedup {
     * Scale notes: a self-equi-join on shingle reads and shuffles the
     * exploded table twice; the inverted-index form shuffles it once and
     * pair counts are map-side combinable. No document text survives the
-    * explode. Degenerate stop-shingles (present in a large fraction of all
-    * docs) would make one group quadratic — at production scale add a
-    * document-frequency cap; kept exact here because this operator doubles
-    * as the oracle-checkable verifier for the LSH variants. */
+    * explode.
+    *
+    * `dfCap` bounds the quadratic hazard: a degenerate stop-shingle
+    * present in d documents expands d·(d−1)/2 pairs in ONE group — at
+    * 100 TB a shingle in 1% of the corpus is O(n²) in a single task.
+    * Shingles with document frequency > dfCap are dropped before pair
+    * expansion (they carry ~zero similarity signal), so no group ever
+    * expands more than dfCap²/2 pairs. Near-dup pairs still surface
+    * through their many sub-cap shingles; their jaccard only loses the
+    * capped shingles from the intersection count. dfCap must exceed the
+    * corpus' real duplicate-cluster size to keep exact semantics —
+    * the default is far above the gate corpus' document count, so the
+    * oracle-checked result is exact there. */
   def ngramJaccardPairs(
       docs: DataFrame,
       textCol: String = "text",
       n: Int = 5,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      dfCap: Int = 1000): DataFrame = {
     // materialized once: consumed by both the size aggregate and the
     // inverted index (self-join re-aliasing defeats ReuseExchange, so
     // without this the explode+distinct runs twice)
@@ -68,7 +78,7 @@ object Dedup {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val inter = sh.groupBy("shingle")
       .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= dfCap)
       .select(explode(expr(
         """flatten(transform(sequence(1, size(ids) - 1), i ->
           |  transform(slice(ids, i + 1, size(ids) - i), y ->

@@ -19,14 +19,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** dot(a, b) over array<float> columns, accumulated in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** dot(a, b) over array<float|double> columns, accumulated in double —
+    * the native codegen expression (graft.functions.VectorDot), not the
+    * interpreted `aggregate(zip_with(…))` lambda route. */
+  def dot(a: Column, b: Column): Column = graft.functions.Vec.dot(a, b)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+  /** Fused single-loop cosine (graft.functions.CosineSimilarity): one
+    * codegen'd traversal for a·b, ‖a‖², ‖b‖² instead of six interpreted
+    * ones. */
+  def cosine(a: Column, b: Column): Column = graft.functions.Vec.cosine(a, b)
 
   /** Exact cosine top-k: for each row of `queries`, the k nearest rows of
     * `candidates` (both keyed by `idCol`, vectors in `vecCol`). */

@@ -90,6 +90,36 @@ class PlanSpec extends SparkSuite {
     assert(planOf(Queries.qJoinAnti(spark, sf)).contains("LeftAnti"))
   }
 
+  test("random access never funnels the table into one partition") {
+    // the old shape was row_number() OVER (ORDER BY …) — an Exchange
+    // SinglePartition followed by a partition-less WindowExec; the
+    // two-pass ordinal keeps every stage distributed
+    val df = Queries.qRandomAccess(spark, sf)
+    df.collect() // AQE finalizes on execution
+    val p = formatted(df)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("take on a stamped table is a stats-prunable filter, no window") {
+    import graft.core.{DatasetCatalog, GlobalPath}
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("takespec").toString
+    Files.write(java.nio.file.Paths.get(s"$root/a.txt"), "aa".getBytes)
+    Files.write(java.nio.file.Paths.get(s"$root/b.txt"), "bb".getBytes)
+    val fs = graft.fs.CdlFs.open(spark, DatasetCatalog(),
+      GlobalPath.parse(s"$root/ds").toOption.get)
+    graft.fs.Ingest.run(fs, root)
+    val df = fs.take(Seq(1L), Seq("name"))
+    val p = formatted(df)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SinglePartition"), p)
+    // the row_id predicate reaches the parquet scan (row-group pruning)
+    assert(p.contains("row_id"), p)
+    assert(p.linesIterator.filter(_.contains("PushedFilters"))
+      .mkString.contains("row_id"), p)
+    assert(df.collect().map(_.getAs[String]("name")).toSeq == Seq("b.txt"))
+  }
+
   test("minhash aggregation is partial (combinable) on the exploded side") {
     val p = planOf(graft.ops.Dedup.minhashSignatures(
       spark.read.parquet(s"$sf/documents.parquet")))

@@ -103,6 +103,18 @@ class CdlFsSpec extends SparkSuite {
     assert(srcM == dstM)
   }
 
+  test("row_id is a dense persistent stamp in walk order") {
+    val ids = fs.table.orderBy("row_id")
+      .select("row_id", "name", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    // walk order (parent,name): big.bin×3, empty.bin, perms.sh,
+    // small.txt, then /nested/a/b/deep.txt
+    assert(ids == Seq(
+      (0L, "big.bin", 0L), (1L, "big.bin", 1L), (2L, "big.bin", 2L),
+      (3L, "empty.bin", 0L), (4L, "perms.sh", 0L),
+      (5L, "small.txt", 0L), (6L, "deep.txt", 0L)))
+  }
+
   test("take returns rows by ordinal with projected columns") {
     val rows = fs.take(Seq(0L, 2L), Seq("parent", "name")).collect()
     // ordinal order: (parent,name,chunk_id) — big.bin chunks 0,1,2 first
@@ -112,10 +124,10 @@ class CdlFsSpec extends SparkSuite {
 
   test("distributed (binaryFile) ingest matches walk ingest on bytes and layout") {
     import graft.core.{DatasetCatalog, GlobalPath}
-    // binaryFile cannot see zero-byte files (documented gap) — compare
-    // everything else
+    // full parity incl. the zero-byte file (recovered by the streaming
+    // listing — binaryFile's index alone cannot see it) and the
+    // multi-chunk file (read per-chunk, no payload duplication)
     val a = fs.table // forces fixture + walk-ingest initialization
-      .filter(col("name") =!= "empty.bin")
       .selectExpr("parent", "name", "chunk_id", "chunk_size", "md5(data) AS h")
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
         r.getLong(3), r.getString(4))).toSet

@@ -1,0 +1,104 @@
+package graft.fs
+
+import java.net.URI
+import java.nio.file.{Files, Paths}
+
+import org.apache.hadoop.fs.{FileStatus, Path, RawLocalFileSystem}
+import org.apache.hadoop.fs.permission.FsPermission
+
+import graft.SparkSuite
+
+/** A "remote" Hadoop scheme backed by local disk: everything goes through
+  * the full `FileSystem` API (listing, create, open, rename) exactly as
+  * s3a would — no java.nio shortcut is possible on a `mock://` URI.
+  * Statuses are materialized eagerly because RawLocalFileSystem's lazy
+  * permission loader assumes `file:` URIs. */
+class MockRemoteFileSystem extends RawLocalFileSystem {
+  override def getUri: URI = URI.create("mock:///")
+  override def getScheme: String = "mock"
+  override def listStatus(f: Path): Array[FileStatus] =
+    super.listStatus(f).map(eager)
+  override def getFileStatus(f: Path): FileStatus =
+    eager(super.getFileStatus(f))
+  private def eager(s: FileStatus): FileStatus =
+    new FileStatus(s.getLen, s.isDirectory, s.getReplication, s.getBlockSize,
+      s.getModificationTime, s.getAccessTime,
+      if (s.isDirectory) FsPermission.getDirDefault else FsPermission.getFileDefault,
+      "test", "test", s.getPath)
+}
+
+/** CommitLog over a NON-local scheme: snapshot isolation and time travel
+  * must hold on the storage the reference was built for (datasets at
+  * `s3://<name>/rootfs`, crates/cdl-fs/src/lib.rs:343-352). */
+class CommitLogSpec extends SparkSuite {
+
+  private def hconf = {
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.mock.impl", classOf[MockRemoteFileSystem].getName)
+    spark.sparkContext.hadoopConfiguration
+  }
+
+  test("append + versions + time travel end-to-end over mock:// scheme") {
+    val conf = hconf
+    val tmp = Files.createTempDirectory("mocklog").toString
+    val loc = s"mock://$tmp/rootfs"
+
+    val treeA = s"$tmp/treeA"
+    Files.createDirectories(Paths.get(treeA))
+    Files.write(Paths.get(s"$treeA/a.txt"), "aaa".getBytes)
+    val filesA = Ingest.walk(treeA)
+    Ingest.writeRootfs(
+      Ingest.rootfsRows(spark, filesA, 0L, 0L), loc,
+      rowsAdded = Ingest.rowCount(filesA, 0L))
+
+    assert(CommitLog.versions(loc, conf) == Seq(1))
+    val v1 = CommitLog.snapshot(loc, 1, conf).get
+    assert(v1.rowCount == 1 && v1.files.nonEmpty)
+
+    val treeB = s"$tmp/treeB"
+    Files.createDirectories(Paths.get(treeB))
+    Files.write(Paths.get(s"$treeB/b.txt"), "bbbb".getBytes)
+    val filesB = Ingest.walk(treeB)
+    Ingest.writeRootfs(
+      Ingest.rootfsRows(spark, filesB, 0L, v1.rowCount), loc,
+      rowsAdded = Ingest.rowCount(filesB, 0L))
+
+    assert(CommitLog.versions(loc, conf) == Seq(1, 2))
+    assert(CommitLog.snapshot(loc, 2, conf).get.rowCount == 2)
+
+    // snapshot isolation: v1 readers are unaffected by the later append
+    val v1df = spark.read.parquet(CommitLog.snapshotFilePaths(loc, 1, conf): _*)
+    assert(v1df.count() == 1)
+    assert(v1df.select("name").collect().head.getString(0) == "a.txt")
+    assert(spark.read.parquet(CommitLog.snapshotFilePaths(loc, 2, conf): _*)
+      .count() == 2)
+    // full table read over the remote scheme sees both appends
+    assert(spark.read.parquet(loc).count() == 2)
+  }
+
+  test("manifests exclude in-flight _temporary and hidden work files") {
+    val conf = hconf
+    val tmp = Files.createTempDirectory("mocktmp").toString
+    val loc = s"mock://$tmp/rootfs"
+    val tree = s"$tmp/tree"
+    Files.createDirectories(Paths.get(tree))
+    Files.write(Paths.get(s"$tree/x.txt"), "x".getBytes)
+    val files = Ingest.walk(tree)
+    Ingest.writeRootfs(Ingest.rootfsRows(spark, files, 0L, 0L), loc,
+      rowsAdded = 1L)
+
+    // simulate a concurrent append's in-flight task files
+    Files.createDirectories(Paths.get(s"$tmp/rootfs/_temporary/0/t0"))
+    Files.write(Paths.get(s"$tmp/rootfs/_temporary/0/t0/part-0.parquet"),
+      "junk".getBytes)
+    Files.write(Paths.get(s"$tmp/rootfs/.part-1.parquet.crc"), "junk".getBytes)
+
+    val snap = CommitLog.commit(loc, 0L, conf)
+    assert(snap.files.nonEmpty)
+    assert(!snap.files.exists(_.contains("_temporary")), snap.files)
+    assert(!snap.files.exists(_.split("/").exists(_.startsWith("."))), snap.files)
+    // the captured snapshot still reads cleanly
+    assert(spark.read.parquet(
+      CommitLog.snapshotFilePaths(loc, snap.version, conf): _*).count() == 1)
+  }
+}

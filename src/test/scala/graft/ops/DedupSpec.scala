@@ -49,6 +49,29 @@ class DedupSpec extends SparkSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated
   }
 
+  test("df cap drops stop-shingles: no pair via the common phrase, near-dups survive") {
+    import spark.implicits._
+    // 60 unrelated docs sharing ONE stop phrase (every doc starts with it),
+    // plus a planted near-dup pair with substantial real overlap
+    val stop = "breaking news update today"
+    val unrelated = (0 until 60).map { i =>
+      (i.toLong, s"$stop item$i alpha$i beta$i gamma$i delta$i epsilon$i")
+    }
+    val nearA = (100L, s"$stop spark shuffles partition joins aggregates windows catalyst")
+    val nearB = (101L, s"$stop spark shuffles partition joins aggregates windows optimizer")
+    val d = (unrelated :+ nearA :+ nearB).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(d, n = 3, threshold = 0.05, dfCap = 10)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    // the stop-phrase group (df=62 > cap) is dropped BEFORE pair expansion:
+    // unrelated docs share nothing else, so they produce no pair at all
+    assert(pairs == Set((100L, 101L)), pairs)
+    // uncapped, the same corpus would expand 62·61/2 pairs from that one
+    // group — the quadratic shape the cap exists to prevent
+    val uncapped = Dedup.ngramJaccardPairs(d, n = 3, threshold = 0.0)
+      .count()
+    assert(uncapped > 1000L)
+  }
+
   test("minhash LSH surfaces near-dup candidates with high est_jaccard") {
     val pairs = Dedup.minhashLshPairs(docs, threshold = 0.5).collect()
     val keys = pairs.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
