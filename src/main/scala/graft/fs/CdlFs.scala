@@ -162,6 +162,9 @@ object CdlFs {
     catalog.storageOptions.foreach { case (k, v) =>
       spark.sparkContext.hadoopConfiguration.set(k, v)
     }
+    // arm the executor-side read-through object cache with the catalog's
+    // cacheDir/minCacheObjectSize/maxCacheSize knobs
+    ObjectCache.configure(spark.sparkContext.hadoopConfiguration, catalog)
     Len.registerAll(spark)
     new CdlFs(spark, catalog, root)
   }

@@ -314,14 +314,15 @@ object Ingest {
   }
 
   /** Hadoop conf entries that matter for executor-side FS access (fs.* —
-    * credentials, endpoints, custom scheme impls). A plain Map so the UDF
-    * closure serializes; rebuilt into a Configuration once per executor
-    * JVM by HadoopChunkReader. */
+    * credentials, endpoints, custom scheme impls — plus the graft.cache.*
+    * object-cache knobs). A plain Map so the UDF closure serializes;
+    * rebuilt into a Configuration once per executor JVM by
+    * HadoopChunkReader. */
   private def confMap(spark: SparkSession): Map[String, String] = {
     val c = spark.sparkContext.hadoopConfiguration
     c.iterator().asScala
       .map(e => e.getKey -> e.getValue)
-      .filter(_._1.startsWith("fs."))
+      .filter(e => e._1.startsWith("fs.") || e._1.startsWith("graft."))
       .toMap
   }
 }
@@ -345,13 +346,10 @@ object HadoopChunkReader {
 
   def read(entries: Map[String, String], p: String, off: Long, len: Long): Array[Byte] = {
     if (len <= 0L) return Array.emptyByteArray
-    val path = new org.apache.hadoop.fs.Path(p)
-    val fs = path.getFileSystem(configuration(entries))
-    val in = fs.open(path)
-    try {
-      val buf = new Array[Byte](len.toInt)
-      in.readFully(off, buf)
-      buf
-    } finally in.close()
+    // routed through the read-through object cache: big reads from remote
+    // schemes pull the object to executor-local disk once (reference
+    // CachedObjectStoreBackend semantics); local/small reads go direct
+    ObjectCache.readRange(configuration(entries),
+      new org.apache.hadoop.fs.Path(p), off, len)
   }
 }

@@ -1,0 +1,141 @@
+package graft.fs
+
+import java.nio.file.attribute.FileTime
+import java.nio.file.{Files, Path => JPath, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+
+/** Read-through object cache for remote payload reads — the reference's
+  * `CachedObjectStoreBackend` (crates/cdl-store/src/lib.rs:156-341):
+  *
+  *  - objects are cached ONLY when the requested read is at least
+  *    `minObjectSize` (reference `threshold_object_size`, default 64 MiB) —
+  *    small metadata reads go straight to the backend;
+  *  - before storing, the cache shrinks to `maxCacheSize` (default
+  *    32 GiB) by evicting files in the reference's BTreeSet `pop_last`
+  *    order — (is_large, atime, len, path) descending — large and
+  *    recently-pulled objects first;
+  *  - local (`file:`) backends are never cached (a cache copy of a local
+  *    file is pure overhead); the cache activates on remote schemes.
+  *
+  * The knobs travel via Hadoop conf keys (`graft.cache.*`) so EXECUTORS
+  * apply them — the cache is per-executor-JVM local disk, which is
+  * exactly the reference's per-node cache dir at cluster scale.
+  */
+object ObjectCache {
+
+  val DirKey = "graft.cache.dir"
+  val MinObjectKey = "graft.cache.min-object-size"
+  val MaxSizeKey = "graft.cache.max-size"
+
+  final case class Config(cacheDir: String, minObjectSize: Long, maxCacheSize: Long)
+
+  def configure(conf: Configuration, catalog: graft.core.DatasetCatalog): Unit = {
+    conf.set(DirKey, catalog.cacheDir)
+    conf.setLong(MinObjectKey, catalog.minCacheObjectSize)
+    conf.setLong(MaxSizeKey, catalog.maxCacheSize)
+  }
+
+  def fromConf(conf: Configuration): Option[Config] =
+    Option(conf.get(DirKey)).map(d =>
+      Config(d,
+        conf.getLong(MinObjectKey, 64L << 20),
+        conf.getLong(MaxSizeKey, 32L << 30)))
+
+  /** Ranged read through the cache: requested length ≥ threshold on a
+    * remote scheme pulls the WHOLE object into the cache once and serves
+    * every later range locally; otherwise the backend serves the range
+    * directly (reference get_ranges, lib.rs:222-245). */
+  def readRange(conf: Configuration, p: Path, off: Long, len: Long): Array[Byte] = {
+    if (len <= 0L) return Array.emptyByteArray
+    val scheme = Option(p.toUri.getScheme).getOrElse("file")
+    val cfg = fromConf(conf)
+    val cacheable = scheme != "file" && cfg.exists(len >= _.minObjectSize)
+    if (!cacheable) readDirect(conf, p, off, len)
+    else {
+      val local = ensureCached(conf, cfg.get, p)
+      val ch = java.nio.channels.FileChannel.open(local)
+      try {
+        val buf = java.nio.ByteBuffer.allocate(len.toInt)
+        var pos = off
+        while (buf.hasRemaining) {
+          val r = ch.read(buf, pos)
+          if (r < 0) throw new java.io.EOFException(s"$p at $pos")
+          pos += r
+        }
+        buf.array()
+      } finally ch.close()
+    }
+  }
+
+  private def readDirect(conf: Configuration, p: Path, off: Long, len: Long): Array[Byte] = {
+    val fs = p.getFileSystem(conf)
+    val in = fs.open(p)
+    try {
+      val buf = new Array[Byte](len.toInt)
+      in.readFully(off, buf)
+      buf
+    } finally in.close()
+  }
+
+  /** Cache-local path of an object: md5 of the full URI + the filename
+    * (collision-safe and debuggable). */
+  def cachePath(cfg: Config, p: Path): JPath = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(p.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    Paths.get(cfg.cacheDir, s"$digest-${p.getName}")
+  }
+
+  /** Pull the object into the cache (if absent) and return its local
+    * path. Shrinks first (reference store(), lib.rs:298-341). Download
+    * goes to a temp name + atomic move so concurrent readers never see a
+    * partial object; the JVM-level lock serializes executor threads. */
+  def ensureCached(conf: Configuration, cfg: Config, p: Path): JPath = synchronized {
+    val target = cachePath(cfg, p)
+    if (Files.exists(target)) {
+      Files.setAttribute(target, "lastAccessTime",
+        FileTime.fromMillis(System.currentTimeMillis()))
+      return target
+    }
+    shrink(cfg)
+    Files.createDirectories(target.getParent)
+    val tmp = target.resolveSibling(target.getFileName.toString + ".inflight")
+    val fs = p.getFileSystem(conf)
+    val in = fs.open(p)
+    try Files.copy(in, tmp, StandardCopyOption.REPLACE_EXISTING)
+    finally in.close()
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    target
+  }
+
+  /** Evict until total ≤ maxCacheSize, in the reference's pop_last order:
+    * (is_large, atime, len, path) descending. */
+  def shrink(cfg: Config): Unit = {
+    val root = Paths.get(cfg.cacheDir)
+    if (!Files.isDirectory(root)) return
+    val stream = Files.walk(root)
+    val entries =
+      try stream.iterator().asScala.filter(Files.isRegularFile(_)).map { f =>
+        val len = Files.size(f)
+        val atime = Files.readAttributes(f,
+          classOf[java.nio.file.attribute.BasicFileAttributes])
+          .lastAccessTime().toMillis
+        (len >= cfg.minObjectSize, atime, len, f)
+      }.toSeq
+      finally stream.close()
+    var total = entries.map(_._3).sum
+    val order = entries.sortBy { case (isLarge, atime, len, path) =>
+      (!isLarge, -atime, -len, path.toString)
+    }
+    val it = order.iterator
+    while (total > cfg.maxCacheSize && it.hasNext) {
+      val (_, _, len, path) = it.next()
+      Files.deleteIfExists(path)
+      total -= len
+    }
+  }
+}

@@ -39,6 +39,13 @@ object ModelSchema {
     final case class ObjectKind(children: Seq[ModelField],
         dynamic: Boolean = false) extends FieldKind
     final case class ObjectArrayKind(children: Seq[ModelField]) extends FieldKind
+    /** Model-in-model composition: the field's subtree is another model's
+      * field list, loaded by name and merged under this field's path
+      * (reference `ModelFieldKindExtendedSpec::Model`,
+      * crates/cdl-openapi/src/model.rs:667-670; merge at
+      * crates/cdl-k8s-operator/src/validator/model.rs:33-70,451-471).
+      * Must be resolved via `resolveRefs` before any Spark mapping. */
+    final case class ModelRef(model: String) extends FieldKind
   }
 
   sealed trait StringConstraint
@@ -67,6 +74,8 @@ object ModelSchema {
     case StringArrayKind     => ArrayType(StringType)
     case ObjectKind(ch, _)   => StructType(ch.map(toStructField))
     case ObjectArrayKind(ch) => ArrayType(StructType(ch.map(toStructField)))
+    case ModelRef(m) => throw new IllegalStateException(
+      s"unresolved model reference '$m' — apply ModelSchema.resolveRefs first")
   }
 
   def toStructField(f: ModelField): StructField =
@@ -96,6 +105,40 @@ object ModelSchema {
         }
     }
     build("/")
+  }
+
+  // ---- model-in-model resolution (validator/model.rs:33-70,451-471) ----
+
+  /** `merge_name`: child paths of a referenced model re-root under the
+    * referring field's path; the referenced model's own root "/" maps to
+    * the referring path itself (becoming its Object field). */
+  def mergeName(parent: String, child: String): String = {
+    val p = if (parent.endsWith("/")) parent else parent + "/"
+    p + child.stripPrefix("/")
+  }
+
+  /** Replace every `ModelRef` field with the referenced model's fields,
+    * re-prefixed under the referring path — recursively, so referenced
+    * models may themselves reference models. `registry` is the model
+    * store lookup (the reference loads via its K8s storage client;
+    * here any name→fields function). Cycles and unknown names error. */
+  def resolveRefs(
+      fields: Seq[ModelField],
+      registry: String => Option[Seq[ModelField]],
+      seen: Set[String] = Set.empty): Either[String, Seq[ModelField]] = {
+    val resolved = fields.map { f =>
+      f.kind match {
+        case ModelRef(name) =>
+          if (seen.contains(name)) Left(s"cyclic model reference: $name")
+          else registry(name).toRight(s"unknown model: $name").flatMap { refFields =>
+            resolveRefs(refFields, registry, seen + name).map(_.map(rf =>
+              rf.copy(name = mergeName(f.name, rf.name))))
+          }
+        case _ => Right(Seq(f))
+      }
+    }
+    resolved.collectFirst { case Left(e) => Left(e) }
+      .getOrElse(Right(resolved.collect { case Right(fs) => fs }.flatten))
   }
 
   // ---- value validation (reference parser.rs:7-76) ----

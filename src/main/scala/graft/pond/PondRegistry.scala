@@ -60,11 +60,17 @@ object PondRegistry {
     * replication / `mc mirror` Jobs, object.rs:1202-1340, become
     * `spark.read.parquet(src).write.parquet(dst)` — declarative, parallel,
     * resumable). Dispatch honors the policy matrix:
-    * pull Always/OnCreate fire on bind; push Always fires on write (modeled
-    * as bind-time continuous mirror), push OnDelete fires on unbind. */
+    * pull Always/OnCreate fire on bind; push Always arms a continuous
+    * mirror — every subsequent `onWrite` replicates the working (target)
+    * copy back to the source, the reference's bucket replication rule
+    * (object.rs:1260-1340) as an explicit post-write job; push OnDelete
+    * fires on unbind. */
   final class SyncJobs(spark: SparkSession, catalog: DatasetCatalog) {
     private def mirror(fromUri: String, toUri: String): Unit =
       spark.read.parquet(fromUri).write.mode("overwrite").parquet(toUri)
+
+    /** Datasets whose binding armed continuous push replication. */
+    private val armed = scala.collection.concurrent.TrieMap.empty[String, Binding]
 
     def onBind(b: Binding): Seq[String] = {
       val acts = scala.collection.mutable.ListBuffer.empty[String]
@@ -74,15 +80,31 @@ object PondRegistry {
           acts += s"pull:${b.pull}"
         case PullPolicy.Never => ()
       }
-      if (b.push == PushPolicy.Always) acts += "push:replication-rule-armed"
+      if (b.push == PushPolicy.Always) {
+        armed.put(b.dataset, b)
+        acts += "push:replication-rule-armed"
+      }
       acts.toList
     }
 
-    def onUnbind(b: Binding): Seq[String] = b.push match {
-      case PushPolicy.OnDelete =>
+    /** Post-write hook: call after appending to a bound dataset's working
+      * copy. Replicates target→source for push-Always bindings — data, not
+      * a marker, arrives at the source. */
+    def onWrite(dataset: String): Seq[String] = armed.get(dataset) match {
+      case Some(b) =>
         mirror(s"${b.target.rootUri}/${b.dataset}", s"${b.source.rootUri}/${b.dataset}")
-        Seq("push:OnDelete")
-      case _ => Seq.empty
+        Seq("push:Always")
+      case None => Seq.empty
+    }
+
+    def onUnbind(b: Binding): Seq[String] = {
+      armed.remove(b.dataset)
+      b.push match {
+        case PushPolicy.OnDelete =>
+          mirror(s"${b.target.rootUri}/${b.dataset}", s"${b.source.rootUri}/${b.dataset}")
+          Seq("push:OnDelete")
+        case _ => Seq.empty
+      }
     }
   }
 }

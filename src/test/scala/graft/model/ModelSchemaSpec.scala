@@ -96,4 +96,48 @@ class ModelSchemaSpec extends AnyFunSuite {
       |  "xs":{"type":"array","items":{"type":"integer"}}}}""".stripMargin
     assert(inferFromJsonSchema(schema).isLeft)
   }
+
+  test("Model{name} reference resolves into flattened, ordered fields") {
+    // "address" model: its own root object + two leaves
+    val address = Seq(
+      ModelField("/", ObjectKind(Nil)),
+      ModelField("/city/", StringKind()),
+      ModelField("/zip/", IntegerKind()))
+    // "person" model references address twice (home/work) + a leaf
+    val person = Seq(
+      ModelField("/name/", StringKind()),
+      ModelField("/home/", ModelRef("address")),
+      ModelField("/work/", ModelRef("address")))
+    val registry = Map("address" -> address).get _
+    val flat = resolveRefs(person, registry).toOption.get
+    // the referenced root "/" becomes the referring field's Object
+    assert(flat.map(_.name).sorted == Seq(
+      "/home/", "/home/city/", "/home/zip/", "/name/",
+      "/work/", "/work/city/", "/work/zip/"))
+    // BTreeMap-ordered struct with the merged subtrees nested
+    val st = toStructType(flat)
+    assert(st.fieldNames.toSeq == Seq("home", "name", "work"))
+    val home = st("home").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(home.fieldNames.toSeq == Seq("city", "zip"))
+    assert(home("zip").dataType == org.apache.spark.sql.types.LongType)
+  }
+
+  test("model refs resolve recursively; cycles and unknown names error") {
+    val a = Seq(ModelField("/", ObjectKind(Nil)), ModelField("/x/", StringKind()))
+    val b = Seq(ModelField("/", ObjectKind(Nil)), ModelField("/inner/", ModelRef("a")))
+    val c = Seq(ModelField("/deep/", ModelRef("b")))
+    val registry = Map("a" -> a, "b" -> b).get _
+    val flat = resolveRefs(c, registry).toOption.get
+    assert(flat.map(_.name).contains("/deep/inner/x/"))
+
+    val cyc = Map(
+      "p" -> Seq(ModelField("/q/", ModelRef("q"))),
+      "q" -> Seq(ModelField("/p/", ModelRef("p"))))
+    assert(resolveRefs(Seq(ModelField("/r/", ModelRef("p"))), cyc.get _).isLeft)
+    assert(resolveRefs(Seq(ModelField("/r/", ModelRef("nope"))), cyc.get _).isLeft)
+    // unresolved refs must never reach the Spark mapping
+    intercept[IllegalStateException] {
+      toSparkType(ModelRef("address"))
+    }
+  }
 }

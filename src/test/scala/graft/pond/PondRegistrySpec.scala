@@ -59,6 +59,17 @@ class PondRegistrySpec extends SparkSuite {
       PullPolicy.Always, PushPolicy.Always))
     assert(acts.toSet == Set("pull:Always", "push:replication-rule-armed"))
     assert(spark.read.parquet(s"${dst.rootUri}/dsA").count() == 1)
+
+    // push-Always is continuous: a write to the working (target) copy
+    // followed by the onWrite hook lands DATA at the source, not a marker
+    Seq((1, "x"), (2, "y"), (3, "z")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"${dst.rootUri}/dsA")
+    assert(jobs.onWrite("dsA") == Seq("push:Always"))
+    assert(spark.read.parquet(s"${src.rootUri}/dsA").count() == 3)
+    // unbinding disarms the rule
+    assert(jobs.onUnbind(Binding("dsA", src, dst,
+      PullPolicy.Always, PushPolicy.Always)).isEmpty)
+    assert(jobs.onWrite("dsA").isEmpty)
   }
 
   test("sync matrix: pull Never / push Never do nothing") {
