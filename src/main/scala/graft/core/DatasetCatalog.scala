@@ -55,7 +55,13 @@ final case class DatasetCatalog(
       "fs.s3a.endpoint" -> s3Endpoint,
       "fs.s3a.endpoint.region" -> s3Region,
       "fs.s3a.path.style.access" -> "true",
-      "fs.s3a.readahead.range" -> maxBufferSize.toString
+      "fs.s3a.readahead.range" -> maxBufferSize.toString,
+      // the reference's writer-concurrency knob (its pipelined uploader's
+      // thread pool) maps to S3A's upload thread pool per writer task
+      "fs.s3a.threads.max" -> maxWriteThreads.toString,
+      // the reference's 1 GiB pre-flush buffer maps to the multipart part
+      // size: bytes buffered per upload part before a flush to the store
+      "fs.s3a.multipart.size" -> maxBufferSize.toString
     )
     base ++
       s3AccessKey.map("fs.s3a.access.key" -> _) ++

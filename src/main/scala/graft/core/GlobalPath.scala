@@ -13,9 +13,20 @@ object Scheme {
   case object Local extends Scheme { val uriScheme = "file" }
   case object S3 extends Scheme { val uriScheme = "s3a" }
 
+  /** Beyond-reference: any OTHER Hadoop filesystem scheme (hdfs, abfs,
+    * gs, a test scheme…), opt-in via `registerHadoopScheme` — mirroring
+    * how Hadoop itself requires `fs.<scheme>.impl` registration. The
+    * dataset name is everything after `scheme://` (authority included),
+    * so the reconstructed URI is exactly what the connector expects. */
+  final case class Hadoop(scheme: String) extends Scheme { def uriScheme: String = scheme }
+
+  private val extraSchemes = scala.collection.concurrent.TrieMap.empty[String, Unit]
+  def registerHadoopScheme(s: String): Unit = { extraSchemes.put(s.toLowerCase, ()); () }
+
   def parse(s: String): Either[String, Scheme] = s.toLowerCase match {
     case "local" | "file" | "" => Right(Local)
     case "s3" | "s3a"          => Right(S3)
+    case other if extraSchemes.contains(other) => Right(Hadoop(other))
     case other                 => Left(s"unsupported scheme: $other")
   }
 }
@@ -24,8 +35,9 @@ final case class DatasetPath(scheme: Scheme, name: String) {
   /** Table root URI; S3 datasets store their table under `<name>/rootfs`
     * (reference: crates/cdl-fs/src/lib.rs:343-352, DIR_ROOTFS at :898). */
   def tableUri: String = scheme match {
-    case Scheme.S3    => s"s3a://$name/${GlobalPath.DirRootfs}"
-    case Scheme.Local => name // local datasets are plain directories
+    case Scheme.S3        => s"s3a://$name/${GlobalPath.DirRootfs}"
+    case Scheme.Hadoop(s) => s"$s://$name/${GlobalPath.DirRootfs}"
+    case Scheme.Local     => name // local datasets are plain directories
   }
 }
 
@@ -36,9 +48,9 @@ final case class GlobalPath(dataset: DatasetPath, relPath: String) {
     if (relPath.isEmpty) dataset.name else s"${dataset.name}/$relPath"
   override def toString: String = dataset.scheme match {
     case Scheme.Local => localPath
-    case Scheme.S3 =>
-      if (relPath.isEmpty) s"s3a://${dataset.name}/"
-      else s"s3a://${dataset.name}/$relPath"
+    case _ =>
+      if (relPath.isEmpty) s"${dataset.scheme.uriScheme}://${dataset.name}/"
+      else s"${dataset.scheme.uriScheme}://${dataset.name}/$relPath"
   }
 }
 
@@ -64,6 +76,12 @@ object GlobalPath {
                 GlobalPath(
                   DatasetPath(Scheme.S3, name),
                   rel.dropWhile(_ == '/').reverse.dropWhile(_ == '/').reverse))
+          case h: Scheme.Hadoop =>
+            // path-style: the whole remainder (authority + path) is the
+            // dataset root, so `<scheme>://<name>` round-trips verbatim
+            val name = rest.reverse.dropWhile(_ == '/').reverse
+            if (name.isEmpty) Left(s"empty dataset name in '$s'")
+            else Right(GlobalPath(DatasetPath(h, name), ""))
         }
       case local if local.nonEmpty =>
         Right(GlobalPath(DatasetPath(Scheme.Local, local), ""))

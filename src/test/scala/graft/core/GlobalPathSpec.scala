@@ -44,6 +44,17 @@ class GlobalPathSpec extends AnyFunSuite {
     assert(GlobalPath.parse("hdfs://x/y").isLeft)
   }
 
+  test("registered Hadoop schemes parse path-style and round-trip the URI") {
+    assert(GlobalPath.parse("xfs://h/p").isLeft) // not registered yet
+    Scheme.registerHadoopScheme("xfs")
+    val p = GlobalPath.parse("xfs://host/data/ds1/").toOption.get
+    assert(p.dataset.scheme == Scheme.Hadoop("xfs"))
+    assert(p.dataset.name == "host/data/ds1")
+    assert(p.dataset.tableUri == "xfs://host/data/ds1/rootfs")
+    assert(!p.isLocal)
+    assert(GlobalPath.parse("xfs://").isLeft) // empty name still rejected
+  }
+
   test("S3 table lives at <bucket>/rootfs (DIR_ROOTFS)") {
     val p = GlobalPath.parse("s3://ds1/").toOption.get
     assert(p.dataset.tableUri == "s3a://ds1/rootfs")

@@ -76,6 +76,42 @@ class CommitLogSpec extends SparkSuite {
     assert(spark.read.parquet(loc).count() == 2)
   }
 
+  test("full dataset lifecycle over the remote scheme: ingest, list, take, time travel") {
+    val conf = hconf // registers fs.mock.impl on the shared session
+    graft.core.Scheme.registerHadoopScheme("mock")
+    val tmp = Files.createTempDirectory("mockds").toString
+    val tree = s"$tmp/tree"
+    Files.createDirectories(Paths.get(s"$tree/sub"))
+    Files.write(Paths.get(s"$tree/a.txt"), "alpha".getBytes)
+    Files.write(Paths.get(s"$tree/sub/b.txt"), "bb".getBytes)
+
+    val gp = graft.core.GlobalPath.parse(s"mock://$tmp/dsm").toOption.get
+    assert(!gp.isLocal)
+    val fs = CdlFs.open(spark, graft.core.DatasetCatalog(), gp)
+    assert(fs.tableLocation == s"mock://$tmp/dsm/rootfs")
+
+    Ingest.run(fs, tree)
+    assert(fs.readDir("/").collect().map(_.getAs[String]("name")).toSeq ==
+      Seq("a.txt"))
+    assert(fs.readDirAll().count() == 2)
+    assert(new String(fs.readFilesByCondition("name = 'a.txt'")
+      .collect().head.getAs[Array[Byte]]("data")) == "alpha")
+    assert(fs.take(Seq(1L), Seq("name")).collect()
+      .head.getAs[String]("name") == "b.txt")
+    assert(fs.versions == Seq(1))
+
+    // append a second tree; snapshot isolation must hold over mock://
+    val tree2 = s"$tmp/tree2"
+    Files.createDirectories(Paths.get(tree2))
+    Files.write(Paths.get(s"$tree2/c.txt"), "ccc".getBytes)
+    Ingest.run(fs, tree2)
+    assert(fs.versions == Seq(1, 2))
+    assert(fs.tableAt(1).count() == 2)
+    assert(fs.tableAt(2).count() == 3)
+    assert(fs.table.filter("name = 'c.txt'").collect()
+      .head.getAs[Long]("row_id") == 2L) // append-monotonic stamp continues
+  }
+
   test("manifests exclude in-flight _temporary and hidden work files") {
     val conf = hconf
     val tmp = Files.createTempDirectory("mocktmp").toString
