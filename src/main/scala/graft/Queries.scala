@@ -552,11 +552,16 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF at nprobe = nlist is EXHAUSTIVE probing: the index path runs in
+    * full (centroid assignment, cell-bucketed scoring) but must reproduce
+    * brute-force results exactly — which makes it DuckDB-oracle-checkable.
+    * Sub-linear partial probing (nprobe < nlist) is asserted separately in
+    * SimilaritySpec, where recall (not equality) is the contract. */
   def qKnnIvf(s: SparkSession, dir: String): DataFrame = {
     val embs = rd(s, dir, "embeddings")
     Similarity.ivfTopK(
       embs.filter(col("vec_id") < 5), embs.filter(col("vec_id") >= 5),
-      k = 3, nlist = 16, nprobe = 4)
+      k = 3, nlist = 16, nprobe = 16)
       .orderBy("query_id", "rank")
   }
 

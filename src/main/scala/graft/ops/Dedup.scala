@@ -71,9 +71,14 @@ object Dedup {
       dfCap: Int = 1000): DataFrame = {
     // materialized once: consumed by both the size aggregate and the
     // inverted index (self-join re-aliasing defeats ReuseExchange, so
-    // without this the explode+distinct runs twice)
+    // without this the explode+distinct runs twice). Shingles are
+    // 64-bit-hashed BEFORE the shuffle: the inverted index only needs
+    // equality, and shuffling 8-byte keys instead of n-gram strings cuts
+    // the exchange volume several-fold (collision odds at 100 TB corpus
+    // scale: ~(distinct shingles)²/2⁶⁵ — vanishing, and deterministic).
     val sh = docs
-      .select(col("doc_id"), explode(shingles(col(textCol), n)).as("shingle"))
+      .select(col("doc_id"), explode(shingles(col(textCol), n)).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("shingle"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val inter = sh.groupBy("shingle")
