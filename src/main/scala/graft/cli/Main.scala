@@ -55,8 +55,19 @@ object Main {
         spark.sql(sql).show(10, truncate = false)
       case "versions" :: target :: Nil =>
         CdlFs.open(spark, catalog, target).versions.foreach(println)
+      case "take" :: target :: indices :: rest =>
+        // the reference's Lance take(indices, columns) surface
+        // (python/cdlake/filesystem.py:58-63) exposed on the CLI
+        val cols = rest match {
+          case c :: Nil => c.split(",").toSeq
+          case _        => Seq("parent", "name", "size")
+        }
+        CdlFs.open(spark, catalog, target)
+          .take(indices.split(",").toSeq.map(_.trim.toLong), cols)
+          .orderBy("row_id").show(100, truncate = false)
       case other =>
-        sys.error(s"usage: [--catalog-flag value]... {cp <from> <to> | query <target> <sql>}; got $other")
+        sys.error(s"usage: [--catalog-flag value]... {cp <from> <to> | query <target> <sql> " +
+          s"[--at-version N] | versions <target> | take <target> <i,j,...> [col,col]}; got $other")
     }
 
   private def parseArgs(args: List[String]): (Map[String, String], List[String]) =

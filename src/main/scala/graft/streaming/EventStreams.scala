@@ -71,6 +71,20 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup — the incremental twin of `Dedup.exact`: the
+    * FIRST arrival of each key passes, later duplicates are dropped.
+    * `dropDuplicatesWithinWatermark` bounds state to the watermark
+    * horizon × arrival rate (keys older than the horizon are evicted),
+    * so an unbounded stream never grows unbounded state — the property
+    * a plain `dropDuplicates` on a stream lacks. */
+  def dedupStream(
+      events: DataFrame,
+      keyCols: Seq[String] = Seq("event_id"),
+      horizon: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("event_time", horizon)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Drive a stream to a named in-memory sink and wait for all input —
     * the local test/demo harness (complete mode for aggregations). */
   def runToMemory(df: DataFrame, name: String, outputMode: String = "append"): Unit = {

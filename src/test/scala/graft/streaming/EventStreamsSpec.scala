@@ -70,6 +70,24 @@ class EventStreamsSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("streaming dedup drops within-horizon duplicates, first arrival wins") {
+    val dir = Files.createTempDirectory("evdedup").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val all = spark.read.parquet(s"$sf/events.parquet")
+      .filter(col("event_id") < 200)
+    // duplicate every event: the staged source carries each event twice
+    all.write.mode("overwrite").parquet(dir)
+    all.write.mode("append").parquet(dir)
+    assert(spark.read.parquet(dir).count() == 400)
+
+    val stream = EventStreams.read(spark, dir)
+    EventStreams.runToMemory(
+      EventStreams.dedupStream(stream).select("event_id"), "deduped")
+    val ids = spark.table("deduped").collect().map(_.getLong(0))
+    assert(ids.length == 200) // each id exactly once
+    assert(ids.toSet == (0L until 200L).toSet)
+  }
+
   test("stateful sessionization matches the batch window computation") {
     import spark.implicits._
     val stream = EventStreams.read(spark, streamDir)
