@@ -386,6 +386,42 @@ object Oracles {
     // ASCII text — which the synthetic corpus is (asserted in
     // RabinFingerprintSpec). Non-ASCII parity is covered on the Spark side
     // by the spec's multi-byte reference-value cases.
+    "q_corpus_clean" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
+        |feat AS (
+        |  SELECT doc_id, text, tk,
+        |    CAST(len(tk) AS BIGINT) AS n_tokens,
+        |    round(CAST(len(list_filter(tk, x -> x IN
+        |        ('the','a','of','and','to','in','is','it'))) AS DOUBLE) /
+        |      CAST(greatest(len(tk), 1) AS DOUBLE), 4) AS stopword_ratio,
+        |    round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) /
+        |      CAST(greatest(length(text), 1) AS DOUBLE), 4) AS punct_ratio,
+        |    len(list_filter(tk, x -> x IN ('der','die','und','ist'))) AS h_de,
+        |    len(list_filter(tk, x -> x IN ('the','and','of','is'))) AS h_en,
+        |    len(list_filter(tk, x -> x IN ('el','los','y','es'))) AS h_es,
+        |    len(list_filter(tk, x -> x IN ('le','la','et','est'))) AS h_fr
+        |  FROM base),
+        |prof AS (
+        |  SELECT doc_id, n_tokens,
+        |    round((least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) +
+        |           (1.0 - least(punct_ratio * 5.0, 1.0)) +
+        |           least(stopword_ratio * 4.0, 1.0)) / 3.0, 4) AS quality,
+        |    CASE
+        |      WHEN h_de = greatest(h_de, h_en, h_es, h_fr) AND greatest(h_de, h_en, h_es, h_fr) > 0 THEN 'de'
+        |      WHEN h_en = greatest(h_de, h_en, h_es, h_fr) AND greatest(h_de, h_en, h_es, h_fr) > 0 THEN 'en'
+        |      WHEN h_es = greatest(h_de, h_en, h_es, h_fr) AND greatest(h_de, h_en, h_es, h_fr) > 0 THEN 'es'
+        |      WHEN h_fr = greatest(h_de, h_en, h_es, h_fr) AND greatest(h_de, h_en, h_es, h_fr) > 0 THEN 'fr'
+        |      ELSE 'und' END AS pred_lang
+        |  FROM feat),
+        |keep AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents
+        |  GROUP BY md5(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |SELECT p.doc_id, p.n_tokens, p.quality, p.pred_lang
+        |FROM prof p JOIN keep k ON p.doc_id = k.doc_id
+        |WHERE p.pred_lang = 'en' AND p.quality >= 0.4 AND p.n_tokens >= 5
+        |ORDER BY p.doc_id""".stripMargin,
+
     "q_fingerprint_rolling" ->
       """SELECT doc_id,
         |  list_reduce(list_transform(range(1, length(text) + 1),

@@ -18,13 +18,21 @@ import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
   */
 object Queries {
 
+  /** Driver-tables' schemas never change within a process — cache them so
+    * repeated reads skip the footer-inference job (a real per-query tax
+    * when 60 bench queries each open 1-3 tables). */
+  private val schemaCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
+
   def rd(s: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events")
       // events.ts is TIMESTAMP(NANOS); Spark 4 refuses it unless read as
       // long. All downstream logic uses integer epoch-ms math (never double
       // division — ns epochs exceed 2^53).
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.getOrElseUpdate(path, s.read.parquet(path).schema)
+    s.read.schema(schema).parquet(path)
   }
 
   /** events with `ts_ms` (epoch milliseconds, exact integer math). */
@@ -536,6 +544,24 @@ object Queries {
 
   def qTextProfile(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.profile(rd(s, dir, "documents")).orderBy("doc_id")
+
+  /** End-to-end corpus cleaning — the composed shape a training-data
+    * pipeline actually runs: normalized-fingerprint dedup (keep the min
+    * doc_id of each duplicate cluster), then language + quality + length
+    * admission. One digest aggregation + one equi-join + codegen'd
+    * filters: at 100 TB this is two shuffles total, neither carrying
+    * document text (the keep-list is (digest, id)-sized). */
+  def qCorpusClean(s: SparkSession, dir: String): DataFrame = {
+    val docs = rd(s, dir, "documents")
+    val keep = Dedup.byFingerprint(docs)
+      .select(col("keep_doc_id").as("doc_id"))
+    TextAnalysis.profile(docs)
+      .join(keep, Seq("doc_id")) // keep-list ids are unique → semi semantics
+      .filter(col("pred_lang") === "en" && col("quality") >= 0.4 &&
+        col("n_tokens") >= 5)
+      .select("doc_id", "n_tokens", "quality", "pred_lang")
+      .orderBy("doc_id")
+  }
 
   def qKnnBruteforce(s: SparkSession, dir: String): DataFrame = {
     val embs = rd(s, dir, "embeddings")

@@ -70,6 +70,7 @@ object SparkEntry {
     "q_dedup_simhash" -> (Queries.qDedupSimhash _),
     "q_dedup_embedding" -> (Queries.qDedupEmbedding _),
     "q_text_profile" -> (Queries.qTextProfile _),
+    "q_corpus_clean" -> (Queries.qCorpusClean _),
     "q_fingerprint_rolling" -> (Queries.qFingerprintRolling _),
     "q_winnowing" -> (Queries.qWinnowing _),
     "q_knn_bruteforce" -> (Queries.qKnnBruteforce _),
