@@ -552,10 +552,16 @@ object Queries {
     * filters: at 100 TB this is two shuffles total, neither carrying
     * document text (the keep-list is (digest, id)-sized). */
   def qCorpusClean(s: SparkSession, dir: String): DataFrame = {
-    val docs = rd(s, dir, "documents")
-    val keep = Dedup.byFingerprint(docs)
-      .select(col("keep_doc_id").as("doc_id"))
-    TextAnalysis.profile(docs)
+    // ONE pass over the text: the profile already carries the normalized
+    // fingerprint, so the dedup keep-list derives from the (persisted,
+    // per-doc-stats-sized) profile instead of re-scanning documents —
+    // regex feature extraction is the expensive part at 100 TB.
+    val prof = TextAnalysis.profile(rd(s, dir, "documents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keep = prof.groupBy("fingerprint")
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    prof
       .join(keep, Seq("doc_id")) // keep-list ids are unique → semi semantics
       .filter(col("pred_lang") === "en" && col("quality") >= 0.4 &&
         col("n_tokens") >= 5)

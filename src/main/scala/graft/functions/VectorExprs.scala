@@ -127,6 +127,85 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
     copy(left = newLeft, right = newRight)
 }
 
+/** Random-hyperplane LSH signature: bit p = (v · plane_p) ≥ 0, planes
+  * 0..n-1, packed into a long. Plane components are deterministic
+  * pseudo-randoms — xxhash64(i + p·φ64, seed 42) scaled to [−1, 1] —
+  * matching the declarative `aggregate(zip_with(…))` formulation this
+  * expression replaces (same buckets, reproducible across runs), but as
+  * ONE fused planes×dims loop inside whole-stage codegen instead of
+  * `planes` interpreted lambda trees per row. */
+case class LshSignature(child: Expression, planes: Int) extends
+    org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) =>
+      if (planes >= 1 && planes <= 64) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"planes must be in [1,64], got $planes")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"lsh_signature requires ARRAY<FLOAT|DOUBLE>, got ${other.sql}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lsh_signature"
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < planes) {
+      val seed = p.toLong * LshSignature.Golden
+      var proj = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        proj += x * (LshSignature.hash(i.toLong + seed).toDouble / Long.MaxValue)
+        i += 1
+      }
+      if (proj >= 0) sig |= (1L << p)
+      p += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n"); val p = ctx.freshName("p")
+      val i = ctx.freshName("i"); val sig = ctx.freshName("sig")
+      val proj = ctx.freshName("proj"); val x = ctx.freshName("x")
+      val get = if (isFloat) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+      val hashCls = LshSignature.getClass.getName.stripSuffix("$")
+      s"""
+         |int $n = $arr.numElements();
+         |long $sig = 0L;
+         |for (int $p = 0; $p < $planes; $p++) {
+         |  double $proj = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $x = $get;
+         |    $proj += $x * ((double) $hashCls.hash((long) $i + $p * ${LshSignature.Golden}L)
+         |      / ${Long.MaxValue}L);
+         |  }
+         |  if ($proj >= 0) $sig |= (1L << $p);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object LshSignature {
+  val Golden: Long = 0x9e3779b97f4a7c15L
+  /** Same bits as Spark's `xxhash64(longValue)` with the default seed —
+    * XXH64 is the static hasher Spark's own codegen emits calls to. */
+  def hash(v: Long): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(v, 42L)
+}
+
 /** Registration + Column-level helpers. The helpers self-register on the
   * active session so operator code can stay session-free (one active
   * session per process, the repo's test/bench/verify shape). */
@@ -147,6 +226,18 @@ object Vec {
         CosineSimilarity(exprs(0), exprs(1))
       },
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lsh_signature",
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, s"lsh_signature() takes (vec, planes)")
+        val planes = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"lsh_signature planes must be an int literal, got $other")
+        }
+        LshSignature(exprs(0), planes)
+      },
+      "scala_udf")
   }
 
   private def ensure(): Unit = register(SparkSession.active)
@@ -154,4 +245,9 @@ object Vec {
   def dot(a: Column, b: Column): Column = { ensure(); call_function("vec_dot", a, b) }
 
   def cosine(a: Column, b: Column): Column = { ensure(); call_function("cosine_sim", a, b) }
+
+  def lshSignature(vec: Column, planes: Int): Column = {
+    ensure()
+    call_function("lsh_signature", vec, org.apache.spark.sql.functions.lit(planes))
+  }
 }

@@ -58,24 +58,14 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * splitmix64 of the pair, scaled to [-1, 1]. Same constants every run —
-    * reproducible signatures. */
-  private def planeComponent(plane: Int, dim: Column): Column = {
-    val seed = lit(plane.toLong * 0x9e3779b97f4a7c15L)
-    val h = xxhash64(dim + seed)
-    (h.cast("double") / lit(Long.MaxValue.toDouble))
-  }
-
-  /** Sign-bit LSH signature: bit p = (v · plane_p) >= 0. */
+  /** Sign-bit LSH signature: bit p = (v · plane_p) >= 0 with
+    * deterministic pseudo-random planes (xxhash64-derived components,
+    * same constants every run). Delegates to the fused codegen
+    * expression (graft.functions.LshSignature) — one planes×dims loop
+    * in whole-stage codegen instead of `planes` interpreted lambda
+    * trees per row. */
   def lshSignature(vec: Column, planes: Int): Column =
-    (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeComponent(p, i)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+    graft.functions.Vec.lshSignature(vec, planes)
 
   /** All candidate pairs sharing an LSH bucket, with exact cosine. */
   def lshPairs(

@@ -1,0 +1,91 @@
+package graft.functions
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** The fused codegen vector expressions must be bit-identical to the
+  * declarative higher-order-function formulations they replaced (same
+  * fold order, same hash constants) and to plain-Scala references. */
+class VectorExprsSpec extends SparkSuite {
+
+  private lazy val vecs = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (0 until 200).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2f - 1f)))
+      .toDF("id", "v")
+  }
+
+  test("vec_dot and cosine_sim match plain-Scala double folds") {
+    import spark.implicits._
+    val rows = vecs.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val got = vecs.as("a").join(vecs.as("b"), col("a.id") + 1 === col("b.id"))
+      .select(col("a.id").as("id"),
+        Vec.dot(col("a.v"), col("b.v")).as("dot"),
+        Vec.cosine(col("a.v"), col("b.v")).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    got.foreach { case (id, dot, cos) =>
+      val a = rows(id); val b = rows(id + 1)
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      (0 until 64).foreach { i =>
+        val x = a(i).toDouble; val y = b(i).toDouble
+        d += x * y; na += x * x; nb += y * y
+      }
+      assert(dot == d, s"dot id=$id")
+      assert(cos == d / (math.sqrt(na) * math.sqrt(nb)), s"cos id=$id")
+    }
+  }
+
+  test("lsh_signature equals the declarative HOF formulation it replaced") {
+    val planes = 12
+    // the original aggregate(zip_with(...)) form, kept here as the oracle
+    def planeComponent(plane: Int, dim: org.apache.spark.sql.Column) = {
+      val seed = lit(plane.toLong * 0x9e3779b97f4a7c15L)
+      xxhash64(dim + seed).cast("double") / lit(Long.MaxValue.toDouble)
+    }
+    val declarative = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(col("v"), sequence(lit(0), size(col("v")) - 1),
+          (x, i) => x.cast("double") * planeComponent(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+    val r = vecs.select(col("id"),
+      Vec.lshSignature(col("v"), planes).as("fused"),
+      declarative.as("decl")).collect()
+    r.foreach(row =>
+      assert(row.getLong(1) == row.getLong(2), s"id=${row.getLong(0)}"))
+    // signatures spread across buckets (planes are not degenerate)
+    assert(r.map(_.getLong(1)).distinct.length > 10)
+  }
+
+  test("codegen and interpreted paths agree for all three expressions") {
+    val exprsDf = vecs.select(
+      Vec.dot(col("v"), col("v")).as("d"),
+      Vec.cosine(col("v"), col("v")).as("c"),
+      Vec.lshSignature(col("v"), 8).as("s"))
+    val withCodegen = exprsDf.collect().map(r =>
+      (r.getDouble(0), r.getDouble(1), r.getLong(2))).toSeq
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interpreted = exprsDf.collect().map(r =>
+        (r.getDouble(0), r.getDouble(1), r.getLong(2))).toSeq
+      assert(withCodegen == interpreted)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("null vectors yield null, mixed float/double element types work") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(Array(1f, 2f)), Some(Array(3.0, 4.0))),
+      (None, Some(Array(1.0, 1.0)))).toDF("f", "d")
+    val r = df.select(Vec.dot(col("f"), col("d")).as("x")).collect()
+    assert(r(0).getDouble(0) == 11.0)
+    assert(r(1).isNullAt(0))
+  }
+}
