@@ -220,17 +220,25 @@ object Ingest {
     * executor-side; ZERO-BYTE files, which the binaryFile index skips,
     * are recovered by a streaming driver-side listing (status entries
     * only — memory O(#empty files), no per-file stat RPCs). */
-  def runDistributed(fs: CdlFs, localRoot: String): Unit = {
+  def runDistributed(fs: CdlFs, sourceRoot: String): Unit = {
     import org.apache.spark.sql.functions._
     val spark = fs.spark
-    val rootAbs = Paths.get(localRoot).toAbsolutePath.normalize.toString
+    // source may be a plain local dir OR any Hadoop URI (s3a://, mock://):
+    // listing AND reads go through the FS connector either way
+    val rootAbs =
+      if (sourceRoot.contains("://")) sourceRoot
+      else Paths.get(sourceRoot).toAbsolutePath.normalize.toString
+    val rootPathPart =
+      new org.apache.hadoop.fs.Path(rootAbs).toUri.getPath.stripSuffix("/")
     val cs = if (fs.catalog.maxChunkSize > 0) fs.catalog.maxChunkSize
       else SafetyChunkSize
     val hadoopConfMap = confMap(spark)
     val notSymlink = udf { (p: String) =>
-      // hadoop path strings are not URI-encoded — never java.net.URI them
-      val local = new org.apache.hadoop.fs.Path(p).toUri.getPath
-      !Files.isSymbolicLink(Paths.get(local))
+      // hadoop path strings are not URI-encoded — never java.net.URI them.
+      // symlinks only exist on the local scheme; remote objects pass.
+      val u = new org.apache.hadoop.fs.Path(p).toUri
+      u.getScheme != null && u.getScheme != "file" ||
+        !Files.isSymbolicLink(Paths.get(u.getPath))
     }
     val meta = spark.read.format("binaryFile")
       .option("recursiveFileLookup", "true").load(rootAbs)
@@ -240,8 +248,9 @@ object Ingest {
     val all = meta.unionByName(empties)
 
     // name/parent from the path string, relative to the ingest root
-    val rel = regexp_replace(col("path"), "^[a-zA-Z0-9+.-]+:(//)?" +
-      java.util.regex.Pattern.quote(rootAbs), "")
+    // (scheme + optional authority stripped, then the root's path part)
+    val rel = regexp_replace(col("path"), "^[a-zA-Z0-9+.-]+:(//[^/]*)?" +
+      java.util.regex.Pattern.quote(rootPathPart), "")
     val name = substring_index(rel, "/", -1)
     val parentLen = length(rel) - length(name) - 1
     val parent = when(parentLen <= 0, lit("/"))
@@ -300,9 +309,10 @@ object Ingest {
     val it = hfs.listFiles(root, true)
     while (it.hasNext) {
       val st = it.next()
-      val local = st.getPath.toUri.getPath
-      if (st.getLen == 0 && st.isFile &&
-          !Files.isSymbolicLink(Paths.get(local)))
+      val u = st.getPath.toUri
+      val localSymlink = (u.getScheme == null || u.getScheme == "file") &&
+        Files.isSymbolicLink(Paths.get(u.getPath))
+      if (st.getLen == 0 && st.isFile && !localSymlink)
         out += ((st.getPath.toString,
           new java.sql.Timestamp(st.getModificationTime), 0L))
     }
