@@ -553,17 +553,15 @@ object Queries {
     * document text (the keep-list is (digest, id)-sized). */
   def qCorpusClean(s: SparkSession, dir: String): DataFrame = {
     // ONE pass over the text: the profile already carries the normalized
-    // fingerprint, so the dedup keep-list derives from the (persisted,
-    // per-doc-stats-sized) profile instead of re-scanning documents —
-    // regex feature extraction is the expensive part at 100 TB.
-    val prof = TextAnalysis.profile(rd(s, dir, "documents"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val keep = prof.groupBy("fingerprint")
-      .agg(min("doc_id").as("doc_id"))
-      .select("doc_id")
-    prof
-      .join(keep, Seq("doc_id")) // keep-list ids are unique → semi semantics
-      .filter(col("pred_lang") === "en" && col("quality") >= 0.4 &&
+    // fingerprint, and "keep the min doc_id per fingerprint" is a
+    // fingerprint-partitioned window min — no self-join, no persist (a
+    // pinned intermediate would leak past the query), one shuffle, and
+    // regex feature extraction (the expensive part at 100 TB) runs once.
+    val w = Window.partitionBy("fingerprint")
+    TextAnalysis.profile(rd(s, dir, "documents"))
+      .withColumn("__keep", min("doc_id").over(w))
+      .filter(col("doc_id") === col("__keep") &&
+        col("pred_lang") === "en" && col("quality") >= 0.4 &&
         col("n_tokens") >= 5)
       .select("doc_id", "n_tokens", "quality", "pred_lang")
       .orderBy("doc_id")

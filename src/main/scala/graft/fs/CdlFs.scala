@@ -129,7 +129,12 @@ final class CdlFs(
     * distributed two-pass ordinal in (parent, name, chunk_id) order —
     * still no single-partition WindowExec. */
   def take(indices: Seq[Long], columns: Seq[String]): DataFrame = {
-    val stamped = CommitLog.latest(tableLocation, hconf).exists(_.rowCount > 0)
+    // trust the persistent stamp only when EVERY row carries it: an
+    // external writer appending files without row_id would otherwise be
+    // silently invisible to take. The null-probe is a single-column scan
+    // with an early-exit limit — cheap next to the lookup itself.
+    val stamped = CommitLog.latest(tableLocation, hconf).exists(_.rowCount > 0) &&
+      table.filter(col("row_id").isNull).limit(1).isEmpty
     val src =
       if (stamped) table
       else graft.ops.Ordinal.stamp(

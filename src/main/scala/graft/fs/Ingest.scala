@@ -171,17 +171,26 @@ object Ingest {
     * the distributed two-pass ordinal, offset by the committed row count —
     * the path taken by table→table copies and distributed ingest. */
   def writeRootfs(rows: DataFrame, location: String, rowsAdded: Long = -1L): Unit = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions._
     val conf = rows.sparkSession.sparkContext.hadoopConfiguration
     val (out, n, release) =
       if (rowsAdded >= 0L && rows.columns.contains("row_id"))
         (rows, rowsAdded, () => ())
       else {
         val base = CommitLog.latest(location, conf).map(_.rowCount).getOrElse(0L)
+        // (parent, name, chunk_id) alone is NOT total when the source
+        // holds several generations of the same path — interleaving their
+        // chunks would break the row_id-contiguity invariant that
+        // Export.latestGeneration keys on (row_id - chunk_id constant per
+        // append). The source's own generation key joins the ordering so
+        // each generation re-stamps contiguously.
+        val withGen = rows.withColumn("__gen0",
+          coalesce(col("row_id") - col("chunk_id"), lit(0L)))
         val st = Ordinal.stampWithCount(
-          rows.drop("row_id"),
-          Seq(col("parent"), col("name"), col("chunk_id")))
-        (st.df.withColumn("row_id", col("row_id") + base), st.total, st.release)
+          withGen.drop("row_id"),
+          Seq(col("parent"), col("name"), col("__gen0"), col("chunk_id")))
+        (st.df.withColumn("row_id", col("row_id") + base).drop("__gen0"),
+          st.total, st.release)
       }
     try {
       out.withColumn("p0", topSegment(col("parent")))
@@ -306,13 +315,18 @@ object Ingest {
     val root = new org.apache.hadoop.fs.Path(rootAbs)
     val hfs = root.getFileSystem(conf)
     val out = Seq.newBuilder[(String, java.sql.Timestamp, Long)]
+    val rootPathPart = root.toUri.getPath.stripSuffix("/")
     val it = hfs.listFiles(root, true)
     while (it.hasNext) {
       val st = it.next()
       val u = st.getPath.toUri
       val localSymlink = (u.getScheme == null || u.getScheme == "file") &&
         Files.isSymbolicLink(Paths.get(u.getPath))
-      if (st.getLen == 0 && st.isFile && !localSymlink)
+      // match binaryFile's hidden-path convention: `_`/`.`-prefixed
+      // segments (e.g. _SUCCESS markers) are not data
+      val hidden = u.getPath.stripPrefix(rootPathPart).split("/")
+        .exists(s => s.startsWith("_") || s.startsWith("."))
+      if (st.getLen == 0 && st.isFile && !localSymlink && !hidden)
         out += ((st.getPath.toString,
           new java.sql.Timestamp(st.getModificationTime), 0L))
     }
@@ -338,20 +352,28 @@ object Ingest {
 }
 
 /** Per-executor-JVM Hadoop FS chunk reader (FileSystem instances are
-  * cached by scheme inside Hadoop itself; only the Configuration is
-  * rebuilt once). */
+  * cached by scheme inside Hadoop itself; the Configuration is rebuilt
+  * only when a NEW entry map arrives — a long-lived executor serving a
+  * second job with different credentials/schemes must not reuse the
+  * first job's stale conf). */
 object HadoopChunkReader {
-  @transient @volatile private var conf: org.apache.hadoop.conf.Configuration = _
+  @transient @volatile private var cached: (Map[String, String], org.apache.hadoop.conf.Configuration) = _
 
   private def configuration(entries: Map[String, String]): org.apache.hadoop.conf.Configuration = {
-    if (conf == null) synchronized {
-      if (conf == null) {
+    val c0 = cached
+    // fast path: the same task closure passes the identical map instance
+    if (c0 != null && (c0._1.asInstanceOf[AnyRef].eq(entries) || c0._1 == entries))
+      return c0._2
+    synchronized {
+      val c1 = cached
+      if (c1 != null && c1._1 == entries) c1._2
+      else {
         val c = new org.apache.hadoop.conf.Configuration()
         entries.foreach { case (k, v) => c.set(k, v) }
-        conf = c
+        cached = (entries, c)
+        c
       }
     }
-    conf
   }
 
   def read(entries: Map[String, String], p: String, off: Long, len: Long): Array[Byte] = {

@@ -45,30 +45,47 @@ object ObjectCache {
         conf.getLong(MinObjectKey, 64L << 20),
         conf.getLong(MaxSizeKey, 32L << 30)))
 
-  /** Ranged read through the cache: requested length ≥ threshold on a
-    * remote scheme pulls the WHOLE object into the cache once and serves
-    * every later range locally; otherwise the backend serves the range
-    * directly (reference get_ranges, lib.rs:222-245). */
+  /** Ranged read through the cache. Admission is by OBJECT size (the
+    * reference's `threshold_object_size` is a per-object minimum,
+    * crates/cdl-store/src/lib.rs:109-117): a remote object ≥ the
+    * threshold is pulled whole on first touch and every range — large or
+    * small — is served locally afterwards; smaller objects and local
+    * (`file:`) backends read directly. An already-cached object always
+    * serves from cache (no per-range re-admission). */
   def readRange(conf: Configuration, p: Path, off: Long, len: Long): Array[Byte] = {
     if (len <= 0L) return Array.emptyByteArray
     val scheme = Option(p.toUri.getScheme).getOrElse("file")
     val cfg = fromConf(conf)
-    val cacheable = scheme != "file" && cfg.exists(len >= _.minObjectSize)
-    if (!cacheable) readDirect(conf, p, off, len)
-    else {
-      val local = ensureCached(conf, cfg.get, p)
-      val ch = java.nio.channels.FileChannel.open(local)
-      try {
-        val buf = java.nio.ByteBuffer.allocate(len.toInt)
-        var pos = off
-        while (buf.hasRemaining) {
-          val r = ch.read(buf, pos)
-          if (r < 0) throw new java.io.EOFException(s"$p at $pos")
-          pos += r
-        }
-        buf.array()
-      } finally ch.close()
+    if (scheme == "file" || cfg.isEmpty) return readDirect(conf, p, off, len)
+    val target = cachePath(cfg.get, p)
+    val haveLocal = Files.exists(target)
+    if (!haveLocal) {
+      // one status RPC decides admission; below-threshold objects stream
+      // directly from the backend
+      val objLen = p.getFileSystem(conf).getFileStatus(p).getLen
+      if (objLen < cfg.get.minObjectSize) return readDirect(conf, p, off, len)
     }
+    try readLocal(ensureCached(conf, cfg.get, p), p, off, len)
+    catch {
+      // a concurrent store's shrink may evict between ensureCached and
+      // the read — re-pull once and retry before giving up
+      case _: java.nio.file.NoSuchFileException | _: java.io.EOFException =>
+        readLocal(ensureCached(conf, cfg.get, p), p, off, len)
+    }
+  }
+
+  private def readLocal(local: JPath, p: Path, off: Long, len: Long): Array[Byte] = {
+    val ch = java.nio.channels.FileChannel.open(local)
+    try {
+      val buf = java.nio.ByteBuffer.allocate(len.toInt)
+      var pos = off
+      while (buf.hasRemaining) {
+        val r = ch.read(buf, pos)
+        if (r < 0) throw new java.io.EOFException(s"$p at $pos")
+        pos += r
+      }
+      buf.array()
+    } finally ch.close()
   }
 
   private def readDirect(conf: Configuration, p: Path, off: Long, len: Long): Array[Byte] = {
@@ -92,8 +109,11 @@ object ObjectCache {
 
   /** Pull the object into the cache (if absent) and return its local
     * path. Shrinks first (reference store(), lib.rs:298-341). Download
-    * goes to a temp name + atomic move so concurrent readers never see a
-    * partial object; the JVM-level lock serializes executor threads. */
+    * goes to a UNIQUE temp name + atomic move: concurrent pullers — in
+    * this JVM (serialized by the lock) or in a sibling executor process
+    * sharing the cache dir — never observe a partial object; if two
+    * processes race, each writes its own temp and the last atomic move
+    * wins with a complete copy. */
   def ensureCached(conf: Configuration, cfg: Config, p: Path): JPath = synchronized {
     val target = cachePath(cfg, p)
     if (Files.exists(target)) {
@@ -103,12 +123,14 @@ object ObjectCache {
     }
     shrink(cfg)
     Files.createDirectories(target.getParent)
-    val tmp = target.resolveSibling(target.getFileName.toString + ".inflight")
+    val tmp = target.resolveSibling(
+      s"${target.getFileName}.${java.util.UUID.randomUUID()}.inflight")
     val fs = p.getFileSystem(conf)
     val in = fs.open(p)
     try Files.copy(in, tmp, StandardCopyOption.REPLACE_EXISTING)
     finally in.close()
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
     target
   }
 
@@ -119,7 +141,10 @@ object ObjectCache {
     if (!Files.isDirectory(root)) return
     val stream = Files.walk(root)
     val entries =
-      try stream.iterator().asScala.filter(Files.isRegularFile(_)).map { f =>
+      try stream.iterator().asScala
+        .filter(f => Files.isRegularFile(f) &&
+          !f.getFileName.toString.endsWith(".inflight")) // other procs' downloads
+        .map { f =>
         val len = Files.size(f)
         val atime = Files.readAttributes(f,
           classOf[java.nio.file.attribute.BasicFileAttributes])

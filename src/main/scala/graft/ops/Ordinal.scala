@@ -63,6 +63,14 @@ object Ordinal {
     Stamped(stamped, total, () => { ranged.unpersist(); () })
   }
 
+  /** Fire-and-forget variant. The pinned intermediate stays cached for
+    * the life of the returned plan — it CANNOT be released eagerly:
+    * RangePartitioner's sample seed incorporates the RDD id, so a
+    * recompute after unpersist draws different bounds and the stamped
+    * ordinals silently change (caught by OrdinalSpec when tried).
+    * Long-lived sessions issuing many stamps should prefer
+    * `stampWithCount` and release after consuming; batch runners bound
+    * the accumulation with `spark.catalog.clearCache()` between queries. */
   def stamp(df: DataFrame, ord: Seq[Column], idCol: String = "row_id"): DataFrame =
     stampWithCount(df, ord, idCol).df
 }

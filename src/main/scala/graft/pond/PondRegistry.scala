@@ -98,7 +98,10 @@ object PondRegistry {
     }
 
     def onUnbind(b: Binding): Seq[String] = {
-      armed.remove(b.dataset)
+      // only the binding that armed continuous replication disarms it —
+      // tearing down an unrelated (e.g. pull-only) binding of the same
+      // dataset must not stop the push=Always mirror
+      if (b.push == PushPolicy.Always) armed.remove(b.dataset)
       b.push match {
         case PushPolicy.OnDelete =>
           mirror(s"${b.target.rootUri}/${b.dataset}", s"${b.source.rootUri}/${b.dataset}")

@@ -145,6 +145,58 @@ class CdlFsSpec extends SparkSuite {
     assert(m == 0)
   }
 
+  test("take falls back when external rows lack the row_id stamp") {
+    import org.apache.spark.sql.functions.lit
+    val fsX = CdlFs.open(spark, DatasetCatalog(),
+      GlobalPath.parse(s"$root/ds-ext").toOption.get)
+    val tree = s"$root/treeX"
+    Files.createDirectories(Paths.get(tree))
+    Files.write(Paths.get(s"$tree/a.txt"), "aaa".getBytes)
+    Ingest.run(fsX, tree)
+    // simulate an external engine appending WITHOUT a stamp: canonical
+    // columns, row_id explicitly null, straight into a partition dir
+    fsX.table.filter(lit(false)) // schema template
+      .unionByName(spark.sql(
+        """SELECT 'zzz.txt' AS name, '/' AS parent,
+          |  CAST(NULL AS TIMESTAMP) atime, CAST(NULL AS TIMESTAMP) ctime,
+          |  CAST(NULL AS TIMESTAMP) mtime, CAST(NULL AS INT) mode,
+          |  CAST(3 AS BIGINT) size, CAST(0 AS BIGINT) chunk_id,
+          |  CAST(0 AS BIGINT) chunk_offset, CAST(3 AS BIGINT) chunk_size,
+          |  CAST('ext' AS BINARY) data, CAST(NULL AS BIGINT) row_id""".stripMargin))
+      .write.mode("append").parquet(s"${fsX.tableLocation}/p0=_root")
+    assert(fsX.table.count() == 2)
+    // ordinal order (parent,name,chunk_id): a.txt -> 0, zzz.txt -> 1;
+    // the unstamped external row MUST be reachable
+    val got = fsX.take(Seq(1L), Seq("name")).collect()
+    assert(got.map(_.getAs[String]("name")).toSeq == Seq("zzz.txt"))
+  }
+
+  test("copyTo keeps multi-generation chunks contiguous (export gets latest bytes)") {
+    val fsG = CdlFs.open(spark, DatasetCatalog(maxChunkSize = 4),
+      GlobalPath.parse(s"$root/ds-gen").toOption.get)
+    val tree = s"$root/treeG"
+    Files.createDirectories(Paths.get(tree))
+    Files.write(Paths.get(s"$tree/f.bin"), "11112222".getBytes) // 2 chunks
+    Ingest.run(fsG, tree)
+    Files.write(Paths.get(s"$tree/f.bin"), "333344445555".getBytes) // 3 chunks
+    Ingest.run(fsG, tree) // second generation of the same path
+    // copy re-stamps: each generation's chunks must stay contiguous so
+    // row_id - chunk_id still identifies generations
+    Files.createDirectories(Paths.get(s"$root/ds-gen2/rootfs"))
+    fsG.copyTo(GlobalPath.parse(s"$root/ds-gen2").toOption.get)
+    val fsG2 = CdlFs.open(spark, DatasetCatalog(),
+      GlobalPath.parse(s"$root/ds-gen2").toOption.get)
+    val gens = fsG2.table
+      .selectExpr("row_id - chunk_id AS g", "chunk_id")
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(gens.values.toSeq.sorted == Seq(2, 3), gens) // two intact generations
+    // export of the copy yields the LATEST generation's bytes
+    val dest = s"$root/restore-gen"
+    Export.dumpAll(fsG2, dest)
+    assert(new String(Files.readAllBytes(Paths.get(s"$dest/f.bin"))) ==
+      "333344445555")
+  }
+
   test("commit log: each append is a version; time travel reads old snapshots") {
     val fsV = CdlFs.open(spark, DatasetCatalog(),
       GlobalPath.parse(s"$root/ds-ver").toOption.get)

@@ -121,6 +121,10 @@ class CommitLogSpec extends SparkSuite {
     Files.write(Paths.get(s"$tree/a.bin"), Array.fill[Byte](2500)('x'))
     Files.write(Paths.get(s"$tree/sub/b.txt"), "bb".getBytes)
     Files.write(Paths.get(s"$tree/zero.bin"), Array.emptyByteArray)
+    // zero-byte HIDDEN files (a previous Spark job's marker) must be
+    // skipped like binaryFile skips non-empty hidden files
+    Files.write(Paths.get(s"$tree/_SUCCESS"), Array.emptyByteArray)
+    Files.write(Paths.get(s"$tree/sub/.hidden"), Array.emptyByteArray)
 
     val fs = CdlFs.open(spark,
       graft.core.DatasetCatalog(maxChunkSize = 1024),

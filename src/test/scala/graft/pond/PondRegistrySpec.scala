@@ -66,7 +66,11 @@ class PondRegistrySpec extends SparkSuite {
       .write.mode("overwrite").parquet(s"${dst.rootUri}/dsA")
     assert(jobs.onWrite("dsA") == Seq("push:Always"))
     assert(spark.read.parquet(s"${src.rootUri}/dsA").count() == 3)
-    // unbinding disarms the rule
+    // tearing down an UNRELATED pull-only binding must not disarm the rule
+    assert(jobs.onUnbind(Binding("dsA", src, dst,
+      PullPolicy.OnCreate, PushPolicy.Never)).isEmpty)
+    assert(jobs.onWrite("dsA") == Seq("push:Always"))
+    // unbinding the push=Always binding itself disarms it
     assert(jobs.onUnbind(Binding("dsA", src, dst,
       PullPolicy.Always, PushPolicy.Always)).isEmpty)
     assert(jobs.onWrite("dsA").isEmpty)
