@@ -184,8 +184,11 @@ object Ingest {
         // Export.latestGeneration keys on (row_id - chunk_id constant per
         // append). The source's own generation key joins the ordering so
         // each generation re-stamps contiguously.
-        val withGen = rows.withColumn("__gen0",
-          coalesce(col("row_id") - col("chunk_id"), lit(0L)))
+        val genExpr =
+          if (rows.columns.contains("row_id"))
+            coalesce(col("row_id") - col("chunk_id"), lit(0L))
+          else lit(0L)
+        val withGen = rows.withColumn("__gen0", genExpr)
         val st = Ordinal.stampWithCount(
           withGen.drop("row_id"),
           Seq(col("parent"), col("name"), col("__gen0"), col("chunk_id")))
