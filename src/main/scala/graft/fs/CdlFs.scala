@@ -128,18 +128,40 @@ final class CdlFs(
     * Tables written without the stamp (external writers) fall back to the
     * distributed two-pass ordinal in (parent, name, chunk_id) order —
     * still no single-partition WindowExec. */
+  /** Memoized per committed version: whether every row carries the
+    * persistent stamp (the null-probe is one early-exit column scan;
+    * repeating it on every point lookup would double take latency). */
+  @volatile private var stampedMemo: Option[(Option[Int], Boolean)] = None
+
+  private def fullyStamped: Boolean = {
+    val version = CommitLog.versions(tableLocation, hconf).lastOption
+    stampedMemo match {
+      case Some((v, r)) if v == version => r
+      case _ =>
+        val r = CommitLog.latest(tableLocation, hconf).exists(_.rowCount > 0) &&
+          table.filter(col("row_id").isNull).limit(1).isEmpty
+        stampedMemo = Some((version, r))
+        r
+    }
+  }
+
   def take(indices: Seq[Long], columns: Seq[String]): DataFrame = {
     // trust the persistent stamp only when EVERY row carries it: an
     // external writer appending files without row_id would otherwise be
-    // silently invisible to take. The null-probe is a single-column scan
-    // with an early-exit limit — cheap next to the lookup itself.
-    val stamped = CommitLog.latest(tableLocation, hconf).exists(_.rowCount > 0) &&
-      table.filter(col("row_id").isNull).limit(1).isEmpty
+    // silently invisible to take.
     val src =
-      if (stamped) table
-      else graft.ops.Ordinal.stamp(
-        table.drop("row_id"),
-        Seq(col("parent"), col("name"), col("chunk_id")))
+      if (fullyStamped) table
+      else {
+        // same generation-aware total order as the writeRootfs re-stamp:
+        // rows that DO carry a stamp keep their generation grouping,
+        // unstamped rows sort first per path (sentinel −1, below any
+        // genuine generation key)
+        val gen = coalesce(col("row_id") - col("chunk_id"), lit(-1L))
+        graft.ops.Ordinal.stamp(
+          table.withColumn("__gen0", gen).drop("row_id"),
+          Seq(col("parent"), col("name"), col("__gen0"), col("chunk_id")))
+          .drop("__gen0")
+      }
     src.filter(col("row_id").isin(indices: _*))
       .select(("row_id" +: columns).map(col): _*)
   }

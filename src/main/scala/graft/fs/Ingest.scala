@@ -184,10 +184,14 @@ object Ingest {
         // Export.latestGeneration keys on (row_id - chunk_id constant per
         // append). The source's own generation key joins the ordering so
         // each generation re-stamps contiguously.
+        // sentinel −1 for unstamped rows: genuine generation keys are
+        // ≥ 0, so unstamped rows can never interleave with a stamped
+        // generation of the same path (several unstamped generations of
+        // one path remain inherently unordered — no ordering info exists)
         val genExpr =
           if (rows.columns.contains("row_id"))
-            coalesce(col("row_id") - col("chunk_id"), lit(0L))
-          else lit(0L)
+            coalesce(col("row_id") - col("chunk_id"), lit(-1L))
+          else lit(-1L)
         val withGen = rows.withColumn("__gen0", genExpr)
         val st = Ordinal.stampWithCount(
           withGen.drop("row_id"),
@@ -354,30 +358,23 @@ object Ingest {
   }
 }
 
-/** Per-executor-JVM Hadoop FS chunk reader (FileSystem instances are
-  * cached by scheme inside Hadoop itself; the Configuration is rebuilt
-  * only when a NEW entry map arrives — a long-lived executor serving a
-  * second job with different credentials/schemes must not reuse the
-  * first job's stale conf). */
+/** Per-executor-JVM Hadoop FS chunk reader. One Configuration per
+  * distinct entry map (concurrent jobs with different creds/schemes
+  * each keep theirs — no single-slot thrashing). Caveat shared with all
+  * Hadoop users: `FileSystem.CACHE` keys on (scheme, authority, ugi),
+  * NOT on conf — rotating credentials for the SAME bucket within one
+  * executor lifetime additionally needs
+  * `fs.<scheme>.impl.disable.cache=true` in the passed options. */
 object HadoopChunkReader {
-  @transient @volatile private var cached: (Map[String, String], org.apache.hadoop.conf.Configuration) = _
+  @transient private lazy val cached =
+    scala.collection.concurrent.TrieMap.empty[Map[String, String], org.apache.hadoop.conf.Configuration]
 
-  private def configuration(entries: Map[String, String]): org.apache.hadoop.conf.Configuration = {
-    val c0 = cached
-    // fast path: the same task closure passes the identical map instance
-    if (c0 != null && (c0._1.asInstanceOf[AnyRef].eq(entries) || c0._1 == entries))
-      return c0._2
-    synchronized {
-      val c1 = cached
-      if (c1 != null && c1._1 == entries) c1._2
-      else {
-        val c = new org.apache.hadoop.conf.Configuration()
-        entries.foreach { case (k, v) => c.set(k, v) }
-        cached = (entries, c)
-        c
-      }
-    }
-  }
+  private def configuration(entries: Map[String, String]): org.apache.hadoop.conf.Configuration =
+    cached.getOrElseUpdate(entries, {
+      val c = new org.apache.hadoop.conf.Configuration()
+      entries.foreach { case (k, v) => c.set(k, v) }
+      c
+    })
 
   def read(entries: Map[String, String], p: String, off: Long, len: Long): Array[Byte] = {
     if (len <= 0L) return Array.emptyByteArray

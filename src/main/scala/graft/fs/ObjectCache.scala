@@ -33,6 +33,9 @@ object ObjectCache {
 
   final case class Config(cacheDir: String, minObjectSize: Long, maxCacheSize: Long)
 
+  /** Per-JVM memo of remote object sizes (admission verdicts). */
+  private val sizeCache = scala.collection.concurrent.TrieMap.empty[String, Long]
+
   def configure(conf: Configuration, catalog: graft.core.DatasetCatalog): Unit = {
     conf.set(DirKey, catalog.cacheDir)
     conf.setLong(MinObjectKey, catalog.minCacheObjectSize)
@@ -60,16 +63,31 @@ object ObjectCache {
     val target = cachePath(cfg.get, p)
     val haveLocal = Files.exists(target)
     if (!haveLocal) {
-      // one status RPC decides admission; below-threshold objects stream
-      // directly from the backend
-      val objLen = p.getFileSystem(conf).getFileStatus(p).getLen
+      // one status RPC decides admission; the verdict is memoized so
+      // chunk-by-chunk reads of millions of small objects don't pay a
+      // per-read round-trip. Bounded: cleared wholesale if it ever grows
+      // past ~64k entries (re-stat is cheap relative to leaking memory).
+      val key = p.toString
+      val objLen = sizeCache.get(key) match {
+        case Some(l) => l
+        case None =>
+          val l = p.getFileSystem(conf).getFileStatus(p).getLen
+          if (sizeCache.size > 65536) sizeCache.clear()
+          sizeCache.put(key, l)
+          l
+      }
       if (objLen < cfg.get.minObjectSize) return readDirect(conf, p, off, len)
     }
     try readLocal(ensureCached(conf, cfg.get, p), p, off, len)
     catch {
       // a concurrent store's shrink may evict between ensureCached and
       // the read — re-pull once and retry before giving up
-      case _: java.nio.file.NoSuchFileException | _: java.io.EOFException =>
+      case _: java.nio.file.NoSuchFileException =>
+        readLocal(ensureCached(conf, cfg.get, p), p, off, len)
+      // a short read means the CACHED copy is stale (the object grew
+      // since it was pulled) — drop it so ensureCached re-downloads
+      case _: java.io.EOFException =>
+        Files.deleteIfExists(cachePath(cfg.get, p))
         readLocal(ensureCached(conf, cfg.get, p), p, off, len)
     }
   }
@@ -125,12 +143,14 @@ object ObjectCache {
     Files.createDirectories(target.getParent)
     val tmp = target.resolveSibling(
       s"${target.getFileName}.${java.util.UUID.randomUUID()}.inflight")
-    val fs = p.getFileSystem(conf)
-    val in = fs.open(p)
-    try Files.copy(in, tmp, StandardCopyOption.REPLACE_EXISTING)
-    finally in.close()
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    try {
+      val fs = p.getFileSystem(conf)
+      val in = fs.open(p)
+      try Files.copy(in, tmp, StandardCopyOption.REPLACE_EXISTING)
+      finally in.close()
+      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    } finally Files.deleteIfExists(tmp) // failed downloads must not orphan temps
     target
   }
 

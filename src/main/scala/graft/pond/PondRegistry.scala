@@ -99,9 +99,9 @@ object PondRegistry {
 
     def onUnbind(b: Binding): Seq[String] = {
       // only the binding that armed continuous replication disarms it —
-      // tearing down an unrelated (e.g. pull-only) binding of the same
-      // dataset must not stop the push=Always mirror
-      if (b.push == PushPolicy.Always) armed.remove(b.dataset)
+      // tearing down an unrelated binding of the same dataset (pull-only,
+      // or a superseded push binding) must not stop the live mirror
+      if (b.push == PushPolicy.Always) armed.remove(b.dataset, b)
       b.push match {
         case PushPolicy.OnDelete =>
           mirror(s"${b.target.rootUri}/${b.dataset}", s"${b.source.rootUri}/${b.dataset}")

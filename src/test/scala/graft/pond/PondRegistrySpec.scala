@@ -70,9 +70,19 @@ class PondRegistrySpec extends SparkSuite {
     assert(jobs.onUnbind(Binding("dsA", src, dst,
       PullPolicy.OnCreate, PushPolicy.Never)).isEmpty)
     assert(jobs.onWrite("dsA") == Seq("push:Always"))
-    // unbinding the push=Always binding itself disarms it
+    // a SUPERSEDED push binding (different target) must not disarm the
+    // currently-armed one
+    val dst2 = Pond("dst2", s"$root/dst2", 1000, 0)
+    jobs.onBind(Binding("dsA", src, dst2, PullPolicy.Never, PushPolicy.Always))
     assert(jobs.onUnbind(Binding("dsA", src, dst,
-      PullPolicy.Always, PushPolicy.Always)).isEmpty)
+      PullPolicy.Always, PushPolicy.Always)).isEmpty) // old binding, old target
+    Seq((9, "w")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"${dst2.rootUri}/dsA")
+    assert(jobs.onWrite("dsA") == Seq("push:Always")) // still armed (dst2)
+    assert(spark.read.parquet(s"${src.rootUri}/dsA").count() == 1)
+    // unbinding the ARMED push binding itself disarms it
+    assert(jobs.onUnbind(Binding("dsA", src, dst2,
+      PullPolicy.Never, PushPolicy.Always)).isEmpty)
     assert(jobs.onWrite("dsA").isEmpty)
   }
 
