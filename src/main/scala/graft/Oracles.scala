@@ -476,6 +476,21 @@ object Oracles {
         |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 4) AS l2_norm
         |FROM embeddings ORDER BY vec_id""".stripMargin,
 
+    // winnowing over md5-hex grams: positional 5-gram fingerprints,
+    // lexicographic min per 4-window, distinct sorted sketch
+    "q_winnowing" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT doc_id,
+        |        list_transform(range(1, greatest(len(t) - 4, 1) + 1),
+        |          i -> md5(array_to_string(t[i:i+4], ' '))) AS gs
+        |      FROM tk),
+        |s AS (SELECT doc_id,
+        |        list_sort(list_distinct(list_transform(range(1, len(gs) - 2),
+        |          j -> list_aggregate(gs[j:j+3], 'min')))) AS sk
+        |      FROM g WHERE len(gs) >= 4)
+        |SELECT doc_id, CAST(len(sk) AS BIGINT) AS sketch_size, sk[1] AS min_fp
+        |FROM s ORDER BY doc_id""".stripMargin,
+
     "q_multimodal_meta" ->
       """SELECT doc_id AS item_id, 'text' AS modality,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

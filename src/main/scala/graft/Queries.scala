@@ -536,10 +536,16 @@ object Queries {
       .orderBy("doc_id")
   }
 
-  /** Winnowing sketch sizes (sketch hashes are xxhash64 — rows-only). */
+  /** Winnowing sketch over md5-hex gram fingerprints: md5 is the one
+    * hash both engines share, and lexicographic window minima of its hex
+    * strings are engine-portable — so the sketch is DuckDB-oracle-
+    * checkable (the production default stays xxhash64: cheaper, same
+    * plan shape). */
   def qWinnowing(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.winnowingSketch(rd(s, dir, "documents"))
-      .select(col("doc_id"), size(col("sketch")).cast("long").as("sketch_size"))
+    TextAnalysis.winnowingSketch(rd(s, dir, "documents"), gramHash = md5(_))
+      .select(col("doc_id"),
+        size(col("sketch")).cast("long").as("sketch_size"),
+        element_at(col("sketch"), 1).as("min_fp"))
       .orderBy("doc_id")
 
   def qTextProfile(s: SparkSession, dir: String): DataFrame =

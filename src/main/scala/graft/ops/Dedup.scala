@@ -22,13 +22,14 @@ object Dedup {
 
   /** Word n-gram shingles of `text` (default 5-gram: synthetic corpora with
     * tiny vocabularies make 3-grams collide massively; 5-grams keep the
-    * bucket join selective). */
-  def shingles(text: Column, n: Int = 5): Column = {
+    * bucket join selective). `distinct = false` keeps positional
+    * duplicates — required by positional algorithms (winnowing windows). */
+  def shingles(text: Column, n: Int = 5, distinct: Boolean = true): Column = {
     val toks = split(text, " ")
-    array_distinct(
-      transform(
-        sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
+    val grams = transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+    if (distinct) array_distinct(grams) else grams
   }
 
   /** Exact duplicates by content digest: one row per distinct digest with

@@ -97,9 +97,13 @@ object TextAnalysis {
       docs: org.apache.spark.sql.DataFrame,
       textCol: String = "text",
       k: Int = 5,
-      w: Int = 4): org.apache.spark.sql.DataFrame = {
+      w: Int = 4,
+      gramHash: Column => Column = xxhash64(_)): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hashes = transform(Dedup.shingles(col(textCol), k), s => xxhash64(s))
+    // POSITIONAL grams (no distinct): winnowing windows are over gram
+    // positions, so duplicates must stay in place
+    val hashes = transform(
+      Dedup.shingles(col(textCol), k, distinct = false), gramHash)
     val posed = docs.select(col("doc_id"),
       posexplode(hashes).as(Seq("pos", "h")))
     val win = Window.partitionBy("doc_id").orderBy("pos")
