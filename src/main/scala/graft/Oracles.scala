@@ -141,6 +141,16 @@ object Oracles {
         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mavg
         |FROM events ORDER BY event_id""".stripMargin,
 
+    "q_window_rank_fns" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(percent_rank() OVER w, 4) AS pct_rank,
+        |  round(cume_dist() OVER w, 4) AS cdist
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |  ORDER BY o_totalprice ASC, o_orderkey ASC)
+        |ORDER BY o_orderkey""".stripMargin,
+
     "q_topk_orders" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price,
         |  CAST(o_orderdate AS DATE) AS o_date

@@ -289,6 +289,20 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Ranking window family: ntile buckets, percent_rank, cume_dist.
+    * The window ORDER BY carries o_orderkey so it is total — ntile
+    * splits ties by row position, which must be deterministic. */
+  def qWindowRankFns(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    rd(s, dir, "orders").select(
+      col("o_orderkey"), col("o_orderstatus"),
+      ntile(4).over(w).cast("long").as("quartile"),
+      round(percent_rank().over(w), 4).as("pct_rank"),
+      round(cume_dist().over(w), 4).as("cdist"))
+      .orderBy("o_orderkey")
+  }
+
   def qTopkOrders(s: SparkSession, dir: String): DataFrame =
     rd(s, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"),

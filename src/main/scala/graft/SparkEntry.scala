@@ -40,6 +40,7 @@ object SparkEntry {
     "q_window_running" -> (Queries.qWindowRunning _),
     "q_window_lag" -> (Queries.qWindowLag _),
     "q_window_moving_avg" -> (Queries.qWindowMovingAvg _),
+    "q_window_rank_fns" -> (Queries.qWindowRankFns _),
     "q_topk_orders" -> (Queries.qTopkOrders _),
     "q_union_all" -> (Queries.qUnionAll _),
     "q_intersect" -> (Queries.qIntersect _),
