@@ -169,6 +169,28 @@ object Oracles {
       """SELECT c_nationkey AS nationkey FROM customer
         |EXCEPT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin,
 
+    "q_group_concat" ->
+      """SELECT s_nationkey AS nationkey,
+        |  string_agg(s_name, ',' ORDER BY s_name) AS names,
+        |  count(*) AS n
+        |FROM supplier GROUP BY s_nationkey ORDER BY nationkey""".stripMargin,
+
+    "q_except_all" ->
+      """WITH d AS (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  EXCEPT ALL
+        |  SELECT s_nationkey FROM supplier)
+        |SELECT nationkey, count(*) AS n_surplus FROM d
+        |GROUP BY nationkey ORDER BY nationkey""".stripMargin,
+
+    "q_intersect_all" ->
+      """WITH d AS (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  INTERSECT ALL
+        |  SELECT s_nationkey FROM supplier)
+        |SELECT nationkey, count(*) AS n_common FROM d
+        |GROUP BY nationkey ORDER BY nationkey""".stripMargin,
+
     "q_string_fns" ->
       """SELECT p_partkey, upper(p_name) AS up_name, substr(p_name, 1, 4) AS prefix,
         |  concat_ws('-', p_brand, p_type) AS tag,

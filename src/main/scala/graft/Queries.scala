@@ -326,6 +326,36 @@ object Queries {
       .except(rd(s, dir, "supplier").select(col("s_nationkey")))
       .orderBy("nationkey")
 
+  /** Ordered group concatenation (LISTAGG/string_agg): expressed as
+    * sort-then-join over a collected list so the element order is
+    * deterministic on both engines. */
+  def qGroupConcat(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "supplier")
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(
+        array_join(array_sort(collect_list(col("s_name"))), ",").as("names"),
+        count(lit(1)).as("n"))
+      .orderBy("nationkey")
+
+  /** Multiset set ops — EXCEPT ALL / INTERSECT ALL keep duplicate
+    * cardinalities (a different physical operator from the DISTINCT
+    * forms: hashed count-matching, not dedup). */
+  def qExceptAll(s: SparkSession, dir: String): DataFrame = {
+    val c = rd(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+    val su = rd(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+    c.exceptAll(su)
+      .groupBy("nationkey").agg(count(lit(1)).as("n_surplus"))
+      .orderBy("nationkey")
+  }
+
+  def qIntersectAll(s: SparkSession, dir: String): DataFrame = {
+    val c = rd(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+    val su = rd(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+    c.intersectAll(su)
+      .groupBy("nationkey").agg(count(lit(1)).as("n_common"))
+      .orderBy("nationkey")
+  }
+
   def qStringFns(s: SparkSession, dir: String): DataFrame =
     rd(s, dir, "part").select(
       col("p_partkey"),

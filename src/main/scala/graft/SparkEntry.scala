@@ -45,6 +45,9 @@ object SparkEntry {
     "q_union_all" -> (Queries.qUnionAll _),
     "q_intersect" -> (Queries.qIntersect _),
     "q_except" -> (Queries.qExcept _),
+    "q_except_all" -> (Queries.qExceptAll _),
+    "q_intersect_all" -> (Queries.qIntersectAll _),
+    "q_group_concat" -> (Queries.qGroupConcat _),
     "q_string_fns" -> (Queries.qStringFns _),
     "q_regex" -> (Queries.qRegex _),
     "q_datetime" -> (Queries.qDatetime _),
