@@ -145,23 +145,41 @@ final class CdlFs(
     }
   }
 
-  def take(indices: Seq[Long], columns: Seq[String]): DataFrame = {
-    // trust the persistent stamp only when EVERY row carries it: an
-    // external writer appending files without row_id would otherwise be
-    // silently invisible to take.
-    val src =
-      if (fullyStamped) table
-      else {
+  /** Memoized fallback stamp, one per committed version: the stamp's
+    * ranged intermediate is pinned (MEMORY_AND_DISK) and CANNOT be
+    * released while plans built on it may still recompute (Ordinal.stamp
+    * scaladoc), so a long-lived session issuing many `take`s against an
+    * unstamped table must reuse ONE stamped frame — not pin a fresh copy
+    * per call. On version change the superseded pin is released. */
+  @volatile private var fallbackMemo: Option[(Option[Int], DataFrame, () => Unit)] = None
+
+  private def fallbackStamped: DataFrame = synchronized {
+    val version = CommitLog.versions(tableLocation, hconf).lastOption
+    fallbackMemo match {
+      case Some((v, df, _)) if v == version => df
+      case prev =>
+        // the old version's pinned intermediate is dead weight now —
+        // release before stamping the new snapshot
+        prev.foreach(_._3())
         // same generation-aware total order as the writeRootfs re-stamp:
         // rows that DO carry a stamp keep their generation grouping,
         // unstamped rows sort first per path (sentinel −1, below any
         // genuine generation key)
         val gen = coalesce(col("row_id") - col("chunk_id"), lit(-1L))
-        graft.ops.Ordinal.stamp(
+        val st = graft.ops.Ordinal.stampWithCount(
           table.withColumn("__gen0", gen).drop("row_id"),
           Seq(col("parent"), col("name"), col("__gen0"), col("chunk_id")))
-          .drop("__gen0")
-      }
+        val df = st.df.drop("__gen0")
+        fallbackMemo = Some((version, df, st.release))
+        df
+    }
+  }
+
+  def take(indices: Seq[Long], columns: Seq[String]): DataFrame = {
+    // trust the persistent stamp only when EVERY row carries it: an
+    // external writer appending files without row_id would otherwise be
+    // silently invisible to take.
+    val src = if (fullyStamped) table else fallbackStamped
     src.filter(col("row_id").isin(indices: _*))
       .select(("row_id" +: columns).map(col): _*)
   }

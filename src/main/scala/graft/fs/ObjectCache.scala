@@ -125,14 +125,35 @@ object ObjectCache {
     Paths.get(cfg.cacheDir, s"$digest-${p.getName}")
   }
 
+  /** Per-object download monitors, striped by cache path: concurrent
+    * tasks pulling DISTINCT objects proceed fully in parallel (a JVM-wide
+    * lock here would single-file an executor's whole admission path
+    * behind one cold multi-GiB pull); two pulls of the SAME object
+    * serialize, so the second serves from cache instead of re-
+    * downloading. Bounded like sizeCache — and correctness never depends
+    * on the monitor map: cross-process (and post-clear) races are already
+    * safe via the unique-temp + atomic-move protocol. */
+  private val pathLocks = scala.collection.concurrent.TrieMap.empty[String, Object]
+
   /** Pull the object into the cache (if absent) and return its local
     * path. Shrinks first (reference store(), lib.rs:298-341). Download
     * goes to a UNIQUE temp name + atomic move: concurrent pullers — in
-    * this JVM (serialized by the lock) or in a sibling executor process
+    * this JVM (other objects run in parallel; the same object is
+    * serialized by its striped lock) or in a sibling executor process
     * sharing the cache dir — never observe a partial object; if two
-    * processes race, each writes its own temp and the last atomic move
-    * wins with a complete copy. */
-  def ensureCached(conf: Configuration, cfg: Config, p: Path): JPath = synchronized {
+    * writers race, each writes its own temp and the last atomic move
+    * wins with a complete copy. shrink() may run concurrently from two
+    * pulls: deletes are idempotent (deleteIfExists) and the size target
+    * is re-checked per entry, so a concurrent shrink only over-evicts by
+    * at most in-flight entries — never corrupts. */
+  def ensureCached(conf: Configuration, cfg: Config, p: Path): JPath = {
+    val target0 = cachePath(cfg, p)
+    if (pathLocks.size > 65536) pathLocks.clear()
+    val lock = pathLocks.getOrElseUpdate(target0.toString, new Object)
+    lock.synchronized { ensureCachedLocked(conf, cfg, p) }
+  }
+
+  private def ensureCachedLocked(conf: Configuration, cfg: Config, p: Path): JPath = {
     val target = cachePath(cfg, p)
     if (Files.exists(target)) {
       Files.setAttribute(target, "lastAccessTime",

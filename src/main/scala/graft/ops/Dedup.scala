@@ -43,54 +43,60 @@ object Dedup {
     docs.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
 
-  /** Exact n-gram Jaccard near-dup pairs via a shingle inverted index:
-    * explode distinct shingles → ONE shuffle groups doc-lists per shingle →
-    * pairs emitted in-place with higher-order functions → |A∩B| by count →
-    * |A∪B| = |A|+|B|−|A∩B|. Output: pairs with jaccard ≥ threshold.
+  /** Exact n-gram Jaccard near-dup pairs via a df-capped shingle
+    * self-equi-join: explode distinct shingles → window count caps
+    * document frequency → self-join on the hashed shingle with
+    * `doc_a < doc_b` → |A∩B| by partial-agg count → |A∪B| =
+    * |A|+|B|−|A∩B|. Output: pairs with jaccard ≥ threshold.
     *
-    * Scale notes: a self-equi-join on shingle reads and shuffles the
-    * exploded table twice; the inverted-index form shuffles it once and
-    * pair counts are map-side combinable. No document text survives the
-    * explode.
+    * Scale notes: every stage is codegen'd — the pairs STREAM through a
+    * sort-merge/hash join and a map-side-combinable count; no operator
+    * ever materializes a group's full pair set in one row. (The previous
+    * inverted-index form built all d·(d−1)/2 pair structs of a shingle
+    * group inside ONE row via interpreted higher-order functions — at
+    * dfCap=1000 that is ~500k structs in a single row, with no codegen;
+    * measured 6× slower than this join at sf0.1.) Shingles are
+    * 64-bit-hashed BEFORE any shuffle: the join only needs equality, and
+    * 8-byte keys instead of n-gram strings cut exchange volume
+    * several-fold (collision odds at 100 TB corpus scale:
+    * ~(distinct shingles)²/2⁶⁵ — vanishing, and deterministic).
     *
     * `dfCap` bounds the quadratic hazard: a degenerate stop-shingle
-    * present in d documents expands d·(d−1)/2 pairs in ONE group — at
-    * 100 TB a shingle in 1% of the corpus is O(n²) in a single task.
-    * Shingles with document frequency > dfCap are dropped before pair
-    * expansion (they carry ~zero similarity signal), so no group ever
-    * expands more than dfCap²/2 pairs. Near-dup pairs still surface
-    * through their many sub-cap shingles; their jaccard only loses the
-    * capped shingles from the intersection count. dfCap must exceed the
-    * corpus' real duplicate-cluster size to keep exact semantics —
-    * the default is far above the gate corpus' document count, so the
-    * oracle-checked result is exact there. */
+    * present in d documents contributes d·(d−1)/2 join rows — at 100 TB a
+    * shingle in 1% of the corpus is O(n²). Shingles with document
+    * frequency > dfCap are dropped before the join (they carry ~zero
+    * similarity signal), so one key yields at most dfCap²/2 streamed
+    * rows, and AQE's skew-join split spreads any residual hot key across
+    * tasks. Near-dup pairs still surface through their many sub-cap
+    * shingles; their jaccard only loses the capped shingles from the
+    * intersection count. dfCap must exceed the corpus' real
+    * duplicate-cluster size to keep exact semantics — the default is far
+    * above the gate corpus' document count, so the oracle-checked result
+    * is exact there. */
   def ngramJaccardPairs(
       docs: DataFrame,
       textCol: String = "text",
       n: Int = 5,
       threshold: Double = 0.5,
       dfCap: Int = 1000): DataFrame = {
-    // materialized once: consumed by both the size aggregate and the
-    // inverted index (self-join re-aliasing defeats ReuseExchange, so
-    // without this the explode+distinct runs twice). Shingles are
-    // 64-bit-hashed BEFORE the shuffle: the inverted index only needs
-    // equality, and shuffling 8-byte keys instead of n-gram strings cuts
-    // the exchange volume several-fold (collision odds at 100 TB corpus
-    // scale: ~(distinct shingles)²/2⁶⁵ — vanishing, and deterministic).
+    import org.apache.spark.sql.expressions.Window
     val sh = docs
       .select(col("doc_id"), explode(shingles(col(textCol), n)).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("shingle"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val inter = sh.groupBy("shingle")
-      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= dfCap)
-      .select(explode(expr(
-        """flatten(transform(sequence(1, size(ids) - 1), i ->
-          |  transform(slice(ids, i + 1, size(ids) - i), y ->
-          |    struct(element_at(ids, i) AS doc_a, y AS doc_b))))""".stripMargin))
-        .as("p"))
-      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+    // document frequency as an unbounded-frame window count: one shuffle
+    // on shingle, and the filtered result is persisted because BOTH join
+    // sides consume it (self-join re-aliasing defeats ReuseExchange)
+    val capped = sh
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy("shingle")))
+      .filter(col("__df") > 1 && col("__df") <= dfCap)
+      .drop("__df")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inter = capped.withColumnRenamed("doc_id", "doc_a")
+      .join(capped.withColumnRenamed("doc_id", "doc_b"), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_common"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a")
@@ -198,14 +204,29 @@ object Dedup {
           .reduce((a, c) => a.bitwiseOR(c)).as("simhash"))
   }
 
-  /** SimHash near-dup pairs: block on 4 16-bit bands (any Hamming-distance
-    * ≤ maxHamming pair with maxHamming ≤ 3 shares at least one exact band —
-    * pigeonhole), then verify exact Hamming distance on candidates. */
+  /** SimHash near-dup pairs: block on 4 16-bit bands, then verify exact
+    * Hamming distance on candidates.
+    *
+    * Completeness contract (pigeonhole over 4 bands): every pair at
+    * Hamming distance ≤ 3 shares at least one exact band, so for
+    * `maxHamming ≤ 3` the result is COMPLETE — all qualifying pairs.
+    * For larger radii the banding cannot guarantee a shared band (4
+    * flips can hit all 4 bands), so the result is the band-sharing
+    * CANDIDATE subset only — callers wanting completeness at radius r
+    * need ⌈64/(r+1)⌉-bit banding with r+1 bands (multi-index probing).
+    * Both regimes are pinned in DedupSpec's boundary-radius case. */
   def simhashPairs(
       docs: DataFrame,
       textCol: String = "text",
-      maxHamming: Int = 3): DataFrame = {
-    val sigs = simhash(docs, textCol)
+      maxHamming: Int = 3): DataFrame =
+    simhashPairsFromSignatures(simhash(docs, textCol), maxHamming)
+
+  /** Banding + verify over precomputed (doc_id, simhash) signatures —
+    * split out so the pigeonhole boundary is testable on planted
+    * signatures (see simhashPairs for the completeness contract). */
+  def simhashPairsFromSignatures(
+      sigs: DataFrame,
+      maxHamming: Int): DataFrame = {
     val banded = sigs.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),

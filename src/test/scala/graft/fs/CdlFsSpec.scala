@@ -171,6 +171,45 @@ class CdlFsSpec extends SparkSuite {
     assert(got.map(_.getAs[String]("name")).toSeq == Seq("zzz.txt"))
   }
 
+  test("repeated fallback takes pin ONE stamped copy; version change releases it") {
+    import org.apache.spark.sql.functions.lit
+    val fsP = CdlFs.open(spark, DatasetCatalog(),
+      GlobalPath.parse(s"$root/ds-pin").toOption.get)
+    val tree = s"$root/treeP"
+    Files.createDirectories(Paths.get(tree))
+    Files.write(Paths.get(s"$tree/a.txt"), "aaa".getBytes)
+    Ingest.run(fsP, tree)
+    // unstamped external append forces every take through the fallback
+    fsP.table.filter(lit(false))
+      .unionByName(spark.sql(
+        """SELECT 'zzz.txt' AS name, '/' AS parent,
+          |  CAST(NULL AS TIMESTAMP) atime, CAST(NULL AS TIMESTAMP) ctime,
+          |  CAST(NULL AS TIMESTAMP) mtime, CAST(NULL AS INT) mode,
+          |  CAST(3 AS BIGINT) size, CAST(0 AS BIGINT) chunk_id,
+          |  CAST(0 AS BIGINT) chunk_offset, CAST(3 AS BIGINT) chunk_size,
+          |  CAST('ext' AS BINARY) data, CAST(NULL AS BIGINT) row_id""".stripMargin))
+      .write.mode("append").parquet(s"${fsP.tableLocation}/p0=_root")
+
+    val base = spark.sparkContext.getPersistentRDDs.size
+    fsP.take(Seq(0L), Seq("name")).collect()
+    val afterFirst = spark.sparkContext.getPersistentRDDs.size
+    assert(afterFirst == base + 1) // exactly one pinned stamp intermediate
+    fsP.take(Seq(1L), Seq("name")).collect()
+    fsP.take(Seq(0L), Seq("name")).collect()
+    // pre-r3 shape: each take pinned a FRESH copy (+1 per call)
+    assert(spark.sparkContext.getPersistentRDDs.size == afterFirst)
+
+    // a committed append bumps the version: the superseded pin must be
+    // RELEASED when the memo refreshes — net persistent count unchanged
+    val tree2 = s"$root/treeP2"
+    Files.createDirectories(Paths.get(tree2))
+    Files.write(Paths.get(s"$tree2/b.txt"), "bb".getBytes)
+    Ingest.run(fsP, tree2)
+    val got = fsP.take(Seq(0L), Seq("name")).collect()
+    assert(got.nonEmpty)
+    assert(spark.sparkContext.getPersistentRDDs.size == afterFirst)
+  }
+
   test("copyTo keeps multi-generation chunks contiguous (export gets latest bytes)") {
     val fsG = CdlFs.open(spark, DatasetCatalog(maxChunkSize = 4),
       GlobalPath.parse(s"$root/ds-gen").toOption.get)

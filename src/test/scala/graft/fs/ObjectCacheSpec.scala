@@ -7,6 +7,23 @@ import org.apache.hadoop.fs.Path
 
 import org.scalatest.funsuite.AnyFunSuite
 
+/** Mock remote FS whose data-object `open` rendezvouses two concurrent
+  * callers: proves the cache's download locking is per-object, not
+  * JVM-global (see the striped-lock test below). */
+class BlockingMockFs extends MockRemoteFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("mockblk:///")
+  override def getScheme: String = "mockblk"
+  override def open(f: Path, bufferSize: Int): org.apache.hadoop.fs.FSDataInputStream = {
+    if (f.getName.endsWith(".blk"))
+      BlockingMockFs.gate.await(10, java.util.concurrent.TimeUnit.SECONDS)
+    super.open(f, bufferSize)
+  }
+}
+
+object BlockingMockFs {
+  val gate = new java.util.concurrent.CyclicBarrier(2)
+}
+
 /** Read-through cache semantics against the mock remote scheme (no Spark
   * needed — the cache is plain Hadoop-FS + local disk, exactly what runs
   * inside an executor). */
@@ -64,6 +81,36 @@ class ObjectCacheSpec extends AnyFunSuite {
     val r2 = ObjectCache.readRange(conf, new Path(s"file://$big"), 0, 4096)
     assert(r2.length == 4096)
     assert(cacheCount == 0)
+  }
+
+  test("concurrent pulls of DISTINCT objects run in parallel (striped lock)") {
+    import java.util.concurrent.{Callable, Executors, TimeUnit}
+    val tmp = Files.createTempDirectory("oc4").toString
+    val conf = freshConf(s"$tmp/cache", min = 512, max = 10L << 20)
+    conf.set("fs.mockblk.impl", classOf[BlockingMockFs].getName)
+    val o1 = Paths.get(s"$tmp/o1.blk")
+    val o2 = Paths.get(s"$tmp/o2.blk")
+    Files.write(o1, Array.fill[Byte](1024)(1))
+    Files.write(o2, Array.fill[Byte](1024)(2))
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      val f1 = pool.submit(new Callable[Array[Byte]] {
+        def call(): Array[Byte] =
+          ObjectCache.readRange(conf, new Path(s"mockblk://$o1"), 0, 1024)
+      })
+      val f2 = pool.submit(new Callable[Array[Byte]] {
+        def call(): Array[Byte] =
+          ObjectCache.readRange(conf, new Path(s"mockblk://$o2"), 0, 1024)
+      })
+      // BlockingMockFs.open() rendezvouses the two downloads: both threads
+      // must be INSIDE their pulls at the same time for the barrier to
+      // release. A JVM-global download lock (the pre-r3 shape) holds one
+      // thread outside open() while the other waits at the barrier —
+      // timing out the await and failing both futures.
+      assert(f1.get(30, TimeUnit.SECONDS).forall(_ == 1))
+      assert(f2.get(30, TimeUnit.SECONDS).forall(_ == 2))
+    } finally pool.shutdownNow()
+    assert(Files.list(Paths.get(s"$tmp/cache")).count() == 2)
   }
 
   test("pre-store shrink evicts to the size bound") {

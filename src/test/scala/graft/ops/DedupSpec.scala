@@ -97,11 +97,38 @@ class DedupSpec extends SparkSuite {
   }
 
   test("simhash: near-identical docs within small hamming distance") {
+    // radius > 3 ⇒ candidate semantics (band-sharing subset) — asserted
+    // inclusively only: the hamming-0 pair must always be present
     val pairs = Dedup.simhashPairs(docs, maxHamming = 12).collect()
     val keys = pairs.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
     assert(keys.contains((0L, 1L))) // identical -> hamming 0
     val h01 = pairs.find(r =>
       r.getAs[Long]("doc_a") == 0L && r.getAs[Long]("doc_b") == 1L).get
     assert(h01.getAs[Long]("hamming") == 0L)
+  }
+
+  test("simhash banding is complete at the pigeonhole boundary (radius 3), not past it") {
+    import spark.implicits._
+    // planted signatures around base 0L:
+    //  - 3 flips all landing in 3 DIFFERENT 16-bit bands (worst case for
+    //    radius 3: only one band left intact) -> MUST be found
+    //  - 4 flips hitting all 4 bands (one per band) -> no shared band, so
+    //    the blocking CANNOT find it, even though hamming=4 ≤ 12 — the
+    //    incompleteness past radius 3 that simhashPairs documents
+    val threeFlips = (1L << 0) | (1L << 16) | (1L << 32) // bands 0,1,2
+    val fourFlips = (1L << 0) | (1L << 16) | (1L << 32) | (1L << 48)
+    val sigs = Seq((0L, 0L), (1L, threeFlips), (2L, fourFlips))
+      .toDF("doc_id", "simhash")
+    val at3 = Dedup.simhashPairsFromSignatures(sigs, maxHamming = 3)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(at3.contains((0L, 1L)), s"worst-case radius-3 pair missed: $at3")
+    assert(!at3.contains((0L, 2L))) // hamming 4 > radius anyway
+    val at12 = Dedup.simhashPairsFromSignatures(sigs, maxHamming = 12)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    // (1,2) differ at bit 48 only (band 3) -> share bands 0-2 -> found
+    assert(at12.contains((1L, 2L)))
+    // the all-bands-flipped pair has NO shared band: absent despite
+    // hamming 4 ≤ 12 — candidate (not complete) semantics past radius 3
+    assert(!at12.contains((0L, 2L)), s"banding should not see (0,2): $at12")
   }
 }
