@@ -1,0 +1,102 @@
+"""Python user API for the graft engine — the runnable counterpart of the
+reference's `cdlake` package (python/cdlake/filesystem.py, python/src/lib.rs).
+
+Where the reference binds a native engine through PyO3, this binds the
+Spark engine through pyspark's py4j gateway: the same session object
+drives both the Python DataFrame API and the graft Scala library, so
+`sql` results come back as ordinary pyspark DataFrames (lazy) with
+`*_as_pandas` variants for the reference's collected-batch contract.
+
+Usage (classpath must include the compiled graft classes):
+
+    spark = (SparkSession.builder.master("local[8]")
+             .config("spark.driver.extraClassPath",
+                     "<repo>/target/scala-2.13/classes")
+             .getOrCreate())
+    fs = Cdl(spark, max_chunk_size="1024").open("/tmp/ds1")
+    fs.sql_as_pandas("SELECT parent, name, size FROM rootfs ...")
+    fs.read_files("name LIKE '%.txt'")
+    fs.take([0, 2], ["parent", "name"])
+"""
+from pyspark.sql import DataFrame
+
+
+class CdlFs:
+    """One dataset session — mirrors cdlake.CdlFS."""
+
+    def __init__(self, spark, jfs):
+        self._spark = spark
+        self._jfs = jfs
+        self._bridge = spark._jvm.graft.PyBridge
+
+    # -- queries (lazy pyspark DataFrames) --------------------------------
+    def sql(self, query):
+        return DataFrame(self._jfs.sql(query), self._spark)
+
+    def read_dir(self, parent):
+        return DataFrame(self._jfs.readDir(parent), self._spark)
+
+    def read_dir_all(self):
+        return DataFrame(self._jfs.readDirAll(), self._spark)
+
+    def take(self, indices, columns):
+        return DataFrame(self._bridge.take(self._jfs, indices, columns),
+                         self._spark)
+
+    def table_at(self, version):
+        return DataFrame(self._jfs.tableAt(version), self._spark)
+
+    # -- collected contracts (the reference's one-batch semantics) --------
+    def sql_as_pandas(self, query):
+        return self.sql(query).toPandas()
+
+    def read_files(self, condition):
+        """Payload bytes of matching files, reassembled in chunk order
+        (python/src/lib.rs:105-129 read_files)."""
+        rows = (self.sql(
+            f"SELECT parent, name, chunk_id, data FROM rootfs "
+            f"WHERE (parent, name) IN (SELECT parent, name FROM rootfs "
+            f"  WHERE size IS NOT NULL AND ({condition})) "
+            f"ORDER BY parent, name, chunk_id").collect())
+        out = {}
+        for r in rows:
+            key = f"{r['parent'].rstrip('/')}/{r['name']}"
+            out[key] = out.get(key, b"") + bytes(r["data"] or b"")
+        return out
+
+    # -- control/handoff --------------------------------------------------
+    def ingest(self, local_root):
+        self._bridge.ingest(self._jfs, local_root)
+
+    def copy_to(self, dst):
+        self._bridge.copyTo(self._jfs, dst)
+
+    def versions(self):
+        return list(self._bridge.versions(self._jfs))
+
+    @property
+    def table_location(self):
+        """External-engine handoff: any parquet reader (duckdb, pyarrow,
+        torch data loaders) can consume this directly — the
+        to_lance_dataset/to_torch_dataset equivalent."""
+        return self._jfs.tableLocation()
+
+    @property
+    def storage_options(self):
+        return dict(self._bridge.storageOptions(self._jfs))
+
+
+class Cdl:
+    """`Cdl(spark, **catalog)` — kwargs-merge construction; unknown keys
+    raise, like the reference's strict DatasetCatalog merge."""
+
+    def __init__(self, spark, **catalog):
+        self._spark = spark
+        # snake_case kwargs, exactly the reference's Cdl(**catalog) keys
+        # (DatasetCatalog.fromMap validates; unknown keys raise)
+        self._catalog = {k: str(v) for k, v in catalog.items()}
+
+    def open(self, url):
+        jfs = self._spark._jvm.graft.PyBridge.open(
+            self._spark._jsparkSession, url, self._catalog)
+        return CdlFs(self._spark, jfs)

@@ -1,0 +1,49 @@
+package graft
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.GlobalPath
+import graft.fs.CdlFs
+
+/** py4j-friendly entry points for the Python surface (scripts/cdlake.py)
+  * — the runnable counterpart of the reference's Python bindings
+  * (python/src/lib.rs:24-165, python/cdlake/filesystem.py:44-74).
+  *
+  * Most `CdlFs` methods (`sql`, `readDir`, `readDirAll`,
+  * `readFilesByCondition`, `tableLocation`) are plain JVM methods and are
+  * called directly over the gateway; this object only adapts the entry
+  * points whose Scala signatures (default-arg catalogs, `Seq`
+  * collections) py4j cannot express. Python lists/dicts arrive as
+  * `java.util.List`/`java.util.Map` via pyspark's auto-converting
+  * gateway; numeric elements arrive as boxed `Number`s of
+  * magnitude-dependent width, hence the `Number` element type. */
+object PyBridge {
+
+  /** `Cdl(**catalog).open(url)` — kwargs arrive as a Python dict. */
+  def open(spark: SparkSession, url: String,
+      options: java.util.Map[String, String]): CdlFs =
+    Cdl(Option(options).map(_.asScala.toMap).getOrElse(Map.empty))
+      .open(spark, url)
+
+  /** Lance-style `take(indices, columns)`. */
+  def take(fs: CdlFs, indices: java.util.List[java.lang.Number],
+      columns: java.util.List[String]): DataFrame =
+    fs.take(indices.asScala.map(_.longValue()).toSeq, columns.asScala.toSeq)
+
+  def versions(fs: CdlFs): java.util.List[Integer] =
+    fs.versions.map(Int.box).asJava
+
+  def storageOptions(fs: CdlFs): java.util.Map[String, String] =
+    fs.storageOptions.asJava
+
+  def ingest(fs: CdlFs, localRoot: String): Unit =
+    graft.fs.Ingest.run(fs, localRoot)
+
+  def copyTo(fs: CdlFs, dst: String): Unit =
+    GlobalPath.parse(dst) match {
+      case Right(p)  => fs.copyTo(p)
+      case Left(err) => throw new IllegalArgumentException(err)
+    }
+}
