@@ -381,6 +381,61 @@ object Oracles {
         |    CAST(sa.n + sb.n - n_common AS DOUBLE), 4) >= 0.01
         |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // duplicate clustering: the same ngram pair graph as
+    // q_dedup_ngram_jaccard (restricted to 2 sources), components by a
+    // recursive reachability CTE — min reachable id = component id
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE source IN ('src0', 'src1')),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+        |           i -> array_to_string(t[i:i+2], ' '))) AS shingle
+        |       FROM tk),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |it AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        |       FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+        |       GROUP BY 1, 2),
+        |p AS (SELECT doc_a, doc_b FROM it
+        |      JOIN sizes sa ON it.doc_a = sa.doc_id
+        |      JOIN sizes sb ON it.doc_b = sb.doc_id
+        |      WHERE round(CAST(n_common AS DOUBLE) /
+        |        CAST(sa.n + sb.n - n_common AS DOUBLE), 4) >= 0.01),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM p
+        |      UNION ALL SELECT doc_b, doc_a FROM p),
+        |r AS (SELECT a AS v, a AS u FROM e
+        |      UNION
+        |      SELECT r.v, e.b FROM r JOIN e ON r.u = e.a),
+        |comp AS (SELECT v AS doc_id, min(u) AS component FROM r GROUP BY v)
+        |SELECT doc_id, component,
+        |  count(*) OVER (PARTITION BY component) AS cluster_size
+        |FROM comp ORDER BY doc_id""".stripMargin,
+
+    "q_sample_hash" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_split_assign" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'
+        |           THEN 'train'
+        |         WHEN substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+        |           THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM s GROUP BY split ORDER BY split""".stripMargin,
+
+    "q_sample_stratified" ->
+      """SELECT source, doc_id, CAST(rn AS BIGINT) AS rank
+        |FROM (SELECT source, doc_id,
+        |        row_number() OVER (PARTITION BY source
+        |          ORDER BY md5(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)) AS rn
+        |      FROM documents)
+        |WHERE rn <= 3 ORDER BY source, rank""".stripMargin,
+
     "q_text_profile" ->
       """WITH base AS (
         |  SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),

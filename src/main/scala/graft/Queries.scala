@@ -594,6 +594,50 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Duplicate-cluster assignment: near-dup pairs → connected components
+    * → (doc_id, component, cluster_size), where the component id is the
+    * cluster's min doc_id (the kept representative). Two sources only:
+    * the pair graph is the expensive part and two strata exercise the
+    * full shape (at sf0.01: 4 clusters; the oracle's reachability CTE is
+    * the textbook fixpoint, ours is distributed min-label propagation —
+    * same fixpoint, engine-appropriate algorithms). */
+  def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = rd(s, dir, "documents")
+      .filter(col("source").isin("src0", "src1"))
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.01)
+    val w = Window.partitionBy("component")
+    graft.ops.Components.ofPairs(pairs)
+      .select(col("v").as("doc_id"), col("component"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic Bernoulli-by-hash sample at 25% on doc_id. */
+  def qSampleHash(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.hashSample(
+      rd(s, dir, "documents"), col("doc_id").cast("string"), 0.25)
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+
+  /** Frozen train/val/test split (80/10/10) keyed on doc_id — per-split
+    * membership summarized (count + id range) so the gate pins both the
+    * assignment and its exhaustiveness. */
+  def qSplitAssign(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.assignSplits(
+      rd(s, dir, "documents"), col("doc_id").cast("string"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+      .orderBy("split")
+
+  /** Exactly-3-per-source stratified sample in md5(doc_id) order. */
+  def qSampleStratified(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.stratifiedSample(
+      rd(s, dir, "documents"), Seq("source"), col("doc_id").cast("string"), 3)
+      .select("source", "doc_id", "rank")
+      .orderBy("source", "rank")
+
   /** Rolling-hash fingerprint via the native codegen expression. */
   def qFingerprintRolling(s: SparkSession, dir: String): DataFrame = {
     graft.functions.RabinFingerprint.register(s)

@@ -73,6 +73,10 @@ object SparkEntry {
     "q_dedup_minhash_lsh" -> (Queries.qDedupMinhashLsh _),
     "q_dedup_simhash" -> (Queries.qDedupSimhash _),
     "q_dedup_embedding" -> (Queries.qDedupEmbedding _),
+    "q_dedup_clusters" -> (Queries.qDedupClusters _),
+    "q_sample_hash" -> (Queries.qSampleHash _),
+    "q_split_assign" -> (Queries.qSplitAssign _),
+    "q_sample_stratified" -> (Queries.qSampleStratified _),
     "q_text_profile" -> (Queries.qTextProfile _),
     "q_corpus_clean" -> (Queries.qCorpusClean _),
     "q_fingerprint_rolling" -> (Queries.qFingerprintRolling _),

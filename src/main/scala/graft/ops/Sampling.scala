@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and split assignment for training-data
+  * pipelines. All decisions are pure functions of a KEY (doc id, url,
+  * fingerprint), never of `rand()`:
+  *
+  *  - reproducible across runs, engines, and partitionings (Spark's
+  *    `sample()` draws per-partition, so output changes whenever the
+  *    physical layout does — useless for frozen eval splits);
+  *  - stable under data growth: a document's split never changes when
+  *    other documents are added, which is what keeps a held-out set
+  *    uncontaminated across dataset versions;
+  *  - embarrassingly parallel at 100 TB: a codegen'd filter on a hash
+  *    prefix, no shuffle, no state.
+  *
+  * The uniform variate is the first 4 hex chars of md5(salt ‖ key) —
+  * 65,536 buckets, so requested fractions are honored at 2⁻¹⁶
+  * granularity. md5 lowercase-hex ordering is identical in every engine,
+  * which is what makes these operators DuckDB-oracle-checkable (unlike
+  * xxhash64, which exists only in Spark).
+  */
+object Sampling {
+
+  /** 4-hex-digit bucket of md5(salt ‖ key), compared as a string. */
+  private def bucket(key: Column, salt: String): Column =
+    substring(md5(concat(lit(salt), key)), 1, 4)
+
+  /** Threshold hex string for a fraction; `"g"` sorts above every hex
+    * digit so fraction ≥ 1.0 keeps everything. */
+  def thresholdHex(fraction: Double): String =
+    if (fraction >= 1.0) "g"
+    else f"${(math.floor(fraction * 65536).toLong max 0L)}%04x"
+
+  /** Bernoulli-by-hash sample: keep rows whose key-bucket falls below
+    * `fraction`. Different `salt`s draw independent samples. */
+  def hashSample(
+      df: DataFrame,
+      key: Column,
+      fraction: Double,
+      salt: String = ""): DataFrame =
+    df.filter(bucket(key, salt) < lit(thresholdHex(fraction)))
+
+  /** Disjoint, exhaustive split assignment (train/val/test …): adds
+    * `outCol` with the split name chosen by the key's bucket against the
+    * cumulative fraction thresholds. Fractions must sum to 1. */
+  def assignSplits(
+      df: DataFrame,
+      key: Column,
+      splits: Seq[(String, Double)],
+      salt: String = "split",
+      outCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1: $splits")
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    val b = bucket(key, salt)
+    // when-chain over cumulative thresholds; the last split is the
+    // `otherwise` so rounding never drops a row
+    val labeled = splits.init.zip(cum.init)
+      .foldLeft(Option.empty[Column]) { case (acc, ((name, _), c)) =>
+        val cond = b < lit(thresholdHex(c))
+        Some(acc.fold(when(cond, name))(_.when(cond, name)))
+      }
+      .fold(lit(splits.head._1))(_.otherwise(splits.last._1))
+    df.withColumn(outCol, labeled)
+  }
+
+  /** Exactly-k-per-stratum sample: rank rows within each stratum by
+    * md5(key) (full digest — ties only on identical keys, broken by the
+    * key itself) and keep `rank ≤ k`. One shuffle on the strata
+    * columns; skewed strata are a bounded top-k per group, not a sort of
+    * the whole stratum through one task (WindowExec sorts within
+    * partitions after hash-partitioning on the strata key). */
+  def stratifiedSample(
+      df: DataFrame,
+      strata: Seq[String],
+      key: Column,
+      k: Int,
+      salt: String = ""): DataFrame = {
+    val w = Window.partitionBy(strata.map(col): _*)
+      .orderBy(md5(concat(lit(salt), key)), key)
+    df.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+}

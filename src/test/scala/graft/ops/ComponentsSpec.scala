@@ -1,0 +1,44 @@
+package graft.ops
+
+import graft.SparkSuite
+
+/** Min-label-propagation connected components on planted graphs. */
+class ComponentsSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def labelsOf(pairs: Seq[(Long, Long)], maxIter: Int = 30): Map[Long, Long] =
+    Components.ofPairs(pairs.toDF("doc_a", "doc_b"), maxIter = maxIter)
+      .collect().map(r => r.getAs[Long]("v") -> r.getAs[Long]("component")).toMap
+
+  test("chain, clique, and isolated pair resolve to min-id components") {
+    // chain 1-2-3-4 (diameter 3), clique {10,11,12}, pair {20,21};
+    // vertex 99 appears in no pair -> absent (singletons need no label)
+    val got = labelsOf(Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)))
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("cycles converge (no infinite propagation)") {
+    val got = labelsOf(Seq((5L, 6L), (6L, 7L), (7L, 5L)))
+    assert(got == Map(5L -> 5L, 6L -> 5L, 7L -> 5L))
+  }
+
+  test("min id in the middle of a chain still labels the whole chain") {
+    // 9-7-1-8-6: the min (1) must reach both endpoints
+    val got = labelsOf(Seq((9L, 7L), (7L, 1L), (1L, 8L), (8L, 6L)))
+    assert(got.values.toSet == Set(1L))
+  }
+
+  test("maxIter too small for the diameter throws instead of mislabeling") {
+    val chain = (1L to 12L).sliding(2).map(s => (s.head, s.last)).toSeq
+    intercept[IllegalStateException] { labelsOf(chain, maxIter = 2) }
+    // and with room to converge the same chain is fine
+    assert(labelsOf(chain).values.toSet == Set(1L))
+  }
+}
