@@ -51,10 +51,21 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> timeOne(name, fn)
     }
+    // host-contention calibration: a FIXED pure-codegen workload whose
+    // cost is independent of this library (sum over a 2e8 range). Its
+    // solo-host time is recorded in BASELINE.md §2; a run reporting k×
+    // that time ran on a host ~k× contended, scaling the total the same
+    // way — making totals comparable across runs/hosts.
+    val calib = {
+      val t0 = System.nanoTime()
+      spark.range(200000000L)
+        .agg(org.apache.spark.sql.functions.sum("id")).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"calibration_sec":$calib,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
