@@ -51,16 +51,19 @@ object Components {
         .join(labels.withColumnRenamed("v", "src"), "src")
         .groupBy(col("dst").as("v"))
         .agg(min("component").as("nbr"))
+      // the lowered-this-round flag rides INSIDE the checkpointed result,
+      // so the convergence probe is a filter on materialized data — no
+      // extra join/shuffle per round (labels only ever decrease, so `<`
+      // is sufficient)
       val next = labels.join(nbrMin, Seq("v"), "left")
         .select(col("v"),
           least(col("component"), coalesce(col("nbr"), col("component")))
-            .as("component"))
+            .as("component"),
+          (coalesce(col("nbr"), col("component")) < col("component"))
+            .as("__lowered"))
         .localCheckpoint()
-      // convergence = no label lowered this round; existence probe, not
-      // a full count (labels only ever decrease, so `<` is sufficient)
-      done = next.join(labels.withColumnRenamed("component", "prev"), "v")
-        .filter(col("component") < col("prev")).limit(1).isEmpty
-      labels = next
+      done = next.filter(col("__lowered")).limit(1).isEmpty
+      labels = next.drop("__lowered")
       iter += 1
     }
     sym.unpersist()

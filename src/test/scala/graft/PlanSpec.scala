@@ -120,6 +120,26 @@ class PlanSpec extends SparkSuite {
     assert(df.collect().map(_.getAs[String]("name")).toSeq == Seq("b.txt"))
   }
 
+  test("ngram pair emission is a streamed join, never in-row HOF expansion") {
+    // the r2 regression shape built every pair struct of a shingle group
+    // inside ONE row via interpreted flatten(transform(…)) then exploded
+    // — 6× slower and a single-row memory hazard at the df cap. Pin the
+    // self-equi-join + partial-agg shape instead.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = planOf(graft.ops.Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.01))
+    assert(!p.contains("flatten(transform"), p)
+    assert(p.contains("Join"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("q_random_access measures the product path: pruned row_id filter, no recompute") {
+    val df = Queries.qRandomAccess(spark, sf)
+    val p = formatted(df)
+    assert(!p.contains("Window"), p)
+    assert(p.linesIterator.filter(_.contains("PushedFilters"))
+      .mkString.contains("row_id"), p)
+  }
+
   test("minhash aggregation is partial (combinable) on the exploded side") {
     val p = planOf(graft.ops.Dedup.minhashSignatures(
       spark.read.parquet(s"$sf/documents.parquet")))
