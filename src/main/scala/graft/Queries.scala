@@ -579,10 +579,11 @@ object Queries {
       .orderBy("doc_id")
   }
 
-  /** Pinned at maxHamming = 3 — the largest radius where the operator's
-    * 4×16-bit banding is COMPLETE (pigeonhole; see Dedup.simhashPairs).
-    * Larger radii return band-sharing candidates only, which would make
-    * this count a candidate-set size rather than a near-dup count. */
+  /** Radius 3 — the typical near-dup radius. The operator's multi-index
+    * banding is complete at ANY radius (bands = maxHamming + 1,
+    * pigeonhole; see Dedup.simhashPairs), but wider radii shrink the
+    * bands and make the candidate set near-quadratic on a synthetic
+    * corpus — the cost contract documented on the operator. */
   def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
     val docs = rd(s, dir, "documents")
     val pairs = Dedup.simhashPairs(docs, maxHamming = 3)

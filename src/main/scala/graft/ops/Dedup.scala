@@ -204,17 +204,21 @@ object Dedup {
           .reduce((a, c) => a.bitwiseOR(c)).as("simhash"))
   }
 
-  /** SimHash near-dup pairs: block on 4 16-bit bands, then verify exact
-    * Hamming distance on candidates.
+  /** SimHash near-dup pairs: multi-index banded blocking, then verify
+    * exact Hamming distance on candidates.
     *
-    * Completeness contract (pigeonhole over 4 bands): every pair at
-    * Hamming distance ≤ 3 shares at least one exact band, so for
-    * `maxHamming ≤ 3` the result is COMPLETE — all qualifying pairs.
-    * For larger radii the banding cannot guarantee a shared band (4
-    * flips can hit all 4 bands), so the result is the band-sharing
-    * CANDIDATE subset only — callers wanting completeness at radius r
-    * need ⌈64/(r+1)⌉-bit banding with r+1 bands (multi-index probing).
-    * Both regimes are pinned in DedupSpec's boundary-radius case. */
+    * Completeness contract (pigeonhole): the 64-bit signature is split
+    * into `maxHamming + 1` near-equal bands, so ANY pair within the
+    * radius has too few differing bits to touch every band — at least
+    * one band matches exactly and the bucket join finds the pair. The
+    * result is therefore COMPLETE at every radius (at the default
+    * radius 3 this is the classic 4×16-bit layout).
+    *
+    * Cost contract: radius r explodes r+1 band rows per doc and each
+    * band carries only ~64/(r+1) bits, so bucket collision probability
+    * grows ~2^(64/(r+1))-fold per band — large radii on a 100 TB corpus
+    * produce near-quadratic candidate sets. Typical near-dup dedup runs
+    * r ≤ 4; use large radii only on pre-filtered sets. */
   def simhashPairs(
       docs: DataFrame,
       textCol: String = "text",
@@ -227,11 +231,22 @@ object Dedup {
   def simhashPairsFromSignatures(
       sigs: DataFrame,
       maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 64): $maxHamming")
+    val bands = maxHamming + 1
+    // distribute 64 bits as evenly as possible: `rem` leading bands get
+    // one extra bit (e.g. radius 4 -> widths 13,13,13,13,12)
+    val base = 64 / bands
+    val rem = 64 % bands
+    val widths = Seq.tabulate(bands)(i => base + (if (i < rem) 1 else 0))
+    val starts = widths.scanLeft(0)(_ + _).init
+    val bandCols = starts.zip(widths).zipWithIndex.map { case ((st, w), i) =>
+      val mask = if (w >= 64) -1L else (1L << w) - 1
+      struct(lit(i).as("band"),
+        shiftrightunsigned(col("simhash"), st).bitwiseAND(lit(mask)).as("bh"))
+    }
     val banded = sigs.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map { b =>
-        struct(lit(b).as("band"),
-          shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bh"))
-      }: _*)).as("bb"))
+      explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     banded.as("a").join(banded.as("b"), Seq("band", "bh"))

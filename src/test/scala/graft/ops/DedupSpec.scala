@@ -97,8 +97,6 @@ class DedupSpec extends SparkSuite {
   }
 
   test("simhash: near-identical docs within small hamming distance") {
-    // radius > 3 ⇒ candidate semantics (band-sharing subset) — asserted
-    // inclusively only: the hamming-0 pair must always be present
     val pairs = Dedup.simhashPairs(docs, maxHamming = 12).collect()
     val keys = pairs.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
     assert(keys.contains((0L, 1L))) // identical -> hamming 0
@@ -107,28 +105,28 @@ class DedupSpec extends SparkSuite {
     assert(h01.getAs[Long]("hamming") == 0L)
   }
 
-  test("simhash banding is complete at the pigeonhole boundary (radius 3), not past it") {
+  test("simhash multi-index banding is complete at exactly the requested radius") {
     import spark.implicits._
     // planted signatures around base 0L:
-    //  - 3 flips all landing in 3 DIFFERENT 16-bit bands (worst case for
-    //    radius 3: only one band left intact) -> MUST be found
-    //  - 4 flips hitting all 4 bands (one per band) -> no shared band, so
-    //    the blocking CANNOT find it, even though hamming=4 ≤ 12 — the
-    //    incompleteness past radius 3 that simhashPairs documents
-    val threeFlips = (1L << 0) | (1L << 16) | (1L << 32) // bands 0,1,2
+    //  - 3 flips landing in 3 DIFFERENT 16-bit bands (the radius-3 worst
+    //    case: only one band left intact) -> MUST be found at radius 3
+    //  - 4 flips at bits 0,16,32,48 — under the radius-3 4×16 layout they
+    //    hit all 4 bands (no shared band, the pre-r3 blind spot); under
+    //    the radius-4 5-band layout (widths 13,13,13,13,12) they touch
+    //    only 4 of 5 bands, so the pair MUST be found at radius 4
+    val threeFlips = (1L << 0) | (1L << 16) | (1L << 32)
     val fourFlips = (1L << 0) | (1L << 16) | (1L << 32) | (1L << 48)
     val sigs = Seq((0L, 0L), (1L, threeFlips), (2L, fourFlips))
       .toDF("doc_id", "simhash")
-    val at3 = Dedup.simhashPairsFromSignatures(sigs, maxHamming = 3)
-      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    def run(r: Int) = Dedup.simhashPairsFromSignatures(sigs, maxHamming = r)
+      .collect().map(x => (x.getAs[Long]("doc_a"), x.getAs[Long]("doc_b"))).toSet
+    val at3 = run(3)
     assert(at3.contains((0L, 1L)), s"worst-case radius-3 pair missed: $at3")
-    assert(!at3.contains((0L, 2L))) // hamming 4 > radius anyway
-    val at12 = Dedup.simhashPairsFromSignatures(sigs, maxHamming = 12)
-      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
-    // (1,2) differ at bit 48 only (band 3) -> share bands 0-2 -> found
-    assert(at12.contains((1L, 2L)))
-    // the all-bands-flipped pair has NO shared band: absent despite
-    // hamming 4 ≤ 12 — candidate (not complete) semantics past radius 3
-    assert(!at12.contains((0L, 2L)), s"banding should not see (0,2): $at12")
+    assert(!at3.contains((0L, 2L))) // hamming 4 > 3: correctly excluded
+    val at4 = run(4)
+    assert(at4.contains((0L, 1L)))
+    assert(at4.contains((0L, 2L)), s"radius-4 completeness violated: $at4")
+    // radius 0 degenerates to exact-signature blocking: nothing matches
+    assert(run(0) == Set.empty)
   }
 }
