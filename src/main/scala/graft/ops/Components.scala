@@ -10,17 +10,19 @@ import org.apache.spark.storage.StorageLevel
   * representative (the cluster's minimum doc id), so "keep one per
   * cluster" is a `doc_id === component` filter downstream.
   *
-  * Algorithm: iterative min-label propagation kept in DataFrame land.
-  * `label(v)` starts at `v`; each round lowers it to the min over v and
-  * its neighbors; the fixpoint labels every vertex with its component's
-  * minimum. Rounds needed = graph diameter. Near-dup clusters are
-  * near-cliques by construction (every pair shares many shingles /
-  * signature bands), so this converges in a handful of rounds — the
-  * O(log n)-round alternating-star algorithm would pay extra shuffles
-  * per round for a bound this graph never needs. At 100 TB each round
-  * shuffles only (id, label) longs — document payloads never enter the
-  * graph — and lineage is truncated every round (`localCheckpoint`) so
-  * plan depth and re-planning cost stay O(1) across iterations.
+  * Algorithm: iterative min-label propagation with pointer jumping,
+  * kept in DataFrame land. `label(v)` starts at `v`; each round first
+  * lowers it to the min over v and its neighbors (reach +1), then
+  * shortcuts through the label's own label (`label(v) :=
+  * label(label(v))`, roughly doubling accumulated reach) — so rounds
+  * needed are O(log diameter), the same asymptotic as alternating-star
+  * contraction but with two plain equi-joins per round and no edge
+  * rewriting. On a billion-edge 100 TB pair graph that bound matters;
+  * on the near-clique clusters dedup actually produces it converges in
+  * 2-3 rounds. Each round shuffles only (id, label) longs — document
+  * payloads never enter the graph — and lineage is truncated every
+  * round (`localCheckpoint`) so plan depth and re-planning cost stay
+  * O(1) across iterations.
   */
 object Components {
 
@@ -45,22 +47,30 @@ object Components {
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
-      // min label among neighbors: one shuffle to join labels onto edge
-      // sources, one partial-agg min per destination
+      // 1. min label among neighbors: one shuffle to join labels onto
+      //    edge sources, one partial-agg min per destination
       val nbrMin = sym
         .join(labels.withColumnRenamed("v", "src"), "src")
         .groupBy(col("dst").as("v"))
         .agg(min("component").as("nbr"))
+      val stepped = labels.join(nbrMin, Seq("v"), "left")
+        .select(col("v"), col("component").as("__prev"),
+          least(col("component"), coalesce(col("nbr"), col("component")))
+            .as("component"))
+      // 2. pointer jump: label(v) := label(label(v)) — labels point at
+      //    vertices, so self-join the label table on the label value
+      val lbl = stepped.select(
+        col("v").as("__u"), col("component").as("__ulabel"))
       // the lowered-this-round flag rides INSIDE the checkpointed result,
       // so the convergence probe is a filter on materialized data — no
       // extra join/shuffle per round (labels only ever decrease, so `<`
       // is sufficient)
-      val next = labels.join(nbrMin, Seq("v"), "left")
-        .select(col("v"),
-          least(col("component"), coalesce(col("nbr"), col("component")))
-            .as("component"),
-          (coalesce(col("nbr"), col("component")) < col("component"))
-            .as("__lowered"))
+      val next = stepped
+        .join(lbl, col("component") === col("__u"), "left")
+        .withColumn("__new",
+          least(col("component"), coalesce(col("__ulabel"), col("component"))))
+        .select(col("v"), col("__new").as("component"),
+          (col("__new") < col("__prev")).as("__lowered"))
         .localCheckpoint()
       done = next.filter(col("__lowered")).limit(1).isEmpty
       labels = next.drop("__lowered")
