@@ -58,11 +58,13 @@ class CdlFs:
             f"WHERE (parent, name) IN (SELECT parent, name FROM rootfs "
             f"  WHERE size IS NOT NULL AND ({condition})) "
             f"ORDER BY parent, name, chunk_id").collect())
-        out = {}
+        chunks = {}
         for r in rows:
             key = f"{r['parent'].rstrip('/')}/{r['name']}"
-            out[key] = out.get(key, b"") + bytes(r["data"] or b"")
-        return out
+            chunks.setdefault(key, []).append(bytes(r["data"] or b""))
+        # join once per file — appending to bytes would re-copy the whole
+        # accumulated payload per chunk (quadratic on chunk count)
+        return {k: b"".join(v) for k, v in chunks.items()}
 
     # -- control/handoff --------------------------------------------------
     def ingest(self, local_root):

@@ -50,11 +50,12 @@ def read_files(condition):
         f"          WHERE size IS NOT NULL AND ({condition})) m "
         "  ON r.parent = m.parent AND r.name = m.name "
         "ORDER BY r.parent, r.name, r.chunk_id").fetchall()
-    out = {}
+    chunks = {}
     for parent, name, _chunk, data in rows:
         key = f"{parent.rstrip('/')}/{name}"
-        out[key] = out.get(key, b"") + bytes(data)
-    return out
+        chunks.setdefault(key, []).append(bytes(data))
+    # join once per file (bytes += is quadratic on chunk count)
+    return {k: b"".join(v) for k, v in chunks.items()}
 
 
 def take(indices, columns):

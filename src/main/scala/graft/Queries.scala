@@ -106,13 +106,26 @@ object Queries {
 
   def prepareRandomAccess(s: SparkSession, dir: String): String =
     rootfsTableCache.getOrElseUpdate(dir, {
-      val loc = java.nio.file.Files.createTempDirectory("graft_rootfs_").toString
+      val tmp = java.nio.file.Files.createTempDirectory("graft_rootfs_")
+      // benches/CI re-run in fresh JVMs: without cleanup every run leaks
+      // a parquet copy of the documents table into the system temp dir
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(p: java.nio.file.Path): Unit = {
+          if (java.nio.file.Files.isDirectory(p,
+              java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+            val s0 = java.nio.file.Files.list(p)
+            try s0.forEach(rm(_)) finally s0.close()
+          }
+          java.nio.file.Files.deleteIfExists(p)
+        }
+        try rm(tmp) catch { case _: Throwable => () }
+      }))
       val rows = docsAsRootfs(s, dir)
         .withColumn("atime", lit(null).cast("timestamp"))
         .withColumn("ctime", lit(null).cast("timestamp"))
         .withColumn("mtime", lit(null).cast("timestamp"))
-      graft.fs.Ingest.writeRootfs(rows, loc)
-      loc
+      graft.fs.Ingest.writeRootfs(rows, tmp.toString)
+      tmp.toString
     })
 
   /** Random access by row ordinal (the reference's Lance `take`) against

@@ -61,8 +61,23 @@ final class CdlFs(
     spark
   }
 
-  /** Refresh table state after an append. */
-  def refresh(): Unit = { ctx(); () }
+  /** Refresh table state after an append — re-registers the view and
+    * invalidates the per-version `take` memos, so files added by an
+    * EXTERNAL writer (which never bumps the CommitLog version) become
+    * visible to random access. Mirrors the reference's bind-then-refresh
+    * session semantics: between refreshes a session reads one observed
+    * snapshot. NOTE: releasing the superseded fallback stamp invalidates
+    * lazy frames returned by earlier `take`s — consume (collect/write)
+    * take results before refreshing; the CLI and Python facades collect
+    * eagerly so they are always safe. */
+  def refresh(): Unit = {
+    ctx()
+    stampedMemo = None
+    synchronized {
+      fallbackMemo.foreach(_._3())
+      fallbackMemo = None
+    }
+  }
 
   /** Full SQL over `rootfs` (reference `query`, crates/cdl-fs/src/lib.rs:78-81). */
   def sql(q: String): DataFrame = ctx().sql(q)
@@ -150,7 +165,10 @@ final class CdlFs(
     * released while plans built on it may still recompute (Ordinal.stamp
     * scaladoc), so a long-lived session issuing many `take`s against an
     * unstamped table must reuse ONE stamped frame — not pin a fresh copy
-    * per call. On version change the superseded pin is released. */
+    * per call. Invalidated by a committed version change or `refresh()`
+    * (the external-writer path); between those events a session reads
+    * the snapshot it first observed, like the reference's bound
+    * session. */
   @volatile private var fallbackMemo: Option[(Option[Int], DataFrame, () => Unit)] = None
 
   private def fallbackStamped: DataFrame = synchronized {

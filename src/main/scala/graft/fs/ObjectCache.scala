@@ -175,9 +175,15 @@ object ObjectCache {
     target
   }
 
+  /** Single-flight guard for eviction: downloads of distinct objects run
+    * in parallel (striped locks above), but two concurrent shrinks would
+    * race each other's deletes and double-evict. Serializing the (rare,
+    * cheap) shrink keeps the hot path parallel. */
+  private val shrinkLock = new Object
+
   /** Evict until total ≤ maxCacheSize, in the reference's pop_last order:
     * (is_large, atime, len, path) descending. */
-  def shrink(cfg: Config): Unit = {
+  def shrink(cfg: Config): Unit = shrinkLock.synchronized {
     val root = Paths.get(cfg.cacheDir)
     if (!Files.isDirectory(root)) return
     val stream = Files.walk(root)
@@ -185,13 +191,17 @@ object ObjectCache {
       try stream.iterator().asScala
         .filter(f => Files.isRegularFile(f) &&
           !f.getFileName.toString.endsWith(".inflight")) // other procs' downloads
-        .map { f =>
-        val len = Files.size(f)
-        val atime = Files.readAttributes(f,
-          classOf[java.nio.file.attribute.BasicFileAttributes])
-          .lastAccessTime().toMillis
-        (len >= cfg.minObjectSize, atime, len, f)
-      }.toSeq
+        .flatMap { f =>
+          // a SIBLING PROCESS sharing the cache dir may delete f between
+          // the walk listing and the stat — skip, never throw out of a read
+          try {
+            val len = Files.size(f)
+            val atime = Files.readAttributes(f,
+              classOf[java.nio.file.attribute.BasicFileAttributes])
+              .lastAccessTime().toMillis
+            Some((len >= cfg.minObjectSize, atime, len, f))
+          } catch { case _: java.io.IOException => None }
+        }.toSeq
       finally stream.close()
     var total = entries.map(_._3).sum
     val order = entries.sortBy { case (isLarge, atime, len, path) =>

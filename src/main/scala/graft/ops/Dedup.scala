@@ -83,16 +83,18 @@ object Dedup {
     val sh = docs
       .select(col("doc_id"), explode(shingles(col(textCol), n)).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("shingle"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     // document frequency as an unbounded-frame window count: one shuffle
-    // on shingle, and the filtered result is persisted because BOTH join
-    // sides consume it (self-join re-aliasing defeats ReuseExchange)
-    val capped = sh
+    // on shingle. This annotated frame is the op's ONE pinned
+    // intermediate — it feeds the per-doc sizes once and BOTH self-join
+    // sides (re-aliasing defeats ReuseExchange), so without the pin the
+    // text explode would run three times; with it, once.
+    val ann = sh
       .withColumn("__df", count(lit(1)).over(Window.partitionBy("shingle")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = ann.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val capped = ann
       .filter(col("__df") > 1 && col("__df") <= dfCap)
       .drop("__df")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inter = capped.withColumnRenamed("doc_id", "doc_a")
       .join(capped.withColumnRenamed("doc_id", "doc_b"), Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))

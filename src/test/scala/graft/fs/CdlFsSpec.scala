@@ -171,6 +171,35 @@ class CdlFsSpec extends SparkSuite {
     assert(got.map(_.getAs[String]("name")).toSeq == Seq("zzz.txt"))
   }
 
+  test("external appends become visible to take after refresh()") {
+    import org.apache.spark.sql.functions.lit
+    val fsR = CdlFs.open(spark, DatasetCatalog(),
+      GlobalPath.parse(s"$root/ds-refresh").toOption.get)
+    val tree = s"$root/treeR"
+    Files.createDirectories(Paths.get(tree))
+    Files.write(Paths.get(s"$tree/a.txt"), "aaa".getBytes)
+    Ingest.run(fsR, tree)
+    assert(fsR.take(Seq(0L), Seq("name")).collect()
+      .map(_.getAs[String]("name")).toSeq == Seq("a.txt"))
+    // external engine appends an UNSTAMPED row, no CommitLog version bump
+    fsR.table.filter(lit(false))
+      .unionByName(spark.sql(
+        """SELECT 'zzz.txt' AS name, '/' AS parent,
+          |  CAST(NULL AS TIMESTAMP) atime, CAST(NULL AS TIMESTAMP) ctime,
+          |  CAST(NULL AS TIMESTAMP) mtime, CAST(NULL AS INT) mode,
+          |  CAST(3 AS BIGINT) size, CAST(0 AS BIGINT) chunk_id,
+          |  CAST(0 AS BIGINT) chunk_offset, CAST(3 AS BIGINT) chunk_size,
+          |  CAST('ext' AS BINARY) data, CAST(NULL AS BIGINT) row_id""".stripMargin))
+      .write.mode("append").parquet(s"${fsR.tableLocation}/p0=_root")
+    // bound session still reads its observed snapshot: ordinal 1 absent
+    assert(fsR.take(Seq(1L), Seq("name")).collect().isEmpty)
+    // refresh invalidates the memos — the external row gains a fallback
+    // ordinal and becomes reachable
+    fsR.refresh()
+    assert(fsR.take(Seq(1L), Seq("name")).collect()
+      .map(_.getAs[String]("name")).toSeq == Seq("zzz.txt"))
+  }
+
   test("repeated fallback takes pin ONE stamped copy; version change releases it") {
     import org.apache.spark.sql.functions.lit
     val fsP = CdlFs.open(spark, DatasetCatalog(),
