@@ -509,6 +509,34 @@ object Oracles {
         |WHERE p.pred_lang = 'en' AND p.quality >= 0.4 AND p.n_tokens >= 5
         |ORDER BY p.doc_id""".stripMargin,
 
+    "q_text_histogram" ->
+      """SELECT source, CAST(least(floor(length(text) / 100), 9) AS BIGINT) AS bin,
+        |  count(*) AS n
+        |FROM documents GROUP BY source, bin ORDER BY source, bin""".stripMargin,
+
+    "q_vocab_topk" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |SELECT token, count(*) AS freq FROM t GROUP BY token
+        |ORDER BY freq DESC, token ASC LIMIT 20""".stripMargin,
+
+    // int8 quantization: floor(x + 0.5) on BOTH sides — engines disagree
+    // on round()'s half-tie rule, floor is bit-deterministic
+    "q_embedding_quantize" ->
+      """WITH b AS (
+        |  SELECT vec_id,
+        |    greatest(list_aggregate(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE))), 'max'), 1e-300) AS m,
+        |    embedding AS e
+        |  FROM embeddings),
+        |q AS (SELECT vec_id, m,
+        |        list_transform(e, x ->
+        |          CAST(floor(CAST(x AS DOUBLE) * 127.0 / m + 0.5) AS BIGINT)) AS qv
+        |      FROM b)
+        |SELECT vec_id, m AS scale,
+        |  CAST(list_aggregate(qv, 'sum') AS BIGINT) AS sum_q,
+        |  CAST(len(list_filter(qv, v -> abs(v) = 127)) AS BIGINT) AS n_max
+        |FROM q ORDER BY vec_id""".stripMargin,
+
     "q_fingerprint_rolling" ->
       """SELECT doc_id,
         |  list_reduce(list_transform(range(1, length(text) + 1),

@@ -675,6 +675,19 @@ object Queries {
   def qTextProfile(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.profile(rd(s, dir, "documents")).orderBy("doc_id")
 
+  /** Per-source document-length histogram (curation reporting). */
+  def qTextHistogram(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lengthHistogram(rd(s, dir, "documents"))
+      .orderBy("source", "bin")
+
+  /** Vocabulary head: deterministic top-20 tokens by corpus frequency. */
+  def qVocabTopk(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.topTokens(rd(s, dir, "documents"), 20)
+
+  /** Int8 embedding quantization summary per vector. */
+  def qEmbeddingQuantize(s: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeInt8(rd(s, dir, "embeddings")).orderBy("vec_id")
+
   /** End-to-end corpus cleaning — the composed shape a training-data
     * pipeline actually runs: normalized-fingerprint dedup (keep the min
     * doc_id of each duplicate cluster), then language + quality + length

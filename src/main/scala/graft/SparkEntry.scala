@@ -78,6 +78,9 @@ object SparkEntry {
     "q_split_assign" -> (Queries.qSplitAssign _),
     "q_sample_stratified" -> (Queries.qSampleStratified _),
     "q_text_profile" -> (Queries.qTextProfile _),
+    "q_text_histogram" -> (Queries.qTextHistogram _),
+    "q_vocab_topk" -> (Queries.qVocabTopk _),
+    "q_embedding_quantize" -> (Queries.qEmbeddingQuantize _),
     "q_corpus_clean" -> (Queries.qCorpusClean _),
     "q_fingerprint_rolling" -> (Queries.qFingerprintRolling _),
     "q_winnowing" -> (Queries.qWinnowing _),

@@ -193,4 +193,36 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
+
+  /** Int8 scalar quantization summary — the storage-compression step a
+    * 100 TB embedding table runs before indexing (4× smaller than
+    * float32): per vector, scale = max |component|, each component maps
+    * to floor(x·127/scale + 0.5) ∈ [−127, 127].
+    *
+    * Map-only projection (no shuffle until the caller aggregates).
+    * `floor(x + 0.5)` instead of `round`: engines disagree on
+    * round-half-to-even vs half-up, floor is bit-deterministic
+    * everywhere — which is what keeps this DuckDB-oracle-checkable.
+    * `greatest(scale, 1e-300)` guards the all-zero vector without
+    * changing any normal value. Per-row lambda cost is bounded by the
+    * embedding dimension (64 here), the regime the HOF forms are fine
+    * in (VectorExprs covers the hot O(n·k) scoring paths). */
+  def quantizeInt8(
+      embs: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val x = col(vecCol)
+    val m = greatest(
+      array_max(transform(x, v => abs(v.cast("double")))), lit(1e-300))
+    embs
+      .withColumn("__m", m)
+      .withColumn("__q",
+        transform(x, v =>
+          floor(v.cast("double") * 127.0 / col("__m") + 0.5)))
+      .select(
+        col(idCol),
+        col("__m").as("scale"),
+        aggregate(col("__q"), lit(0L), (a, v) => a + v).as("sum_q"),
+        size(filter(col("__q"), v => abs(v) === 127)).cast("long").as("n_max"))
+  }
 }

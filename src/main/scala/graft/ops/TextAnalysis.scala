@@ -114,6 +114,32 @@ object TextAnalysis {
       .agg(array_sort(array_distinct(collect_list("m"))).as("sketch"))
   }
 
+  /** Equi-width histogram of text length per group — the curation stat a
+    * pipeline reports per source/shard before and after cleaning. One
+    * partial-aggregated groupBy of (group, bin) pairs: at 100 TB the
+    * shuffle carries only #groups × maxBins rows after map-side combine.
+    * The last bin is open-ended (everything ≥ (maxBins−1)·binWidth). */
+  def lengthHistogram(
+      docs: DataFrame,
+      groupCol: String = "source",
+      textCol: String = "text",
+      binWidth: Int = 100,
+      maxBins: Int = 10): DataFrame =
+    docs.groupBy(col(groupCol),
+      least(floor(length(col(textCol)) / binWidth), lit(maxBins - 1))
+        .cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Corpus vocabulary head: deterministic top-k tokens by frequency
+    * (ties broken by the token itself). Explode → partial-agg count →
+    * TakeOrderedAndProject: the full vocabulary never leaves the
+    * executors, only the top-k rows reach the driver side of the plan. */
+  def topTokens(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(k)
+
   /** One-call profile of a documents table. */
   def profile(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

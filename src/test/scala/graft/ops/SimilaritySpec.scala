@@ -114,4 +114,18 @@ class SimilaritySpec extends SparkSuite {
     val close = pairs.find(p => p._1 == 0L && p._2 == 1L)
     assert(close.nonEmpty && close.get._3 > 0.99)
   }
+
+  test("int8 quantization: known vector, exact scale/sum/saturation") {
+    import spark.implicits._
+    // m = 1.0; q = floor([127, -63.5, 31.75] + 0.5) = [127, -63, 32]
+    val d = Seq((7L, Seq(1.0f, -0.5f, 0.25f))).toDF("vec_id", "embedding")
+    val r = Similarity.quantizeInt8(d).collect().head
+    assert(r.getAs[Double]("scale") == 1.0)
+    assert(r.getAs[Long]("sum_q") == 127L - 63L + 32L)
+    assert(r.getAs[Long]("n_max") == 1L)
+    // all-zero vector: guard keeps q at 0, no NaN/null
+    val z = Similarity.quantizeInt8(
+      Seq((8L, Seq(0.0f, 0.0f))).toDF("vec_id", "embedding")).collect().head
+    assert(z.getAs[Long]("sum_q") == 0L && z.getAs[Long]("n_max") == 0L)
+  }
 }

@@ -73,4 +73,26 @@ class TextAnalysisSpec extends SparkSuite {
       spark.read.parquet(s"$sf/documents.parquet"))
     assert(r.filter(col("quality") < 0 || col("quality") > 1).count() == 0)
   }
+
+  test("length histogram bins partition the corpus; last bin is open-ended") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "a", "x" * 50), (1L, "a", "x" * 150),
+      (2L, "a", "x" * 5000), // way past the last bin edge -> bin 9
+      (3L, "b", "x" * 10)).toDF("doc_id", "source", "text")
+    val h = TextAnalysis.lengthHistogram(d).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(h == Map(("a", 0L) -> 1L, ("a", 1L) -> 1L, ("a", 9L) -> 1L,
+      ("b", 0L) -> 1L))
+    assert(h.values.sum == 4) // every doc lands in exactly one bin
+  }
+
+  test("topTokens is the deterministic frequency head with token tiebreak") {
+    import spark.implicits._
+    val d = Seq((0L, "b b a a c"), (1L, "a b z")).toDF("doc_id", "text")
+    val got = TextAnalysis.topTokens(d, 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // a and b tie at 3 -> token order breaks the tie
+    assert(got == Seq(("a", 3L), ("b", 3L), ("c", 1L)))
+  }
 }
