@@ -512,7 +512,8 @@ object Oracles {
     "q_text_histogram" ->
       """SELECT source, CAST(least(floor(length(text) / 100), 9) AS BIGINT) AS bin,
         |  count(*) AS n
-        |FROM documents GROUP BY source, bin ORDER BY source, bin""".stripMargin,
+        |FROM documents WHERE text IS NOT NULL
+        |GROUP BY source, bin ORDER BY source, bin""".stripMargin,
 
     "q_vocab_topk" ->
       """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)

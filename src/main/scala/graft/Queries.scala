@@ -110,15 +110,8 @@ object Queries {
       // benches/CI re-run in fresh JVMs: without cleanup every run leaks
       // a parquet copy of the documents table into the system temp dir
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(p: java.nio.file.Path): Unit = {
-          if (java.nio.file.Files.isDirectory(p,
-              java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
-            val s0 = java.nio.file.Files.list(p)
-            try s0.forEach(rm(_)) finally s0.close()
-          }
-          java.nio.file.Files.deleteIfExists(p)
-        }
-        try rm(tmp) catch { case _: Throwable => () }
+        org.apache.hadoop.fs.FileUtil.fullyDelete(tmp.toFile)
+        ()
       }))
       val rows = docsAsRootfs(s, dir)
         .withColumn("atime", lit(null).cast("timestamp"))

@@ -66,17 +66,37 @@ final class CdlFs(
     * EXTERNAL writer (which never bumps the CommitLog version) become
     * visible to random access. Mirrors the reference's bind-then-refresh
     * session semantics: between refreshes a session reads one observed
-    * snapshot. NOTE: releasing the superseded fallback stamp invalidates
-    * lazy frames returned by earlier `take`s — consume (collect/write)
-    * take results before refreshing; the CLI and Python facades collect
-    * eagerly so they are always safe. */
+    * snapshot.
+    *
+    * The superseded fallback stamp is RETIRED, not unpersisted: lazy
+    * frames returned by earlier `take`s may still recompute from it, and
+    * an unpersist would re-draw its range-sampling bounds and silently
+    * change their ordinals (Ordinal.stamp scaladoc). This protects the
+    * external-writer case — Spark cannot see an out-of-band directory
+    * change, so the old pin keeps serving old frames. (For SAME-session
+    * appends Spark itself recaches cached plans touching the written
+    * path, so lazy frames held across a local append are invalidated by
+    * Spark regardless — consume take results before appending.) Retired
+    * pins are bounded by the number of refreshes/commits one session
+    * observes; `close()` releases them all once no take frame is live. */
   def refresh(): Unit = {
     ctx()
-    stampedMemo = None
     synchronized {
-      fallbackMemo.foreach(_._3())
+      stampedMemo = None
+      fallbackMemo.foreach(m => retiredStamps = m._3 :: retiredStamps)
       fallbackMemo = None
     }
+  }
+
+  /** Release every pinned take-stamp intermediate (current + retired).
+    * Call when the session is done with this dataset AND no lazy `take`
+    * frame will be collected afterwards. */
+  def close(): Unit = synchronized {
+    fallbackMemo.foreach(m => retiredStamps = m._3 :: retiredStamps)
+    fallbackMemo = None
+    stampedMemo = None
+    retiredStamps.foreach(_())
+    retiredStamps = Nil
   }
 
   /** Full SQL over `rootfs` (reference `query`, crates/cdl-fs/src/lib.rs:78-81). */
@@ -145,10 +165,18 @@ final class CdlFs(
     * still no single-partition WindowExec. */
   /** Memoized per committed version: whether every row carries the
     * persistent stamp (the null-probe is one early-exit column scan;
-    * repeating it on every point lookup would double take latency). */
-  @volatile private var stampedMemo: Option[(Option[Int], Boolean)] = None
+    * repeating it on every point lookup would double take latency).
+    * Reads AND writes happen under the instance lock — an unsynchronized
+    * write racing `refresh()`'s clear could re-cache the pre-refresh
+    * verdict forever (external writers never bump the version, so the
+    * stale entry would never age out). */
+  private var stampedMemo: Option[(Option[Int], Boolean)] = None
 
-  private def fullyStamped: Boolean = {
+  /** Release handles of fallback stamps superseded by refresh(); see
+    * refresh()/close(). */
+  private var retiredStamps: List[() => Unit] = Nil
+
+  private def fullyStamped: Boolean = synchronized {
     val version = CommitLog.versions(tableLocation, hconf).lastOption
     stampedMemo match {
       case Some((v, r)) if v == version => r
@@ -176,9 +204,9 @@ final class CdlFs(
     fallbackMemo match {
       case Some((v, df, _)) if v == version => df
       case prev =>
-        // the old version's pinned intermediate is dead weight now —
-        // release before stamping the new snapshot
-        prev.foreach(_._3())
+        // the old version's stamp is superseded — RETIRE it (see
+        // refresh(): unpersisting under live lazy frames is unsafe)
+        prev.foreach(m => retiredStamps = m._3 :: retiredStamps)
         // same generation-aware total order as the writeRootfs re-stamp:
         // rows that DO carry a stamp keep their generation grouping,
         // unstamped rows sort first per path (sentinel −1, below any

@@ -53,10 +53,15 @@ object Components {
         .join(labels.withColumnRenamed("v", "src"), "src")
         .groupBy(col("dst").as("v"))
         .agg(min("component").as("nbr"))
+      //    checkpointed: BOTH sides of the pointer-jump self-join below
+      //    consume it, and re-aliased self-joins defeat ReuseExchange —
+      //    without the materialization the neighbor-min join+agg would
+      //    run twice per round
       val stepped = labels.join(nbrMin, Seq("v"), "left")
         .select(col("v"), col("component").as("__prev"),
           least(col("component"), coalesce(col("nbr"), col("component")))
             .as("component"))
+        .localCheckpoint()
       // 2. pointer jump: label(v) := label(label(v)) — labels point at
       //    vertices, so self-join the label table on the label value
       val lbl = stepped.select(

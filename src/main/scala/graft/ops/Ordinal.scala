@@ -39,10 +39,20 @@ object Ordinal {
       idCol: String = "row_id"): Stamped = {
     val spark = df.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
+    // the nonce makes each stamp's cached plan CANONICALLY UNIQUE:
+    // without it, stamping the same table directory twice (e.g. after an
+    // append, while the superseded stamp is still pinned for live lazy
+    // frames) canonicalizes to the SAME plan, and Spark's CacheManager
+    // dedupes the second persist onto the first's entry — silently
+    // serving the OLD snapshot's rows to the new stamp ("Asked to cache
+    // already cached data"). A distinct literal defeats the dedupe; the
+    // column is dropped from the returned frame.
+    val nonce = java.util.UUID.randomUUID().toString
     val ranged = df
       .repartitionByRange(parts, ord: _*)
       .sortWithinPartitions(ord: _*)
       .withColumn("__pid", spark_partition_id())
+      .withColumn("__stamp_nonce", lit(nonce))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val counts = ranged.groupBy("__pid").count()
       .collect().map(r => r.getInt(0) -> r.getLong(1))
@@ -59,7 +69,7 @@ object Ordinal {
       .join(broadcast(baseDf), Seq("__pid"))
       .withColumn(idCol,
         col("__base") + row_number().over(w).cast("long") - 1L)
-      .drop("__pid", "__base")
+      .drop("__pid", "__base", "__stamp_nonce")
     Stamped(stamped, total, () => { ranged.unpersist(); () })
   }
 

@@ -125,9 +125,14 @@ object TextAnalysis {
       textCol: String = "text",
       binWidth: Int = 100,
       maxBins: Int = 10): DataFrame =
-    docs.groupBy(col(groupCol),
-      least(floor(length(col(textCol)) / binWidth), lit(maxBins - 1))
-        .cast("long").as("bin"))
+    docs
+      // NULL text would otherwise land in the TOP bin (Spark's least()
+      // skips NULL arguments) — exclude explicitly, and identically in
+      // the oracle, since engines disagree on least(NULL, k)
+      .filter(col(textCol).isNotNull)
+      .groupBy(col(groupCol),
+        least(floor(length(col(textCol)) / binWidth), lit(maxBins - 1))
+          .cast("long").as("bin"))
       .agg(count(lit(1)).as("n"))
 
   /** Corpus vocabulary head: deterministic top-k tokens by frequency

@@ -219,24 +219,38 @@ class CdlFsSpec extends SparkSuite {
           |  CAST('ext' AS BINARY) data, CAST(NULL AS BIGINT) row_id""".stripMargin))
       .write.mode("append").parquet(s"${fsP.tableLocation}/p0=_root")
 
-    val base = spark.sparkContext.getPersistentRDDs.size
+    // track by RDD id SET DIFFERENCES: absolute counts are flaky because
+    // the ContextCleaner may GC other tests' unreferenced pins mid-test
+    def ids(): Set[Int] = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val base = ids()
     fsP.take(Seq(0L), Seq("name")).collect()
-    val afterFirst = spark.sparkContext.getPersistentRDDs.size
-    assert(afterFirst == base + 1) // exactly one pinned stamp intermediate
+    val pin1 = ids() -- base
+    assert(pin1.size == 1, pin1) // exactly one pinned stamp intermediate
     fsP.take(Seq(1L), Seq("name")).collect()
     fsP.take(Seq(0L), Seq("name")).collect()
     // pre-r3 shape: each take pinned a FRESH copy (+1 per call)
-    assert(spark.sparkContext.getPersistentRDDs.size == afterFirst)
+    assert((ids() -- base) == pin1)
 
-    // a committed append bumps the version: the superseded pin must be
-    // RELEASED when the memo refreshes — net persistent count unchanged
+    // a committed append bumps the version: the superseded pin is
+    // RETIRED, not unpersisted (external-writer refreshes — where Spark
+    // cannot know the directory changed — must keep serving live lazy
+    // frames from the old pin; see refresh()). For THIS same-session
+    // append, Spark itself recaches cached plans touching the written
+    // path (refreshByPath after the parquet commit), so pin1's concrete
+    // RDD id may be dropped/replaced by Spark here — only the new
+    // version's fresh stamp is asserted by id, and close() must leave
+    // none of ours behind.
     val tree2 = s"$root/treeP2"
     Files.createDirectories(Paths.get(tree2))
     Files.write(Paths.get(s"$tree2/b.txt"), "bb".getBytes)
     Ingest.run(fsP, tree2)
     val got = fsP.take(Seq(0L), Seq("name")).collect()
     assert(got.nonEmpty)
-    assert(spark.sparkContext.getPersistentRDDs.size == afterFirst)
+    val pins = ids() -- base
+    assert(pins.nonEmpty, pins)        // fresh stamp for the new version
+    // close() releases current + retired pins once no frame is live
+    fsP.close()
+    assert((ids() & (pins ++ pin1)).isEmpty)
   }
 
   test("copyTo keeps multi-generation chunks contiguous (export gets latest bytes)") {
