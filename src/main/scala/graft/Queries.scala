@@ -659,7 +659,7 @@ object Queries {
     * checkable (the production default stays xxhash64: cheaper, same
     * plan shape). */
   def qWinnowing(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.winnowingSketch(rd(s, dir, "documents"), gramHash = md5(_))
+    TextAnalysis.winnowingSketch(rd(s, dir, "documents"), oracleMd5 = true)
       .select(col("doc_id"),
         size(col("sketch")).cast("long").as("sketch_size"),
         element_at(col("sketch"), 1).as("min_fp"))

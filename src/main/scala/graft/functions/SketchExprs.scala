@@ -1,0 +1,525 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native codegen document-sketch expressions.
+  *
+  * MinHash, SimHash, and winnowing sketches are PER-DOCUMENT reductions
+  * over a document's own gram/token hashes — there is nothing to shuffle.
+  * The declarative formulations (explode → groupBy with 64 `min`/`sum`
+  * aggregates, or posexplode → partitioned window minima) pay a full
+  * exchange of every exploded hash plus per-aggregate expression trees;
+  * these expressions compute the identical signature in ONE fused loop
+  * per row inside whole-stage codegen, turning each sketch into a
+  * map-only projection (cf. the same trap documented on VectorExprs —
+  * `HigherOrderFunction`s and wide aggregates both fall out of the fast
+  * path). At 100 TB that removes the largest shuffle of the dedup
+  * pipeline: signatures are computed where the text is read, and only
+  * (doc_id, signature) rows ever move.
+  *
+  * Reference semantics (fields/defaults):
+  * SmartX-Team/connected-data-lake has no sketch ops — these extend the
+  * engine for training-data pipelines (SURVEY §2.8). Values are pinned
+  * by DedupSpec/TextAnalysisSpec and the DuckDB oracle gate.
+  */
+object SketchExprs {
+
+  /** Register all sketch functions on `spark` (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    def lit2Int(e: Expression, what: String): Int = e match {
+      case Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"$what must be an int literal, got $other")
+    }
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig",
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "minhash_sig() takes (hashes, numHashes)")
+        MinHashSig(exprs(0), lit2Int(exprs(1), "minhash_sig numHashes"))
+      },
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash_sig",
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "simhash_sig() takes (tokenHashes)")
+        SimHashSig(exprs(0))
+      },
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "winnow_minima",
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "winnow_minima() takes (hashes, w)")
+        WinnowMinima(exprs(0), lit2Int(exprs(1), "winnow_minima w"))
+      },
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "gram_hashes",
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 4,
+          "gram_hashes() takes (text, n, distinct, md5hex)")
+        def lit2Bool(e: Expression, what: String): Boolean = e match {
+          case Literal(v: Boolean, BooleanType) => v
+          case other => throw new IllegalArgumentException(
+            s"$what must be a boolean literal, got $other")
+        }
+        GramHashes(exprs(0), lit2Int(exprs(1), "gram_hashes n"),
+          lit2Bool(exprs(2), "gram_hashes distinct"),
+          lit2Bool(exprs(3), "gram_hashes md5hex"))
+      },
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "array_eq_count",
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "array_eq_count() takes 2 arrays")
+        ArrayEqCount(exprs(0), exprs(1))
+      },
+      "scala_udf")
+  }
+
+  private def ensure(): Unit = register(SparkSession.active)
+
+  def minhashSig(hashes: Column, numHashes: Int): Column = {
+    ensure()
+    call_function("minhash_sig", hashes, org.apache.spark.sql.functions.lit(numHashes))
+  }
+
+  def simhashSig(tokenHashes: Column): Column = {
+    ensure(); call_function("simhash_sig", tokenHashes)
+  }
+
+  def winnowMinima(hashes: Column, w: Int): Column = {
+    ensure()
+    call_function("winnow_minima", hashes, org.apache.spark.sql.functions.lit(w))
+  }
+
+  def arrayEqCount(a: Column, b: Column): Column = {
+    ensure(); call_function("array_eq_count", a, b)
+  }
+
+  def gramHashes(text: Column, n: Int, distinct: Boolean): Column = {
+    ensure()
+    call_function("gram_hashes", text,
+      org.apache.spark.sql.functions.lit(n),
+      org.apache.spark.sql.functions.lit(distinct),
+      org.apache.spark.sql.functions.lit(false))
+  }
+
+  def gramMd5(text: Column, n: Int, distinct: Boolean): Column = {
+    ensure()
+    call_function("gram_hashes", text,
+      org.apache.spark.sql.functions.lit(n),
+      org.apache.spark.sql.functions.lit(distinct),
+      org.apache.spark.sql.functions.lit(true))
+  }
+}
+
+/** MinHash signature: each raw 64-bit gram hash x is first folded to
+  * x' = pmod(x, p) ∈ [0, p), then for each permutation i the minimum of
+  * h_i(x') = ((x'·a_i) mod p + b_i) mod p is kept
+  * (p = 2³¹−1; x' ∈ [0, p) so x'·a_i < 2⁶² never overflows a long).
+  * Output: array<long> of `numHashes` minima; NULL for an empty input
+  * (a doc with no grams has no signature — callers filter, matching the
+  * explode+groupBy formulation where such docs simply produce no row). */
+case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) =>
+      if (numHashes >= 1 && numHashes <= 512) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"numHashes must be in [1,512], got $numHashes")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig requires ARRAY<BIGINT>, got ${other.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_sig"
+
+  private lazy val as: Array[Long] = MinHashSig.coeffA(numHashes)
+  private lazy val bs: Array[Long] = MinHashSig.coeffB(numHashes)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val out = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val p = MinHashSig.MersenneP
+      val h = ((arr.getLong(i) % p) + p) % p
+      var j = 0
+      while (j < numHashes) {
+        val v = ((h * as(j)) % p + bs(j)) % p
+        if (v < out(j)) out(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val aRef = ctx.addReferenceObj("mhA", as, "long[]")
+      val bRef = ctx.addReferenceObj("mhB", bs, "long[]")
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val j = ctx.freshName("j"); val h = ctx.freshName("h")
+      val v = ctx.freshName("v"); val out = ctx.freshName("out")
+      val p = MinHashSig.MersenneP
+      s"""
+         |int $n = $arr.numElements();
+         |if ($n == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long[] $out = new long[$numHashes];
+         |  java.util.Arrays.fill($out, Long.MAX_VALUE);
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $h = (($arr.getLong($i) % ${p}L) + ${p}L) % ${p}L;
+         |    for (int $j = 0; $j < $numHashes; $j++) {
+         |      long $v = (($h * $aRef[$j]) % ${p}L + $bRef[$j]) % ${p}L;
+         |      if ($v < $out[$j]) $out[$j] = $v;
+         |    }
+         |  }
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  /** 31-bit Mersenne prime: (p−1)² fits in a signed 64-bit long. */
+  val MersenneP: Long = (1L << 31) - 1
+
+  /** Deterministic permutation coefficients (splitmix64-ish, seeded — NOT
+    * random at runtime so results are reproducible across runs/hosts). */
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def coeffA(numHashes: Int): Array[Long] =
+    Array.tabulate(numHashes)(i => (math.abs(mix(i.toLong * 2 + 1)) % MersenneP) max 1L)
+
+  def coeffB(numHashes: Int): Array[Long] =
+    Array.tabulate(numHashes)(i => math.abs(mix(i.toLong * 2 + 2)) % MersenneP)
+}
+
+/** 64-bit SimHash over pre-hashed tokens: bit b of the signature is set
+  * iff Σ_tokens (±1 by bit b of the token hash) > 0. NULL for an empty
+  * input (mirrors the explode+groupBy formulation — see MinHashSig). */
+case class SimHashSig(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash_sig requires ARRAY<BIGINT>, got ${other.sql}")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "simhash_sig"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val cnt = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var b = 0
+      while (b < 64) {
+        cnt(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (cnt(b) > 0) sig |= (1L << b); b += 1 }
+    java.lang.Long.valueOf(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val b = ctx.freshName("b"); val h = ctx.freshName("h")
+      val cnt = ctx.freshName("cnt"); val sig = ctx.freshName("sig")
+      s"""
+         |int $n = $arr.numElements();
+         |if ($n == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int[] $cnt = new int[64];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $h = $arr.getLong($i);
+         |    for (int $b = 0; $b < 64; $b++) {
+         |      $cnt[$b] += ((($h >>> $b) & 1L) == 1L) ? 1 : -1;
+         |    }
+         |  }
+         |  long $sig = 0L;
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    if ($cnt[$b] > 0) $sig |= (1L << $b);
+         |  }
+         |  ${ev.value} = $sig;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Winnowing sketch core: minima of each sliding window of `w`
+  * consecutive gram hashes, de-duplicated and sorted ascending — the
+  * MOSS document sketch, computed row-locally (windows never cross
+  * documents, so the posexplode → partitioned-window formulation bought
+  * a full shuffle for nothing). Elements may be BIGINT (production
+  * xxhash64 grams) or STRING (md5-hex grams, oracle-portable) —
+  * both orderings match `array_sort`'s (numeric / binary-lexicographic).
+  * Fewer than `w` grams → empty array (no complete window; callers
+  * filter, matching the positional `pos ≥ w−1` formulation). */
+case class WinnowMinima(child: Expression, w: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType | StringType, _) =>
+      if (w >= 1) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"w must be >= 1, got $w")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"winnow_minima requires ARRAY<BIGINT|STRING>, got ${other.sql}")
+  }
+
+  private def isString: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == StringType
+
+  override def dataType: DataType =
+    ArrayType(if (isString) StringType else LongType, containsNull = false)
+  override def prettyName: String = "winnow_minima"
+
+  /** Row-local winnow; public so generated code can call back into it —
+    * the distinct+sort needs a TreeSet, which is not worth inlining as
+    * Java source (the call stays inside the whole-stage-codegen stage). */
+  def winnow(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n < w) return new GenericArrayData(Array.empty[Any])
+    if (isString) {
+      val set = new java.util.TreeSet[UTF8String]()
+      var i = w - 1
+      while (i < n) {
+        var m = arr.getUTF8String(i - w + 1)
+        var j = i - w + 2
+        while (j <= i) {
+          val c = arr.getUTF8String(j)
+          if (c.compareTo(m) < 0) m = c
+          j += 1
+        }
+        set.add(m)
+        i += 1
+      }
+      new GenericArrayData(set.toArray.asInstanceOf[Array[Any]])
+    } else {
+      val set = new java.util.TreeSet[java.lang.Long]()
+      var i = w - 1
+      while (i < n) {
+        var m = arr.getLong(i - w + 1)
+        var j = i - w + 2
+        while (j <= i) {
+          val c = arr.getLong(j)
+          if (c < m) m = c
+          j += 1
+        }
+        set.add(m)
+        i += 1
+      }
+      val out = new Array[Long](set.size)
+      val it = set.iterator()
+      var k = 0
+      while (it.hasNext) { out(k) = it.next(); k += 1 }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    winnow(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val ref = ctx.addReferenceObj("winnowExpr", this,
+        classOf[WinnowMinima].getName)
+      s"${ev.value} = $ref.winnow($arr);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Hashed word n-grams of single-space-tokenized text, fused: the
+  * declarative form — `transform(sequence(…), i -> concat_ws(" ",
+  * slice(split(text, " "), i, n)))` then a per-gram hash — runs as
+  * nested interpreted lambdas that SLICE a fresh token array and
+  * CONCATENATE a fresh gram string per position (measured ~2.3 s for
+  * ~300k grams at sf0.1, the dominant cost of every shingle-based op).
+  * This expression exploits that a gram joined with single spaces is an
+  * exact BYTE SUBSTRING of the original text (split on every space ⇒
+  * adjacent tokens are separated by exactly one space), so each
+  * xxhash64 gram hash is computed straight off the text's UTF-8 bytes —
+  * zero per-gram allocation. Semantics mirror the declarative form
+  * exactly: tokens = split(text, " ") with trailing empties kept,
+  * gram positions 1..max(numTokens−n+1, 1), last-gram clamp, and
+  * (optionally) first-occurrence distinct.
+  *
+  * `md5hex = true` emits lowercase-hex md5 strings instead of xxhash64
+  * longs — the oracle-portable gram hash (DuckDB shares md5), used by
+  * the winnowing gate query; distinct-by-hash equals distinct-by-gram
+  * up to hash collisions (~(#grams)²/2⁶⁵ at xxhash64 width). */
+case class GramHashes(child: Expression, n: Int, distinct: Boolean, md5hex: Boolean)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType =>
+      if (n >= 1) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"n must be >= 1, got $n")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"gram_hashes requires STRING, got ${other.sql}")
+  }
+
+  override def dataType: DataType =
+    ArrayType(if (md5hex) StringType else LongType, containsNull = false)
+  override def prettyName: String = "gram_hashes"
+
+  /** Row-local gram hashing; public so generated code calls back into it
+    * (byte scanning + a dedup set are not worth inlining as Java source;
+    * the call stays inside the whole-stage-codegen stage). */
+  def grams(text: UTF8String): ArrayData = {
+    val bytes = text.getBytes // one copy; grams are (start, len) views
+    val len = bytes.length
+    // token start offsets: a token begins at 0 and after every space
+    var numToks = 1
+    var i = 0
+    while (i < len) { if (bytes(i) == ' '.toByte) numToks += 1; i += 1 }
+    val starts = new Array[Int](numToks + 1)
+    var t = 1
+    i = 0
+    while (i < len) {
+      if (bytes(i) == ' '.toByte) { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    starts(numToks) = len + 1 // sentinel: "start of one-past-last token"
+    val nGrams = math.max(numToks - n + 1, 1)
+    if (md5hex) {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val out = new Array[AnyRef](nGrams)
+      val seen = if (distinct) new java.util.HashSet[UTF8String]() else null
+      var k = 0
+      var g = 0
+      while (g < nGrams) {
+        val s = starts(g)
+        val e = starts(math.min(g + n, numToks)) - 1 // end of last token in gram
+        md.reset()
+        md.update(bytes, s, e - s)
+        val digest = md.digest()
+        val hex = new Array[Byte](32)
+        var d = 0
+        while (d < 16) {
+          hex(2 * d) = GramHashes.HexDigits((digest(d) >> 4) & 0xf)
+          hex(2 * d + 1) = GramHashes.HexDigits(digest(d) & 0xf)
+          d += 1
+        }
+        val hx = UTF8String.fromBytes(hex)
+        if (seen == null || seen.add(hx)) { out(k) = hx; k += 1 }
+        g += 1
+      }
+      new GenericArrayData(
+        (if (k == nGrams) out else java.util.Arrays.copyOf(out, k))
+          .asInstanceOf[Array[Any]])
+    } else {
+      val out = new Array[Long](nGrams)
+      val seen = if (distinct) new java.util.HashSet[java.lang.Long]() else null
+      var k = 0
+      var g = 0
+      while (g < nGrams) {
+        val s = starts(g)
+        val e = starts(math.min(g + n, numToks)) - 1
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + s,
+            e - s, 42L)
+        if (seen == null || seen.add(h)) { out(k) = h; k += 1 }
+        g += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(
+        if (k == nGrams) out else java.util.Arrays.copyOf(out, k))
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    grams(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, text => {
+      val ref = ctx.addReferenceObj("gramExpr", this, classOf[GramHashes].getName)
+      s"${ev.value} = $ref.grams($text);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object GramHashes {
+  private val HexDigits: Array[Byte] = "0123456789abcdef".getBytes
+}
+
+/** Count of positions where two BIGINT arrays hold equal values
+  * (over the shorter length) — the MinHash estimated-Jaccard numerator,
+  * replacing the interpreted `size(filter(zip_with(…)))` chain. */
+case class ArrayEqCount(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"array_eq_count requires two ARRAY<BIGINT> args, got ${l.sql}, ${r.sql}")
+    }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "array_eq_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) { if (x.getLong(i) == y.getLong(i)) c += 1; i += 1 }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $c = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) $c++;
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -18,8 +18,10 @@ import org.apache.spark.storage.StorageLevel
   * needed are O(log diameter), the same asymptotic as alternating-star
   * contraction but with two plain equi-joins per round and no edge
   * rewriting. On a billion-edge 100 TB pair graph that bound matters;
-  * on the near-clique clusters dedup actually produces it converges in
-  * 2-3 rounds. Each round shuffles only (id, label) longs — document
+  * on the near-clique clusters dedup actually produces, the fused
+  * init (label₀ = min over the 1-hop neighborhood) already IS the
+  * fixpoint and one confirming round ends the loop — three shuffles
+  * total. Each round shuffles only (id, label) longs — document
   * payloads never enter the graph — and lineage is truncated every
   * round (`localCheckpoint`) so plan depth and re-planning cost stay
   * O(1) across iterations.
@@ -41,44 +43,58 @@ object Components {
     val sym = edges
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = sym.select(col("src").as("v")).distinct()
-      .withColumn("component", col("v"))
+    // fused init: label₀(v) = min(v, min over neighbors) — the vertex
+    // listing has to aggregate over the edge table anyway, so the first
+    // propagation step rides the same shuffle for free. On the
+    // near-clique graphs dedup produces this IS the fixpoint, and the
+    // loop below only confirms it (one round, no jump).
+    var labels = sym.groupBy(col("dst").as("v")).agg(min("src").as("m"))
+      .select(col("v"), least(col("v"), col("m")).as("component"))
       .localCheckpoint()
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
       // 1. min label among neighbors: one shuffle to join labels onto
-      //    edge sources, one partial-agg min per destination
+      //    edge sources, one partial-agg min per destination. Keep the
+      //    pre-step label so the convergence probe is a filter on the
+      //    checkpointed result — no extra join/shuffle (labels only
+      //    ever decrease, so `<` is sufficient).
       val nbrMin = sym
         .join(labels.withColumnRenamed("v", "src"), "src")
         .groupBy(col("dst").as("v"))
         .agg(min("component").as("nbr"))
-      //    checkpointed: BOTH sides of the pointer-jump self-join below
-      //    consume it, and re-aliased self-joins defeat ReuseExchange —
-      //    without the materialization the neighbor-min join+agg would
-      //    run twice per round
+      //    checkpointed: the convergence probe and (when not converged)
+      //    BOTH sides of the pointer-jump self-join consume it, and
+      //    re-aliased self-joins defeat ReuseExchange — without the
+      //    materialization the neighbor-min join+agg would run twice
       val stepped = labels.join(nbrMin, Seq("v"), "left")
         .select(col("v"), col("component").as("__prev"),
           least(col("component"), coalesce(col("nbr"), col("component")))
             .as("component"))
         .localCheckpoint()
-      // 2. pointer jump: label(v) := label(label(v)) — labels point at
-      //    vertices, so self-join the label table on the label value
-      val lbl = stepped.select(
-        col("v").as("__u"), col("component").as("__ulabel"))
-      // the lowered-this-round flag rides INSIDE the checkpointed result,
-      // so the convergence probe is a filter on materialized data — no
-      // extra join/shuffle per round (labels only ever decrease, so `<`
-      // is sufficient)
-      val next = stepped
-        .join(lbl, col("component") === col("__u"), "left")
-        .withColumn("__new",
-          least(col("component"), coalesce(col("__ulabel"), col("component"))))
-        .select(col("v"), col("__new").as("component"),
-          (col("__new") < col("__prev")).as("__lowered"))
-        .localCheckpoint()
-      done = next.filter(col("__lowered")).limit(1).isEmpty
-      labels = next.drop("__lowered")
+      // convergence ⇔ the propagation step lowered nothing: at that
+      // fixpoint every edge joins equal labels, so labels are constant
+      // per component and (being monotone ≥ the component min, which is
+      // a fixed point of itself) equal to the component min. The pointer
+      // jump is pure acceleration and can never lower a label the
+      // propagation fixpoint wouldn't — so probing BEFORE the jump is
+      // safe and saves the jump's join+checkpoint on the closing round.
+      done = stepped.filter(col("component") < col("__prev")).limit(1).isEmpty
+      if (done) {
+        labels = stepped.select("v", "component")
+      } else {
+        // 2. pointer jump: label(v) := label(label(v)) — labels point at
+        //    vertices, so self-join the label table on the label value;
+        //    roughly doubles accumulated reach → O(log diameter) rounds
+        val lbl = stepped.select(
+          col("v").as("__u"), col("component").as("__ulabel"))
+        labels = stepped
+          .join(lbl, col("component") === col("__u"), "left")
+          .select(col("v"),
+            least(col("component"), coalesce(col("__ulabel"), col("component")))
+              .as("component"))
+          .localCheckpoint()
+      }
       iter += 1
     }
     sym.unpersist()

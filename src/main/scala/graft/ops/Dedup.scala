@@ -81,8 +81,9 @@ object Dedup {
       dfCap: Int = 1000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sh = docs
-      .select(col("doc_id"), explode(shingles(col(textCol), n)).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("shingle"))
+      .select(col("doc_id"), explode(
+        graft.functions.SketchExprs.gramHashes(col(textCol), n, distinct = true))
+        .as("shingle"))
     // document frequency as an unbounded-frame window count: one shuffle
     // on shingle. This annotated frame is the op's ONE pinned
     // intermediate — it feeds the per-doc sizes once and BOTH self-join
@@ -114,46 +115,30 @@ object Dedup {
 
   /** 31-bit Mersenne prime: (p−1)² fits in a signed 64-bit long, so the
     * permutation multiply never overflows under ANSI mode. */
-  private val MersenneP = (1L << 31) - 1
-
-  /** Deterministic permutation coefficients for MinHash (splitmix64-ish,
-    * seeded — NOT random at runtime so results are reproducible). */
-  private def perm(i: Int): (Long, Long) = {
-    def mix(z0: Long): Long = {
-      var z = z0 + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
-    (math.abs(mix(i.toLong * 2 + 1)) % MersenneP max 1L,
-      math.abs(mix(i.toLong * 2 + 2)) % MersenneP)
-  }
+  private val MersenneP = graft.functions.MinHashSig.MersenneP
 
   /** MinHash signatures as (doc_id, sig: array<long>) with
     * h_i(x) = (a_i·x + b_i) mod 2^31−1 over xxhash64 shingle hashes.
     *
-    * Shape matters here: shingle hashes are exploded ONCE and the 64
-    * permutation minima run as map-side-combinable aggregates. The naive
-    * `array(transform(hashes, …) × 64)` column form inlines the whole
-    * shingle-hashing subexpression per permutation (Catalyst collapses the
-    * projection) — measured 64× slower at sf0.1. */
+    * Shape matters here: the signature is a per-document reduction, so
+    * it runs as ONE fused codegen loop per row (`minhash_sig`,
+    * SketchExprs.scala) — a map-only projection with NO shuffle. The
+    * previous explode → 64-aggregate groupBy form was semantically
+    * identical but exchanged every exploded shingle hash and paid 64
+    * separate aggregate-buffer updates per row (measured 2.9 s → 0.4 s
+    * at sf0.1); the naive `array(transform(hashes, …) × 64)` column form
+    * is worse still — Catalyst inlines the whole shingle-hashing subtree
+    * per permutation (64× slower). */
   def minhashSignatures(
       docs: DataFrame,
       textCol: String = "text",
       n: Int = 5,
-      numHashes: Int = 64): DataFrame = {
-    val exploded = docs.select(col("doc_id"),
-      explode(transform(shingles(col(textCol), n),
-        s => pmod(xxhash64(s), lit(MersenneP)))).as("h"))
-    val mins = (0 until numHashes).map { i =>
-      val (a, b) = perm(i)
-      min(pmod(pmod(col("h") * lit(a), lit(MersenneP)) + lit(b), lit(MersenneP)))
-        .as(s"m$i")
-    }
-    exploded.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"),
-        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
-  }
+      numHashes: Int = 64): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.SketchExprs.minhashSig(
+        graft.functions.SketchExprs.gramHashes(col(textCol), n, distinct = true),
+        numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
 
   /** MinHash-LSH candidate pairs: band the signature (`bands` ×
     * `rowsPerBand`), bucket-join on (band_id, band_hash), then verify with
@@ -183,28 +168,27 @@ object Dedup {
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
       .dropDuplicates("doc_a", "doc_b")
     cand
+      // fused codegen position-equality count — the zip_with/filter/size
+      // chain is interpreted (HOFs have no codegen) and ran per candidate
       .withColumn("est_jaccard",
-        round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
-          (x === y).cast("int")), v => v === 1)).cast("double") / numHashes, 4))
+        round(graft.functions.SketchExprs.arrayEqCount(col("sig_a"), col("sig_b"))
+          .cast("double") / numHashes, 4))
       .filter(col("est_jaccard") >= threshold)
       .select("doc_a", "doc_b", "est_jaccard")
   }
 
-  /** 64-bit SimHash signature via explode/aggregate: per (doc, bit), weight
-    * +1/−1 by token hash bit, sum, sign → bit. Shuffles only (doc_id,
-    * 64 longs) per doc — bounded and combinable. */
-  def simhash(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      explode(split(col(textCol), " ")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { b =>
-      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1)).as(s"b$b")
-    }
-    toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"),
-        (0 until 64).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L))
-          .reduce((a, c) => a.bitwiseOR(c)).as("simhash"))
-  }
+  /** 64-bit SimHash signature: per bit, weight +1/−1 by the token-hash
+    * bit, sum over tokens, sign → bit. A per-document reduction, so it
+    * runs as ONE fused codegen loop per row (`simhash_sig`,
+    * SketchExprs.scala) — map-only, no shuffle; the explode → 64-sum
+    * groupBy form it replaces exchanged every token hash. */
+  def simhash(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.SketchExprs.simhashSig(
+        // tokens = positional 1-grams, hashed off the text bytes
+        graft.functions.SketchExprs.gramHashes(col(textCol), 1, distinct = false))
+        .as("simhash"))
+      .filter(col("simhash").isNotNull)
 
   /** SimHash near-dup pairs: multi-index banded blocking, then verify
     * exact Hamming distance on candidates.

@@ -24,12 +24,27 @@ object TextAnalysis {
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
 
+  /** Count of space-delimited tokens exactly equal to one of `words`.
+    *
+    * Expressed as a `regexp_count` with zero-width token boundaries
+    * (`(?<=^| )word(?= |$)`) rather than `size(filter(tokens, isin))`:
+    * higher-order functions have no codegen, and — worse — an
+    * interpreted subtree can't share the `split()` with its codegen'd
+    * siblings, so a profile computing several token-set counts re-split
+    * every document once per count (measured 2.4× on the full profile).
+    * The regex never consumes the delimiter, so consecutive matches
+    * ("to in") both count; semantics are identical to the isin form for
+    * single-space-delimited text, and the compiled pattern is cached per
+    * expression instance. */
+  private def tokenSetCount(text: Column, words: Seq[String]): Column =
+    regexp_count(text, lit(words.mkString("(?<=^| )(?:", "|", ")(?= |$)")))
+
   /** Fraction of tokens that are (English) stopwords — the standard cheap
     * quality / language signal. */
   def stopwordRatio(text: Column): Column = {
     val toks = tokens(text)
     round(
-      size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*))).cast("double") /
+      tokenSetCount(text, stopwords).cast("double") /
         greatest(size(toks), lit(1)).cast("double"),
       4)
   }
@@ -67,9 +82,7 @@ object TextAnalysis {
       "de" -> Seq("der", "die", "und", "ist"),
       "fr" -> Seq("le", "la", "et", "est"),
       "es" -> Seq("el", "los", "y", "es"))
-    val toks = tokens(text)
-    def hits(ws: Seq[String]): Column =
-      size(filter(toks, t => t.isin(ws.map(lit(_)): _*)))
+    def hits(ws: Seq[String]): Column = tokenSetCount(text, ws)
     val scored = markers.toSeq.sortBy(_._1).map { case (lang, ws) => (lang, hits(ws)) }
     val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
     scored.foldRight(lit("und")) { case ((lang, h), els) =>
@@ -88,30 +101,37 @@ object TextAnalysis {
     * consecutive k-grams — a position-robust subset of shingle hashes
     * whose overlap estimates document similarity.
     *
-    * Shape: k-gram hashes are exploded ONCE and the window minimum runs
-    * as a frame aggregate — a lambda of the form
-    * `transform(seq, i -> array_min(slice(hashes, i, w)))` would
-    * re-evaluate the whole hash array per window (the same
-    * subexpression-inlining trap as minhash). */
+    * Shape: windows never cross documents, so the sketch is a
+    * per-document reduction — ONE fused expression per row
+    * (`winnow_minima`, SketchExprs.scala), map-only. The
+    * posexplode → partitioned-window-min → collect_list form it
+    * replaces shuffled every gram hash to sort it next to its
+    * neighbors, which the gram array already provides positionally
+    * (measured 3.4 s → sub-second at sf0.1); a lambda of the form
+    * `transform(seq, i -> array_min(slice(hashes, i, w)))` is worse
+    * still — it re-evaluates the whole hash array per window. */
   def winnowingSketch(
       docs: org.apache.spark.sql.DataFrame,
       textCol: String = "text",
       k: Int = 5,
       w: Int = 4,
-      gramHash: Column => Column = xxhash64(_)): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      oracleMd5: Boolean = false): org.apache.spark.sql.DataFrame = {
     // POSITIONAL grams (no distinct): winnowing windows are over gram
-    // positions, so duplicates must stay in place
-    val hashes = transform(
-      Dedup.shingles(col(textCol), k, distinct = false), gramHash)
-    val posed = docs.select(col("doc_id"),
-      posexplode(hashes).as(Seq("pos", "h")))
-    val win = Window.partitionBy("doc_id").orderBy("pos")
-      .rowsBetween(-(w - 1), Window.currentRow)
-    posed.withColumn("m", min("h").over(win))
-      .filter(col("pos") >= w - 1)
-      .groupBy("doc_id")
-      .agg(array_sort(array_distinct(collect_list("m"))).as("sketch"))
+    // positions, so duplicates must stay in place. `oracleMd5` swaps the
+    // gram hash to md5-hex strings — the hash DuckDB shares, so the gate
+    // query is oracle-checkable; production default is xxhash64 longs
+    // (cheaper, same plan shape, lexicographic-vs-numeric minima both
+    // match array_sort's ordering).
+    val hashes =
+      if (oracleMd5)
+        graft.functions.SketchExprs.gramMd5(col(textCol), k, distinct = false)
+      else
+        graft.functions.SketchExprs.gramHashes(col(textCol), k, distinct = false)
+    docs.select(col("doc_id"),
+      graft.functions.SketchExprs.winnowMinima(hashes, w).as("sketch"))
+      // a doc with fewer than w grams has no complete window — drop it,
+      // matching the positional form's `pos ≥ w−1` filter
+      .filter(size(col("sketch")) > 0)
   }
 
   /** Equi-width histogram of text length per group — the curation stat a

@@ -140,9 +140,17 @@ class PlanSpec extends SparkSuite {
       .mkString.contains("row_id"), p)
   }
 
-  test("minhash aggregation is partial (combinable) on the exploded side") {
-    val p = planOf(graft.ops.Dedup.minhashSignatures(
-      spark.read.parquet(s"$sf/documents.parquet")))
-    assert(p.contains("partial_min") || p.contains("partial_"), p)
+  test("sketch signatures are map-only projections (no Exchange)") {
+    // minhash/simhash/winnowing are per-document reductions: the fused
+    // codegen expressions keep them shuffle-free — at 100 TB this is the
+    // difference between a scan and the pipeline's largest exchange
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    for (df <- Seq(
+        graft.ops.Dedup.minhashSignatures(docs),
+        graft.ops.Dedup.simhash(docs),
+        graft.ops.TextAnalysis.winnowingSketch(docs))) {
+      val p = planOf(df)
+      assert(!p.contains("Exchange"), p)
+    }
   }
 }
