@@ -612,6 +612,84 @@ object Oracles {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  'utf8' AS codec,
         |  CAST(floor((length(text) - 1) / 16) + 1 AS BIGINT) AS n_sampled
-        |FROM documents ORDER BY item_id""".stripMargin
+        |FROM documents ORDER BY item_id""".stripMargin,
+
+    // decontamination: distinct 3-grams of each non-src0 doc that appear
+    // anywhere in src0 (the stand-in eval benchmark); engine counts
+    // hashed grams — equal up to xxhash64 collisions
+    "q_decontaminate" ->
+      """WITH tk AS (SELECT doc_id, source, string_split(text, ' ') AS t
+        |            FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, source,
+        |         unnest(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+        |           i -> array_to_string(t[i:i+2], ' '))) AS g
+        |       FROM tk),
+        |bg AS (SELECT DISTINCT g FROM sh WHERE source = 'src0')
+        |SELECT doc_id, count(*) AS n_contaminated_grams
+        |FROM sh JOIN bg USING (g)
+        |WHERE sh.source <> 'src0'
+        |GROUP BY doc_id
+        |HAVING count(*) >= 1
+        |ORDER BY doc_id""".stripMargin,
+
+    // sequence packing: per-source running token offset in doc_id order,
+    // cut into 512-token packs (concat-then-chunk layout)
+    "q_seq_packing" ->
+      """WITH d AS (SELECT source AS shard, doc_id,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |           FROM documents),
+        |o AS (SELECT shard, doc_id, n_tokens,
+        |        CAST(coalesce(sum(n_tokens) OVER (
+        |          PARTITION BY shard ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS BIGINT) AS tok_offset
+        |      FROM d)
+        |SELECT shard, doc_id, n_tokens, tok_offset,
+        |  CAST(floor(tok_offset / 512.0) AS BIGINT) AS first_pack,
+        |  CAST(floor((tok_offset + n_tokens - 1) / 512.0) AS BIGINT) AS last_pack
+        |FROM o ORDER BY shard, doc_id""".stripMargin,
+
+    // PII redaction over the deterministic PII-bearing string built from
+    // customer (see Queries.qPiiRedact); patterns are lookaround-free so
+    // java.util.regex and DuckDB's RE2 agree
+    "q_pii_redact" ->
+      """WITH raw AS (
+        |  SELECT c_custkey,
+        |    concat('reach ', c_name, ' at user', CAST(c_custkey AS VARCHAR),
+        |      '@mail.example',
+        |      CASE WHEN c_custkey % 2 = 0
+        |        THEN concat(' or +1-555-',
+        |          lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0'))
+        |        ELSE '' END,
+        |      CASE WHEN c_custkey % 3 = 0
+        |        THEN concat(' ip 10.0.', CAST(c_custkey % 256 AS VARCHAR), '.1')
+        |        ELSE '' END) AS t
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+        |    '(\+[0-9]{1,2}-)?[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS masked,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t,
+        |    '(\+[0-9]{1,2}-)?[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(t,
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ips
+        |FROM raw ORDER BY c_custkey""".stripMargin,
+
+    // intra-document repetition: positional vs distinct 3-gram counts
+    "q_text_repetition" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT doc_id,
+        |        list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+        |          i -> array_to_string(t[i:i+2], ' ')) AS gs
+        |      FROM tk)
+        |SELECT doc_id,
+        |  CAST(len(gs) AS BIGINT) AS n_grams,
+        |  CAST(len(list_distinct(gs)) AS BIGINT) AS n_distinct_grams,
+        |  round(1.0 - CAST(len(list_distinct(gs)) AS DOUBLE)
+        |    / CAST(len(gs) AS DOUBLE), 4) AS rep_ratio
+        |FROM g ORDER BY doc_id""".stripMargin
   )
 }

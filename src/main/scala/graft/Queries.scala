@@ -769,4 +769,55 @@ object Queries {
         round(Similarity.l2Norm(col("feature")), 4).as("feature_norm"))
       .orderBy("item_id")
   }
+
+  /** Benchmark decontamination: src0 plays the eval benchmark, the rest
+    * of the corpus is checked for 3-gram overlap against it (n = 3 —
+    * the collision-rich gram the other text gates use). Broadcast
+    * benchmark side; corpus never shuffles (Decontaminate.overlap). */
+  def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = rd(s, dir, "documents")
+    graft.ops.Decontaminate.overlap(
+      docs.filter(col("source") =!= "src0"),
+      docs.filter(col("source") === "src0"),
+      n = 3)
+      .orderBy("doc_id")
+  }
+
+  /** Sequence packing at a 512-token budget: per-source concat-then-chunk
+    * layout — offsets and pack spans are fully determined by
+    * (source, doc_id) order. */
+  def qSeqPacking(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Packing.packAssignments(rd(s, dir, "documents"), budget = 512)
+      .orderBy("shard", "doc_id")
+
+  /** PII redaction over a deterministic PII-bearing string derived from
+    * the customer table (the synthetic corpus itself carries no PII):
+    * every row gets an email, even keys a phone, keys ≡ 0 (mod 3) an
+    * IPv4 — so the masked text and the per-category counts exercise all
+    * three patterns including their absence. */
+  def qPiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val raw = concat(
+      lit("reach "), col("c_name"),
+      lit(" at user"), col("c_custkey").cast("string"), lit("@mail.example"),
+      when(col("c_custkey") % 2 === 0,
+        concat(lit(" or +1-555-"),
+          lpad((col("c_custkey") % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(col("c_custkey") % 3 === 0,
+        concat(lit(" ip 10.0."), (col("c_custkey") % 256).cast("string"), lit(".1")))
+        .otherwise(lit("")))
+    rd(s, dir, "customer").select(
+      col("c_custkey"),
+      graft.ops.Redaction.redact(raw).as("masked"),
+      graft.ops.Redaction.emailCount(raw).cast("long").as("n_emails"),
+      graft.ops.Redaction.phoneCount(raw).cast("long").as("n_phones"),
+      graft.ops.Redaction.ipv4Count(raw).cast("long").as("n_ips"))
+      .orderBy("c_custkey")
+  }
+
+  /** Intra-document repetition (the Gopher-style duplicate-n-gram quality
+    * rule): positional vs distinct 3-gram counts per document. */
+  def qTextRepetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionProfile(rd(s, dir, "documents"), n = 3)
+      .orderBy("doc_id")
 }

@@ -89,7 +89,11 @@ object SparkEntry {
     "q_knn_ivf" -> (Queries.qKnnIvf _),
     "q_embedding_norm" -> (Queries.qEmbeddingNorm _),
     "q_multimodal_meta" -> (Queries.qMultimodalMeta _),
-    "q_multimodal_features" -> (Queries.qMultimodalFeatures _)
+    "q_multimodal_features" -> (Queries.qMultimodalFeatures _),
+    "q_decontaminate" -> (Queries.qDecontaminate _),
+    "q_seq_packing" -> (Queries.qSeqPacking _),
+    "q_pii_redact" -> (Queries.qPiiRedact _),
+    "q_text_repetition" -> (Queries.qTextRepetition _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

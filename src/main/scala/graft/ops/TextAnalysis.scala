@@ -17,10 +17,11 @@ object TextAnalysis {
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
   /** BPE-ish token count: word pieces + digit runs + punctuation, the
-    * common pre-tokenizer regex family. */
+    * common pre-tokenizer regex family. `regexp_count`, not
+    * `size(regexp_extract_all(…))` — the latter materializes every match
+    * as a string in an array just to count it. */
   def bpeishTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
-      .cast("long")
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long")
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
 
@@ -59,7 +60,7 @@ object TextAnalysis {
   /** Ratio of non-alphanumeric, non-space chars (punctuation density). */
   def punctRatio(text: Column): Column =
     round(
-      size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double") /
+      regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("double") /
         greatest(length(text), lit(1)).cast("double"),
       4)
 
@@ -164,6 +165,24 @@ object TextAnalysis {
       .groupBy("token").agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("token").asc)
       .limit(k)
+
+  /** Intra-document repetition profile (the Gopher-style duplicate-n-gram
+    * quality rule): positional n-gram count, distinct n-gram count, and
+    * their complement ratio per document. Row-local (two fused gram
+    * passes, no shuffle); distinct-by-hash equals distinct-by-gram up to
+    * xxhash64 collisions. */
+  def repetitionProfile(docs: DataFrame, n: Int = 3, textCol: String = "text"): DataFrame = {
+    val total = size(graft.functions.SketchExprs.gramHashes(
+      col(textCol), n, distinct = false))
+    val dist = size(graft.functions.SketchExprs.gramHashes(
+      col(textCol), n, distinct = true))
+    docs.select(
+      col("doc_id"),
+      total.cast("long").as("n_grams"),
+      dist.cast("long").as("n_distinct_grams"),
+      round(lit(1.0) - dist.cast("double") / total.cast("double"), 4)
+        .as("rep_ratio"))
+  }
 
   /** One-call profile of a documents table. */
   def profile(docs: DataFrame, textCol: String = "text"): DataFrame = {
