@@ -75,6 +75,19 @@ object SketchExprs {
       },
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "token_set_counts",
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "token_set_counts() takes (text, spec)")
+        val spec = exprs(1) match {
+          case Literal(v: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+            v.toString
+          case other => throw new IllegalArgumentException(
+            s"token_set_counts spec must be a string literal, got $other")
+        }
+        TokenSetCounts(exprs(0), spec)
+      },
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "array_eq_count",
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2, "array_eq_count() takes 2 arrays")
@@ -117,6 +130,15 @@ object SketchExprs {
       org.apache.spark.sql.functions.lit(n),
       org.apache.spark.sql.functions.lit(distinct),
       org.apache.spark.sql.functions.lit(true))
+  }
+
+  /** `sets`: word sets, encoded for the registry as 'w,w,…|w,w,…'. */
+  def tokenSetCounts(text: Column, sets: Seq[Seq[String]]): Column = {
+    ensure()
+    require(sets.forall(_.forall(w => !w.contains(',') && !w.contains('|'))),
+      "marker words must not contain ',' or '|'")
+    call_function("token_set_counts", text,
+      org.apache.spark.sql.functions.lit(sets.map(_.mkString(",")).mkString("|")))
   }
 }
 
@@ -477,6 +499,76 @@ case class GramHashes(child: Expression, n: Int, distinct: Boolean, md5hex: Bool
 
 object GramHashes {
   private val HexDigits: Array[Byte] = "0123456789abcdef".getBytes
+}
+
+/** Counts of space-delimited tokens exactly equal to a word of each set
+  * in `spec` ('w,w,…|w,w,…'), all sets in ONE tokenization pass over the
+  * text bytes — output array<int>, one count per set. A profile deriving
+  * several token-set signals (stopword ratio, per-language marker hits,
+  * quality) builds the SAME expression for each and whole-stage
+  * codegen's subexpression elimination computes it once per row; the
+  * regex-per-set form it replaces paid one full text scan per set. */
+case class TokenSetCounts(child: Expression, spec: String) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"token_set_counts requires STRING, got ${other.sql}")
+  }
+
+  @transient private lazy val sets: Array[Array[Array[Byte]]] =
+    spec.split('|').map(_.split(',').filter(_.nonEmpty).map(_.getBytes("UTF-8")))
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "token_set_counts"
+
+  /** Public so generated code calls back into it (see WinnowMinima). */
+  def counts(text: UTF8String): ArrayData = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    val out = new Array[Int](sets.length)
+    var tokStart = 0
+    var i = 0
+    while (i <= len) {
+      if (i == len || bytes(i) == ' '.toByte) {
+        val tokLen = i - tokStart
+        if (tokLen > 0) {
+          var s = 0
+          while (s < sets.length) {
+            val ws = sets(s)
+            var wi = 0
+            var hit = false
+            while (!hit && wi < ws.length) {
+              val w = ws(wi)
+              if (w.length == tokLen) {
+                var b = 0
+                while (b < tokLen && w(b) == bytes(tokStart + b)) b += 1
+                hit = b == tokLen
+              }
+              wi += 1
+            }
+            if (hit) out(s) += 1
+            s += 1
+          }
+        }
+        tokStart = i + 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    counts(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, text => {
+      val ref = ctx.addReferenceObj("tscExpr", this, classOf[TokenSetCounts].getName)
+      s"${ev.value} = $ref.counts($text);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Count of positions where two BIGINT arrays hold equal values

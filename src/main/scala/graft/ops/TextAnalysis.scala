@@ -25,27 +25,32 @@ object TextAnalysis {
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
 
-  /** Count of space-delimited tokens exactly equal to one of `words`.
-    *
-    * Expressed as a `regexp_count` with zero-width token boundaries
-    * (`(?<=^| )word(?= |$)`) rather than `size(filter(tokens, isin))`:
-    * higher-order functions have no codegen, and — worse — an
-    * interpreted subtree can't share the `split()` with its codegen'd
-    * siblings, so a profile computing several token-set counts re-split
-    * every document once per count (measured 2.4× on the full profile).
-    * The regex never consumes the delimiter, so consecutive matches
-    * ("to in") both count; semantics are identical to the isin form for
-    * single-space-delimited text, and the compiled pattern is cached per
-    * expression instance. */
-  private def tokenSetCount(text: Column, words: Seq[String]): Column =
-    regexp_count(text, lit(words.mkString("(?<=^| )(?:", "|", ")(?= |$)")))
+  /** Per-language marker lexicons, key-sorted (tie order is part of the
+    * langIdHeuristic contract). */
+  private val langMarkers = Seq(
+    "de" -> Seq("der", "die", "und", "ist"),
+    "en" -> Seq("the", "and", "of", "is"),
+    "es" -> Seq("el", "los", "y", "es"),
+    "fr" -> Seq("le", "la", "et", "est"))
+
+  /** ALL marker counts — stopwords then each language — as one
+    * `token_set_counts` expression (SketchExprs.scala): a single
+    * tokenization pass per row, and because every consumer builds this
+    * SAME subtree, whole-stage codegen's subexpression elimination
+    * computes it once per row for the whole profile. The previous forms
+    * paid per-set passes: `size(filter(tokens, isin))` is an interpreted
+    * HOF that re-split the text per set (2.4× on the full profile), and
+    * one regex per set still scanned the text five times. */
+  private def markerCounts(text: Column): Column =
+    graft.functions.SketchExprs.tokenSetCounts(
+      text, stopwords +: langMarkers.map(_._2))
 
   /** Fraction of tokens that are (English) stopwords — the standard cheap
     * quality / language signal. */
   def stopwordRatio(text: Column): Column = {
     val toks = tokens(text)
     round(
-      tokenSetCount(text, stopwords).cast("double") /
+      element_at(markerCounts(text), 1).cast("double") /
         greatest(size(toks), lit(1)).cast("double"),
       4)
   }
@@ -78,13 +83,9 @@ object TextAnalysis {
     * marker lexicons and picks the argmax (ties → 'und'). N-gram-free but
     * the same shape as real lang-id: per-language evidence → argmax. */
   def langIdHeuristic(text: Column): Column = {
-    val markers = Map(
-      "en" -> Seq("the", "and", "of", "is"),
-      "de" -> Seq("der", "die", "und", "ist"),
-      "fr" -> Seq("le", "la", "et", "est"),
-      "es" -> Seq("el", "los", "y", "es"))
-    def hits(ws: Seq[String]): Column = tokenSetCount(text, ws)
-    val scored = markers.toSeq.sortBy(_._1).map { case (lang, ws) => (lang, hits(ws)) }
+    val scored = langMarkers.zipWithIndex.map { case ((lang, _), i) =>
+      (lang, element_at(markerCounts(text), i + 2))
+    }
     val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
     scored.foldRight(lit("und")) { case ((lang, h), els) =>
       when(h === best && best > 0, lit(lang)).otherwise(els)
