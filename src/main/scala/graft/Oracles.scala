@@ -678,6 +678,18 @@ object Oracles {
         |    '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ips
         |FROM raw ORDER BY c_custkey""".stripMargin,
 
+    // z-order key: 16+16-bit Morton interleave as an explicit bitwise
+    // expression (generated term list — identical math to Layout.morton2)
+    "q_zorder_key" -> {
+      val terms = (0 until 16).flatMap { b =>
+        Seq(s"(((l_partkey >> $b) & 1) << ${2 * b})",
+          s"(((l_suppkey >> $b) & 1) << ${2 * b + 1})")
+      }.mkString(" | ")
+      s"""SELECT DISTINCT l_partkey, l_suppkey, ($terms) AS zorder
+         |FROM lineitem
+         |ORDER BY zorder, l_partkey, l_suppkey""".stripMargin
+    },
+
     // intra-document repetition: positional vs distinct 3-gram counts
     "q_text_repetition" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

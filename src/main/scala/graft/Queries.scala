@@ -820,4 +820,15 @@ object Queries {
   def qTextRepetition(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetitionProfile(rd(s, dir, "documents"), n = 3)
       .orderBy("doc_id")
+
+  /** Z-order (Morton) codes over the distinct (l_partkey, l_suppkey)
+    * pairs — the layout key a z-ordered lineitem write clusters by.
+    * (The code is a pure bitwise expression, so it's DuckDB-checkable;
+    * the clustering write itself is pinned in LayoutSpec.) */
+  def qZorderKey(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"))
+      .distinct()
+      .withColumn("zorder", graft.ops.Layout.morton2(col("l_partkey"), col("l_suppkey")))
+      .orderBy("zorder", "l_partkey", "l_suppkey")
 }

@@ -93,7 +93,8 @@ object SparkEntry {
     "q_decontaminate" -> (Queries.qDecontaminate _),
     "q_seq_packing" -> (Queries.qSeqPacking _),
     "q_pii_redact" -> (Queries.qPiiRedact _),
-    "q_text_repetition" -> (Queries.qTextRepetition _)
+    "q_text_repetition" -> (Queries.qTextRepetition _),
+    "q_zorder_key" -> (Queries.qZorderKey _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
