@@ -135,8 +135,13 @@ object SketchExprs {
   /** `sets`: word sets, encoded for the registry as 'w,w,…|w,w,…'. */
   def tokenSetCounts(text: Column, sets: Seq[Seq[String]]): Column = {
     ensure()
-    require(sets.forall(_.forall(w => !w.contains(',') && !w.contains('|'))),
-      "marker words must not contain ',' or '|'")
+    // empty sets/words would not round-trip through the spec encoding
+    // (split drops trailing empties) and would misalign count positions
+    require(sets.nonEmpty && sets.forall(_.nonEmpty),
+      "token_set_counts requires non-empty word sets")
+    require(sets.forall(_.forall(w =>
+        w.nonEmpty && !w.contains(',') && !w.contains('|'))),
+      "marker words must be non-empty and contain no ',' or '|'")
     call_function("token_set_counts", text,
       org.apache.spark.sql.functions.lit(sets.map(_.mkString(",")).mkString("|")))
   }
@@ -440,7 +445,11 @@ case class GramHashes(child: Expression, n: Int, distinct: Boolean, md5hex: Bool
     starts(numToks) = len + 1 // sentinel: "start of one-past-last token"
     val nGrams = math.max(numToks - n + 1, 1)
     if (md5hex) {
-      val md = java.security.MessageDigest.getInstance("MD5")
+      // the expression instance is SHARED across tasks (codegen binds it
+      // once into the generated class's references), so the digest must
+      // be per-thread — and getInstance per row would pay a synchronized
+      // JCA provider lookup per document
+      val md = GramHashes.Md5.get()
       val out = new Array[AnyRef](nGrams)
       val seen = if (distinct) new java.util.HashSet[UTF8String]() else null
       var k = 0
@@ -499,6 +508,8 @@ case class GramHashes(child: Expression, n: Int, distinct: Boolean, md5hex: Bool
 
 object GramHashes {
   private val HexDigits: Array[Byte] = "0123456789abcdef".getBytes
+  private val Md5: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 }
 
 /** Counts of space-delimited tokens exactly equal to a word of each set

@@ -20,17 +20,9 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word n-gram shingles of `text` (default 5-gram: synthetic corpora with
-    * tiny vocabularies make 3-grams collide massively; 5-grams keep the
-    * bucket join selective). `distinct = false` keeps positional
-    * duplicates — required by positional algorithms (winnowing windows). */
-  def shingles(text: Column, n: Int = 5, distinct: Boolean = true): Column = {
-    val toks = split(text, " ")
-    val grams = transform(
-      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(n))))
-    if (distinct) array_distinct(grams) else grams
-  }
+  // Gram construction for every shingle-based op lives in the fused
+  // `gram_hashes` expression (functions/SketchExprs.scala — GramHashes),
+  // including the positional/distinct distinction winnowing vs dedup need.
 
   /** Exact duplicates by content digest: one row per distinct digest with
     * the surviving (min) doc_id and the duplicate count. */
@@ -112,10 +104,6 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "n_common", "jaccard")
   }
-
-  /** 31-bit Mersenne prime: (p−1)² fits in a signed 64-bit long, so the
-    * permutation multiply never overflows under ANSI mode. */
-  private val MersenneP = graft.functions.MinHashSig.MersenneP
 
   /** MinHash signatures as (doc_id, sig: array<long>) with
     * h_i(x) = (a_i·x + b_i) mod 2^31−1 over xxhash64 shingle hashes.
