@@ -55,6 +55,14 @@ object Main {
         spark.sql(sql).show(10, truncate = false)
       case "versions" :: target :: Nil =>
         CdlFs.open(spark, catalog, target).versions.foreach(println)
+      case "compact" :: target :: rest =>
+        // OPTIMIZE-style rewrite (CdlFs.compact): fewer, stats-tight files
+        val targetBytes = rest match {
+          case b :: Nil => b.toLong
+          case _        => 128L * 1024 * 1024
+        }
+        val n = CdlFs.open(spark, catalog, target).compact(targetBytes)
+        println(s"compacted to $n data files")
       case "take" :: target :: indices :: rest =>
         // the reference's Lance take(indices, columns) surface
         // (python/cdlake/filesystem.py:58-63) exposed on the CLI
@@ -67,7 +75,8 @@ object Main {
           .orderBy("row_id").show(100, truncate = false)
       case other =>
         sys.error(s"usage: [--catalog-flag value]... {cp <from> <to> | query <target> <sql> " +
-          s"[--at-version N] | versions <target> | take <target> <i,j,...> [col,col]}; got $other")
+          s"[--at-version N] | versions <target> | compact <target> [bytes] | " +
+          s"take <target> <i,j,...> [col,col]}; got $other")
     }
 
   private def parseArgs(args: List[String]): (Map[String, String], List[String]) =

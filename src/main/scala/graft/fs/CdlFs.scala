@@ -230,6 +230,81 @@ final class CdlFs(
       .select(("row_id" +: columns).map(col): _*)
   }
 
+  /** OPTIMIZE-style compaction: rewrites the current table contents into
+    * few large, stats-tight parquet files and commits the new layout as
+    * the next version. Rows, row_ids, and schema are unchanged.
+    *
+    * Why it matters at 100 TB: every append creates its own small files,
+    * and on an object store per-file open latency dominates scans of
+    * many-small-files tables; after compaction each file also carries a
+    * DISJOINT `row_id` min/max range (rows are range-partitioned and
+    * sorted on the stamp — or on the (parent, name, chunk_id) path order
+    * for unstamped tables), so `take` prunes to exactly the touched
+    * files and listings prune by the preserved `p0` hive partition.
+    *
+    * Contract (documented trade, matching the reference's explicitly
+    * unsafe commit — crates/cdl-catalog/src/lib.rs:241-243): superseded
+    * data files are DELETED, so time travel to PRE-compaction versions is
+    * invalidated — the equivalent of Delta's OPTIMIZE + VACUUM(0); and
+    * the rewrite is not atomic against concurrent writers (last writer
+    * wins, like every commit on this log). New files land before old
+    * ones are removed, so a crash mid-compact leaves duplicate rather
+    * than lost rows — heal by deleting the files the LAST committed
+    * manifest lists (the pre-compaction set); the non-atomic window is
+    * the same class as the reference's.
+    *
+    * @param targetFileBytes target size per output file (default 128 MiB)
+    * @return number of data files after compaction */
+  def compact(targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    import org.apache.hadoop.fs.Path
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val rootP = new Path(tableLocation)
+    val fs = rootP.getFileSystem(hconf)
+    val snap = CommitLog.latest(tableLocation, hconf).getOrElse(
+      throw new IllegalStateException(
+        s"nothing to compact: no committed version at $tableLocation"))
+    if (snap.files.isEmpty) return 0
+    val totalBytes = snap.files.map(f =>
+      fs.getFileStatus(new Path(rootP, f)).getLen).sum
+    val numFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    // cluster key: the persistent stamp when every row carries it, else
+    // the path order (same total order the stamp was assigned in)
+    val keys =
+      if (fullyStamped) Seq(col("row_id"))
+      else Seq(col("parent"), col("name"), col("chunk_id"))
+    // 1. materialize the new layout NEXT TO the table (same FileSystem,
+    //    so the moves below are renames, not copies)
+    val tmp = new Path(rootP, s"_graft_compact_tmp")
+    fs.delete(tmp, true)
+    table
+      .repartitionByRange(numFiles, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .withColumn("p0", Ingest.topSegment(col("parent")))
+      .write.mode("overwrite").partitionBy("p0").parquet(tmp.toString)
+    // 2. move new files in (they are invisible to the CURRENT manifest
+    //    but directory readers may transiently see both copies)
+    val it = fs.listFiles(tmp, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = st.getPath.toUri.getPath
+        .stripPrefix(tmp.toUri.getPath).stripPrefix("/")
+      if (rel.endsWith(".parquet") && !rel.contains("_temporary")) {
+        val dst = new Path(rootP, rel)
+        fs.mkdirs(dst.getParent)
+        if (!fs.rename(st.getPath, dst))
+          throw new java.io.IOException(s"compact: rename failed for $rel")
+      }
+    }
+    fs.delete(tmp, true)
+    // 3. retire the old files, then commit the new file set (rowsAdded=0:
+    //    the cumulative row count — the next append's stamp base — is
+    //    unchanged)
+    snap.files.foreach(f => fs.delete(new Path(rootP, f), false))
+    val committed = CommitLog.commit(tableLocation, 0L, hconf)
+    refresh()
+    committed.files.size
+  }
+
   /** Dataset→dataset copy, any direction (reference `copy_to`,
     * crates/cdl-fs/src/lib.rs:72-76). Local destination re-materializes
     * files; table destination appends rows. */

@@ -1,0 +1,80 @@
+package graft.fs
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSuite
+import graft.core.{DatasetCatalog, GlobalPath}
+import org.apache.spark.sql.functions._
+
+/** OPTIMIZE-style compaction: same rows, fewer files, pruning intact. */
+class CompactSpec extends SparkSuite {
+
+  private def mkDataset(): CdlFs = {
+    val root = Files.createTempDirectory("compactspec").toString
+    val fixture = s"$root/fixture"
+    Files.createDirectories(Paths.get(s"$fixture/d1"))
+    Files.createDirectories(Paths.get(s"$fixture/d2"))
+    (1 to 6).foreach { i =>
+      Files.write(Paths.get(s"$fixture/d1/f$i.txt"), s"one $i".getBytes)
+      Files.write(Paths.get(s"$fixture/d2/g$i.txt"), s"two $i two".getBytes)
+    }
+    val f = CdlFs.open(spark, DatasetCatalog(),
+      GlobalPath.parse(s"$root/ds").toOption.get)
+    // several appends -> several generations of small files
+    Ingest.run(f, fixture)
+    Ingest.run(f, s"$fixture/d1")
+    Ingest.run(f, s"$fixture/d2")
+    f
+  }
+
+  test("compact preserves rows/row_ids, reduces files, keeps take and pruning") {
+    val fs = mkDataset()
+    val before = fs.table
+      .select(col("parent"), col("name"), col("chunk_id"), col("row_id"),
+        hex(col("data")).as("data_hex"))
+      .collect().map(_.toString).sorted
+    val filesBefore = CommitLog.latest(fs.tableLocation,
+      spark.sparkContext.hadoopConfiguration).get.files
+    val versionsBefore = fs.versions.size
+    val takeBefore = fs.take(Seq(2L, 9L), Seq("name", "parent"))
+      .collect().map(_.toString).sorted
+
+    val nAfter = fs.compact()
+
+    assert(nAfter < filesBefore.size,
+      s"expected fewer files than ${filesBefore.size}, got $nAfter")
+    val after = fs.table
+      .select(col("parent"), col("name"), col("chunk_id"), col("row_id"),
+        hex(col("data")).as("data_hex"))
+      .collect().map(_.toString).sorted
+    assert(after.toSeq == before.toSeq) // identical rows incl. stamps
+    assert(fs.versions.size == versionsBefore + 1)
+    // cumulative row count (next stamp base) unchanged
+    val snap = CommitLog.latest(fs.tableLocation,
+      spark.sparkContext.hadoopConfiguration).get
+    assert(snap.rowCount == before.length)
+    // take still prunes on the persistent stamp and returns the same rows
+    val takeAfter = fs.take(Seq(2L, 9L), Seq("name", "parent"))
+      .collect().map(_.toString).sorted
+    assert(takeAfter.toSeq == takeBefore.toSeq)
+    // hive partition column survives the rewrite (listing prune intact)
+    assert(snap.files.forall(_.startsWith("p0=")), snap.files.mkString(","))
+    // the new layout is the committed layout: directory state == manifest
+    assert(snap.files.size == nAfter)
+  }
+
+  test("compact on an appended-after-compact table keeps appending cleanly") {
+    val fs = mkDataset()
+    fs.compact()
+    val rowsAfterCompact = fs.table.count()
+    // append another generation on top of the compacted layout
+    val extra = Files.createTempDirectory("compact_extra").toString
+    Files.write(Paths.get(s"$extra/h.txt"), "post-compact".getBytes)
+    Ingest.run(fs, extra)
+    assert(fs.table.count() == rowsAfterCompact + 1)
+    // new row got the next ordinal (stamp base survived rowsAdded=0)
+    val maxId = fs.table.agg(max("row_id")).head.getLong(0)
+    assert(maxId == rowsAfterCompact) // dense 0-based stamps
+    fs.close()
+  }
+}
