@@ -69,6 +69,35 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: re-encodes the payload for target dimensions. A real
+    * implementation decodes, scales, and re-encodes; the fake emits a
+    * deterministic byte stream of the size a `w×h` re-encode would
+    * approximate (3 bytes/pixel sampled from the source payload), so
+    * byte accounting, meta rewrite, and partition shape are all real and
+    * testable. Executor-local and batch-at-a-time like extractFeatures —
+    * the `mapInPandas`-worker shape. */
+  def resize(items: Dataset[Item], width: Int, height: Int): Dataset[Item] = {
+    import items.sparkSession.implicits._
+    require(width > 0 && height > 0, s"bad target dims ${width}x$height")
+    items.mapPartitions { it =>
+      it.map { x =>
+        val n = width * height * 3
+        val out = new Array[Byte](n)
+        if (x.payload != null && x.payload.length > 0) {
+          var i = 0
+          while (i < n) {
+            // deterministic sample of the source bytes (stands in for the
+            // decoded-pixel resample a real codec would do)
+            out(i) = x.payload((i.toLong * x.payload.length / n).toInt)
+            i += 1
+          }
+        }
+        x.copy(payload = out,
+          meta = x.meta.copy(width = Some(width), height = Some(height)))
+      }
+    }
+  }
+
   /** Frame sampling plan for video: every `stride`-th frame index, purely
     * declarative (the decode of those frames would happen in the codec
     * worker). */

@@ -46,4 +46,16 @@ class MultimodalSpec extends SparkSuite {
     val r = Multimodal.frameSamplePlan(d, stride = 10).collect().head
     assert(r.getAs[Long]("n_sampled") == 10) // frames 0,10,...,90
   }
+
+  test("resize rewrites payload size and meta dims, deterministically") {
+    import spark.implicits._
+    val ds = items.as[Multimodal.Item]
+    val r1 = Multimodal.resize(ds, 4, 3).collect().sortBy(_.item_id)
+    val r2 = Multimodal.resize(ds, 4, 3).collect().sortBy(_.item_id)
+    assert(r1.forall(_.payload.length == 4 * 3 * 3))
+    assert(r1.forall(x => x.meta.width.contains(4) && x.meta.height.contains(3)))
+    // untouched meta fields survive; output deterministic across runs
+    assert(r1.forall(_.meta.codec.contains("utf8")))
+    assert(r1.map(_.payload.toSeq) sameElements r2.map(_.payload.toSeq))
+  }
 }
