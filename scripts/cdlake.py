@@ -73,6 +73,12 @@ class CdlFs:
     def copy_to(self, dst):
         self._bridge.copyTo(self._jfs, dst)
 
+    def compact(self, target_file_bytes=128 * 1024 * 1024):
+        """OPTIMIZE-style rewrite into few stats-tight files; returns the
+        data-file count after compaction. Invalidates pre-compaction time
+        travel (OPTIMIZE+VACUUM(0) semantics — see CdlFs.compact)."""
+        return self._bridge.compact(self._jfs, target_file_bytes)
+
     def versions(self):
         return list(self._bridge.versions(self._jfs))
 

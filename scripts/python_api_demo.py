@@ -73,9 +73,15 @@ print("\n== external handoff ==")
 print("table_location:", fs.table_location)
 print("storage_options:", fs.storage_options)
 
+print("\n== compact (OPTIMIZE) ==")
+# NOTE: invalidates pre-compaction time travel (VACUUM(0) semantics),
+# so it runs after the time-travel checks above
+nfiles = fs.compact()
+print("data files after compact:", nfiles, "| versions:", fs.versions())
+
 n = fs.sql("SELECT count(*) AS n FROM rootfs").collect()[0]["n"]
 assert n == 5, n
 print(f"\nOK — full Python surface drive: {n} chunk rows, "
-      "bytes verified, time travel consistent.")
+      "bytes verified, time travel consistent, compacted layout queried.")
 shutil.rmtree(work)
 spark.stop()

@@ -46,4 +46,8 @@ object PyBridge {
       case Right(p)  => fs.copyTo(p)
       case Left(err) => throw new IllegalArgumentException(err)
     }
+
+  /** OPTIMIZE-style compaction (CdlFs.compact — default-arg adapter). */
+  def compact(fs: CdlFs, targetFileBytes: java.lang.Number): Int =
+    fs.compact(targetFileBytes.longValue())
 }

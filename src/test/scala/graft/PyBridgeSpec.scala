@@ -58,4 +58,20 @@ class PyBridgeSpec extends SparkSuite {
     // unregistered scheme -> parse error surfaces as IllegalArgument
     intercept[IllegalArgumentException] { PyBridge.copyTo(fs, "bogus://x/y") }
   }
+
+  test("compact via the bridge reduces files and keeps rows") {
+    val root = Files.createTempDirectory("pybridge3").toString
+    val tree = s"$root/tree"
+    Files.createDirectories(Paths.get(tree))
+    (1 to 4).foreach(i =>
+      Files.write(Paths.get(s"$tree/f$i.txt"), s"payload $i".getBytes))
+    val fs = PyBridge.open(spark, s"$root/ds", new java.util.HashMap())
+    PyBridge.ingest(fs, tree)
+    PyBridge.ingest(fs, tree) // second generation -> more files
+    val rows = fs.table.count()
+    // py4j delivers Python ints as boxed Numbers — Integer here
+    val n = PyBridge.compact(fs, Integer.valueOf(128 * 1024 * 1024))
+    assert(n >= 1)
+    assert(fs.table.count() == rows)
+  }
 }
