@@ -678,6 +678,23 @@ object Oracles {
         |    '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ips
         |FROM raw ORDER BY c_custkey""".stripMargin,
 
+    // incremental exact dedup: batch 2 (src0/src1) judged against the
+    // store built from every other source — whole-corpus SQL restatement
+    "q_dedup_incremental" ->
+      """WITH b1 AS (SELECT doc_id, md5(text) AS digest FROM documents
+        |            WHERE source NOT IN ('src0', 'src1')),
+        |b2 AS (SELECT doc_id, md5(text) AS digest FROM documents
+        |       WHERE source IN ('src0', 'src1')),
+        |k1 AS (SELECT digest, min(doc_id) AS keep FROM b1 GROUP BY digest),
+        |k2 AS (SELECT digest, min(doc_id) AS bkeep FROM b2 GROUP BY digest)
+        |SELECT b2.doc_id, b2.digest,
+        |  CASE WHEN k1.keep IS NOT NULL THEN k1.keep
+        |       WHEN k2.bkeep < b2.doc_id THEN k2.bkeep END AS dup_of
+        |FROM b2
+        |LEFT JOIN k1 USING (digest)
+        |JOIN k2 USING (digest)
+        |ORDER BY doc_id""".stripMargin,
+
     // z-order key: 16+16-bit Morton interleave as an explicit bitwise
     // expression (generated term list — identical math to Layout.morton2)
     "q_zorder_key" -> {

@@ -821,6 +821,29 @@ object Queries {
     TextAnalysis.repetitionProfile(rd(s, dir, "documents"), n = 3)
       .orderBy("doc_id")
 
+  /** Incremental exact dedup: the corpus arrives as two batches (store
+    * build-up: every source except src0/src1, then the src0+src1 batch);
+    * the gate checks the SECOND batch's dup verdicts against a whole-
+    * corpus SQL restatement — the store path must agree with the
+    * stateless math. A fresh store dir per call keeps the query
+    * idempotent (the one-time store write is setup, like an index
+    * build). */
+  def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = rd(s, dir, "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_incdedup_")
+    // benches/verify re-run in fresh JVMs — don't leak a store per run
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      org.apache.hadoop.fs.FileUtil.fullyDelete(tmp.toFile)
+      ()
+    }))
+    val store = tmp.toString + "/store"
+    graft.ops.IncrementalDedup.exactBatch(
+      docs.filter(!col("source").isin("src0", "src1")), store)
+    graft.ops.IncrementalDedup.exactBatch(
+      docs.filter(col("source").isin("src0", "src1")), store)
+      .orderBy("doc_id")
+  }
+
   /** Z-order (Morton) codes over the distinct (l_partkey, l_suppkey)
     * pairs — the layout key a z-ordered lineitem write clusters by.
     * (The code is a pure bitwise expression, so it's DuckDB-checkable;

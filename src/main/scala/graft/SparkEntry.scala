@@ -94,7 +94,8 @@ object SparkEntry {
     "q_seq_packing" -> (Queries.qSeqPacking _),
     "q_pii_redact" -> (Queries.qPiiRedact _),
     "q_text_repetition" -> (Queries.qTextRepetition _),
-    "q_zorder_key" -> (Queries.qZorderKey _)
+    "q_zorder_key" -> (Queries.qZorderKey _),
+    "q_dedup_incremental" -> (Queries.qDedupIncremental _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental deduplication across corpus appends — the shape a 100 TB
+  * pipeline actually runs: signatures for the existing corpus are
+  * computed ONCE and persisted next to the dataset; each new batch only
+  * computes its own signatures and joins them against the store, so an
+  * append's dedup cost is O(|batch| + touched buckets), never O(corpus).
+  * Re-running full-corpus dedup per append is quadratic over the
+  * pipeline's lifetime and is the difference between minutes and days at
+  * scale.
+  *
+  * Two variants:
+  *  - exact (content digest): the store is (digest, keep_doc_id); a new
+  *    batch's duplicates are one broadcast-or-shuffle equi-join away.
+  *  - MinHash-LSH (near-dup): the store is the signature table the
+  *    batch path already persists; new signatures band and bucket-join
+  *    against the banded store. Incremental pairs over a batch sequence
+  *    equal the full-batch pairs (IncrementalDedupSpec proves parity).
+  *
+  * The reference (SmartX-Team/connected-data-lake) has no curation ops —
+  * this extends the engine for training pipelines (SURVEY §2.8/§2.10).
+  */
+object IncrementalDedup {
+
+  /** Exact-dedup one batch against the digest store at `storeDir`
+    * (created if absent), returning (doc_id, digest, dup_of) for the
+    * batch — `dup_of` is the keeper doc_id when the content was already
+    * seen (in the store OR earlier in this batch, min doc_id wins), null
+    * when the doc is novel. Appends the batch's novel digests to the
+    * store. */
+  def exactBatch(
+      docsNew: DataFrame,
+      storeDir: String,
+      textCol: String = "text"): DataFrame = {
+    val spark = docsNew.sparkSession
+    val digested = docsNew.select(col("doc_id"),
+      md5(col(textCol)).as("digest"))
+    val store = readStore(spark, storeDir,
+      "digest STRING, keep_doc_id BIGINT")
+    // batch-internal keeper: min doc_id per digest within the batch
+    val batchKeep = digested.groupBy("digest")
+      .agg(min("doc_id").as("batch_keep"))
+    val out = digested
+      .join(store.withColumnRenamed("keep_doc_id", "store_keep"),
+        Seq("digest"), "left")
+      .join(batchKeep, Seq("digest"))
+      .withColumn("dup_of",
+        when(col("store_keep").isNotNull, col("store_keep"))
+          .when(col("batch_keep") < col("doc_id"), col("batch_keep"))
+          .otherwise(lit(null).cast("long")))
+      .select("doc_id", "digest", "dup_of")
+      // materialize BEFORE the store append below: the plan reads the
+      // store directory, and a lazy frame re-evaluated after the append
+      // would see the batch's own digests and mark every doc a dup
+      .localCheckpoint()
+    // persist the batch's NOVEL digests (one keeper per new digest)
+    out.filter(col("dup_of").isNull)
+      .select(col("digest"), col("doc_id").as("keep_doc_id"))
+      .write.mode("append").parquet(storeDir)
+    out
+  }
+
+  /** MinHash near-dup pairs of one batch against the signature store at
+    * `storeDir` (created if absent): returns (doc_a, doc_b, est_jaccard)
+    * for every pair with at least one side in the batch (store-internal
+    * pairs were reported when THEIR batches arrived), then appends the
+    * batch's signatures to the store. Over a sequence of batches the
+    * union of results equals the full-corpus `Dedup.minhashLshPairs`. */
+  def minhashBatch(
+      docsNew: DataFrame,
+      storeDir: String,
+      textCol: String = "text",
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    val spark = docsNew.sparkSession
+    val rowsPerBand = numHashes / bands
+    val newSigs = Dedup.minhashSignatures(docsNew, textCol, numHashes = numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val store = readStore(spark, storeDir, "doc_id BIGINT, sig ARRAY<BIGINT>")
+    def banded(sigs: DataFrame): DataFrame = sigs.select(
+      col("doc_id"), col("sig"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bh"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bh"))
+    // candidates: every bucket pair touching the batch — (store ∪ batch)
+    // on one side would re-derive the whole store's bands; instead the
+    // batch side is banded once and joined against banded(store ∪ batch)
+    // so batch-internal pairs surface too. doc_a < doc_b normalizes
+    // orientation and drops self-pairs; dropDuplicates collapses pairs
+    // sharing several buckets.
+    val all = banded(store.unionByName(newSigs))
+    val cand = all.as("a").join(banded(newSigs).as("b"), Seq("band", "bh"))
+      .filter(col("a.doc_id") =!= col("b.doc_id"))
+      .select(
+        least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+        when(col("a.doc_id") < col("b.doc_id"), col("a.sig"))
+          .otherwise(col("b.sig")).as("sig_a"),
+        when(col("a.doc_id") < col("b.doc_id"), col("b.sig"))
+          .otherwise(col("a.sig")).as("sig_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val out = cand
+      .withColumn("est_jaccard",
+        round(graft.functions.SketchExprs.arrayEqCount(col("sig_a"), col("sig_b"))
+          .cast("double") / numHashes, 4))
+      .filter(col("est_jaccard") >= threshold)
+      .select("doc_a", "doc_b", "est_jaccard")
+      // materialize BEFORE the store append below rewrites the directory
+      // the `store` side of the join reads
+      .localCheckpoint()
+    newSigs.write.mode("append").parquet(storeDir)
+    newSigs.unpersist()
+    out
+  }
+
+  /** Read a store dir that may not exist yet (first batch): an empty
+    * frame with the right schema keeps the joins well-typed. */
+  private def readStore(
+      spark: SparkSession, dir: String, ddl: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
+      spark.read.schema(schema).parquet(dir)
+    else
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+}

@@ -1,0 +1,53 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Incremental dedup: batch-sequence results must equal full-corpus
+  * results — the contract that makes the store trustworthy. */
+class IncrementalDedupSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  test("exact: duplicates found across batches and within a batch; store grows by novel only") {
+    val dir = Files.createTempDirectory("incdedup_exact").toString + "/store"
+    val b1 = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa")).toDF("doc_id", "text")
+    val r1 = IncrementalDedup.exactBatch(b1, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        Option(r.getAs[java.lang.Long]("dup_of")).map(_.toLong)).toMap
+    // batch-internal: 3 dups 1; 1 and 2 novel
+    assert(r1 == Map(1L -> None, 2L -> None, 3L -> Some(1L)))
+    val b2 = Seq((10L, "bbb"), (11L, "ccc"), (12L, "ccc")).toDF("doc_id", "text")
+    val r2 = IncrementalDedup.exactBatch(b2, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        Option(r.getAs[java.lang.Long]("dup_of")).map(_.toLong)).toMap
+    // 10 dups the STORE keeper 2; 12 dups batch keeper 11
+    assert(r2 == Map(10L -> Some(2L), 11L -> None, 12L -> Some(11L)))
+    // store holds exactly one keeper per distinct content
+    val store = spark.read.parquet(dir)
+    assert(store.count() == 3)
+    assert(store.select("keep_doc_id").as[Long].collect().toSet == Set(1L, 2L, 11L))
+  }
+
+  test("minhash: union over batches equals full-corpus pairs") {
+    val dir = Files.createTempDirectory("incdedup_mh").toString + "/store"
+    val base = "the quick brown fox jumps over the lazy dog and runs far away " +
+      "into the deep green forest while birds sing songs above the tall trees"
+    val near = base.replace("lazy dog", "sleepy dog")
+    val far = "completely different text about spark shuffles partitions " +
+      "joins aggregates windows and the catalyst optimizer pipeline stages"
+    val b1 = Seq((0L, base), (1L, base), (3L, far)).toDF("doc_id", "text")
+    val b2 = Seq((2L, near), (4L, "the " + base)).toDF("doc_id", "text")
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("est_jaccard"))).toSet
+    val inc = pairsOf(IncrementalDedup.minhashBatch(b1, dir, threshold = 0.5)) ++
+      pairsOf(IncrementalDedup.minhashBatch(b2, dir, threshold = 0.5))
+    val full = pairsOf(Dedup.minhashLshPairs(
+      b1.unionByName(b2), threshold = 0.5))
+    assert(inc == full)
+    assert(full.exists(p => p._1 == 0L && p._2 == 1L)) // non-vacuous
+  }
+}
