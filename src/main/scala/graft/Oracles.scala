@@ -585,6 +585,27 @@ object Oracles {
         |           FROM scored)
         |SELECT query_id, neighbor_id, cosine, rank FROM ranked
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    // persisted-IVF exhaustive probe — must equal brute force, same SQL
+    "q_knn_ivf_index" ->
+      """WITH idx AS (SELECT unnest(range(1, 65)) AS i),
+        |q AS (SELECT vec_id AS qid, embedding AS e FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS nid, embedding AS e FROM embeddings WHERE vec_id >= 5),
+        |qe AS (SELECT qid, i, CAST(e[i] AS DOUBLE) AS x FROM q, idx),
+        |ce AS (SELECT nid, i, CAST(e[i] AS DOUBLE) AS x FROM c, idx),
+        |qn AS (SELECT qid, sqrt(sum(x * x)) AS nrm FROM qe GROUP BY qid),
+        |cn AS (SELECT nid, sqrt(sum(x * x)) AS nrm FROM ce GROUP BY nid),
+        |dots AS (SELECT qid, nid, sum(qe.x * ce.x) AS dot
+        |         FROM qe JOIN ce USING (i) GROUP BY qid, nid),
+        |scored AS (SELECT qid AS query_id, nid AS neighbor_id,
+        |             round(dot / (qn.nrm * cn.nrm), 4) AS cosine
+        |           FROM dots JOIN qn USING (qid) JOIN cn USING (nid)),
+        |ranked AS (SELECT query_id, neighbor_id, cosine,
+        |             CAST(row_number() OVER (PARTITION BY query_id
+        |               ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+        |           FROM scored)
+        |SELECT query_id, neighbor_id, cosine, rank FROM ranked
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
 
     "q_embedding_norm" ->
       """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dims,

@@ -731,6 +731,31 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** ANN through the PERSISTED IVF index (build in untimed-ish setup —
+    * memoized per dir like the random-access table; the index build is a
+    * one-time cost, search is the product path). Exhaustive probe
+    * (nprobe = nlist) must reproduce brute force exactly → DuckDB-oracle-
+    * checkable; fractional probing is covered in IvfIndexSpec. */
+  private val ivfIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def qKnnIvfIndex(s: SparkSession, dir: String): DataFrame = {
+    val embs = rd(s, dir, "embeddings")
+    val idx = ivfIndexCache.getOrElseUpdate(dir, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivfidx_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        org.apache.hadoop.fs.FileUtil.fullyDelete(tmp.toFile)
+        ()
+      }))
+      graft.ops.IvfIndex.build(embs.filter(col("vec_id") >= 5), tmp.toString,
+        nlist = 16)
+      tmp.toString
+    })
+    graft.ops.IvfIndex.search(s, idx, embs.filter(col("vec_id") < 5),
+      k = 3, nprobe = 16)
+      .orderBy("query_id", "rank")
+  }
+
   /** Embedding-cosine near-dup candidates per vector (LSH-blocked). */
   def qDedupEmbedding(s: SparkSession, dir: String): DataFrame = {
     val embs = rd(s, dir, "embeddings")

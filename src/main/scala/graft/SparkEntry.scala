@@ -95,7 +95,8 @@ object SparkEntry {
     "q_pii_redact" -> (Queries.qPiiRedact _),
     "q_text_repetition" -> (Queries.qTextRepetition _),
     "q_zorder_key" -> (Queries.qZorderKey _),
-    "q_dedup_incremental" -> (Queries.qDedupIncremental _)
+    "q_dedup_incremental" -> (Queries.qDedupIncremental _),
+    "q_knn_ivf_index" -> (Queries.qKnnIvfIndex _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
