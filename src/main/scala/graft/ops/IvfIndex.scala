@@ -81,11 +81,8 @@ object IvfIndex {
     val scored = assignments.join(broadcast(qcells), Seq("cell"))
       .select(col("query_id"), col("id").as("neighbor_id"),
         round(Similarity.cosine(col("qvec"), col("vec")), 4).as("cosine"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    val out = scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+    // two-stage top-k: no partition ever holds a query's whole probed set
+    val out = Similarity.twoStageTopK(scored, k)
       .localCheckpoint() // release the qcells pin without invalidating out
     qcells.unpersist()
     out

@@ -46,12 +46,23 @@ object Similarity {
     val scored = c.join(q) // broadcast nested loop: candidates × (small) queries
       .select(col("query_id"), col("neighbor_id"),
         round(cosine(col("qvec"), col("cvec")), 4).as("cosine"))
-    // stage 1: top-k within each hash-slice of the candidate space
+    twoStageTopK(scored, k, slices)
+  }
+
+  /** Exact per-query top-k of a (query_id, neighbor_id, cosine) frame in
+    * two stages: top-k within each hash-slice of the candidate space,
+    * then final top-k over the ≤ slices·k survivors. Identical rows to
+    * the single-window form (every global top-k row survives its slice),
+    * but no partition ever holds one query's whole candidate set — the
+    * naive `Window.partitionBy(query)` funnels the corpus through
+    * |queries| partitions, THE scale bottleneck of every ANN scorer
+    * here, so all of them (brute-force, LSH, IVF, the persisted index)
+    * end in this helper. */
+  private[ops] def twoStageTopK(scored: DataFrame, k: Int, slices: Int = 32): DataFrame = {
     val sliced = scored.withColumn("slice", pmod(hash(col("neighbor_id")), lit(slices)))
     val w1 = Window.partitionBy("query_id", "slice")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     val partial = sliced.withColumn("r", row_number().over(w1)).filter(col("r") <= k)
-    // stage 2: final top-k over ≤ slices·k survivors per query
     val w2 = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     partial.withColumn("rank", row_number().over(w2)).filter(col("rank") <= k)
@@ -165,10 +176,7 @@ object Similarity {
     val scored = assigned.join(broadcast(qcells), Seq("cell"))
       .select(col("query_id"), col("neighbor_id"),
         round(cosine(col("qvec"), col("cvec")), 4).as("cosine"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+    twoStageTopK(scored, k)
   }
 
   /** ANN top-k via LSH: search only same-bucket candidates. Recall is
@@ -188,10 +196,7 @@ object Similarity {
     val scored = c.join(q, Seq("bucket"))
       .select(col("query_id"), col("neighbor_id"),
         round(cosine(col("qvec"), col("cvec")), 4).as("cosine"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+    twoStageTopK(scored, k)
   }
 
   /** Int8 scalar quantization summary — the storage-compression step a
