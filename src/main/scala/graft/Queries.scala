@@ -18,6 +18,22 @@ import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
   */
 object Queries {
 
+  /** One shutdown hook draining every registered scratch dir — repeated
+    * per-call hook registration would accumulate unbounded hook threads
+    * in a long-lived session. */
+  private object TmpCleanup {
+    private val dirs =
+      new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
+    private lazy val installed: Unit =
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        dirs.forEach(d => { org.apache.hadoop.fs.FileUtil.fullyDelete(d); () })))
+    def register(dir: java.nio.file.Path): Unit = {
+      installed
+      dirs.add(dir.toFile)
+      ()
+    }
+  }
+
   /** Driver-tables' schemas never change within a process — cache them so
     * repeated reads skip the footer-inference job (a real per-query tax
     * when 60 bench queries each open 1-3 tables). */
@@ -862,12 +878,12 @@ object Queries {
     * build). */
   def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
     val docs = rd(s, dir, "documents")
+    // fresh store per call (idempotence — a reused store would judge the
+    // batch against itself); ONE registered hook drains them all, so a
+    // long-lived session calling this N times doesn't accumulate N
+    // shutdown-hook threads
     val tmp = java.nio.file.Files.createTempDirectory("graft_incdedup_")
-    // benches/verify re-run in fresh JVMs — don't leak a store per run
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      org.apache.hadoop.fs.FileUtil.fullyDelete(tmp.toFile)
-      ()
-    }))
+    TmpCleanup.register(tmp)
     val store = tmp.toString + "/store"
     graft.ops.IncrementalDedup.exactBatch(
       docs.filter(!col("source").isin("src0", "src1")), store)

@@ -56,10 +56,14 @@ object Main {
       case "versions" :: target :: Nil =>
         CdlFs.open(spark, catalog, target).versions.foreach(println)
       case "compact" :: target :: rest =>
-        // OPTIMIZE-style rewrite (CdlFs.compact): fewer, stats-tight files
+        // OPTIMIZE-style rewrite (CdlFs.compact): fewer, stats-tight files.
+        // Strict args: compaction deletes the old layout (not undoable),
+        // so a malformed byte target must fail, not fall back silently.
         val targetBytes = rest match {
+          case Nil      => 128L * 1024 * 1024
           case b :: Nil => b.toLong
-          case _        => 128L * 1024 * 1024
+          case other    => sys.error(
+            s"usage: compact <target> [bytes]; unexpected args: $other")
         }
         val n = CdlFs.open(spark, catalog, target).compact(targetBytes)
         println(s"compacted to $n data files")

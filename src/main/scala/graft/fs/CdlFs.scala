@@ -260,11 +260,17 @@ final class CdlFs(
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val rootP = new Path(tableLocation)
     val fs = rootP.getFileSystem(hconf)
-    val snap = CommitLog.latest(tableLocation, hconf).getOrElse(
+    if (CommitLog.latest(tableLocation, hconf).isEmpty)
       throw new IllegalStateException(
-        s"nothing to compact: no committed version at $tableLocation"))
-    if (snap.files.isEmpty) return 0
-    val totalBytes = snap.files.map(f =>
+        s"nothing to compact: no committed version at $tableLocation")
+    // capture the DIRECTORY's current data files, not the manifest's:
+    // external writers append files without bumping the CommitLog (the
+    // refresh()/take-fallback contract), and the rewrite below reads the
+    // directory — retiring only the manifest's list would leave those
+    // extra files in place and double-count their rows forever
+    val srcFiles = CommitLog.dataFiles(tableLocation, hconf)
+    if (srcFiles.isEmpty) return 0
+    val totalBytes = srcFiles.map(f =>
       fs.getFileStatus(new Path(rootP, f)).getLen).sum
     val numFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     // cluster key: the persistent stamp when every row carries it, else
@@ -273,10 +279,18 @@ final class CdlFs(
       if (fullyStamped) Seq(col("row_id"))
       else Seq(col("parent"), col("name"), col("chunk_id"))
     // 1. materialize the new layout NEXT TO the table (same FileSystem,
-    //    so the moves below are renames, not copies)
-    val tmp = new Path(rootP, s"_graft_compact_tmp")
+    //    so the moves below are renames, not copies). DOT-prefixed: both
+    //    Spark directory reads and CommitLog manifests skip hidden dirs,
+    //    so a crash that strands the work dir (or a concurrent commit
+    //    racing a healthy compact) can never leak its files into a
+    //    manifest or a query
+    val tmp = new Path(rootP, s".graft_compact_tmp")
     fs.delete(tmp, true)
-    table
+    // read EXACTLY the captured file list (not the directory) so the
+    // rewrite and the retire step below agree even if a concurrent
+    // append lands mid-compact (its files survive untouched)
+    val base = tableLocation.stripSuffix("/")
+    canonical(spark.read.parquet(srcFiles.map(f => s"$base/$f"): _*))
       .repartitionByRange(numFiles, keys: _*)
       .sortWithinPartitions(keys: _*)
       .withColumn("p0", Ingest.topSegment(col("parent")))
@@ -296,10 +310,10 @@ final class CdlFs(
       }
     }
     fs.delete(tmp, true)
-    // 3. retire the old files, then commit the new file set (rowsAdded=0:
-    //    the cumulative row count — the next append's stamp base — is
-    //    unchanged)
-    snap.files.foreach(f => fs.delete(new Path(rootP, f), false))
+    // 3. retire exactly the files the rewrite read, then commit the new
+    //    file set (rowsAdded=0: the cumulative row count — the next
+    //    append's stamp base — is unchanged)
+    srcFiles.foreach(f => fs.delete(new Path(rootP, f), false))
     val committed = CommitLog.commit(tableLocation, 0L, hconf)
     refresh()
     committed.files.size

@@ -47,6 +47,13 @@ object CommitLog {
   /** All data files currently in the table directory, root-relative.
     * Skips the log dir, Spark/Hadoop `_temporary` job attempt dirs, and
     * hidden (`.`/`_`-prefixed) work files anywhere on the path. */
+  def dataFiles(
+      tableLocation: String,
+      conf: Configuration = new Configuration()): Seq[String] = {
+    val (fs, root) = open(tableLocation, conf)
+    listDataFiles(fs, root)
+  }
+
   private def listDataFiles(fs: FileSystem, root: Path): Seq[String] = {
     if (!fs.exists(root)) return Seq.empty
     val rootUri = root.toUri.getPath.stripSuffix("/")

@@ -128,6 +128,27 @@ object Dedup {
         numHashes).as("sig"))
       .filter(col("sig").isNotNull)
 
+  /** (doc_id, sig, band, bh) banding of a (doc_id, sig) signature table —
+    * shared by the batch pair search and the incremental store path:
+    * store compatibility REQUIRES both to band identically, so there is
+    * exactly one implementation. */
+  private[ops] def bandSignatures(
+      sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sigs.select(
+      col("doc_id"), col("sig"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bh"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bh"))
+
+  /** Estimated Jaccard = fraction of equal signature positions — the
+    * fused codegen count (the zip_with/filter/size chain is interpreted:
+    * HOFs have no codegen, and this runs per candidate pair). */
+  private[ops] def estJaccard(a: Column, b: Column, numHashes: Int): Column =
+    round(graft.functions.SketchExprs.arrayEqCount(a, b)
+      .cast("double") / numHashes, 4)
+
   /** MinHash-LSH candidate pairs: band the signature (`bands` ×
     * `rowsPerBand`), bucket-join on (band_id, band_hash), then verify with
     * estimated Jaccard = fraction of equal signature positions. */
@@ -139,13 +160,7 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = numHashes / bands
     val sigs = minhashSignatures(docs, textCol, numHashes = numHashes)
-    val banded = sigs.select(
-      col("doc_id"), col("sig"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bh"))
-      }: _*)).as("bb"))
-      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bh"))
+    val banded = bandSignatures(sigs, bands, rowsPerBand)
       // the signature aggregation feeds both sides of the bucket self-join;
       // materialize it once (at production scale this is the "signature
       // table" a pipeline would checkpoint anyway)
@@ -156,11 +171,7 @@ object Dedup {
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
       .dropDuplicates("doc_a", "doc_b")
     cand
-      // fused codegen position-equality count — the zip_with/filter/size
-      // chain is interpreted (HOFs have no codegen) and ran per candidate
-      .withColumn("est_jaccard",
-        round(graft.functions.SketchExprs.arrayEqCount(col("sig_a"), col("sig_b"))
-          .cast("double") / numHashes, 4))
+      .withColumn("est_jaccard", estJaccard(col("sig_a"), col("sig_b"), numHashes))
       .filter(col("est_jaccard") >= threshold)
       .select("doc_a", "doc_b", "est_jaccard")
   }

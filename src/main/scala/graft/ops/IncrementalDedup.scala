@@ -30,14 +30,20 @@ object IncrementalDedup {
     * batch — `dup_of` is the keeper doc_id when the content was already
     * seen (in the store OR earlier in this batch, min doc_id wins), null
     * when the doc is novel. Appends the batch's novel digests to the
-    * store. */
+    * store.
+    *
+    * Null-text docs have no content to dedup and are EXCLUDED from the
+    * verdicts (md5(null) digests to null, which equality joins cannot
+    * carry) — filter them out, explicitly, rather than losing them to
+    * join semantics silently. */
   def exactBatch(
       docsNew: DataFrame,
       storeDir: String,
       textCol: String = "text"): DataFrame = {
     val spark = docsNew.sparkSession
-    val digested = docsNew.select(col("doc_id"),
-      md5(col(textCol)).as("digest"))
+    val digested = docsNew
+      .filter(col(textCol).isNotNull)
+      .select(col("doc_id"), md5(col(textCol)).as("digest"))
     val store = readStore(spark, storeDir,
       "digest STRING, keep_doc_id BIGINT")
     // batch-internal keeper: min doc_id per digest within the batch
@@ -47,17 +53,26 @@ object IncrementalDedup {
       .join(store.withColumnRenamed("keep_doc_id", "store_keep"),
         Seq("digest"), "left")
       .join(batchKeep, Seq("digest"))
+      // `store_keep =!= doc_id`: on a RETRIED batch the store already
+      // holds this batch's keepers — a keeper must stay novel, not be
+      // reported as a duplicate of itself (idempotent re-runs)
       .withColumn("dup_of",
-        when(col("store_keep").isNotNull, col("store_keep"))
-          .when(col("batch_keep") < col("doc_id"), col("batch_keep"))
+        when(col("store_keep").isNotNull && col("store_keep") =!= col("doc_id"),
+          col("store_keep"))
+          .when(col("store_keep").isNull && col("batch_keep") < col("doc_id"),
+            col("batch_keep"))
           .otherwise(lit(null).cast("long")))
       .select("doc_id", "digest", "dup_of")
       // materialize BEFORE the store append below: the plan reads the
       // store directory, and a lazy frame re-evaluated after the append
       // would see the batch's own digests and mark every doc a dup
       .localCheckpoint()
-    // persist the batch's NOVEL digests (one keeper per new digest)
+    // persist the batch's NOVEL digests (one keeper per new digest);
+    // anti-join the store so a RETRIED batch — whose keepers stay novel
+    // in the verdicts but whose digests are already stored — appends
+    // nothing (idempotent re-runs)
     out.filter(col("dup_of").isNull)
+      .join(store.select("digest"), Seq("digest"), "left_anti")
       .select(col("digest"), col("doc_id").as("keep_doc_id"))
       .write.mode("append").parquet(storeDir)
     out
@@ -81,19 +96,13 @@ object IncrementalDedup {
     val newSigs = Dedup.minhashSignatures(docsNew, textCol, numHashes = numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val store = readStore(spark, storeDir, "doc_id BIGINT, sig ARRAY<BIGINT>")
-    def banded(sigs: DataFrame): DataFrame = sigs.select(
-      col("doc_id"), col("sig"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bh"))
-      }: _*)).as("bb"))
-      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bh"))
-    // candidates: every bucket pair touching the batch — (store ∪ batch)
-    // on one side would re-derive the whole store's bands; instead the
-    // batch side is banded once and joined against banded(store ∪ batch)
-    // so batch-internal pairs surface too. doc_a < doc_b normalizes
-    // orientation and drops self-pairs; dropDuplicates collapses pairs
-    // sharing several buckets.
+    // the ONE banding implementation (Dedup.bandSignatures): the store is
+    // only usable if every batch bands identically
+    def banded(sigs: DataFrame): DataFrame =
+      Dedup.bandSignatures(sigs, bands, rowsPerBand)
+    // candidates: every bucket pair touching the batch. doc_a < doc_b
+    // normalizes orientation and drops self-pairs; dropDuplicates
+    // collapses pairs sharing several buckets.
     val all = banded(store.unionByName(newSigs))
     val cand = all.as("a").join(banded(newSigs).as("b"), Seq("band", "bh"))
       .filter(col("a.doc_id") =!= col("b.doc_id"))
@@ -107,14 +116,18 @@ object IncrementalDedup {
       .dropDuplicates("doc_a", "doc_b")
     val out = cand
       .withColumn("est_jaccard",
-        round(graft.functions.SketchExprs.arrayEqCount(col("sig_a"), col("sig_b"))
-          .cast("double") / numHashes, 4))
+        Dedup.estJaccard(col("sig_a"), col("sig_b"), numHashes))
       .filter(col("est_jaccard") >= threshold)
       .select("doc_a", "doc_b", "est_jaccard")
       // materialize BEFORE the store append below rewrites the directory
       // the `store` side of the join reads
       .localCheckpoint()
-    newSigs.write.mode("append").parquet(storeDir)
+    // idempotent append: a retried batch (downstream failure, re-run)
+    // must not duplicate its signatures — a doubled store would inflate
+    // every future batch's bucket join and break the batch-sequence =
+    // full-corpus parity contract
+    newSigs.join(store.select("doc_id"), Seq("doc_id"), "left_anti")
+      .write.mode("append").parquet(storeDir)
     newSigs.unpersist()
     out
   }

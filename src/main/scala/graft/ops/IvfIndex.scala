@@ -31,24 +31,31 @@ object IvfIndex {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): Unit = {
     val cand = candidates.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    // seeding + assignment are the SAME helpers the inline ivfTopK uses —
+    // the "persisted index reproduces the inline path" contract
     val cents =
       if (kmeansIters > 0)
         Similarity.kmeansCentroids(candidates, nlist, kmeansIters, idCol, vecCol)
-      else
-        cand.orderBy("id").limit(nlist)
-          .select(col("id").as("cell"), col("vec").cast("array<double>").as("centroid"))
+      else Similarity.seedCentroids(cand, nlist)
     cents.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
-    val centroids = broadcast(
-      candidates.sparkSession.read.parquet(s"$indexDir/centroids"))
-    cand.join(centroids)
-      .groupBy("id")
-      .agg(max(struct(Similarity.cosine(col("vec"), col("centroid")).as("c"),
-        col("cell").as("cell"))).as("best"),
-        first(col("vec")).as("vec"))
-      .select(col("id"), col("vec"), col("best.cell").as("cell"))
+    val centroids =
+      candidates.sparkSession.read.parquet(s"$indexDir/centroids")
+    Similarity.assignCells(cand, centroids)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexDir/assignments")
   }
+
+  /** The assignments scan restricted to `cells` — THE partition-pruned
+    * read (search() and the pruning spec share it, so the spec tests the
+    * real plan). Cells filter as INT literals: hive partition-type
+    * inference types the small numeric `cell=` values as INT, and a
+    * BIGINT comparison would wrap the partition attribute in a cast —
+    * which defeats partition pruning and silently degrades every probe
+    * to a full corpus scan. */
+  private[ops] def probedAssignments(
+      spark: SparkSession, indexDir: String, cells: Seq[Long]): DataFrame =
+    spark.read.parquet(s"$indexDir/assignments")
+      .filter(col("cell").isin(cells.map(_.toInt): _*))
 
   /** Search the index: exact cosine top-k over the `nprobe` nearest
     * cells of each query. The probed cell set reaches the assignments
@@ -76,8 +83,7 @@ object IvfIndex {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probedCells = qcells.select("cell").distinct()
       .collect().map(_.getLong(0)).toSeq
-    val assignments = spark.read.parquet(s"$indexDir/assignments")
-      .filter(col("cell").isin(probedCells: _*))
+    val assignments = probedAssignments(spark, indexDir, probedCells)
     val scored = assignments.join(broadcast(qcells), Seq("cell"))
       .select(col("query_id"), col("id").as("neighbor_id"),
         round(Similarity.cosine(col("qvec"), col("vec")), 4).as("cosine"))

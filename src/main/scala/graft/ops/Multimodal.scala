@@ -79,6 +79,10 @@ object Multimodal {
   def resize(items: Dataset[Item], width: Int, height: Int): Dataset[Item] = {
     import items.sparkSession.implicits._
     require(width > 0 && height > 0, s"bad target dims ${width}x$height")
+    // w*h*3 is computed in Int below — an unchecked 30000×30000 would
+    // wrap negative (or worse, wrap positive and silently mis-size)
+    require(width.toLong * height * 3 <= Int.MaxValue,
+      s"target ${width}x$height exceeds the byte-array budget")
     items.mapPartitions { it =>
       it.map { x =>
         val n = width * height * 3

@@ -134,6 +134,26 @@ object Similarity {
     cents
   }
 
+  /** Seed centroids: the first `nlist` vectors in id order, as
+    * (cell, centroid) — ONE implementation shared by the inline IVF
+    * operator and the persisted index (IvfIndex): the "persisted index
+    * reproduces the inline path" parity contract requires identical
+    * seeding. Expects columns (id, vec). */
+  private[ops] def seedCentroids(cand: DataFrame, nlist: Int): DataFrame =
+    cand.orderBy("id").limit(nlist)
+      .select(col("id").as("cell"), col("vec").cast("array<double>").as("centroid"))
+
+  /** Nearest-centroid assignment via max(struct(cos, cell)) — argmax
+    * without a window; same sharing rationale as seedCentroids.
+    * Expects (id, vec) × broadcast (cell, centroid) → (id, vec, cell). */
+  private[ops] def assignCells(cand: DataFrame, centroids: DataFrame): DataFrame =
+    cand.join(broadcast(centroids))
+      .groupBy("id")
+      .agg(max(struct(cosine(col("vec"), col("centroid")).as("c"),
+        col("cell").as("cell"))).as("best"),
+        first(col("vec")).as("vec"))
+      .select(col("id"), col("vec"), col("best.cell").as("cell"))
+
   /** IVF (inverted-file) ANN top-k: candidates are partitioned into
     * `nlist` cells by nearest centroid; each query probes only its
     * `nprobe` nearest cells. Default centroids are the first `nlist`
@@ -151,20 +171,13 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       kmeansIters: Int = 0): DataFrame = {
-    val cand = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val cand = candidates.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val centroids = broadcast(
       if (kmeansIters > 0)
         kmeansCentroids(candidates, nlist, kmeansIters, idCol, vecCol)
-      else
-        cand.orderBy("neighbor_id").limit(nlist)
-          .select(col("neighbor_id").as("cell"), col("cvec").as("centroid")))
-    // argmax cell per candidate via max(struct(cos, cell)) — no window
-    val assigned = cand.join(centroids)
-      .groupBy("neighbor_id")
-      .agg(max(struct(cosine(col("cvec"), col("centroid")).as("c"),
-        col("cell").as("cell"))).as("best"),
-        first(col("cvec")).as("cvec"))
-      .select(col("neighbor_id"), col("cvec"), col("best.cell").as("cell"))
+      else seedCentroids(cand, nlist))
+    val assigned = assignCells(cand, centroids)
+      .withColumnRenamed("id", "neighbor_id").withColumnRenamed("vec", "cvec")
     val qcells = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
       .join(centroids)

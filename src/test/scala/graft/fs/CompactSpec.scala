@@ -63,6 +63,26 @@ class CompactSpec extends SparkSuite {
     assert(snap.files.size == nAfter)
   }
 
+  test("compact absorbs external (uncommitted) files exactly once") {
+    val fs = mkDataset()
+    // an external writer drops a file into the table dir WITHOUT bumping
+    // the CommitLog — the refresh()/take-fallback contract
+    val extraRows = fs.table.limit(0) // empty, right schema
+      .sparkSession.createDataFrame(
+        fs.table.filter(col("name") === "f1.txt" && col("parent") === "/d1")
+          .withColumn("name", lit("external.txt"))
+          .withColumn("row_id", lit(null).cast("long"))
+          .collectAsList(), fs.table.schema)
+    extraRows.withColumn("p0", lit("d1"))
+      .write.mode("append").partitionBy("p0").parquet(fs.tableLocation)
+    fs.refresh()
+    val rowsBefore = fs.table.count()
+    fs.compact()
+    // the external rows were compacted in ONCE — no double counting
+    assert(fs.table.count() == rowsBefore)
+    assert(fs.table.filter(col("name") === "external.txt").count() == 1)
+  }
+
   test("compact on an appended-after-compact table keeps appending cleanly") {
     val fs = mkDataset()
     fs.compact()

@@ -29,6 +29,12 @@ class IncrementalDedupSpec extends SparkSuite {
     val store = spark.read.parquet(dir)
     assert(store.count() == 3)
     assert(store.select("keep_doc_id").as[Long].collect().toSet == Set(1L, 2L, 11L))
+    // retried batch: same verdicts, store unchanged (idempotent re-run)
+    val r2again = IncrementalDedup.exactBatch(b2, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        Option(r.getAs[java.lang.Long]("dup_of")).map(_.toLong)).toMap
+    assert(r2again == r2)
+    assert(spark.read.parquet(dir).count() == 3)
   }
 
   test("minhash: union over batches equals full-corpus pairs") {
@@ -49,5 +55,9 @@ class IncrementalDedupSpec extends SparkSuite {
       b1.unionByName(b2), threshold = 0.5))
     assert(inc == full)
     assert(full.exists(p => p._1 == 0L && p._2 == 1L)) // non-vacuous
+    // retried batch: same pairs, store signature count unchanged
+    val again = pairsOf(IncrementalDedup.minhashBatch(b2, dir, threshold = 0.5))
+    assert(again.subsetOf(full))
+    assert(spark.read.parquet(dir).count() == 5)
   }
 }

@@ -40,13 +40,27 @@ class IvfIndexSpec extends SparkSuite {
   }
 
   test("the probe reads only the probed cells (partition pruning)") {
-    val probe = IvfIndex.search(spark, indexDir, queries, k = 3, nprobe = 1)
-    // queries share the corpus-sized first cells at nprobe=1 — the scan's
-    // partition filter must name `cell`
-    val scan = spark.read.parquet(s"$indexDir/assignments")
-      .filter(col("cell").isin(0L))
+    // the EXACT scan search() builds (shared helper), one probed cell
+    val allCells = spark.read.parquet(s"$indexDir/assignments")
+      .select("cell").distinct().count()
+    assert(allCells > 1)
+    val someCell = spark.read.parquet(s"$indexDir/assignments")
+      .select("cell").head.getInt(0).toLong
+    val scan = IvfIndex.probedAssignments(spark, indexDir, Seq(someCell))
     val p = scan.queryExecution.executedPlan.toString
-    assert(p.contains("PartitionFilters") && p.contains("cell"), p)
-    assert(probe.count() > 0)
+    // a NON-EMPTY partition filter naming cell — `PartitionFilters: []`
+    // (pruning silently lost, e.g. to a type-cast on the partition
+    // attribute) must fail here
+    val filterList = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(filterList.contains("cell"), p)
+    // and the pruning is real: the probed scan TOUCHES fewer files
+    // (input_file_name reflects what was actually read; .inputFiles
+    // would list the whole relation regardless of filters)
+    val readFiles = scan.select(input_file_name()).distinct().count()
+    val allFiles = spark.read.parquet(s"$indexDir/assignments")
+      .select(input_file_name()).distinct().count()
+    assert(readFiles < allFiles, s"$readFiles vs $allFiles")
+    assert(scan.count() > 0)
   }
 }
