@@ -41,4 +41,30 @@ class ComponentsSpec extends SparkSuite {
     // and with room to converge the same chain is fine
     assert(labelsOf(chain).values.toSet == Set(1L))
   }
+
+  test("random graphs match a union-find reference (differential)") {
+    // deterministic sparse random graphs: mixed cliques, chains, and
+    // isolated edges emerge naturally at low edge density
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val nVertices = 300
+      val nEdges = 250 + trial * 50
+      val edges = Seq.fill(nEdges)(
+        (rnd.nextInt(nVertices).toLong, rnd.nextInt(nVertices).toLong))
+        .filter { case (a, b) => a != b }
+      // driver-side union-find reference
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = parent.keys.map(v => v -> find(v)).toMap
+      val got = labelsOf(edges)
+      assert(got == want, s"trial $trial")
+    }
+  }
 }
