@@ -129,4 +129,32 @@ class DedupSpec extends SparkSuite {
     // radius 0 degenerates to exact-signature blocking: nothing matches
     assert(run(0) == Set.empty)
   }
+
+  test("random corpora match a brute-force jaccard reference (differential)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val corpus = (0L until 40L).map(i => (i,
+      Seq.fill(8 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    def grams(s: String): Set[String] =
+      s.split(" ").toSeq.sliding(3).map(_.mkString(" ")).toSet
+    val want = (for {
+      (i, ti) <- corpus; (j, tj) <- corpus if i < j
+      inter = (grams(ti) & grams(tj)).size if inter > 0
+      jac = BigDecimal(inter.toDouble /
+        (grams(ti).size + grams(tj).size - inter))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if jac >= 0.01
+    } yield (i, j) -> (inter.toLong, jac)).toMap
+    val got = Dedup.ngramJaccardPairs(
+      corpus.toDF("doc_id", "text"), n = 3, threshold = 0.01)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        ((r.getAs[Long]("n_common"), r.getAs[Double]("jaccard")))).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, (n, j)) =>
+      assert(n == want(k)._1, s"pair $k n_common")
+      assert(math.abs(j - want(k)._2) < 1e-9, s"pair $k jaccard")
+    }
+    assert(got.nonEmpty)
+  }
 }
