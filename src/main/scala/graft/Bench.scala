@@ -9,6 +9,23 @@ import org.apache.spark.sql.SparkSession
   * Catalyst prune every computed column and would time the parquet
   * row-count path instead of the operator. local[32] to match the
   * driver's bench spec.
+  *
+  * Instrumentation (r5): per-query numbers alone cannot distinguish a
+  * real operator regression from harness noise, so every query also
+  * records
+  *  - `gc_sec`: JVM GC time accrued DURING the query (GarbageCollector
+  *    MXBean delta) — a query whose wall clock is mostly GC inherited
+  *    dead garbage, it didn't get slower;
+  *  - `probe_sec`: an interleaved host-contention probe (a fixed small
+  *    codegen sum) run after each query — one end-of-run calibration
+  *    sample cannot see mid-run contention spikes.
+  * Between queries the harness clears the cache and runs an explicit
+  * System.gc() (outside any timed section) so garbage from query N is
+  * never charged to query N+1.
+  *
+  * The full JSON is also written to BENCH_local.json — the driver's
+  * stdout-tail capture has truncated long lines before; the file is the
+  * auditable artifact.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -22,6 +39,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    import scala.jdk.CollectionConverters._
+    def gcMillis: Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
     // untimed warmup: JIT/codegen + parquet footer caches, so the first
     // timed query isn't charged for session startup
     try SparkEntry.queries("q_topk_orders")(spark, sfDir)
@@ -34,18 +54,32 @@ object Bench {
     catch { case _: Throwable => () }
     try Queries.prepareIvfIndex(spark, sfDir)
     catch { case _: Throwable => () }
+    // fixed pure-codegen contention probe, independent of this library;
+    // small enough (~30 ms quiet) to interleave after every query
+    def probe(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(20000000L)
+        .agg(org.apache.spark.sql.functions.sum("id")).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    final case class Sample(sec: Double, gcSec: Double, probeSec: Double)
     def timeOne(name: String,
-        fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Sample = {
+      val gc0 = gcMillis
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       val dt = (System.nanoTime() - t0) / 1e9
-      // operators persist reusable intermediates (signature tables);
-      // drop them so queries are measured independently
+      val gcDt = (gcMillis - gc0) / 1e3
+      // inter-query hygiene, all OUTSIDE the timed section: drop the
+      // operator's persisted intermediates (queries are measured
+      // independently) and collect the garbage they became — otherwise
+      // the NEXT query's first allocation stall pays for it
       spark.catalog.clearCache()
-      dt
+      System.gc()
+      Sample(dt, gcDt, probe())
     }
     // single-shot per query: exactly what the grading driver measures.
     // (Best-of-N de-noising was removed — it masked real regressions and
@@ -53,21 +87,28 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> timeOne(name, fn)
     }
-    // host-contention calibration: a FIXED pure-codegen workload whose
-    // cost is independent of this library (sum over a 2e8 range). Its
-    // solo-host time is recorded in BASELINE.md §2; a run reporting k×
-    // that time ran on a host ~k× contended, scaling the total the same
-    // way — making totals comparable across runs/hosts.
+    // host-contention calibration: the historical end-of-run sample (sum
+    // over a 2e8 range; solo-host time recorded in BASELINE.md §2). A run
+    // reporting k× that time ran on a host ~k× contended, scaling the
+    // total the same way — making totals comparable across runs/hosts.
     val calib = {
       val t0 = System.nanoTime()
       spark.range(200000000L)
         .agg(org.apache.spark.sql.functions.sum("id")).collect()
       (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"calibration_sec":$calib,"sf":"$sfDir"}""")
+    def jmap(f: Sample => Double): String = results
+      .map { case (k, s) => "\"" + k + "\":" + f(s) }.mkString("{", ",", "}")
+    val total = results.map(_._2.sec).sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_.sec)},"gc_sec":${jmap(_.gcSec)},"probe_sec":${jmap(_.probeSec)},"calibration_sec":$calib,"sf":"$sfDir"}"""
+    println(json)
+    try {
+      val out = java.nio.file.Paths.get("BENCH_local.json")
+      java.nio.file.Files.write(out, json.getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write BENCH_local.json: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -36,10 +36,11 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
 
   /** Exact n-gram Jaccard near-dup pairs via a df-capped shingle
-    * self-equi-join: explode distinct shingles → window count caps
-    * document frequency → self-join on the hashed shingle with
-    * `doc_a < doc_b` → |A∩B| by partial-agg count → |A∪B| =
-    * |A|+|B|−|A∩B|. Output: pairs with jaccard ≥ threshold.
+    * self-equi-join: explode distinct shingles → hash-aggregate document
+    * frequency → semi-join keeps only shared, sub-cap shingles →
+    * self-join on the hashed shingle with `doc_a < doc_b` → |A∩B| by
+    * partial-agg count → |A∪B| = |A|+|B|−|A∩B|. Output: pairs with
+    * jaccard ≥ threshold.
     *
     * Scale notes: every stage is codegen'd — the pairs STREAM through a
     * sort-merge/hash join and a map-side-combinable count; no operator
@@ -52,6 +53,23 @@ object Dedup {
     * 8-byte keys instead of n-gram strings cut exchange volume
     * several-fold (collision odds at 100 TB corpus scale:
     * ~(distinct shingles)²/2⁶⁵ — vanishing, and deterministic).
+    *
+    * Plan shape (r5 rewrite): document frequency is a `groupBy(shingle)`
+    * hash aggregate — map-side partial combine, NO sort — where the
+    * previous unbounded-frame window paid a full per-partition sort of
+    * every exploded shingle AND pinned that corpus-sized annotated frame
+    * in MEMORY_AND_DISK (the bench's spill suspect). The df table is
+    * then filtered to shingles shared by 2..dfCap docs — a tiny set on
+    * real corpora (most shingles are unique) — and semi-joined back,
+    * which AQE turns into a broadcast semi-join: the explode side never
+    * shuffles for it. Only the post-filter `capped` frame (duplicate
+    * shingles only) is persisted for the two self-join sides; per-doc
+    * set sizes are recomputed map-only off the source text (the distinct
+    * gram array's length IS the size — no shuffle, no persist
+    * dependency). Net: the corpus is scanned twice (cheap, columnar)
+    * instead of one scan + a corpus-sized sort + a corpus-sized cache —
+    * the trade you want at 100 TB, where cache residency is the scarce
+    * resource and rescans are embarrassingly parallel.
     *
     * `dfCap` bounds the quadratic hazard: a degenerate stop-shingle
     * present in d documents contributes d·(d−1)/2 join rows — at 100 TB a
@@ -71,23 +89,22 @@ object Dedup {
       n: Int = 5,
       threshold: Double = 0.5,
       dfCap: Int = 1000): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val sh = docs
-      .select(col("doc_id"), explode(
-        graft.functions.SketchExprs.gramHashes(col(textCol), n, distinct = true))
-        .as("shingle"))
-    // document frequency as an unbounded-frame window count: one shuffle
-    // on shingle. This annotated frame is the op's ONE pinned
-    // intermediate — it feeds the per-doc sizes once and BOTH self-join
-    // sides (re-aliasing defeats ReuseExchange), so without the pin the
-    // text explode would run three times; with it, once.
-    val ann = sh
-      .withColumn("__df", count(lit(1)).over(Window.partitionBy("shingle")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = ann.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val capped = ann
+    val grams =
+      graft.functions.SketchExprs.gramHashes(col(textCol), n, distinct = true)
+    val sh = docs.select(col("doc_id"), explode(grams).as("shingle"))
+    // per-doc distinct-shingle counts, map-only (equal to the exploded
+    // frame's per-doc row count; docs with no shingles never join a pair)
+    val sizes = docs.select(col("doc_id"),
+      coalesce(size(grams), lit(0)).cast("long").as("n_shingles"))
+    // document frequency via hash aggregate, filtered to the shingles
+    // that can contribute to a pair: df in (1, dfCap]
+    val shared = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
       .filter(col("__df") > 1 && col("__df") <= dfCap)
-      .drop("__df")
+      .select("shingle")
+    val capped = sh.join(shared, Seq("shingle"), "left_semi")
+      // feeds BOTH self-join sides (re-aliasing defeats ReuseExchange);
+      // small by construction — duplicate shingles only
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inter = capped.withColumnRenamed("doc_id", "doc_a")
       .join(capped.withColumnRenamed("doc_id", "doc_b"), Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))

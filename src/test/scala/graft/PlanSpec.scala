@@ -130,6 +130,10 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("flatten(transform"), p)
     assert(p.contains("Join"), p)
     assert(p.contains("partial_"), p)
+    // r5: document frequency is a hash aggregate, not an unbounded-frame
+    // window — the window form paid a full per-partition sort of every
+    // exploded shingle (and pinned the corpus-sized frame in cache)
+    assert(!p.contains("Window"), p)
   }
 
   test("q_random_access measures the product path: pruned row_id filter, no recompute") {
