@@ -381,6 +381,96 @@ object Oracles {
         |    CAST(sa.n + sb.n - n_common AS DOUBLE), 4) >= 0.01
         |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // q_dedup_minhash_lsh emits the engine-independent verified set
+    // {pairs : true 3-gram jaccard >= 0.8} (LSH only BLOCKS candidates;
+    // the exact verify defines the output) — so the oracle is the same
+    // brute-force jaccard as q_dedup_ngram_jaccard at the 0.8 threshold.
+    // The gate thereby asserts LSH recall = 1 on the corpus' qualifying
+    // pairs (they sit at s >= 0.94, banding hit prob 1-(1-s^4)^16 ≈ 1).
+    "q_dedup_minhash_lsh" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+        |           i -> array_to_string(t[i:i+2], ' '))) AS shingle
+        |       FROM tk),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |it AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        |       FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+        |       GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_common,
+        |  round(CAST(n_common AS DOUBLE) /
+        |    CAST(sa.n + sb.n - n_common AS DOUBLE), 4) AS jaccard
+        |FROM it JOIN sizes sa ON it.doc_a = sa.doc_id
+        |        JOIN sizes sb ON it.doc_b = sb.doc_id
+        |WHERE round(CAST(n_common AS DOUBLE) /
+        |    CAST(sa.n + sb.n - n_common AS DOUBLE), 4) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // q_dedup_simhash is a RECALL gate: the Spark side outputs the
+    // engine-independent TRUE pair count at jaccard >= 0.9 (the oracle's
+    // brute force recomputes it — a cross-check of the exact-verify
+    // math) plus a boolean asserting radius-3 simhash blocking recovered
+    // >= 50% of those pairs (measured 0.60-0.78 across SFs; hamming of
+    // qualifying pairs reaches 11, so completeness at radius 3 is
+    // impossible and a completeness-equality oracle would be dishonest).
+    "q_dedup_simhash" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+        |           i -> array_to_string(t[i:i+2], ' '))) AS shingle
+        |       FROM tk),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |it AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        |       FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+        |       GROUP BY 1, 2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_true_pairs, TRUE AS recall_ok
+        |FROM it JOIN sizes sa ON it.doc_a = sa.doc_id
+        |        JOIN sizes sb ON it.doc_b = sb.doc_id
+        |WHERE round(CAST(n_common AS DOUBLE) /
+        |    CAST(sa.n + sb.n - n_common AS DOUBLE), 4) >= 0.9""".stripMargin,
+
+    // q_approx_distinct is a TOLERANCE gate: the Spark side emits exact
+    // counts plus booleans asserting |HLL estimate − exact| ≤ 15% (3·rsd
+    // at the default rsd 0.05); the oracle recomputes the exact counts
+    // and expects the booleans TRUE. The estimate itself never leaves
+    // the query — it is register-layout-specific by nature.
+    "q_approx_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS exact_parts,
+        |  count(DISTINCT l_suppkey) AS exact_supps,
+        |  TRUE AS parts_within_tol, TRUE AS supps_within_tol
+        |FROM lineitem""".stripMargin,
+
+    // q_knn_lsh is a RECALL gate: the Spark side computes both the
+    // multi-table LSH retrieval and the exact top-k, and asserts macro
+    // recall@3 ≥ 0.4; the oracle recomputes n_queries and expects
+    // recall_ok TRUE. The retrieved set depends on the engine's plane
+    // hashes (sign-LSH on near-random embeddings cannot promise exact
+    // top-k at sub-linear cost — the IVF queries pin the equality
+    // contract), but a signature/banding/re-rank regression drops
+    // recall below the bound and fails this gate.
+    "q_knn_lsh" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
+
+    // q_multimodal_features: the corpus payloads are utf-8 text bytes, so
+    // the codec's non-image path applies — a byte histogram
+    // (bucket = byte mod 16) whose L2 norm the oracle recomputes per
+    // character. ASCII-only corpus (asserted in RabinFingerprintSpec)
+    // makes chars == bytes; the image path is pinned by MultimodalSpec
+    // on generated PNGs.
+    "q_multimodal_features" ->
+      """WITH ch AS (
+        |  SELECT doc_id, ascii(substr(text, CAST(i AS INTEGER), 1)) % 16 AS bkt
+        |  FROM documents, range(1, length(text) + 1) t(i)),
+        |b AS (SELECT doc_id, bkt, count(*) AS c FROM ch GROUP BY 1, 2),
+        |nrm AS (SELECT doc_id,
+        |          round(sqrt(sum(CAST(c AS DOUBLE) * c)), 4) AS feature_norm
+        |        FROM b GROUP BY 1)
+        |SELECT d.doc_id AS item_id, CAST(length(d.text) AS BIGINT) AS n_bytes,
+        |  coalesce(n.feature_norm, 0.0) AS feature_norm
+        |FROM documents d LEFT JOIN nrm n ON d.doc_id = n.doc_id
+        |ORDER BY item_id""".stripMargin,
+
     // duplicate clustering: the same ngram pair graph as
     // q_dedup_ngram_jaccard (restricted to 2 sources), components by a
     // recursive reachability CTE — min reachable id = component id

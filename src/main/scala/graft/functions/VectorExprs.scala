@@ -133,9 +133,14 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
   * matching the declarative `aggregate(zip_with(…))` formulation this
   * expression replaces (same buckets, reproducible across runs), but as
   * ONE fused planes×dims loop inside whole-stage codegen instead of
-  * `planes` interpreted lambda trees per row. */
-case class LshSignature(child: Expression, planes: Int) extends
-    org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  * `planes` interpreted lambda trees per row.
+  *
+  * `planeOffset` shifts the plane index range to planeOffset..
+  * planeOffset+planes−1 — table t of a multi-table LSH index passes
+  * offset t·planes, giving each table an independent deterministic
+  * plane set (offset 0 reproduces the single-table signature). */
+case class LshSignature(child: Expression, planes: Int, planeOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType | DoubleType, _) =>
@@ -157,7 +162,7 @@ case class LshSignature(child: Expression, planes: Int) extends
     var sig = 0L
     var p = 0
     while (p < planes) {
-      val seed = p.toLong * LshSignature.Golden
+      val seed = (p.toLong + planeOffset) * LshSignature.Golden
       var proj = 0.0
       var i = 0
       while (i < n) {
@@ -185,7 +190,8 @@ case class LshSignature(child: Expression, planes: Int) extends
          |  double $proj = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
          |    double $x = $get;
-         |    $proj += $x * ((double) $hashCls.hash((long) $i + $p * ${LshSignature.Golden}L)
+         |    $proj += $x * ((double) $hashCls.hash((long) $i
+         |      + ((long) $p + ${planeOffset}L) * ${LshSignature.Golden}L)
          |      / ${Long.MaxValue}L);
          |  }
          |  if ($proj >= 0) $sig |= (1L << $p);
@@ -229,13 +235,15 @@ object Vec {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lsh_signature",
       (exprs: Seq[Expression]) => {
-        require(exprs.length == 2, s"lsh_signature() takes (vec, planes)")
-        val planes = exprs(1) match {
+        require(exprs.length == 2 || exprs.length == 3,
+          s"lsh_signature() takes (vec, planes[, planeOffset])")
+        def intLit(e: Expression, what: String): Int = e match {
           case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
           case other => throw new IllegalArgumentException(
-            s"lsh_signature planes must be an int literal, got $other")
+            s"lsh_signature $what must be an int literal, got $other")
         }
-        LshSignature(exprs(0), planes)
+        val off = if (exprs.length == 3) intLit(exprs(2), "planeOffset") else 0
+        LshSignature(exprs(0), intLit(exprs(1), "planes"), off)
       },
       "scala_udf")
   }
@@ -246,8 +254,10 @@ object Vec {
 
   def cosine(a: Column, b: Column): Column = { ensure(); call_function("cosine_sim", a, b) }
 
-  def lshSignature(vec: Column, planes: Int): Column = {
+  def lshSignature(vec: Column, planes: Int, planeOffset: Int = 0): Column = {
     ensure()
-    call_function("lsh_signature", vec, org.apache.spark.sql.functions.lit(planes))
+    call_function("lsh_signature", vec,
+      org.apache.spark.sql.functions.lit(planes),
+      org.apache.spark.sql.functions.lit(planeOffset))
   }
 }

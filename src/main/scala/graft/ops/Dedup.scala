@@ -193,6 +193,89 @@ object Dedup {
       .select("doc_a", "doc_b", "est_jaccard")
   }
 
+  /** MinHash-LSH near-dup pairs with EXACT verification — the
+    * production near-dup shape: LSH banding blocks candidates (sub-
+    * quadratic), then each candidate pair's TRUE n-gram Jaccard is
+    * computed from the two docs' distinct gram-hash sets and pairs below
+    * `threshold` are dropped. Unlike `minhashLshPairs` (whose estimated
+    * Jaccard depends on this engine's hash permutations), the output is
+    * engine-independent — {pairs with true Jaccard ≥ threshold} — which
+    * makes it brute-force-oracle-checkable whenever the banding finds
+    * every qualifying pair. With the default 16 bands × 4 rows, a pair
+    * at Jaccard s survives blocking with probability 1−(1−s⁴)¹⁶ ≈
+    * 0.9998 at s = 0.8 (and → 1 as s → 1, where real near-dups live);
+    * the gate corpora's qualifying pairs all sit at s ≥ 0.94 and are
+    * verified found (DedupSpec differential + the driver gate).
+    *
+    * Scale: signatures are map-only, banding self-join is the classic
+    * bucket join, and the exact verify joins gram arrays onto the
+    * CANDIDATE pairs only — never all pairs. The per-pair
+    * `array_intersect` is interpreted, but runs on |candidates| rows,
+    * not O(n²). */
+  def minhashLshNearDupPairs(
+      docs: DataFrame,
+      textCol: String = "text",
+      n: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sigs = minhashSignatures(docs, textCol, n, numHashes)
+    val banded = bandSignatures(sigs, bands, rowsPerBand)
+      .select("doc_id", "band", "bh")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = banded.as("a").join(banded.as("b"), Seq("band", "bh"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    verifyPairsExact(docs, cand, textCol, n, threshold)
+  }
+
+  /** SimHash near-dup pairs with EXACT verification — same contract as
+    * `minhashLshNearDupPairs` but blocked by multi-index SimHash banding
+    * (complete within `maxHamming` by pigeonhole; see simhashPairs).
+    * SimHash Hamming distance tracks token-profile cosine, so docs with
+    * n-gram Jaccard near 1 land within a small radius; the blocking is
+    * heuristic for mid-range Jaccard, which is why the default verify
+    * threshold sits at 0.9 — the tight near-identical band radius-3
+    * SimHash reliably covers (verified on the gate corpora by the
+    * driver's brute-force oracle). */
+  def simhashNearDupPairs(
+      docs: DataFrame,
+      textCol: String = "text",
+      n: Int = 3,
+      maxHamming: Int = 3,
+      threshold: Double = 0.9): DataFrame = {
+    val cand = simhashPairsFromSignatures(simhash(docs, textCol), maxHamming)
+      .select("doc_a", "doc_b")
+    verifyPairsExact(docs, cand, textCol, n, threshold)
+  }
+
+  /** Exact n-gram Jaccard verify of candidate pairs: joins each side's
+    * distinct gram-hash array onto the pair (candidates only — the
+    * blocking stage already bounded the row count) and filters on the
+    * true Jaccard. Output matches `ngramJaccardPairs`' columns. */
+  private def verifyPairsExact(
+      docs: DataFrame,
+      cand: DataFrame,
+      textCol: String,
+      n: Int,
+      threshold: Double): DataFrame = {
+    val g = docs.select(col("doc_id"),
+      graft.functions.SketchExprs.gramHashes(col(textCol), n, distinct = true)
+        .as("g"))
+    cand
+      .join(g.select(col("doc_id").as("doc_a"), col("g").as("ga")), "doc_a")
+      .join(g.select(col("doc_id").as("doc_b"), col("g").as("gb")), "doc_b")
+      .withColumn("n_common",
+        size(array_intersect(col("ga"), col("gb"))).cast("long"))
+      .withColumn("jaccard",
+        round(col("n_common").cast("double") /
+          (size(col("ga")) + size(col("gb")) - col("n_common")).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "n_common", "jaccard")
+  }
+
   /** 64-bit SimHash signature: per bit, weight +1/−1 by the token-hash
     * bit, sum over tokens, sign → bit. A per-document reduction, so it
     * runs as ONE fused codegen loop per row (`simhash_sig`,

@@ -75,8 +75,8 @@ object Similarity {
     * expression (graft.functions.LshSignature) — one planes×dims loop
     * in whole-stage codegen instead of `planes` interpreted lambda
     * trees per row. */
-  def lshSignature(vec: Column, planes: Int): Column =
-    graft.functions.Vec.lshSignature(vec, planes)
+  def lshSignature(vec: Column, planes: Int, planeOffset: Int = 0): Column =
+    graft.functions.Vec.lshSignature(vec, planes, planeOffset)
 
   /** All candidate pairs sharing an LSH bucket, with exact cosine. */
   def lshPairs(
@@ -209,6 +209,45 @@ object Similarity {
     val scored = c.join(q, Seq("bucket"))
       .select(col("query_id"), col("neighbor_id"),
         round(cosine(col("qvec"), col("cvec")), 4).as("cosine"))
+    twoStageTopK(scored, k)
+  }
+
+  /** Multi-table ANN top-k via LSH: `tables` independent plane sets
+    * (plane indices t·planes..t·planes+planes−1 — deterministic, like
+    * everything here), candidates = union of same-bucket points across
+    * tables, exact-cosine re-rank of the deduplicated union. Recall
+    * rises with tables (miss probability decays geometrically: a
+    * neighbor at angle θ collides in one table with prob (1−θ/π)^planes
+    * and must miss ALL tables to be lost) while candidate volume grows
+    * only linearly — the standard recall/cost dial of sign-LSH.
+    *
+    * Scale: the query side (tables × |queries| rows) broadcasts; the
+    * candidate side explodes `tables` bucket rows per vector MAP-ONLY —
+    * the only shuffles are the two-stage top-k's, over matched
+    * candidates, never the corpus. */
+  def lshTopKMulti(
+      queries: DataFrame,
+      candidates: DataFrame,
+      k: Int,
+      planes: Int = 8,
+      tables: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(tables >= 1, s"tables must be >= 1: $tables")
+    def bucketed(df: DataFrame, id: String, vec: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as(vec),
+        explode(array((0 until tables).map { t =>
+          struct(lit(t).as("tbl"),
+            lshSignature(col(vecCol), planes, t * planes).as("bucket"))
+        }: _*)).as("tb"))
+        .select(col(id), col(vec), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val q = broadcast(bucketed(queries, "query_id", "qvec"))
+    val c = bucketed(candidates, "neighbor_id", "cvec")
+    val scored = c.join(q, Seq("tbl", "bucket"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qvec"), col("cvec")), 4).as("cosine"))
+      // a candidate colliding in several tables must score once
+      .dropDuplicates("query_id", "neighbor_id")
     twoStageTopK(scored, k)
   }
 
