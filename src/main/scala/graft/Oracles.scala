@@ -459,9 +459,12 @@ object Oracles {
     // makes chars == bytes; the image path is pinned by MultimodalSpec
     // on generated PNGs.
     "q_multimodal_features" ->
-      """WITH ch AS (
+      """WITH ix AS (
+        |  SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+        |  FROM documents),
+        |ch AS (
         |  SELECT doc_id, ascii(substr(text, CAST(i AS INTEGER), 1)) % 16 AS bkt
-        |  FROM documents, range(1, length(text) + 1) t(i)),
+        |  FROM ix),
         |b AS (SELECT doc_id, bkt, count(*) AS c FROM ch GROUP BY 1, 2),
         |nrm AS (SELECT doc_id,
         |          round(sqrt(sum(CAST(c AS DOUBLE) * c)), 4) AS feature_norm
