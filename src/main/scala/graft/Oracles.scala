@@ -429,6 +429,34 @@ object Oracles {
         |WHERE round(CAST(n_common AS DOUBLE) /
         |    CAST(sa.n + sb.n - n_common AS DOUBLE), 4) >= 0.9""".stripMargin,
 
+    // q_dedup_embedding emits the engine-independent verified set
+    // {pairs : true cosine >= 0.95} over the derived corpus (embeddings
+    // ∪ first-25 perturbed copies — see Queries.qDedupEmbedding; LSH
+    // only BLOCKS, the exact cosine verify defines the output) — so the
+    // oracle is a brute-force all-pairs cosine at the same threshold.
+    // The gate thereby asserts multi-table LSH recall = 1 on the
+    // corpus' qualifying pairs (planted at cosine ≥ 0.968; per-pair
+    // blocking miss prob ≈ 1e-5 with 16 tables × 8 planes, and the
+    // planes are deterministic).
+    "q_dedup_embedding" ->
+      """WITH idx AS (SELECT unnest(range(1, 65)) AS i),
+        |be AS (SELECT vec_id AS id, i, CAST(embedding[i] AS DOUBLE) AS x
+        |       FROM embeddings, idx),
+        |pe AS (SELECT id + 100000 AS id, i,
+        |         x + CASE WHEN i = 1 THEN 0.25 ELSE 0 END AS x
+        |       FROM be WHERE id < 25),
+        |ue AS (SELECT * FROM be UNION ALL SELECT * FROM pe),
+        |nrm AS (SELECT id, sqrt(sum(x * x)) AS nrm FROM ue GROUP BY id),
+        |dots AS (SELECT a.id AS id_a, b.id AS id_b, sum(a.x * b.x) AS dot
+        |         FROM ue a JOIN ue b USING (i) WHERE a.id < b.id
+        |         GROUP BY 1, 2),
+        |scored AS (SELECT id_a, id_b,
+        |             round(dot / (na.nrm * nb.nrm), 4) AS cosine
+        |           FROM dots JOIN nrm na ON id_a = na.id
+        |                     JOIN nrm nb ON id_b = nb.id)
+        |SELECT id_a, id_b, cosine FROM scored
+        |WHERE cosine >= 0.95 ORDER BY id_a, id_b""".stripMargin,
+
     // q_approx_distinct is a TOLERANCE gate: the Spark side emits exact
     // counts plus booleans asserting |HLL estimate − exact| ≤ 15% (3·rsd
     // at the default rsd 0.05); the oracle recomputes the exact counts
@@ -469,7 +497,8 @@ object Oracles {
         |nrm AS (SELECT doc_id,
         |          round(sqrt(sum(CAST(c AS DOUBLE) * c)), 4) AS feature_norm
         |        FROM b GROUP BY 1)
-        |SELECT d.doc_id AS item_id, CAST(length(d.text) AS BIGINT) AS n_bytes,
+        |SELECT d.doc_id AS item_id,
+        |  CAST(coalesce(length(d.text), 0) AS BIGINT) AS n_bytes,
         |  coalesce(n.feature_norm, 0.0) AS feature_norm
         |FROM documents d LEFT JOIN nrm n ON d.doc_id = n.doc_id
         |ORDER BY item_id""".stripMargin,

@@ -828,16 +828,32 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
-  /** Embedding-cosine near-dup candidates per vector (LSH-blocked). */
+  /** Embedding-cosine near-dup: the engine-independent exact-verified
+    * pair set {pairs : true cosine ≥ 0.95}. LSH only BLOCKS candidates
+    * (16 tables × 8 planes, deterministic); the exact cosine verify
+    * defines the output, so the DuckDB brute-force oracle checks it
+    * pair-for-pair — the gate thereby asserts blocking recall = 1 on the
+    * corpus' qualifying pairs.
+    *
+    * The raw embeddings table holds no near-dups (max pair cosine ≈ 0.6
+    * at every SF), so the query derives a corpus that does, the way a
+    * dedup regression corpus is built: the first 25 vectors re-enter as
+    * vec_id+100000 with +0.25 on component 0 — those planted pairs land
+    * at cosine ≥ 0.968 while the background stays ≤ 0.61, a wide margin
+    * on both sides of the 0.95 threshold. Both engines derive the corpus
+    * identically (float→double is exact, 0.25 is an exact binary
+    * fraction). */
   def qDedupEmbedding(s: SparkSession, dir: String): DataFrame = {
     val embs = rd(s, dir, "embeddings")
-    val pairs = graft.ops.Dedup.embeddingNearDupPairs(embs, threshold = 0.8)
-    val touched = pairs.select(col("id_a").as("vec_id"))
-      .unionAll(pairs.select(col("id_b")))
-      .groupBy("vec_id").agg(count(lit(1)).as("n_candidates"))
-    embs.select("vec_id").join(touched, Seq("vec_id"), "left")
-      .select(col("vec_id"), coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
-      .orderBy("vec_id")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val planted = embs.filter(col("vec_id") < 25)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x + when(i === 0, lit(0.25)).otherwise(lit(0.0))).as("embedding"))
+    graft.ops.Dedup.embeddingNearDupPairs(
+      embs.unionAll(planted), threshold = 0.95)
+      .orderBy("id_a", "id_b")
   }
 
   def qEmbeddingNorm(s: SparkSession, dir: String): DataFrame =

@@ -343,12 +343,24 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Embedding near-dup pairs: cosine ≥ threshold via LSH blocking
-    * (delegates to Similarity's hyperplane buckets), exact cosine verify. */
+  /** Embedding near-dup pairs with EXACT verification — same contract as
+    * `minhashLshNearDupPairs` in the cosine domain: multi-table
+    * hyperplane LSH BLOCKS candidates (sub-quadratic), exact cosine on
+    * the candidate set defines the output, so the result is the
+    * engine-independent set {pairs : true cosine ≥ threshold} whenever
+    * the blocking finds every qualifying pair. With the default 16
+    * tables × 8 planes a pair at cosine 0.97 survives blocking with
+    * probability ≈ 1 − 1e-5 (planes are deterministic, so recall on a
+    * fixed corpus is reproducible — the gate corpora's qualifying pairs
+    * are verified found by the DuckDB brute-force oracle and
+    * SimilaritySpec's differential). Single-table `Similarity.lshPairs`
+    * remains the cheap candidate-mining shape; this is the dedup shape,
+    * where a missed true pair is a correctness defect. */
   def embeddingNearDupPairs(
       embs: DataFrame,
       threshold: Double = 0.95,
-      planes: Int = 12): DataFrame =
-    Similarity.lshPairs(embs, planes)
+      planes: Int = 8,
+      tables: Int = 16): DataFrame =
+    Similarity.lshPairsMulti(embs, planes, tables)
       .filter(col("cosine") >= threshold)
 }

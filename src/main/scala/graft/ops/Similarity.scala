@@ -94,6 +94,45 @@ object Similarity {
         round(cosine(col("a.vec"), col("b.vec")), 4).as("cosine"))
   }
 
+  /** All candidate pairs sharing an LSH bucket in ANY of `tables`
+    * independent plane sets, with exact cosine — the multi-table variant
+    * of `lshPairs`. Single-table sign-LSH is a poor BLOCKER for a
+    * completeness contract (a pair at angle θ shares all `planes` sign
+    * bits with prob (1−θ/π)^planes — only ~0.51 at cosine 0.97 with 8
+    * planes); `tables` independent plane sets drive the miss probability
+    * down geometrically ((1−0.51)^16 ≈ 1e-5 per pair) while candidate
+    * volume grows only linearly — the same recall/cost dial as
+    * `lshTopKMulti`, applied to the self-join.
+    *
+    * Scale: the bucket explode is MAP-ONLY (`tables` rows per vector);
+    * the only shuffles are the (tbl, bucket) self-join — keys distribute
+    * uniformly by construction — and the pair dedupe. Vectors ride the
+    * join so the exact cosine needs no third join; at dim 64 that is
+    * ~0.5 KB per row, cheaper than re-joining the corpus twice. */
+  def lshPairsMulti(
+      embs: DataFrame,
+      planes: Int = 8,
+      tables: Int = 16,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(tables >= 1, s"tables must be >= 1: $tables")
+    val sig = embs.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      explode(array((0 until tables).map { t =>
+        struct(lit(t).as("tbl"),
+          lshSignature(col(vecCol), planes, t * planes).as("bucket"))
+      }: _*)).as("tb"))
+      .select(col("id"), col("vec"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      // both sides of the bucket self-join read this; materialize once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sig.as("a").join(sig.as("b"), Seq("tbl", "bucket"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(cosine(col("a.vec"), col("b.vec")), 4).as("cosine"))
+      // a pair colliding in several tables must surface once
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** Lloyd-iteration k-means centroids for the IVF index, fully
     * deterministic: init = first `nlist` vectors in id order, then
     * `iters` rounds of (broadcast-assign → per-dimension mean). Each
