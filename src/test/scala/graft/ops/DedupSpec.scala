@@ -130,6 +130,67 @@ class DedupSpec extends SparkSuite {
     assert(run(0) == Set.empty)
   }
 
+  // shared brute-force reference: exact token-3-gram jaccard pair set at a
+  // threshold, matching ngramJaccardPairs' rounding (4dp HALF_UP)
+  private def bruteJaccard(corpus: Seq[(Long, String)], threshold: Double)
+      : Map[(Long, Long), (Long, Double)] = {
+    def grams(s: String): Set[String] =
+      s.split(" ").toSeq.sliding(3).map(_.mkString(" ")).toSet
+    (for {
+      (i, ti) <- corpus; (j, tj) <- corpus if i < j
+      inter = (grams(ti) & grams(tj)).size if inter > 0
+      jac = BigDecimal(inter.toDouble /
+        (grams(ti).size + grams(tj).size - inter))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if jac >= threshold
+    } yield (i, j) -> (inter.toLong, jac)).toMap
+  }
+
+  test("minhash-LSH near-dup pairs equal the exact jaccard pair set (differential)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    def doc(): Seq[String] = Seq.fill(40)(vocab(rnd.nextInt(vocab.size)))
+    val bases = (0L until 20L).map(i => i -> doc())
+    // near-dups of the first 10: one mid-token swapped in a 40-token doc
+    // -> 3-gram jaccard ~ 0.85, above the 0.8 verify threshold
+    val variants = (0L until 10L).map { i =>
+      (100L + i) -> bases(i.toInt)._2.updated(20, "omega")
+    }
+    val corpus = (bases ++ variants).map { case (i, t) => (i, t.mkString(" ")) }
+    val want = bruteJaccard(corpus, 0.8)
+    val got = Dedup.minhashLshNearDupPairs(
+      corpus.toDF("doc_id", "text"), n = 3, threshold = 0.8)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        ((r.getAs[Long]("n_common"), r.getAs[Double]("jaccard")))).toMap
+    // full equality: banding found every qualifying pair (recall 1 on this
+    // corpus) and the exact verify produced the true jaccard values
+    assert(got == want, s"got=${got.keySet} want=${want.keySet}")
+    assert(want.size >= 10, s"degenerate corpus: ${want.size} true pairs")
+  }
+
+  test("simhash near-dup output is a verified subset; identical docs always found") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val vocab = Vector("red", "blue", "green", "gold", "iron", "clay", "snow", "rain")
+    def doc(): String = Seq.fill(40)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val bases = (0L until 15L).map(i => i -> doc())
+    val clones = (0L until 5L).map(i => (100L + i) -> bases(i.toInt)._2)
+    val corpus = bases ++ clones
+    val want = bruteJaccard(corpus, 0.9)
+    val got = Dedup.simhashNearDupPairs(
+      corpus.toDF("doc_id", "text"), n = 3, threshold = 0.9)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        ((r.getAs[Long]("n_common"), r.getAs[Double]("jaccard")))).toMap
+    // exact verify: no false positives, true jaccard values on what's found
+    assert(got.keySet.subsetOf(want.keySet), s"false positives: ${got.keySet -- want.keySet}")
+    got.foreach { case (k, v) => assert(v == want(k), s"pair $k values") }
+    // hamming-0 pairs (identical docs) are guaranteed by pigeonhole at any radius
+    (0L until 5L).foreach { i =>
+      assert(got.contains((i, 100L + i)), s"identical pair ($i,${100 + i}) missed")
+    }
+  }
+
   test("random corpora match a brute-force jaccard reference (differential)") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

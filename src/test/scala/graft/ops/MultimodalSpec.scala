@@ -47,6 +47,116 @@ class MultimodalSpec extends SparkSuite {
     assert(r.getAs[Long]("n_sampled") == 10) // frames 0,10,...,90
   }
 
+  // --- image codec: programmatic images through the REAL decode path ---
+
+  private def encode(fmt: String, w: Int, h: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, baos), s"no $fmt writer")
+    baos.toByteArray
+  }
+
+  private def imageItem(id: Long, payload: Array[Byte]): Multimodal.Item =
+    Multimodal.Item(id, "image", payload,
+      Multimodal.Meta(None, None, None, None, Some("img")))
+
+  test("codec decodes a uniform PNG to a single-bucket luminance histogram") {
+    // RGB(100,100,100) -> ITU-601 integer luma (100*299+100*587+100*114)/1000
+    // = 100 -> bucket 100*16/256 = 6; all 8*4 = 32 pixels land there
+    val p = encode("png", 8, 4)((_, _) => 0x646464)
+    val f = Multimodal.Codec.features(p, dims = 16)
+    val expected = Array.fill(16)(0f); expected(6) = 32f
+    assert(f.toSeq == expected.toSeq)
+  }
+
+  test("codec decodes a gray-gradient PNG to the exact uniform histogram") {
+    // pixel x = RGB(x,x,x) -> luma x exactly -> bucket x/16: 16 pixels each
+    val p = encode("png", 256, 1)((x, _) => (x << 16) | (x << 8) | x)
+    assert(Multimodal.Codec.features(p, dims = 16).toSeq == Seq.fill(16)(16f))
+  }
+
+  test("codec decodes a 1x1 white PNG into the top luminance bucket") {
+    val p = encode("png", 1, 1)((_, _) => 0xFFFFFF)
+    val f = Multimodal.Codec.features(p, dims = 16)
+    val expected = Array.fill(16)(0f); expected(15) = 1f // luma 255 -> 15
+    assert(f.toSeq == expected.toSeq)
+  }
+
+  test("codec sniffs and decodes BMP and GIF magics like PNG") {
+    for (fmt <- Seq("bmp", "gif")) {
+      val p = encode(fmt, 8, 4)((_, _) => 0x646464)
+      val f = Multimodal.Codec.features(p, dims = 16)
+      val expected = Array.fill(16)(0f); expected(6) = 32f
+      assert(f.toSeq == expected.toSeq, s"fmt=$fmt")
+    }
+  }
+
+  test("codec decodes JPEG: histogram mass equals pixel count, not byte count") {
+    // JPEG is lossy so bucket values aren't pinned; that the mass is the
+    // PIXEL count (not the much larger file byte count) proves the decode
+    // branch ran instead of the byte-histogram fallback
+    val p = encode("jpg", 8, 4)((_, _) => 0x646464)
+    assert(p.length != 32)
+    assert(Multimodal.Codec.features(p, dims = 16).sum == 32f)
+  }
+
+  test("truncated image-magic payload falls back to exact byte stats") {
+    // PNG magic + garbage: ImageIO fails, byte histogram (byte mod 16) applies
+    val p = Array[Byte](0x89.toByte, 'P', 'N', 'G', 1, 2, 3)
+    val f = Multimodal.Codec.features(p, dims = 16)
+    val expected = Array.fill(16)(0f)
+    for (b <- p) expected((b & 0xFF) % 16) += 1f
+    assert(f.toSeq == expected.toSeq)
+    assert(f.sum == p.length.toFloat)
+  }
+
+  test("extractFeatures runs the image decode branch distributed") {
+    import spark.implicits._
+    val png = encode("png", 8, 4)((_, _) => 0x646464)
+    val mixed = Seq(
+      imageItem(1L, png),
+      Multimodal.Item(2L, "text", "abc".getBytes("UTF-8"),
+        Multimodal.Meta(None, None, None, Some(3), Some("utf8")))).toDS()
+    val f = Multimodal.extractFeatures(mixed, dims = 16).collect()
+      .map(x => x.item_id -> x.feature).toMap
+    val img = Array.fill(16)(0f); img(6) = 32f
+    assert(f(1L).toSeq == img.toSeq)           // luminance histogram
+    val txt = Array.fill(16)(0f)
+    for (b <- "abc".getBytes("UTF-8")) txt((b & 0xFF) % 16) += 1f
+    assert(f(2L).toSeq == txt.toSeq)           // byte histogram
+  }
+
+  test("resize nearest-neighbor resamples a real PNG pixel-exactly") {
+    import spark.implicits._
+    // 2x2 quadrant colors; 4x4 target -> each source pixel becomes a 2x2
+    // block under nearest-neighbor (src index = floor(dst*2/4))
+    val colors = Array(Array(0xFF0000, 0x00FF00), Array(0x0000FF, 0xFFFFFF))
+    val src = encode("png", 2, 2)((x, y) => colors(y)(x))
+    val out = Multimodal.resize(Seq(imageItem(9L, src)).toDS(), 4, 4).collect().head
+    assert(out.meta.width.contains(4) && out.meta.height.contains(4))
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out.payload))
+    assert(img.getWidth == 4 && img.getHeight == 4)
+    for (y <- 0 until 4; x <- 0 until 4)
+      assert((img.getRGB(x, y) & 0xFFFFFF) == colors(y * 2 / 4)(x * 2 / 4),
+        s"pixel ($x,$y)")
+    // PNG re-encode is lossless and deterministic: run twice, byte-identical
+    val again = Multimodal.resize(Seq(imageItem(9L, src)).toDS(), 4, 4)
+      .collect().head
+    assert(out.payload.toSeq == again.payload.toSeq)
+  }
+
+  test("resize of a corrupt image-magic payload takes the byte fallback") {
+    import spark.implicits._
+    val bad = Array[Byte]('B', 'M', 9, 9, 9) // BMP magic, undecodable
+    val out = Multimodal.resize(Seq(imageItem(3L, bad)).toDS(), 4, 3)
+      .collect().head
+    assert(out.payload.length == 4 * 3 * 3) // byte resample, not a PNG
+    assert(out.meta.width.contains(4) && out.meta.height.contains(3))
+  }
+
   test("resize rewrites payload size and meta dims, deterministically") {
     import spark.implicits._
     val ds = items.as[Multimodal.Item]

@@ -115,6 +115,49 @@ class SimilaritySpec extends SparkSuite {
     assert(close.nonEmpty && close.get._3 > 0.99)
   }
 
+  test("lshTopKMulti with tables=1 reproduces lshTopK; more tables never lose recall") {
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = embs.filter(col("vec_id") < 5)
+    val c = embs.filter(col("vec_id") >= 5)
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank"))).toSet
+    // table 0 uses planeOffset 0, so one table IS the single-table signature
+    val single = keys(Similarity.lshTopK(q, c, k = 3, planes = 8))
+    val multi1 = keys(Similarity.lshTopKMulti(q, c, k = 3, planes = 8, tables = 1))
+    assert(multi1 == single)
+    // recall vs exact top-k is monotone in the candidate union: anything
+    // displacing a true top-k member from the retrieved set must beat it,
+    // hence is itself a true top-k member
+    val exact = keys(Similarity.bruteForceTopK(q, c, k = 3))
+      .map(t => (t._1, t._2))
+    def recall(s: Set[(Long, Long, Int)]) =
+      (s.map(t => (t._1, t._2)) & exact).size.toDouble / exact.size
+    val multi8 = keys(Similarity.lshTopKMulti(q, c, k = 3, planes = 8, tables = 8))
+    assert(recall(multi8) >= recall(multi1),
+      s"multi ${recall(multi8)} < single ${recall(multi1)}")
+  }
+
+  test("lshPairsMulti with tables=1 equals lshPairs; multi finds planted pairs") {
+    import spark.implicits._
+    def pairKeys(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("cosine"))).toSet
+    val single = pairKeys(Similarity.lshPairs(vecs, planes = 4))
+    val multi1 = pairKeys(Similarity.lshPairsMulti(vecs, planes = 4, tables = 1))
+    assert(multi1 == single)
+    // near-identical 64-dim pair: 16 tables x 8 planes must block it together
+    val rnd = new scala.util.Random(3)
+    val base = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val near = base.clone(); near(0) += 0.01f
+    val far = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val planted = Seq((0L, base), (1L, near), (2L, far))
+      .toDF("vec_id", "embedding")
+    val got = pairKeys(Similarity.lshPairsMulti(planted, planes = 8, tables = 16))
+      .map(t => (t._1, t._2))
+    assert(got.contains((0L, 1L)), s"planted pair missed: $got")
+  }
+
   test("int8 quantization: known vector, exact scale/sum/saturation") {
     import spark.implicits._
     // m = 1.0; q = floor([127, -63.5, 31.75] + 0.5) = [127, -63, 32]
