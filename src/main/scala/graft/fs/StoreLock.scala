@@ -1,0 +1,97 @@
+package graft.fs
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileAlreadyExistsException, Path}
+
+/** Mutual exclusion for read-modify-write cycles over a store directory
+  * (the incremental-dedup signature/digest stores): a writer must observe
+  * the store, compute against it, and append — interleaving two such
+  * cycles can double-commit the same key with different keepers, which
+  * silently corrupts every future batch. Discipline: hold `_graft_lock`
+  * for the whole cycle; a second writer FAILS LOUDLY (detect-and-fail)
+  * instead of corrupting.
+  *
+  * The lock is an atomic create-no-overwrite of a JSON holder file via
+  * the Hadoop `FileSystem` API — atomic on HDFS, plain local FS, and
+  * S3 with conditional writes; like `CommitLog` it therefore works on
+  * any registered scheme. A crashed writer leaves a stale lock: holders
+  * carry a timestamp, and a lock older than `staleMs` is broken and
+  * re-acquired (one retry — two concurrent breakers still collide on
+  * the create and one of them loses, keeping mutual exclusion).
+  */
+object StoreLock {
+
+  private val LockName = "_graft_lock.json"
+
+  final case class Holder(owner: String, sinceMs: Long)
+
+  private def defaultOwner: String =
+    s"${java.net.InetAddress.getLocalHost.getHostName}:" +
+      s"${ProcessHandle.current().pid()}:${Thread.currentThread().getId}"
+
+  def holder(dir: String, conf: Configuration = new Configuration()): Option[Holder] = {
+    val p = new Path(dir, LockName)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) None
+    else
+      try {
+        val in = fs.open(p)
+        val body =
+          try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+          finally in.close()
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+        Some(Holder(node.get("owner").asText, node.get("since_ms").asLong))
+      } catch {
+        // racing a release between exists() and open(): lock is free
+        case _: java.io.FileNotFoundException => None
+      }
+  }
+
+  /** Run `body` holding the store lock; release on every exit path.
+    * Throws `IllegalStateException` naming the current holder if the
+    * lock is held (and fresher than `staleMs`). */
+  def withLock[T](
+      dir: String,
+      conf: Configuration = new Configuration(),
+      owner: String = defaultOwner,
+      staleMs: Long = 15 * 60 * 1000L)(body: => T): T = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    fs.mkdirs(root)
+    val lock = new Path(root, LockName)
+
+    def tryAcquire(): Boolean =
+      try {
+        val out = fs.create(lock, false) // no-overwrite: the atomic claim
+        try out.write(
+          s"""{"owner":"$owner","since_ms":${System.currentTimeMillis()}}"""
+            .getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch {
+        case _: FileAlreadyExistsException => false
+        case _: java.io.IOException if fs.exists(lock) => false
+      }
+
+    var acquired = tryAcquire()
+    if (!acquired) {
+      val h = holder(dir, conf)
+      val ageMs = h.map(System.currentTimeMillis() - _.sinceMs)
+      if (ageMs.exists(_ > staleMs)) {
+        // stale: the holder crashed mid-cycle. Break and retry once —
+        // losing the re-create race to another breaker is fine.
+        fs.delete(lock, false)
+        acquired = tryAcquire()
+      }
+      if (!acquired) throw new IllegalStateException(
+        s"store $dir is locked by ${h.map(_.owner).getOrElse("<unknown>")} " +
+          s"(held ${ageMs.map(a => s"${a}ms").getOrElse("?")}); " +
+          "a concurrent writer is mid-append — retry after it commits, or " +
+          s"delete $LockName if the holder is known dead")
+    }
+    try body
+    finally fs.delete(lock, false)
+  }
+}

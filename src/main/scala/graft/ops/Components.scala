@@ -23,7 +23,8 @@ import org.apache.spark.storage.StorageLevel
   * fixpoint and one confirming round ends the loop — three shuffles
   * total. Each round shuffles only (id, label) longs — document
   * payloads never enter the graph — and lineage is truncated every
-  * round (`localCheckpoint`) so plan depth and re-planning cost stay
+  * round (`localCheckpoint` by default, reliable `checkpoint` on
+  * request — see `ofPairs`) so plan depth and re-planning cost stay
   * O(1) across iterations.
   */
 object Components {
@@ -32,12 +33,30 @@ object Components {
     * `pairs`. Only vertices that appear in a pair are labeled —
     * singletons are their own trivial cluster and don't need clustering.
     * Throws after `maxIter` rounds without convergence (a pathological
-    * chain graph) rather than returning silently wrong labels. */
+    * chain graph) rather than returning silently wrong labels.
+    *
+    * Fault tolerance: by default each round truncates lineage with
+    * `localCheckpoint` — executor-local blocks, fast, but UNRECOVERABLE
+    * if an executor is lost mid-fixpoint (the truncated lineage cannot
+    * be recomputed). That is the right trade on a single node or for
+    * short jobs; on a 1000-executor cluster where the fixpoint may
+    * outlive an executor, pass `checkpointDir` (an HDFS/S3 path) to use
+    * RELIABLE checkpoints instead — each round's label table is written
+    * to the shared store and survives any executor loss, at the cost of
+    * one distributed write per round (the table is (long, long) pairs,
+    * tiny next to the edge shuffle it rides with). */
   def ofPairs(
       pairs: DataFrame,
       aCol: String = "doc_a",
       bCol: String = "doc_b",
-      maxIter: Int = 30): DataFrame = {
+      maxIter: Int = 30,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val ckpt: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        pairs.sparkSession.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint()
+      case None => df => df.localCheckpoint()
+    }
     val edges = pairs.select(
       col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
     val sym = edges
@@ -50,7 +69,7 @@ object Components {
     // loop below only confirms it (one round, no jump).
     var labels = sym.groupBy(col("dst").as("v")).agg(min("src").as("m"))
       .select(col("v"), least(col("v"), col("m")).as("component"))
-      .localCheckpoint()
+      .transform(ckpt)
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
@@ -71,7 +90,7 @@ object Components {
         .select(col("v"), col("component").as("__prev"),
           least(col("component"), coalesce(col("nbr"), col("component")))
             .as("component"))
-        .localCheckpoint()
+        .transform(ckpt)
       // convergence ⇔ the propagation step lowered nothing: at that
       // fixpoint every edge joins equal labels, so labels are constant
       // per component and (being monotone ≥ the component min, which is
@@ -93,7 +112,7 @@ object Components {
           .select(col("v"),
             least(col("component"), coalesce(col("__ulabel"), col("component")))
               .as("component"))
-          .localCheckpoint()
+          .transform(ckpt)
       }
       iter += 1
     }

@@ -35,11 +35,27 @@ object IncrementalDedup {
     * Null-text docs have no content to dedup and are EXCLUDED from the
     * verdicts (md5(null) digests to null, which equality joins cannot
     * carry) — filter them out, explicitly, rather than losing them to
-    * join semantics silently. */
+    * join semantics silently.
+    *
+    * Multi-writer safety: the whole read-store → compute → append cycle
+    * holds the store lock (`graft.fs.StoreLock`) — two pipelines
+    * appending concurrently would otherwise both observe the same base
+    * store and double-commit a shared digest under different keepers. A
+    * concurrent writer fails loudly with the holder's identity instead
+    * of corrupting the store. */
   def exactBatch(
       docsNew: DataFrame,
       storeDir: String,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    graft.fs.StoreLock.withLock(storeDir,
+      docsNew.sparkSession.sparkContext.hadoopConfiguration) {
+      exactBatchLocked(docsNew, storeDir, textCol)
+    }
+
+  private def exactBatchLocked(
+      docsNew: DataFrame,
+      storeDir: String,
+      textCol: String): DataFrame = {
     val spark = docsNew.sparkSession
     val digested = docsNew
       .filter(col(textCol).isNotNull)
@@ -83,14 +99,29 @@ object IncrementalDedup {
     * for every pair with at least one side in the batch (store-internal
     * pairs were reported when THEIR batches arrived), then appends the
     * batch's signatures to the store. Over a sequence of batches the
-    * union of results equals the full-corpus `Dedup.minhashLshPairs`. */
+    * union of results equals the full-corpus `Dedup.minhashLshPairs`.
+    *
+    * Holds the store lock for the read → compute → append cycle like
+    * `exactBatch` — a concurrent writer fails loudly, never corrupts. */
   def minhashBatch(
       docsNew: DataFrame,
       storeDir: String,
       textCol: String = "text",
       numHashes: Int = 64,
       bands: Int = 16,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5): DataFrame =
+    graft.fs.StoreLock.withLock(storeDir,
+      docsNew.sparkSession.sparkContext.hadoopConfiguration) {
+      minhashBatchLocked(docsNew, storeDir, textCol, numHashes, bands, threshold)
+    }
+
+  private def minhashBatchLocked(
+      docsNew: DataFrame,
+      storeDir: String,
+      textCol: String,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double): DataFrame = {
     val spark = docsNew.sparkSession
     val rowsPerBand = numHashes / bands
     val newSigs = Dedup.minhashSignatures(docsNew, textCol, numHashes = numHashes)

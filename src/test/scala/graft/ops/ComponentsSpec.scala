@@ -42,6 +42,27 @@ class ComponentsSpec extends SparkSuite {
     assert(labelsOf(chain).values.toSet == Set(1L))
   }
 
+  test("reliable checkpointing yields the same labels as localCheckpoint") {
+    // multi-round graph (chain of diameter 7 + a clique) so several
+    // checkpoint rounds actually execute through the reliable path
+    val edges = (1L to 8L).sliding(2).map(s => (s.head, s.last)).toSeq ++
+      Seq((50L, 51L), (51L, 52L), (50L, 52L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    try {
+      val default = labelsOf(edges)
+      val reliable = Components.ofPairs(
+        edges.toDF("doc_a", "doc_b"), checkpointDir = Some(dir))
+        .collect().map(r => r.getAs[Long]("v") -> r.getAs[Long]("component")).toMap
+      assert(reliable == default)
+      // the reliable path really wrote checkpoint data to the shared dir
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "no reliable checkpoint files written")
+    } finally {
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(dir))
+    }
+  }
+
   test("random graphs match a union-find reference (differential)") {
     // deterministic sparse random graphs: mixed cliques, chains, and
     // isolated edges emerge naturally at low edge density

@@ -37,6 +37,56 @@ class IncrementalDedupSpec extends SparkSuite {
     assert(spark.read.parquet(dir).count() == 3)
   }
 
+  test("a second writer fails loudly while the store lock is held, succeeds after") {
+    val dir = Files.createTempDirectory("incdedup_lock").toString + "/store"
+    val b1 = Seq((1L, "aaa"), (2L, "bbb")).toDF("doc_id", "text")
+    val conf = spark.sparkContext.hadoopConfiguration
+    // writer A mid-cycle: lock held -> writer B must detect-and-fail with
+    // the holder's identity, never observe-and-append
+    graft.fs.StoreLock.withLock(dir, conf, owner = "writer-a") {
+      val e = intercept[IllegalStateException] {
+        IncrementalDedup.exactBatch(b1, dir)
+      }
+      assert(e.getMessage.contains("writer-a"), e.getMessage)
+      assert(e.getMessage.contains(dir))
+    }
+    // lock released: the same batch now commits normally
+    val r = IncrementalDedup.exactBatch(b1, dir)
+    assert(r.count() == 2)
+    assert(spark.read.parquet(dir).count() == 2)
+    // and the operator released its own lock (store is writable again)
+    assert(graft.fs.StoreLock.holder(dir, conf).isEmpty)
+  }
+
+  test("a stale lock from a crashed writer is broken, not honored forever") {
+    val dir = Files.createTempDirectory("incdedup_stale").toString + "/store"
+    val conf = spark.sparkContext.hadoopConfiguration
+    // simulate a crash: take the lock and never release it
+    intercept[RuntimeException] {
+      graft.fs.StoreLock.withLock(dir, conf, owner = "crashed") {
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(graft.fs.StoreLock.holder(dir, conf).isEmpty) // released on failure
+    // a truly orphaned lock file (writer died without the finally): plant
+    // one with an old timestamp and check it is broken on acquisition
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val lock = new org.apache.hadoop.fs.Path(dir, "_graft_lock.json")
+    val out = fs.create(lock, true)
+    out.write(s"""{"owner":"orphan","since_ms":1}""".getBytes("UTF-8"))
+    out.close()
+    val b = Seq((5L, "zzz")).toDF("doc_id", "text")
+    assert(IncrementalDedup.exactBatch(b, dir).count() == 1) // stale -> broken
+    // but a FRESH foreign lock is honored
+    val out2 = fs.create(lock, true)
+    out2.write(
+      s"""{"owner":"live","since_ms":${System.currentTimeMillis()}}"""
+        .getBytes("UTF-8"))
+    out2.close()
+    intercept[IllegalStateException] { IncrementalDedup.exactBatch(b, dir) }
+    fs.delete(lock, false)
+  }
+
   test("minhash: union over batches equals full-corpus pairs") {
     val dir = Files.createTempDirectory("incdedup_mh").toString + "/store"
     val base = "the quick brown fox jumps over the lazy dog and runs far away " +
