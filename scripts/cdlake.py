@@ -50,6 +50,26 @@ class CdlFs:
     def sql_as_pandas(self, query):
         return self.sql(query).toPandas()
 
+    def sql_as_polars(self, query):
+        """Collected result as a polars DataFrame — the reference's
+        arrow-native contract (python/cdlake/filesystem.py:51-56:
+        `pl.from_arrow(self.sql(sql))`). Arrow path first (pyspark's
+        `toArrow`, zero pandas detour), pandas round-trip if the arrow
+        bridge is unavailable. polars itself is an optional dependency
+        exactly as in the reference: absent wheel -> ImportError naming
+        it, so callers can fall back to `sql_as_pandas` deliberately."""
+        try:
+            import polars as pl
+        except ImportError as e:
+            raise ImportError(
+                "sql_as_polars needs the 'polars' wheel (pip install "
+                "polars); use sql_as_pandas as the fallback") from e
+        df = self.sql(query)
+        try:
+            return pl.from_arrow(df.toArrow())
+        except Exception:
+            return pl.from_pandas(df.toPandas())
+
     def read_files(self, condition):
         """Payload bytes of matching files, reassembled in chunk order
         (python/src/lib.rs:105-129 read_files)."""

@@ -47,6 +47,19 @@ print(fs.sql_as_pandas(
     "SELECT parent, name, size, chunk_id, len(data) AS n "
     "FROM rootfs ORDER BY parent, name, chunk_id").to_string(index=False))
 
+print("\n== sql_as_polars ==")
+try:
+    print(fs.sql_as_polars(
+        "SELECT parent, count(*) AS n FROM rootfs GROUP BY parent "
+        "ORDER BY parent"))
+except ImportError as e:
+    # this container has no polars wheel (see scripts/README.md);
+    # the API degrades loudly, and pandas carries the same query
+    print(f"polars unavailable ({e}); sql_as_pandas fallback:")
+    print(fs.sql_as_pandas(
+        "SELECT parent, count(*) AS n FROM rootfs GROUP BY parent "
+        "ORDER BY parent").to_string(index=False))
+
 print("\n== read_dir('/') ==")
 print(fs.read_dir("/").select("name", "size").toPandas().to_string(index=False))
 
