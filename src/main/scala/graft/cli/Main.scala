@@ -56,16 +56,25 @@ object Main {
       case "versions" :: target :: Nil =>
         CdlFs.open(spark, catalog, target).versions.foreach(println)
       case "compact" :: target :: rest =>
-        // OPTIMIZE-style rewrite (CdlFs.compact): fewer, stats-tight files.
+        // OPTIMIZE-style rewrite (CdlFs.compact): fewer, stats-tight files;
+        // optional [--zorder x,y] clusters them by the Morton code of two
+        // numeric columns instead of the row_id stamp.
         // Strict args: compaction deletes the old layout (not undoable),
         // so a malformed byte target must fail, not fall back silently.
-        val targetBytes = rest match {
+        val (zorder, sized) = rest match {
+          case "--zorder" :: cols :: more => (cols.split(",").toSeq, more)
+          case more                       => (Nil, more)
+        }
+        if (zorder.nonEmpty && zorder.size != 2)
+          sys.error(s"--zorder takes exactly two columns, got $zorder")
+        val targetBytes = sized match {
           case Nil      => 128L * 1024 * 1024
           case b :: Nil => b.toLong
           case other    => sys.error(
-            s"usage: compact <target> [bytes]; unexpected args: $other")
+            s"usage: compact <target> [--zorder x,y] [bytes]; unexpected args: $other")
         }
-        val n = CdlFs.open(spark, catalog, target).compact(targetBytes)
+        val n = CdlFs.open(spark, catalog, target)
+          .compact(targetBytes, zorderBy = zorder)
         println(s"compacted to $n data files")
       case "take" :: target :: indices :: rest =>
         // the reference's Lance take(indices, columns) surface
@@ -79,7 +88,7 @@ object Main {
           .orderBy("row_id").show(100, truncate = false)
       case other =>
         sys.error(s"usage: [--catalog-flag value]... {cp <from> <to> | query <target> <sql> " +
-          s"[--at-version N] | versions <target> | compact <target> [bytes] | " +
+          s"[--at-version N] | versions <target> | compact <target> [--zorder x,y] [bytes] | " +
           s"take <target> <i,j,...> [col,col]}; got $other")
     }
 

@@ -254,10 +254,26 @@ final class CdlFs(
     * the same class as the reference's.
     *
     * @param targetFileBytes target size per output file (default 128 MiB)
+    * @param zorderBy optional pair of numeric columns to Z-order the
+    *   rewrite by (`graft.ops.Layout.clusterByZOrder`): each output file
+    *   then carries a tight min/max box over BOTH columns, so stats
+    *   skipping prunes scans filtered on either one. Trade: the rewrite
+    *   clusters on the Morton code instead of the `row_id` stamp, so
+    *   `take`'s file pruning degrades to a full-file-list scan on
+    *   z-ordered tables (results stay correct — row_id is a value
+    *   filter, not a layout assumption).
+    * @param zorderBits Morton bit width per key (see Layout.morton2);
+    *   keys are masked to this many low bits, so pick a width covering
+    *   the key domain
     * @return number of data files after compaction */
-  def compact(targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+  def compact(
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      zorderBy: Seq[String] = Nil,
+      zorderBits: Int = 16): Int = {
     import org.apache.hadoop.fs.Path
     require(targetFileBytes > 0, "targetFileBytes must be positive")
+    require(zorderBy.isEmpty || zorderBy.size == 2,
+      s"zorderBy takes exactly two columns, got $zorderBy")
     val rootP = new Path(tableLocation)
     val fs = rootP.getFileSystem(hconf)
     if (CommitLog.latest(tableLocation, hconf).isEmpty)
@@ -290,9 +306,17 @@ final class CdlFs(
     // rewrite and the retire step below agree even if a concurrent
     // append lands mid-compact (its files survive untouched)
     val base = tableLocation.stripSuffix("/")
-    canonical(spark.read.parquet(srcFiles.map(f => s"$base/$f"): _*))
-      .repartitionByRange(numFiles, keys: _*)
-      .sortWithinPartitions(keys: _*)
+    val src = canonical(spark.read.parquet(srcFiles.map(f => s"$base/$f"): _*))
+    val clustered =
+      if (zorderBy.nonEmpty)
+        // the ONE z-order implementation (Layout): Morton-code range
+        // write in place of the stamp/path-order range write
+        graft.ops.Layout.clusterByZOrder(
+          src, zorderBy.head, zorderBy(1), numFiles, zorderBits)
+      else
+        src.repartitionByRange(numFiles, keys: _*)
+          .sortWithinPartitions(keys: _*)
+    clustered
       .withColumn("p0", Ingest.topSegment(col("parent")))
       .write.mode("overwrite").partitionBy("p0").parquet(tmp.toString)
     // 2. move new files in (they are invisible to the CURRENT manifest

@@ -63,6 +63,63 @@ class CompactSpec extends SparkSuite {
     assert(snap.files.size == nAfter)
   }
 
+  test("compact(zorderBy) clusters files into tight min/max boxes on both keys") {
+    // a 16x16 grid in (size, mtime-second): file (i,j) has 16+i content
+    // bytes and mtime second 64+j, so both keys vary in their low 4 bits
+    // with constant high bits — the Morton code is exactly the grid
+    // interleave and aligned z-blocks are (8 x 4)-cell boxes
+    val root = Files.createTempDirectory("compact_zorder").toString
+    val fixture = s"$root/fixture/g"
+    Files.createDirectories(Paths.get(fixture))
+    for (i <- 0 until 16; j <- 0 until 16) {
+      val p = Paths.get(s"$fixture/x${i}_y$j.bin")
+      Files.write(p, ("#" * (16 + i)).getBytes)
+      Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis((64L + j) * 1000))
+    }
+    val fs = CdlFs.open(spark, DatasetCatalog(),
+      GlobalPath.parse(s"$root/ds").toOption.get)
+    Ingest.run(fs, s"$root/fixture")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    // aim for 8 output files regardless of parquet overhead
+    val rootP = new org.apache.hadoop.fs.Path(fs.tableLocation)
+    val hfs = rootP.getFileSystem(hconf)
+    val total = CommitLog.dataFiles(fs.tableLocation, hconf).map(f =>
+      hfs.getFileStatus(new org.apache.hadoop.fs.Path(rootP, f)).getLen).sum
+    val n = fs.compact(
+      targetFileBytes = math.max(1L, math.ceil(total / 8.0).toLong),
+      zorderBy = Seq("size", "mtime"))
+    assert(n >= 6, s"want a multi-file layout, got $n files")
+    assert(fs.table.count() == 256)
+    // per-file min/max boxes over BOTH keys, straight from the files —
+    // what a stats-pruning scan would read
+    val boxes = CommitLog.latest(fs.tableLocation, hconf).get.files.map { f =>
+      val d = spark.read.parquet(s"${fs.tableLocation}/$f")
+        .agg(min("size"), max("size"),
+          min(unix_timestamp(col("mtime"))), max(unix_timestamp(col("mtime"))))
+        .head()
+      (d.getLong(0), d.getLong(1), d.getLong(2), d.getLong(3))
+    }
+    // tightness: every file covers at most half the grid in EACH key
+    // (a single-key sort layout spans the FULL 16-value range of the
+    // other key in every file; aligned z-blocks here span 8 x 4)
+    boxes.foreach { case (sMin, sMax, tMin, tMax) =>
+      assert(sMax - sMin <= 7, s"size span too wide: $boxes")
+      assert(tMax - tMin <= 7, s"mtime span too wide: $boxes")
+    }
+    // and the boxes really prune: a point query on either key overlaps
+    // at most half the files
+    for (v <- 16 until 32) {
+      val bySize = boxes.count { case (a, b, _, _) => a <= v && v <= b }
+      assert(bySize <= boxes.size / 2, s"size=$v overlaps $bySize/${boxes.size}")
+    }
+    for (v <- 64 until 80) {
+      val byTime = boxes.count { case (_, _, a, b) => a <= v && v <= b }
+      assert(byTime <= boxes.size / 2, s"mtime=$v overlaps $byTime/${boxes.size}")
+    }
+    fs.close()
+  }
+
   test("compact absorbs external (uncommitted) files exactly once") {
     val fs = mkDataset()
     // an external writer drops a file into the table dir WITHOUT bumping
