@@ -8,15 +8,17 @@ import org.apache.spark.sql.types._
   * `binary` columns with typed metadata riding alongside. The Spark-side
   * contracts — schema, partition-sized batch processing, bounded memory per
   * row (chunked payloads via RootFs), executor-local decode — are real and
-  * tested, and so is the image path of the codec: `Codec` sniffs the
-  * container magic and decodes PNG/JPEG/GIF/BMP payloads with
-  * `javax.imageio` (JVM-native, no external library), reducing pixels to
-  * a deterministic luminance histogram. Non-image payloads (and the
-  * audio/video containers this JVM cannot decode) reduce to an equally
+  * tested, and so are the image and audio paths of the codec: `Codec`
+  * sniffs the container magic and decodes PNG/JPEG/GIF/BMP payloads with
+  * `javax.imageio` and WAV PCM payloads with `javax.sound.sampled`
+  * (both JVM-native, no external library), reducing pixels to a
+  * deterministic luminance histogram and samples to a deterministic
+  * amplitude histogram. Everything else (and the compressed audio/video
+  * containers this JVM cannot decode) reduces to an equally
   * deterministic byte histogram — which keeps EVERY payload featurizable
   * and the whole operator oracle-checkable on a text corpus. Swap/extend
   * the codec body (e.g. a javacv call or Python `mapInPandas` worker for
-  * audio/video) without touching the plumbing.
+  * mp3/mp4) without touching the plumbing.
   */
 object Multimodal {
 
@@ -44,9 +46,11 @@ object Multimodal {
   /** Content-sniffing decoder. Image containers (PNG/JPEG/GIF/BMP magic)
     * are REALLY decoded — `javax.imageio` ships in the JVM — and reduced
     * to a `dims`-bucket luminance histogram (bucket = luma·dims/256,
-    * ITU-R 601 integer luma), a classic cheap perceptual feature.
+    * ITU-R 601 integer luma), a classic cheap perceptual feature. WAV
+    * PCM containers (RIFF magic) are really decoded too —
+    * `javax.sound.sampled` — into the analogous amplitude histogram.
     * Everything else reduces to a `dims`-bucket byte histogram
-    * (bucket = byte mod dims). Both are pure counts: deterministic
+    * (bucket = byte mod dims). All are pure counts: deterministic
     * across runs and engines, so the operator's output is checkable by
     * an independent oracle on byte-level corpora (the driver gate does
     * exactly that), and the image path is pinned by MultimodalSpec on
@@ -65,9 +69,66 @@ object Multimodal {
         (p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8') ||
         (p(0) == 'B' && p(1) == 'M'))
 
+    /** RIFF/WAVE container magic. */
+    private[ops] def looksLikeWav(p: Array[Byte]): Boolean =
+      p != null && p.length >= 12 &&
+        p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+        p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
+
+    /** WAV PCM decode → `dims`-bucket amplitude histogram (bucket =
+      * (sample + 32768)·dims/65536 over 16-bit sample values, 8-bit
+      * scaled up) — the audio analogue of the luminance histogram: pure
+      * counts over decoded samples, deterministic across runs. Only
+      * integer PCM is decoded (the WAV payload is a bit-exact parse —
+      * no resampling layer whose output could vary by JVM); float/
+      * compressed encodings fall back to byte stats like any other
+      * undecodable payload. Returns null when not decodable. */
+    private def wavHistogram(payload: Array[Byte], dims: Int): Array[Float] =
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val fmt = ais.getFormat
+        val enc = fmt.getEncoding
+        val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+        val bits = fmt.getSampleSizeInBits
+        if (!((signed || unsigned) && (bits == 16 || bits == 8))) null
+        else {
+          val pcm = ais.readAllBytes()
+          val out = new Array[Float](dims)
+          if (bits == 8) {
+            // 8-bit WAV is unsigned by convention; center then scale to
+            // the 16-bit lattice so bucket edges match the 16-bit path
+            var i = 0
+            while (i < pcm.length) {
+              val s = ((pcm(i) & 0xFF) - (if (unsigned) 128 else 0)) << 8
+              val c = if (signed) (pcm(i).toInt) << 8 else s
+              out((c + 32768) * dims / 65536) += 1f
+              i += 1
+            }
+          } else {
+            val big = fmt.isBigEndian
+            var i = 0
+            while (i + 1 < pcm.length) {
+              val s =
+                if (big) (pcm(i) << 8) | (pcm(i + 1) & 0xFF)
+                else (pcm(i + 1) << 8) | (pcm(i) & 0xFF)
+              val c = if (unsigned) (s & 0xFFFF) - 32768 else s
+              out((c + 32768) * dims / 65536) += 1f
+              i += 2
+            }
+          }
+          out
+        }
+      } catch { case _: Exception => null }
+
     def features(payload: Array[Byte], dims: Int): Array[Float] = {
       val out = new Array[Float](dims)
       if (payload == null) return out
+      if (looksLikeWav(payload)) {
+        val hist = wavHistogram(payload, dims)
+        if (hist != null) return hist
+      }
       if (looksLikeImage(payload)) {
         val img =
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))

@@ -128,9 +128,13 @@ object Similarity {
     sig.as("a").join(sig.as("b"), Seq("tbl", "bucket"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(cosine(col("a.vec"), col("b.vec")), 4).as("cosine"))
-      // a pair colliding in several tables must surface once
+        col("a.vec").as("va"), col("b.vec").as("vb"))
+      // a pair colliding in several tables must surface once — dedupe
+      // BEFORE scoring, so the exact cosine runs once per unique pair
+      // instead of once per bucket collision (up to `tables` times)
       .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("va"), col("vb")), 4).as("cosine"))
   }
 
   /** Lloyd-iteration k-means centroids for the IVF index, fully

@@ -102,6 +102,49 @@ class MultimodalSpec extends SparkSuite {
     assert(Multimodal.Codec.features(p, dims = 16).sum == 32f)
   }
 
+  private def wav(samples: Array[Short], bigEndian: Boolean = false): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      8000f, 16, 1, 2, 8000f, bigEndian)
+    val pcm = new Array[Byte](samples.length * 2)
+    for ((s, k) <- samples.zipWithIndex) {
+      val (hi, lo) = ((s >> 8).toByte, (s & 0xFF).toByte)
+      if (bigEndian) { pcm(2 * k) = hi; pcm(2 * k + 1) = lo }
+      else { pcm(2 * k) = lo; pcm(2 * k + 1) = hi }
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  test("codec decodes WAV PCM to the exact amplitude histogram") {
+    // one sample centered in each of the 16 amplitude buckets
+    val samples = Array.tabulate(16)(k => (-32768 + k * 4096 + 2048).toShort)
+    val f = Multimodal.Codec.features(wav(samples), dims = 16)
+    assert(f.toSeq == Seq.fill(16)(1f))
+    // silence: every sample in the midpoint bucket
+    val silent = Multimodal.Codec.features(wav(Array.fill(50)(0.toShort)), 16)
+    val expected = Array.fill(16)(0f); expected(8) = 50f
+    assert(silent.toSeq == expected.toSeq)
+  }
+
+  test("WAV histogram mass equals sample count, not file byte count") {
+    val p = wav(Array.fill(37)(123.toShort))
+    assert(p.length != 37) // RIFF header + 2 bytes/sample
+    assert(Multimodal.Codec.features(p, dims = 16).sum == 37f)
+  }
+
+  test("truncated RIFF magic falls back to exact byte stats") {
+    val p = "RIFFxxxxWAVEgarbage".getBytes("US-ASCII")
+    val f = Multimodal.Codec.features(p, dims = 16)
+    val expected = Array.fill(16)(0f)
+    for (b <- p) expected((b & 0xFF) % 16) += 1f
+    assert(f.toSeq == expected.toSeq)
+  }
+
   test("truncated image-magic payload falls back to exact byte stats") {
     // PNG magic + garbage: ImageIO fails, byte histogram (byte mod 16) applies
     val p = Array[Byte](0x89.toByte, 'P', 'N', 'G', 1, 2, 3)
