@@ -87,6 +87,39 @@ class IncrementalDedupSpec extends SparkSuite {
     fs.delete(lock, false)
   }
 
+  test("two racing writers: at least one commits, store never corrupts") {
+    // real concurrency: both threads target one store with overlapping
+    // content. The lock serializes whoever wins; the loser either waits
+    // its turn (ran after release) or fails with the loud lock error.
+    // Either way the store invariant — ONE keeper per digest — holds.
+    val dir = Files.createTempDirectory("incdedup_race").toString + "/store"
+    val b1 = Seq((1L, "shared"), (2L, "only-a")).toDF("doc_id", "text")
+    val b2 = Seq((10L, "shared"), (11L, "only-b")).toDF("doc_id", "text")
+    val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val threads = Seq(b1, b2).zipWithIndex.map { case (b, i) =>
+      new Thread(() => {
+        try {
+          IncrementalDedup.exactBatch(b, dir).collect()
+          outcomes.add(s"ok$i")
+        } catch {
+          case e: IllegalStateException if e.getMessage.contains("locked") =>
+            outcomes.add(s"locked$i")
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    import scala.jdk.CollectionConverters._
+    val res = outcomes.asScala.toSet
+    assert(res.exists(_.startsWith("ok")), s"no writer committed: $res")
+    // invariant: each digest has exactly one keeper row
+    val dup = spark.read.parquet(dir).groupBy("digest").count()
+      .filter(col("count") > 1).count()
+    assert(dup == 0, "store corrupted: duplicate digests")
+    // and the lock is free afterwards
+    assert(graft.fs.StoreLock.holder(dir,
+      spark.sparkContext.hadoopConfiguration).isEmpty)
+  }
+
   test("minhash: union over batches equals full-corpus pairs") {
     val dir = Files.createTempDirectory("incdedup_mh").toString + "/store"
     val base = "the quick brown fox jumps over the lazy dog and runs far away " +
