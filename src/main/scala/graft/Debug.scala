@@ -8,17 +8,35 @@ object Debug {
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val df = SparkEntry.queries(name)(spark, sfDir)
-    df.show(20, truncate = false)
-    println(s"rows = ${df.count()}")
-    if (args.contains("--explain")) df.explain("formatted")
+    val repeat = args.indexOf("--repeat") match {
+      case -1 => 0
+      case i  => args(i + 1).toInt
+    }
+    if (repeat > 0) {
+      // bench-shaped repetitions (noop sink, cache cleared between runs)
+      // for chasing run-to-run variance of one query
+      (1 to repeat).foreach { k =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        println(f"run $k: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        spark.catalog.clearCache()
+        System.gc()
+      }
+    } else {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.show(20, truncate = false)
+      println(s"rows = ${df.count()}")
+      if (args.contains("--explain")) df.explain("formatted")
+    }
     spark.stop()
   }
 }
