@@ -504,7 +504,6 @@ object Queries {
         round(expr("percentile(l_quantity, 0.95)"), 4).as("p95_qty"))
       .orderBy("l_returnflag")
 
-  /** HLL sketch — values engine-specific, so rows-only checked. */
   /** HLL approximate distinct counts, gated SEMANTICALLY: the output
     * carries the exact counts plus one boolean per sketch asserting the
     * estimate lands within 3·rsd of the truth (default rsd 0.05 → 15%).
@@ -871,8 +870,11 @@ object Queries {
         (floor((col("meta.n_frames") - 1) / 16) + 1).cast("long").as("n_sampled"))
       .orderBy("item_id")
 
-  /** Feature extraction through the (stub-codec) multimodal pipeline —
-    * deterministic fake features, rows-only checked. */
+  /** Feature extraction through the multimodal pipeline. The codec is
+    * real (images via javax.imageio, WAV PCM via javax.sound.sampled —
+    * MultimodalSpec pins both); on this corpus the payloads are utf-8
+    * text bytes, so the byte-histogram path applies and the oracle
+    * recomputes the feature norm per character. */
   def qMultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val items = Multimodal.fromDocuments(rd(s, dir, "documents"))

@@ -100,8 +100,10 @@ object SparkEntry {
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (approx sketches, LSH/ANN internals, stub-codec features) → driver
-    * records a weaker rows-only check. */
+    * the same parquet tables. EVERY query has one (79/79): inherently
+    * engine-specific values (HLL registers, LSH retrieval sets) are
+    * gated semantically instead — the query emits the engine-independent
+    * contract (exact counts + tolerance booleans, verified pair sets,
+    * recall flags) and the oracle recomputes the truth. */
   def oracleSql: Map[String, String] = Oracles.map
 }
