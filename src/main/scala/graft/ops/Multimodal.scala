@@ -8,17 +8,19 @@ import org.apache.spark.sql.types._
   * `binary` columns with typed metadata riding alongside. The Spark-side
   * contracts — schema, partition-sized batch processing, bounded memory per
   * row (chunked payloads via RootFs), executor-local decode — are real and
-  * tested, and so are the image and audio paths of the codec: `Codec`
+  * tested, and so are the codec's image, audio, and video paths: `Codec`
   * sniffs the container magic and decodes PNG/JPEG/GIF/BMP payloads with
-  * `javax.imageio` and WAV PCM payloads with `javax.sound.sampled`
-  * (both JVM-native, no external library), reducing pixels to a
-  * deterministic luminance histogram and samples to a deterministic
-  * amplitude histogram. Everything else (and the compressed audio/video
-  * containers this JVM cannot decode) reduces to an equally
-  * deterministic byte histogram — which keeps EVERY payload featurizable
-  * and the whole operator oracle-checkable on a text corpus. Swap/extend
-  * the codec body (e.g. a javacv call or Python `mapInPandas` worker for
-  * mp3/mp4) without touching the plumbing.
+  * `javax.imageio`, WAV PCM payloads with `javax.sound.sampled`, and
+  * MJPEG-in-AVI video (RIFF walk + per-frame ImageIO, every 16th frame)
+  * — all JVM-native, no external library — reducing pixels to a
+  * deterministic luminance histogram and audio samples to a
+  * deterministic amplitude histogram. Everything else (mp3/mp4 and
+  * other compressed codecs this JVM cannot decode) reduces to an
+  * equally deterministic byte histogram — which keeps EVERY payload
+  * featurizable and the whole operator oracle-checkable on a text
+  * corpus. Swap/extend the codec body (e.g. a javacv call or Python
+  * `mapInPandas` worker for those codecs) without touching the
+  * plumbing.
   */
 object Multimodal {
 
@@ -75,6 +77,94 @@ object Multimodal {
         p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
         p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
 
+    /** RIFF/AVI container magic. */
+    private[ops] def looksLikeAvi(p: Array[Byte]): Boolean =
+      p != null && p.length >= 12 &&
+        p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+        p(8) == 'A' && p(9) == 'V' && p(10) == 'I' && p(11) == ' '
+
+    /** Video-frame payloads (`##db`/`##dc` stream chunks) of an AVI
+      * container in stream order — a minimal, allocation-bounded RIFF
+      * walk (chunks are [id:4][size:4 LE][data][pad-to-even]; RIFF/LIST
+      * chunks carry a 4-byte type then subchunks). Lenient by design:
+      * sizes are clamped to the buffer and a corrupt size ends the walk
+      * with whatever was collected — truncated tails are data. */
+    private[ops] def aviFrames(p: Array[Byte]): Seq[Array[Byte]] = {
+      val out = Seq.newBuilder[Array[Byte]]
+      def u32(i: Int): Long =
+        (p(i) & 0xFFL) | ((p(i + 1) & 0xFFL) << 8) |
+          ((p(i + 2) & 0xFFL) << 16) | ((p(i + 3) & 0xFFL) << 24)
+      def walk(start: Int, end: Int): Unit = {
+        var i = start
+        var ok = true
+        while (ok && i + 8 <= end) {
+          val id = new String(p, i, 4, "US-ASCII")
+          val sz = u32(i + 4)
+          val dataStart = i + 8
+          if (sz < 0 || sz > Int.MaxValue - 8) ok = false
+          else {
+            val dataEnd = math.min(dataStart + sz.toInt, end)
+            if (id == "RIFF" || id == "LIST") {
+              if (dataStart + 4 <= dataEnd) walk(dataStart + 4, dataEnd)
+            } else if (id(2) == 'd' && (id(3) == 'b' || id(3) == 'c') &&
+                dataEnd > dataStart) {
+              out += java.util.Arrays.copyOfRange(p, dataStart, dataEnd)
+            }
+            i = dataStart + sz.toInt + (sz.toInt & 1)
+          }
+        }
+      }
+      walk(0, p.length)
+      out.result()
+    }
+
+    /** Frame-sampling stride for video featurization — every 16th frame,
+      * the same convention `frameSamplePlan`/`q_multimodal_meta` use. */
+    private[ops] val FrameStride = 16
+
+    /** MJPEG-in-AVI decode → summed luminance histogram over every
+      * `FrameStride`-th frame: each sampled frame payload is a JPEG
+      * (or any ImageIO-decodable picture) decoded through the SAME luma
+      * path as still images. Returns null when no sampled frame
+      * decodes (compressed codecs this JVM can't read) → byte fallback. */
+    private def aviHistogram(payload: Array[Byte], dims: Int): Array[Float] =
+      try {
+        val frames = aviFrames(payload)
+        if (frames.isEmpty) null
+        else {
+          val out = new Array[Float](dims)
+          var any = false
+          var k = 0
+          while (k < frames.length) {
+            val img =
+              try javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(frames(k)))
+              catch { case _: Exception => null }
+            if (img != null) { any = true; lumaInto(img, out, dims) }
+            k += FrameStride
+          }
+          if (any) out else null
+        }
+      } catch { case _: Exception => null }
+
+    /** Accumulate one decoded image into a `dims`-bucket ITU-601 integer
+      * luminance histogram — shared by the still-image and video paths. */
+    private def lumaInto(
+        img: java.awt.image.BufferedImage, out: Array[Float], dims: Int): Unit = {
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          val luma = (((rgb >> 16) & 0xFF) * 299 +
+            ((rgb >> 8) & 0xFF) * 587 + (rgb & 0xFF) * 114) / 1000
+          out(luma * dims / 256) += 1f
+          x += 1
+        }
+        y += 1
+      }
+    }
+
     /** WAV PCM decode → `dims`-bucket amplitude histogram (bucket =
       * (sample + 32768)·dims/65536 over 16-bit sample values, 8-bit
       * scaled up) — the audio analogue of the luminance histogram: pure
@@ -129,23 +219,16 @@ object Multimodal {
         val hist = wavHistogram(payload, dims)
         if (hist != null) return hist
       }
+      if (looksLikeAvi(payload)) {
+        val hist = aviHistogram(payload, dims)
+        if (hist != null) return hist
+      }
       if (looksLikeImage(payload)) {
         val img =
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
           catch { case _: Exception => null }
         if (img != null) {
-          var y = 0
-          while (y < img.getHeight) {
-            var x = 0
-            while (x < img.getWidth) {
-              val rgb = img.getRGB(x, y)
-              val luma = (((rgb >> 16) & 0xFF) * 299 +
-                ((rgb >> 8) & 0xFF) * 587 + (rgb & 0xFF) * 114) / 1000
-              out(luma * dims / 256) += 1f
-              x += 1
-            }
-            y += 1
-          }
+          lumaInto(img, out, dims)
           return out
         }
       }

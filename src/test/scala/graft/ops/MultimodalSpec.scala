@@ -137,6 +137,51 @@ class MultimodalSpec extends SparkSuite {
     assert(Multimodal.Codec.features(p, dims = 16).sum == 37f)
   }
 
+  /** Minimal MJPEG AVI: RIFF/AVI header + LIST movi with one `00dc`
+    * chunk per frame (even-padded) — the structure Codec.aviFrames
+    * walks. */
+  private def avi(frames: Seq[Array[Byte]]): Array[Byte] = {
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    val movi = new java.io.ByteArrayOutputStream()
+    movi.write("movi".getBytes("US-ASCII"))
+    frames.foreach { f =>
+      movi.write("00dc".getBytes("US-ASCII"))
+      movi.write(le32(f.length)); movi.write(f)
+      if (f.length % 2 == 1) movi.write(0)
+    }
+    val body = new java.io.ByteArrayOutputStream()
+    body.write("AVI ".getBytes("US-ASCII"))
+    body.write("LIST".getBytes("US-ASCII"))
+    body.write(le32(movi.size())); movi.writeTo(body)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("RIFF".getBytes("US-ASCII"))
+    out.write(le32(body.size())); body.writeTo(out)
+    out.toByteArray
+  }
+
+  test("codec decodes MJPEG AVI: sampled frames through the image luma path") {
+    // 8x4 uniform gray-100 JPEG frames -> luma bucket 6, 32 px per frame
+    val frame = encode("jpg", 8, 4)((_, _) => 0x646464)
+    // 3 frames: stride 16 samples only frame 0 -> mass 32
+    val f3 = Multimodal.Codec.features(avi(Seq.fill(3)(frame)), dims = 16)
+    assert(f3.sum == 32f, f3.toSeq)
+    // 17 frames: frames 0 and 16 sampled -> mass 64
+    val f17 = Multimodal.Codec.features(avi(Seq.fill(17)(frame)), dims = 16)
+    assert(f17.sum == 64f, f17.toSeq)
+    // the mass sits where the luminance bucket says, not spread byte-wise
+    assert(f3(6) == 32f && f17(6) == 64f)
+  }
+
+  test("AVI with undecodable frames falls back to exact byte stats") {
+    val junk = avi(Seq(Array[Byte](1, 2, 3, 4))) // not a JPEG frame
+    val f = Multimodal.Codec.features(junk, dims = 16)
+    val expected = Array.fill(16)(0f)
+    for (b <- junk) expected((b & 0xFF) % 16) += 1f
+    assert(f.toSeq == expected.toSeq)
+  }
+
   test("truncated RIFF magic falls back to exact byte stats") {
     val p = "RIFFxxxxWAVEgarbage".getBytes("US-ASCII")
     val f = Multimodal.Codec.features(p, dims = 16)
