@@ -157,4 +157,34 @@ class PlanSpec extends SparkSuite {
       assert(!p.contains("Exchange"), p)
     }
   }
+
+  test("embedding near-dup: persisted bucket table reused, dedupe before scoring") {
+    val df = Queries.qDedupEmbedding(spark, sf)
+    val p = planOf(df)
+    // the banded signature frame feeds BOTH self-join sides from ONE
+    // materialization (re-aliased self-joins defeat ReuseExchange, so
+    // the persist is the sharing mechanism)
+    assert(p.contains("InMemoryTableScan"), p)
+    // bucket equi-join, never an all-pairs expansion
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    // the exact cosine is computed ABOVE the pair-dedupe aggregate (once
+    // per unique pair), not below it (once per bucket collision): in the
+    // top-down plan string the scoring projection precedes the aggregate
+    val cos = p.indexOf("cosine_sim")
+    val agg = p.indexOf("Aggregate")
+    assert(cos >= 0 && agg >= 0 && cos < agg, p)
+    // the perturbed-copy branch prunes at the scan
+    assert(formatted(df).contains("LessThan(vec_id,25)"), formatted(df))
+  }
+
+  test("z-order clustering is exactly one range exchange on the Morton key") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_suppkey")
+    val p = planOf(graft.ops.Layout.clusterByZOrder(li, "l_partkey", "l_suppkey", 8))
+    assert(p.contains("rangepartitioning"), p)
+    // one exchange total: the sampling pass rides the range partitioner;
+    // no extra shuffle, no join, no aggregation
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join") && !p.contains("Aggregate"), p)
+  }
 }
