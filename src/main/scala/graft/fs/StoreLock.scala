@@ -13,10 +13,12 @@ import org.apache.hadoop.fs.{FileAlreadyExistsException, Path}
   * for the whole cycle; a second writer FAILS LOUDLY (detect-and-fail)
   * instead of corrupting.
   *
-  * The lock is an atomic create-no-overwrite of a JSON holder file via
-  * the Hadoop `FileSystem` API — atomic on HDFS, plain local FS, and
-  * S3 with conditional writes; like `CommitLog` it therefore works on
-  * any registered scheme. A crashed writer leaves a stale lock: holders
+  * The lock is an atomic create-no-overwrite of a JSON holder file —
+  * the kernel's O_CREAT|O_EXCL via NIO on `file:` paths (Hadoop's local
+  * create(overwrite=false) is exists-then-create, a race window), and
+  * the Hadoop `FileSystem` create elsewhere (atomic on HDFS; S3 with
+  * conditional writes); like `CommitLog` it works on any registered
+  * scheme. A crashed writer leaves a stale lock: holders
   * carry a timestamp, and a lock older than `staleMs` is broken and
   * re-acquired (one retry — two concurrent breakers still collide on
   * the create and one of them loses, keeping mutual exclusion).
@@ -62,16 +64,33 @@ object StoreLock {
     fs.mkdirs(root)
     val lock = new Path(root, LockName)
 
+    val holderJson =
+      s"""{"owner":"$owner","since_ms":${System.currentTimeMillis()}}"""
+        .getBytes(StandardCharsets.UTF_8)
+
     def tryAcquire(): Boolean =
       try {
-        val out = fs.create(lock, false) // no-overwrite: the atomic claim
-        try out.write(
-          s"""{"owner":"$owner","since_ms":${System.currentTimeMillis()}}"""
-            .getBytes(StandardCharsets.UTF_8))
-        finally out.close()
+        val scheme = Option(lock.toUri.getScheme).getOrElse("file")
+        if (scheme == "file") {
+          // Hadoop's RawLocalFileSystem implements create(overwrite=false)
+          // as exists-then-create — a race window two same-instant writers
+          // can both pass. NIO CREATE_NEW is the kernel's O_CREAT|O_EXCL:
+          // truly atomic on a local filesystem.
+          val out = java.nio.file.Files.newOutputStream(
+            java.nio.file.Paths.get(lock.toUri.getPath),
+            java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE)
+          try out.write(holderJson)
+          finally out.close()
+        } else {
+          val out = fs.create(lock, false) // no-overwrite: the atomic claim
+          try out.write(holderJson)
+          finally out.close()
+        }
         true
       } catch {
         case _: FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException => false
         case _: java.io.IOException if fs.exists(lock) => false
       }
 
