@@ -256,6 +256,37 @@ object Multimodal {
     }
   }
 
+  /** Video → frame images: explode every `stride`-th video frame of an
+    * AVI payload into its own image item — the materialized form of
+    * `frameSamplePlan`, and the video→frames step a vision training
+    * pipeline runs before featurization. Frame k becomes
+    * `item_id·10⁶ + k` (collision-free while corpora stay under 10⁶
+    * frames per clip; the factor is a documented contract, not a
+    * heuristic) with modality "image", the frame bytes as payload (JPEG
+    * for MJPEG streams — directly decodable downstream), and
+    * `n_frames = 1`. Non-AVI items pass through UNCHANGED, so the op
+    * composes with mixed-modality corpora. Executor-local flatMap over
+    * partitions — one clip's frames never leave their task, and a clip
+    * expands to at most ceil(frames/stride) rows. */
+  def sampleFrames(
+      items: Dataset[Item], stride: Int = Codec.FrameStride): Dataset[Item] = {
+    import items.sparkSession.implicits._
+    require(stride >= 1, s"stride must be >= 1: $stride")
+    items.mapPartitions { it =>
+      it.flatMap { x =>
+        if (!Codec.looksLikeAvi(x.payload)) Iterator.single(x)
+        else {
+          val frames = Codec.aviFrames(x.payload)
+          if (frames.isEmpty) Iterator.single(x)
+          else Iterator.range(0, frames.length, stride).map { k =>
+            Item(x.item_id * 1000000L + k, "image", frames(k),
+              x.meta.copy(n_frames = Some(1)))
+          }
+        }
+      }
+    }
+  }
+
   /** Resize: image payloads (container magic, see Codec) are REALLY
     * decoded, scaled by deterministic nearest-neighbor sampling (no
     * Graphics2D filtering — rendering-hint output can vary across JVM

@@ -174,6 +174,35 @@ class MultimodalSpec extends SparkSuite {
     assert(f3(6) == 32f && f17(6) == 64f)
   }
 
+  test("sampleFrames explodes AVI into per-frame image items; non-video passes through") {
+    import spark.implicits._
+    val frame = encode("jpg", 8, 4)((_, _) => 0x646464)
+    val clip = Multimodal.Item(7L, "video", avi(Seq.fill(33)(frame)),
+      Multimodal.Meta(None, None, None, Some(33), Some("mjpeg")))
+    val text = Multimodal.Item(8L, "text", "hi".getBytes("UTF-8"),
+      Multimodal.Meta(None, None, None, Some(2), Some("utf8")))
+    val out = Multimodal.sampleFrames(Seq(clip, text).toDS(), stride = 16)
+      .collect().sortBy(_.item_id)
+    // 33 frames, stride 16 -> frames 0, 16, 32
+    assert(out.map(_.item_id).toSeq == Seq(8L, 7000000L, 7000016L, 7000032L))
+    val sampled = out.filter(_.modality == "image")
+    assert(sampled.length == 3)
+    assert(sampled.forall(_.meta.n_frames.contains(1)))
+    // each exploded payload is the original decodable JPEG frame
+    sampled.foreach { f =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(f.payload))
+      assert(img != null && img.getWidth == 8 && img.getHeight == 4)
+    }
+    // the text item passed through untouched
+    assert(out.head.item_id == 8L && out.head.modality == "text")
+    // and the sampled frames featurize through the image path downstream
+    val feats = Multimodal.extractFeatures(
+      Multimodal.sampleFrames(Seq(clip).toDS(), stride = 16), dims = 16)
+      .collect()
+    assert(feats.forall(_.feature.sum == 32f)) // 8x4 pixels per frame
+  }
+
   test("AVI with undecodable frames falls back to exact byte stats") {
     val junk = avi(Seq(Array[Byte](1, 2, 3, 4))) // not a JPEG frame
     val f = Multimodal.Codec.features(junk, dims = 16)
