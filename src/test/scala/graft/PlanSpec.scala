@@ -167,12 +167,16 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("InMemoryTableScan"), p)
     // bucket equi-join, never an all-pairs expansion
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
-    // the exact cosine is computed ABOVE the pair-dedupe aggregate (once
-    // per unique pair), not below it (once per bucket collision): in the
-    // top-down plan string the scoring projection precedes the aggregate
+    // the exact cosine is computed BELOW the pair-dedupe aggregate —
+    // map-side, while both vectors are in hand from the bucket join —
+    // so the dedupe exchange moves (id, id, cosine) rows, never
+    // vectors: in the top-down plan string the aggregate precedes the
+    // scoring projection, and no vector column rides the exchange
     val cos = p.indexOf("cosine_sim")
     val agg = p.indexOf("Aggregate")
-    assert(cos >= 0 && agg >= 0 && cos < agg, p)
+    assert(cos >= 0 && agg >= 0 && agg < cos, p)
+    val exchangeLines = p.linesIterator.filter(_.contains("Exchange hashpartitioning(id_a")).mkString
+    assert(!exchangeLines.contains("vec"), exchangeLines)
     // the perturbed-copy branch prunes at the scan
     assert(formatted(df).contains("LessThan(vec_id,25)"), formatted(df))
   }
