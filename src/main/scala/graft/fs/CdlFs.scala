@@ -45,7 +45,7 @@ final class CdlFs(
     val withRid =
       if (df.columns.contains("row_id")) df
       else df.withColumn("row_id", lit(null).cast("long"))
-    withRid.select(RootFs.schema.fieldNames.map(col(_)): _*)
+    withRid.select(RootFs.schema.fieldNames.toIndexedSeq.map(col(_)): _*)
   }
 
   private def hconf = spark.sparkContext.hadoopConfiguration

@@ -36,13 +36,13 @@ object AsOf {
     val l = left.select(
       col(leftKey).as("__k"), col(leftTime).as("__t"),
       lit(1).as("__tag"),
-      struct(left.columns.map(col): _*).as("__l"),
+      struct(left.columns.toIndexedSeq.map(col): _*).as("__l"),
       lit(null).cast(rStruct).as("__r"))
     val r = right.select(
       col(rightKey).as("__k"), col(rightTime).as("__t"),
       lit(0).as("__tag"),
       lit(null).cast(lStruct).as("__l"),
-      struct(right.columns.map(col): _*).as("__r"))
+      struct(right.columns.toIndexedSeq.map(col): _*).as("__r"))
     val tie = rightTieBreak.map(c => col(s"__r.$c").asc_nulls_first)
       .getOrElse(col("__tag").asc)
     val w = Window.partitionBy("__k")
@@ -53,6 +53,6 @@ object AsOf {
     l.unionByName(r)
       .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__tag") === 1)
-      .select(lCols ++ rCols: _*)
+      .select((lCols ++ rCols).toIndexedSeq: _*)
   }
 }

@@ -27,7 +27,7 @@ object Scale {
     // deterministic salt: hash of the whole row — no RNG, so retries and
     // recomputed partitions agree
     val salted = skewed.withColumn("__salt",
-      pmod(xxhash64(skewed.columns.map(col): _*), lit(factor)).cast("int"))
+      pmod(xxhash64(skewed.columns.toIndexedSeq.map(col): _*), lit(factor)).cast("int"))
     val replicated = other.withColumn("__salt",
       explode(sequence(lit(0), lit(factor - 1))))
     salted.join(replicated, keys :+ "__salt").drop("__salt")
