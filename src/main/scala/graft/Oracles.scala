@@ -538,6 +538,18 @@ object Oracles {
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
         |ORDER BY doc_id""".stripMargin,
 
+    // mixture weights -> 4-hex-digit thresholds (floor(f*65536)):
+    // 1.0 -> 'g' (above every hex digit), 0.75 -> c000, 0.5 -> 8000,
+    // 0.25 -> 4000, default 0.1 -> 1999
+    "q_sample_mixture" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 4) <
+        |  CASE source
+        |    WHEN 'src0' THEN 'g' WHEN 'src1' THEN 'c000'
+        |    WHEN 'src2' THEN '8000' WHEN 'src3' THEN '4000'
+        |    ELSE '1999' END
+        |ORDER BY doc_id""".stripMargin,
+
     "q_split_assign" ->
       """WITH s AS (
         |  SELECT doc_id,

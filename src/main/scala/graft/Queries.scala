@@ -665,6 +665,18 @@ object Queries {
       .select("doc_id", "source")
       .orderBy("doc_id")
 
+  /** Source-mixture sample: per-source keep fractions (the training
+    * recipe's mixing weights) — src0 kept whole, src1 at 3/4, src2 at
+    * 1/2, src3 at 1/4, every other source at 1/10. Deterministic
+    * hash-threshold draw keyed on doc_id, map-only. */
+  def qSampleMixture(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.mixtureSample(
+      rd(s, dir, "documents"), "source", col("doc_id").cast("string"),
+      Map("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5, "src3" -> 0.25),
+      defaultFraction = 0.1)
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+
   /** Frozen train/val/test split (80/10/10) keyed on doc_id — per-split
     * membership summarized (count + id range) so the gate pins both the
     * assignment and its exhaustiveness. */

@@ -77,6 +77,7 @@ object SparkEntry {
     "q_sample_hash" -> (Queries.qSampleHash _),
     "q_split_assign" -> (Queries.qSplitAssign _),
     "q_sample_stratified" -> (Queries.qSampleStratified _),
+    "q_sample_mixture" -> (Queries.qSampleMixture _),
     "q_text_profile" -> (Queries.qTextProfile _),
     "q_text_histogram" -> (Queries.qTextHistogram _),
     "q_vocab_topk" -> (Queries.qVocabTopk _),

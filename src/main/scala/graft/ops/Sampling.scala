@@ -68,6 +68,37 @@ object Sampling {
     df.withColumn(outCol, labeled)
   }
 
+  /** Source-mixture sample — the "data mixing" step of a training
+    * recipe: each source keeps its own Bernoulli fraction (weights like
+    * {wiki → 1.0, crawl → 0.25}), sources absent from the map keep
+    * `defaultFraction`. Same hash-thresholding as `hashSample`, so the
+    * draw is reproducible, independent across salts, stable under data
+    * growth, and a map-only codegen filter — mixing a 100 TB corpus is
+    * one scan, no shuffle. A document's fate depends only on (salt, key,
+    * its own source's weight): re-weighting one source never re-rolls
+    * another's sample. */
+  def mixtureSample(
+      df: DataFrame,
+      sourceCol: String,
+      key: Column,
+      weights: Map[String, Double],
+      defaultFraction: Double = 0.0,
+      salt: String = "mix"): DataFrame = {
+    require(weights.values.forall(w => w >= 0.0 && w <= 1.0) &&
+      defaultFraction >= 0.0 && defaultFraction <= 1.0,
+      s"fractions must be in [0,1]: $weights default=$defaultFraction")
+    // when-chain in sorted-source order so the plan is deterministic
+    val thresh = weights.toSeq.sortBy(_._1)
+      .foldLeft(Option.empty[Column]) { case (acc, (src, f)) =>
+        val cond = col(sourceCol) === src
+        val hex = lit(thresholdHex(f))
+        Some(acc.fold(when(cond, hex))(_.when(cond, hex)))
+      }
+      .fold(lit(thresholdHex(defaultFraction)): Column)(
+        _.otherwise(thresholdHex(defaultFraction)))
+    df.filter(bucket(key, salt) < thresh)
+  }
+
   /** Exactly-k-per-stratum sample: rank rows within each stratum by
     * md5(key) (full digest — ties only on identical keys, broken by the
     * key itself) and keep `rank ≤ k`. One shuffle on the strata

@@ -59,6 +59,30 @@ class SamplingSpec extends SparkSuite {
     assert(after == before)
   }
 
+  test("mixture sample honors per-source fractions; re-weighting one source never re-rolls another") {
+    val docs = (0L until 4000L).toDF("id")
+      .withColumn("source", concat(lit("s"), (col("id") % 4).cast("string")))
+      .withColumn("key", col("id").cast("string"))
+    val w = Map("s0" -> 1.0, "s1" -> 0.5, "s2" -> 0.1)
+    val kept = Sampling.mixtureSample(docs, "source", col("key"), w)
+      .select("id", "source").collect().map(r => r.getLong(0) -> r.getString(1))
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assert(bySrc.getOrElse("s0", 0L) == 1000L)                  // fraction 1.0: all
+    assert(math.abs(bySrc.getOrElse("s1", 0L) - 500L) < 120, bySrc)
+    assert(math.abs(bySrc.getOrElse("s2", 0L) - 100L) < 60, bySrc)
+    assert(!bySrc.contains("s3"))                               // default 0.0: none
+    // changing s2's weight leaves s1's sample identical (per-key draw)
+    val reweighted = Sampling.mixtureSample(docs, "source", col("key"),
+      w.updated("s2", 0.9))
+      .filter(col("source") === "s1").select("id").collect().map(_.getLong(0)).toSet
+    assert(reweighted == kept.filter(_._2 == "s1").map(_._1).toSet)
+    // and the draw is an independent function of the salt
+    val otherSalt = Sampling.mixtureSample(docs, "source", col("key"), w,
+      salt = "mix2")
+      .filter(col("source") === "s1").select("id").collect().map(_.getLong(0)).toSet
+    assert(otherSalt != reweighted)
+  }
+
   test("stratified sample keeps exactly k per stratum, deterministically") {
     val docs = (0L until 300L).toDF("id")
       .withColumn("stratum", (col("id") % 3).cast("string"))
