@@ -163,6 +163,31 @@ object IncrementalDedup {
     out
   }
 
+  /** Streaming form of `exactBatch`: dedup a document STREAM against
+    * the persisted store. Each micro-batch runs the locked
+    * read → compute → append cycle via `foreachBatch`, so the stream
+    * inherits the batch operator's exactness, idempotent replay (a
+    * re-run epoch appends nothing — the store keeps novel digests
+    * only), and multi-writer discipline; verdict rows land in
+    * `resultsDir` as they are produced. This is the live-feed twin of
+    * the backfill path — ONE operator definition serves both, the
+    * property StreamingCurationSpec pins for the stateless curation
+    * expressions and this method extends to stateful-store dedup. */
+  def exactStream(
+      docsStream: DataFrame,
+      storeDir: String,
+      resultsDir: String,
+      checkpointDir: String,
+      textCol: String = "text"): org.apache.spark.sql.streaming.StreamingQuery =
+    docsStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        exactBatch(batch.toDF(), storeDir, textCol)
+          .write.mode("append").parquet(resultsDir)
+        ()
+      }
+      .start()
+
   /** Read a store dir that may not exist yet (first batch): an empty
     * frame with the right schema keeps the joins well-typed. */
   private def readStore(

@@ -39,6 +39,42 @@ class StreamingCurationSpec extends SparkSuite {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("incremental dedup streams against the persisted store (micro-batch = batch)") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("incstream").toString
+    // two source files with duplicates WITHIN and ACROSS them; file
+    // source + maxFilesPerTrigger=1 -> one micro-batch per file
+    Seq((1L, "alpha"), (2L, "beta"), (3L, "alpha"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.parquet(s"$work/in/f1")
+    Seq((10L, "beta"), (11L, "gamma"), (12L, "gamma"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.parquet(s"$work/in/f2")
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$work/in/*")
+    val q = graft.ops.IncrementalDedup.exactStream(
+      stream, s"$work/store", s"$work/out", s"$work/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.read.parquet(s"$work/out")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("digest"),
+        Option(r.getAs[java.lang.Long]("dup_of")).map(_.toLong)))
+    // every doc verdicted exactly once
+    assert(out.map(_._1).sorted.toSeq == Seq(1L, 2L, 3L, 10L, 11L, 12L))
+    // ONE keeper per distinct content across the whole stream, and every
+    // duplicate points at its digest's keeper — batch-boundary-independent
+    val keepers = out.filter(_._3.isEmpty).groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    assert(keepers.values.forall(_.length == 1), keepers)
+    out.filter(_._3.nonEmpty).foreach { case (id, digest, Some(dupOf)) =>
+      assert(keepers(digest).head == dupOf, s"doc $id dup_of $dupOf")
+    }
+    // the store ends with exactly one keeper row per distinct content
+    val store = spark.read.parquet(s"$work/store")
+    assert(store.count() == 3 &&
+      store.select("digest").distinct().count() == 3)
+  }
+
   test("redaction and sketch expressions stream unchanged (batch = stream)") {
     def shape(df: org.apache.spark.sql.DataFrame) =
       graft.ops.Dedup.simhash(df)
