@@ -188,6 +188,28 @@ object IncrementalDedup {
       }
       .start()
 
+  /** Streaming twin of `minhashBatch` — near-dup pairs of a document
+    * stream against the persisted signature store, one locked cycle per
+    * micro-batch; pair rows land in `resultsDir` as batches complete.
+    * Same replay/idempotency contract as `exactStream`. */
+  def minhashStream(
+      docsStream: DataFrame,
+      storeDir: String,
+      resultsDir: String,
+      checkpointDir: String,
+      textCol: String = "text",
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
+    docsStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        minhashBatch(batch.toDF(), storeDir, textCol, numHashes, bands, threshold)
+          .write.mode("append").parquet(resultsDir)
+        ()
+      }
+      .start()
+
   /** Read a store dir that may not exist yet (first batch): an empty
     * frame with the right schema keeps the joins well-typed. */
   private def readStore(

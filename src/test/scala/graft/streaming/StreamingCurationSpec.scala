@@ -75,6 +75,37 @@ class StreamingCurationSpec extends SparkSuite {
       store.select("digest").distinct().count() == 3)
   }
 
+  test("minhash near-dup streaming equals the full-corpus pair set") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("mhstream").toString
+    val base = "the quick brown fox jumps over the lazy dog and runs far away " +
+      "into the deep green forest while birds sing songs above the tall trees"
+    val near = base.replace("lazy dog", "sleepy dog")
+    val far = "completely different text about spark shuffles partitions " +
+      "joins aggregates windows and the catalyst optimizer pipeline stages"
+    val f1 = Seq((0L, base), (1L, base), (3L, far))
+    val f2 = Seq((2L, near), (4L, "the " + base))
+    f1.toDF("doc_id", "text").coalesce(1).write.parquet(s"$work/in/f1")
+    f2.toDF("doc_id", "text").coalesce(1).write.parquet(s"$work/in/f2")
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$work/in/*")
+    val q = graft.ops.IncrementalDedup.minhashStream(
+      stream, s"$work/store", s"$work/out", s"$work/ckpt", threshold = 0.5)
+    try q.processAllAvailable() finally q.stop()
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("est_jaccard"))).toSet
+    // stream union over micro-batches = full-corpus batch pairs,
+    // whatever the file->batch assignment was
+    val got = pairs(spark.read.parquet(s"$work/out"))
+    val want = pairs(graft.ops.Dedup.minhashLshPairs(
+      (f1 ++ f2).toDF("doc_id", "text"), threshold = 0.5))
+    assert(got == want)
+    assert(want.exists(p => p._1 == 0L && p._2 == 1L)) // non-vacuous
+  }
+
   test("redaction and sketch expressions stream unchanged (batch = stream)") {
     def shape(df: org.apache.spark.sql.DataFrame) =
       graft.ops.Dedup.simhash(df)
