@@ -138,6 +138,38 @@ class SimilaritySpec extends SparkSuite {
       s"multi ${recall(multi8)} < single ${recall(multi1)}")
   }
 
+  test("embeddingNearDupPairs equals the brute-force cosine pair set (differential)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val base = Array.fill(120)(Array.fill(16)(rnd.nextGaussian()))
+    // 12 planted near-dups of the first vectors: tiny relative nudge
+    val planted = (0 until 12).map { i =>
+      val v = base(i).clone(); v(i % 16) += 0.05 * math.signum(v(i % 16)); v
+    }
+    val all = (base ++ planted).zipWithIndex.map { case (v, i) =>
+      (i.toLong, v.map(_.toFloat))
+    }
+    val threshold = 0.95
+    // driver-side brute force over all pairs, same 4dp rounding
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (k <- a.indices) {
+        d += a(k).toDouble * b(k); na += a(k).toDouble * a(k); nb += b(k).toDouble * b(k)
+      }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = (for {
+      i <- all.indices; j <- all.indices if i < j
+      c = cos(all(i)._2, all(j)._2) if c >= threshold
+    } yield (all(i)._1, all(j)._1)).toSet
+    val got = Dedup.embeddingNearDupPairs(
+      all.toSeq.toDF("vec_id", "embedding"), threshold = threshold)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    assert(want.size >= 12, s"degenerate corpus: ${want.size} true pairs")
+  }
+
   test("lshPairsMulti with tables=1 equals lshPairs; multi finds planted pairs") {
     import spark.implicits._
     def pairKeys(df: org.apache.spark.sql.DataFrame) =
