@@ -97,11 +97,23 @@ object Bench {
         .agg(org.apache.spark.sql.functions.sum("id")).collect()
       (System.nanoTime() - t0) / 1e9
     }
+    // scan-bound calibration twin: the codegen probe is CPU-only, and a
+    // round-7 closing run showed diffuse 20-30% inflation on scan-bound
+    // queries with CPU probes quiet — storage-side contention is
+    // invisible to it. This fixed parquet aggregate (footer + column
+    // scan of lineitem) moves with the storage path instead; compare
+    // BOTH probes before attributing a slow run to code.
+    val ioCalib = {
+      val t0 = System.nanoTime()
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .agg(org.apache.spark.sql.functions.sum("l_quantity")).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
     def jmap(f: Sample => Double): String = results
       .map { case (k, s) => "\"" + k + "\":" + f(s) }.mkString("{", ",", "}")
     val total = results.map(_._2.sec).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_.sec)},"gc_sec":${jmap(_.gcSec)},"probe_sec":${jmap(_.probeSec)},"calibration_sec":$calib,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_.sec)},"gc_sec":${jmap(_.gcSec)},"probe_sec":${jmap(_.probeSec)},"calibration_sec":$calib,"io_calibration_sec":$ioCalib,"sf":"$sfDir"}"""
     println(json)
     try {
       val out = java.nio.file.Paths.get("BENCH_local.json")
