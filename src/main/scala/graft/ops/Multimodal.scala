@@ -94,7 +94,12 @@ object Multimodal {
       def u32(i: Int): Long =
         (p(i) & 0xFFL) | ((p(i + 1) & 0xFFL) << 8) |
           ((p(i + 2) & 0xFFL) << 16) | ((p(i + 3) & 0xFFL) << 24)
-      def walk(start: Int, end: Int): Unit = {
+      // real AVIs nest RIFF→LIST(hdrl/movi)→LIST(rec) — depth 3-4; the
+      // bound exists because a crafted payload could nest LISTs tens of
+      // thousands deep and a StackOverflowError is an Error the codec's
+      // corrupt-blob catch would NOT absorb (it would fail the task)
+      def walk(start: Int, end: Int, depth: Int): Unit = {
+        if (depth > 16) return
         var i = start
         var ok = true
         while (ok && i + 8 <= end) {
@@ -105,7 +110,7 @@ object Multimodal {
           else {
             val dataEnd = math.min(dataStart + sz.toInt, end)
             if (id == "RIFF" || id == "LIST") {
-              if (dataStart + 4 <= dataEnd) walk(dataStart + 4, dataEnd)
+              if (dataStart + 4 <= dataEnd) walk(dataStart + 4, dataEnd, depth + 1)
             } else if (id(2) == 'd' && (id(3) == 'b' || id(3) == 'c') &&
                 dataEnd > dataStart) {
               out += java.util.Arrays.copyOfRange(p, dataStart, dataEnd)
@@ -114,7 +119,7 @@ object Multimodal {
           }
         }
       }
-      walk(0, p.length)
+      walk(0, p.length, 0)
       out.result()
     }
 

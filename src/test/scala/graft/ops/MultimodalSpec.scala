@@ -203,6 +203,25 @@ class MultimodalSpec extends SparkSuite {
     assert(feats.forall(_.feature.sum == 32f)) // 8x4 pixels per frame
   }
 
+  test("pathologically nested AVI LISTs terminate via the depth bound") {
+    // 50k nested LIST headers: without the walk's depth cap this blows
+    // the stack with an Error the corrupt-blob catch cannot absorb
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("RIFF".getBytes("US-ASCII"))
+    val n = 50000
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    out.write(le32(4 + n * 12)); out.write("AVI ".getBytes("US-ASCII"))
+    for (k <- n to 1 by -1) {
+      out.write("LIST".getBytes("US-ASCII"))
+      out.write(le32(4 + (k - 1) * 12))
+      out.write("rec ".getBytes("US-ASCII"))
+    }
+    val f = Multimodal.Codec.features(out.toByteArray, dims = 16)
+    assert(f.sum == out.size().toFloat) // byte fallback, no crash
+  }
+
   test("AVI with undecodable frames falls back to exact byte stats") {
     val junk = avi(Seq(Array[Byte](1, 2, 3, 4))) // not a JPEG frame
     val f = Multimodal.Codec.features(junk, dims = 16)
