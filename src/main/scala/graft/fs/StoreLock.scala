@@ -99,9 +99,14 @@ object StoreLock {
       val h = holder(dir, conf)
       val ageMs = h.map(System.currentTimeMillis() - _.sinceMs)
       if (ageMs.exists(_ > staleMs)) {
-        // stale: the holder crashed mid-cycle. Break and retry once —
-        // losing the re-create race to another breaker is fine.
-        fs.delete(lock, false)
+        // stale: the holder crashed mid-cycle. Re-read IMMEDIATELY before
+        // breaking and only delete while the same stale holder is still
+        // in place — between the first read and here another writer may
+        // have broken the stale lock and claimed a FRESH one, which must
+        // not be deleted out from under it. (A TOCTOU window remains at
+        // filesystem granularity; the recheck shrinks it from
+        // lock-hold-length to two metadata reads.)
+        if (holder(dir, conf) == h) fs.delete(lock, false)
         acquired = tryAcquire()
       }
       if (!acquired) throw new IllegalStateException(

@@ -167,9 +167,13 @@ object IncrementalDedup {
     * the persisted store. Each micro-batch runs the locked
     * read → compute → append cycle via `foreachBatch`, so the stream
     * inherits the batch operator's exactness, idempotent replay (a
-    * re-run epoch appends nothing — the store keeps novel digests
-    * only), and multi-writer discipline; verdict rows land in
-    * `resultsDir` as they are produced. This is the live-feed twin of
+    * re-run epoch appends nothing to the STORE — it keeps novel digests
+    * only — and a replayed batch computes identical verdicts against
+    * it), and multi-writer discipline. Verdict rows land under
+    * `resultsDir/batch=<epoch>`, OVERWRITTEN per epoch — foreachBatch is
+    * at-least-once, and the per-epoch overwrite is what upgrades the
+    * results sink to exactly-once across replays (a blind append would
+    * duplicate the replayed epoch's rows). This is the live-feed twin of
     * the backfill path — ONE operator definition serves both, the
     * property StreamingCurationSpec pins for the stateless curation
     * expressions and this method extends to stateful-store dedup. */
@@ -181,17 +185,18 @@ object IncrementalDedup {
       textCol: String = "text"): org.apache.spark.sql.streaming.StreamingQuery =
     docsStream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         exactBatch(batch.toDF(), storeDir, textCol)
-          .write.mode("append").parquet(resultsDir)
+          .write.mode("overwrite").parquet(s"$resultsDir/batch=$id")
         ()
       }
       .start()
 
   /** Streaming twin of `minhashBatch` — near-dup pairs of a document
     * stream against the persisted signature store, one locked cycle per
-    * micro-batch; pair rows land in `resultsDir` as batches complete.
-    * Same replay/idempotency contract as `exactStream`. */
+    * micro-batch; pair rows land under `resultsDir/batch=<epoch>` with
+    * the same per-epoch-overwrite exactly-once contract as
+    * `exactStream`. */
   def minhashStream(
       docsStream: DataFrame,
       storeDir: String,
@@ -203,9 +208,9 @@ object IncrementalDedup {
       threshold: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
     docsStream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         minhashBatch(batch.toDF(), storeDir, textCol, numHashes, bands, threshold)
-          .write.mode("append").parquet(resultsDir)
+          .write.mode("overwrite").parquet(s"$resultsDir/batch=$id")
         ()
       }
       .start()
