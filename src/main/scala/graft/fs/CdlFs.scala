@@ -309,15 +309,29 @@ final class CdlFs(
     val src = canonical(spark.read.parquet(srcFiles.map(f => s"$base/$f"): _*))
     val clustered =
       if (zorderBy.nonEmpty)
-        // the ONE z-order implementation (Layout): Morton-code range
-        // write in place of the stamp/path-order range write
-        graft.ops.Layout.clusterByZOrder(
-          src, zorderBy.head, zorderBy(1), numFiles, zorderBits)
+        // Morton-code range write in place of the stamp/path-order range
+        // write (Layout.morton2 is the one z-order implementation). The
+        // range key LEADS with p0: the writer below splits every task's
+        // output per p0 value anyway, so a partition interleaving many
+        // top dirs fans out into |p0-values| files — numFiles × |p0| for
+        // a key uncorrelated with the directory layout (a 40-dir soak
+        // measured 473 files where ~12 were requested). Clustering
+        // (p0, z) keeps each partition inside at most a p0 boundary or
+        // two — ≈ numFiles files — and costs nothing: per-file stats
+        // boxes are per-p0 regardless of task-level interleaving. (The
+        // stamp/path branch needs no p0 prefix: ingestion stamps rows
+        // dir-by-dir, so row_id order already correlates with p0.)
+        src.withColumn("p0", Ingest.topSegment(col("parent")))
+          .withColumn("__zorder", graft.ops.Layout.morton2(
+            col(zorderBy.head), col(zorderBy(1)), zorderBits))
+          .repartitionByRange(numFiles, col("p0"), col("__zorder"))
+          .sortWithinPartitions("p0", "__zorder")
+          .drop("__zorder")
       else
         src.repartitionByRange(numFiles, keys: _*)
           .sortWithinPartitions(keys: _*)
+          .withColumn("p0", Ingest.topSegment(col("parent")))
     clustered
-      .withColumn("p0", Ingest.topSegment(col("parent")))
       .write.mode("overwrite").partitionBy("p0").parquet(tmp.toString)
     // 2. move new files in (they are invisible to the CURRENT manifest
     //    but directory readers may transiently see both copies)

@@ -120,6 +120,37 @@ class CompactSpec extends SparkSuite {
     fs.close()
   }
 
+  test("multi-dir z-order compact keeps file count near the target (no p0 fan-out)") {
+    // 8 top dirs x 48 files: a Morton key uncorrelated with the layout.
+    // Range-partitioning on the z-key alone interleaves all dirs into
+    // every partition and the per-p0 writer fans each out — numFiles x 8
+    // files; leading the range key with p0 keeps it ~numFiles.
+    val root = Files.createTempDirectory("compact_zfan").toString
+    for (d <- 0 until 8; i <- 0 until 48) {
+      val dir = Paths.get(s"$root/fixture/d$d")
+      Files.createDirectories(dir)
+      val p = dir.resolve(s"f$i.bin")
+      Files.write(p, ("#" * (16 + (i % 16))).getBytes)
+      Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis((64L + i / 16) * 1000))
+    }
+    val fs = CdlFs.open(spark, DatasetCatalog(),
+      GlobalPath.parse(s"$root/ds").toOption.get)
+    Ingest.run(fs, s"$root/fixture")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val rootP = new org.apache.hadoop.fs.Path(fs.tableLocation)
+    val hfs = rootP.getFileSystem(hconf)
+    val total = CommitLog.dataFiles(fs.tableLocation, hconf).map(f =>
+      hfs.getFileStatus(new org.apache.hadoop.fs.Path(rootP, f)).getLen).sum
+    val n = fs.compact(
+      targetFileBytes = math.max(1L, math.ceil(total / 6.0).toLong),
+      zorderBy = Seq("size", "mtime"))
+    // ~6 requested; boundary straddles add at most a few — far from 6 x 8
+    assert(n <= 6 + 8, s"p0 fan-out: $n files")
+    assert(fs.table.count() == 8 * 48)
+    fs.close()
+  }
+
   test("compact absorbs external (uncommitted) files exactly once") {
     val fs = mkDataset()
     // an external writer drops a file into the table dir WITHOUT bumping
