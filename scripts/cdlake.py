@@ -93,10 +93,16 @@ class CdlFs:
     def copy_to(self, dst):
         self._bridge.copyTo(self._jfs, dst)
 
-    def compact(self, target_file_bytes=128 * 1024 * 1024):
+    def compact(self, target_file_bytes=128 * 1024 * 1024, zorder=None):
         """OPTIMIZE-style rewrite into few stats-tight files; returns the
         data-file count after compaction. Invalidates pre-compaction time
-        travel (OPTIMIZE+VACUUM(0) semantics — see CdlFs.compact)."""
+        travel (OPTIMIZE+VACUUM(0) semantics — see CdlFs.compact).
+        `zorder=[x, y]` clusters the rewrite by the Morton code of two
+        numeric columns instead of the row_id stamp (tight per-file
+        min/max boxes on both — see CdlFs.compact's zorderBy)."""
+        if zorder:
+            return self._bridge.compactZOrder(
+                self._jfs, target_file_bytes, list(zorder))
         return self._bridge.compact(self._jfs, target_file_bytes)
 
     def versions(self):

@@ -50,4 +50,14 @@ object PyBridge {
   /** OPTIMIZE-style compaction (CdlFs.compact — default-arg adapter). */
   def compact(fs: CdlFs, targetFileBytes: java.lang.Number): Int =
     fs.compact(targetFileBytes.longValue())
+
+  /** Z-order variant: `zorderBy` is a java.util.List of exactly two
+    * column names (py4j marshals Python lists to that). */
+  def compactZOrder(
+      fs: CdlFs,
+      targetFileBytes: java.lang.Number,
+      zorderBy: java.util.List[String]): Int = {
+    import scala.jdk.CollectionConverters._
+    fs.compact(targetFileBytes.longValue(), zorderBy.asScala.toSeq)
+  }
 }
