@@ -343,6 +343,25 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Keep one representative per near-dup cluster — the step after pair
+    * generation that actually shrinks the corpus: cluster the pair graph
+    * (`Components.ofPairs`, min-id label), drop every member whose id is
+    * not its cluster's minimum. Documents in no pair survive untouched
+    * (they never enter the label table, and the anti-join lets them
+    * through). Scale shape: the label table is (long, long) rows for
+    * PAIRED docs only — usually a small fraction of the corpus — so the
+    * anti-join broadcasts or shuffles ids, never documents. */
+  def keepRepresentatives(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String = "doc_id",
+      checkpointDir: Option[String] = None): DataFrame = {
+    val dropIds = Components.ofPairs(pairs, checkpointDir = checkpointDir)
+      .filter(col("v") =!= col("component"))
+      .select(col("v").as(idCol))
+    docs.join(dropIds, Seq(idCol), "left_anti")
+  }
+
   /** Embedding near-dup pairs with EXACT verification — same contract as
     * `minhashLshNearDupPairs` in the cosine domain: multi-table
     * hyperplane LSH BLOCKS candidates (sub-quadratic), exact cosine on

@@ -130,6 +130,27 @@ class DedupSpec extends SparkSuite {
     assert(run(0) == Set.empty)
   }
 
+  test("keepRepresentatives keeps cluster minima and untouched singletons") {
+    import spark.implicits._
+    // pairs chain 0-1-2 into one cluster; 3 pairs with 4; 9 is a singleton
+    val d = (0L to 4L).map(i => (i, s"text$i")) :+ ((9L, "alone"))
+    val pairs = Seq((0L, 1L), (1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val kept = Dedup.keepRepresentatives(d.toDF("doc_id", "text"), pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 3L, 9L))
+    // differential on a generated corpus: survivors = every cluster's
+    // min + all unpaired docs, per the near-dup pairs the engine found
+    val corpus = docs
+    val p = Dedup.ngramJaccardPairs(corpus, n = 3, threshold = 0.5)
+    val labels = Components.ofPairs(p).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = corpus.select("doc_id").collect().map(_.getLong(0))
+      .filter(id => labels.get(id).forall(_ == id)).toSet
+    val got = Dedup.keepRepresentatives(corpus, p)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+  }
+
   // shared brute-force reference: exact token-3-gram jaccard pair set at a
   // threshold, matching ngramJaccardPairs' rounding (4dp HALF_UP)
   private def bruteJaccard(corpus: Seq[(Long, String)], threshold: Double)
