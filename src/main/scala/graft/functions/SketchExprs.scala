@@ -94,6 +94,13 @@ object SketchExprs {
         ArrayEqCount(exprs(0), exprs(1))
       },
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "array_intersect_count",
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "array_intersect_count() takes 2 arrays")
+        ArrayIntersectCount(exprs(0), exprs(1))
+      },
+      "scala_udf")
   }
 
   private def ensure(): Unit = register(SparkSession.active)
@@ -114,6 +121,10 @@ object SketchExprs {
 
   def arrayEqCount(a: Column, b: Column): Column = {
     ensure(); call_function("array_eq_count", a, b)
+  }
+
+  def arrayIntersectCount(a: Column, b: Column): Column = {
+    ensure(); call_function("array_intersect_count", a, b)
   }
 
   def gramHashes(text: Column, n: Int, distinct: Boolean): Column = {
@@ -617,6 +628,71 @@ case class ArrayEqCount(left: Expression, right: Expression) extends BinaryExpre
          |int $c = 0;
          |for (int $i = 0; $i < $n; $i++) {
          |  if ($a.getLong($i) == $b.getLong($i)) $c++;
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** |distinct common elements| of two ARRAY<BIGINT> — semantics of
+  * `size(array_intersect(a, b))` (dedup-verify's exact |A∩B|) as ONE
+  * hash-probe pass instead of the interpreted intersection that
+  * materializes the common-element ARRAY per row. Builds the set from
+  * the SMALLER side; `remove` on probe counts each common value once
+  * whatever the operands' multiplicities, exactly like array_intersect's
+  * distinct output. Runs per CANDIDATE pair in the near-dup verifies —
+  * the hot loop after blocking. */
+case class ArrayIntersectCount(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"array_intersect_count requires two ARRAY<BIGINT> args, got ${l.sql}, ${r.sql}")
+    }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "array_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (s, l) = if (x.numElements() <= y.numElements()) (x, y) else (y, x)
+    val set = new java.util.HashSet[java.lang.Long](s.numElements() * 2)
+    var i = 0
+    while (i < s.numElements()) { set.add(s.getLong(i)); i += 1 }
+    var c = 0
+    i = 0
+    while (i < l.numElements()) {
+      if (set.remove(l.getLong(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val s = ctx.freshName("s"); val l = ctx.freshName("l")
+      val set = ctx.freshName("set"); val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      val ad = "org.apache.spark.sql.catalyst.util.ArrayData"
+      s"""
+         |$ad $s = $a.numElements() <= $b.numElements() ? $a : $b;
+         |$ad $l = $a.numElements() <= $b.numElements() ? $b : $a;
+         |java.util.HashSet<Long> $set =
+         |  new java.util.HashSet<Long>($s.numElements() * 2);
+         |for (int $i = 0; $i < $s.numElements(); $i++) {
+         |  $set.add($s.getLong($i));
+         |}
+         |int $c = 0;
+         |for (int $i = 0; $i < $l.numElements(); $i++) {
+         |  if ($set.remove($l.getLong($i))) $c++;
          |}
          |${ev.value} = $c;
        """.stripMargin

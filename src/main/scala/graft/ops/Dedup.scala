@@ -254,7 +254,11 @@ object Dedup {
   /** Exact n-gram Jaccard verify of candidate pairs: joins each side's
     * distinct gram-hash array onto the pair (candidates only — the
     * blocking stage already bounded the row count) and filters on the
-    * true Jaccard. Output matches `ngramJaccardPairs`' columns. */
+    * true Jaccard. Output matches `ngramJaccardPairs`' columns. |A∩B|
+    * is the fused codegen hash-probe count (`array_intersect_count`,
+    * SketchExprs) — the interpreted `size(array_intersect(…))` it
+    * replaces materialized the common-element array per candidate pair
+    * in the post-blocking hot loop. */
   private def verifyPairsExact(
       docs: DataFrame,
       cand: DataFrame,
@@ -268,7 +272,8 @@ object Dedup {
       .join(g.select(col("doc_id").as("doc_a"), col("g").as("ga")), "doc_a")
       .join(g.select(col("doc_id").as("doc_b"), col("g").as("gb")), "doc_b")
       .withColumn("n_common",
-        size(array_intersect(col("ga"), col("gb"))).cast("long"))
+        graft.functions.SketchExprs.arrayIntersectCount(col("ga"), col("gb"))
+          .cast("long"))
       .withColumn("jaccard",
         round(col("n_common").cast("double") /
           (size(col("ga")) + size(col("gb")) - col("n_common")).cast("double"), 4))

@@ -74,6 +74,24 @@ class SketchExprsSpec extends SparkSuite {
     assert(mismatch == 0)
   }
 
+  test("array_intersect_count equals size(array_intersect) on random arrays") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    // random long arrays incl. duplicates, asymmetric sizes, and empties
+    val rows = (0 until 300).map { i =>
+      def arr(n: Int) = Seq.fill(n)(rnd.nextInt(40).toLong)
+      (i.toLong, arr(rnd.nextInt(30)), arr(rnd.nextInt(30)))
+    } :+ ((300L, Seq.empty[Long], Seq(1L, 2L))) :+
+      ((301L, Seq(5L, 5L, 5L), Seq(5L, 5L)))
+    val df = rows.toDF("id", "a", "b")
+    val mismatch = df.select(
+      graft.functions.SketchExprs.arrayIntersectCount(col("a"), col("b"))
+        .as("got"),
+      size(array_intersect(col("a"), col("b"))).as("want"))
+      .filter(col("got") =!= col("want")).count()
+    assert(mismatch == 0)
+  }
+
   test("winnow_minima equals the positional window-min form") {
     val df = corpus.toDF("doc_id", "text")
     val got = graft.ops.TextAnalysis
