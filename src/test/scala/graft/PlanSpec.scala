@@ -181,6 +181,16 @@ class PlanSpec extends SparkSuite {
     assert(formatted(df).contains("LessThan(vec_id,25)"), formatted(df))
   }
 
+  test("near-dup exact verify uses the fused intersection count") {
+    // regression guard: the interpreted size(array_intersect(...)) form
+    // materializes the common-element array per candidate pair in the
+    // post-blocking hot loop
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = planOf(graft.ops.Dedup.minhashLshNearDupPairs(docs, n = 3, threshold = 0.8))
+    assert(p.contains("array_intersect_count"), p)
+    assert(!p.contains("array_intersect("), p)
+  }
+
   test("z-order clustering is exactly one range exchange on the Morton key") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
       .select("l_orderkey", "l_partkey", "l_suppkey")
