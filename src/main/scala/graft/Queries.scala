@@ -658,6 +658,18 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Corpus shrink: one representative per near-dup cluster (same pair
+    * graph as q_dedup_clusters), untouched docs pass through — the
+    * pipeline step the cluster labels exist for. */
+  def qDedupKeep(s: SparkSession, dir: String): DataFrame = {
+    val docs = rd(s, dir, "documents")
+      .filter(col("source").isin("src0", "src1"))
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.01)
+    Dedup.keepRepresentatives(docs, pairs)
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+  }
+
   /** Deterministic Bernoulli-by-hash sample at 25% on doc_id. */
   def qSampleHash(s: SparkSession, dir: String): DataFrame =
     graft.ops.Sampling.hashSample(

@@ -74,6 +74,7 @@ object SparkEntry {
     "q_dedup_simhash" -> (Queries.qDedupSimhash _),
     "q_dedup_embedding" -> (Queries.qDedupEmbedding _),
     "q_dedup_clusters" -> (Queries.qDedupClusters _),
+    "q_dedup_keep" -> (Queries.qDedupKeep _),
     "q_sample_hash" -> (Queries.qSampleHash _),
     "q_split_assign" -> (Queries.qSplitAssign _),
     "q_sample_stratified" -> (Queries.qSampleStratified _),
