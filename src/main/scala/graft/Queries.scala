@@ -866,7 +866,12 @@ object Queries {
     * on both sides of the 0.95 threshold. Both engines derive the corpus
     * identically (float→double is exact, 0.25 is an exact binary
     * fraction). */
-  def qDedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+  /** The derived gate corpus for `qDedupEmbedding`, exposed so PlanSpec
+    * can pin its scan-level pruning: the signature stage checkpoints
+    * eagerly inside `lshPairsMulti`, so this subplan no longer appears
+    * in the final frame's plan string (it still executes identically,
+    * as the checkpoint job). */
+  private[graft] def embeddingGateCorpus(s: SparkSession, dir: String): DataFrame = {
     val embs = rd(s, dir, "embeddings")
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("embedding"))
@@ -874,10 +879,13 @@ object Queries {
       .select((col("vec_id") + 100000L).as("vec_id"),
         transform(col("embedding"), (x, i) =>
           x + when(i === 0, lit(0.25)).otherwise(lit(0.0))).as("embedding"))
-    graft.ops.Dedup.embeddingNearDupPairs(
-      embs.unionAll(planted), threshold = 0.95)
-      .orderBy("id_a", "id_b")
+    embs.unionAll(planted)
   }
+
+  def qDedupEmbedding(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.embeddingNearDupPairs(
+      embeddingGateCorpus(s, dir), threshold = 0.95)
+      .orderBy("id_a", "id_b")
 
   def qEmbeddingNorm(s: SparkSession, dir: String): DataFrame =
     rd(s, dir, "embeddings").select(

@@ -64,8 +64,10 @@ object StoreLock {
     fs.mkdirs(root)
     val lock = new Path(root, LockName)
 
+    val sinceMs = System.currentTimeMillis()
+    val self = Holder(owner, sinceMs)
     val holderJson =
-      s"""{"owner":"$owner","since_ms":${System.currentTimeMillis()}}"""
+      s"""{"owner":"$owner","since_ms":$sinceMs}"""
         .getBytes(StandardCharsets.UTF_8)
 
     def tryAcquire(): Boolean =
@@ -116,6 +118,23 @@ object StoreLock {
           s"delete $LockName if the holder is known dead")
     }
     try body
-    finally fs.delete(lock, false)
+    finally {
+      // Delete ONLY our own lock. If the cycle outlived staleMs, another
+      // writer may have broken this lock and claimed a fresh one — an
+      // unconditional delete would free the store under that writer and
+      // let a third start mid-cycle (the exact double-commit this lock
+      // exists to prevent). Re-read the holder and release only when it
+      // is still us; otherwise warn loudly and leave the usurper's lock.
+      holder(dir, conf) match {
+        case Some(h) if h == self => fs.delete(lock, false)
+        case Some(h) =>
+          System.err.println(
+            s"[StoreLock] NOT releasing $dir/$LockName: held by ${h.owner} " +
+              s"(since ${h.sinceMs}), not us ($owner, since $sinceMs) — our " +
+              s"lock was broken as stale mid-cycle; this cycle's writes may " +
+              s"have raced the new holder")
+        case None => // already gone (broken + released); nothing to delete
+      }
+    }
   }
 }

@@ -615,7 +615,13 @@ case class ArrayEqCount(left: Expression, right: Expression) extends BinaryExpre
     val n = math.min(x.numElements(), y.numElements())
     var c = 0
     var i = 0
-    while (i < n) { if (x.getLong(i) == y.getLong(i)) c += 1; i += 1 }
+    while (i < n) {
+      // SQL equality: a NULL element never equals anything (incl. NULL),
+      // matching the count of `a[i] = b[i] IS TRUE` positions
+      if (!x.isNullAt(i) && !y.isNullAt(i) && x.getLong(i) == y.getLong(i))
+        c += 1
+      i += 1
+    }
     c
   }
 
@@ -627,7 +633,8 @@ case class ArrayEqCount(left: Expression, right: Expression) extends BinaryExpre
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |int $c = 0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.getLong($i) == $b.getLong($i)) $c++;
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i) &&
+         |      $a.getLong($i) == $b.getLong($i)) $c++;
          |}
          |${ev.value} = $c;
        """.stripMargin
@@ -665,12 +672,20 @@ case class ArrayIntersectCount(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val (s, l) = if (x.numElements() <= y.numElements()) (x, y) else (y, x)
     val set = new java.util.HashSet[java.lang.Long](s.numElements() * 2)
+    // array_intersect treats NULL as a value: it appears (once) in the
+    // intersection iff present in BOTH operands
+    var smallHasNull = false
     var i = 0
-    while (i < s.numElements()) { set.add(s.getLong(i)); i += 1 }
+    while (i < s.numElements()) {
+      if (s.isNullAt(i)) smallHasNull = true else set.add(s.getLong(i))
+      i += 1
+    }
     var c = 0
     i = 0
     while (i < l.numElements()) {
-      if (set.remove(l.getLong(i))) c += 1
+      if (l.isNullAt(i)) {
+        if (smallHasNull) { c += 1; smallHasNull = false }
+      } else if (set.remove(l.getLong(i))) c += 1
       i += 1
     }
     c
@@ -680,19 +695,23 @@ case class ArrayIntersectCount(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val s = ctx.freshName("s"); val l = ctx.freshName("l")
       val set = ctx.freshName("set"); val i = ctx.freshName("i")
-      val c = ctx.freshName("c")
+      val c = ctx.freshName("c"); val hasNull = ctx.freshName("hasNull")
       val ad = "org.apache.spark.sql.catalyst.util.ArrayData"
       s"""
          |$ad $s = $a.numElements() <= $b.numElements() ? $a : $b;
          |$ad $l = $a.numElements() <= $b.numElements() ? $b : $a;
          |java.util.HashSet<Long> $set =
          |  new java.util.HashSet<Long>($s.numElements() * 2);
+         |boolean $hasNull = false;
          |for (int $i = 0; $i < $s.numElements(); $i++) {
-         |  $set.add($s.getLong($i));
+         |  if ($s.isNullAt($i)) $hasNull = true;
+         |  else $set.add($s.getLong($i));
          |}
          |int $c = 0;
          |for (int $i = 0; $i < $l.numElements(); $i++) {
-         |  if ($set.remove($l.getLong($i))) $c++;
+         |  if ($l.isNullAt($i)) {
+         |    if ($hasNull) { $c++; $hasNull = false; }
+         |  } else if ($set.remove($l.getLong($i))) $c++;
          |}
          |${ev.value} = $c;
        """.stripMargin

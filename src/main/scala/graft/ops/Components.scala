@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -23,9 +23,11 @@ import org.apache.spark.storage.StorageLevel
   * fixpoint and one confirming round ends the loop — three shuffles
   * total. Each round shuffles only (id, label) longs — document
   * payloads never enter the graph — and lineage is truncated every
-  * round (`localCheckpoint` by default, reliable `checkpoint` on
-  * request — see `ofPairs`) so plan depth and re-planning cost stay
-  * O(1) across iterations.
+  * round (`localCheckpoint` by default, a reliable parquet round-trip
+  * on request — see `ofPairs`) so plan depth and re-planning cost stay
+  * O(1) across iterations. Convergence is detected by an `observe`
+  * metric computed DURING the round's checkpoint materialization —
+  * one Spark action per round, no separate probe job.
   */
 object Components {
 
@@ -40,21 +42,41 @@ object Components {
     * if an executor is lost mid-fixpoint (the truncated lineage cannot
     * be recomputed). That is the right trade on a single node or for
     * short jobs; on a 1000-executor cluster where the fixpoint may
-    * outlive an executor, pass `checkpointDir` (an HDFS/S3 path) to use
-    * RELIABLE checkpoints instead — each round's label table is written
-    * to the shared store and survives any executor loss, at the cost of
-    * one distributed write per round (the table is (long, long) pairs,
-    * tiny next to the edge shuffle it rides with). */
+    * outlive an executor, pass `checkpointDir` (an HDFS/S3 path) to
+    * write each round's label table to the shared store as parquet
+    * instead — it survives any executor loss, at the cost of one
+    * distributed write per round (the table is (long, long) pairs, tiny
+    * next to the edge shuffle it rides with). The round-trip is managed
+    * HERE, not via `SparkContext.setCheckpointDir` — no global state is
+    * clobbered, and each round's table is DELETED once the next round
+    * is durably written, so the store holds at most two label tables at
+    * any instant. The final table backs the returned frame: the caller
+    * owns `checkpointDir`'s lifecycle and deletes it after consuming
+    * the result. */
   def ofPairs(
       pairs: DataFrame,
       aCol: String = "doc_a",
       bCol: String = "doc_b",
       maxIter: Int = 30,
       checkpointDir: Option[String] = None): DataFrame = {
+    val spark = pairs.sparkSession
+    var roundId = 0
+    var prevTable: Option[org.apache.hadoop.fs.Path] = None
     val ckpt: DataFrame => DataFrame = checkpointDir match {
       case Some(dir) =>
-        pairs.sparkSession.sparkContext.setCheckpointDir(dir)
-        df => df.checkpoint()
+        df => {
+          val path = new org.apache.hadoop.fs.Path(dir, s"labels-$roundId")
+          roundId += 1
+          df.write.mode("overwrite").parquet(path.toString)
+          val back = spark.read.parquet(path.toString)
+          // the new table is durable; the previous round's is now dead
+          prevTable.foreach { p =>
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .delete(p, true)
+          }
+          prevTable = Some(path)
+          back
+        }
       case None => df => df.localCheckpoint()
     }
     val edges = pairs.select(
@@ -74,37 +96,41 @@ object Components {
     var done = false
     while (!done && iter < maxIter) {
       // 1. min label among neighbors: one shuffle to join labels onto
-      //    edge sources, one partial-agg min per destination. Keep the
-      //    pre-step label so the convergence probe is a filter on the
-      //    checkpointed result — no extra join/shuffle (labels only
-      //    ever decrease, so `<` is sufficient).
+      //    edge sources, one partial-agg min per destination.
       val nbrMin = sym
         .join(labels.withColumnRenamed("v", "src"), "src")
         .groupBy(col("dst").as("v"))
         .agg(min("component").as("nbr"))
-      //    checkpointed: the convergence probe and (when not converged)
-      //    BOTH sides of the pointer-jump self-join consume it, and
-      //    re-aliased self-joins defeat ReuseExchange — without the
-      //    materialization the neighbor-min join+agg would run twice
+      // convergence ⇔ the propagation step lowered nothing: at that
+      // fixpoint every edge joins equal labels, so labels are constant
+      // per component and (being monotone ≥ the component min, which is
+      // a fixed point of itself) equal to the component min. The count
+      // of lowered labels is an `observe` metric collected DURING the
+      // checkpoint's own materialization pass (labels only ever
+      // decrease, so `<` is sufficient) — the probe costs no extra job.
+      // The checkpoint itself is load-bearing beyond lineage: when not
+      // converged BOTH sides of the pointer-jump self-join consume
+      // `stepped`, and re-aliased self-joins defeat ReuseExchange.
+      val obs = Observation(s"components_lowered_$iter")
       val stepped = labels.join(nbrMin, Seq("v"), "left")
         .select(col("v"), col("component").as("__prev"),
           least(col("component"), coalesce(col("nbr"), col("component")))
             .as("component"))
+        .observe(obs,
+          count(when(col("component") < col("__prev"), lit(1))).as("lowered"))
+        .select("v", "component")
         .transform(ckpt)
-      // convergence ⇔ the propagation step lowered nothing: at that
-      // fixpoint every edge joins equal labels, so labels are constant
-      // per component and (being monotone ≥ the component min, which is
-      // a fixed point of itself) equal to the component min. The pointer
-      // jump is pure acceleration and can never lower a label the
-      // propagation fixpoint wouldn't — so probing BEFORE the jump is
-      // safe and saves the jump's join+checkpoint on the closing round.
-      done = stepped.filter(col("component") < col("__prev")).limit(1).isEmpty
+      done = obs.get("lowered").asInstanceOf[Long] == 0L
       if (done) {
-        labels = stepped.select("v", "component")
+        labels = stepped
       } else {
         // 2. pointer jump: label(v) := label(label(v)) — labels point at
         //    vertices, so self-join the label table on the label value;
-        //    roughly doubles accumulated reach → O(log diameter) rounds
+        //    roughly doubles accumulated reach → O(log diameter) rounds.
+        //    Probing BEFORE the jump is safe (the jump is pure
+        //    acceleration and can never lower a label the propagation
+        //    fixpoint wouldn't), so a converged graph — including the
+        //    common one-round near-clique case — never pays for a jump.
         val lbl = stepped.select(
           col("v").as("__u"), col("component").as("__ulabel"))
         labels = stepped

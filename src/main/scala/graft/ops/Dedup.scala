@@ -103,8 +103,11 @@ object Dedup {
       .select("shingle")
     val capped = sh.join(shared, Seq("shingle"), "left_semi")
       // feeds BOTH self-join sides (re-aliasing defeats ReuseExchange);
-      // small by construction — duplicate shingles only
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // small by construction — duplicate shingles only. localCheckpoint
+      // rather than persist: a persist here has no safe unpersist point
+      // (the return is lazy) and would pin blocks in CacheManager for
+      // the session; checkpoint blocks are freed once unreachable.
+      .localCheckpoint()
     val inter = capped.withColumnRenamed("doc_id", "doc_a")
       .join(capped.withColumnRenamed("doc_id", "doc_b"), Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
@@ -180,8 +183,10 @@ object Dedup {
     val banded = bandSignatures(sigs, bands, rowsPerBand)
       // the signature aggregation feeds both sides of the bucket self-join;
       // materialize it once (at production scale this is the "signature
-      // table" a pipeline would checkpoint anyway)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // table" a pipeline would checkpoint anyway). localCheckpoint, not
+      // persist: no safe unpersist point exists for a lazy return, and
+      // checkpoint blocks are freed once the frame is unreachable.
+      .localCheckpoint()
     val cand = banded.as("a").join(banded.as("b"), Seq("band", "bh"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -223,7 +228,7 @@ object Dedup {
     val sigs = minhashSignatures(docs, textCol, n, numHashes)
     val banded = bandSignatures(sigs, bands, rowsPerBand)
       .select("doc_id", "band", "bh")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint() // both join sides; freed once unreachable
     val cand = banded.as("a").join(banded.as("b"), Seq("band", "bh"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -338,7 +343,7 @@ object Dedup {
     val banded = sigs.select(col("doc_id"), col("simhash"),
       explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint() // both join sides; freed once unreachable
     banded.as("a").join(banded.as("b"), Seq("band", "bh"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),

@@ -86,8 +86,12 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     val sig = embs.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("bucket", lshSignature(col("vec"), planes))
-      // both sides of the bucket self-join read this; materialize once
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // both sides of the bucket self-join read this; materialize once.
+      // localCheckpoint, not persist: persist registers in CacheManager
+      // and leaks the blocks until an explicit unpersist (which a lazy
+      // return can never safely place); checkpoint blocks are freed by
+      // the ContextCleaner once the frame is unreachable.
+      .localCheckpoint()
     sig.as("a").join(sig.as("b"), Seq("bucket"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -123,8 +127,10 @@ object Similarity {
       }: _*)).as("tb"))
       .select(col("id"), col("vec"),
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-      // both sides of the bucket self-join read this; materialize once
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // both sides of the bucket self-join read this; materialize once.
+      // localCheckpoint, not persist — see lshPairs: no CacheManager
+      // entry to leak, blocks freed when the frame is unreachable.
+      .localCheckpoint()
     sig.as("a").join(sig.as("b"), Seq("tbl", "bucket"))
       .filter(col("a.id") < col("b.id"))
       // score BEFORE the pair dedupe: the cosine is a map-side fused

@@ -163,8 +163,9 @@ class PlanSpec extends SparkSuite {
     val p = planOf(df)
     // the banded signature frame feeds BOTH self-join sides from ONE
     // materialization (re-aliased self-joins defeat ReuseExchange, so
-    // the persist is the sharing mechanism)
-    assert(p.contains("InMemoryTableScan"), p)
+    // the eager localCheckpoint is the sharing mechanism: both sides
+    // scan the checkpointed RDD, recomputing nothing)
+    assert(p.contains("ExistingRDD") || p.contains("InMemoryTableScan"), p)
     // bucket equi-join, never an all-pairs expansion
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
     // the exact cosine is computed BELOW the pair-dedupe aggregate —
@@ -177,8 +178,12 @@ class PlanSpec extends SparkSuite {
     assert(cos >= 0 && agg >= 0 && agg < cos, p)
     val exchangeLines = p.linesIterator.filter(_.contains("Exchange hashpartitioning(id_a")).mkString
     assert(!exchangeLines.contains("vec"), exchangeLines)
-    // the perturbed-copy branch prunes at the scan
-    assert(formatted(df).contains("LessThan(vec_id,25)"), formatted(df))
+    // the perturbed-copy branch prunes at the scan — pinned on the
+    // derived-corpus subplan, which the signature checkpoint job
+    // executes (it is below the eager localCheckpoint, so it no longer
+    // prints in the final frame's plan)
+    val corpus = formatted(Queries.embeddingGateCorpus(spark, sf))
+    assert(corpus.contains("LessThan(vec_id,25)"), corpus)
   }
 
   test("near-dup exact verify uses the fused intersection count") {

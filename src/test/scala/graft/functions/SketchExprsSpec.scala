@@ -92,6 +92,40 @@ class SketchExprsSpec extends SparkSuite {
     assert(mismatch == 0)
   }
 
+  test("array_intersect_count and array_eq_count handle NULL elements") {
+    import spark.implicits._
+    // NULL-bearing ARRAY<BIGINT> (containsNull=true) can reach the SQL
+    // temp functions; NULL must not be conflated with 0L
+    val rnd = new scala.util.Random(47)
+    val rows = (0 until 200).map { i =>
+      def arr(n: Int) = Seq.fill(n) {
+        if (rnd.nextInt(5) == 0) null
+        else java.lang.Long.valueOf(rnd.nextInt(10).toLong)
+      }
+      (i.toLong, arr(rnd.nextInt(12)), arr(rnd.nextInt(12)))
+    } :+ ((200L, Seq[java.lang.Long](null, 0L), Seq[java.lang.Long](null))) :+
+      ((201L, Seq[java.lang.Long](0L), Seq[java.lang.Long](null, 0L)))
+    val df = rows.toDF("id", "a", "b")
+    // intersect-count: oracle is size(array_intersect) which counts NULL
+    // (once) iff present in both operands
+    val m1 = df.select(
+      graft.functions.SketchExprs.arrayIntersectCount(col("a"), col("b"))
+        .as("got"),
+      size(array_intersect(col("a"), col("b"))).as("want"))
+      .filter(col("got") =!= col("want")).count()
+    assert(m1 == 0)
+    // eq-count: oracle is the positional `a[i] = b[i] IS TRUE` count —
+    // NULL equals nothing, including NULL
+    val zipped = zip_with(col("a"), col("b"), (x, y) => x === y)
+    val m2 = df
+      .filter(size(col("a")) === size(col("b"))) // zip_with pads with NULL
+      .select(
+        graft.functions.SketchExprs.arrayEqCount(col("a"), col("b")).as("got"),
+        size(filter(zipped, e => coalesce(e, lit(false)))).as("want"))
+      .filter(col("got") =!= col("want")).count()
+    assert(m2 == 0)
+  }
+
   test("winnow_minima equals the positional window-min form") {
     val df = corpus.toDF("doc_id", "text")
     val got = graft.ops.TextAnalysis

@@ -58,6 +58,14 @@ class ComponentsSpec extends SparkSuite {
       val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
         .filter(java.nio.file.Files.isRegularFile(_)).count()
       assert(wrote > 0, "no reliable checkpoint files written")
+      // superseded rounds are deleted as the fixpoint advances: after a
+      // multi-round run only the FINAL label table remains (the store
+      // must not grow by one table per round per job)
+      val tables = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("labels-")).map(_.getName).toSeq
+      assert(tables.size == 1, s"leftover checkpoint tables: $tables")
+      // and the session's global checkpoint dir was never clobbered
+      assert(spark.sparkContext.getCheckpointDir.isEmpty)
     } finally {
       org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(dir))
     }

@@ -58,6 +58,30 @@ class IncrementalDedupSpec extends SparkSuite {
     assert(graft.fs.StoreLock.holder(dir, conf).isEmpty)
   }
 
+  test("release deletes only our own lock, never a usurper's fresh one") {
+    // The double-break hazard: A's cycle outlives staleMs, B breaks the
+    // stale lock and claims a fresh one. A's release must then NOT delete
+    // B's lock (an unconditional delete would let a third writer start
+    // while B is still mid-cycle). Simulate the break inside A's body.
+    val dir = Files.createTempDirectory("incdedup_usurp").toString + "/store"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val lock = new org.apache.hadoop.fs.Path(dir, "_graft_lock.json")
+    val bSince = System.currentTimeMillis()
+    graft.fs.StoreLock.withLock(dir, conf, owner = "slow-a") {
+      // B breaks A's "stale" lock and claims a fresh one
+      fs.delete(lock, false)
+      val out = fs.create(lock, false)
+      out.write(s"""{"owner":"fast-b","since_ms":$bSince}""".getBytes("UTF-8"))
+      out.close()
+    }
+    // A's finally ran: B's lock must still be in place
+    val h = graft.fs.StoreLock.holder(dir, conf)
+    assert(h.contains(graft.fs.StoreLock.Holder("fast-b", bSince)),
+      s"A's release clobbered B's lock: $h")
+    fs.delete(lock, false)
+  }
+
   test("a stale lock from a crashed writer is broken, not honored forever") {
     val dir = Files.createTempDirectory("incdedup_stale").toString + "/store"
     val conf = spark.sparkContext.hadoopConfiguration
