@@ -18,7 +18,10 @@ import org.apache.spark.sql.SparkSession
   *    dead garbage, it didn't get slower;
   *  - `probe_sec`: an interleaved host-contention probe (a fixed small
   *    codegen sum) run after each query — one end-of-run calibration
-  *    sample cannot see mid-run contention spikes.
+  *    sample cannot see mid-run contention spikes;
+  *  - `cpu_sec` (r8): process CPU seconds consumed DURING the query —
+  *    the between-queries probe cannot see a burst inside one; this
+  *    can. Contention: wall up, cpu flat. Regression: both up.
   * Between queries the harness clears the cache and runs an explicit
   * System.gc() (outside any timed section) so garbage from query N is
   * never charged to query N+1.
@@ -42,6 +45,15 @@ object Bench {
     import scala.jdk.CollectionConverters._
     def gcMillis: Long = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    // process CPU seconds: the contention/regression discriminator the
+    // r7 postmortem lacked. A host-contention burst inflates wall-clock
+    // while the JVM's own CPU consumption stays flat; a code regression
+    // grows BOTH. (The interleaved probe runs BETWEEN queries and cannot
+    // see a burst during one — this counter accrues during it.)
+    def cpuNanos: Long = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+      .getProcessCpuTime
     // untimed warmup: JIT/codegen + parquet footer caches, so the first
     // timed query isn't charged for session startup
     try SparkEntry.queries("q_topk_orders")(spark, sfDir)
@@ -62,16 +74,19 @@ object Bench {
         .agg(org.apache.spark.sql.functions.sum("id")).collect()
       (System.nanoTime() - t0) / 1e9
     }
-    final case class Sample(sec: Double, gcSec: Double, probeSec: Double)
+    final case class Sample(sec: Double, gcSec: Double, probeSec: Double,
+        cpuSec: Double)
     def timeOne(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Sample = {
       val gc0 = gcMillis
+      val cpu0 = cpuNanos
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       val dt = (System.nanoTime() - t0) / 1e9
+      val cpuDt = (cpuNanos - cpu0) / 1e9
       val gcDt = (gcMillis - gc0) / 1e3
       // inter-query hygiene, all OUTSIDE the timed section: drop the
       // operator's persisted intermediates (queries are measured
@@ -79,7 +94,7 @@ object Bench {
       // the NEXT query's first allocation stall pays for it
       spark.catalog.clearCache()
       System.gc()
-      Sample(dt, gcDt, probe())
+      Sample(dt, gcDt, probe(), cpuDt)
     }
     // single-shot per query: exactly what the grading driver measures.
     // (Best-of-N de-noising was removed — it masked real regressions and
@@ -113,7 +128,7 @@ object Bench {
       .map { case (k, s) => "\"" + k + "\":" + f(s) }.mkString("{", ",", "}")
     val total = results.map(_._2.sec).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_.sec)},"gc_sec":${jmap(_.gcSec)},"probe_sec":${jmap(_.probeSec)},"calibration_sec":$calib,"io_calibration_sec":$ioCalib,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_.sec)},"gc_sec":${jmap(_.gcSec)},"probe_sec":${jmap(_.probeSec)},"cpu_sec":${jmap(_.cpuSec)},"calibration_sec":$calib,"io_calibration_sec":$ioCalib,"sf":"$sfDir"}"""
     println(json)
     try {
       val out = java.nio.file.Paths.get("BENCH_local.json")
