@@ -36,9 +36,19 @@ final class CdlFs(
     * `storage_options()` Python API, python/src/lib.rs:145-150). */
   def storageOptions: Map[String, String] = catalog.storageOptions
 
+  /** Scan-path location: remote tables read through the `cached://`
+    * scheme so repeated scans serve from the per-node object cache (the
+    * reference's cache store wraps query reads too,
+    * crates/cdl-store/src/lib.rs:183-243). Local tables — where a cache
+    * copy is pure overhead — and the external-engine handoff
+    * (`tableLocation`) keep the raw URI. */
+  private def scanLocation: String =
+    if (root.dataset.scheme == Scheme.Local) tableLocation
+    else CachedFileSystem.route(tableLocation)
+
   /** Physical table incl. the `p0` partition column when present (tables
     * written before partitioning, or by external writers, lack it). */
-  private def fullTable: DataFrame = spark.read.parquet(tableLocation)
+  private def fullTable: DataFrame = spark.read.parquet(scanLocation)
 
   private def canonical(df: DataFrame): DataFrame = {
     // tables written by external engines may predate the row_id column
@@ -112,9 +122,15 @@ final class CdlFs(
   /** Time travel: the table as of a committed version — reads exactly
     * that snapshot's data files, unaffected by later appends. Works on
     * any Hadoop scheme (the CommitLog is FileSystem-API-backed). */
-  def tableAt(version: Int): DataFrame =
-    canonical(spark.read.parquet(
-      CommitLog.snapshotFilePaths(tableLocation, version, hconf): _*))
+  def tableAt(version: Int): DataFrame = {
+    val files = CommitLog.snapshotFilePaths(tableLocation, version, hconf)
+    // time travel is a QUERY path: remote snapshot files read through
+    // the cache scheme like fullTable does
+    val routed =
+      if (root.dataset.scheme == Scheme.Local) files
+      else files.map(CachedFileSystem.route)
+    canonical(spark.read.parquet(routed: _*))
+  }
 
   /** Listing projection: metadata columns + BLANKED `data` (`x'' AS data`) so
     * listings never ship payloads (reference list_by,
@@ -383,6 +399,11 @@ object CdlFs {
     // arm the executor-side read-through object cache with the catalog's
     // cacheDir/minCacheObjectSize/maxCacheSize knobs
     ObjectCache.configure(spark.sparkContext.hadoopConfiguration, catalog)
+    // remote datasets also read through the cached:// scheme on the
+    // QUERY path (scanLocation), so hot-table scans hit local disk
+    if (root.dataset.scheme != Scheme.Local)
+      CachedFileSystem.install(
+        spark.sparkContext.hadoopConfiguration, root.dataset.scheme.uriScheme)
     Len.registerAll(spark)
     new CdlFs(spark, catalog, root)
   }

@@ -116,6 +116,16 @@ object ObjectCache {
     } finally in.close()
   }
 
+  /** Drop the cached copy (and memoized size) of `p`, if any — called by
+    * write paths (`CachedFileSystem.create/rename/delete`) so a rewrite
+    * through the cached scheme never serves stale bytes. Best-effort:
+    * objects are write-once in the rootfs model, this is defense. */
+  def invalidate(conf: Configuration, p: Path): Unit = {
+    sizeCache.remove(p.toString)
+    fromConf(conf).foreach(cfg => Files.deleteIfExists(cachePath(cfg, p)))
+    ()
+  }
+
   /** Cache-local path of an object: md5 of the full URI + the filename
     * (collision-safe and debuggable). */
   def cachePath(cfg: Config, p: Path): JPath = {
@@ -186,20 +196,28 @@ object ObjectCache {
   def shrink(cfg: Config): Unit = shrinkLock.synchronized {
     val root = Paths.get(cfg.cacheDir)
     if (!Files.isDirectory(root)) return
-    val stream = Files.walk(root)
+    // Files.list, NOT Files.walk: the cache dir is flat, and walk's
+    // iterator stats every entry during traversal to decide recursion —
+    // a concurrent puller's .inflight temp atomically moving away
+    // between the directory listing and that stat threw
+    // NoSuchFileException out of hasNext itself, past any per-entry
+    // guard (hit for real by 32 query-path tasks pulling + shrinking)
+    val stream = Files.list(root)
     val entries =
       try stream.iterator().asScala
-        .filter(f => Files.isRegularFile(f) &&
-          !f.getFileName.toString.endsWith(".inflight")) // other procs' downloads
+        .filter(f => !f.getFileName.toString.endsWith(".inflight")) // in-flight downloads
         .flatMap { f =>
           // a SIBLING PROCESS sharing the cache dir may delete f between
-          // the walk listing and the stat — skip, never throw out of a read
+          // the listing and the stat — skip, never throw out of a read
           try {
-            val len = Files.size(f)
-            val atime = Files.readAttributes(f,
-              classOf[java.nio.file.attribute.BasicFileAttributes])
-              .lastAccessTime().toMillis
-            Some((len >= cfg.minObjectSize, atime, len, f))
+            if (!Files.isRegularFile(f)) None
+            else {
+              val len = Files.size(f)
+              val atime = Files.readAttributes(f,
+                classOf[java.nio.file.attribute.BasicFileAttributes])
+                .lastAccessTime().toMillis
+              Some((len >= cfg.minObjectSize, atime, len, f))
+            }
           } catch { case _: java.io.IOException => None }
         }.toSeq
       finally stream.close()

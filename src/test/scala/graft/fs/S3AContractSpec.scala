@@ -139,11 +139,18 @@ class S3AContractSpec extends SparkSuite {
     assert(fs.take(Seq(0L), Seq("name")).collect()
       .head.getAs[String]("name") == "big.bin")
 
-    // admission: exactly the ≥ minObjectSize object is in the cache dir,
-    // pulled WHOLE (4096 bytes); the small file read went direct
+    // admission: the ≥ minObjectSize ingest object is in the cache dir,
+    // pulled WHOLE (4096 bytes); the small file read went direct. Since
+    // r8 the QUERY path reads through the cache too (CdlFs.scanLocation
+    // routes remote scans via cached-<scheme>://), so the rootfs parquet
+    // part files the queries above scanned are legitimately cached
+    // alongside it — but never the sub-threshold small.txt
     val cached = Files.list(Paths.get(s"$tmp/cache")).toArray.map(_.toString)
-    assert(cached.length == 1, cached.mkString(","))
-    assert(Files.size(Paths.get(cached.head)) == 4096)
-    assert(cached.head.contains("big.bin"))
+    val bigEntries = cached.filter(_.contains("big.bin"))
+    assert(bigEntries.length == 1, cached.mkString(","))
+    assert(Files.size(Paths.get(bigEntries.head)) == 4096)
+    assert(!cached.exists(_.contains("small.txt")), cached.mkString(","))
+    assert(cached.forall(f => f.contains("big.bin") || f.contains(".parquet")),
+      cached.mkString(","))
   }
 }
