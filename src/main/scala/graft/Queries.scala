@@ -777,7 +777,7 @@ object Queries {
     * both the LSH retrieval (Similarity.lshTopKMulti, 8 tables × 5
     * planes) and the brute-force reference run in-engine; the output is
     * (n_queries, recall_ok) where recall_ok asserts macro recall@3 ≥
-    * 0.4. The retrieved set itself is engine-specific (it depends on
+    * 0.5. The retrieved set itself is engine-specific (it depends on
     * this engine's plane hashes), but the recall contract is not — the
     * oracle recomputes n_queries and expects recall_ok TRUE, so an LSH
     * regression (broken signatures, broken banding, broken re-rank)
@@ -786,8 +786,10 @@ object Queries {
     * metric — demanding exact top-k equality would force near-exhaustive
     * candidate sets (the IVF queries cover the equality contract).
     * Measured recall@3: 0.53–0.80 across sf0.001–0.1 (candidate volume
-    * ~24% of the corpus per query); the 0.4 bound is the regression
-    * tripwire, not the observed value. */
+    * ~24% of the corpus per query); the 0.5 bound is the regression
+    * tripwire, not the observed value (0.4 until r8 — tightened because
+    * the measured floor leaves 0.5 safely below every observed run while
+    * 0.4 let a broken table's worth of candidates slip through). */
   def qKnnLsh(s: SparkSession, dir: String): DataFrame = {
     val embs = rd(s, dir, "embeddings")
     val q = embs.filter(col("vec_id") < 5)
@@ -802,7 +804,7 @@ object Queries {
     q.agg(countDistinct(col("vec_id")).as("n_queries"))
       .crossJoin(hits)
       .select(col("n_queries"),
-        (col("__hits").cast("double") / (col("n_queries") * k) >= 0.4)
+        (col("__hits").cast("double") / (col("n_queries") * k) >= 0.5)
           .as("recall_ok"))
   }
 

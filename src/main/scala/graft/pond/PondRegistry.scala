@@ -42,6 +42,106 @@ object PondRegistry {
     }
   }
 
+  /** ModelStorage kind ADT (reference `ModelStorageObjectSpec`,
+    * crates/cdl-openapi/src/model_storage/object.rs:15-44): `Owned`
+    * provisions dedicated storage; `Cloned` provisions AND joins the
+    * reference store's replication (seeded copy); `Borrowed` binds an
+    * external store it does not own. `isUnique` mirrors the reference's
+    * `is_unique` (object.rs:37-44): a Borrowed store may back several
+    * bindings, an Owned/Cloned store is exclusive. */
+  sealed trait StorageKind { def isUnique: Boolean }
+  object StorageKind {
+    case object Owned extends StorageKind { val isUnique = true }
+    final case class Cloned(referenceUri: String) extends StorageKind {
+      val isUnique = true
+    }
+    final case class Borrowed(externalUri: String) extends StorageKind {
+      val isUnique = false
+    }
+  }
+
+  /** Observed pond stats through the Hadoop FileSystem API — the
+    * FS-level equivalent of the reference's MinIO admin measurement
+    * (crates/cdl-k8s-provider/src/object.rs:1697-1778): with a quota the
+    * pond reports (quota, du) — du is `getContentSummary`, the per-bucket
+    * usage MinIO cannot answer in O(1) and the reference stubs to None
+    * (object.rs:1733-1736); without one it reports the store's global
+    * (capacity, capacity − remaining) from `FsStatus`, the reference's
+    * `get_capacity_global` pool sum. One RPC either way; no listing
+    * rides the driver. */
+  def measure(
+      conf: org.apache.hadoop.conf.Configuration,
+      name: String,
+      rootUri: String,
+      quotaBytes: Option[Long] = None): Pond = {
+    val p = new org.apache.hadoop.fs.Path(rootUri)
+    val fs = p.getFileSystem(conf)
+    quotaBytes match {
+      case Some(quota) =>
+        val used =
+          if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+        Pond(name, rootUri, quota, used)
+      case None =>
+        val st = fs.getStatus(p)
+        Pond(name, rootUri, st.getCapacity, st.getCapacity - st.getRemaining)
+    }
+  }
+
+  /** LowestCopy over MEASURED bytes: the selection the reference's
+    * optimizer runs against admin-API capacity, not caller-declared
+    * numbers — a pond whose declared capacity drifted from its disk
+    * contents can no longer win a claim it cannot hold. */
+  def selectPondMeasured(
+      conf: org.apache.hadoop.conf.Configuration,
+      candidates: Seq[(String, String, Option[Long])],
+      requestedBytes: Long,
+      policy: BindingPolicy = BindingPolicy.LowestCopy): Either[String, Pond] =
+    selectPond(
+      candidates.map { case (name, uri, quota) => measure(conf, name, uri, quota) },
+      requestedBytes, policy)
+
+  /** Provision a pond of the given kind (reference
+    * `load_storage_provider_by_*`,
+    * crates/cdl-k8s-provider/src/object.rs:170-260):
+    *  - `Owned` creates the root;
+    *  - `Cloned` creates the root and SEEDS it from the reference store —
+    *    the MinIO site-replication join (`add_site_replication`,
+    *    object.rs:913-960 semantics) as a one-time FileSystem-level
+    *    mirror, so the clone is current before it serves;
+    *  - `Borrowed` binds the external URI verbatim: no mkdirs, no copy —
+    *    the store belongs to someone else.
+    * Returns the measured pond. */
+  def provision(
+      conf: org.apache.hadoop.conf.Configuration,
+      name: String,
+      rootUri: String,
+      kind: StorageKind,
+      quotaBytes: Option[Long] = None): Pond = kind match {
+    case StorageKind.Owned =>
+      val p = new org.apache.hadoop.fs.Path(rootUri)
+      p.getFileSystem(conf).mkdirs(p)
+      measure(conf, name, rootUri, quotaBytes)
+    case StorageKind.Cloned(refUri) =>
+      val dst = new org.apache.hadoop.fs.Path(rootUri)
+      val dstFs = dst.getFileSystem(conf)
+      dstFs.mkdirs(dst)
+      val src = new org.apache.hadoop.fs.Path(refUri)
+      val srcFs = src.getFileSystem(conf)
+      if (srcFs.exists(src)) {
+        // seed = copy the reference's CHILDREN under our root (copying
+        // src itself would nest <root>/<refname>/…)
+        srcFs.listStatus(src).foreach { s =>
+          org.apache.hadoop.fs.FileUtil.copy(
+            srcFs, s.getPath, dstFs,
+            new org.apache.hadoop.fs.Path(dst, s.getPath.getName),
+            false, true, conf)
+        }
+      }
+      measure(conf, name, rootUri, quotaBytes)
+    case StorageKind.Borrowed(externalUri) =>
+      measure(conf, name, externalUri, quotaBytes)
+  }
+
   sealed trait PullPolicy
   object PullPolicy {
     case object Always extends PullPolicy; case object OnCreate extends PullPolicy

@@ -86,6 +86,79 @@ class PondRegistrySpec extends SparkSuite {
     assert(jobs.onWrite("dsA").isEmpty)
   }
 
+  test("Cloned provisions AND seeds from the reference pond; Owned starts empty") {
+    val root = Files.createTempDirectory("pondkind").toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    // the reference store already holds data
+    Files.createDirectories(java.nio.file.Paths.get(s"$root/ref/ds1"))
+    Files.write(java.nio.file.Paths.get(s"$root/ref/ds1/part-0"), "seed".getBytes)
+
+    val owned = provision(conf, "own", s"$root/own", StorageKind.Owned,
+      quotaBytes = Some(1000))
+    assert(owned.usedBytes == 0L && owned.capacityBytes == 1000L)
+    assert(StorageKind.Owned.isUnique)
+
+    // Cloned = provision + one-time mirror of the reference's content
+    // (the site-replication join, object.rs:913-960 semantics)
+    val cloned = provision(conf, "cln", s"$root/cln",
+      StorageKind.Cloned(s"$root/ref"), quotaBytes = Some(1000))
+    assert(cloned.usedBytes == 4L, cloned.toString) // "seed" arrived
+    assert(new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/cln/ds1/part-0"))) == "seed")
+    assert(StorageKind.Cloned(s"$root/ref").isUnique)
+  }
+
+  test("Borrowed binds the external URI without provisioning anything") {
+    val root = Files.createTempDirectory("pondborrow").toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    Files.createDirectories(java.nio.file.Paths.get(s"$root/ext"))
+    Files.write(java.nio.file.Paths.get(s"$root/ext/obj"), "abcde".getBytes)
+
+    val b = provision(conf, "brw", s"$root/IGNORED",
+      StorageKind.Borrowed(s"$root/ext"), quotaBytes = Some(100))
+    assert(b.rootUri == s"$root/ext") // bound to the external store
+    assert(b.usedBytes == 5L)
+    // no directory was created for the ignored own-root
+    assert(!Files.exists(java.nio.file.Paths.get(s"$root/IGNORED")))
+    // and a borrowed store is shareable (not unique), per the reference
+    assert(!StorageKind.Borrowed(s"$root/ext").isUnique)
+  }
+
+  test("measured selection runs LowestCopy on observed bytes, not declared ones") {
+    val root = Files.createTempDirectory("pondmeasure").toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    Files.createDirectories(java.nio.file.Paths.get(s"$root/a"))
+    Files.createDirectories(java.nio.file.Paths.get(s"$root/b"))
+    // disk truth: a holds 6000 bytes, b holds 1000
+    Files.write(java.nio.file.Paths.get(s"$root/a/blob"), new Array[Byte](6000))
+    Files.write(java.nio.file.Paths.get(s"$root/b/blob"), new Array[Byte](1000))
+
+    val m = measure(conf, "a", s"$root/a", Some(10000))
+    assert(m.usedBytes == 6000L && m.availableBytes == 4000L)
+
+    // declared numbers would pick a (claims empty); measurement picks b
+    val declared = Seq(
+      Pond("a", s"$root/a", 10000, 0), Pond("b", s"$root/b", 10000, 5000))
+    assert(selectPond(declared, 3000).map(_.name) == Right("a"))
+    val picked = selectPondMeasured(conf,
+      Seq(("a", s"$root/a", Some(10000L)), ("b", s"$root/b", Some(10000L))),
+      3000)
+    assert(picked.map(_.name) == Right("b"))
+    // quota admission on measured bytes: nothing fits 9500
+    assert(selectPondMeasured(conf,
+      Seq(("a", s"$root/a", Some(10000L)), ("b", s"$root/b", Some(10000L))),
+      9500).isLeft)
+  }
+
+  test("quota-less measure reads the store's global capacity (FsStatus)") {
+    val root = Files.createTempDirectory("pondglobal").toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = measure(conf, "g", s"$root", None)
+    // local disk: capacity positive, used within [0, capacity]
+    assert(p.capacityBytes > 0L)
+    assert(p.usedBytes >= 0L && p.usedBytes <= p.capacityBytes)
+  }
+
   test("sync matrix: pull Never / push Never do nothing") {
     val jobs = new SyncJobs(spark, graft.core.DatasetCatalog())
     val src = Pond("s", "file:///nonexistent-src", 1, 0)
