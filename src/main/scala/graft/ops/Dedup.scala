@@ -152,7 +152,7 @@ object Dedup {
     * shared by the batch pair search and the incremental store path:
     * store compatibility REQUIRES both to band identically, so there is
     * exactly one implementation. */
-  private[ops] def bandSignatures(
+  private[graft] def bandSignatures(
       sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
     sigs.select(
       col("doc_id"), col("sig"),
