@@ -1,0 +1,143 @@
+"""pytest for the Python user API (scripts/cdlake.py) — the py4j bridge
+contracts the demos drive by hand: `sql_as_pandas`, `read_files` chunk
+reassembly, `take`, versions/time travel, compact, and the
+external-engine handoff via `table_location` (read back with DuckDB).
+
+Run from the repo root after `sbt compile`:
+
+    pytest -q scripts/test_cdlake.py
+"""
+import os
+import sys
+import tempfile
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CLASSES = f"{REPO}/target/scala-2.13/classes"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(CLASSES),
+    reason=f"compiled classes not found at {CLASSES} — run `sbt compile`")
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pyspark.sql import SparkSession
+    s = (SparkSession.builder.master("local[4]")
+         .config("spark.driver.extraClassPath", CLASSES)
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.ui.enabled", "false")
+         .getOrCreate())
+    s.sparkContext.setLogLevel("WARN")
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="module")
+def ds(spark):
+    """A dataset ingested from a two-file tree: one text file, one
+    3-chunk binary (2560 bytes at max_chunk_size=1024)."""
+    from cdlake import Cdl
+    work = tempfile.mkdtemp(prefix="cdlake_pytest_")
+    tree = f"{work}/tree"
+    os.makedirs(f"{tree}/sub")
+    with open(f"{tree}/hello.txt", "w") as f:
+        f.write("hello from pytest")
+    with open(f"{tree}/sub/data.bin", "wb") as f:
+        f.write(bytes(range(256)) * 10)
+    fs = Cdl(spark, max_chunk_size="1024").open(f"{work}/ds")
+    fs.ingest(tree)
+    return fs, tree, work
+
+
+def test_unknown_catalog_key_raises(spark):
+    from cdlake import Cdl
+    with pytest.raises(Exception) as e:
+        Cdl(spark, not_a_real_key="1").open(tempfile.mkdtemp() + "/ds")
+    assert "not_a_real_key" in str(e.value)
+
+
+def test_sql_as_pandas(ds):
+    fs, _, _ = ds
+    pdf = fs.sql_as_pandas(
+        "SELECT parent, name, size FROM rootfs WHERE size IS NOT NULL "
+        "ORDER BY parent, name")
+    assert list(pdf.columns) == ["parent", "name", "size"]
+    assert list(pdf["name"]) == ["hello.txt", "data.bin"]
+    assert list(pdf["size"]) == [17, 2560]
+
+
+def test_read_files_reassembles_chunks(ds):
+    fs, _, _ = ds
+    got = fs.read_files("name = 'data.bin'")
+    assert got == {"/sub/data.bin": bytes(range(256)) * 10}
+    # the 2560-byte payload really was chunked: 3 rows, sizes 1024/1024/512
+    pdf = fs.sql_as_pandas(
+        "SELECT chunk_id, len(data) AS n FROM rootfs "
+        "WHERE name = 'data.bin' ORDER BY chunk_id")
+    assert list(pdf["n"]) == [1024, 1024, 512]
+
+
+def test_take(ds):
+    fs, _, _ = ds
+    pdf = fs.take([0, 1], ["parent", "name"]).toPandas()
+    assert len(pdf) == 2
+    assert set(pdf["name"]) == {"hello.txt", "data.bin"}
+
+
+def test_versions_and_time_travel(ds):
+    fs, _, work = ds
+    assert fs.versions() == [1]
+    tree2 = f"{work}/tree2"
+    os.makedirs(tree2, exist_ok=True)
+    with open(f"{tree2}/late.txt", "w") as f:
+        f.write("v2")
+    fs.ingest(tree2)
+    assert fs.versions() == [1, 2]
+    v1 = fs.table_at(1).toPandas()
+    assert "late.txt" not in set(v1["name"])
+    v2 = fs.table_at(2).toPandas()
+    assert "late.txt" in set(v2["name"])
+
+
+def test_table_location_handoff_duckdb(ds):
+    fs, _, _ = ds
+    duckdb = pytest.importorskip("duckdb")
+    loc = fs.table_location
+    n = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{loc}/**/*.parquet') "
+        f"WHERE size IS NOT NULL").fetchone()[0]
+    # logical files match the engine's own listing
+    assert n == len(fs.sql_as_pandas(
+        "SELECT name FROM rootfs WHERE size IS NOT NULL"))
+    assert isinstance(fs.storage_options, dict)
+
+
+def test_compact_keeps_data(ds):
+    fs, _, _ = ds
+    before = fs.sql_as_pandas(
+        "SELECT parent, name FROM rootfs WHERE size IS NOT NULL "
+        "ORDER BY parent, name")
+    n_files = fs.compact()
+    assert n_files >= 1
+    after = fs.sql_as_pandas(
+        "SELECT parent, name FROM rootfs WHERE size IS NOT NULL "
+        "ORDER BY parent, name")
+    assert before.equals(after)
+
+
+def test_sql_as_polars_contract(ds):
+    fs, _, _ = ds
+    try:
+        import polars  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="polars"):
+            fs.sql_as_polars("SELECT 1 AS x")
+        return
+    out = fs.sql_as_polars(
+        "SELECT name FROM rootfs WHERE size IS NOT NULL ORDER BY name")
+    assert out["name"].to_list() == ["data.bin", "hello.txt"]
