@@ -894,6 +894,28 @@ object Oracles {
          |ORDER BY zorder, l_partkey, l_suppkey""".stripMargin
     },
 
+    // skew-salted join is SEMANTICALLY a plain inner join — the salt
+    // only changes physical distribution, so the oracle is the join
+    "q_skew_salted_join" ->
+      """SELECT l_suppkey AS s_suppkey, s_name,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1, 2
+        |ORDER BY s_suppkey""".stripMargin,
+
+    // two-stage heavy hitters ≡ the textbook windowed top-k
+    "q_heavy_hitters" ->
+      """SELECT l_returnflag, l_partkey, n, CAST(rank AS INT) AS rank FROM (
+        |  SELECT l_returnflag, l_partkey, n,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |                       ORDER BY n DESC, l_partkey ASC) AS rank
+        |  FROM (SELECT l_returnflag, l_partkey,
+        |          CAST(count(*) AS BIGINT) AS n
+        |        FROM lineitem GROUP BY 1, 2))
+        |WHERE rank <= 5
+        |ORDER BY l_returnflag, rank""".stripMargin,
+
     // intra-document repetition: positional vs distinct 3-gram counts
     "q_text_repetition" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -1003,4 +1003,29 @@ object Queries {
       .distinct()
       .withColumn("zorder", graft.ops.Layout.morton2(col("l_partkey"), col("l_suppkey")))
       .orderBy("zorder", "l_partkey", "l_suppkey")
+
+  /** Skew-salted join gated on SEMANTICS: Scale.saltedJoin spreads each
+    * hot key over `factor` tasks (deterministic row-hash salt, the other
+    * side replicated), but the result set is exactly the plain inner
+    * join — which is what the DuckDB oracle computes. Aggregated per
+    * supplier so the gate row count stays bounded at every SF. */
+  def qSkewSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = rd(s, dir, "lineitem")
+      .select(col("l_suppkey").as("s_suppkey"), col("l_quantity"))
+    val supp = rd(s, dir, "supplier").select("s_suppkey", "s_name")
+    graft.ops.Scale.saltedJoin(li, supp, Seq("s_suppkey"), factor = 8)
+      .groupBy("s_suppkey", "s_name")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Heavy hitters per group via the two-stage top-k (no group ever
+    * funnels through one task): top-5 part keys by line count per
+    * return flag. Deterministic ties: (count DESC, value ASC). */
+  def qHeavyHitters(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Scale.heavyHitters(
+      rd(s, dir, "lineitem"), "l_returnflag", "l_partkey", k = 5)
+      .withColumn("n", col("n").cast("long"))
+      .orderBy("l_returnflag", "rank")
 }

@@ -98,11 +98,13 @@ object SparkEntry {
     "q_text_repetition" -> (Queries.qTextRepetition _),
     "q_zorder_key" -> (Queries.qZorderKey _),
     "q_dedup_incremental" -> (Queries.qDedupIncremental _),
-    "q_knn_ivf_index" -> (Queries.qKnnIvfIndex _)
+    "q_knn_ivf_index" -> (Queries.qKnnIvfIndex _),
+    "q_skew_salted_join" -> (Queries.qSkewSaltedJoin _),
+    "q_heavy_hitters" -> (Queries.qHeavyHitters _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. EVERY query has one (79/79): inherently
+    * the same parquet tables. EVERY query has one (83/83): inherently
     * engine-specific values (HLL registers, LSH retrieval sets) are
     * gated semantically instead — the query emits the engine-independent
     * contract (exact counts + tolerance booleans, verified pair sets,
