@@ -101,13 +101,13 @@ object SparkEntry {
     "q_knn_ivf_index" -> (Queries.qKnnIvfIndex _),
     "q_skew_salted_join" -> (Queries.qSkewSaltedJoin _),
     "q_heavy_hitters" -> (Queries.qHeavyHitters _)
-  )
+  ) ++ FuzzQueries.queries // differential fuzz gate (seeded AST → both engines)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. EVERY query has one (83/83): inherently
+    * the same parquet tables. EVERY query has one (88/88): inherently
     * engine-specific values (HLL registers, LSH retrieval sets) are
     * gated semantically instead — the query emits the engine-independent
     * contract (exact counts + tolerance booleans, verified pair sets,
     * recall flags) and the oracle recomputes the truth. */
-  def oracleSql: Map[String, String] = Oracles.map
+  def oracleSql: Map[String, String] = Oracles.map ++ FuzzQueries.oracleSql
 }
