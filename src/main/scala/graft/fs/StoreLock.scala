@@ -96,6 +96,37 @@ object StoreLock {
         case _: java.io.IOException if fs.exists(lock) => false
       }
 
+    // Heartbeat: a cycle that legitimately outlives staleMs (a large
+    // Spark batch) would otherwise look crashed and get its lock broken.
+    // A daemon thread rewrites the holder file with a fresh since_ms
+    // every staleMs/3 — overwriting only while we still hold the lock —
+    // so a live writer's lock age never approaches the break threshold;
+    // only a truly dead writer's lock goes stale. The release check
+    // compares owner only (since_ms advances with each beat).
+    def startHeartbeat(): Thread = {
+      val t = new Thread(() => {
+        try {
+          while (!Thread.currentThread().isInterrupted) {
+            Thread.sleep(math.max(staleMs / 3, 1000L))
+            if (holder(dir, conf).exists(_.owner == owner)) {
+              val out = fs.create(lock, true)
+              try out.write(
+                s"""{"owner":"$owner","since_ms":${System.currentTimeMillis()}}"""
+                  .getBytes(StandardCharsets.UTF_8))
+              finally out.close()
+            }
+          }
+        } catch {
+          case _: InterruptedException => ()
+          case e: Throwable =>
+            System.err.println(s"[StoreLock] heartbeat for $dir stopped: ${e.getMessage}")
+        }
+      }, s"storelock-heartbeat-$dir")
+      t.setDaemon(true)
+      t.start()
+      t
+    }
+
     var acquired = tryAcquire()
     if (!acquired) {
       val h = holder(dir, conf)
@@ -117,16 +148,23 @@ object StoreLock {
           "a concurrent writer is mid-append — retry after it commits, or " +
           s"delete $LockName if the holder is known dead")
     }
+    val beat = startHeartbeat()
     try body
     finally {
-      // Delete ONLY our own lock. If the cycle outlived staleMs, another
-      // writer may have broken this lock and claimed a fresh one — an
-      // unconditional delete would free the store under that writer and
-      // let a third start mid-cycle (the exact double-commit this lock
-      // exists to prevent). Re-read the holder and release only when it
-      // is still us; otherwise warn loudly and leave the usurper's lock.
+      // stop the heartbeat FIRST and wait it out: a beat landing after
+      // the release delete would resurrect a lock nobody holds
+      beat.interrupt()
+      beat.join(5000)
+      // Delete ONLY our own lock (owner compare — since_ms advances with
+      // each heartbeat; owner is host:pid:thread, so two live cycles can
+      // never share it). If the cycle somehow still outlived the beat,
+      // another writer may have broken this lock and claimed a fresh
+      // one — an unconditional delete would free the store under that
+      // writer and let a third start mid-cycle (the exact double-commit
+      // this lock exists to prevent). Release only when the holder is
+      // still us; otherwise warn loudly and leave the usurper's lock.
       holder(dir, conf) match {
-        case Some(h) if h == self => fs.delete(lock, false)
+        case Some(h) if h.owner == self.owner => fs.delete(lock, false)
         case Some(h) =>
           System.err.println(
             s"[StoreLock] NOT releasing $dir/$LockName: held by ${h.owner} " +

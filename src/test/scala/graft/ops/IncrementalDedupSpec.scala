@@ -82,6 +82,30 @@ class IncrementalDedupSpec extends SparkSuite {
     fs.delete(lock, false)
   }
 
+  test("heartbeat keeps a long live cycle's lock fresh — never broken as stale") {
+    // a cycle outliving staleMs used to look crashed; with the heartbeat
+    // rewriting since_ms every staleMs/3, a second writer keeps failing
+    // loudly for as long as the first is genuinely alive
+    val dir = Files.createTempDirectory("incdedup_beat").toString + "/store"
+    val conf = spark.sparkContext.hadoopConfiguration
+    graft.fs.StoreLock.withLock(dir, conf, owner = "slow-live", staleMs = 3000L) {
+      Thread.sleep(4500) // > staleMs: without the beat this lock is stale
+      val h = graft.fs.StoreLock.holder(dir, conf)
+      assert(h.exists(_.owner == "slow-live"), h.toString)
+      // age must have been refreshed below the stale threshold
+      assert(h.exists(x => System.currentTimeMillis() - x.sinceMs < 3000L),
+        h.toString)
+      // a second writer still detects-and-fails (no stale takeover)
+      val e = intercept[IllegalStateException] {
+        graft.fs.StoreLock.withLock(dir, conf, owner = "thief",
+          staleMs = 3000L) { fail("must not acquire") }
+      }
+      assert(e.getMessage.contains("slow-live"), e.getMessage)
+    }
+    // and release still works after heartbeating
+    assert(graft.fs.StoreLock.holder(dir, conf).isEmpty)
+  }
+
   test("a stale lock from a crashed writer is broken, not honored forever") {
     val dir = Files.createTempDirectory("incdedup_stale").toString + "/store"
     val conf = spark.sparkContext.hadoopConfiguration
