@@ -23,8 +23,9 @@ object FuzzQueries {
   private final case class Pred(col: String, op: String, lit: Long)
   private final case class Agg(fn: String, col: String, alias: String)
   private final case class Q(
-      table: String,
-      preds: Seq[Pred],      // AND-ed
+      table: String,          // single table, or "lineitem⋈orders"
+      joined: Boolean,        // lineitem JOIN orders ON l_orderkey = o_orderkey
+      preds: Seq[Pred],       // AND-ed
       groupBy: Seq[String],
       aggs: Seq[Agg],
       having: Option[(String, Long)]) // (alias, min value): alias >= v
@@ -46,10 +47,14 @@ object FuzzQueries {
     "o_orderkey" -> 1400L, "o_custkey" -> 140L,
     "c_custkey" -> 140L, "c_nationkey" -> 24L)
 
-  private def gen(seed: Int): Q = {
+  private def gen(seed: Int, joined: Boolean = false): Q = {
     val rnd = new scala.util.Random(seed)
-    val table = tables.keys.toSeq.sorted.apply(rnd.nextInt(tables.size))
-    val cols = tables(table)
+    val table =
+      if (joined) "lineitem" // join partner is fixed: orders on orderkey
+      else tables.keys.toSeq.sorted.apply(rnd.nextInt(tables.size))
+    val cols =
+      if (joined) tables("lineitem") ++ Seq("o_custkey") // o_orderkey ≡ l_orderkey
+      else tables(table)
     def pick(): String = cols(rnd.nextInt(cols.size))
     val preds = Seq.fill(1 + rnd.nextInt(2)) {
       val c = pick()
@@ -68,7 +73,7 @@ object FuzzQueries {
         case _    => 1 + draw % r
       }
       Pred(c2, op, lit)
-    }
+    }.distinctBy(_.col) // two preds on one column can contradict (=2 AND =1)
     val nGroup = 1 + rnd.nextInt(2)
     val groupBy = rnd.shuffle(cols).take(nGroup)
     val aggTargets = cols.filterNot(groupBy.contains)
@@ -78,12 +83,17 @@ object FuzzQueries {
         Agg(fn, c, s"a$i")
     }
     val having = if (rnd.nextBoolean()) Some(("n", 1L + rnd.nextInt(3))) else None
-    Q(table, preds, groupBy, aggs, having)
+    Q(table, joined, preds, groupBy, aggs, having)
   }
 
   // --- render to Spark -------------------------------------------------
   private def sparkOf(q: Q)(s: SparkSession, dir: String): DataFrame = {
-    val base = Queries.rd(s, dir, q.table)
+    val base =
+      if (q.joined)
+        Queries.rd(s, dir, "lineitem").join(
+          Queries.rd(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+      else Queries.rd(s, dir, q.table)
     val filtered = q.preds.foldLeft(base) { (df, p) =>
       val c = col(p.col)
       df.filter(p.op match {
@@ -120,8 +130,11 @@ object FuzzQueries {
     val having = q.having.map { case (a, v) => s"HAVING count(*) >= $v" }
       .getOrElse("")
     val order = (q.groupBy ++ q.aggs.map(_.alias)).mkString(", ")
+    val from =
+      if (q.joined) "lineitem JOIN orders ON l_orderkey = o_orderkey"
+      else q.table
     s"""SELECT ${(q.groupBy ++ aggSql).mkString(", ")}
-       |FROM ${q.table}
+       |FROM $from
        |WHERE $where
        |GROUP BY ${q.groupBy.mkString(", ")}
        |$having
@@ -129,12 +142,19 @@ object FuzzQueries {
   }
 
   /** Seeds are FIXED: the gate must be reproducible run-to-run and match
-    * the oracle map below. */
+    * the oracle map below. Plain seeds fuzz one table; join seeds fuzz
+    * lineitem ⋈ orders compositions (pushdown through the join, partial
+    * aggregation above it). */
   private val seeds = Seq(101, 202, 303, 404, 505)
+  private val joinSeeds = Seq(611, 722, 833)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    seeds.map(sd => s"q_fuzz_$sd" -> (sparkOf(gen(sd)) _)).toMap
+    seeds.map(sd => s"q_fuzz_$sd" -> (sparkOf(gen(sd)) _)).toMap ++
+      joinSeeds.map(sd => s"q_fuzz_join_$sd" ->
+        (sparkOf(gen(sd, joined = true)) _)).toMap
 
   val oracleSql: Map[String, String] =
-    seeds.map(sd => s"q_fuzz_$sd" -> sqlOf(gen(sd))).toMap
+    seeds.map(sd => s"q_fuzz_$sd" -> sqlOf(gen(sd))).toMap ++
+      joinSeeds.map(sd => s"q_fuzz_join_$sd" ->
+        sqlOf(gen(sd, joined = true))).toMap
 }

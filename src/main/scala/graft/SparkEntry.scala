@@ -104,7 +104,7 @@ object SparkEntry {
   ) ++ FuzzQueries.queries // differential fuzz gate (seeded AST → both engines)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. EVERY query has one (88/88): inherently
+    * the same parquet tables. EVERY query has one (91/91): inherently
     * engine-specific values (HLL registers, LSH retrieval sets) are
     * gated semantically instead — the query emits the engine-independent
     * contract (exact counts + tolerance booleans, verified pair sets,

@@ -206,4 +206,28 @@ class PlanSpec extends SparkSuite {
     assert("Exchange".r.findAllIn(p).size == 1, p)
     assert(!p.contains("Join") && !p.contains("Aggregate"), p)
   }
+
+  test("heavy hitters never funnels a group through one partition") {
+    // the two-stage shape: partial top-k per (group, value-hash slice),
+    // final top-k over ≤ slices·k survivors — a single global window
+    // over raw counts would be Exchange SinglePartition at 100 TB
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val p = planOf(graft.ops.Scale.heavyHitters(li, "l_returnflag", "l_partkey", 5))
+    assert(!p.contains("SinglePartition"), p)
+    // both window passes keyed: group+slice first, then group
+    assert(p.contains("__slice"), p)
+  }
+
+  test("salted join spreads the key space: salt rides the join keys") {
+    import org.apache.spark.sql.functions.col
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_suppkey").as("s_suppkey"), col("l_quantity"))
+    val supp = spark.read.parquet(s"$sf/supplier.parquet")
+      .select("s_suppkey", "s_name")
+    val p = planOf(graft.ops.Scale.saltedJoin(li, supp, Seq("s_suppkey")))
+    // the equi-join condition includes the deterministic salt column, so
+    // a hot s_suppkey hashes to `factor` distinct partitions
+    assert(p.contains("__salt"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
 }
