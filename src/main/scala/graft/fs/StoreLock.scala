@@ -48,6 +48,13 @@ object StoreLock {
       } catch {
         // racing a release between exists() and open(): lock is free
         case _: java.io.FileNotFoundException => None
+        // racing a heartbeat rewrite mid-write (the overwrite is not
+        // atomic on every scheme): the lock EXISTS but is momentarily
+        // unreadable. Report it as held-and-fresh — the safe default:
+        // never broken as stale, never deleted as ours, and the next
+        // read sees the completed write.
+        case _: Throwable =>
+          Some(Holder("<unreadable-holder>", System.currentTimeMillis()))
       }
   }
 
