@@ -457,6 +457,28 @@ object Oracles {
         |SELECT id_a, id_b, cosine FROM scored
         |WHERE cosine >= 0.95 ORDER BY id_a, id_b""".stripMargin,
 
+    // the incremental embedding store must lose nothing across appends:
+    // the union of per-batch pair sets equals the full-corpus brute-force
+    // all-pairs oracle (same derived corpus as q_dedup_embedding)
+    "q_dedup_incremental_embedding" ->
+      """WITH idx AS (SELECT unnest(range(1, 65)) AS i),
+        |be AS (SELECT vec_id AS id, i, CAST(embedding[i] AS DOUBLE) AS x
+        |       FROM embeddings, idx),
+        |pe AS (SELECT id + 100000 AS id, i,
+        |         x + CASE WHEN i = 1 THEN 0.25 ELSE 0 END AS x
+        |       FROM be WHERE id < 25),
+        |ue AS (SELECT * FROM be UNION ALL SELECT * FROM pe),
+        |nrm AS (SELECT id, sqrt(sum(x * x)) AS nrm FROM ue GROUP BY id),
+        |dots AS (SELECT a.id AS id_a, b.id AS id_b, sum(a.x * b.x) AS dot
+        |         FROM ue a JOIN ue b USING (i) WHERE a.id < b.id
+        |         GROUP BY 1, 2),
+        |scored AS (SELECT id_a, id_b,
+        |             round(dot / (na.nrm * nb.nrm), 4) AS cosine
+        |           FROM dots JOIN nrm na ON id_a = na.id
+        |                     JOIN nrm nb ON id_b = nb.id)
+        |SELECT id_a, id_b, cosine FROM scored
+        |WHERE cosine >= 0.95 ORDER BY id_a, id_b""".stripMargin,
+
     // q_approx_distinct is a TOLERANCE gate: the Spark side emits exact
     // counts plus booleans asserting |HLL estimate − exact| ≤ 15% (3·rsd
     // at the default rsd 0.05); the oracle recomputes the exact counts

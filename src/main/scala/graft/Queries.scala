@@ -993,6 +993,26 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Incremental EMBEDDING near-dup against a persisted vector store:
+    * the base corpus arrives as batch 1 (no qualifying pairs — max base
+    * cosine ≈ 0.6), the planted near-dup vectors as batch 2; batch 2's
+    * pairs against the STORE are exactly the full-corpus pair set, so
+    * the same DuckDB brute-force all-pairs oracle as `q_dedup_embedding`
+    * checks the union — proving the store path loses nothing across
+    * appends. Fresh store per call (idempotence, like
+    * `qDedupIncremental`). */
+  def qDedupIncrementalEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val corpus = embeddingGateCorpus(s, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_incemb_")
+    TmpCleanup.register(tmp)
+    val store = tmp.toString + "/store"
+    val b1 = graft.ops.IncrementalDedup.embeddingBatch(
+      corpus.filter(col("vec_id") < 100000L), store, threshold = 0.95)
+    val b2 = graft.ops.IncrementalDedup.embeddingBatch(
+      corpus.filter(col("vec_id") >= 100000L), store, threshold = 0.95)
+    b1.unionByName(b2).orderBy("id_a", "id_b")
+  }
+
   /** Z-order (Morton) codes over the distinct (l_partkey, l_suppkey)
     * pairs — the layout key a z-ordered lineitem write clusters by.
     * (The code is a pure bitwise expression, so it's DuckDB-checkable;

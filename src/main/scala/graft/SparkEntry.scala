@@ -100,11 +100,12 @@ object SparkEntry {
     "q_dedup_incremental" -> (Queries.qDedupIncremental _),
     "q_knn_ivf_index" -> (Queries.qKnnIvfIndex _),
     "q_skew_salted_join" -> (Queries.qSkewSaltedJoin _),
-    "q_heavy_hitters" -> (Queries.qHeavyHitters _)
+    "q_heavy_hitters" -> (Queries.qHeavyHitters _),
+    "q_dedup_incremental_embedding" -> (Queries.qDedupIncrementalEmbedding _)
   ) ++ FuzzQueries.queries // differential fuzz gate (seeded AST → both engines)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. EVERY query has one (91/91): inherently
+    * the same parquet tables. EVERY query has one (92/92): inherently
     * engine-specific values (HLL registers, LSH retrieval sets) are
     * gated semantically instead — the query emits the engine-independent
     * contract (exact counts + tolerance booleans, verified pair sets,

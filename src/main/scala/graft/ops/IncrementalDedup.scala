@@ -163,6 +163,87 @@ object IncrementalDedup {
     out
   }
 
+  /** Embedding near-dup pairs of one batch against the vector store at
+    * `storeDir` (created if absent) — the cosine-domain member of the
+    * incremental family: returns (id_a, id_b, cosine) for every pair
+    * with true cosine ≥ `threshold` and at least one side in the batch
+    * (store-internal pairs were reported when THEIR batches arrived),
+    * then appends the batch's vectors to the store. Over a batch
+    * sequence the union of results equals the full-corpus
+    * `Dedup.embeddingNearDupPairs` (the blocking planes are
+    * deterministic, so batch order cannot change which pairs block).
+    *
+    * Scale shape mirrors the batch operator: multi-table hyperplane LSH
+    * blocks candidates map-only (`tables` bucket rows per vector), only
+    * buckets TOUCHING the batch join, the exact cosine is computed
+    * map-side while both vectors are in hand from the bucket join, and
+    * the pair-dedupe exchange moves (id, id, cosine) rows — vectors
+    * never ride it. Store cost per append is O(|batch|).
+    *
+    * Holds the store lock for the read → compute → append cycle like
+    * the other variants — a concurrent writer fails loudly, never
+    * corrupts. Vectors are stored as ARRAY<DOUBLE> (float batches are
+    * upcast exactly), so every future batch scores against identical
+    * values regardless of the source column's width. */
+  def embeddingBatch(
+      embsNew: DataFrame,
+      storeDir: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      threshold: Double = 0.95,
+      planes: Int = 8,
+      tables: Int = 16): DataFrame =
+    graft.fs.StoreLock.withLock(storeDir,
+      embsNew.sparkSession.sparkContext.hadoopConfiguration) {
+      embeddingBatchLocked(embsNew, storeDir, idCol, vecCol, threshold,
+        planes, tables)
+    }
+
+  private def embeddingBatchLocked(
+      embsNew: DataFrame,
+      storeDir: String,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      planes: Int,
+      tables: Int): DataFrame = {
+    val spark = embsNew.sparkSession
+    val newVecs = embsNew.select(col(idCol).cast("long").as("vec_id"),
+      transform(col(vecCol), x => x.cast("double")).as("vec"))
+      .localCheckpoint() // feeds blocking, scoring, and the store append
+    val store = readStore(spark, storeDir, "vec_id BIGINT, vec ARRAY<DOUBLE>")
+    // map-only bucket explode, shared with the batch path's geometry:
+    // same planes ⇒ the store blocks identically for every batch
+    def bucketed(v: DataFrame): DataFrame = v.select(
+      col("vec_id"), col("vec"),
+      explode(array((0 until tables).map { t =>
+        struct(lit(t).as("tbl"),
+          Similarity.lshSignature(col("vec"), planes, t * planes).as("bucket"))
+      }: _*)).as("tb"))
+      .select(col("vec_id"), col("vec"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val out = bucketed(store.unionByName(newVecs)).as("a")
+      .join(bucketed(newVecs).as("b"), Seq("tbl", "bucket"))
+      .filter(col("a.vec_id") =!= col("b.vec_id"))
+      // score BEFORE the pair dedupe (cosine is symmetric, orientation
+      // free): the dedupe exchange then moves 32-byte rows, not vectors
+      .select(
+        least(col("a.vec_id"), col("b.vec_id")).as("id_a"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("id_b"),
+        round(Similarity.cosine(col("a.vec"), col("b.vec")), 4).as("cosine"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("cosine") >= threshold)
+      // materialize BEFORE the store append rewrites the directory the
+      // `store` side of the join reads
+      .localCheckpoint()
+    // idempotent append: a retried batch must not double its vectors —
+    // a doubled store would emit every cross pair twice-blocked and
+    // break batch-sequence = full-corpus parity
+    newVecs.join(store.select("vec_id"), Seq("vec_id"), "left_anti")
+      .write.mode("append").parquet(storeDir)
+    out
+  }
+
   /** Streaming form of `exactBatch`: dedup a document STREAM against
     * the persisted store. Each micro-batch runs the locked
     * read → compute → append cycle via `foreachBatch`, so the stream

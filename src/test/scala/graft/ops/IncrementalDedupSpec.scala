@@ -191,4 +191,41 @@ class IncrementalDedupSpec extends SparkSuite {
     assert(again.subsetOf(full))
     assert(spark.read.parquet(dir).count() == 5)
   }
+
+  test("embedding: union over batches equals full-corpus pairs") {
+    val dir = Files.createTempDirectory("incdedup_emb").toString + "/store"
+    // deterministic corpus: 20 random dim-16 vectors + near-dups of
+    // vectors from DIFFERENT batches, so pairs span the store boundary
+    val rnd = new scala.util.Random(19)
+    def vec(): Seq[Double] = Seq.fill(16)(rnd.nextDouble() - 0.5)
+    def near(v: Seq[Double]): Seq[Double] =
+      v.updated(0, v.head + 0.02) // tiny perturbation: cosine ≈ 1
+    val base = (0L until 20L).map(i => (i, vec())).toMap
+    val b1 = (0L until 10L).map(i => (i, base(i))).toSeq
+      .toDF("vec_id", "embedding")
+    //   batch 2: rest of the base + near-dups of batch-1 vectors 0 and 7
+    val b2 = ((10L until 20L).map(i => (i, base(i))) ++
+      Seq((100L, near(base(0L))), (107L, near(base(7L)))))
+      .toDF("vec_id", "embedding")
+    //   batch 3: near-dup of a batch-2 vector + a novel unique vector
+    val b3 = Seq((115L, near(base(15L))), (200L, vec()))
+      .toDF("vec_id", "embedding")
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("cosine"))).toSet
+    val inc =
+      pairsOf(IncrementalDedup.embeddingBatch(b1, dir, threshold = 0.95)) ++
+        pairsOf(IncrementalDedup.embeddingBatch(b2, dir, threshold = 0.95)) ++
+        pairsOf(IncrementalDedup.embeddingBatch(b3, dir, threshold = 0.95))
+    val full = pairsOf(Dedup.embeddingNearDupPairs(
+      b1.unionByName(b2).unionByName(b3), threshold = 0.95))
+    assert(inc == full)
+    // non-vacuous: all three planted cross-batch pairs found
+    assert(Set((0L, 100L), (7L, 107L), (15L, 115L))
+      .subsetOf(full.map(p => (p._1, p._2))))
+    // retried batch: same verdicts, store vector count unchanged
+    val again = pairsOf(IncrementalDedup.embeddingBatch(b3, dir, threshold = 0.95))
+    assert(again.subsetOf(full))
+    assert(spark.read.parquet(dir).count() == 24)
+  }
 }
