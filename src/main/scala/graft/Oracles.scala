@@ -492,7 +492,7 @@ object Oracles {
 
     // q_knn_lsh is a RECALL gate: the Spark side computes both the
     // multi-table LSH retrieval and the exact top-k, and asserts macro
-    // recall@3 ≥ 0.4; the oracle recomputes n_queries and expects
+    // recall@3 ≥ 0.45; the oracle recomputes n_queries and expects
     // recall_ok TRUE. The retrieved set depends on the engine's plane
     // hashes (sign-LSH on near-random embeddings cannot promise exact
     // top-k at sub-linear cost — the IVF queries pin the equality

@@ -158,6 +158,19 @@ object CachedFileSystem {
 
     private var pos = 0L
 
+    // Read-ahead buffer for the single-byte `read()` path: parquet
+    // readers issue positioned bulk reads (below) and never touch it,
+    // but a generic byte-at-a-time reader through the cached scheme
+    // (text/CSV/avro sync-marker probing) would otherwise pay one full
+    // `readRange` per byte. 8 KiB amortizes that to one range per block
+    // while staying far below any sane row-group size. The buffer is
+    // validity-checked by range, so seeks and bulk reads need no
+    // explicit invalidation (cached objects are immutable snapshots;
+    // staleness is ObjectCache's concern, not this stream's).
+    private val BufCap = 8192
+    private var bufStart = 0L
+    private var buf: Array[Byte] = Array.emptyByteArray
+
     override def seek(newPos: Long): Unit = {
       if (newPos < 0) throw new java.io.EOFException(s"negative seek: $newPos")
       pos = newPos
@@ -168,9 +181,14 @@ object CachedFileSystem {
     override def read(): Int =
       if (pos >= len) -1
       else {
-        val b = ObjectCache.readRange(conf, p, pos, 1)
+        if (pos < bufStart || pos >= bufStart + buf.length) {
+          val n = math.min(BufCap.toLong, len - pos).toInt
+          buf = ObjectCache.readRange(conf, p, pos, n)
+          bufStart = pos
+        }
+        val b = buf((pos - bufStart).toInt)
         pos += 1
-        b(0) & 0xff
+        b & 0xff
       }
 
     override def read(b: Array[Byte], off: Int, l: Int): Int = {

@@ -36,6 +36,11 @@ object ObjectCache {
   /** Per-JVM memo of remote object sizes (admission verdicts). */
   private val sizeCache = scala.collection.concurrent.TrieMap.empty[String, Long]
 
+  /** Count of `readRange` calls — a TEST hook pinning read amplification
+    * (CachedFileSystemSpec's buffered single-byte contract); not product
+    * surface. */
+  private[fs] val rangeCalls = new java.util.concurrent.atomic.AtomicLong
+
   def configure(conf: Configuration, catalog: graft.core.DatasetCatalog): Unit = {
     conf.set(DirKey, catalog.cacheDir)
     conf.setLong(MinObjectKey, catalog.minCacheObjectSize)
@@ -56,6 +61,7 @@ object ObjectCache {
     * (`file:`) backends read directly. An already-cached object always
     * serves from cache (no per-range re-admission). */
   def readRange(conf: Configuration, p: Path, off: Long, len: Long): Array[Byte] = {
+    rangeCalls.incrementAndGet()
     if (len <= 0L) return Array.emptyByteArray
     val scheme = Option(p.toUri.getScheme).getOrElse("file")
     val cfg = fromConf(conf)

@@ -48,13 +48,21 @@ object StoreLock {
       } catch {
         // racing a release between exists() and open(): lock is free
         case _: java.io.FileNotFoundException => None
-        // racing a heartbeat rewrite mid-write (the overwrite is not
-        // atomic on every scheme): the lock EXISTS but is momentarily
-        // unreadable. Report it as held-and-fresh — the safe default:
-        // never broken as stale, never deleted as ours, and the next
-        // read sees the completed write.
+        // racing a heartbeat rewrite mid-write on a scheme without an
+        // atomic rename: the lock EXISTS but is momentarily unreadable.
+        // Report it held, with since_ms from the FILE's mtime — not
+        // "now": a writer that died mid-write (between lock create and
+        // JSON body, or mid-heartbeat truncate) leaves a PERMANENTLY
+        // unreadable lock, and a fresh-on-every-read fiction would make
+        // it unbreakable forever. The mtime ages like a real holder
+        // stamp: a transient mid-write race reads as fresh (the file
+        // was just touched), a crashed writer's corpse goes stale and
+        // the normal break path reclaims it.
         case _: Throwable =>
-          Some(Holder("<unreadable-holder>", System.currentTimeMillis()))
+          val since =
+            try fs.getFileStatus(p).getModificationTime
+            catch { case _: Throwable => System.currentTimeMillis() }
+          Some(Holder("<unreadable-holder>", since))
       }
   }
 
@@ -103,24 +111,50 @@ object StoreLock {
         case _: java.io.IOException if fs.exists(lock) => false
       }
 
+    // Atomic holder rewrite: write the fresh JSON to a sibling temp file
+    // and RENAME over the lock — rename is atomic on file: (POSIX
+    // rename(2) via NIO ATOMIC_MOVE) and HDFS (FileContext
+    // Rename.OVERWRITE) — so a reader never observes a truncated body
+    // and a crash mid-rewrite leaves either the old complete JSON or the
+    // new one, never a corpse. The old create(overwrite=true) path was
+    // truncate-then-write: both the transient unreadable window and the
+    // crash-corpse came from it.
+    def atomicRewrite(json: Array[Byte]): Unit = {
+      val scheme = Option(lock.toUri.getScheme).getOrElse("file")
+      if (scheme == "file") {
+        val dst = java.nio.file.Paths.get(lock.toUri.getPath)
+        val tmp = dst.resolveSibling(
+          s"$LockName.tmp-${ProcessHandle.current().pid()}-${Thread.currentThread().getId}")
+        java.nio.file.Files.write(tmp, json)
+        java.nio.file.Files.move(tmp, dst,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } else {
+        val tmp = new Path(root,
+          s"$LockName.tmp-${math.abs(owner.hashCode).toString}")
+        val out = fs.create(tmp, true)
+        try out.write(json) finally out.close()
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(lock.toUri, conf)
+        fc.rename(tmp, lock, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      }
+    }
+
     // Heartbeat: a cycle that legitimately outlives staleMs (a large
     // Spark batch) would otherwise look crashed and get its lock broken.
     // A daemon thread rewrites the holder file with a fresh since_ms
-    // every staleMs/3 — overwriting only while we still hold the lock —
-    // so a live writer's lock age never approaches the break threshold;
-    // only a truly dead writer's lock goes stale. The release check
-    // compares owner only (since_ms advances with each beat).
+    // every staleMs/3 — atomically, and only while we still hold the
+    // lock (ownership re-checked as close to the rename as the scheme
+    // allows) — so a live writer's lock age never approaches the break
+    // threshold; only a truly dead writer's lock goes stale. The release
+    // check compares owner only (since_ms advances with each beat).
     def startHeartbeat(): Thread = {
       val t = new Thread(() => {
         try {
           while (!Thread.currentThread().isInterrupted) {
             Thread.sleep(math.max(staleMs / 3, 1000L))
             if (holder(dir, conf).exists(_.owner == owner)) {
-              val out = fs.create(lock, true)
-              try out.write(
+              atomicRewrite(
                 s"""{"owner":"$owner","since_ms":${System.currentTimeMillis()}}"""
                   .getBytes(StandardCharsets.UTF_8))
-              finally out.close()
             }
           }
         } catch {

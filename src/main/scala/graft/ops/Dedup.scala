@@ -17,6 +17,18 @@ import org.apache.spark.sql.functions._
   *  - SimHash dedup joins on 64-bit signature bands (Hamming-ball blocking).
   *  - All candidate pairs are verified with an exact measure AFTER the
   *    blocking join, on the candidate set only.
+  *
+  * Self-join blocker frames are materialized with EAGER `localCheckpoint`
+  * (not `persist`): persist leaks CacheManager entries a lazily-returned
+  * frame can never safely unpersist, while checkpoint blocks are freed by
+  * the ContextCleaner once unreachable. Two trade-offs ride that choice
+  * (mirroring `Components.ofPairs`): localCheckpoint blocks are
+  * UNRECOVERABLE on executor loss — a lost executor fails the job where
+  * persist lineage would recompute — and the checkpoint runs a Spark job
+  * at CALL time even if the returned frame is never consumed. On a
+  * cluster where executor churn is routine, checkpoint to reliable
+  * storage around these operators (`Components.ofPairs` threads a
+  * `checkpointDir` for exactly that).
   */
 object Dedup {
 

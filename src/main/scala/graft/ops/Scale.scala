@@ -24,14 +24,23 @@ object Scale {
       keys: Seq[String],
       factor: Int = 8): DataFrame = {
     require(factor > 0, "salt factor must be positive")
-    // deterministic salt: hash of the whole row — no RNG, so retries and
-    // recomputed partitions agree
-    val salted = skewed.withColumn("__salt",
-      pmod(xxhash64(skewed.columns.toIndexedSeq.map(col): _*), lit(factor)).cast("int"))
+    val salted = skewed.withColumn("__salt", saltOf(skewed, factor))
     val replicated = other.withColumn("__salt",
       explode(sequence(lit(0), lit(factor - 1))))
     salted.join(replicated, keys :+ "__salt").drop("__salt")
   }
+
+  /** Deterministic salt: hash of the whole row MIXED WITH the input
+    * partition id — no RNG, so retries and recomputed partitions agree
+    * (partition ids are stable for a given lineage). The partition id
+    * matters for the degenerate hot key made of BYTE-IDENTICAL rows
+    * (the common shape: a log table whose top key repeats one payload):
+    * a row-hash-only salt maps all of them to ONE salt value and the
+    * straggler survives salting; mixing the partition id spreads them
+    * across however many input partitions carry the key. */
+  private[graft] def saltOf(df: DataFrame, factor: Int): Column =
+    pmod(xxhash64((df.columns.toIndexedSeq.map(col) :+
+      spark_partition_id().cast("long")): _*), lit(factor)).cast("int")
 
   /** Top-k heavy hitters per group without funneling any group through a
     * single task: partial top-k per (group, hash-slice of the value),

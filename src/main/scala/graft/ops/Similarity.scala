@@ -16,6 +16,14 @@ import org.apache.spark.sql.functions._
   *  - `lshPairs` / `lshTopK`: random-hyperplane LSH. Deterministic planes
   *    (seeded hash, not RNG) → sign-bit signature → bucket equi-join.
   *    Exact cosine verifies candidates after blocking.
+  *
+  * Self-join blocker frames use EAGER `localCheckpoint`, not `persist` —
+  * no CacheManager leak, blocks freed once unreachable — at the cost of
+  * (a) no recovery on executor loss (checkpoint blocks have no lineage;
+  * persist would recompute) and (b) a Spark job at call time even if the
+  * result is never consumed. Same trade `Components.ofPairs` documents;
+  * use its reliable-`checkpointDir` pattern around these operators when
+  * executor churn is expected.
   */
 object Similarity {
 

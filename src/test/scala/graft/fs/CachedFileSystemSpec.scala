@@ -88,6 +88,45 @@ class CachedFileSystemSpec extends SparkSuite {
       Files.list(Paths.get(s"$tmp/cache")).count() == 0)
   }
 
+  test("single-byte reads are buffered: byte parity at bounded readRange cost") {
+    // a generic (non-parquet) reader through the cached scheme goes
+    // byte-at-a-time through InputStream.read(); unbuffered, that was one
+    // full ObjectCache.readRange PER BYTE. The 8 KiB read-ahead must keep
+    // parity while spending ~size/8192 ranges, not ~size.
+    val tmp = Files.createTempDirectory("cachedfs6").toString
+    arm(s"$tmp/cache", minObject = 1)
+    val payload = Array.tabulate[Byte](40000)(i => ((i * 31 + 7) & 0xff).toByte)
+    Files.write(Paths.get(s"$tmp/blob.bin"), payload)
+
+    val hc = spark.sparkContext.hadoopConfiguration
+    val p = new Path(s"cached-mockcnt://$tmp/blob.bin")
+    val fs = p.getFileSystem(hc)
+    val before = ObjectCache.rangeCalls.get()
+    val in = fs.open(p)
+    val got = new Array[Byte](payload.length)
+    try {
+      var i = 0
+      var b = in.read()
+      while (b >= 0) { got(i) = b.toByte; i += 1; b = in.read() }
+      assert(i == payload.length)
+    } finally in.close()
+    assert(got.sameElements(payload), "single-byte path corrupted the stream")
+    val spent = ObjectCache.rangeCalls.get() - before
+    // 40000/8192 = 5 buffer fills (+1 slack for the admission path)
+    assert(spent <= 6, s"single-byte reads cost $spent readRange calls (want <=6)")
+
+    // and a seek back into the buffered window is served with NO new range
+    val in2 = fs.open(p)
+    try {
+      assert(in2.read() == (payload(0) & 0xff))
+      val mid = ObjectCache.rangeCalls.get()
+      in2.seek(4000) // inside the first 8 KiB fill
+      assert(in2.read() == (payload(4000) & 0xff))
+      assert(ObjectCache.rangeCalls.get() == mid,
+        "seek within the buffered window re-fetched")
+    } finally in2.close()
+  }
+
   test("writes through the cached scheme land on the backend and invalidate") {
     val tmp = Files.createTempDirectory("cachedfs4").toString
     arm(s"$tmp/cache", minObject = 1)

@@ -135,6 +135,55 @@ class IncrementalDedupSpec extends SparkSuite {
     fs.delete(lock, false)
   }
 
+  test("an unreadable lock ages by file mtime: fresh race honored, stale corpse broken") {
+    // a writer killed between lock create and JSON write (or a torn
+    // rewrite on a rename-less scheme) leaves a lock with no readable
+    // body. It must act like any other holder: honored while fresh,
+    // breakable once its mtime is older than staleMs — NOT unbreakable
+    // forever because every read restamps it "now".
+    val dir = Files.createTempDirectory("incdedup_unread").toString + "/store"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(conf)
+    fs.mkdirs(root)
+    val lock = new org.apache.hadoop.fs.Path(dir, "_graft_lock.json")
+    val out = fs.create(lock, true)
+    out.write("{\"owner\":\"torn".getBytes("UTF-8")) // truncated mid-write
+    out.close()
+    // fresh mtime: held-and-fresh — a second writer fails loudly
+    val e = intercept[IllegalStateException] {
+      graft.fs.StoreLock.withLock(dir, conf, staleMs = 60000L) {
+        fail("must not acquire under a fresh (if unreadable) lock")
+      }
+    }
+    assert(e.getMessage.contains("<unreadable-holder>"), e.getMessage)
+    // backdate the corpse past staleMs: the normal break path reclaims it
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(lock.toUri.getPath),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 120000L))
+    var ran = false
+    graft.fs.StoreLock.withLock(dir, conf, staleMs = 60000L) { ran = true }
+    assert(ran)
+    assert(graft.fs.StoreLock.holder(dir, conf).isEmpty)
+  }
+
+  test("heartbeat rewrites atomically: concurrent reads never see a torn body") {
+    // the beat lands every ~staleMs/3; with temp-write + rename a reader
+    // polling the lock must observe a complete holder JSON on EVERY read
+    // (the old truncate-then-write rewrite had an unreadable window)
+    val dir = Files.createTempDirectory("incdedup_atomic").toString + "/store"
+    val conf = spark.sparkContext.hadoopConfiguration
+    graft.fs.StoreLock.withLock(dir, conf, owner = "beater", staleMs = 3000L) {
+      val deadline = System.currentTimeMillis() + 4000L // spans 3-4 beats
+      while (System.currentTimeMillis() < deadline) {
+        val h = graft.fs.StoreLock.holder(dir, conf)
+        assert(h.exists(_.owner == "beater"), s"torn or missing holder: $h")
+      }
+    }
+    assert(graft.fs.StoreLock.holder(dir, conf).isEmpty)
+  }
+
   test("two racing writers: at least one commits, store never corrupts") {
     // real concurrency: both threads target one store with overlapping
     // content. The lock serializes whoever wins; the loser either waits

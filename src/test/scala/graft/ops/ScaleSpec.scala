@@ -23,6 +23,19 @@ class ScaleSpec extends SparkSuite {
     assert(salted.nonEmpty)
   }
 
+  test("byte-identical hot-key rows spread over multiple salt values") {
+    // the degenerate skew shape: one hot key whose rows are ALL
+    // byte-identical. A row-hash-only salt collapses them into a single
+    // salt bucket (the straggler survives); mixing the input partition
+    // id spreads them across the partitions that carry the key.
+    import spark.implicits._
+    val hot = Seq.fill(512)((42L, "same-payload")).toDF("key", "payload")
+      .repartition(8)
+    val salts = hot.withColumn("__salt", Scale.saltOf(hot, 8))
+      .select("__salt").distinct().count()
+    assert(salts >= 2, s"identical rows collapsed into $salts salt bucket(s)")
+  }
+
   test("heavyHitters finds the true top values per group") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val got = Scale.heavyHitters(li, "l_returnflag", "l_suppkey", k = 3)
