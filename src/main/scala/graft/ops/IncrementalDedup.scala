@@ -1,29 +1,70 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Incremental deduplication across corpus appends — the shape a 100 TB
   * pipeline actually runs: signatures for the existing corpus are
   * computed ONCE and persisted next to the dataset; each new batch only
-  * computes its own signatures and joins them against the store, so an
-  * append's dedup cost is O(|batch| + touched buckets), never O(corpus).
+  * computes its own signatures and joins them against the store.
+  *
+  * The stores are hive-partitioned by a bucket prefix `bp =
+  * pmod(xxhash64(bucket key), 256)` — digest for the exact store,
+  * (band, band_hash) for the minhash store, (table, lsh_bucket) for the
+  * vector store — and an append reads ONLY the partitions its own rows
+  * hash into (`PartitionFilters` prunes the rest at planning time, the
+  * same layout `IvfIndex` uses for cells). That makes an append's cost
+  * O(|batch| + touched buckets) in BOTH shuffle and SCAN: a 1-doc append
+  * against a billion-doc store reads a few store partitions, not the
+  * corpus (IncrementalDedupSpec pins < 10% scanned via input metrics).
   * Re-running full-corpus dedup per append is quadratic over the
   * pipeline's lifetime and is the difference between minutes and days at
   * scale.
   *
-  * Two variants:
+  * Three variants:
   *  - exact (content digest): the store is (digest, keep_doc_id); a new
-  *    batch's duplicates are one broadcast-or-shuffle equi-join away.
-  *  - MinHash-LSH (near-dup): the store is the signature table the
-  *    batch path already persists; new signatures band and bucket-join
-  *    against the banded store. Incremental pairs over a batch sequence
-  *    equal the full-batch pairs (IncrementalDedupSpec proves parity).
+  *    batch's duplicates are one partition-pruned equi-join away.
+  *  - MinHash-LSH (near-dup): the store holds the BANDED signature rows
+  *    (doc_id, sig, band, bh) — the posting-list layout: the signature
+  *    payload rides every band row (bands× storage) so a bucket match
+  *    verifies est-Jaccard in the join itself, with no O(corpus)
+  *    signature-fetch join afterwards. Incremental pairs over a batch
+  *    sequence equal the full-batch pairs (IncrementalDedupSpec).
+  *  - embedding (cosine): the store holds the LSH-bucketed vector rows
+  *    (vec_id, vec, tbl, bucket) — same posting-row trade, tables×
+  *    storage for scan locality; exact cosine computes map-side while
+  *    both vectors are in hand from the bucket join.
   *
   * The reference (SmartX-Team/connected-data-lake) has no curation ops —
   * this extends the engine for training pipelines (SURVEY §2.8/§2.10).
   */
 object IncrementalDedup {
+
+  /** Hive partitions per store. 256 keeps a 16-bucket-per-doc append
+    * under 16/256 ≈ 6% of the store scanned, while the touched-partition
+    * list stays a bounded O(256) driver-side collect (like the IVF
+    * centroid pull — a k-row result, never corpus data). This is the
+    * scan-granularity knob: an append reads ~min(1, touched buckets /
+    * StoreParts) of the store, so a 100 TB deployment raises it (64Ki
+    * partitions ≈ GB-sized directories at that scale) to keep small
+    * appends reading a vanishing store fraction; 256 here keeps test
+    * and local file counts sane. A store must be read with the value it
+    * was written under — treat it as a store-creation constant. */
+  private val StoreParts = 256
+
+  private def bpOf(keys: Column*): Column =
+    pmod(xxhash64(keys: _*), lit(StoreParts)).cast("int")
+
+  /** Distinct store partitions the batch touches — bounded by
+    * StoreParts, so the collect is an O(256) driver result. */
+  private def touched(batchRows: DataFrame): Seq[Int] =
+    batchRows.select("bp").distinct().collect().map(_.getInt(0)).toIndexedSeq
+
+  /** Partition-pruned store view: the isin over the partition column
+    * becomes PartitionFilters on the scan — untouched bp directories are
+    * never opened. */
+  private def prune(store: DataFrame, parts: Seq[Int]): DataFrame =
+    store.filter(col("bp").isin(parts: _*)).drop("bp")
 
   /** Exact-dedup one batch against the digest store at `storeDir`
     * (created if absent), returning (doc_id, digest, dup_of) for the
@@ -60,12 +101,16 @@ object IncrementalDedup {
     val digested = docsNew
       .filter(col(textCol).isNotNull)
       .select(col("doc_id"), md5(col(textCol)).as("digest"))
-    val store = readStore(spark, storeDir,
-      "digest STRING, keep_doc_id BIGINT")
+      .withColumn("bp", bpOf(col("digest")))
+      // reused by the touched-partition probe, the join, and the append
+      .localCheckpoint()
+    val store = prune(
+      readStore(spark, storeDir, "digest STRING, keep_doc_id BIGINT, bp INT"),
+      touched(digested))
     // batch-internal keeper: min doc_id per digest within the batch
     val batchKeep = digested.groupBy("digest")
       .agg(min("doc_id").as("batch_keep"))
-    val out = digested
+    val out = digested.drop("bp")
       .join(store.withColumnRenamed("keep_doc_id", "store_keep"),
         Seq("digest"), "left")
       .join(batchKeep, Seq("digest"))
@@ -86,11 +131,14 @@ object IncrementalDedup {
     // persist the batch's NOVEL digests (one keeper per new digest);
     // anti-join the store so a RETRIED batch — whose keepers stay novel
     // in the verdicts but whose digests are already stored — appends
-    // nothing (idempotent re-runs)
-    out.filter(col("dup_of").isNull)
-      .join(store.select("digest"), Seq("digest"), "left_anti")
-      .select(col("digest"), col("doc_id").as("keep_doc_id"))
-      .write.mode("append").parquet(storeDir)
+    // nothing (idempotent re-runs; equal digests share a bp, so the
+    // pruned view is a complete witness for the anti-join)
+    appendStore(
+      out.filter(col("dup_of").isNull)
+        .join(store.select("digest"), Seq("digest"), "left_anti")
+        .select(col("digest"), col("doc_id").as("keep_doc_id"))
+        .withColumn("bp", bpOf(col("digest"))),
+      storeDir)
     out
   }
 
@@ -98,8 +146,9 @@ object IncrementalDedup {
     * `storeDir` (created if absent): returns (doc_a, doc_b, est_jaccard)
     * for every pair with at least one side in the batch (store-internal
     * pairs were reported when THEIR batches arrived), then appends the
-    * batch's signatures to the store. Over a sequence of batches the
-    * union of results equals the full-corpus `Dedup.minhashLshPairs`.
+    * batch's banded signature rows to the store. Over a sequence of
+    * batches the union of results equals the full-corpus
+    * `Dedup.minhashLshPairs`.
     *
     * Holds the store lock for the read → compute → append cycle like
     * `exactBatch` — a concurrent writer fails loudly, never corrupts. */
@@ -124,18 +173,25 @@ object IncrementalDedup {
       threshold: Double): DataFrame = {
     val spark = docsNew.sparkSession
     val rowsPerBand = numHashes / bands
-    val newSigs = Dedup.minhashSignatures(docsNew, textCol, numHashes = numHashes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val store = readStore(spark, storeDir, "doc_id BIGINT, sig ARRAY<BIGINT>")
-    // the ONE banding implementation (Dedup.bandSignatures): the store is
-    // only usable if every batch bands identically
-    def banded(sigs: DataFrame): DataFrame =
-      Dedup.bandSignatures(sigs, bands, rowsPerBand)
+    // the ONE banding implementation (Dedup.bandSignatures): the store
+    // holds banded rows, so it is only usable if every batch bands
+    // identically — same bands, same rowsPerBand, same hash
+    val newBanded = Dedup.bandSignatures(
+      Dedup.minhashSignatures(docsNew, textCol, numHashes = numHashes),
+      bands, rowsPerBand)
+      .withColumn("bp", bpOf(col("band"), col("bh")))
+      // reused by the probe, both candidate-join sides, and the append
+      .localCheckpoint()
+    val store = prune(
+      readStore(spark, storeDir,
+        "doc_id BIGINT, sig ARRAY<BIGINT>, band INT, bh BIGINT, bp INT"),
+      touched(newBanded))
+    val batchBanded = newBanded.drop("bp")
     // candidates: every bucket pair touching the batch. doc_a < doc_b
     // normalizes orientation and drops self-pairs; dropDuplicates
     // collapses pairs sharing several buckets.
-    val all = banded(store.unionByName(newSigs))
-    val cand = all.as("a").join(banded(newSigs).as("b"), Seq("band", "bh"))
+    val all = store.unionByName(batchBanded)
+    val cand = all.as("a").join(batchBanded.as("b"), Seq("band", "bh"))
       .filter(col("a.doc_id") =!= col("b.doc_id"))
       .select(
         least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
@@ -154,12 +210,14 @@ object IncrementalDedup {
       // the `store` side of the join reads
       .localCheckpoint()
     // idempotent append: a retried batch (downstream failure, re-run)
-    // must not duplicate its signatures — a doubled store would inflate
-    // every future batch's bucket join and break the batch-sequence =
-    // full-corpus parity contract
-    newSigs.join(store.select("doc_id"), Seq("doc_id"), "left_anti")
-      .write.mode("append").parquet(storeDir)
-    newSigs.unpersist()
+    // must not duplicate its rows — a doubled store would inflate every
+    // future batch's bucket join and break the batch-sequence =
+    // full-corpus parity contract. A retried doc's band rows hash to the
+    // SAME buckets, so the pruned view holds its doc_id and the anti-join
+    // filters every row.
+    appendStore(
+      newBanded.join(store.select("doc_id"), Seq("doc_id"), "left_anti"),
+      storeDir)
     out
   }
 
@@ -168,17 +226,20 @@ object IncrementalDedup {
     * incremental family: returns (id_a, id_b, cosine) for every pair
     * with true cosine ≥ `threshold` and at least one side in the batch
     * (store-internal pairs were reported when THEIR batches arrived),
-    * then appends the batch's vectors to the store. Over a batch
-    * sequence the union of results equals the full-corpus
+    * then appends the batch's bucketed vector rows to the store. Over a
+    * batch sequence the union of results equals the full-corpus
     * `Dedup.embeddingNearDupPairs` (the blocking planes are
     * deterministic, so batch order cannot change which pairs block).
     *
     * Scale shape mirrors the batch operator: multi-table hyperplane LSH
     * blocks candidates map-only (`tables` bucket rows per vector), only
-    * buckets TOUCHING the batch join, the exact cosine is computed
-    * map-side while both vectors are in hand from the bucket join, and
-    * the pair-dedupe exchange moves (id, id, cosine) rows — vectors
-    * never ride it. Store cost per append is O(|batch|).
+    * buckets TOUCHING the batch are read (partition-pruned store scan),
+    * the exact cosine is computed map-side while both vectors are in
+    * hand from the bucket join, and the pair-dedupe exchange moves
+    * (id, id, cosine) rows — vectors never ride it. The store pays
+    * `tables`× vector duplication for that locality: the alternative —
+    * a bucket index without payloads — needs an O(corpus) vector-fetch
+    * join per append, which is exactly the scan this layout deletes.
     *
     * Holds the store lock for the read → compute → append cycle like
     * the other variants — a concurrent writer fails loudly, never
@@ -210,8 +271,6 @@ object IncrementalDedup {
     val spark = embsNew.sparkSession
     val newVecs = embsNew.select(col(idCol).cast("long").as("vec_id"),
       transform(col(vecCol), x => x.cast("double")).as("vec"))
-      .localCheckpoint() // feeds blocking, scoring, and the store append
-    val store = readStore(spark, storeDir, "vec_id BIGINT, vec ARRAY<DOUBLE>")
     // map-only bucket explode, shared with the batch path's geometry:
     // same planes ⇒ the store blocks identically for every batch
     def bucketed(v: DataFrame): DataFrame = v.select(
@@ -222,8 +281,17 @@ object IncrementalDedup {
       }: _*)).as("tb"))
       .select(col("vec_id"), col("vec"),
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-    val out = bucketed(store.unionByName(newVecs)).as("a")
-      .join(bucketed(newVecs).as("b"), Seq("tbl", "bucket"))
+    val newBucketed = bucketed(newVecs)
+      .withColumn("bp", bpOf(col("tbl"), col("bucket")))
+      // reused by the probe, both join sides, and the append
+      .localCheckpoint()
+    val store = prune(
+      readStore(spark, storeDir,
+        "vec_id BIGINT, vec ARRAY<DOUBLE>, tbl INT, bucket BIGINT, bp INT"),
+      touched(newBucketed))
+    val batchBucketed = newBucketed.drop("bp")
+    val out = store.unionByName(batchBucketed).as("a")
+      .join(batchBucketed.as("b"), Seq("tbl", "bucket"))
       .filter(col("a.vec_id") =!= col("b.vec_id"))
       // score BEFORE the pair dedupe (cosine is symmetric, orientation
       // free): the dedupe exchange then moves 32-byte rows, not vectors
@@ -236,11 +304,13 @@ object IncrementalDedup {
       // materialize BEFORE the store append rewrites the directory the
       // `store` side of the join reads
       .localCheckpoint()
-    // idempotent append: a retried batch must not double its vectors —
-    // a doubled store would emit every cross pair twice-blocked and
-    // break batch-sequence = full-corpus parity
-    newVecs.join(store.select("vec_id"), Seq("vec_id"), "left_anti")
-      .write.mode("append").parquet(storeDir)
+    // idempotent append: a retried batch must not double its rows — a
+    // doubled store would emit every cross pair twice-blocked and break
+    // batch-sequence = full-corpus parity. A retried vector's bucket
+    // rows land in the SAME partitions, so the pruned view witnesses it.
+    appendStore(
+      newBucketed.join(store.select("vec_id"), Seq("vec_id"), "left_anti"),
+      storeDir)
     out
   }
 
@@ -296,14 +366,30 @@ object IncrementalDedup {
       }
       .start()
 
+  /** Append rows (carrying their `bp` column) under the hive layout.
+    * The pre-write repartition ON the partition column is the file-count
+    * bound: without it every task writes a file per bp value it holds
+    * (tasks × partitions files per append); with it each bp's rows
+    * coalesce into one task → one file per touched partition per
+    * append. The exchange moves batch-sized data only. */
+  private def appendStore(rows: DataFrame, storeDir: String): Unit =
+    rows.repartition(col("bp"))
+      .write.partitionBy("bp").mode("append").parquet(storeDir)
+
   /** Read a store dir that may not exist yet (first batch): an empty
-    * frame with the right schema keeps the joins well-typed. */
+    * frame with the right schema keeps the joins well-typed. Data lives
+    * under `bp=<n>/` hive directories; the lock file and its heartbeat
+    * temps start with `_`, which parquet partition discovery ignores. */
   private def readStore(
       spark: SparkSession, dir: String, ddl: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
-    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
+    val hasData = fs.exists(p) && fs.listStatus(p).exists { s =>
+      s.getPath.getName.startsWith("bp=") ||
+        s.getPath.getName.endsWith(".parquet")
+    }
+    if (hasData)
       spark.read.schema(schema).parquet(dir)
     else
       spark.createDataFrame(

@@ -217,6 +217,72 @@ class IncrementalDedupSpec extends SparkSuite {
       spark.sparkContext.hadoopConfiguration).isEmpty)
   }
 
+  private def recordsReadDuring(body: => Unit): Long = {
+    // sum of file-source input records across every task the body runs —
+    // the witness for partition pruning (an unpruned store scan reads
+    // every store row; a pruned one reads only touched bp directories)
+    val recs = new java.util.concurrent.atomic.AtomicLong
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          recs.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      body
+      // listener bus is async: wait for the metrics to drain
+      var last = -1L
+      var stable = 0
+      while (stable < 3) {
+        Thread.sleep(200)
+        val now = recs.get()
+        if (now == last) stable += 1 else { stable = 0; last = now }
+      }
+      recs.get()
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("a 1-doc append scans < 10% of a populated store (partition pruning)") {
+    // the O(|batch| + touched buckets) claim, measured: the stores are
+    // hive-partitioned by bucket prefix, so an append's store reads
+    // (candidate join + idempotency anti-join) open only the partitions
+    // the batch's own rows hash into — never the whole corpus.
+    val exactDir = Files.createTempDirectory("incdedup_prune_e").toString + "/store"
+    val seed = spark.range(2000)
+      .selectExpr("id AS doc_id", "concat('unique-text-', id) AS text")
+    IncrementalDedup.exactBatch(seed, exactDir)
+    val one = Seq((9999L, "unique-text-7")).toDF("doc_id", "text")
+    var verdict: Map[Long, Option[Long]] = Map.empty
+    val exactRecs = recordsReadDuring {
+      verdict = IncrementalDedup.exactBatch(one, exactDir)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          Option(r.getAs[java.lang.Long]("dup_of")).map(_.toLong)).toMap
+    }
+    // correctness across the pruned scan: the store keeper is still found
+    assert(verdict == Map(9999L -> Some(7L)))
+    assert(exactRecs < 200,
+      s"1-doc exact append read $exactRecs records of a 2000-digest store")
+
+    // minhash: 200-doc store = 3200 banded rows; a 1-doc append touches
+    // ≤ 16 of 256 partitions per scan — well under the 10% line. Texts
+    // are pseudo-random and DISTINCT so signatures (hence band buckets,
+    // hence bp partitions) spread uniformly, like a real corpus.
+    val mhDir = Files.createTempDirectory("incdedup_prune_m").toString + "/store"
+    def text(i: Long): String =
+      (0 until 12).map(j => s"w${(i * 13 + j * 7) % 997}").mkString(" ")
+    val mhSeed = (0L until 200L).map(i => (i, text(i)))
+      .toDF("doc_id", "text")
+    IncrementalDedup.minhashBatch(mhSeed, mhDir)
+    val storeRows = spark.read.parquet(mhDir).count()
+    val mhOne = Seq((9999L, text(42L))).toDF("doc_id", "text")
+    val mhRecs = recordsReadDuring {
+      IncrementalDedup.minhashBatch(mhOne, mhDir).collect()
+    }
+    assert(mhRecs < (storeRows * 2) / 10,
+      s"1-doc minhash append read $mhRecs of a $storeRows-row store (2 scans)")
+  }
+
   test("minhash: union over batches equals full-corpus pairs") {
     val dir = Files.createTempDirectory("incdedup_mh").toString + "/store"
     val base = "the quick brown fox jumps over the lazy dog and runs far away " +
@@ -235,10 +301,11 @@ class IncrementalDedupSpec extends SparkSuite {
       b1.unionByName(b2), threshold = 0.5))
     assert(inc == full)
     assert(full.exists(p => p._1 == 0L && p._2 == 1L)) // non-vacuous
-    // retried batch: same pairs, store signature count unchanged
+    // retried batch: same pairs, store signature count unchanged (the
+    // store holds BANDED rows — count docs, not rows)
     val again = pairsOf(IncrementalDedup.minhashBatch(b2, dir, threshold = 0.5))
     assert(again.subsetOf(full))
-    assert(spark.read.parquet(dir).count() == 5)
+    assert(spark.read.parquet(dir).select("doc_id").distinct().count() == 5)
   }
 
   test("embedding: union over batches equals full-corpus pairs") {
@@ -272,9 +339,10 @@ class IncrementalDedupSpec extends SparkSuite {
     // non-vacuous: all three planted cross-batch pairs found
     assert(Set((0L, 100L), (7L, 107L), (15L, 115L))
       .subsetOf(full.map(p => (p._1, p._2))))
-    // retried batch: same verdicts, store vector count unchanged
+    // retried batch: same verdicts, store vector count unchanged (the
+    // store holds per-table bucket rows — count vectors, not rows)
     val again = pairsOf(IncrementalDedup.embeddingBatch(b3, dir, threshold = 0.95))
     assert(again.subsetOf(full))
-    assert(spark.read.parquet(dir).count() == 24)
+    assert(spark.read.parquet(dir).select("vec_id").distinct().count() == 24)
   }
 }
