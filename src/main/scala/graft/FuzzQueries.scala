@@ -141,20 +141,287 @@ object FuzzQueries {
        |ORDER BY $order""".stripMargin
   }
 
+  // --- V2 grammar: three-valued logic, outer joins, OR predicates ------
+  // Spark↔DuckDB divergences live less in happy-path compositions than
+  // in NULL semantics: UNKNOWN predicates, null-extended outer-join
+  // rows, COUNT(col) vs COUNT(*), aggregates over all-null groups, and
+  // null placement in ORDER BY. V2 queries derive NULLABLE columns with
+  // NULLIF (`ncN = NULLIF(src % m, r)` — ~1/m of values null), left-join
+  // a FILTERED orders side (so unmatched lineitems genuinely
+  // null-extend), and draw CNF predicates — AND of OR-groups — mixing
+  // range tests, IS [NOT] NULL, and nullable comparisons (whose UNKNOWN
+  // rows must drop identically in both engines). Ordering pins NULLS
+  // FIRST explicitly on BOTH renderings: Spark's ASC default is
+  // nulls-first, DuckDB's is nulls-last, and the gate compares row
+  // order.
+  //
+  // The v1 generator and its seeds are FROZEN — v2 is additive, so every
+  // historical q_fuzz row keeps rendering byte-identically.
+  private final case class NullCol(name: String, src: String, mod: Long, drop: Long)
+  private sealed trait P2
+  private final case class Cmp(c: String, op: String, lit: Long) extends P2
+  private final case class NullTest(c: String, isNull: Boolean) extends P2
+  private final case class Q2(
+      table: String,
+      custLimit: Option[Long],     // Some(L): lineitem ⟕ (orders WHERE o_custkey < L)
+      nullables: Seq[NullCol],
+      whereGroups: Seq[Seq[P2]],   // CNF: AND over groups, OR within
+      groupBy: Seq[String],        // empty → scalar aggregate (always 1 row)
+      aggs: Seq[Agg],
+      having: Option[(String, Long)])
+
+  /** Satisfiability discipline, v2 edition: every OR-group leads with a
+    * WIDE arm (`col >= small` keeps ≥ half the table), so whatever the
+    * other arm is — IS NULL, a nullable comparison — the group keeps
+    * rows; the only bare AND conjuncts allowed are IS [NOT] NULL tests
+    * whose both polarities are non-empty by construction (NULLIF drops
+    * ~1/m; the filtered left join leaves both matched and unmatched
+    * lineitems at every SF). HAVING count(*) >= 2 is drawn only when
+    * grouping by a NULLIF column (≤ 6 groups over ≥ hundreds of rows —
+    * groups that can't be singletons), never by a near-unique key. */
+  private def genNull(seed: Int): Q2 = {
+    val rnd = new scala.util.Random(seed)
+    val table = tables.keys.toSeq.sorted.apply(rnd.nextInt(tables.size))
+    val cols = tables(table)
+    val srcs = rnd.shuffle(cols).take(2)
+    val nullables = srcs.zipWithIndex.map { case (c, i) =>
+      val m = 3L + rnd.nextInt(3)
+      NullCol(s"nc$i", c, m, rnd.nextInt(m.toInt).toLong)
+    }
+    def wide(): P2 = {
+      val c = cols(rnd.nextInt(cols.size))
+      Cmp(c, ">=", 1 + math.abs(rnd.nextLong()) % math.max(ranges(c) / 2, 1))
+    }
+    def narrow(): P2 = rnd.nextInt(3) match {
+      case 0 => NullTest(nullables.head.name, rnd.nextBoolean())
+      case 1 => Cmp(nullables.head.name, ">=",
+        rnd.nextInt((nullables.head.mod / 2).toInt + 1).toLong)
+      case _ =>
+        val c = cols(rnd.nextInt(cols.size))
+        val r = ranges(c)
+        Cmp(c, "<", r / 2 + 1 + math.abs(rnd.nextLong()) % (r - r / 2))
+    }
+    val whereGroups = Seq(Seq(wide(), narrow())) ++
+      (if (rnd.nextBoolean()) Seq(Seq(NullTest(nullables.last.name, false)))
+       else Nil)
+    val groupBy = rnd.nextInt(4) match {
+      case 0 => Seq(nullables.head.name)
+      case 1 => Seq(cols(rnd.nextInt(cols.size)))
+      case 2 => (Seq(nullables.head.name, cols(rnd.nextInt(cols.size)))).distinct
+      case _ => Nil // scalar aggregate: 1 row whatever the filter keeps
+    }
+    val aggTarget = nullables.last.name
+    val plain = cols.filterNot(groupBy.contains)
+    val aggs = Seq(
+      Agg("count", "*", "n"),
+      Agg("count", aggTarget, "cn"), // skips nulls where n counts rows
+      Agg(Seq("sum", "min", "max")(rnd.nextInt(3)),
+        if (rnd.nextBoolean() || plain.isEmpty) aggTarget
+        else plain(rnd.nextInt(plain.size)), "a0"))
+    val having =
+      if (groupBy == Seq(nullables.head.name) && rnd.nextBoolean())
+        Some(("n", 2L))
+      else None
+    Q2(table, None, nullables, whereGroups, groupBy, aggs, having)
+  }
+
+  private def genLouter(seed: Int): Q2 = {
+    val rnd = new scala.util.Random(seed)
+    val lim = 20L + rnd.nextInt(120) // o_custkey < L: sub non-empty at sf0.001
+    val cols = tables("lineitem")
+    def wide(): P2 = {
+      val c = cols(rnd.nextInt(cols.size))
+      Cmp(c, ">=", 1 + math.abs(rnd.nextLong()) % math.max(ranges(c) / 2, 1))
+    }
+    def narrowOuter(): P2 = rnd.nextInt(3) match {
+      case 0 => NullTest("o_custkey", rnd.nextBoolean())
+      case 1 => Cmp("o_custkey", ">=", 1 + rnd.nextInt((lim / 2).toInt).toLong)
+      case _ => Cmp("o_custkey", "<", 1 + rnd.nextInt(lim.toInt).toLong)
+    }
+    val whereGroups = Seq(Seq(wide(), narrowOuter())) ++
+      // bare IS [NOT] NULL conjunct: both polarities non-empty — the
+      // filtered join leaves matched AND unmatched lineitems at every SF
+      (if (rnd.nextBoolean()) Seq(Seq(NullTest("o_custkey", rnd.nextBoolean())))
+       else Nil)
+    // no scalar branch here: the louter family exists to exercise
+    // nullable GROUP BY keys and null-group ordering (the scalar shape
+    // is covered by the null seeds and q_fuzz_empty_scalar)
+    val groupBy = rnd.nextInt(3) match {
+      case 0 => Seq("o_custkey") // NULLABLE group key: the null group rides
+      case 1 => Seq("l_linenumber")
+      case _ => Seq("o_custkey", "l_linenumber")
+    }
+    val aggs = Seq(
+      Agg("count", "*", "n"),   // counts null-extended rows
+      Agg("count", "o_custkey", "cn"), // skips them
+      Agg(Seq("sum", "min", "max")(rnd.nextInt(3)),
+        if (rnd.nextBoolean()) "l_quantity" else "o_custkey", "a0"))
+    Q2("lineitem", Some(lim), Nil, whereGroups, groupBy, aggs, None)
+  }
+
+  private def sparkOfV2(q: Q2)(s: SparkSession, dir: String): DataFrame = {
+    val joined = q.custLimit match {
+      case Some(lim) =>
+        Queries.rd(s, dir, "lineitem").join(
+          Queries.rd(s, dir, "orders").select("o_orderkey", "o_custkey")
+            .filter(col("o_custkey") < lim),
+          col("l_orderkey") === col("o_orderkey"), "left")
+      case None => Queries.rd(s, dir, q.table)
+    }
+    val base = q.nullables.foldLeft(joined) { (df, nc) =>
+      df.withColumn(nc.name,
+        when(col(nc.src) % nc.mod === nc.drop, lit(null).cast("long"))
+          .otherwise(col(nc.src) % nc.mod))
+    }
+    def pred(p: P2): Column = p match {
+      case Cmp(c, "<", v)     => col(c) < v
+      case Cmp(c, ">=", v)    => col(c) >= v
+      case Cmp(c, "=", v)     => col(c) === v
+      case Cmp(c, "<>", v)    => col(c) =!= v
+      case Cmp(_, op, _)      => throw new MatchError(op)
+      case NullTest(c, true)  => col(c).isNull
+      case NullTest(c, false) => col(c).isNotNull
+    }
+    val filtered = q.whereGroups.foldLeft(base) { (df, g) =>
+      df.filter(g.map(pred).reduce(_ || _))
+    }
+    val aggCols = q.aggs.map {
+      case Agg("count", "*", a) => count(lit(1)).as(a)
+      case Agg("count", c, a)   => count(col(c)).as(a)
+      case Agg("sum", c, a)     => sum(col(c)).cast("long").as(a)
+      case Agg("min", c, a)     => min(col(c)).cast("long").as(a)
+      case Agg("max", c, a)     => max(col(c)).cast("long").as(a)
+      case other                => throw new MatchError(other)
+    }
+    val grouped =
+      if (q.groupBy.isEmpty) filtered.agg(aggCols.head, aggCols.tail: _*)
+      else filtered.groupBy(q.groupBy.map(col): _*)
+        .agg(aggCols.head, aggCols.tail: _*)
+    val post = q.having match {
+      case Some((a, v)) => grouped.filter(col(a) >= v)
+      case None         => grouped
+    }
+    // NULLS FIRST pinned on both renderings: Spark's ASC default agrees,
+    // DuckDB's does not — and the gate compares row ORDER
+    post.orderBy((q.groupBy ++ q.aggs.map(_.alias))
+      .map(c => col(c).asc_nulls_first): _*)
+  }
+
+  private def sqlOfV2(q: Q2): String = {
+    val baseFrom = q.custLimit match {
+      case Some(lim) =>
+        "lineitem LEFT JOIN (SELECT o_orderkey, o_custkey FROM orders " +
+          s"WHERE o_custkey < $lim) sub ON l_orderkey = o_orderkey"
+      case None => q.table
+    }
+    val from =
+      if (q.nullables.isEmpty) baseFrom
+      else {
+        val ncs = q.nullables.map(nc =>
+          s"NULLIF(${nc.src} % ${nc.mod}, ${nc.drop}) AS ${nc.name}")
+          .mkString(", ")
+        s"(SELECT *, $ncs FROM $baseFrom) t"
+      }
+    def p2(p: P2): String = p match {
+      case Cmp(c, op, v)      => s"$c $op $v"
+      case NullTest(c, true)  => s"$c IS NULL"
+      case NullTest(c, false) => s"$c IS NOT NULL"
+    }
+    val where = q.whereGroups
+      .map(g => "(" + g.map(p2).mkString(" OR ") + ")").mkString(" AND ")
+    val aggSql = q.aggs.map {
+      case Agg("count", "*", a) => s"CAST(count(*) AS BIGINT) AS $a"
+      case Agg(fn, c, a)        => s"CAST($fn($c) AS BIGINT) AS $a"
+    }
+    val groupClause =
+      if (q.groupBy.isEmpty) "" else s"GROUP BY ${q.groupBy.mkString(", ")}"
+    val havingClause =
+      q.having.map { case (_, v) => s"HAVING count(*) >= $v" }.getOrElse("")
+    val order = (q.groupBy ++ q.aggs.map(_.alias))
+      .map(c => s"$c ASC NULLS FIRST").mkString(", ")
+    s"""SELECT ${(q.groupBy ++ aggSql).mkString(", ")}
+       |FROM $from
+       |WHERE $where
+       |$groupClause
+       |$havingClause
+       |ORDER BY $order""".stripMargin
+  }
+
   /** Seeds are FIXED: the gate must be reproducible run-to-run and match
     * the oracle map below. Plain seeds fuzz one table; join seeds fuzz
     * lineitem ⋈ orders compositions (pushdown through the join, partial
-    * aggregation above it). */
+    * aggregation above it); null seeds fuzz NULLIF-derived three-valued
+    * logic; louter seeds fuzz LEFT JOIN null extension. */
   private val seeds = Seq(101, 202, 303, 404, 505)
   private val joinSeeds = Seq(611, 722, 833)
+  private val nullSeeds = Seq(917, 1013, 1201, 1303)
+  private val louterSeeds = Seq(1409, 1511, 1607)
+
+  /** Aggregates over ZERO input rows — the one shape the satisfiable-
+    * range discipline forbids the generators from drawing, exercised
+    * deterministically: a scalar aggregate always returns exactly one
+    * row, where COUNT must be 0 and MIN/SUM must be NULL in BOTH
+    * engines. */
+  private def emptyScalar(s: SparkSession, dir: String): DataFrame =
+    Queries.rd(s, dir, "lineitem")
+      .filter(col("l_quantity") < 0) // quantities are 1..50: empty input
+      .agg(count(lit(1)).as("n"),
+        min(col("l_quantity")).cast("long").as("mn"),
+        sum(col("l_quantity")).cast("long").as("sm"))
+
+  private val emptyScalarSql =
+    """SELECT CAST(count(*) AS BIGINT) AS n,
+      |       CAST(min(l_quantity) AS BIGINT) AS mn,
+      |       CAST(sum(l_quantity) AS BIGINT) AS sm
+      |FROM lineitem
+      |WHERE l_quantity < 0""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     seeds.map(sd => s"q_fuzz_$sd" -> (sparkOf(gen(sd)) _)).toMap ++
       joinSeeds.map(sd => s"q_fuzz_join_$sd" ->
-        (sparkOf(gen(sd, joined = true)) _)).toMap
+        (sparkOf(gen(sd, joined = true)) _)).toMap ++
+      nullSeeds.map(sd => s"q_fuzz_null_$sd" ->
+        (sparkOfV2(genNull(sd)) _)).toMap ++
+      louterSeeds.map(sd => s"q_fuzz_louter_$sd" ->
+        (sparkOfV2(genLouter(sd)) _)).toMap +
+      ("q_fuzz_empty_scalar" -> (emptyScalar _))
 
   val oracleSql: Map[String, String] =
     seeds.map(sd => s"q_fuzz_$sd" -> sqlOf(gen(sd))).toMap ++
       joinSeeds.map(sd => s"q_fuzz_join_$sd" ->
-        sqlOf(gen(sd, joined = true))).toMap
+        sqlOf(gen(sd, joined = true))).toMap ++
+      nullSeeds.map(sd => s"q_fuzz_null_$sd" -> sqlOfV2(genNull(sd))).toMap ++
+      louterSeeds.map(sd => s"q_fuzz_louter_$sd" ->
+        sqlOfV2(genLouter(sd))).toMap +
+      ("q_fuzz_empty_scalar" -> emptyScalarSql)
+
+  /** Non-emptiness probe over every fuzz query at the three test SFs —
+    * the check the gate contract demands after ANY grammar edit: a
+    * structurally-empty result passes the hash compare while checking
+    * nothing. `runMain graft.FuzzQueries [sfDirs...]`. The
+    * empty-scalar query is exempt by design (scalar aggregates return
+    * one row regardless; emptiness of the INPUT is its entire point). */
+  def main(args: Array[String]): Unit = {
+    val dirs = if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    for ((name, sql) <- oracleSql.toSeq.sortBy(_._1)
+         if name.contains("null") || name.contains("louter"))
+      println(s"-- $name\n${sql.replaceAll("\n+", "\n")}")
+    var empty = 0
+    for (dir <- dirs; (name, fn) <- queries.toSeq.sortBy(_._1)) {
+      val n = fn(spark, dir).count()
+      val flag = if (n == 0 && name != "q_fuzz_empty_scalar") { empty += 1; "  <-- EMPTY" } else ""
+      println(f"$dir%-26s $name%-24s $n%8d$flag")
+    }
+    println(if (empty == 0) "all fuzz queries non-empty"
+      else s"$empty EMPTY fuzz results — adjust seeds or grammar")
+    spark.stop()
+    if (empty > 0) sys.exit(1)
+  }
 }
