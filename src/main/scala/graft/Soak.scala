@@ -28,12 +28,14 @@ object Soak {
     val writeBytes = new java.util.concurrent.atomic.AtomicLong
     val readBytes = new java.util.concurrent.atomic.AtomicLong
     val peakStageWrite = new java.util.concurrent.atomic.AtomicLong
+    val inputRecords = new java.util.concurrent.atomic.AtomicLong
     override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
       val m = sc.stageInfo.taskMetrics
       if (m != null) {
         val w = m.shuffleWriteMetrics.bytesWritten
         writeBytes.addAndGet(w)
         readBytes.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        inputRecords.addAndGet(m.inputMetrics.recordsRead)
         peakStageWrite.updateAndGet(p => math.max(p, w))
         ()
       }
@@ -77,18 +79,29 @@ object Soak {
     spark.sparkContext.addSparkListener(meter)
 
     final case class Run(name: String, sec: Double, rows: Long,
-        shuffleWriteMB: Double, shuffleReadMB: Double, peakStageWriteMB: Double)
+        shuffleWriteMB: Double, shuffleReadMB: Double, peakStageWriteMB: Double,
+        inputKRec: Long)
     def run(name: String)(df: => DataFrame): Run = {
       spark.catalog.clearCache()
       System.gc()
       val w0 = meter.writeBytes.get; val r0 = meter.readBytes.get
+      val i0 = meter.inputRecords.get
       meter.peakStageWrite.set(0)
       val t0 = System.nanoTime()
       val rows = df.count()
       val sec = (System.nanoTime() - t0) / 1e9
+      // listener bus is async — poll until the counters stabilize
+      // (outside the timer) before sampling them
+      var last = -1L; var stable = 0
+      while (stable < 3) {
+        Thread.sleep(100)
+        val now = meter.writeBytes.get + meter.inputRecords.get
+        if (now == last) stable += 1 else { stable = 0; last = now }
+      }
       Run(name, sec, rows,
         (meter.writeBytes.get - w0) / 1e6, (meter.readBytes.get - r0) / 1e6,
-        meter.peakStageWrite.get / 1e6)
+        meter.peakStageWrite.get / 1e6,
+        (meter.inputRecords.get - i0) / 1000L)
     }
 
     // operator configs mirror the GATE queries exactly (q_dedup_ngram_
@@ -129,11 +142,83 @@ object Soak {
         ops.Dedup.keepRepresentatives(twoSrc, pairs)
       })
 
-    val json = runs.map(r =>
+    // --- embedding family: the gate's planted corpus scaled N× --------
+    // Per-copy scaling is a deterministic SIGN FLIP per dimension — a
+    // diagonal ±1 orthogonal transform: within-copy cosines (and so the
+    // 25 planted pairs per copy) are preserved EXACTLY, while cross-copy
+    // cosines of even identical source vectors decorrelate to
+    // ~N(0, 1/64) — seven sigma below the 0.95 threshold. True pairs
+    // therefore scale linearly (25·factor), the vector-domain analogue
+    // of the token bijection above.
+    val gateEmb = Queries.embeddingGateCorpus(spark, sfDir)
+    val scaledEmb = (0 until factor).map { i =>
+      gateEmb.select(
+        (col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+        transform(col("embedding"), (x, k) =>
+          when(pmod(xxhash64(lit(i), k), lit(2)) === 0, x).otherwise(-x))
+          .as("embedding"))
+    }.reduce(_ unionAll _)
+    val embPath = s"$tmp/embeddings"
+    scaledEmb.write.parquet(embPath)
+    val embCorpus = spark.read.parquet(embPath)
+
+    val embRuns = Seq(
+      run("embedding_pairs") {
+        ops.Dedup.embeddingNearDupPairs(embCorpus, threshold = 0.95)
+      })
+
+    // --- incremental store growth: seed at N×, then SMALL appends -----
+    // The claim under test is the partitioned-store contract: an
+    // append's scan cost is bounded by its TOUCHED bp partitions, not
+    // the store. Seeding the store with the full N× corpus is the
+    // O(corpus) batch (its cost rightly grows with factor); the 2-doc
+    // appends that follow touch ≤ 32 bucket keys → ~12% of the 256
+    // partitions, so their `input_krec` must stay ~an eighth of the
+    // store across factors where the pre-fix full rescan read 100%
+    // (pruning granularity is store-partitions; StoreParts is the
+    // deploy knob that drives the fraction toward zero at real scale).
+    // Append content duplicates copy 0's docs/vectors under FRESH ids,
+    // so each append also proves the path end-to-end: rows > 0 — the
+    // appended items pair with their corpus twins (and with the prior
+    // append's stored rows).
+    val mhStore = s"$tmp/mh_store"
+    val baseDocs = docs.filter(col("doc_id") < 2)
+    def freshDocs(tag: Int): DataFrame = baseDocs.select(
+      (col("doc_id") + lit(900000000L + tag * 1000L)).as("doc_id"),
+      regexp_replace(col("text"), "(^|\\s)", "$1c0_").as("text"))
+    val embStore = s"$tmp/emb_store"
+    val baseVecs = gateEmb.filter(col("vec_id") < 2)
+    def freshVecs(tag: Int): DataFrame = baseVecs.select(
+      (col("vec_id") + lit(800000000L + tag * 1000L)).as("vec_id"),
+      transform(col("embedding"), (x, k) =>
+        when(pmod(xxhash64(lit(0), k), lit(2)) === 0, x).otherwise(-x))
+        .as("embedding"))
+    val incRuns = Seq(
+      run("inc_minhash_seed") {
+        ops.IncrementalDedup.minhashBatch(corpus, mhStore)
+      },
+      run("inc_minhash_append_a") {
+        ops.IncrementalDedup.minhashBatch(freshDocs(1), mhStore)
+      },
+      run("inc_minhash_append_b") {
+        ops.IncrementalDedup.minhashBatch(freshDocs(2), mhStore)
+      },
+      run("inc_embedding_seed") {
+        ops.IncrementalDedup.embeddingBatch(embCorpus, embStore)
+      },
+      run("inc_embedding_append_a") {
+        ops.IncrementalDedup.embeddingBatch(freshVecs(1), embStore)
+      },
+      run("inc_embedding_append_b") {
+        ops.IncrementalDedup.embeddingBatch(freshVecs(2), embStore)
+      })
+
+    val json = (runs ++ embRuns ++ incRuns).map(r =>
       s"""{"op":"${r.name}","sec":${f"${r.sec}%.2f"},"rows":${r.rows},""" +
         s""""shuffle_write_mb":${f"${r.shuffleWriteMB}%.1f"},""" +
         s""""shuffle_read_mb":${f"${r.shuffleReadMB}%.1f"},""" +
-        s""""peak_stage_write_mb":${f"${r.peakStageWriteMB}%.1f"}}""")
+        s""""peak_stage_write_mb":${f"${r.peakStageWriteMB}%.1f"},""" +
+        s""""input_krec":${r.inputKRec}}""")
       .mkString("[", ",", "]")
     println(s"""{"soak":{"sf":"$sfDir","factor":$factor,"n_docs":$nDocs,"runs":$json}}""")
     spark.stop()
