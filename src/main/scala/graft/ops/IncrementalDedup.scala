@@ -60,6 +60,43 @@ object IncrementalDedup {
   private def touched(batchRows: DataFrame): Seq[Int] =
     batchRows.select("bp").distinct().collect().map(_.getInt(0)).toIndexedSeq
 
+  /** Store geometry manifest (`_graft_store.json`, `_`-prefixed so
+    * parquet discovery ignores it): a store is only readable under the
+    * EXACT constants it was written with — partition count, hash count,
+    * banding, plane geometry. Those constants live in call-site
+    * defaults today, which makes a mismatched caller (say bands=8
+    * against a bands=16 store) a silent-wrong-answer bug: signatures
+    * band differently, buckets stop aligning, and near-dup pairs
+    * quietly vanish. The manifest turns that into a loud
+    * IllegalArgumentException on the first batch: written at store
+    * creation, verified key-by-key on every later cycle. */
+  private def checkOrWriteMeta(
+      spark: SparkSession, dir: String, meta: Map[String, String]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_graft_store.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val body =
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+      val bad = meta.filter { case (k, v) =>
+        node.get(k) == null || node.get(k).asText != v
+      }
+      require(bad.isEmpty,
+        s"store $dir was created with different geometry: expected " +
+          meta.map { case (k, v) => s"$k=$v" }.mkString(", ") +
+          s", manifest has $body — a store must be read with the " +
+          "constants it was written under")
+    } else {
+      val json = meta.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+      val out = fs.create(p, false) // lock held: no concurrent creator
+      try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
   /** Partition-pruned store view: the isin over the partition column
     * becomes PartitionFilters on the scan — untouched bp directories are
     * never opened. */
@@ -98,6 +135,8 @@ object IncrementalDedup {
       storeDir: String,
       textCol: String): DataFrame = {
     val spark = docsNew.sparkSession
+    checkOrWriteMeta(spark, storeDir,
+      Map("variant" -> "exact", "store_parts" -> StoreParts.toString))
     val digested = docsNew
       .filter(col(textCol).isNotNull)
       .select(col("doc_id"), md5(col(textCol)).as("digest"))
@@ -172,6 +211,9 @@ object IncrementalDedup {
       bands: Int,
       threshold: Double): DataFrame = {
     val spark = docsNew.sparkSession
+    checkOrWriteMeta(spark, storeDir, Map(
+      "variant" -> "minhash", "store_parts" -> StoreParts.toString,
+      "num_hashes" -> numHashes.toString, "bands" -> bands.toString))
     val rowsPerBand = numHashes / bands
     // the ONE banding implementation (Dedup.bandSignatures): the store
     // holds banded rows, so it is only usable if every batch bands
@@ -269,6 +311,9 @@ object IncrementalDedup {
       planes: Int,
       tables: Int): DataFrame = {
     val spark = embsNew.sparkSession
+    checkOrWriteMeta(spark, storeDir, Map(
+      "variant" -> "embedding", "store_parts" -> StoreParts.toString,
+      "planes" -> planes.toString, "tables" -> tables.toString))
     val newVecs = embsNew.select(col(idCol).cast("long").as("vec_id"),
       transform(col(vecCol), x => x.cast("double")).as("vec"))
     // map-only bucket explode, shared with the batch path's geometry:
@@ -365,6 +410,72 @@ object IncrementalDedup {
         ()
       }
       .start()
+
+  /** Compact a store in place: every append leaves one file per touched
+    * partition, so a store that has absorbed thousands of batches holds
+    * thousands of small files per `bp=` directory — and small files,
+    * not data volume, become the scan bottleneck (open/footer cost per
+    * file; at 100 TB with hourly appends this is the classic
+    * streaming-ingest small-file death). Run under the same store lock
+    * as the batch cycles, so no reader/writer ever sees a half-swapped
+    * store.
+    *
+    * Crash discipline, per partition dir: old → `_compact_trash`, then
+    * compacted tmp → place. Both are renames; the window between them
+    * is recovered on the NEXT compact (sweep restores any partition
+    * present in trash but missing from the store), and both staging
+    * dirs are `_`-prefixed so parquet discovery never reads them.
+    * Returns the number of partition directories rewritten. */
+  def compactStore(spark: SparkSession, storeDir: String): Int =
+    graft.fs.StoreLock.withLock(storeDir,
+      spark.sparkContext.hadoopConfiguration) {
+      import org.apache.hadoop.fs.Path
+      val root = new Path(storeDir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val trash = new Path(root, "_compact_trash")
+      val tmp = new Path(root, "_compact_tmp")
+      // recovery sweep: restore partitions a crashed compact left in
+      // trash but never re-placed, then clear stale staging state
+      if (fs.exists(trash))
+        fs.listStatus(trash).foreach { s =>
+          val dst = new Path(root, s.getPath.getName)
+          if (!fs.exists(dst)) fs.rename(s.getPath, dst)
+        }
+      fs.delete(trash, true)
+      fs.delete(tmp, true)
+      if (!fs.exists(root)) 0
+      else {
+        val parts = fs.listStatus(root)
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("bp="))
+        // only partitions that have actually fragmented are rewritten —
+        // a store compacted yesterday costs only this listing today
+        val frag = parts.filter(p => fs.listStatus(p.getPath)
+          .count(f => f.getPath.getName.endsWith(".parquet")) > 1)
+        if (frag.isEmpty) 0
+        else {
+          val fragNames = frag.map(_.getPath.getName).toSet
+          // read ONLY the fragmented partitions (basePath keeps the bp
+          // column); one file per partition via the same repartition-on-
+          // bp discipline as appendStore
+          spark.read
+            .option("basePath", storeDir)
+            .parquet(frag.map(_.getPath.toString).toIndexedSeq: _*)
+            .repartition(col("bp"))
+            .write.partitionBy("bp").mode("overwrite").parquet(tmp.toString)
+          fs.mkdirs(trash)
+          fs.listStatus(tmp)
+            .filter(s => s.isDirectory && fragNames.contains(s.getPath.getName))
+            .foreach { s =>
+              val name = s.getPath.getName
+              fs.rename(new Path(root, name), new Path(trash, name))
+              fs.rename(s.getPath, new Path(root, name))
+            }
+          fs.delete(trash, true)
+          fs.delete(tmp, true)
+          frag.length
+        }
+      }
+    }
 
   /** Append rows (carrying their `bp` column) under the hive layout.
     * The pre-write repartition ON the partition column is the file-count

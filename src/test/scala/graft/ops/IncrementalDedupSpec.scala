@@ -37,6 +37,58 @@ class IncrementalDedupSpec extends SparkSuite {
     assert(spark.read.parquet(dir).count() == 3)
   }
 
+  test("geometry manifest: mismatched constants fail loudly, matching ones pass") {
+    val dir = Files.createTempDirectory("incdedup_meta").toString + "/store"
+    val b1 = Seq((1L, "some text here"), (2L, "other text there")).toDF("doc_id", "text")
+    IncrementalDedup.minhashBatch(b1, dir, numHashes = 64, bands = 16)
+    // same geometry: fine
+    IncrementalDedup.minhashBatch(b1, dir, numHashes = 64, bands = 16)
+    // different banding would bucket-join garbage — must fail loudly
+    val e = intercept[IllegalArgumentException] {
+      IncrementalDedup.minhashBatch(b1, dir, numHashes = 64, bands = 8)
+    }
+    assert(e.getMessage.contains("bands=8"), e.getMessage)
+    // a store of the wrong VARIANT entirely
+    val e2 = intercept[IllegalArgumentException] {
+      IncrementalDedup.exactBatch(b1, dir)
+    }
+    assert(e2.getMessage.contains("variant=exact"), e2.getMessage)
+  }
+
+  test("compactStore: one file per partition after many appends; verdicts unchanged") {
+    val dir = Files.createTempDirectory("incdedup_compact").toString + "/store"
+    def text(i: Long): String =
+      (0 until 12).map(j => s"w${(i * 17 + j * 11) % 997}").mkString(" ")
+    // several appends fragment the partitions the batches share
+    for (b <- 0 until 4) {
+      val batch = (b * 50L until (b + 1) * 50L).map(i => (i, text(i % 60)))
+        .toDF("doc_id", "text")
+      IncrementalDedup.minhashBatch(batch, dir)
+    }
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def filesPerPart(): Seq[Int] = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bp="))
+      .map(p => fs.listStatus(p.getPath)
+        .count(f => f.getPath.getName.endsWith(".parquet"))).toIndexedSeq
+    assert(filesPerPart().exists(_ > 1), "appends should have fragmented the store")
+    val before = spark.read.parquet(dir).select("doc_id", "band", "bh")
+      .collect().map(_.toString).sorted
+    val rewritten = IncrementalDedup.compactStore(spark, dir)
+    assert(rewritten > 0)
+    assert(filesPerPart().forall(_ == 1), "every partition should be one file")
+    // content is byte-for-byte the same store
+    val after = spark.read.parquet(dir).select("doc_id", "band", "bh")
+      .collect().map(_.toString).sorted
+    assert(after.sameElements(before))
+    // idempotent: nothing left to rewrite
+    assert(IncrementalDedup.compactStore(spark, dir) == 0)
+    // and the store still works: a dup of doc 0's text is found
+    val r = IncrementalDedup.minhashBatch(
+      Seq((9999L, text(0))).toDF("doc_id", "text"), dir)
+    assert(r.filter(col("doc_a") === 0L && col("doc_b") === 9999L).count() == 1)
+  }
+
   test("a second writer fails loudly while the store lock is held, succeeds after") {
     val dir = Files.createTempDirectory("incdedup_lock").toString + "/store"
     val b1 = Seq((1L, "aaa"), (2L, "bbb")).toDF("doc_id", "text")
