@@ -259,6 +259,37 @@ object FuzzQueries {
     Q2("lineitem", Some(lim), Nil, whereGroups, groupBy, aggs, None)
   }
 
+  /** DISTINCT × NULL interactions: COUNT(DISTINCT nc) skips nulls where
+    * COUNT(*) counts rows, SUM(DISTINCT nc) collapses the value domain
+    * (NULLIF keeps it < m, so sums are tiny and exact), and the two
+    * engines must agree on both under the same CNF filters. Same
+    * satisfiability discipline as genNull: the OR-group leads with a
+    * wide arm, and DISTINCT aggregates target the NULLIF columns whose
+    * both polarities are non-empty by construction. */
+  private def genDistinct(seed: Int): Q2 = {
+    val rnd = new scala.util.Random(seed)
+    val table = tables.keys.toSeq.sorted.apply(rnd.nextInt(tables.size))
+    val cols = tables(table)
+    val srcs = rnd.shuffle(cols).take(2)
+    val nullables = srcs.zipWithIndex.map { case (c, i) =>
+      val m = 3L + rnd.nextInt(3)
+      NullCol(s"nc$i", c, m, rnd.nextInt(m.toInt).toLong)
+    }
+    def wide(): P2 = {
+      val c = cols(rnd.nextInt(cols.size))
+      Cmp(c, ">=", 1 + math.abs(rnd.nextLong()) % math.max(ranges(c) / 2, 1))
+    }
+    val whereGroups =
+      Seq(Seq(wide(), NullTest(nullables.head.name, rnd.nextBoolean())))
+    val groupBy =
+      if (rnd.nextBoolean()) Seq(cols(rnd.nextInt(cols.size))) else Nil
+    val aggs = Seq(
+      Agg("count", "*", "n"),
+      Agg("cntd", nullables.last.name, "cd"),
+      Agg("sumd", nullables.last.name, "sd"))
+    Q2(table, None, nullables, whereGroups, groupBy, aggs, None)
+  }
+
   private def sparkOfV2(q: Q2)(s: SparkSession, dir: String): DataFrame = {
     val joined = q.custLimit match {
       case Some(lim) =>
@@ -288,6 +319,8 @@ object FuzzQueries {
     val aggCols = q.aggs.map {
       case Agg("count", "*", a) => count(lit(1)).as(a)
       case Agg("count", c, a)   => count(col(c)).as(a)
+      case Agg("cntd", c, a)    => countDistinct(col(c)).as(a)
+      case Agg("sumd", c, a)    => sum_distinct(col(c)).cast("long").as(a)
       case Agg("sum", c, a)     => sum(col(c)).cast("long").as(a)
       case Agg("min", c, a)     => min(col(c)).cast("long").as(a)
       case Agg("max", c, a)     => max(col(c)).cast("long").as(a)
@@ -331,6 +364,8 @@ object FuzzQueries {
       .map(g => "(" + g.map(p2).mkString(" OR ") + ")").mkString(" AND ")
     val aggSql = q.aggs.map {
       case Agg("count", "*", a) => s"CAST(count(*) AS BIGINT) AS $a"
+      case Agg("cntd", c, a)    => s"CAST(count(DISTINCT $c) AS BIGINT) AS $a"
+      case Agg("sumd", c, a)    => s"CAST(sum(DISTINCT $c) AS BIGINT) AS $a"
       case Agg(fn, c, a)        => s"CAST($fn($c) AS BIGINT) AS $a"
     }
     val groupClause =
@@ -356,6 +391,28 @@ object FuzzQueries {
   private val joinSeeds = Seq(611, 722, 833)
   private val nullSeeds = Seq(917, 1013, 1201, 1303)
   private val louterSeeds = Seq(1409, 1511, 1607)
+  private val distinctSeeds = Seq(2003, 2111, 2207)
+
+  /** SELECT DISTINCT over nullable derived columns — row-level DISTINCT
+    * treats NULLs as equal (one NULL row survives per key shape) in
+    * both engines, and the null group must ORDER identically. The
+    * aggregate-DISTINCT seeds above cannot reach this shape (they
+    * collapse to one row per group); this pins it deterministically. */
+  private def distinctRows(s: SparkSession, dir: String): DataFrame =
+    Queries.rd(s, dir, "lineitem")
+      .select(
+        when(col("l_partkey") % 4 === 0, lit(null).cast("long"))
+          .otherwise(col("l_partkey") % 4).as("nc0"),
+        when(col("l_suppkey") % 3 === 1, lit(null).cast("long"))
+          .otherwise(col("l_suppkey") % 3).as("nc1"))
+      .distinct()
+      .orderBy(col("nc0").asc_nulls_first, col("nc1").asc_nulls_first)
+
+  private val distinctRowsSql =
+    """SELECT DISTINCT NULLIF(l_partkey % 4, 0) AS nc0,
+      |                NULLIF(l_suppkey % 3, 1) AS nc1
+      |FROM lineitem
+      |ORDER BY nc0 ASC NULLS FIRST, nc1 ASC NULLS FIRST""".stripMargin
 
   /** Aggregates over ZERO input rows — the one shape the satisfiable-
     * range discipline forbids the generators from drawing, exercised
@@ -383,8 +440,11 @@ object FuzzQueries {
       nullSeeds.map(sd => s"q_fuzz_null_$sd" ->
         (sparkOfV2(genNull(sd)) _)).toMap ++
       louterSeeds.map(sd => s"q_fuzz_louter_$sd" ->
-        (sparkOfV2(genLouter(sd)) _)).toMap +
-      ("q_fuzz_empty_scalar" -> (emptyScalar _))
+        (sparkOfV2(genLouter(sd)) _)).toMap ++
+      distinctSeeds.map(sd => s"q_fuzz_distinct_$sd" ->
+        (sparkOfV2(genDistinct(sd)) _)).toMap +
+      ("q_fuzz_empty_scalar" -> (emptyScalar _)) +
+      ("q_fuzz_distinct_rows" -> (distinctRows _))
 
   val oracleSql: Map[String, String] =
     seeds.map(sd => s"q_fuzz_$sd" -> sqlOf(gen(sd))).toMap ++
@@ -392,8 +452,11 @@ object FuzzQueries {
         sqlOf(gen(sd, joined = true))).toMap ++
       nullSeeds.map(sd => s"q_fuzz_null_$sd" -> sqlOfV2(genNull(sd))).toMap ++
       louterSeeds.map(sd => s"q_fuzz_louter_$sd" ->
-        sqlOfV2(genLouter(sd))).toMap +
-      ("q_fuzz_empty_scalar" -> emptyScalarSql)
+        sqlOfV2(genLouter(sd))).toMap ++
+      distinctSeeds.map(sd => s"q_fuzz_distinct_$sd" ->
+        sqlOfV2(genDistinct(sd))).toMap +
+      ("q_fuzz_empty_scalar" -> emptyScalarSql) +
+      ("q_fuzz_distinct_rows" -> distinctRowsSql)
 
   /** Non-emptiness probe over every fuzz query at the three test SFs —
     * the check the gate contract demands after ANY grammar edit: a
@@ -411,7 +474,8 @@ object FuzzQueries {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     for ((name, sql) <- oracleSql.toSeq.sortBy(_._1)
-         if name.contains("null") || name.contains("louter"))
+         if name.contains("null") || name.contains("louter") ||
+           name.contains("distinct"))
       println(s"-- $name\n${sql.replaceAll("\n+", "\n")}")
     var empty = 0
     for (dir <- dirs; (name, fn) <- queries.toSeq.sortBy(_._1)) {
