@@ -162,10 +162,29 @@ object Soak {
     scaledEmb.write.parquet(embPath)
     val embCorpus = spark.read.parquet(embPath)
 
+    // Geometry must SCALE with the corpus: 8 planes = 256 sign-buckets
+    // per table, so at fixed geometry a bucket holds 800·factor/256
+    // vectors and the bucket self-join grows QUADRATICALLY with factor
+    // (measured: 2.2 s at 1×, 23.8 s at 10×, ~40 min at 100× — the run
+    // was killed). The production knob is planes ≈ 8 + log2(factor)/2:
+    // bucket count grows with the corpus, per-bucket density stays
+    // bounded, and the per-table recall loss is recovered by the 16
+    // independent tables (miss probability at cosine 0.968 stays
+    // under ~0.1% through planes=12). The gate query keeps its fixed
+    // 8-plane geometry — ITS corpus never scales; this knob is the
+    // 100 TB deploy story, exercised here.
+    val scaledPlanes = 8 +
+      math.ceil(math.log(factor.toDouble) / math.log(2.0) / 2.0).toInt
     val embRuns = Seq(
       run("embedding_pairs") {
+        ops.Dedup.embeddingNearDupPairs(embCorpus, threshold = 0.95,
+          planes = scaledPlanes)
+      }) ++
+      // fixed gate geometry kept at small factors as the densification
+      // yardstick (quadratic: do NOT run at 100×)
+      (if (factor <= 10) Seq(run("embedding_pairs_gate_geometry") {
         ops.Dedup.embeddingNearDupPairs(embCorpus, threshold = 0.95)
-      })
+      }) else Nil)
 
     // --- incremental store growth: seed at N×, then SMALL appends -----
     // The claim under test is the partitioned-store contract: an
@@ -203,14 +222,19 @@ object Soak {
       run("inc_minhash_append_b") {
         ops.IncrementalDedup.minhashBatch(freshDocs(2), mhStore)
       },
+      // scaled planes here too (the seed batch is the same bucket
+      // self-join); the store manifest then holds them for every append
       run("inc_embedding_seed") {
-        ops.IncrementalDedup.embeddingBatch(embCorpus, embStore)
+        ops.IncrementalDedup.embeddingBatch(embCorpus, embStore,
+          planes = scaledPlanes)
       },
       run("inc_embedding_append_a") {
-        ops.IncrementalDedup.embeddingBatch(freshVecs(1), embStore)
+        ops.IncrementalDedup.embeddingBatch(freshVecs(1), embStore,
+          planes = scaledPlanes)
       },
       run("inc_embedding_append_b") {
-        ops.IncrementalDedup.embeddingBatch(freshVecs(2), embStore)
+        ops.IncrementalDedup.embeddingBatch(freshVecs(2), embStore,
+          planes = scaledPlanes)
       })
 
     val json = (runs ++ embRuns ++ incRuns).map(r =>
