@@ -200,15 +200,20 @@ object Soak {
     // so each append also proves the path end-to-end: rows > 0 — the
     // appended items pair with their corpus twins (and with the prior
     // append's stored rows).
+    // fresh append ids sit at 1e12 — far above ANY copy's id range
+    // (copy i adds i*1e8; factor 100 tops out near 1e10). An id that
+    // collides with a stored doc makes the idempotency anti-join treat
+    // the append as a retry and silently drop its rows — exactly what
+    // a 9e8 base did at factor>=10 (copy 9's raw doc 1000 = 900001000).
     val mhStore = s"$tmp/mh_store"
     val baseDocs = docs.filter(col("doc_id") < 2)
     def freshDocs(tag: Int): DataFrame = baseDocs.select(
-      (col("doc_id") + lit(900000000L + tag * 1000L)).as("doc_id"),
+      (col("doc_id") + lit(1000000000000L + tag * 1000L)).as("doc_id"),
       regexp_replace(col("text"), "(^|\\s)", "$1c0_").as("text"))
     val embStore = s"$tmp/emb_store"
     val baseVecs = gateEmb.filter(col("vec_id") < 2)
     def freshVecs(tag: Int): DataFrame = baseVecs.select(
-      (col("vec_id") + lit(800000000L + tag * 1000L)).as("vec_id"),
+      (col("vec_id") + lit(2000000000000L + tag * 1000L)).as("vec_id"),
       transform(col("embedding"), (x, k) =>
         when(pmod(xxhash64(lit(0), k), lit(2)) === 0, x).otherwise(-x))
         .as("embedding"))
