@@ -477,6 +477,32 @@ object IncrementalDedup {
       }
     }
 
+  /** Streaming twin of `embeddingBatch` — near-dup pairs of a vector
+    * stream against the persisted bucket store, one locked cycle per
+    * micro-batch; pair rows land under `resultsDir/batch=<epoch>` with
+    * the same per-epoch-overwrite exactly-once contract as
+    * `exactStream`. Geometry params feed the store manifest on first
+    * batch and are validated against it ever after. */
+  def embeddingStream(
+      embsStream: DataFrame,
+      storeDir: String,
+      resultsDir: String,
+      checkpointDir: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      threshold: Double = 0.95,
+      planes: Int = 8,
+      tables: Int = 16): org.apache.spark.sql.streaming.StreamingQuery =
+    embsStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        embeddingBatch(batch.toDF(), storeDir, idCol, vecCol, threshold,
+          planes, tables)
+          .write.mode("overwrite").parquet(s"$resultsDir/batch=$id")
+        ()
+      }
+      .start()
+
   /** Append rows (carrying their `bp` column) under the hive layout.
     * The pre-write repartition ON the partition column is the file-count
     * bound: without it every task writes a file per bp value it holds

@@ -106,6 +106,28 @@ object Similarity {
         round(cosine(col("a.vec"), col("b.vec")), 4).as("cosine"))
   }
 
+  /** Plane count that keeps expected per-bucket occupancy bounded as
+    * the corpus grows: 2^planes sign-buckets per table, so fixing
+    * occupancy at `targetPerBucket` means planes = ⌈log2(n/target)⌉.
+    * Geometry is a SCALE KNOB, not a constant — the r9 soak measured
+    * the fixed 8-plane default quadratic in corpus size (0.8 s at 800
+    * vectors, 8.0 s at 8k, unfinishable at 80k) while log-scaled
+    * planes stayed ~linear (BASELINE §r9). Recall cost of more planes
+    * is bounded by the independent tables: per-table collision at
+    * cosine 0.968 is 0.919^planes, so 16 tables hold pair-miss under
+    * ~0.3% through planes=14; past ~20 planes raise `tables` too.
+    * Clamped to [minPlanes, 24]. */
+  def planesFor(
+      corpusSize: Long,
+      targetPerBucket: Int = 16,
+      minPlanes: Int = 8): Int = {
+    require(corpusSize >= 0 && targetPerBucket >= 1)
+    val needed = math.ceil(
+      math.log(math.max(corpusSize, 1).toDouble / targetPerBucket) /
+        math.log(2.0)).toInt
+    math.min(math.max(needed, minPlanes), 24)
+  }
+
   /** All candidate pairs sharing an LSH bucket in ANY of `tables`
     * independent plane sets, with exact cosine — the multi-table variant
     * of `lshPairs`. Single-table sign-LSH is a poor BLOCKER for a

@@ -190,6 +190,22 @@ class SimilaritySpec extends SparkSuite {
     assert(got.contains((0L, 1L)), s"planted pair missed: $got")
   }
 
+  test("planesFor: bounded occupancy, floor/ceiling clamps, monotone") {
+    // floor: small corpora keep the recall-friendly minimum
+    assert(Similarity.planesFor(0) == 8)
+    assert(Similarity.planesFor(800) == 8)
+    // occupancy contract: n / 2^planes <= targetPerBucket (above floor)
+    for (n <- Seq(100000L, 1000000L, 100000000L)) {
+      val p = Similarity.planesFor(n)
+      assert(n.toDouble / (1L << p) <= 16.0, s"n=$n planes=$p")
+    }
+    // monotone in corpus size, and clamped at 24
+    val ps = Seq(1000L, 100000L, 10000000L, 1000000000L, Long.MaxValue / 2)
+      .map(Similarity.planesFor(_))
+    assert(ps == ps.sorted)
+    assert(ps.last == 24)
+  }
+
   test("int8 quantization: known vector, exact scale/sum/saturation") {
     import spark.implicits._
     // m = 1.0; q = floor([127, -63.5, 31.75] + 0.5) = [127, -63, 32]

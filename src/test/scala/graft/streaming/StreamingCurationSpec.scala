@@ -106,6 +106,41 @@ class StreamingCurationSpec extends SparkSuite {
     assert(want.exists(p => p._1 == 0L && p._2 == 1L)) // non-vacuous
   }
 
+  test("embedding near-dup streaming equals the full-corpus pair set") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("embstream").toString
+    // 8-dim vectors: {0,1} near-identical within f1; 3 (in f2) near 0
+    // (cross-batch pair through the store); 2 and 4 far from everything
+    val f1 = Seq(
+      (0L, Array(1.0, 0.10, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)),
+      (1L, Array(1.0, 0.12, 0.01, 0.0, 0.0, 0.0, 0.0, 0.0)),
+      (2L, Array(0.0, 0.0, 1.0, 0.2, 0.0, 0.0, 0.0, 0.0)))
+    val f2 = Seq(
+      (3L, Array(0.99, 0.11, 0.0, 0.0, 0.01, 0.0, 0.0, 0.0)),
+      (4L, Array(0.0, 1.0, 0.0, 0.0, 0.5, 0.0, 0.0, 0.0)))
+    f1.toDF("vec_id", "embedding").coalesce(1).write.parquet(s"$work/in/f1")
+    f2.toDF("vec_id", "embedding").coalesce(1).write.parquet(s"$work/in/f2")
+    val stream = spark.readStream
+      .schema("vec_id BIGINT, embedding ARRAY<DOUBLE>")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$work/in/*")
+    val q = graft.ops.IncrementalDedup.embeddingStream(
+      stream, s"$work/store", s"$work/out", s"$work/ckpt", threshold = 0.95)
+    try q.processAllAvailable() finally q.stop()
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("cosine"))).toSet
+    // stream union over micro-batches = full-corpus batch pairs,
+    // whatever the file->batch assignment was
+    val got = pairs(spark.read.parquet(s"$work/out"))
+    val want = pairs(graft.ops.Dedup.embeddingNearDupPairs(
+      (f1 ++ f2).toDF("vec_id", "embedding"), threshold = 0.95))
+    assert(got == want)
+    // non-vacuous: a within-batch and a cross-batch pair both found
+    assert(want.exists(p => p._1 == 0L && p._2 == 1L))
+    assert(want.exists(p => p._1 == 0L && p._2 == 3L))
+  }
+
   test("redaction and sketch expressions stream unchanged (batch = stream)") {
     def shape(df: org.apache.spark.sql.DataFrame) =
       graft.ops.Dedup.simhash(df)
