@@ -86,10 +86,29 @@ object Main {
         CdlFs.open(spark, catalog, target)
           .take(indices.split(",").toSeq.map(_.trim.toLong), cols)
           .orderBy("row_id").show(100, truncate = false)
+      // training-pipeline extension (not in the reference CLI): one
+      // incremental dedup cycle of a parquet batch against a persisted
+      // store — the cron-able shape of SURVEY §2.10's incremental family
+      case "dedup" :: mode :: input :: store :: out :: Nil =>
+        val batch = spark.read.parquet(input)
+        val res = mode match {
+          case "exact"     => graft.ops.IncrementalDedup.exactBatch(batch, store)
+          case "minhash"   => graft.ops.IncrementalDedup.minhashBatch(batch, store)
+          case "embedding" => graft.ops.IncrementalDedup.embeddingBatch(batch, store)
+          case m           => sys.error(s"unknown dedup mode: $m (exact|minhash|embedding)")
+        }
+        res.write.mode("overwrite").parquet(out)
+        println(s"dedup $mode: ${spark.read.parquet(out).count()} result rows -> $out")
+
+      case "compact-store" :: store :: Nil =>
+        val n = graft.ops.IncrementalDedup.compactStore(spark, store)
+        println(s"compacted $n fragmented partition(s) in $store")
+
       case other =>
         sys.error(s"usage: [--catalog-flag value]... {cp <from> <to> | query <target> <sql> " +
           s"[--at-version N] | versions <target> | compact <target> [--zorder x,y] [bytes] | " +
-          s"take <target> <i,j,...> [col,col]}; got $other")
+          s"take <target> <i,j,...> [col,col] | dedup <exact|minhash|embedding> <in.parquet> " +
+          s"<storeDir> <out.parquet> | compact-store <storeDir>}; got $other")
     }
 
   private def parseArgs(args: List[String]): (Map[String, String], List[String]) =
