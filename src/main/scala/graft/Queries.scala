@@ -988,10 +988,18 @@ object Queries {
     val tmp = java.nio.file.Files.createTempDirectory("graft_incdedup_")
     TmpCleanup.register(tmp)
     val store = tmp.toString + "/store"
+    // storeParts 16, not the 256 default: partition count is the deploy
+    // knob (raise for 100 TB, lower for small stores) and the gate's
+    // ~5k-doc corpus under 256 partitions pays ~512 tiny file creates
+    // per call for pruning it doesn't need (measured 1.7 → 9 s). The
+    // pruning contract itself is pinned at the default in
+    // IncrementalDedupSpec; the gate checks store-path CORRECTNESS.
     graft.ops.IncrementalDedup.exactBatch(
-      docs.filter(!col("source").isin("src0", "src1")), store)
+      docs.filter(!col("source").isin("src0", "src1")), store,
+      storeParts = 16)
     graft.ops.IncrementalDedup.exactBatch(
-      docs.filter(col("source").isin("src0", "src1")), store)
+      docs.filter(col("source").isin("src0", "src1")), store,
+      storeParts = 16)
       .orderBy("doc_id")
   }
 
@@ -1008,10 +1016,14 @@ object Queries {
     val tmp = java.nio.file.Files.createTempDirectory("graft_incemb_")
     TmpCleanup.register(tmp)
     val store = tmp.toString + "/store"
+    // storeParts 16 like qDedupIncremental: deploy knob scaled to the
+    // gate corpus, correctness unchanged (bp only routes partitions)
     val b1 = graft.ops.IncrementalDedup.embeddingBatch(
-      corpus.filter(col("vec_id") < 100000L), store, threshold = 0.95)
+      corpus.filter(col("vec_id") < 100000L), store, threshold = 0.95,
+      storeParts = 16)
     val b2 = graft.ops.IncrementalDedup.embeddingBatch(
-      corpus.filter(col("vec_id") >= 100000L), store, threshold = 0.95)
+      corpus.filter(col("vec_id") >= 100000L), store, threshold = 0.95,
+      storeParts = 16)
     b1.unionByName(b2).orderBy("id_a", "id_b")
   }
 

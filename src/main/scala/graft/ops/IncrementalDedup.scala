@@ -40,23 +40,26 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalDedup {
 
-  /** Hive partitions per store. 256 keeps a 16-bucket-per-doc append
-    * under 16/256 ≈ 6% of the store scanned, while the touched-partition
-    * list stays a bounded O(256) driver-side collect (like the IVF
-    * centroid pull — a k-row result, never corpus data). This is the
-    * scan-granularity knob: an append reads ~min(1, touched buckets /
-    * StoreParts) of the store, so a 100 TB deployment raises it (64Ki
-    * partitions ≈ GB-sized directories at that scale) to keep small
-    * appends reading a vanishing store fraction; 256 here keeps test
-    * and local file counts sane. A store must be read with the value it
-    * was written under — treat it as a store-creation constant. */
-  private val StoreParts = 256
+  /** Default hive partitions per store. 256 keeps a 16-bucket-per-doc
+    * append under 16/256 ≈ 6% of the store scanned, while the
+    * touched-partition list stays a bounded driver-side collect (like
+    * the IVF centroid pull — a k-row result, never corpus data). This
+    * is the scan-granularity knob AND the per-append file-count floor
+    * (every append writes one file per touched partition): a 100 TB
+    * deployment raises it (64Ki partitions ≈ GB-sized directories at
+    * that scale) so small appends read a vanishing store fraction; a
+    * small corpus LOWERS it — a 5k-doc store under 256 partitions pays
+    * ~512 tiny file creates per append cycle for pruning it doesn't
+    * need (measured 1.7 → 9 s on the sf0.1 gate). The manifest records
+    * the store's value and every later batch validates against it — a
+    * store is only readable under the constant it was created with. */
+  val DefaultStoreParts = 256
 
-  private def bpOf(keys: Column*): Column =
-    pmod(xxhash64(keys: _*), lit(StoreParts)).cast("int")
+  private def bpOf(parts: Int, keys: Column*): Column =
+    pmod(xxhash64(keys: _*), lit(parts)).cast("int")
 
-  /** Distinct store partitions the batch touches — bounded by
-    * StoreParts, so the collect is an O(256) driver result. */
+  /** Distinct store partitions the batch touches — bounded by the
+    * store's partition count, so the collect is a small driver result. */
   private def touched(batchRows: DataFrame): Seq[Int] =
     batchRows.select("bp").distinct().collect().map(_.getInt(0)).toIndexedSeq
 
@@ -124,23 +127,25 @@ object IncrementalDedup {
   def exactBatch(
       docsNew: DataFrame,
       storeDir: String,
-      textCol: String = "text"): DataFrame =
+      textCol: String = "text",
+      storeParts: Int = DefaultStoreParts): DataFrame =
     graft.fs.StoreLock.withLock(storeDir,
       docsNew.sparkSession.sparkContext.hadoopConfiguration) {
-      exactBatchLocked(docsNew, storeDir, textCol)
+      exactBatchLocked(docsNew, storeDir, textCol, storeParts)
     }
 
   private def exactBatchLocked(
       docsNew: DataFrame,
       storeDir: String,
-      textCol: String): DataFrame = {
+      textCol: String,
+      storeParts: Int): DataFrame = {
     val spark = docsNew.sparkSession
     checkOrWriteMeta(spark, storeDir,
-      Map("variant" -> "exact", "store_parts" -> StoreParts.toString))
+      Map("variant" -> "exact", "store_parts" -> storeParts.toString))
     val digested = docsNew
       .filter(col(textCol).isNotNull)
       .select(col("doc_id"), md5(col(textCol)).as("digest"))
-      .withColumn("bp", bpOf(col("digest")))
+      .withColumn("bp", bpOf(storeParts, col("digest")))
       // reused by the touched-partition probe, the join, and the append
       .localCheckpoint()
     val store = prune(
@@ -176,7 +181,7 @@ object IncrementalDedup {
       out.filter(col("dup_of").isNull)
         .join(store.select("digest"), Seq("digest"), "left_anti")
         .select(col("digest"), col("doc_id").as("keep_doc_id"))
-        .withColumn("bp", bpOf(col("digest"))),
+        .withColumn("bp", bpOf(storeParts, col("digest"))),
       storeDir)
     out
   }
@@ -197,10 +202,12 @@ object IncrementalDedup {
       textCol: String = "text",
       numHashes: Int = 64,
       bands: Int = 16,
-      threshold: Double = 0.5): DataFrame =
+      threshold: Double = 0.5,
+      storeParts: Int = DefaultStoreParts): DataFrame =
     graft.fs.StoreLock.withLock(storeDir,
       docsNew.sparkSession.sparkContext.hadoopConfiguration) {
-      minhashBatchLocked(docsNew, storeDir, textCol, numHashes, bands, threshold)
+      minhashBatchLocked(docsNew, storeDir, textCol, numHashes, bands,
+        threshold, storeParts)
     }
 
   private def minhashBatchLocked(
@@ -209,10 +216,11 @@ object IncrementalDedup {
       textCol: String,
       numHashes: Int,
       bands: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      storeParts: Int): DataFrame = {
     val spark = docsNew.sparkSession
     checkOrWriteMeta(spark, storeDir, Map(
-      "variant" -> "minhash", "store_parts" -> StoreParts.toString,
+      "variant" -> "minhash", "store_parts" -> storeParts.toString,
       "num_hashes" -> numHashes.toString, "bands" -> bands.toString))
     val rowsPerBand = numHashes / bands
     // the ONE banding implementation (Dedup.bandSignatures): the store
@@ -221,7 +229,7 @@ object IncrementalDedup {
     val newBanded = Dedup.bandSignatures(
       Dedup.minhashSignatures(docsNew, textCol, numHashes = numHashes),
       bands, rowsPerBand)
-      .withColumn("bp", bpOf(col("band"), col("bh")))
+      .withColumn("bp", bpOf(storeParts, col("band"), col("bh")))
       // reused by the probe, both candidate-join sides, and the append
       .localCheckpoint()
     val store = prune(
@@ -295,11 +303,12 @@ object IncrementalDedup {
       vecCol: String = "embedding",
       threshold: Double = 0.95,
       planes: Int = 8,
-      tables: Int = 16): DataFrame =
+      tables: Int = 16,
+      storeParts: Int = DefaultStoreParts): DataFrame =
     graft.fs.StoreLock.withLock(storeDir,
       embsNew.sparkSession.sparkContext.hadoopConfiguration) {
       embeddingBatchLocked(embsNew, storeDir, idCol, vecCol, threshold,
-        planes, tables)
+        planes, tables, storeParts)
     }
 
   private def embeddingBatchLocked(
@@ -309,10 +318,11 @@ object IncrementalDedup {
       vecCol: String,
       threshold: Double,
       planes: Int,
-      tables: Int): DataFrame = {
+      tables: Int,
+      storeParts: Int): DataFrame = {
     val spark = embsNew.sparkSession
     checkOrWriteMeta(spark, storeDir, Map(
-      "variant" -> "embedding", "store_parts" -> StoreParts.toString,
+      "variant" -> "embedding", "store_parts" -> storeParts.toString,
       "planes" -> planes.toString, "tables" -> tables.toString))
     val newVecs = embsNew.select(col(idCol).cast("long").as("vec_id"),
       transform(col(vecCol), x => x.cast("double")).as("vec"))
@@ -327,7 +337,7 @@ object IncrementalDedup {
       .select(col("vec_id"), col("vec"),
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     val newBucketed = bucketed(newVecs)
-      .withColumn("bp", bpOf(col("tbl"), col("bucket")))
+      .withColumn("bp", bpOf(storeParts, col("tbl"), col("bucket")))
       // reused by the probe, both join sides, and the append
       .localCheckpoint()
     val store = prune(
@@ -378,11 +388,12 @@ object IncrementalDedup {
       storeDir: String,
       resultsDir: String,
       checkpointDir: String,
-      textCol: String = "text"): org.apache.spark.sql.streaming.StreamingQuery =
+      textCol: String = "text",
+      storeParts: Int = DefaultStoreParts): org.apache.spark.sql.streaming.StreamingQuery =
     docsStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        exactBatch(batch.toDF(), storeDir, textCol)
+        exactBatch(batch.toDF(), storeDir, textCol, storeParts)
           .write.mode("overwrite").parquet(s"$resultsDir/batch=$id")
         ()
       }
@@ -401,11 +412,13 @@ object IncrementalDedup {
       textCol: String = "text",
       numHashes: Int = 64,
       bands: Int = 16,
-      threshold: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
+      threshold: Double = 0.5,
+      storeParts: Int = DefaultStoreParts): org.apache.spark.sql.streaming.StreamingQuery =
     docsStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        minhashBatch(batch.toDF(), storeDir, textCol, numHashes, bands, threshold)
+        minhashBatch(batch.toDF(), storeDir, textCol, numHashes, bands,
+          threshold, storeParts)
           .write.mode("overwrite").parquet(s"$resultsDir/batch=$id")
         ()
       }
@@ -492,12 +505,13 @@ object IncrementalDedup {
       vecCol: String = "embedding",
       threshold: Double = 0.95,
       planes: Int = 8,
-      tables: Int = 16): org.apache.spark.sql.streaming.StreamingQuery =
+      tables: Int = 16,
+      storeParts: Int = DefaultStoreParts): org.apache.spark.sql.streaming.StreamingQuery =
     embsStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         embeddingBatch(batch.toDF(), storeDir, idCol, vecCol, threshold,
-          planes, tables)
+          planes, tables, storeParts)
           .write.mode("overwrite").parquet(s"$resultsDir/batch=$id")
         ()
       }
