@@ -134,3 +134,30 @@ class Cdl:
         jfs = self._spark._jvm.graft.PyBridge.open(
             self._spark._jsparkSession, url, self._catalog)
         return CdlFs(self._spark, jfs)
+
+    # -- incremental dedup (graft extension; the reference's Python
+    # surface has no dedup). Each call is one locked batch cycle against
+    # the persisted store at `store_dir` (created on first use); the
+    # result is a lazy pyspark DataFrame of verdicts/pairs. ------------
+    def dedup_exact(self, df, store_dir):
+        return DataFrame(
+            self._spark._jvm.graft.PyBridge.dedupExact(df._jdf, store_dir),
+            self._spark)
+
+    def dedup_minhash(self, df, store_dir, threshold=0.5):
+        return DataFrame(
+            self._spark._jvm.graft.PyBridge.dedupMinhash(
+                df._jdf, store_dir, float(threshold)),
+            self._spark)
+
+    def dedup_embedding(self, df, store_dir, threshold=0.95):
+        return DataFrame(
+            self._spark._jvm.graft.PyBridge.dedupEmbedding(
+                df._jdf, store_dir, float(threshold)),
+            self._spark)
+
+    def compact_dedup_store(self, store_dir):
+        """Rewrite fragmented store partitions in place (one file per
+        partition); returns the number rewritten."""
+        return self._spark._jvm.graft.PyBridge.compactDedupStore(
+            self._spark._jsparkSession, store_dir)

@@ -141,3 +141,44 @@ def test_sql_as_polars_contract(ds):
     out = fs.sql_as_polars(
         "SELECT name FROM rootfs WHERE size IS NOT NULL ORDER BY name")
     assert out["name"].to_list() == ["data.bin", "hello.txt"]
+
+
+def test_incremental_dedup_over_bridge(spark):
+    """The dedup family over py4j: two exact batches against one store
+    (cross-batch keeper found), then a minhash near-dup pair, then a
+    store compaction pass."""
+    from cdlake import Cdl
+    cdl = Cdl(spark)
+    work = tempfile.mkdtemp(prefix="cdlake_dedup_")
+
+    b1 = spark.createDataFrame([(1, "aaa"), (2, "bbb"), (3, "aaa")],
+                               "doc_id LONG, text STRING")
+    b2 = spark.createDataFrame([(10, "bbb"), (11, "ccc")],
+                               "doc_id LONG, text STRING")
+    store = f"{work}/exact_store"
+    r1 = {r["doc_id"]: r["dup_of"]
+          for r in cdl.dedup_exact(b1, store).collect()}
+    assert r1 == {1: None, 2: None, 3: 1}
+    r2 = {r["doc_id"]: r["dup_of"]
+          for r in cdl.dedup_exact(b2, store).collect()}
+    # doc 10 duplicates batch 1's keeper THROUGH the store
+    assert r2 == {10: 2, 11: None}
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the deep green forest while birds sing above")
+    near = base.replace("lazy dog", "sleepy dog")
+    mh1 = spark.createDataFrame([(0, base)], "doc_id LONG, text STRING")
+    mh2 = spark.createDataFrame([(1, near)], "doc_id LONG, text STRING")
+    mh_store = f"{work}/mh_store"
+    assert cdl.dedup_minhash(mh1, mh_store).count() == 0
+    pairs = cdl.dedup_minhash(mh2, mh_store).collect()
+    assert [(p["doc_a"], p["doc_b"]) for p in pairs] == [(0, 1)]
+
+    # the near-dup docs SHARE band buckets (that's why they pair), so
+    # the second append fragmented the shared partitions; compaction
+    # rewrites them, after which a second pass finds nothing to do and
+    # the pair survives a re-read of the compacted store
+    assert cdl.compact_dedup_store(mh_store) > 0
+    assert cdl.compact_dedup_store(mh_store) == 0
+    again = cdl.dedup_minhash(mh2, mh_store).collect()
+    assert [(p["doc_a"], p["doc_b"]) for p in again] == [(0, 1)]

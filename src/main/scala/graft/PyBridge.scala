@@ -60,4 +60,27 @@ object PyBridge {
     import scala.jdk.CollectionConverters._
     fs.compact(targetFileBytes.longValue(), zorderBy.asScala.toSeq)
   }
+
+  // -- incremental dedup (training-pipeline extension, SURVEY §2.10 —
+  // the reference's Python surface has no dedup; these make the store
+  // family reachable from the same session that built the batch) -------
+
+  /** One locked exact-dedup cycle of `df` against the store. The
+    * pyspark DataFrame's underlying Dataset[Row] arrives over the
+    * gateway unchanged. */
+  def dedupExact(df: DataFrame, storeDir: String): DataFrame =
+    graft.ops.IncrementalDedup.exactBatch(df, storeDir)
+
+  def dedupMinhash(df: DataFrame, storeDir: String,
+      threshold: Double): DataFrame =
+    graft.ops.IncrementalDedup.minhashBatch(df, storeDir,
+      threshold = threshold)
+
+  def dedupEmbedding(df: DataFrame, storeDir: String,
+      threshold: Double): DataFrame =
+    graft.ops.IncrementalDedup.embeddingBatch(df, storeDir,
+      threshold = threshold)
+
+  def compactDedupStore(spark: SparkSession, storeDir: String): Int =
+    graft.ops.IncrementalDedup.compactStore(spark, storeDir)
 }
