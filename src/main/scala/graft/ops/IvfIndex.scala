@@ -45,6 +45,44 @@ object IvfIndex {
       .parquet(s"$indexDir/assignments")
   }
 
+  /** Append a batch to an existing index WITHOUT a rebuild — the
+    * maintenance path an hourly-ingest vector store actually runs. New
+    * vectors are assigned to the FROZEN build-time centroids (broadcast,
+    * map-only) and appended to their cell partitions, one file per
+    * touched cell. A drifting corpus therefore degrades recall
+    * gradually (cells grow imbalanced) rather than wrongly — rebuild
+    * with fresh centroids when imbalance warrants; `compactStore`-style
+    * file fragmentation is bounded by one file per cell per append.
+    *
+    * Idempotent retries by the dedup-store argument: a retried vector
+    * assigns to the SAME cell (frozen centroids, deterministic
+    * tie-break), so the cell-pruned existing-assignments view is a
+    * complete witness for the id anti-join — a re-run appends nothing,
+    * at touched-cell cost, never a corpus scan. Writers serialize on
+    * the index StoreLock; searches are lock-free parquet reads. */
+  def append(
+      batch: DataFrame,
+      indexDir: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit =
+    graft.fs.StoreLock.withLock(indexDir,
+      batch.sparkSession.sparkContext.hadoopConfiguration) {
+      val spark = batch.sparkSession
+      val cand = batch.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      val centroids = spark.read.parquet(s"$indexDir/centroids")
+      val assigned = Similarity.assignCells(cand, centroids)
+        // reused by the touched probe, the anti-join, and the write
+        .localCheckpoint()
+      val touched = assigned.select("cell").distinct()
+        .collect().map(_.getLong(0)).toSeq // ≤ nlist values, driver-safe
+      val existing = probedAssignments(spark, indexDir, touched)
+      assigned
+        .join(existing.select(col("id")), Seq("id"), "left_anti")
+        .repartition(col("cell"))
+        .write.mode("append").partitionBy("cell")
+        .parquet(s"$indexDir/assignments")
+    }
+
   /** The assignments scan restricted to `cells` — THE partition-pruned
     * read (search() and the pruning spec share it, so the spec tests the
     * real plan). Cells filter as INT literals: hive partition-type

@@ -63,4 +63,30 @@ class IvfIndexSpec extends SparkSuite {
     assert(readFiles < allFiles, s"$readFiles vs $allFiles")
     assert(scan.count() > 0)
   }
+
+  test("append: frozen-cell assignment, searchable, idempotent, brute-force parity") {
+    val dir = Files.createTempDirectory("ivfappend").toString
+    IvfIndex.build(cands, dir, nlist = 8)
+    val n0 = spark.read.parquet(s"$dir/assignments").count()
+    // a clone of query 0's vector under a fresh id: after the append the
+    // query's top-1 must be the clone at cosine 1.0
+    val batch = queries.filter(col("vec_id") === 0)
+      .select(lit(900000L).as("vec_id"), col("embedding"))
+    IvfIndex.append(batch, dir)
+    assert(spark.read.parquet(s"$dir/assignments").count() == n0 + 1)
+    val q0 = queries.filter(col("vec_id") === 0)
+    val top = IvfIndex.search(spark, dir, q0, k = 1, nprobe = 8).collect().head
+    assert(top.getAs[Long]("neighbor_id") == 900000L)
+    assert(top.getAs[Double]("cosine") == 1.0)
+    // exhaustive probe over the appended index = brute force over the
+    // union corpus (append lost nothing, moved nothing)
+    val got = rows(IvfIndex.search(spark, dir, queries, k = 3, nprobe = 8))
+    val want = rows(Similarity.bruteForceTopK(
+      queries, cands.select(col("vec_id"), col("embedding")).unionByName(batch), k = 3))
+    assert(got == want)
+    // retried append: same ids assign to the same frozen cells, the
+    // pruned anti-join filters everything — nothing duplicated
+    IvfIndex.append(batch, dir)
+    assert(spark.read.parquet(s"$dir/assignments").count() == n0 + 1)
+  }
 }
