@@ -182,3 +182,35 @@ def test_incremental_dedup_over_bridge(spark):
     assert cdl.compact_dedup_store(mh_store) == 0
     again = cdl.dedup_minhash(mh2, mh_store).collect()
     assert [(p["doc_a"], p["doc_b"]) for p in again] == [(0, 1)]
+
+
+def test_to_csv_collates_bench_outputs(tmp_path):
+    """The results collator (scripts/to_csv.py) on reference-shaped
+    per-run JSON: union-of-keys header in first-seen order, index
+    column, empty cells where a run lacks a key, CSV named after the
+    last input file."""
+    import csv
+    import json
+    import to_csv
+
+    (tmp_path / "a_create.json").write_text(json.dumps({
+        "kind": "create_datasets", "num_datasets": 2,
+        "create_datasets_timestamp_begin": 1_000_000,
+        "create_datasets_timestamp_end": 2_000_000}))
+    (tmp_path / "b_sync.json").write_text(json.dumps({
+        "kind": "sync_datasets", "num_datasets": 2, "num_ponds": 3,
+        "sync_datasets_timestamp_begin": 3_000_000,
+        "sync_datasets_timestamp_end": 4_000_000}))
+
+    out = to_csv.main(tmp_path)
+    assert out == tmp_path / "b_sync.csv"
+    rows = list(csv.reader(out.open()))
+    assert rows[0] == ["", "kind", "num_datasets",
+                       "create_datasets_timestamp_begin",
+                       "create_datasets_timestamp_end", "num_ponds",
+                       "sync_datasets_timestamp_begin",
+                       "sync_datasets_timestamp_end"]
+    assert rows[1][:3] == ["0", "create_datasets", "2"]
+    assert rows[2][:3] == ["1", "sync_datasets", "2"]
+    # empty cells where a run lacks a key (create has no num_ponds)
+    assert rows[1][5] == "" and rows[2][5] == "3"
