@@ -19,21 +19,22 @@ import csv
 import json
 import sys
 from pathlib import Path
+from typing import Optional
 
 
-def main(output_dir: Path) -> Path:
+def main(output_dir: Path) -> Optional[Path]:
+    """Returns the written CSV path, or None when there is nothing to
+    collate (no per-run JSON files in the directory)."""
     if not output_dir.is_dir():
         raise FileNotFoundError('No output directory')
 
-    files = sorted(output_dir.glob('*.json'))
+    # filter non-files BEFORE choosing the name source: a directory
+    # named `*.json` must neither contribute a row nor name the CSV
+    files = [f for f in sorted(output_dir.glob('*.json')) if f.is_file()]
     if not files:
         return None
 
-    rows = []
-    for file in files:
-        if not file.is_file():
-            continue
-        rows.append(json.loads(file.read_text()))
+    rows = [json.loads(file.read_text()) for file in files]
 
     # union of keys in first-seen order = pandas' column inference
     header = []

@@ -179,19 +179,29 @@ object FuzzQueries {
     * lineitems at every SF). HAVING count(*) >= 2 is drawn only when
     * grouping by a NULLIF column (≤ 6 groups over ≥ hundreds of rows —
     * groups that can't be singletons), never by a near-unique key. */
+  /** The ONE wide-arm draw (the satisfiability anchor of every v2
+    * OR-group) and the ONE NULLIF-column derivation — shared by the
+    * generator families so their range arithmetic cannot drift apart.
+    * Draw ORDER inside each is part of the frozen-seed contract: any
+    * edit re-renders every v2 query (re-verify emptiness + oracles). */
+  private def wideArm(rnd: scala.util.Random, cols: Seq[String]): P2 = {
+    val c = cols(rnd.nextInt(cols.size))
+    Cmp(c, ">=", 1 + math.abs(rnd.nextLong()) % math.max(ranges(c) / 2, 1))
+  }
+
+  private def deriveNullables(
+      rnd: scala.util.Random, cols: Seq[String]): Seq[NullCol] =
+    rnd.shuffle(cols).take(2).zipWithIndex.map { case (c, i) =>
+      val m = 3L + rnd.nextInt(3)
+      NullCol(s"nc$i", c, m, rnd.nextInt(m.toInt).toLong)
+    }
+
   private def genNull(seed: Int): Q2 = {
     val rnd = new scala.util.Random(seed)
     val table = tables.keys.toSeq.sorted.apply(rnd.nextInt(tables.size))
     val cols = tables(table)
-    val srcs = rnd.shuffle(cols).take(2)
-    val nullables = srcs.zipWithIndex.map { case (c, i) =>
-      val m = 3L + rnd.nextInt(3)
-      NullCol(s"nc$i", c, m, rnd.nextInt(m.toInt).toLong)
-    }
-    def wide(): P2 = {
-      val c = cols(rnd.nextInt(cols.size))
-      Cmp(c, ">=", 1 + math.abs(rnd.nextLong()) % math.max(ranges(c) / 2, 1))
-    }
+    val nullables = deriveNullables(rnd, cols)
+    def wide(): P2 = wideArm(rnd, cols)
     def narrow(): P2 = rnd.nextInt(3) match {
       case 0 => NullTest(nullables.head.name, rnd.nextBoolean())
       case 1 => Cmp(nullables.head.name, ">=",
@@ -229,10 +239,7 @@ object FuzzQueries {
     val rnd = new scala.util.Random(seed)
     val lim = 20L + rnd.nextInt(120) // o_custkey < L: sub non-empty at sf0.001
     val cols = tables("lineitem")
-    def wide(): P2 = {
-      val c = cols(rnd.nextInt(cols.size))
-      Cmp(c, ">=", 1 + math.abs(rnd.nextLong()) % math.max(ranges(c) / 2, 1))
-    }
+    def wide(): P2 = wideArm(rnd, cols)
     def narrowOuter(): P2 = rnd.nextInt(3) match {
       case 0 => NullTest("o_custkey", rnd.nextBoolean())
       case 1 => Cmp("o_custkey", ">=", 1 + rnd.nextInt((lim / 2).toInt).toLong)
@@ -270,17 +277,9 @@ object FuzzQueries {
     val rnd = new scala.util.Random(seed)
     val table = tables.keys.toSeq.sorted.apply(rnd.nextInt(tables.size))
     val cols = tables(table)
-    val srcs = rnd.shuffle(cols).take(2)
-    val nullables = srcs.zipWithIndex.map { case (c, i) =>
-      val m = 3L + rnd.nextInt(3)
-      NullCol(s"nc$i", c, m, rnd.nextInt(m.toInt).toLong)
-    }
-    def wide(): P2 = {
-      val c = cols(rnd.nextInt(cols.size))
-      Cmp(c, ">=", 1 + math.abs(rnd.nextLong()) % math.max(ranges(c) / 2, 1))
-    }
+    val nullables = deriveNullables(rnd, cols)
     val whereGroups =
-      Seq(Seq(wide(), NullTest(nullables.head.name, rnd.nextBoolean())))
+      Seq(Seq(wideArm(rnd, cols), NullTest(nullables.head.name, rnd.nextBoolean())))
     val groupBy =
       if (rnd.nextBoolean()) Seq(cols(rnd.nextInt(cols.size))) else Nil
     val aggs = Seq(

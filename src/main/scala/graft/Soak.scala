@@ -90,12 +90,15 @@ object Soak {
       val t0 = System.nanoTime()
       val rows = df.count()
       val sec = (System.nanoTime() - t0) / 1e9
-      // listener bus is async — poll until the counters stabilize
-      // (outside the timer) before sampling them
+      // listener bus is async — poll until ALL counters stabilize
+      // (outside the timer) before sampling them; a partial sum could
+      // exit early on a queued event that moves only readBytes or the
+      // peak-write gauge
       var last = -1L; var stable = 0
       while (stable < 3) {
         Thread.sleep(100)
-        val now = meter.writeBytes.get + meter.inputRecords.get
+        val now = meter.writeBytes.get + meter.readBytes.get +
+          meter.inputRecords.get + meter.peakStageWrite.get
         if (now == last) stable += 1 else { stable = 0; last = now }
       }
       Run(name, sec, rows,
@@ -166,15 +169,16 @@ object Soak {
     // per table, so at fixed geometry a bucket holds 800·factor/256
     // vectors and the bucket self-join grows QUADRATICALLY with factor
     // (measured: 2.2 s at 1×, 23.8 s at 10×, ~40 min at 100× — the run
-    // was killed). The production knob is planes ≈ 8 + log2(factor)/2:
-    // bucket count grows with the corpus, per-bucket density stays
+    // was killed). The production knob is `Similarity.planesFor`:
+    // bucket count tracks the corpus so per-bucket density stays
     // bounded, and the per-table recall loss is recovered by the 16
-    // independent tables (miss probability at cosine 0.968 stays
-    // under ~0.1% through planes=12). The gate query keeps its fixed
-    // 8-plane geometry — ITS corpus never scales; this knob is the
-    // 100 TB deploy story, exercised here.
-    val scaledPlanes = 8 +
-      math.ceil(math.log(factor.toDouble) / math.log(2.0) / 2.0).toInt
+    // independent tables (miss probability at cosine 0.968 stays under
+    // ~0.3% through planes=14). The gate query keeps its fixed 8-plane
+    // geometry — ITS corpus never scales; this knob is the 100 TB
+    // deploy story, exercised here through the same helper a deploy
+    // calls.
+    val nVecs = 800L * factor // gate corpus = 800 vectors per copy
+    val scaledPlanes = ops.Similarity.planesFor(nVecs)
     val embRuns = Seq(
       run("embedding_pairs") {
         ops.Dedup.embeddingNearDupPairs(embCorpus, threshold = 0.95,

@@ -35,6 +35,14 @@ import org.apache.spark.sql.functions._
   *    storage for scan locality; exact cosine computes map-side while
   *    both vectors are in hand from the bucket join.
   *
+  * Caller contract: `doc_id`/`vec_id` are corpus-wide unique keys.
+  * The idempotency anti-joins key on them, so a REUSED id carrying
+  * different content is indistinguishable from a retry — its rows are
+  * partially dropped/kept per bucket and the store's pairing for that
+  * id becomes undefined (the pre-partitioning layout silently dropped
+  * such content wholesale; neither behavior is a dedup). Mint fresh ids
+  * upstream — see the Soak id-collision note (BASELINE §r9).
+  *
   * The reference (SmartX-Team/connected-data-lake) has no curation ops —
   * this extends the engine for training pipelines (SURVEY §2.8/§2.10).
   */
@@ -92,6 +100,21 @@ object IncrementalDedup {
           s", manifest has $body — a store must be read with the " +
           "constants it was written under")
     } else {
+      // manifest absent: only legitimate for a store with NO data yet.
+      // A data-bearing manifest-less dir is a foreign or pre-manifest
+      // store — writing a fresh manifest over it would silently
+      // re-initialize it (the pruned reads would drop its rows as
+      // schema-less), exactly the failure the manifest exists to stop.
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val hasData = fs.exists(root) && fs.listStatus(root).exists { s =>
+        s.getPath.getName.startsWith("bp=") ||
+          s.getPath.getName.endsWith(".parquet")
+      }
+      require(!hasData,
+        s"store $dir holds data but no _graft_store.json manifest — " +
+          "refusing to adopt a foreign or pre-manifest store; migrate " +
+          "it explicitly (rebuild, or write the manifest by hand after " +
+          "verifying the layout)")
       val json = meta.toSeq.sortBy(_._1)
         .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
       val out = fs.create(p, false) // lock held: no concurrent creator
@@ -262,11 +285,16 @@ object IncrementalDedup {
     // idempotent append: a retried batch (downstream failure, re-run)
     // must not duplicate its rows — a doubled store would inflate every
     // future batch's bucket join and break the batch-sequence =
-    // full-corpus parity contract. A retried doc's band rows hash to the
-    // SAME buckets, so the pruned view holds its doc_id and the anti-join
-    // filters every row.
+    // full-corpus parity contract. ROW-granular (doc_id, band) anti-join,
+    // not doc_id: a crashed append may have committed only SOME of a
+    // doc's band rows, and a doc-granular join would see one witness row
+    // and drop the rest forever (silent permanent recall loss); per-row,
+    // the retry appends exactly the missing rows and the store converges
+    // to complete. A retried row hashes to the SAME bucket (deterministic
+    // signatures), so the pruned view is a complete per-row witness.
     appendStore(
-      newBanded.join(store.select("doc_id"), Seq("doc_id"), "left_anti"),
+      newBanded.join(store.select("doc_id", "band"),
+        Seq("doc_id", "band"), "left_anti"),
       storeDir)
     out
   }
@@ -361,10 +389,15 @@ object IncrementalDedup {
       .localCheckpoint()
     // idempotent append: a retried batch must not double its rows — a
     // doubled store would emit every cross pair twice-blocked and break
-    // batch-sequence = full-corpus parity. A retried vector's bucket
-    // rows land in the SAME partitions, so the pruned view witnesses it.
+    // batch-sequence = full-corpus parity. ROW-granular (vec_id, tbl)
+    // anti-join for the same reason as the minhash path: a partially
+    // committed append is REPAIRED by the retry (only missing table
+    // rows append) instead of frozen incomplete by a vec-granular drop.
+    // A retried row buckets identically (deterministic planes), so the
+    // pruned view is a complete per-row witness.
     appendStore(
-      newBucketed.join(store.select("vec_id"), Seq("vec_id"), "left_anti"),
+      newBucketed.join(store.select("vec_id", "tbl"),
+        Seq("vec_id", "tbl"), "left_anti"),
       storeDir)
     out
   }
@@ -447,12 +480,25 @@ object IncrementalDedup {
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val trash = new Path(root, "_compact_trash")
       val tmp = new Path(root, "_compact_tmp")
+      // Hadoop FileSystem.rename reports most failures as `false`, not
+      // an exception — an unchecked false here would silently abandon
+      // rows to the trash delete below, or nest a directory inside a
+      // live partition on the place step. Fail loudly instead.
+      def mustRename(src: Path, dst: Path): Unit =
+        require(fs.rename(src, dst), s"rename failed: $src -> $dst")
       // recovery sweep: restore partitions a crashed compact left in
-      // trash but never re-placed, then clear stale staging state
+      // trash but never re-placed. If the partition was RECREATED since
+      // the crash (a batch append touching it), the trash rows must
+      // MERGE into it, not be skipped — a skip would hand the original
+      // rows to the delete below (silent store data loss). File names
+      // are task-UUID-unique, so per-file moves cannot collide.
       if (fs.exists(trash))
         fs.listStatus(trash).foreach { s =>
           val dst = new Path(root, s.getPath.getName)
-          if (!fs.exists(dst)) fs.rename(s.getPath, dst)
+          if (!fs.exists(dst)) mustRename(s.getPath, dst)
+          else fs.listStatus(s.getPath)
+            .filter(_.getPath.getName.endsWith(".parquet"))
+            .foreach(f => mustRename(f.getPath, new Path(dst, f.getPath.getName)))
         }
       fs.delete(trash, true)
       fs.delete(tmp, true)
@@ -480,8 +526,8 @@ object IncrementalDedup {
             .filter(s => s.isDirectory && fragNames.contains(s.getPath.getName))
             .foreach { s =>
               val name = s.getPath.getName
-              fs.rename(new Path(root, name), new Path(trash, name))
-              fs.rename(s.getPath, new Path(root, name))
+              mustRename(new Path(root, name), new Path(trash, name))
+              mustRename(s.getPath, new Path(root, name))
             }
           fs.delete(trash, true)
           fs.delete(tmp, true)
