@@ -33,10 +33,20 @@ object StoreLock {
     s"${java.net.InetAddress.getLocalHost.getHostName}:" +
       s"${ProcessHandle.current().pid()}:${Thread.currentThread().getId}"
 
+  /** First time we saw a given lock both unreadable AND unstat-able —
+    * the last-resort aging clock. Without it, a lock whose body read
+    * and getFileStatus BOTH keep failing (dir-permission misconfig, a
+    * flaky metadata endpoint) would be restamped "fresh" on every read
+    * and become unbreakable forever — the exact failure the mtime
+    * fallback exists to prevent, one failure layer deeper. Cleared the
+    * moment the lock reads normally, goes absent, or stats. */
+  private val firstSeenOpaque =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   def holder(dir: String, conf: Configuration = new Configuration()): Option[Holder] = {
     val p = new Path(dir, LockName)
     val fs = p.getFileSystem(conf)
-    if (!fs.exists(p)) None
+    if (!fs.exists(p)) { firstSeenOpaque.remove(p.toString); None }
     else
       try {
         val in = fs.open(p)
@@ -44,10 +54,12 @@ object StoreLock {
           try new String(in.readAllBytes(), StandardCharsets.UTF_8)
           finally in.close()
         val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+        firstSeenOpaque.remove(p.toString)
         Some(Holder(node.get("owner").asText, node.get("since_ms").asLong))
       } catch {
         // racing a release between exists() and open(): lock is free
-        case _: java.io.FileNotFoundException => None
+        case _: java.io.FileNotFoundException =>
+          firstSeenOpaque.remove(p.toString); None
         // racing a heartbeat rewrite mid-write on a scheme without an
         // atomic rename: the lock EXISTS but is momentarily unreadable.
         // Report it held, with since_ms from the FILE's mtime — not
@@ -57,11 +69,20 @@ object StoreLock {
         // it unbreakable forever. The mtime ages like a real holder
         // stamp: a transient mid-write race reads as fresh (the file
         // was just touched), a crashed writer's corpse goes stale and
-        // the normal break path reclaims it.
+        // the normal break path reclaims it. If the stat ALSO fails,
+        // age from the first time THIS process saw the lock opaque —
+        // still monotone, still breakable past staleMs.
         case _: Throwable =>
           val since =
-            try fs.getFileStatus(p).getModificationTime
-            catch { case _: Throwable => System.currentTimeMillis() }
+            try {
+              val m = fs.getFileStatus(p).getModificationTime
+              firstSeenOpaque.remove(p.toString)
+              m
+            } catch {
+              case _: Throwable =>
+                firstSeenOpaque.computeIfAbsent(p.toString,
+                  _ => System.currentTimeMillis()).longValue()
+            }
           Some(Holder("<unreadable-holder>", since))
       }
   }
@@ -111,14 +132,19 @@ object StoreLock {
         case _: java.io.IOException if fs.exists(lock) => false
       }
 
-    // Atomic holder rewrite: write the fresh JSON to a sibling temp file
-    // and RENAME over the lock — rename is atomic on file: (POSIX
-    // rename(2) via NIO ATOMIC_MOVE) and HDFS (FileContext
-    // Rename.OVERWRITE) — so a reader never observes a truncated body
-    // and a crash mid-rewrite leaves either the old complete JSON or the
-    // new one, never a corpse. The old create(overwrite=true) path was
-    // truncate-then-write: both the transient unreadable window and the
-    // crash-corpse came from it.
+    // Atomic holder rewrite where the scheme can do it: write the fresh
+    // JSON to a sibling temp file and RENAME over the lock — atomic on
+    // file: (POSIX rename(2) via NIO ATOMIC_MOVE+REPLACE_EXISTING, the
+    // same flags ObjectCache's publish uses) and on HDFS (FileContext
+    // Rename.OVERWRITE) — so a reader never observes a truncated body.
+    // Every OTHER scheme falls back to an IN-PLACE overwrite: a
+    // FileContext rename needs an AbstractFileSystem binding most
+    // FileSystem-only schemes (including this repo's cached-*) don't
+    // have, and a non-atomic rename would make the lock MOMENTARILY
+    // ABSENT mid-beat — which holder() reads as "free", breaking mutual
+    // exclusion. The in-place path's worst case is the opposite and
+    // safe one: a torn read reports held-with-mtime-age, which the
+    // unreadable-holder fallback above already handles.
     def atomicRewrite(json: Array[Byte]): Unit = {
       val scheme = Option(lock.toUri.getScheme).getOrElse("file")
       if (scheme == "file") {
@@ -127,14 +153,18 @@ object StoreLock {
           s"$LockName.tmp-${ProcessHandle.current().pid()}-${Thread.currentThread().getId}")
         java.nio.file.Files.write(tmp, json)
         java.nio.file.Files.move(tmp, dst,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      } else {
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } else if (scheme == "hdfs") {
         val tmp = new Path(root,
           s"$LockName.tmp-${math.abs(owner.hashCode).toString}")
         val out = fs.create(tmp, true)
         try out.write(json) finally out.close()
         val fc = org.apache.hadoop.fs.FileContext.getFileContext(lock.toUri, conf)
         fc.rename(tmp, lock, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      } else {
+        val out = fs.create(lock, true)
+        try out.write(json) finally out.close()
       }
     }
 
@@ -148,19 +178,26 @@ object StoreLock {
     // check compares owner only (since_ms advances with each beat).
     def startHeartbeat(): Thread = {
       val t = new Thread(() => {
-        try {
-          while (!Thread.currentThread().isInterrupted) {
+        // retry-and-continue: a single transient failure (503 from an
+        // object store, a NameNode failover blip) must not kill the
+        // thread — a dead heartbeat freezes since_ms, and past staleMs
+        // a competing writer breaks a LIVE writer's lock mid-cycle.
+        // Only interruption (normal release) ends the loop.
+        var interrupted = false
+        while (!interrupted) {
+          try {
             Thread.sleep(math.max(staleMs / 3, 1000L))
             if (holder(dir, conf).exists(_.owner == owner)) {
               atomicRewrite(
                 s"""{"owner":"$owner","since_ms":${System.currentTimeMillis()}}"""
                   .getBytes(StandardCharsets.UTF_8))
             }
+          } catch {
+            case _: InterruptedException => interrupted = true
+            case e: Throwable =>
+              System.err.println(
+                s"[StoreLock] heartbeat for $dir beat failed (retrying): ${e.getMessage}")
           }
-        } catch {
-          case _: InterruptedException => ()
-          case e: Throwable =>
-            System.err.println(s"[StoreLock] heartbeat for $dir stopped: ${e.getMessage}")
         }
       }, s"storelock-heartbeat-$dir")
       t.setDaemon(true)

@@ -30,14 +30,23 @@ object Scale {
     salted.join(replicated, keys :+ "__salt").drop("__salt")
   }
 
-  /** Deterministic salt: hash of the whole row MIXED WITH the input
-    * partition id — no RNG, so retries and recomputed partitions agree
-    * (partition ids are stable for a given lineage). The partition id
-    * matters for the degenerate hot key made of BYTE-IDENTICAL rows
-    * (the common shape: a log table whose top key repeats one payload):
-    * a row-hash-only salt maps all of them to ONE salt value and the
-    * straggler survives salting; mixing the partition id spreads them
-    * across however many input partitions carry the key. */
+  /** Salt: hash of the whole row MIXED WITH the input partition id —
+    * no RNG. The partition id matters for the degenerate hot key made
+    * of BYTE-IDENTICAL rows (the common shape: a log table whose top
+    * key repeats one payload): a row-hash-only salt maps all of them to
+    * ONE salt value and the straggler survives salting; mixing the
+    * partition id spreads them across however many input partitions
+    * carry the key.
+    *
+    * Fault-tolerance note: `spark_partition_id` is a NONDETERMINISTIC
+    * expression, which marks the producing map stage INDETERMINATE —
+    * upstream row→partition mappings that shift under recomputation
+    * (round-robin repartition, coalesce over a nondeterministic source)
+    * could otherwise re-salt recomputed rows inconsistently with
+    * already-fetched reducer state. Spark's scheduler handles exactly
+    * this (SPARK-25341): a fetch failure in an indeterminate stage
+    * re-runs the WHOLE stage, not just lost tasks, so output stays
+    * consistent at the cost of a wider retry. */
   private[graft] def saltOf(df: DataFrame, factor: Int): Column =
     pmod(xxhash64((df.columns.toIndexedSeq.map(col) :+
       spark_partition_id().cast("long")): _*), lit(factor)).cast("int")
