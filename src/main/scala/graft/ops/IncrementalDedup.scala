@@ -487,18 +487,29 @@ object IncrementalDedup {
       def mustRename(src: Path, dst: Path): Unit =
         require(fs.rename(src, dst), s"rename failed: $src -> $dst")
       // recovery sweep: restore partitions a crashed compact left in
-      // trash but never re-placed. If the partition was RECREATED since
-      // the crash (a batch append touching it), the trash rows must
-      // MERGE into it, not be skipped — a skip would hand the original
-      // rows to the delete below (silent store data loss). File names
+      // trash but never re-placed. The commit witness is `tmp/<name>`
+      // (this sweep runs BEFORE tmp is deleted): the place step renames
+      // tmp/<name> → root/<name>, so tmp/<name> ABSENT while the
+      // partition exists means the place COMMITTED — the live partition
+      // already holds the trash rows compacted, and merging them back
+      // would double every row in it (duplicate pairs, inflated bucket
+      // joins, duplicate exact keepers — silently). Only when
+      // tmp/<name> still EXISTS did the crash land between the two
+      // renames; a live dst then means a later append recreated the
+      // partition with new rows only, and the trash rows — the store's
+      // original data — must MERGE in, not be skipped (a skip hands
+      // them to the delete below: silent store data loss). File names
       // are task-UUID-unique, so per-file moves cannot collide.
       if (fs.exists(trash))
         fs.listStatus(trash).foreach { s =>
-          val dst = new Path(root, s.getPath.getName)
+          val name = s.getPath.getName
+          val dst = new Path(root, name)
           if (!fs.exists(dst)) mustRename(s.getPath, dst)
-          else fs.listStatus(s.getPath)
-            .filter(_.getPath.getName.endsWith(".parquet"))
-            .foreach(f => mustRename(f.getPath, new Path(dst, f.getPath.getName)))
+          else if (fs.exists(new Path(tmp, name)))
+            fs.listStatus(s.getPath)
+              .filter(_.getPath.getName.endsWith(".parquet"))
+              .foreach(f => mustRename(f.getPath, new Path(dst, f.getPath.getName)))
+          else fs.delete(s.getPath, true) // place committed: trash is a stale copy
         }
       fs.delete(trash, true)
       fs.delete(tmp, true)
@@ -528,6 +539,11 @@ object IncrementalDedup {
               val name = s.getPath.getName
               mustRename(new Path(root, name), new Path(trash, name))
               mustRename(s.getPath, new Path(root, name))
+              // drop this partition's trash the moment its place commits:
+              // shrinks the crashed-after-place window (where only the
+              // tmp-witness sweep above stands between the stale copy and
+              // a row-doubling merge) to the gap between these two calls
+              fs.delete(new Path(trash, name), true)
             }
           fs.delete(trash, true)
           fs.delete(tmp, true)
