@@ -95,12 +95,20 @@ object Soak {
       // exit early on a queued event that moves only readBytes or the
       // peak-write gauge
       var last = -1L; var stable = 0
-      while (stable < 3) {
+      // deadline-bounded: background Spark activity (a UI poll, a late
+      // speculative task) that keeps ticking ANY counter would otherwise
+      // hang the soak forever; past the deadline proceed with the last
+      // sample and say so — slightly under-counted beats never-finishing
+      val pollDeadline = System.currentTimeMillis() + 30000L
+      while (stable < 3 && System.currentTimeMillis() < pollDeadline) {
         Thread.sleep(100)
         val now = meter.writeBytes.get + meter.readBytes.get +
           meter.inputRecords.get + meter.peakStageWrite.get
         if (now == last) stable += 1 else { stable = 0; last = now }
       }
+      if (stable < 3)
+        System.err.println(s"[Soak] $name: listener bus never stabilized " +
+          "within 30s — metrics sampled anyway, may be slightly under-counted")
       Run(name, sec, rows,
         (meter.writeBytes.get - w0) / 1e6, (meter.readBytes.get - r0) / 1e6,
         meter.peakStageWrite.get / 1e6,

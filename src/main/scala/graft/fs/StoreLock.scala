@@ -182,7 +182,15 @@ object StoreLock {
         // object store, a NameNode failover blip) must not kill the
         // thread — a dead heartbeat freezes since_ms, and past staleMs
         // a competing writer breaks a LIVE writer's lock mid-cycle.
-        // Only interruption (normal release) ends the loop.
+        // Only interruption (normal release) ends the loop — and the
+        // release interrupt can surface THREE ways: InterruptedException
+        // from sleep, InterruptedIOException / ClosedByInterruptException
+        // from a filesystem call caught mid-I/O (both may CLEAR the
+        // interrupt flag), or any other Throwable with the flag still
+        // set. Missing any of them retries forever: beat.join(5000) at
+        // release times out and an in-flight beat can recreate the lock
+        // just after the release delete — a phantom lock blocking every
+        // writer for up to staleMs.
         var interrupted = false
         while (!interrupted) {
           try {
@@ -194,8 +202,11 @@ object StoreLock {
             }
           } catch {
             case _: InterruptedException => interrupted = true
+            case _: java.io.InterruptedIOException => interrupted = true
+            case _: java.nio.channels.ClosedByInterruptException => interrupted = true
             case e: Throwable =>
-              System.err.println(
+              if (Thread.currentThread().isInterrupted) interrupted = true
+              else System.err.println(
                 s"[StoreLock] heartbeat for $dir beat failed (retrying): ${e.getMessage}")
           }
         }

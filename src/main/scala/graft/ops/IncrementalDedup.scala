@@ -90,7 +90,20 @@ object IncrementalDedup {
       val body =
         try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
         finally in.close()
-      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+      // a parse failure here is a corrupt/truncated manifest — surface the
+      // same actionable geometry message, not a raw Jackson stack trace
+      // (the temp-write+rename below makes this unreachable for OUR
+      // writes; a hand-edited or foreign file can still land here)
+      val node =
+        try new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+        catch {
+          case e: Exception => throw new IllegalArgumentException(
+            s"store $dir has an unparseable _graft_store.json manifest " +
+              s"(${e.getMessage}) — expected " +
+              meta.map { case (k, v) => s"$k=$v" }.mkString(", ") +
+              "; restore or rewrite the manifest after verifying the " +
+              "store's layout", e)
+        }
       val bad = meta.filter { case (k, v) =>
         node.get(k) == null || node.get(k).asText != v
       }
@@ -117,9 +130,17 @@ object IncrementalDedup {
           "verifying the layout)")
       val json = meta.toSeq.sortBy(_._1)
         .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
-      val out = fs.create(p, false) // lock held: no concurrent creator
+      // temp-write + rename (the StoreLock.atomicRewrite pattern): a crash
+      // mid-write must not leave a truncated manifest that fails every
+      // later batch until someone repairs it by hand. The `_`-prefixed
+      // temp is invisible to parquet discovery; the lock is held, so no
+      // concurrent creator races the rename.
+      val tmp = new org.apache.hadoop.fs.Path(dir,
+        s"_graft_store.json.tmp-${ProcessHandle.current().pid()}")
+      val out = fs.create(tmp, true)
       try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
+      require(fs.rename(tmp, p), s"manifest rename failed: $tmp -> $p")
     }
   }
 

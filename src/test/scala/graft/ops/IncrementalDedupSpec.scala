@@ -53,6 +53,18 @@ class IncrementalDedupSpec extends SparkSuite {
       IncrementalDedup.exactBatch(b1, dir)
     }
     assert(e2.getMessage.contains("variant=exact"), e2.getMessage)
+    // a truncated/corrupt manifest (crash mid-write predating the atomic
+    // rename, or a hand-edit): actionable message, not a Jackson trace
+    val mp = new org.apache.hadoop.fs.Path(dir, "_graft_store.json")
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(mp, true)
+    out.write("""{"variant":"minh""".getBytes("UTF-8"))
+    out.close()
+    val e3 = intercept[IllegalArgumentException] {
+      IncrementalDedup.minhashBatch(b1, dir, numHashes = 64, bands = 16)
+    }
+    assert(e3.getMessage.contains("unparseable"), e3.getMessage)
+    assert(e3.getMessage.contains(dir), e3.getMessage)
   }
 
   test("compactStore: one file per partition after many appends; verdicts unchanged") {
@@ -87,6 +99,75 @@ class IncrementalDedupSpec extends SparkSuite {
     val r = IncrementalDedup.minhashBatch(
       Seq((9999L, text(0))).toDF("doc_id", "text"), dir)
     assert(r.filter(col("doc_a") === 0L && col("doc_b") === 9999L).count() == 1)
+  }
+
+  test("compactStore crash recovery: committed place drops stale trash; mid-swap crash merges") {
+    // The three crash states a killed compact can leave, each recovered by
+    // the NEXT compact's sweep. The commit witness is tmp/<name>: the place
+    // step renames tmp/<name> → root/<name>, so tmp ABSENT + dst present
+    // means the place committed and trash is a stale copy (merging it back
+    // would double every row); tmp PRESENT means the crash landed between
+    // the two renames and the trash rows are the store's only copy.
+    val dir = Files.createTempDirectory("incdedup_crash").toString + "/store"
+    val seed = spark.range(300)
+      .selectExpr("id AS doc_id", "concat('crash-text-', id) AS text")
+    IncrementalDedup.exactBatch(seed, dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(conf)
+    def parts() = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bp="))
+    val trash = new org.apache.hadoop.fs.Path(root, "_compact_trash")
+    val tmp = new org.apache.hadoop.fs.Path(root, "_compact_tmp")
+    def rowsSorted() = spark.read.parquet(dir)
+      .select("digest", "keep_doc_id").collect().map(_.toString).sorted.toSeq
+    val before = rowsSorted()
+
+    // Case A — crash AFTER a partition's place rename committed but before
+    // its trash copy was dropped: dst live (compacted), tmp/<name> absent,
+    // trash/<name> a byte-identical stale copy. Recovery must DELETE the
+    // trash copy; a merge would silently double every row in the partition.
+    val pA = parts().head.getPath
+    fs.mkdirs(new org.apache.hadoop.fs.Path(trash, pA.getName))
+    fs.listStatus(pA).filter(_.getPath.getName.endsWith(".parquet")).foreach { f =>
+      org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs,
+        new org.apache.hadoop.fs.Path(trash, s"${pA.getName}/${f.getPath.getName}"),
+        false, conf)
+    }
+    IncrementalDedup.compactStore(spark, dir)
+    assert(rowsSorted() == before,
+      "committed-place recovery merged the stale trash copy back: rows doubled")
+    assert(!fs.exists(trash) && !fs.exists(tmp))
+
+    // Case B — crash BETWEEN the renames with no later append: the
+    // partition sits in trash, absent from the store. Recovery restores it.
+    val pB = parts().head.getPath
+    fs.mkdirs(trash)
+    require(fs.rename(pB, new org.apache.hadoop.fs.Path(trash, pB.getName)))
+    IncrementalDedup.compactStore(spark, dir)
+    assert(rowsSorted() == before,
+      "mid-swap recovery lost the trashed partition's rows")
+
+    // Case C — crash between the renames AND a later append recreated the
+    // partition (new rows only): tmp/<name> still exists (the witness), so
+    // recovery must MERGE the trash files into the live dir — they hold the
+    // store's original rows; a skip would hand them to the trash delete.
+    val pC = parts().head.getPath
+    val donor = parts().map(_.getPath).find(_ != pC).get
+    val donorFile = fs.listStatus(donor)
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    val donorRows = spark.read.parquet(donorFile.toString).count()
+    fs.mkdirs(trash)
+    require(fs.rename(pC, new org.apache.hadoop.fs.Path(trash, pC.getName)))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(tmp, pC.getName)) // un-placed tmp
+    fs.mkdirs(pC) // "recreated" partition with new rows (borrowed from a donor)
+    org.apache.hadoop.fs.FileUtil.copy(fs, donorFile, fs,
+      new org.apache.hadoop.fs.Path(pC, s"recreated-${donorFile.getName}"),
+      false, conf)
+    IncrementalDedup.compactStore(spark, dir)
+    assert(spark.read.parquet(dir).count() == before.size + donorRows,
+      "recreated-partition recovery dropped either the trash or the new rows")
+    assert(!fs.exists(trash) && !fs.exists(tmp))
   }
 
   test("a second writer fails loudly while the store lock is held, succeeds after") {
