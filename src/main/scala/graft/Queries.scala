@@ -42,18 +42,30 @@ object Queries {
 
   def rd(s: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events")
-      // events.ts is TIMESTAMP(NANOS); Spark 4 refuses it unless read as
-      // long. All downstream logic uses integer epoch-ms math (never double
-      // division — ns epochs exceed 2^53).
+      // events.ts may be TIMESTAMP(NANOS), which Spark 4 refuses unless
+      // read as long. Harmless when the file carries micros instead —
+      // `events` below dispatches on the type it actually got.
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/$name.parquet"
     val schema = schemaCache.getOrElseUpdate(path, s.read.parquet(path).schema)
     s.read.schema(schema).parquet(path)
   }
 
-  /** events with `ts_ms` (epoch milliseconds, exact integer math). */
-  def events(s: SparkSession, dir: String): DataFrame =
-    rd(s, dir, "events").withColumn("ts_ms", expr("ts div 1000000"))
+  /** events with `ts_ms` (epoch milliseconds, exact integer math).
+    * Generator output has carried `ts` as both TIMESTAMP(NANOS) (read as
+    * long nanos) and TIMESTAMP_NTZ(MICROS) across refreshes — dispatch on
+    * the type actually read. The NTZ cast to LTZ happens in a UTC session
+    * (Bench/Verify both pin it), so unix_millis matches DuckDB's
+    * epoch_ms on the naive value; integer math throughout (ns epochs
+    * exceed 2^53, double division would lose exactness). */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    val df = rd(s, dir, "events")
+    val tsMs = df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
+      case _ => unix_millis(col("ts").cast("timestamp"))
+    }
+    df.withColumn("ts_ms", tsMs)
+  }
 
   /** Register temp views for SQL-form queries. */
   def views(s: SparkSession, dir: String, names: String*): Unit =

@@ -17,8 +17,8 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** Parquet schema of the events table with `ts` as raw nanos (the files
-    * carry TIMESTAMP(NANOS), which Spark only reads as long). */
+  /** Fallback schema when the source dir is still empty at stream open:
+    * `ts` as raw nanos (TIMESTAMP(NANOS) files read as long). */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -27,11 +27,22 @@ object EventStreams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Open a file-based event stream: one new parquet file per trigger. */
+  /** Open a file-based event stream: one new parquet file per trigger.
+    * Streaming needs the schema up front, and the generator has shipped
+    * `ts` as both TIMESTAMP(NANOS)→long and TIMESTAMP(_NTZ) across
+    * refreshes — infer from files already present, fall back to
+    * [[rawSchema]] for a dir that starts empty. `ts_ms` is exact integer
+    * epoch-ms either way (NTZ cast resolves in the UTC session). */
   def read(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(rawSchema).parquet(dir)
-      .withColumn("ts_ms", expr("ts div 1000000"))
+    val schema = scala.util.Try(spark.read.parquet(dir).schema).toOption
+      .filter(_.fieldNames.contains("ts")).getOrElse(rawSchema)
+    val tsMs = schema("ts").dataType match {
+      case LongType => expr("ts div 1000000")
+      case _ => unix_millis(col("ts").cast("timestamp"))
+    }
+    spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts_ms", tsMs)
       .withColumn("event_time", timestamp_millis(col("ts_ms")))
   }
 

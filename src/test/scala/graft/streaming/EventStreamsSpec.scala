@@ -111,10 +111,16 @@ class EventStreamsSpec extends SparkSuite {
 }
 
 private object Queries {
-  /** Batch twin of hourlyByType over the staged (ns-as-long) copy. */
+  /** Batch twin of hourlyByType over the staged copy (ts as either
+    * ns-as-long or timestamp, matching EventStreams.read's dispatch). */
   def batchHourly(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    s.read.parquet(dir)
-      .withColumn("ts_ms", expr("ts div 1000000"))
+    val raw = s.read.parquet(dir)
+    val tsMs = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
+      case _ => unix_millis(col("ts").cast("timestamp"))
+    }
+    raw
+      .withColumn("ts_ms", tsMs)
       .groupBy(col("event_type"),
         (col("ts_ms") - (col("ts_ms") % 3600000L)).as("hour_ms"))
       .agg(count(lit(1)).as("n"))
