@@ -89,12 +89,20 @@ object StoreLock {
 
   /** Run `body` holding the store lock; release on every exit path.
     * Throws `IllegalStateException` naming the current holder if the
-    * lock is held (and fresher than `staleMs`). */
+    * lock is held (and fresher than `staleMs`).
+    *
+    * `waitMs = 0` (the default) is detect-and-fail — right for the
+    * batch gate, where a contended store means a mis-scheduled second
+    * writer that should surface immediately. A positive `waitMs` retries
+    * acquisition with capped exponential backoff until the deadline —
+    * for callers like a streaming micro-batch that would otherwise fail
+    * the whole trigger because a compaction briefly held the store. */
   def withLock[T](
       dir: String,
       conf: Configuration = new Configuration(),
       owner: String = defaultOwner,
-      staleMs: Long = 15 * 60 * 1000L)(body: => T): T = {
+      staleMs: Long = 15 * 60 * 1000L,
+      waitMs: Long = 0L)(body: => T): T = {
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
     fs.mkdirs(root)
@@ -176,37 +184,33 @@ object StoreLock {
     // allows) — so a live writer's lock age never approaches the break
     // threshold; only a truly dead writer's lock goes stale. The release
     // check compares owner only (since_ms advances with each beat).
+    // Release is signalled by THIS flag, set before beat.interrupt() —
+    // never by exception type or the thread's interrupt status. Both
+    // proxies misfire: SocketTimeoutException IS-A InterruptedIOException
+    // (a transient read timeout would read as "released" and silently
+    // kill the heartbeat — since_ms freezes and a competing writer breaks
+    // a LIVE writer's lock past staleMs), and Hadoop RPC can wrap an
+    // interrupt inside a plain IOException AFTER clearing the flag (the
+    // beat would retry forever, beat.join(5000) times out, and an
+    // in-flight rewrite can resurrect the lock just after the release
+    // delete). The flag has neither failure mode: transient errors and
+    // spurious interrupts retry, release exits the next check.
+    val stopping = new java.util.concurrent.atomic.AtomicBoolean(false)
+
     def startHeartbeat(): Thread = {
       val t = new Thread(() => {
-        // retry-and-continue: a single transient failure (503 from an
-        // object store, a NameNode failover blip) must not kill the
-        // thread — a dead heartbeat freezes since_ms, and past staleMs
-        // a competing writer breaks a LIVE writer's lock mid-cycle.
-        // Only interruption (normal release) ends the loop — and the
-        // release interrupt can surface THREE ways: InterruptedException
-        // from sleep, InterruptedIOException / ClosedByInterruptException
-        // from a filesystem call caught mid-I/O (both may CLEAR the
-        // interrupt flag), or any other Throwable with the flag still
-        // set. Missing any of them retries forever: beat.join(5000) at
-        // release times out and an in-flight beat can recreate the lock
-        // just after the release delete — a phantom lock blocking every
-        // writer for up to staleMs.
-        var interrupted = false
-        while (!interrupted) {
+        while (!stopping.get) {
           try {
             Thread.sleep(math.max(staleMs / 3, 1000L))
-            if (holder(dir, conf).exists(_.owner == owner)) {
+            if (!stopping.get && holder(dir, conf).exists(_.owner == owner)) {
               atomicRewrite(
                 s"""{"owner":"$owner","since_ms":${System.currentTimeMillis()}}"""
                   .getBytes(StandardCharsets.UTF_8))
             }
           } catch {
-            case _: InterruptedException => interrupted = true
-            case _: java.io.InterruptedIOException => interrupted = true
-            case _: java.nio.channels.ClosedByInterruptException => interrupted = true
+            case _: InterruptedException => // loop re-checks the flag
             case e: Throwable =>
-              if (Thread.currentThread().isInterrupted) interrupted = true
-              else System.err.println(
+              if (!stopping.get) System.err.println(
                 s"[StoreLock] heartbeat for $dir beat failed (retrying): ${e.getMessage}")
           }
         }
@@ -216,24 +220,42 @@ object StoreLock {
       t
     }
 
-    var acquired = tryAcquire()
+    // One acquisition round: the atomic create, then — if the current
+    // holder is stale — break and re-try. Re-read IMMEDIATELY before
+    // breaking and only delete while the same stale holder is still in
+    // place: between the first read and here another writer may have
+    // broken the stale lock and claimed a FRESH one, which must not be
+    // deleted out from under it. (A TOCTOU window remains at filesystem
+    // granularity; the recheck shrinks it from lock-hold-length to two
+    // metadata reads.)
+    def acquireOnce(): Boolean =
+      tryAcquire() || {
+        val h = holder(dir, conf)
+        val ageMs = h.map(System.currentTimeMillis() - _.sinceMs)
+        ageMs.exists(_ > staleMs) && {
+          if (holder(dir, conf) == h) fs.delete(lock, false)
+          tryAcquire()
+        }
+      }
+
+    var acquired = acquireOnce()
+    if (!acquired && waitMs > 0) {
+      val deadline = System.currentTimeMillis() + waitMs
+      var backoff = 50L
+      while (!acquired && System.currentTimeMillis() < deadline) {
+        Thread.sleep(math.min(backoff,
+          math.max(1L, deadline - System.currentTimeMillis())))
+        backoff = math.min(backoff * 2, 1000L)
+        acquired = acquireOnce()
+      }
+    }
     if (!acquired) {
       val h = holder(dir, conf)
       val ageMs = h.map(System.currentTimeMillis() - _.sinceMs)
-      if (ageMs.exists(_ > staleMs)) {
-        // stale: the holder crashed mid-cycle. Re-read IMMEDIATELY before
-        // breaking and only delete while the same stale holder is still
-        // in place — between the first read and here another writer may
-        // have broken the stale lock and claimed a FRESH one, which must
-        // not be deleted out from under it. (A TOCTOU window remains at
-        // filesystem granularity; the recheck shrinks it from
-        // lock-hold-length to two metadata reads.)
-        if (holder(dir, conf) == h) fs.delete(lock, false)
-        acquired = tryAcquire()
-      }
-      if (!acquired) throw new IllegalStateException(
+      throw new IllegalStateException(
         s"store $dir is locked by ${h.map(_.owner).getOrElse("<unknown>")} " +
-          s"(held ${ageMs.map(a => s"${a}ms").getOrElse("?")}); " +
+          s"(held ${ageMs.map(a => s"${a}ms").getOrElse("?")}" +
+          (if (waitMs > 0) s"; waited ${waitMs}ms" else "") + "); " +
           "a concurrent writer is mid-append — retry after it commits, or " +
           s"delete $LockName if the holder is known dead")
     }
@@ -242,6 +264,7 @@ object StoreLock {
     finally {
       // stop the heartbeat FIRST and wait it out: a beat landing after
       // the release delete would resurrect a lock nobody holds
+      stopping.set(true)
       beat.interrupt()
       beat.join(5000)
       // Delete ONLY our own lock (owner compare — since_ms advances with

@@ -135,6 +135,15 @@ object IncrementalDedup {
       // later batch until someone repairs it by hand. The `_`-prefixed
       // temp is invisible to parquet discovery; the lock is held, so no
       // concurrent creator races the rename.
+      // First sweep tmp orphans a writer that crashed between create and
+      // rename left behind — safe under the held lock, and without it
+      // they accumulate forever (and a later same-pid process would
+      // silently overwrite one).
+      val root2 = new org.apache.hadoop.fs.Path(dir)
+      if (fs.exists(root2))
+        fs.listStatus(root2)
+          .filter(_.getPath.getName.startsWith("_graft_store.json.tmp-"))
+          .foreach(s => fs.delete(s.getPath, false))
       val tmp = new org.apache.hadoop.fs.Path(dir,
         s"_graft_store.json.tmp-${ProcessHandle.current().pid()}")
       val out = fs.create(tmp, true)

@@ -67,6 +67,26 @@ class IncrementalDedupSpec extends SparkSuite {
     assert(e3.getMessage.contains(dir), e3.getMessage)
   }
 
+  test("manifest write sweeps tmp orphans from writers that crashed pre-rename") {
+    val dir = Files.createTempDirectory("incdedup_tmporphan").toString + "/store"
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(root)
+    // two corpses from different pids, killed between tmp create and rename
+    Seq("12345", "67890").foreach { pid =>
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(root, s"_graft_store.json.tmp-$pid"), true)
+      out.write("""{"variant":"exa""".getBytes("UTF-8"))
+      out.close()
+    }
+    val b1 = Seq((1L, "aaa"), (2L, "bbb")).toDF("doc_id", "text")
+    IncrementalDedup.exactBatch(b1, dir)
+    val leftovers = fs.listStatus(root)
+      .map(_.getPath.getName).filter(_.startsWith("_graft_store.json.tmp-"))
+    assert(leftovers.isEmpty, leftovers.mkString(", "))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root, "_graft_store.json")))
+  }
+
   test("compactStore: one file per partition after many appends; verdicts unchanged") {
     val dir = Files.createTempDirectory("incdedup_compact").toString + "/store"
     def text(i: Long): String =
@@ -189,6 +209,42 @@ class IncrementalDedupSpec extends SparkSuite {
     assert(spark.read.parquet(dir).count() == 2)
     // and the operator released its own lock (store is writable again)
     assert(graft.fs.StoreLock.holder(dir, conf).isEmpty)
+  }
+
+  test("waitMs: a contended writer succeeds once the holder releases within budget") {
+    // default waitMs=0 is detect-and-fail (previous test); a positive
+    // budget retries with backoff — the streaming-micro-batch path where
+    // failing the whole trigger over a brief compaction hold is wrong
+    val dir = Files.createTempDirectory("incdedup_wait").toString + "/store"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val holderDone = new java.util.concurrent.CountDownLatch(1)
+    val a = new Thread(() => {
+      graft.fs.StoreLock.withLock(dir, conf, owner = "brief-holder") {
+        Thread.sleep(800)
+      }
+      holderDone.countDown()
+    })
+    a.start()
+    Thread.sleep(150) // let A acquire first
+    var ran = false
+    graft.fs.StoreLock.withLock(dir, conf, owner = "patient-b",
+      waitMs = 10000L) { ran = true }
+    assert(ran)
+    a.join(5000)
+    assert(holderDone.getCount == 0, "holder thread never finished")
+    // and an exhausted budget still fails loudly, naming the wait
+    val b = new Thread(() =>
+      graft.fs.StoreLock.withLock(dir, conf, owner = "long-holder") {
+        Thread.sleep(3000)
+      })
+    b.start()
+    Thread.sleep(150)
+    val e = intercept[IllegalStateException] {
+      graft.fs.StoreLock.withLock(dir, conf, owner = "impatient",
+        waitMs = 300L) { fail("must not acquire") }
+    }
+    assert(e.getMessage.contains("waited 300ms"), e.getMessage)
+    b.join(10000)
   }
 
   test("release deletes only our own lock, never a usurper's fresh one") {
