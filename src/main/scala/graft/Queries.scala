@@ -1000,18 +1000,17 @@ object Queries {
     val tmp = java.nio.file.Files.createTempDirectory("graft_incdedup_")
     TmpCleanup.register(tmp)
     val store = tmp.toString + "/store"
-    // storeParts 16, not the 256 default: partition count is the deploy
-    // knob (raise for 100 TB, lower for small stores) and the gate's
-    // ~5k-doc corpus under 256 partitions pays ~512 tiny file creates
-    // per call for pruning it doesn't need (measured 1.7 → 9 s). The
-    // pruning contract itself is pinned at the default in
+    // auto geometry (storePartsFor): the first batch sizes the store's
+    // partition count from its own row count and the manifest carries it
+    // forward — the gate's ~5k-doc corpus gets the 32-part floor instead
+    // of paying ~512 tiny file creates per call under a hand-tuned 256
+    // (measured 1.7 → 9 s before the r10 constant, now self-sized). The
+    // pruning contract is pinned at explicit geometry in
     // IncrementalDedupSpec; the gate checks store-path CORRECTNESS.
     graft.ops.IncrementalDedup.exactBatch(
-      docs.filter(!col("source").isin("src0", "src1")), store,
-      storeParts = 16)
+      docs.filter(!col("source").isin("src0", "src1")), store)
     graft.ops.IncrementalDedup.exactBatch(
-      docs.filter(col("source").isin("src0", "src1")), store,
-      storeParts = 16)
+      docs.filter(col("source").isin("src0", "src1")), store)
       .orderBy("doc_id")
   }
 
@@ -1028,14 +1027,13 @@ object Queries {
     val tmp = java.nio.file.Files.createTempDirectory("graft_incemb_")
     TmpCleanup.register(tmp)
     val store = tmp.toString + "/store"
-    // storeParts 16 like qDedupIncremental: deploy knob scaled to the
-    // gate corpus, correctness unchanged (bp only routes partitions)
+    // auto geometry like qDedupIncremental: batch 1 sizes the store,
+    // batch 2 adopts the manifest (bp only routes partitions —
+    // correctness unchanged)
     val b1 = graft.ops.IncrementalDedup.embeddingBatch(
-      corpus.filter(col("vec_id") < 100000L), store, threshold = 0.95,
-      storeParts = 16)
+      corpus.filter(col("vec_id") < 100000L), store, threshold = 0.95)
     val b2 = graft.ops.IncrementalDedup.embeddingBatch(
-      corpus.filter(col("vec_id") >= 100000L), store, threshold = 0.95,
-      storeParts = 16)
+      corpus.filter(col("vec_id") >= 100000L), store, threshold = 0.95)
     b1.unionByName(b2).orderBy("id_a", "id_b")
   }
 

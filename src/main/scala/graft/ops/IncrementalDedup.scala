@@ -63,6 +63,75 @@ object IncrementalDedup {
     * store is only readable under the constant it was created with. */
   val DefaultStoreParts = 256
 
+  /** Sentinel: size the store's partition count from the data. On store
+    * CREATION the count comes from [[storePartsFor]] over the first
+    * batch's estimated store rows; on every later batch it is ADOPTED
+    * from the manifest — the geometry a store was created with is the
+    * only one it can be read under, so auto callers never have to know
+    * it. An explicit positive `storeParts` still wins at creation and
+    * still fails loudly on a manifest mismatch. */
+  val AutoStoreParts = 0
+
+  /** Partition count for a NEW store, from the rows it is created with —
+    * the `planesFor` discipline applied to layout: geometry is a scale
+    * knob, not a constant. The trade (DefaultStoreParts doc): more
+    * partitions prune small appends harder (a b-key append scans
+    * ~min(b, parts)/parts of the store) but floor every append at one
+    * file-create per touched partition — the measured 1.65 → 3.02 s
+    * gate regression was 256 partitions' file floor under a ~2.5k-row
+    * toy store. Target ~4 Ki rows per partition, rounded up to a power
+    * of two, clamped to [32, 64 Ki]: a 2.5k-row gate store gets 32
+    * (file floor gone), the 1.3M-row soak store 512 (1-doc appends scan
+    * ~3%), a 10^10-row deployment the 64 Ki ceiling. Recorded in the
+    * manifest at creation; a store expected to grow orders of magnitude
+    * past its first batch should pass an explicit count instead (or
+    * rebuild when it outgrows — `compactStore` keeps the layout flat
+    * either way). */
+  def storePartsFor(
+      expectedStoreRows: Long,
+      targetRowsPerPart: Long = 4096L,
+      minParts: Int = 16,
+      maxParts: Int = 65536): Int = {
+    require(expectedStoreRows >= 0 && targetRowsPerPart >= 1 &&
+      minParts >= 1 && maxParts >= minParts)
+    val needed = math.max(1L,
+      math.ceil(expectedStoreRows.toDouble / targetRowsPerPart).toLong)
+    val pow2 = java.lang.Long.highestOneBit(needed) match {
+      case h if h == needed => needed
+      case h => h << 1
+    }
+    math.min(math.max(pow2, minParts.toLong), maxParts.toLong).toInt
+  }
+
+  /** The store's manifest-recorded partition count, if the store exists
+    * and its manifest parses. Unparseable manifests yield None here —
+    * `checkOrWriteMeta` raises the actionable error for those. */
+  private def manifestParts(spark: SparkSession, dir: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_graft_store.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val body =
+          try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        Option(new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(body).get("store_parts")).map(_.asText.toInt)
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** Resolve the partition count for this cycle: explicit beats
+    * manifest beats first-batch auto-sizing. `estStoreRows` is only
+    * evaluated on store creation with an auto caller (it counts the
+    * batch). */
+  private def resolveParts(
+      spark: SparkSession, dir: String, requested: Int,
+      estStoreRows: => Long): Int =
+    if (requested != AutoStoreParts) requested
+    else manifestParts(spark, dir).getOrElse(storePartsFor(estStoreRows))
+
   private def bpOf(parts: Int, keys: Column*): Column =
     pmod(xxhash64(keys: _*), lit(parts)).cast("int")
 
@@ -181,7 +250,7 @@ object IncrementalDedup {
       docsNew: DataFrame,
       storeDir: String,
       textCol: String = "text",
-      storeParts: Int = DefaultStoreParts): DataFrame =
+      storeParts: Int = AutoStoreParts): DataFrame =
     graft.fs.StoreLock.withLock(storeDir,
       docsNew.sparkSession.sparkContext.hadoopConfiguration) {
       exactBatchLocked(docsNew, storeDir, textCol, storeParts)
@@ -191,8 +260,11 @@ object IncrementalDedup {
       docsNew: DataFrame,
       storeDir: String,
       textCol: String,
-      storeParts: Int): DataFrame = {
+      requestedParts: Int): DataFrame = {
     val spark = docsNew.sparkSession
+    // exact store: one row per distinct digest ≈ one per batch doc
+    val storeParts = resolveParts(spark, storeDir, requestedParts,
+      docsNew.count())
     checkOrWriteMeta(spark, storeDir,
       Map("variant" -> "exact", "store_parts" -> storeParts.toString))
     val digested = docsNew
@@ -256,7 +328,7 @@ object IncrementalDedup {
       numHashes: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.5,
-      storeParts: Int = DefaultStoreParts): DataFrame =
+      storeParts: Int = AutoStoreParts): DataFrame =
     graft.fs.StoreLock.withLock(storeDir,
       docsNew.sparkSession.sparkContext.hadoopConfiguration) {
       minhashBatchLocked(docsNew, storeDir, textCol, numHashes, bands,
@@ -270,8 +342,11 @@ object IncrementalDedup {
       numHashes: Int,
       bands: Int,
       threshold: Double,
-      storeParts: Int): DataFrame = {
+      requestedParts: Int): DataFrame = {
     val spark = docsNew.sparkSession
+    // minhash store: `bands` posting rows per doc
+    val storeParts = resolveParts(spark, storeDir, requestedParts,
+      docsNew.count() * bands)
     checkOrWriteMeta(spark, storeDir, Map(
       "variant" -> "minhash", "store_parts" -> storeParts.toString,
       "num_hashes" -> numHashes.toString, "bands" -> bands.toString))
@@ -362,7 +437,7 @@ object IncrementalDedup {
       threshold: Double = 0.95,
       planes: Int = 8,
       tables: Int = 16,
-      storeParts: Int = DefaultStoreParts): DataFrame =
+      storeParts: Int = AutoStoreParts): DataFrame =
     graft.fs.StoreLock.withLock(storeDir,
       embsNew.sparkSession.sparkContext.hadoopConfiguration) {
       embeddingBatchLocked(embsNew, storeDir, idCol, vecCol, threshold,
@@ -377,8 +452,11 @@ object IncrementalDedup {
       threshold: Double,
       planes: Int,
       tables: Int,
-      storeParts: Int): DataFrame = {
+      requestedParts: Int): DataFrame = {
     val spark = embsNew.sparkSession
+    // vector store: `tables` posting rows per vector
+    val storeParts = resolveParts(spark, storeDir, requestedParts,
+      embsNew.count() * tables)
     checkOrWriteMeta(spark, storeDir, Map(
       "variant" -> "embedding", "store_parts" -> storeParts.toString,
       "planes" -> planes.toString, "tables" -> tables.toString))
@@ -452,7 +530,7 @@ object IncrementalDedup {
       resultsDir: String,
       checkpointDir: String,
       textCol: String = "text",
-      storeParts: Int = DefaultStoreParts): org.apache.spark.sql.streaming.StreamingQuery =
+      storeParts: Int = AutoStoreParts): org.apache.spark.sql.streaming.StreamingQuery =
     docsStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
@@ -476,7 +554,7 @@ object IncrementalDedup {
       numHashes: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.5,
-      storeParts: Int = DefaultStoreParts): org.apache.spark.sql.streaming.StreamingQuery =
+      storeParts: Int = AutoStoreParts): org.apache.spark.sql.streaming.StreamingQuery =
     docsStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
@@ -598,7 +676,7 @@ object IncrementalDedup {
       threshold: Double = 0.95,
       planes: Int = 8,
       tables: Int = 16,
-      storeParts: Int = DefaultStoreParts): org.apache.spark.sql.streaming.StreamingQuery =
+      storeParts: Int = AutoStoreParts): org.apache.spark.sql.streaming.StreamingQuery =
     embsStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>

@@ -67,6 +67,42 @@ class IncrementalDedupSpec extends SparkSuite {
     assert(e3.getMessage.contains(dir), e3.getMessage)
   }
 
+  test("storePartsFor: corpus-driven, power-of-two, clamped") {
+    // small stores hit the 32 floor (no file-create tax for pruning a
+    // toy store doesn't need), big ones scale at ~4Ki rows/part, the
+    // ceiling bounds the driver-side touched-partition collect
+    assert(IncrementalDedup.storePartsFor(0L) == 32)
+    assert(IncrementalDedup.storePartsFor(2500L) == 32)
+    assert(IncrementalDedup.storePartsFor(200L * 16) == 32)
+    assert(IncrementalDedup.storePartsFor(1300000L) == 512)
+    assert(IncrementalDedup.storePartsFor(4096L * 1024) == 1024)
+    assert(IncrementalDedup.storePartsFor(10000000000L) == 65536)
+    // exact powers of two are not doubled
+    assert(IncrementalDedup.storePartsFor(4096L * 64) == 64)
+  }
+
+  test("auto geometry: first batch sizes the store, later batches adopt the manifest") {
+    val dir = Files.createTempDirectory("incdedup_auto").toString + "/store"
+    val b1 = (0L until 100L).map(i => (i, s"text-$i")).toDF("doc_id", "text")
+    IncrementalDedup.minhashBatch(b1, dir) // auto: 100 docs × 16 bands → 32
+    val mp = new org.apache.hadoop.fs.Path(dir, "_graft_store.json")
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(mp)
+    val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    assert(body.contains(""""store_parts":"32""""), body)
+    // a later auto batch of a very different size adopts 32 — no
+    // geometry error, verdicts computed against the store as laid out
+    val b2 = (1000L until 3000L).map(i => (i, s"text-${i % 120}"))
+      .toDF("doc_id", "text")
+    val r2 = IncrementalDedup.minhashBatch(b2, dir)
+    assert(r2.count() > 0)
+    // but an EXPLICIT mismatching count still fails loudly
+    val e = intercept[IllegalArgumentException] {
+      IncrementalDedup.minhashBatch(b1, dir, storeParts = 64)
+    }
+    assert(e.getMessage.contains("store_parts"), e.getMessage)
+  }
+
   test("manifest write sweeps tmp orphans from writers that crashed pre-rename") {
     val dir = Files.createTempDirectory("incdedup_tmporphan").toString + "/store"
     val root = new org.apache.hadoop.fs.Path(dir)
@@ -437,10 +473,13 @@ class IncrementalDedupSpec extends SparkSuite {
     // hive-partitioned by bucket prefix, so an append's store reads
     // (candidate join + idempotency anti-join) open only the partitions
     // the batch's own rows hash into — never the whole corpus.
+    // explicit 256-part geometry: this test pins the pruning MECHANISM
+    // at a fixed partition count; the auto-sizing POLICY (storePartsFor)
+    // has its own tests
     val exactDir = Files.createTempDirectory("incdedup_prune_e").toString + "/store"
     val seed = spark.range(2000)
       .selectExpr("id AS doc_id", "concat('unique-text-', id) AS text")
-    IncrementalDedup.exactBatch(seed, exactDir)
+    IncrementalDedup.exactBatch(seed, exactDir, storeParts = 256)
     val one = Seq((9999L, "unique-text-7")).toDF("doc_id", "text")
     var verdict: Map[Long, Option[Long]] = Map.empty
     val exactRecs = recordsReadDuring {
@@ -462,7 +501,7 @@ class IncrementalDedupSpec extends SparkSuite {
       (0 until 12).map(j => s"w${(i * 13 + j * 7) % 997}").mkString(" ")
     val mhSeed = (0L until 200L).map(i => (i, text(i)))
       .toDF("doc_id", "text")
-    IncrementalDedup.minhashBatch(mhSeed, mhDir)
+    IncrementalDedup.minhashBatch(mhSeed, mhDir, storeParts = 256)
     val storeRows = spark.read.parquet(mhDir).count()
     val mhOne = Seq((9999L, text(42L))).toDF("doc_id", "text")
     val mhRecs = recordsReadDuring {
