@@ -51,20 +51,28 @@ object Queries {
     s.read.schema(schema).parquet(path)
   }
 
-  /** events with `ts_ms` (epoch milliseconds, exact integer math).
-    * Generator output has carried `ts` as both TIMESTAMP(NANOS) (read as
-    * long nanos) and TIMESTAMP_NTZ(MICROS) across refreshes — dispatch on
-    * the type actually read. The NTZ cast to LTZ happens in a UTC session
-    * (Bench/Verify both pin it), so unix_millis matches DuckDB's
-    * epoch_ms on the naive value; integer math throughout (ns epochs
-    * exceed 2^53, double division would lose exactness). */
+  /** Epoch-ms expression for an events `ts` column, dispatched on the
+    * type the file actually carries (the generator has shipped
+    * TIMESTAMP(NANOS)→long, TIMESTAMP_NTZ(MICROS), and plain TIMESTAMP
+    * across refreshes). Zone-INDEPENDENT in every branch: the NTZ arm
+    * diffs against an NTZ epoch literal (naive-to-naive, no session-zone
+    * cast — a non-UTC caller would otherwise get ts_ms shifted by its
+    * offset and silently diverge from the DuckDB oracle), and integer
+    * math throughout (ns epochs exceed 2^53; double division would lose
+    * exactness). */
+  def tsMsExpr(tsType: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column =
+    tsType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        expr("timestampdiff(MILLISECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+      case _ => unix_millis(col("ts"))
+    }
+
+  /** events with `ts_ms` (epoch milliseconds, exact integer math) — see
+    * [[tsMsExpr]] for the per-encoding dispatch. */
   def events(s: SparkSession, dir: String): DataFrame = {
     val df = rd(s, dir, "events")
-    val tsMs = df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
-      case _ => unix_millis(col("ts").cast("timestamp"))
-    }
-    df.withColumn("ts_ms", tsMs)
+    df.withColumn("ts_ms", tsMsExpr(df.schema("ts").dataType))
   }
 
   /** Register temp views for SQL-form queries. */

@@ -159,17 +159,27 @@ object StoreLock {
         val dst = java.nio.file.Paths.get(lock.toUri.getPath)
         val tmp = dst.resolveSibling(
           s"$LockName.tmp-${ProcessHandle.current().pid()}-${Thread.currentThread().getId}")
-        java.nio.file.Files.write(tmp, json)
-        java.nio.file.Files.move(tmp, dst,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // finally-delete: release's beat.interrupt() can land mid-write
+        // (ClosedByInterruptException out of Files.write) — without the
+        // cleanup the orphan tmp file accumulates in the store dir
+        // forever (nothing else sweeps the lock's tmp namespace)
+        try {
+          java.nio.file.Files.write(tmp, json)
+          java.nio.file.Files.move(tmp, dst,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        } finally java.nio.file.Files.deleteIfExists(tmp)
       } else if (scheme == "hdfs") {
         val tmp = new Path(root,
           s"$LockName.tmp-${math.abs(owner.hashCode).toString}")
-        val out = fs.create(tmp, true)
-        try out.write(json) finally out.close()
-        val fc = org.apache.hadoop.fs.FileContext.getFileContext(lock.toUri, conf)
-        fc.rename(tmp, lock, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        try {
+          val out = fs.create(tmp, true)
+          try out.write(json) finally out.close()
+          val fc = org.apache.hadoop.fs.FileContext.getFileContext(lock.toUri, conf)
+          fc.rename(tmp, lock, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        } finally {
+          try fs.delete(tmp, false) catch { case _: java.io.IOException => () }
+        }
       } else {
         val out = fs.create(lock, true)
         try out.write(json) finally out.close()
@@ -259,6 +269,15 @@ object StoreLock {
           "a concurrent writer is mid-append — retry after it commits, or " +
           s"delete $LockName if the holder is known dead")
     }
+    // Sweep lock-tmp orphans under the held lock: a hard-killed writer
+    // (SIGKILL between atomicRewrite's create and rename) leaves
+    // _graft_lock.json.tmp-* corpses the finally-delete never ran for.
+    // Our own heartbeat hasn't started yet, so every tmp here is a
+    // corpse; without the sweep they accumulate in the store dir forever.
+    try fs.listStatus(root)
+      .filter(_.getPath.getName.startsWith(s"$LockName.tmp-"))
+      .foreach(s => fs.delete(s.getPath, false))
+    catch { case _: java.io.IOException => () }
     val beat = startHeartbeat()
     try body
     finally {

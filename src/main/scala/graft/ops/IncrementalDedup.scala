@@ -90,7 +90,7 @@ object IncrementalDedup {
   def storePartsFor(
       expectedStoreRows: Long,
       targetRowsPerPart: Long = 4096L,
-      minParts: Int = 16,
+      minParts: Int = 32,
       maxParts: Int = 65536): Int = {
     require(expectedStoreRows >= 0 && targetRowsPerPart >= 1 &&
       minParts >= 1 && maxParts >= minParts)
@@ -262,17 +262,23 @@ object IncrementalDedup {
       textCol: String,
       requestedParts: Int): DataFrame = {
     val spark = docsNew.sparkSession
-    // exact store: one row per distinct digest ≈ one per batch doc
-    val storeParts = resolveParts(spark, storeDir, requestedParts,
-      docsNew.count())
-    checkOrWriteMeta(spark, storeDir,
-      Map("variant" -> "exact", "store_parts" -> storeParts.toString))
-    val digested = docsNew
+    // digest BEFORE sizing: the eager checkpoint materializes the blocks
+    // every later step reuses (probe, join, append), so the creation-only
+    // sizing count below reads in-memory blocks — not a dedicated source
+    // scan per batch (the r11 artifact's extra action). Warm cycles with
+    // a manifest never evaluate the count at all (resolveParts is lazy).
+    val digestedBase = docsNew
       .filter(col(textCol).isNotNull)
       .select(col("doc_id"), md5(col(textCol)).as("digest"))
-      .withColumn("bp", bpOf(storeParts, col("digest")))
-      // reused by the touched-partition probe, the join, and the append
       .localCheckpoint()
+    // exact store: one row per distinct digest ≈ one per batch doc
+    val storeParts = resolveParts(spark, storeDir, requestedParts,
+      digestedBase.count())
+    checkOrWriteMeta(spark, storeDir,
+      Map("variant" -> "exact", "store_parts" -> storeParts.toString))
+    // bp is a cheap hash recompute over the checkpointed blocks
+    val digested = digestedBase
+      .withColumn("bp", bpOf(storeParts, col("digest")))
     val store = prune(
       readStore(spark, storeDir, "digest STRING, keep_doc_id BIGINT, bp INT"),
       touched(digested))
@@ -344,22 +350,26 @@ object IncrementalDedup {
       threshold: Double,
       requestedParts: Int): DataFrame = {
     val spark = docsNew.sparkSession
-    // minhash store: `bands` posting rows per doc
-    val storeParts = resolveParts(spark, storeDir, requestedParts,
-      docsNew.count() * bands)
-    checkOrWriteMeta(spark, storeDir, Map(
-      "variant" -> "minhash", "store_parts" -> storeParts.toString,
-      "num_hashes" -> numHashes.toString, "bands" -> bands.toString))
     val rowsPerBand = numHashes / bands
     // the ONE banding implementation (Dedup.bandSignatures): the store
     // holds banded rows, so it is only usable if every batch bands
-    // identically — same bands, same rowsPerBand, same hash
-    val newBanded = Dedup.bandSignatures(
+    // identically — same bands, same rowsPerBand, same hash. Banded
+    // BEFORE sizing: the eager checkpoint materializes the blocks the
+    // probe, both join sides, and the append reuse, so the creation-only
+    // sizing count reads in-memory blocks, not a second source scan.
+    val banded = Dedup.bandSignatures(
       Dedup.minhashSignatures(docsNew, textCol, numHashes = numHashes),
       bands, rowsPerBand)
-      .withColumn("bp", bpOf(storeParts, col("band"), col("bh")))
-      // reused by the probe, both candidate-join sides, and the append
       .localCheckpoint()
+    // minhash store holds `bands` posting rows per doc — exactly the
+    // banded row count, no multiplier needed
+    val storeParts = resolveParts(spark, storeDir, requestedParts,
+      banded.count())
+    checkOrWriteMeta(spark, storeDir, Map(
+      "variant" -> "minhash", "store_parts" -> storeParts.toString,
+      "num_hashes" -> numHashes.toString, "bands" -> bands.toString))
+    val newBanded = banded
+      .withColumn("bp", bpOf(storeParts, col("band"), col("bh")))
     val store = prune(
       readStore(spark, storeDir,
         "doc_id BIGINT, sig ARRAY<BIGINT>, band INT, bh BIGINT, bp INT"),
@@ -454,12 +464,6 @@ object IncrementalDedup {
       tables: Int,
       requestedParts: Int): DataFrame = {
     val spark = embsNew.sparkSession
-    // vector store: `tables` posting rows per vector
-    val storeParts = resolveParts(spark, storeDir, requestedParts,
-      embsNew.count() * tables)
-    checkOrWriteMeta(spark, storeDir, Map(
-      "variant" -> "embedding", "store_parts" -> storeParts.toString,
-      "planes" -> planes.toString, "tables" -> tables.toString))
     val newVecs = embsNew.select(col(idCol).cast("long").as("vec_id"),
       transform(col(vecCol), x => x.cast("double")).as("vec"))
     // map-only bucket explode, shared with the batch path's geometry:
@@ -472,10 +476,20 @@ object IncrementalDedup {
       }: _*)).as("tb"))
       .select(col("vec_id"), col("vec"),
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-    val newBucketed = bucketed(newVecs)
+    // bucketed BEFORE sizing: the eager checkpoint materializes the
+    // blocks the probe, both join sides, and the append reuse, so the
+    // creation-only sizing count reads in-memory blocks, not a second
+    // source scan
+    val bucketedNew = bucketed(newVecs).localCheckpoint()
+    // vector store holds `tables` posting rows per vector — exactly the
+    // bucketed row count, no multiplier needed
+    val storeParts = resolveParts(spark, storeDir, requestedParts,
+      bucketedNew.count())
+    checkOrWriteMeta(spark, storeDir, Map(
+      "variant" -> "embedding", "store_parts" -> storeParts.toString,
+      "planes" -> planes.toString, "tables" -> tables.toString))
+    val newBucketed = bucketedNew
       .withColumn("bp", bpOf(storeParts, col("tbl"), col("bucket")))
-      // reused by the probe, both join sides, and the append
-      .localCheckpoint()
     val store = prune(
       readStore(spark, storeDir,
         "vec_id BIGINT, vec ARRAY<DOUBLE>, tbl INT, bucket BIGINT, bp INT"),
@@ -523,14 +537,21 @@ object IncrementalDedup {
     * duplicate the replayed epoch's rows). This is the live-feed twin of
     * the backfill path — ONE operator definition serves both, the
     * property StreamingCurationSpec pins for the stateless curation
-    * expressions and this method extends to stateful-store dedup. */
+    * expressions and this method extends to stateful-store dedup.
+    *
+    * Streaming defaults to `DefaultStoreParts`, NOT auto-sizing: a
+    * stream's first micro-batch is typically tiny (often empty), and
+    * auto geometry sizes the store from batch 0 forever — a store that
+    * grows to millions of rows would be stuck at the 32-part floor,
+    * un-pruning every later cycle. A caller who knows the expected
+    * corpus passes `storePartsFor(expectedRows)` explicitly. */
   def exactStream(
       docsStream: DataFrame,
       storeDir: String,
       resultsDir: String,
       checkpointDir: String,
       textCol: String = "text",
-      storeParts: Int = AutoStoreParts): org.apache.spark.sql.streaming.StreamingQuery =
+      storeParts: Int = DefaultStoreParts): org.apache.spark.sql.streaming.StreamingQuery =
     docsStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
@@ -544,7 +565,8 @@ object IncrementalDedup {
     * stream against the persisted signature store, one locked cycle per
     * micro-batch; pair rows land under `resultsDir/batch=<epoch>` with
     * the same per-epoch-overwrite exactly-once contract as
-    * `exactStream`. */
+    * `exactStream` — and the same `DefaultStoreParts` default (batch-0
+    * auto-sizing would freeze a growing store at the floor). */
   def minhashStream(
       docsStream: DataFrame,
       storeDir: String,
@@ -554,7 +576,7 @@ object IncrementalDedup {
       numHashes: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.5,
-      storeParts: Int = AutoStoreParts): org.apache.spark.sql.streaming.StreamingQuery =
+      storeParts: Int = DefaultStoreParts): org.apache.spark.sql.streaming.StreamingQuery =
     docsStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
@@ -664,8 +686,10 @@ object IncrementalDedup {
     * stream against the persisted bucket store, one locked cycle per
     * micro-batch; pair rows land under `resultsDir/batch=<epoch>` with
     * the same per-epoch-overwrite exactly-once contract as
-    * `exactStream`. Geometry params feed the store manifest on first
-    * batch and are validated against it ever after. */
+    * `exactStream`, and the same `DefaultStoreParts` default (batch-0
+    * auto-sizing would freeze a growing store at the floor). Geometry
+    * params feed the store manifest on first batch and are validated
+    * against it ever after. */
   def embeddingStream(
       embsStream: DataFrame,
       storeDir: String,
@@ -676,7 +700,7 @@ object IncrementalDedup {
       threshold: Double = 0.95,
       planes: Int = 8,
       tables: Int = 16,
-      storeParts: Int = AutoStoreParts): org.apache.spark.sql.streaming.StreamingQuery =
+      storeParts: Int = DefaultStoreParts): org.apache.spark.sql.streaming.StreamingQuery =
     embsStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>

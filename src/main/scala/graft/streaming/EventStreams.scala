@@ -32,17 +32,14 @@ object EventStreams {
     * `ts` as both TIMESTAMP(NANOS)→long and TIMESTAMP(_NTZ) across
     * refreshes — infer from files already present, fall back to
     * [[rawSchema]] for a dir that starts empty. `ts_ms` is exact integer
-    * epoch-ms either way (NTZ cast resolves in the UTC session). */
+    * epoch-ms either way — the shared [[graft.Queries.tsMsExpr]]
+    * dispatch, zone-independent in every branch. */
   def read(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = scala.util.Try(spark.read.parquet(dir).schema).toOption
       .filter(_.fieldNames.contains("ts")).getOrElse(rawSchema)
-    val tsMs = schema("ts").dataType match {
-      case LongType => expr("ts div 1000000")
-      case _ => unix_millis(col("ts").cast("timestamp"))
-    }
     spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts_ms", tsMs)
+      .withColumn("ts_ms", graft.Queries.tsMsExpr(schema("ts").dataType))
       .withColumn("event_time", timestamp_millis(col("ts_ms")))
   }
 

@@ -18,6 +18,24 @@ class EventStreamsSpec extends SparkSuite {
     dir
   }
 
+  test("ts_ms is session-timezone independent (NTZ branch has no zone cast)") {
+    // a non-UTC caller outside Bench/Verify must get the same epoch ms —
+    // the old `unix_millis(cast(ts as timestamp))` NTZ arm shifted by the
+    // session offset and silently diverged from the DuckDB oracle
+    val utc = graft.Queries.events(spark, sf)
+      .select("event_id", "ts_ms").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Seoul")
+      val seoul = graft.Queries.events(spark, sf)
+        .select("event_id", "ts_ms").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(seoul == utc)
+      assert(utc.nonEmpty)
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("windowed aggregation matches the batch computation") {
     val stream = EventStreams.read(spark, streamDir)
     EventStreams.runToMemory(
@@ -111,16 +129,12 @@ class EventStreamsSpec extends SparkSuite {
 }
 
 private object Queries {
-  /** Batch twin of hourlyByType over the staged copy (ts as either
-    * ns-as-long or timestamp, matching EventStreams.read's dispatch). */
+  /** Batch twin of hourlyByType over the staged copy — the SAME
+    * [[graft.Queries.tsMsExpr]] dispatch the stream reader uses. */
   def batchHourly(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val raw = s.read.parquet(dir)
-    val tsMs = raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
-      case _ => unix_millis(col("ts").cast("timestamp"))
-    }
     raw
-      .withColumn("ts_ms", tsMs)
+      .withColumn("ts_ms", graft.Queries.tsMsExpr(raw.schema("ts").dataType))
       .groupBy(col("event_type"),
         (col("ts_ms") - (col("ts_ms") % 3600000L)).as("hour_ms"))
       .agg(count(lit(1)).as("n"))
