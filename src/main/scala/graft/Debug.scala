@@ -22,12 +22,20 @@ object Debug {
     }
     if (repeat > 0) {
       // bench-shaped repetitions (noop sink, cache cleared between runs)
-      // for chasing run-to-run variance of one query
+      // for chasing run-to-run variance of one query; cpu printed too —
+      // the wall/cpu split is Bench's contention-vs-regression
+      // discriminator and a quiet pin needs both
+      def cpuNanos: Long = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean
+        .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+        .getProcessCpuTime
       (1 to repeat).foreach { k =>
+        val cpu0 = cpuNanos
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
-        println(f"run $k: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        println(f"run $k: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+          f"cpu ${(cpuNanos - cpu0) / 1e9}%.1f core-s")
         spark.catalog.clearCache()
         System.gc()
       }

@@ -279,9 +279,8 @@ object IncrementalDedup {
     // bp is a cheap hash recompute over the checkpointed blocks
     val digested = digestedBase
       .withColumn("bp", bpOf(storeParts, col("digest")))
-    val store = prune(
-      readStore(spark, storeDir, "digest STRING, keep_doc_id BIGINT, bp INT"),
-      touched(digested))
+    val store = prunedStore(digested,
+      readStore(spark, storeDir, "digest STRING, keep_doc_id BIGINT, bp INT"))
     // batch-internal keeper: min doc_id per digest within the batch
     val batchKeep = digested.groupBy("digest")
       .agg(min("doc_id").as("batch_keep"))
@@ -370,10 +369,9 @@ object IncrementalDedup {
       "num_hashes" -> numHashes.toString, "bands" -> bands.toString))
     val newBanded = banded
       .withColumn("bp", bpOf(storeParts, col("band"), col("bh")))
-    val store = prune(
+    val store = prunedStore(newBanded,
       readStore(spark, storeDir,
-        "doc_id BIGINT, sig ARRAY<BIGINT>, band INT, bh BIGINT, bp INT"),
-      touched(newBanded))
+        "doc_id BIGINT, sig ARRAY<BIGINT>, band INT, bh BIGINT, bp INT"))
     val batchBanded = newBanded.drop("bp")
     // candidates: every bucket pair touching the batch. doc_a < doc_b
     // normalizes orientation and drops self-pairs; dropDuplicates
@@ -490,10 +488,9 @@ object IncrementalDedup {
       "planes" -> planes.toString, "tables" -> tables.toString))
     val newBucketed = bucketedNew
       .withColumn("bp", bpOf(storeParts, col("tbl"), col("bucket")))
-    val store = prune(
+    val store = prunedStore(newBucketed,
       readStore(spark, storeDir,
-        "vec_id BIGINT, vec ARRAY<DOUBLE>, tbl INT, bucket BIGINT, bp INT"),
-      touched(newBucketed))
+        "vec_id BIGINT, vec ARRAY<DOUBLE>, tbl INT, bucket BIGINT, bp INT"))
     val batchBucketed = newBucketed.drop("bp")
     val out = store.unionByName(batchBucketed).as("a")
       .join(batchBucketed.as("b"), Seq("tbl", "bucket"))
@@ -724,9 +721,13 @@ object IncrementalDedup {
   /** Read a store dir that may not exist yet (first batch): an empty
     * frame with the right schema keeps the joins well-typed. Data lives
     * under `bp=<n>/` hive directories; the lock file and its heartbeat
-    * temps start with `_`, which parquet partition discovery ignores. */
+    * temps start with `_`, which parquet partition discovery ignores.
+    * Returns the frame plus whether the store held data — a CREATION
+    * cycle's caller skips the touched-partition probe job entirely
+    * (pruning an empty store buys nothing, and the probe is a full pass
+    * over the batch's checkpointed blocks). */
   private def readStore(
-      spark: SparkSession, dir: String, ddl: String): DataFrame = {
+      spark: SparkSession, dir: String, ddl: String): (DataFrame, Boolean) = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
@@ -735,9 +736,18 @@ object IncrementalDedup {
         s.getPath.getName.endsWith(".parquet")
     }
     if (hasData)
-      spark.read.schema(schema).parquet(dir)
+      (spark.read.schema(schema).parquet(dir), true)
     else
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      (spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema), false)
   }
+
+  /** Pruned store view for one batch: partition-filter to the batch's
+    * touched `bp`s when the store holds data; skip the probe job when it
+    * does not (the empty frame is already the complete view). */
+  private def prunedStore(batch: DataFrame, read: (DataFrame, Boolean)): DataFrame =
+    read match {
+      case (df, true) => prune(df, touched(batch))
+      case (df, false) => df.drop("bp")
+    }
 }
