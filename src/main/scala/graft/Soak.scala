@@ -254,14 +254,46 @@ object Soak {
           planes = scaledPlanes)
       })
 
-    val json = (runs ++ embRuns ++ incRuns).map(r =>
+    // --- store footprint: bytes at rest, float vs double width --------
+    // The incremental embedding store adopts the SOURCE width (r12):
+    // seed one store from the raw float embeddings table and one from
+    // the same vectors upcast to double — identical geometry, identical
+    // pairs — and report bytes. The f32 store should run ~2× smaller;
+    // at 100 TB that halves the store scan AND the bucket-join shuffle.
+    val rawEmb = Queries.rd(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding")
+    val f32Store = s"$tmp/emb_store_f32"
+    val f64Store = s"$tmp/emb_store_f64"
+    val widthRuns = Seq(
+      run("inc_embedding_seed_f32") {
+        ops.IncrementalDedup.embeddingBatch(rawEmb, f32Store)
+      },
+      run("inc_embedding_seed_f64") {
+        ops.IncrementalDedup.embeddingBatch(
+          rawEmb.select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double")).as("embedding")),
+          f64Store)
+      })
+
+    def dirBytes(path: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    }
+    val storeBytes =
+      Seq("mh_store" -> mhStore, "emb_store" -> embStore,
+        "emb_store_f32" -> f32Store, "emb_store_f64" -> f64Store)
+        .map { case (n, p) => s""""$n":${dirBytes(p)}""" }
+        .mkString("{", ",", "}")
+
+    val json = (runs ++ embRuns ++ incRuns ++ widthRuns).map(r =>
       s"""{"op":"${r.name}","sec":${f"${r.sec}%.2f"},"rows":${r.rows},""" +
         s""""shuffle_write_mb":${f"${r.shuffleWriteMB}%.1f"},""" +
         s""""shuffle_read_mb":${f"${r.shuffleReadMB}%.1f"},""" +
         s""""peak_stage_write_mb":${f"${r.peakStageWriteMB}%.1f"},""" +
         s""""input_krec":${r.inputKRec}}""")
       .mkString("[", ",", "]")
-    println(s"""{"soak":{"sf":"$sfDir","factor":$factor,"n_docs":$nDocs,"runs":$json}}""")
+    println(s"""{"soak":{"sf":"$sfDir","factor":$factor,"n_docs":$nDocs,"store_bytes":$storeBytes,"runs":$json}}""")
     spark.stop()
   }
 }

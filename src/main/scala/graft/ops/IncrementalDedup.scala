@@ -103,10 +103,11 @@ object IncrementalDedup {
     math.min(math.max(pow2, minParts.toLong), maxParts.toLong).toInt
   }
 
-  /** The store's manifest-recorded partition count, if the store exists
-    * and its manifest parses. Unparseable manifests yield None here —
-    * `checkOrWriteMeta` raises the actionable error for those. */
-  private def manifestParts(spark: SparkSession, dir: String): Option[Int] = {
+  /** One manifest value, if the store exists and its manifest parses.
+    * Unparseable manifests yield None here — `checkOrWriteMeta` raises
+    * the actionable error for those. */
+  private def manifestValue(
+      spark: SparkSession, dir: String, key: String): Option[String] = {
     val p = new org.apache.hadoop.fs.Path(dir, "_graft_store.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
@@ -117,10 +118,15 @@ object IncrementalDedup {
           try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
           finally in.close()
         Option(new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(body).get("store_parts")).map(_.asText.toInt)
+          .readTree(body).get(key)).map(_.asText)
       }
     } catch { case _: Exception => None }
   }
+
+  /** The store's manifest-recorded partition count (`store_parts` is
+    * written by every creation, so its presence ⇔ a manifest exists). */
+  private def manifestParts(spark: SparkSession, dir: String): Option[Int] =
+    manifestValue(spark, dir, "store_parts").map(_.toInt)
 
   /** Resolve the partition count for this cycle: explicit beats
     * manifest beats first-batch auto-sizing. `estStoreRows` is only
@@ -434,9 +440,19 @@ object IncrementalDedup {
     *
     * Holds the store lock for the read → compute → append cycle like
     * the other variants — a concurrent writer fails loudly, never
-    * corrupts. Vectors are stored as ARRAY<DOUBLE> (float batches are
-    * upcast exactly), so every future batch scores against identical
-    * values regardless of the source column's width. */
+    * corrupts.
+    *
+    * Vector width: a store created from a FLOAT source stores
+    * ARRAY<FLOAT> (`vec_type:float` in the manifest) — embeddings are
+    * overwhelmingly fp32 at the source, and doubling them at rest was a
+    * 2× tax on store bytes AND on every bucket-join shuffle (the r9
+    * verdict's footprint finding). Scores are UNCHANGED: float→double
+    * is exact, and the cosine/plane expressions accept either width
+    * natively (VectorExprs accumulates in double for both). A store
+    * created from a DOUBLE source — or any pre-`vec_type` manifest —
+    * stores ARRAY<DOUBLE>, and float batches upcast exactly into it.
+    * The one forbidden direction is double batches into a float store
+    * (narrowing is lossy); the manifest check makes that loud. */
   def embeddingBatch(
       embsNew: DataFrame,
       storeDir: String,
@@ -462,8 +478,27 @@ object IncrementalDedup {
       tables: Int,
       requestedParts: Int): DataFrame = {
     val spark = embsNew.sparkSession
+    val srcType = embsNew.schema(vecCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => "float"
+      case org.apache.spark.sql.types.ArrayType(_, _) => "double"
+      case other => throw new IllegalArgumentException(
+        s"$vecCol must be an array column, got ${other.sql}")
+    }
+    // store width: the manifest's vec_type beats everything; a manifest
+    // without one is a pre-vec_type store (always double); creation
+    // adopts the source width
+    val manifestExists = manifestParts(spark, storeDir).isDefined
+    val mVecType =
+      if (manifestExists) manifestValue(spark, storeDir, "vec_type") else None
+    val vecType = mVecType.getOrElse(if (manifestExists) "double" else srcType)
+    require(vecType == "double" || srcType == "float",
+      s"store $storeDir holds ARRAY<FLOAT> vectors (vec_type:float) but " +
+        s"this batch's $vecCol is double — narrowing would change scores; " +
+        "rebuild the store as double or cast the batch explicitly")
     val newVecs = embsNew.select(col(idCol).cast("long").as("vec_id"),
-      transform(col(vecCol), x => x.cast("double")).as("vec"))
+      (if (srcType == vecType) col(vecCol)
+       else transform(col(vecCol), x => x.cast("double"))).as("vec"))
     // map-only bucket explode, shared with the batch path's geometry:
     // same planes ⇒ the store blocks identically for every batch
     def bucketed(v: DataFrame): DataFrame = v.select(
@@ -483,14 +518,20 @@ object IncrementalDedup {
     // bucketed row count, no multiplier needed
     val storeParts = resolveParts(spark, storeDir, requestedParts,
       bucketedNew.count())
+    // legacy (pre-vec_type) manifests: omit the key from the strict
+    // check — their implicit width is double and vecType already is
+    val typeMeta =
+      if (manifestExists && mVecType.isEmpty) Map.empty[String, String]
+      else Map("vec_type" -> vecType)
     checkOrWriteMeta(spark, storeDir, Map(
       "variant" -> "embedding", "store_parts" -> storeParts.toString,
-      "planes" -> planes.toString, "tables" -> tables.toString))
+      "planes" -> planes.toString, "tables" -> tables.toString) ++ typeMeta)
     val newBucketed = bucketedNew
       .withColumn("bp", bpOf(storeParts, col("tbl"), col("bucket")))
     val store = prunedStore(newBucketed,
       readStore(spark, storeDir,
-        "vec_id BIGINT, vec ARRAY<DOUBLE>, tbl INT, bucket BIGINT, bp INT"))
+        s"vec_id BIGINT, vec ARRAY<${vecType.toUpperCase}>, tbl INT, " +
+          "bucket BIGINT, bp INT"))
     val batchBucketed = newBucketed.drop("bp")
     val out = store.unionByName(batchBucketed).as("a")
       .join(batchBucketed.as("b"), Seq("tbl", "bucket"))

@@ -573,4 +573,51 @@ class IncrementalDedupSpec extends SparkSuite {
     assert(again.subsetOf(full))
     assert(spark.read.parquet(dir).select("vec_id").distinct().count() == 24)
   }
+
+  test("embedding store width: float source stores float, scores unchanged; narrowing forbidden") {
+    val rnd = new scala.util.Random(23)
+    def vecF(): Seq[Float] = Seq.fill(16)(rnd.nextFloat() - 0.5f)
+    val base = (0L until 10L).map(i => (i, vecF()))
+    val nearOf0 = base(0)._2.updated(0, base(0)._2.head + 0.02f)
+    val b1f = base.toDF("vec_id", "embedding")
+    val b2f = Seq((100L, nearOf0)).toDF("vec_id", "embedding")
+
+    // float store: manifest flags it, parquet holds ARRAY<FLOAT>
+    val fDir = Files.createTempDirectory("incemb_f").toString + "/store"
+    val r1 = IncrementalDedup.embeddingBatch(b1f, fDir, threshold = 0.95)
+    r1.count()
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(fDir, "_graft_store.json")), "UTF-8")
+    assert(manifest.contains("\"vec_type\":\"float\""))
+    assert(spark.read.parquet(fDir).schema("vec").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, true))
+
+    // identical scores vs a double store fed the upcast batches —
+    // float→double is exact and the expressions promote per element
+    val dDir = Files.createTempDirectory("incemb_d").toString + "/store"
+    def up(df: org.apache.spark.sql.DataFrame) = df.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    IncrementalDedup.embeddingBatch(up(b1f), dDir, threshold = 0.95).count()
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("cosine"))).toSet
+    val fPairs = pairsOf(
+      IncrementalDedup.embeddingBatch(b2f, fDir, threshold = 0.95))
+    val dPairs = pairsOf(
+      IncrementalDedup.embeddingBatch(up(b2f), dDir, threshold = 0.95))
+    assert(fPairs == dPairs)
+    assert(fPairs.map(p => (p._1, p._2)) == Set((0L, 100L)))
+
+    // double batch into the float store: loud, not lossy
+    val e = intercept[IllegalArgumentException] {
+      IncrementalDedup.embeddingBatch(up(b2f), fDir, threshold = 0.95)
+    }
+    assert(e.getMessage.contains("vec_type:float"))
+
+    // float batch into the double store: exact upcast, accepted
+    val again = pairsOf(
+      IncrementalDedup.embeddingBatch(b2f, dDir, threshold = 0.95))
+    assert(again == dPairs)
+  }
 }
