@@ -50,9 +50,18 @@ object IvfIndex {
     * vectors are assigned to the FROZEN build-time centroids (broadcast,
     * map-only) and appended to their cell partitions, one file per
     * touched cell. A drifting corpus therefore degrades recall
-    * gradually (cells grow imbalanced) rather than wrongly — rebuild
-    * with fresh centroids when imbalance warrants; `compactStore`-style
-    * file fragmentation is bounded by one file per cell per append.
+    * gradually (cells grow imbalanced) rather than wrongly; file
+    * fragmentation is bounded by one file per cell per append.
+    *
+    * Cell health (r12): each append ends with an occupancy reading —
+    * a partition-column-only aggregate, so it scans parquet metadata,
+    * not vectors — and when `rebuildImbalance` > 0 and max/mean
+    * occupancy exceeds it, the index is re-clustered IN THE SAME LOCK
+    * HOLD (fresh k-means centroids over the full corpus, every vector
+    * re-assigned, atomic-ish roll-forward swap — see [[rebuild]]).
+    * Returns true iff a rebuild ran. The default 0.0 keeps the trigger
+    * off: hot-cell growth is expected under planned skew (a product
+    * catalog's head), and only the operator knows drift from design.
     *
     * Idempotent retries by the dedup-store argument: a retried vector
     * assigns to the SAME cell (frozen centroids, deterministic
@@ -64,10 +73,14 @@ object IvfIndex {
       batch: DataFrame,
       indexDir: String,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): Unit =
+      vecCol: String = "embedding",
+      rebuildImbalance: Double = 0.0,
+      rebuildIters: Int = 2): Boolean =
     graft.fs.StoreLock.withLock(indexDir,
       batch.sparkSession.sparkContext.hadoopConfiguration) {
       val spark = batch.sparkSession
+      // finish (or discard) any crashed rebuild swap BEFORE reading
+      sweepRebuild(spark, indexDir)
       val cand = batch.select(col(idCol).as("id"), col(vecCol).as("vec"))
       val centroids = spark.read.parquet(s"$indexDir/centroids")
       val assigned = Similarity.assignCells(cand, centroids)
@@ -81,7 +94,113 @@ object IvfIndex {
         .repartition(col("cell"))
         .write.mode("append").partitionBy("cell")
         .parquet(s"$indexDir/assignments")
+      val trigger = rebuildImbalance > 0 &&
+        imbalance(spark, indexDir) > rebuildImbalance
+      if (trigger) rebuildLocked(spark, indexDir, rebuildIters)
+      trigger
     }
+
+  /** Per-cell occupancy (cell, n) of the assignments table. The count
+    * groups on the HIVE PARTITION column, so the scan reads no data
+    * columns — footer metadata and directory names only; cheap enough
+    * to run after every append even on a 100 TB index. Cells that exist
+    * in the centroid table but hold no vectors have no partition
+    * directory and so no row here. */
+  def cellOccupancy(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/assignments")
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+
+  /** max/mean cell occupancy — 1.0 is perfectly balanced; the probe
+    * cost model degrades linearly in this ratio (a probe of the hottest
+    * cell reads max/mean times its fair share of the corpus). */
+  def imbalance(spark: SparkSession, indexDir: String): Double = {
+    val row = cellOccupancy(spark, indexDir)
+      .agg(max("n").cast("double"), avg("n")).collect()(0)
+    if (row.isNullAt(0)) 1.0 else row.getDouble(0) / row.getDouble(1)
+  }
+
+  /** Re-cluster the index in place: fresh k-means centroids over the
+    * CURRENT corpus (same nlist), every vector re-assigned. The swap is
+    * crash-safe by roll-forward: the new index is fully written under
+    * `_rebuild_tmp` first, then a `_rebuild_ready` marker commits it,
+    * then each live table is replaced by rename; `sweepRebuild` (run by
+    * every locked writer before reading) finishes a crashed swap when
+    * the marker exists and discards a crashed half-written tmp when it
+    * does not — so writers always see a complete index of ONE
+    * generation. Lock-free searches racing the swap window itself can
+    * transiently fail or mix generations (recall dip, never corruption:
+    * both generations hold the same vectors); schedule rebuilds like
+    * any other maintenance. */
+  def rebuild(spark: SparkSession, indexDir: String, kmeansIters: Int = 2): Unit =
+    graft.fs.StoreLock.withLock(indexDir,
+      spark.sparkContext.hadoopConfiguration) {
+      sweepRebuild(spark, indexDir)
+      rebuildLocked(spark, indexDir, kmeansIters)
+    }
+
+  private val RebuildTmp = "_rebuild_tmp"
+  private val RebuildReady = "_rebuild_ready"
+  private val IndexTables = Seq("centroids", "assignments")
+
+  private def rebuildLocked(
+      spark: SparkSession, indexDir: String, kmeansIters: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mustRename(src: Path, dst: Path): Unit =
+      require(fs.rename(src, dst), s"rename failed: $src -> $dst")
+    val tmp = new Path(root, RebuildTmp)
+    fs.delete(tmp, true)
+    val corpus = spark.read.parquet(s"$indexDir/assignments")
+      .select("id", "vec")
+    val nlist = spark.read.parquet(s"$indexDir/centroids").count().toInt
+    // build the COMPLETE new generation under tmp — reads the live
+    // tables, writes elsewhere, so no read-under-overwrite hazard
+    val cents =
+      if (kmeansIters > 0)
+        Similarity.kmeansCentroids(corpus, nlist, kmeansIters, "id", "vec")
+      else Similarity.seedCentroids(corpus, nlist)
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$tmp/centroids")
+    val newCents = spark.read.parquet(s"$tmp/centroids")
+    Similarity.assignCells(corpus, newCents)
+      .repartition(col("cell"))
+      .write.partitionBy("cell").mode("overwrite")
+      .parquet(s"$tmp/assignments")
+    // commit: from here the swap rolls FORWARD (sweepRebuild finishes
+    // it after any crash); before here a crash discards tmp
+    fs.create(new Path(root, RebuildReady), true).close()
+    IndexTables.foreach { n =>
+      val live = new Path(root, n)
+      fs.delete(live, true)
+      mustRename(new Path(tmp, n), live)
+    }
+    fs.delete(new Path(root, RebuildReady), false)
+    fs.delete(tmp, true)
+  }
+
+  /** Crash recovery for [[rebuildLocked]]'s swap — run under the lock
+    * before any read. Marker present: the new generation was complete,
+    * finish placing whatever renames the crash interrupted. Marker
+    * absent: any tmp is a half-written build — discard it. */
+  private def sweepRebuild(spark: SparkSession, indexDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(root, RebuildTmp)
+    val ready = new Path(root, RebuildReady)
+    if (fs.exists(ready)) {
+      IndexTables.foreach { n =>
+        val src = new Path(tmp, n)
+        if (fs.exists(src)) {
+          val live = new Path(root, n)
+          fs.delete(live, true)
+          require(fs.rename(src, live), s"rename failed: $src -> $live")
+        } // src absent ⇒ this table was already placed
+      }
+      fs.delete(ready, false)
+    }
+    fs.delete(tmp, true)
+  }
 
   /** The assignments scan restricted to `cells` — THE partition-pruned
     * read (search() and the pruning spec share it, so the spec tests the

@@ -89,4 +89,42 @@ class IvfIndexSpec extends SparkSuite {
     IvfIndex.append(batch, dir)
     assert(spark.read.parquet(s"$dir/assignments").count() == n0 + 1)
   }
+
+  test("cell health: drifted appends trip the rebuild trigger; post-rebuild search equals brute force") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ivfhealth").toString
+    IvfIndex.build(cands, dir, nlist = 8)
+    val imb0 = IvfIndex.imbalance(spark, dir)
+    assert(imb0 >= 1.0)
+    // drift: a tight cloud of near-copies of ONE corpus vector — every
+    // new vector lands in the same frozen cell, max/mean occupancy
+    // grows. FLOAT vectors, matching the table's stored width (a width
+    // mix across appended files would break the parquet schema).
+    val seedF = cands.orderBy("vec_id").select("embedding").head
+      .getSeq[Float](0)
+    val drifted = (0 until 200).map { i =>
+      (800000L + i, seedF.updated(0, seedF.head + i * 1e-4f))
+    }.toDF("vec_id", "embedding")
+    // below-threshold appends report no rebuild
+    assert(!IvfIndex.append(drifted.filter(col("vec_id") < 800100L), dir,
+      rebuildImbalance = 1000.0))
+    // the drifted corpus exceeds a tight threshold -> rebuild fires
+    val rebuilt = IvfIndex.append(
+      drifted.filter(col("vec_id") >= 800100L), dir,
+      rebuildImbalance = 2.0, rebuildIters = 2)
+    assert(rebuilt, s"imbalance was ${IvfIndex.imbalance(spark, dir)}")
+    // rebuild preserved the corpus exactly
+    assert(spark.read.parquet(s"$dir/assignments").count() ==
+      cands.count() + 200)
+    // no stale swap litter
+    assert(!new java.io.File(s"$dir/_rebuild_tmp").exists())
+    assert(!new java.io.File(s"$dir/_rebuild_ready").exists())
+    // exhaustive probe over the REBUILT index = brute force over the
+    // union corpus (fresh centroids moved vectors, lost none)
+    val union = cands.select(col("vec_id"), col("embedding"))
+      .unionByName(drifted)
+    val got = rows(IvfIndex.search(spark, dir, queries, k = 3, nprobe = 8))
+    val want = rows(Similarity.bruteForceTopK(queries, union, k = 3))
+    assert(got == want)
+  }
 }
