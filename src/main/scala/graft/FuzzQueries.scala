@@ -381,6 +381,153 @@ object FuzzQueries {
        |ORDER BY $order""".stripMargin
   }
 
+  // --- V3 grammar: window functions and set operations -----------------
+  // Where v1/v2 fuzz filter×aggregate compositions and null semantics,
+  // v3 reaches the two remaining operator families the hand-written gate
+  // rows cover only at fixed shapes: ranking windows (partition
+  // boundaries, frame-free ranking, ties) and two-arm set ops (bag vs
+  // set semantics, positional column matching). Determinism discipline:
+  // a row_number's OVER(ORDER BY) is always a per-table UNIQUE key, so
+  // the assigned numbers are engine-independent; a rank's ties produce
+  // deterministic rank VALUES whatever the engine's internal order; and
+  // every final ORDER BY lists the full output row, so equal rows sort
+  // equal and the gate's row-order hash is stable. Satisfiability: set
+  // ops draw nested half-ranges on ONE column (armA ⊇ [r/2, r], armB =
+  // [hi, r] with hi strictly inside), so UNION/INTERSECT keep armB's
+  // rows and EXCEPT keeps the [r/2, hi) band — no draw can produce a
+  // structurally-empty result.
+  private val uniqueKey = Map(
+    "lineitem" -> Seq("l_orderkey", "l_linenumber"),
+    "orders" -> Seq("o_orderkey"),
+    "customer" -> Seq("c_custkey"))
+  private val partitionCols = Map(
+    "lineitem" -> Seq("l_suppkey", "l_linenumber"),
+    "orders" -> Seq("o_custkey"),
+    "customer" -> Seq("c_nationkey"))
+
+  private final case class QWin(
+      table: String,
+      part: String,        // PARTITION BY
+      fn: String,          // row_number | rank
+      ord: Seq[String],    // OVER(ORDER BY …) — unique key for row_number
+      wide: Cmp,           // satisfiable filter under the window
+      keep: Long)          // w <= keep
+
+  private def genWindow(seed: Int): QWin = {
+    val rnd = new scala.util.Random(seed)
+    val table = tables.keys.toSeq.sorted.apply(rnd.nextInt(tables.size))
+    val cols = tables(table)
+    val part = partitionCols(table)(rnd.nextInt(partitionCols(table).size))
+    // rank orders by a (possibly tied) non-key column when the table has
+    // one outside the partition key; row_number always by the unique key
+    val fn = if (rnd.nextBoolean()) "row_number" else "rank"
+    val ord =
+      if (fn == "row_number") uniqueKey(table)
+      else {
+        val cands = cols.filterNot(c =>
+          c == part || uniqueKey(table).contains(c))
+        if (cands.isEmpty) uniqueKey(table)
+        else Seq(cands(rnd.nextInt(cands.size)))
+      }
+    val wide = wideArm(rnd, cols) match { case c: Cmp => c }
+    QWin(table, part, fn, ord, wide, 2L + rnd.nextInt(3))
+  }
+
+  private def sparkOfWin(q: QWin)(s: SparkSession, dir: String): DataFrame = {
+    val proj = (q.part +: q.ord).distinct
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(q.part)).orderBy(q.ord.map(col(_).asc): _*)
+    val fnCol = q.fn match {
+      case "row_number" => row_number()
+      case _            => rank()
+    }
+    Queries.rd(s, dir, q.table)
+      .filter(col(q.wide.c) >= q.wide.lit)
+      .select(proj.map(col): _*)
+      .withColumn("w", fnCol.over(w).cast("long"))
+      .filter(col("w") <= q.keep)
+      .orderBy((q.part +: "w" +: q.ord).distinct.map(col(_).asc): _*)
+  }
+
+  private def sqlOfWin(q: QWin): String = {
+    val proj = (q.part +: q.ord).distinct.mkString(", ")
+    val over =
+      s"${q.fn}() OVER (PARTITION BY ${q.part} ORDER BY ${q.ord.mkString(" ASC, ")} ASC)"
+    val order = (q.part +: "w" +: q.ord).distinct.map(c => s"$c ASC").mkString(", ")
+    s"""SELECT $proj, w FROM (
+       |  SELECT $proj, CAST($over AS BIGINT) AS w
+       |  FROM ${q.table}
+       |  WHERE ${q.wide.c} >= ${q.wide.lit}
+       |) sub
+       |WHERE w <= ${q.keep}
+       |ORDER BY $order""".stripMargin
+  }
+
+  private final case class QSet(
+      table: String,
+      keyCol: String,      // the nested-range predicate column
+      lo: Long, hi: Long,  // armA: key >= lo; armB: key >= hi (lo < hi)
+      projCol: String,     // second projected column, mod-reduced
+      mod: Long,
+      op: String)          // union_all|union|intersect|intersect_all|except|except_all
+
+  private def genSetOp(seed: Int): QSet = {
+    val rnd = new scala.util.Random(seed)
+    val table = tables.keys.toSeq.sorted.apply(rnd.nextInt(tables.size))
+    val cols = tables(table)
+    val keyCol = cols.maxBy(ranges) // widest range: the nesting has room
+    val r = ranges(keyCol)
+    val lo = r / 2
+    val hi = lo + math.max((r - lo) / 2, 1)
+    val others = cols.filterNot(_ == keyCol)
+    val projCol = others(rnd.nextInt(others.size))
+    val op = Seq("union_all", "union", "intersect", "intersect_all",
+      "except", "except_all")(rnd.nextInt(6))
+    QSet(table, keyCol, lo, hi, projCol, 3L + rnd.nextInt(4), op)
+  }
+
+  private def sparkOfSet(q: QSet)(s: SparkSession, dir: String): DataFrame = {
+    def arm(bound: Long): DataFrame =
+      Queries.rd(s, dir, q.table)
+        .filter(col(q.keyCol) >= bound)
+        // BIGINT on both projections: source columns are int32 in some
+        // tables and the gate compares dtypes
+        .select(col(q.keyCol).cast("long").as("k"),
+          (col(q.projCol) % q.mod).cast("long").as("p"))
+    val a = arm(q.lo); val b = arm(q.hi)
+    val combined = q.op match {
+      case "union_all"     => a.unionAll(b)
+      case "union"         => a.unionAll(b).distinct()
+      case "intersect"     => a.intersect(b)
+      case "intersect_all" => a.intersectAll(b)
+      case "except"        => a.except(b)
+      case "except_all"    => a.exceptAll(b)
+      case other           => throw new MatchError(other)
+    }
+    combined.orderBy(col("k").asc, col("p").asc)
+  }
+
+  private def sqlOfSet(q: QSet): String = {
+    def arm(bound: Long): String =
+      s"SELECT CAST(${q.keyCol} AS BIGINT) AS k, " +
+        s"CAST(${q.projCol} % ${q.mod} AS BIGINT) AS p " +
+        s"FROM ${q.table} WHERE ${q.keyCol} >= $bound"
+    val opSql = q.op match {
+      case "union_all"     => "UNION ALL"
+      case "union"         => "UNION"
+      case "intersect"     => "INTERSECT"
+      case "intersect_all" => "INTERSECT ALL"
+      case "except"        => "EXCEPT"
+      case "except_all"    => "EXCEPT ALL"
+    }
+    s"""SELECT k, p FROM (
+       |${arm(q.lo)}
+       |$opSql
+       |${arm(q.hi)}
+       |) u
+       |ORDER BY k ASC, p ASC""".stripMargin
+  }
+
   /** Seeds are FIXED: the gate must be reproducible run-to-run and match
     * the oracle map below. Plain seeds fuzz one table; join seeds fuzz
     * lineitem ⋈ orders compositions (pushdown through the join, partial
@@ -391,6 +538,10 @@ object FuzzQueries {
   private val nullSeeds = Seq(917, 1013, 1201, 1303)
   private val louterSeeds = Seq(1409, 1511, 1607)
   private val distinctSeeds = Seq(2003, 2111, 2207)
+  // 3308: rank over a SECOND partition shape (seed-scanned so both rank
+  // arms and all six set ops are drawn at least once); 4413: except_all
+  private val winSeeds = Seq(3001, 3109, 3203, 3301, 3308)
+  private val setSeeds = Seq(4001, 4099, 4201, 4303, 4409, 4413)
 
   /** SELECT DISTINCT over nullable derived columns — row-level DISTINCT
     * treats NULLs as equal (one NULL row survives per key shape) in
@@ -441,7 +592,11 @@ object FuzzQueries {
       louterSeeds.map(sd => s"q_fuzz_louter_$sd" ->
         (sparkOfV2(genLouter(sd)) _)).toMap ++
       distinctSeeds.map(sd => s"q_fuzz_distinct_$sd" ->
-        (sparkOfV2(genDistinct(sd)) _)).toMap +
+        (sparkOfV2(genDistinct(sd)) _)).toMap ++
+      winSeeds.map(sd => s"q_fuzz_win_$sd" ->
+        (sparkOfWin(genWindow(sd)) _)).toMap ++
+      setSeeds.map(sd => s"q_fuzz_set_$sd" ->
+        (sparkOfSet(genSetOp(sd)) _)).toMap +
       ("q_fuzz_empty_scalar" -> (emptyScalar _)) +
       ("q_fuzz_distinct_rows" -> (distinctRows _))
 
@@ -453,7 +608,9 @@ object FuzzQueries {
       louterSeeds.map(sd => s"q_fuzz_louter_$sd" ->
         sqlOfV2(genLouter(sd))).toMap ++
       distinctSeeds.map(sd => s"q_fuzz_distinct_$sd" ->
-        sqlOfV2(genDistinct(sd))).toMap +
+        sqlOfV2(genDistinct(sd))).toMap ++
+      winSeeds.map(sd => s"q_fuzz_win_$sd" -> sqlOfWin(genWindow(sd))).toMap ++
+      setSeeds.map(sd => s"q_fuzz_set_$sd" -> sqlOfSet(genSetOp(sd))).toMap +
       ("q_fuzz_empty_scalar" -> emptyScalarSql) +
       ("q_fuzz_distinct_rows" -> distinctRowsSql)
 
