@@ -275,25 +275,63 @@ object Soak {
           f64Store)
       })
 
+    // --- fragmentation: N appends with vs without auto-compaction -----
+    // The claim: compactFiles bounds files-per-partition (and so the
+    // file-open cost every later scan pays) at a constant, where the
+    // uncompacted store grows one file per touched partition per append
+    // — the probe append at the end must not get slower with N on the
+    // auto side. 24 single-doc appends, threshold 6.
+    val fragAuto = s"$tmp/frag_auto"
+    val fragOff = s"$tmp/frag_off"
+    // 64 novel docs per append: wide enough to touch most of the
+    // 32-part gate-floor store every time, so files-per-partition grows
+    // one-per-append on the uncompacted side
+    val fragBase = docs.filter(col("doc_id") < 64)
+    def fragBatch(tag: Int): DataFrame = fragBase.select(
+      (col("doc_id") + lit(3000000000000L + tag * 1000L)).as("doc_id"),
+      regexp_replace(col("text"), "(^|\\s)", s"$$1f${tag}_").as("text"))
+    (0 until 24).foreach { i =>
+      ops.IncrementalDedup.exactBatch(fragBatch(i), fragAuto,
+        compactFiles = 6)
+      ops.IncrementalDedup.exactBatch(fragBatch(i), fragOff)
+    }
+    val fragRuns = Seq(
+      run("frag_probe_append_auto") {
+        ops.IncrementalDedup.exactBatch(fragBatch(900), fragAuto,
+          compactFiles = 6)
+      },
+      run("frag_probe_append_off") {
+        ops.IncrementalDedup.exactBatch(fragBatch(900), fragOff)
+      })
+
     def dirBytes(path: String): Long = {
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
     }
+    def dirFiles(path: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.getContentSummary(p).getFileCount else 0L
+    }
+    val storeFiles =
+      Seq("frag_auto" -> fragAuto, "frag_off" -> fragOff)
+        .map { case (n, p) => s""""$n":${dirFiles(p)}""" }
+        .mkString("{", ",", "}")
     val storeBytes =
       Seq("mh_store" -> mhStore, "emb_store" -> embStore,
         "emb_store_f32" -> f32Store, "emb_store_f64" -> f64Store)
         .map { case (n, p) => s""""$n":${dirBytes(p)}""" }
         .mkString("{", ",", "}")
 
-    val json = (runs ++ embRuns ++ incRuns ++ widthRuns).map(r =>
+    val json = (runs ++ embRuns ++ incRuns ++ widthRuns ++ fragRuns).map(r =>
       s"""{"op":"${r.name}","sec":${f"${r.sec}%.2f"},"rows":${r.rows},""" +
         s""""shuffle_write_mb":${f"${r.shuffleWriteMB}%.1f"},""" +
         s""""shuffle_read_mb":${f"${r.shuffleReadMB}%.1f"},""" +
         s""""peak_stage_write_mb":${f"${r.peakStageWriteMB}%.1f"},""" +
         s""""input_krec":${r.inputKRec}}""")
       .mkString("[", ",", "]")
-    println(s"""{"soak":{"sf":"$sfDir","factor":$factor,"n_docs":$nDocs,"store_bytes":$storeBytes,"runs":$json}}""")
+    println(s"""{"soak":{"sf":"$sfDir","factor":$factor,"n_docs":$nDocs,"store_bytes":$storeBytes,"store_files":$storeFiles,"runs":$json}}""")
     spark.stop()
   }
 }

@@ -256,17 +256,19 @@ object IncrementalDedup {
       docsNew: DataFrame,
       storeDir: String,
       textCol: String = "text",
-      storeParts: Int = AutoStoreParts): DataFrame =
+      storeParts: Int = AutoStoreParts,
+      compactFiles: Int = 0): DataFrame =
     graft.fs.StoreLock.withLock(storeDir,
       docsNew.sparkSession.sparkContext.hadoopConfiguration) {
-      exactBatchLocked(docsNew, storeDir, textCol, storeParts)
+      exactBatchLocked(docsNew, storeDir, textCol, storeParts, compactFiles)
     }
 
   private def exactBatchLocked(
       docsNew: DataFrame,
       storeDir: String,
       textCol: String,
-      requestedParts: Int): DataFrame = {
+      requestedParts: Int,
+      compactFiles: Int = 0): DataFrame = {
     val spark = docsNew.sparkSession
     // digest BEFORE sizing: the eager checkpoint materializes the blocks
     // every later step reuses (probe, join, append), so the creation-only
@@ -319,6 +321,8 @@ object IncrementalDedup {
         .select(col("digest"), col("doc_id").as("keep_doc_id"))
         .withColumn("bp", bpOf(storeParts, col("digest"))),
       storeDir)
+    if (compactFiles > 0)
+      maybeCompactLocked(spark, storeDir, touched(digested), compactFiles)
     out
   }
 
@@ -339,11 +343,12 @@ object IncrementalDedup {
       numHashes: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.5,
-      storeParts: Int = AutoStoreParts): DataFrame =
+      storeParts: Int = AutoStoreParts,
+      compactFiles: Int = 0): DataFrame =
     graft.fs.StoreLock.withLock(storeDir,
       docsNew.sparkSession.sparkContext.hadoopConfiguration) {
       minhashBatchLocked(docsNew, storeDir, textCol, numHashes, bands,
-        threshold, storeParts)
+        threshold, storeParts, compactFiles)
     }
 
   private def minhashBatchLocked(
@@ -353,7 +358,8 @@ object IncrementalDedup {
       numHashes: Int,
       bands: Int,
       threshold: Double,
-      requestedParts: Int): DataFrame = {
+      requestedParts: Int,
+      compactFiles: Int = 0): DataFrame = {
     val spark = docsNew.sparkSession
     val rowsPerBand = numHashes / bands
     // the ONE banding implementation (Dedup.bandSignatures): the store
@@ -415,6 +421,8 @@ object IncrementalDedup {
       newBanded.join(store.select("doc_id", "band"),
         Seq("doc_id", "band"), "left_anti"),
       storeDir)
+    if (compactFiles > 0)
+      maybeCompactLocked(spark, storeDir, touched(newBanded), compactFiles)
     out
   }
 
@@ -461,11 +469,12 @@ object IncrementalDedup {
       threshold: Double = 0.95,
       planes: Int = 8,
       tables: Int = 16,
-      storeParts: Int = AutoStoreParts): DataFrame =
+      storeParts: Int = AutoStoreParts,
+      compactFiles: Int = 0): DataFrame =
     graft.fs.StoreLock.withLock(storeDir,
       embsNew.sparkSession.sparkContext.hadoopConfiguration) {
       embeddingBatchLocked(embsNew, storeDir, idCol, vecCol, threshold,
-        planes, tables, storeParts)
+        planes, tables, storeParts, compactFiles)
     }
 
   private def embeddingBatchLocked(
@@ -476,7 +485,8 @@ object IncrementalDedup {
       threshold: Double,
       planes: Int,
       tables: Int,
-      requestedParts: Int): DataFrame = {
+      requestedParts: Int,
+      compactFiles: Int = 0): DataFrame = {
     val spark = embsNew.sparkSession
     val srcType = embsNew.schema(vecCol).dataType match {
       case org.apache.spark.sql.types.ArrayType(
@@ -559,6 +569,8 @@ object IncrementalDedup {
       newBucketed.join(store.select("vec_id", "tbl"),
         Seq("vec_id", "tbl"), "left_anti"),
       storeDir)
+    if (compactFiles > 0)
+      maybeCompactLocked(spark, storeDir, touched(newBucketed), compactFiles)
     out
   }
 
@@ -582,18 +594,24 @@ object IncrementalDedup {
     * auto geometry sizes the store from batch 0 forever — a store that
     * grows to millions of rows would be stuck at the 32-part floor,
     * un-pruning every later cycle. A caller who knows the expected
-    * corpus passes `storePartsFor(expectedRows)` explicitly. */
+    * corpus passes `storePartsFor(expectedRows)` explicitly.
+    *
+    * `compactFiles` defaults ON for streams (64): per-epoch appends are
+    * exactly the workload that dies of small files — a week of 1-minute
+    * triggers is ~10k files per hot partition — and the touched-set
+    * check amortizes one selective rewrite per 64 epochs. */
   def exactStream(
       docsStream: DataFrame,
       storeDir: String,
       resultsDir: String,
       checkpointDir: String,
       textCol: String = "text",
-      storeParts: Int = DefaultStoreParts): org.apache.spark.sql.streaming.StreamingQuery =
+      storeParts: Int = DefaultStoreParts,
+      compactFiles: Int = 64): org.apache.spark.sql.streaming.StreamingQuery =
     docsStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        exactBatch(batch.toDF(), storeDir, textCol, storeParts)
+        exactBatch(batch.toDF(), storeDir, textCol, storeParts, compactFiles)
           .write.mode("overwrite").parquet(s"$resultsDir/batch=$id")
         ()
       }
@@ -614,12 +632,13 @@ object IncrementalDedup {
       numHashes: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.5,
-      storeParts: Int = DefaultStoreParts): org.apache.spark.sql.streaming.StreamingQuery =
+      storeParts: Int = DefaultStoreParts,
+      compactFiles: Int = 64): org.apache.spark.sql.streaming.StreamingQuery =
     docsStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         minhashBatch(batch.toDF(), storeDir, textCol, numHashes, bands,
-          threshold, storeParts)
+          threshold, storeParts, compactFiles)
           .write.mode("overwrite").parquet(s"$resultsDir/batch=$id")
         ()
       }
@@ -643,6 +662,32 @@ object IncrementalDedup {
   def compactStore(spark: SparkSession, storeDir: String): Int =
     graft.fs.StoreLock.withLock(storeDir,
       spark.sparkContext.hadoopConfiguration) {
+      compactStoreLocked(spark, storeDir)
+    }
+
+  /** Fragmentation trigger for the batch cycles (`compactFiles` knob):
+    * list the partitions THIS batch touched — O(touched) listings, never
+    * the whole store — and compact when any holds more parquet files
+    * than the threshold. The batch's own appends are what fragment its
+    * partitions, so the touched set is exactly where fragmentation
+    * shows first; amortized cost is one selective rewrite per
+    * `threshold` appends, which is the knob's meaning. Runs under the
+    * already-held cycle lock. */
+  private def maybeCompactLocked(
+      spark: SparkSession, storeDir: String,
+      parts: Seq[Int], threshold: Int): Unit = {
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val frag = parts.exists { p =>
+      val d = new org.apache.hadoop.fs.Path(root, s"bp=$p")
+      fs.exists(d) && fs.listStatus(d)
+        .count(_.getPath.getName.endsWith(".parquet")) > threshold
+    }
+    if (frag) { compactStoreLocked(spark, storeDir); () }
+  }
+
+  private def compactStoreLocked(spark: SparkSession, storeDir: String): Int = {
+    locally {
       import org.apache.hadoop.fs.Path
       val root = new Path(storeDir)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -719,6 +764,7 @@ object IncrementalDedup {
         }
       }
     }
+  }
 
   /** Streaming twin of `embeddingBatch` — near-dup pairs of a vector
     * stream against the persisted bucket store, one locked cycle per
@@ -738,12 +784,13 @@ object IncrementalDedup {
       threshold: Double = 0.95,
       planes: Int = 8,
       tables: Int = 16,
-      storeParts: Int = DefaultStoreParts): org.apache.spark.sql.streaming.StreamingQuery =
+      storeParts: Int = DefaultStoreParts,
+      compactFiles: Int = 64): org.apache.spark.sql.streaming.StreamingQuery =
     embsStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         embeddingBatch(batch.toDF(), storeDir, idCol, vecCol, threshold,
-          planes, tables, storeParts)
+          planes, tables, storeParts, compactFiles)
           .write.mode("overwrite").parquet(s"$resultsDir/batch=$id")
         ()
       }

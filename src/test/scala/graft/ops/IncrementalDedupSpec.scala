@@ -574,6 +574,44 @@ class IncrementalDedupSpec extends SparkSuite {
     assert(spark.read.parquet(dir).select("vec_id").distinct().count() == 24)
   }
 
+  test("compactFiles: fragmentation past the threshold auto-compacts; verdicts unchanged") {
+    import org.apache.hadoop.fs.Path
+    val dir = Files.createTempDirectory("incdedup_autocompact").toString + "/store"
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def maxFilesPerPart(): Int = {
+      val root = new Path(dir)
+      if (!fs.exists(root)) 0
+      else fs.listStatus(root)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("bp="))
+        .map(p => fs.listStatus(p.getPath)
+          .count(_.getPath.getName.endsWith(".parquet")))
+        .foldLeft(0)(math.max)
+    }
+    // 8-doc batches of NOVEL content per append (dedup stores keep novel
+    // digests only — repeated content would append nothing): each append
+    // scatters ~2 files into each of the 4 partitions' hash ranges,
+    // fragmenting them — exactly the workload the threshold bounds
+    def batch(tag: Long, texts: Long => String) =
+      (0L until 8L).map(j => (tag + j, texts(j))).toDF("doc_id", "text")
+    (0 until 8).foreach { i =>
+      IncrementalDedup.exactBatch(
+        batch(100L * i, j => s"novel $i $j"), dir,
+        storeParts = 4, compactFiles = 3)
+    }
+    // without the trigger the hot partitions would hold ~8 files (one
+    // per append); the threshold keeps the ceiling at threshold + 1
+    // (the append lands before the check runs)
+    assert(maxFilesPerPart() <= 4, s"max files = ${maxFilesPerPart()}")
+    // and compaction never changed WHAT the store knows: batch-0 keepers
+    // still win through every rewrite
+    val verdicts = IncrementalDedup.exactBatch(
+      batch(9000L, j => s"novel 0 $j"), dir,
+      storeParts = 4, compactFiles = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        Option(r.getAs[java.lang.Long]("dup_of")).map(_.toLong)).toMap
+    assert(verdicts == (0L until 8L).map(j => (9000L + j) -> Some(j)).toMap)
+  }
+
   test("embedding store width: float source stores float, scores unchanged; narrowing forbidden") {
     val rnd = new scala.util.Random(23)
     def vecF(): Seq[Float] = Seq.fill(16)(rnd.nextFloat() - 0.5f)
