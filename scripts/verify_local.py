@@ -48,6 +48,15 @@ def main(sf_dir, out_dir):
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    # corpus-drift preflight written by graft.Verify: surface any schema
+    # contract violations FIRST — a drifted column explains a swath of
+    # downstream FAILs far better than their individual cast errors
+    try:
+        drift = json.load(open(f"{out_dir}/preflight.json"))
+        for v in drift:
+            print(f"DRIFT {v}")
+    except FileNotFoundError:
+        pass
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     import glob
     ok, bad, weak = [], [], []

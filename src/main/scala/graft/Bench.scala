@@ -54,6 +54,10 @@ object Bench {
       .getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
       .getProcessCpuTime
+    // corpus-drift preflight (untimed): a regenerated corpus whose
+    // column types drifted past the dispatch surface should say so
+    // HERE, by name, not as a smear of per-query failures below
+    SchemaContract.report(spark, sfDir)
     // untimed warmup: JIT/codegen + parquet footer caches, so the first
     // timed query isn't charged for session startup
     try SparkEntry.queries("q_topk_orders")(spark, sfDir)

@@ -15,6 +15,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // corpus-drift preflight: name the drifted table/column UP FRONT
+    // (the r10 events.ts re-encode surfaced as six deep cast errors);
+    // the violations also land in preflight.json for verify_local.py
+    val drift = SchemaContract.violations(spark, sfDir)
+    SchemaContract.report(spark, sfDir)
+    Files.writeString(Paths.get(s"$outDir/preflight.json"),
+      drift.map(v => "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+        .mkString("[", ",", "]"))
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
