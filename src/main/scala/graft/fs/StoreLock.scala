@@ -27,6 +27,12 @@ object StoreLock {
 
   private val LockName = "_graft_lock.json"
 
+  /** Heartbeat sidecar for schemes without an atomic rename (see the
+    * heartbeat notes in `withLock`): `_graft_lock.json.beat-<ownerhash>`.
+    * Only its MTIME matters — metadata, atomic on every scheme. */
+  private def beatPath(dir: String, owner: String): Path =
+    new Path(dir, s"$LockName.beat-${math.abs(owner.hashCode)}")
+
   final case class Holder(owner: String, sinceMs: Long)
 
   private def defaultOwner: String =
@@ -55,7 +61,19 @@ object StoreLock {
           finally in.close()
         val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
         firstSeenOpaque.remove(p.toString)
-        Some(Holder(node.get("owner").asText, node.get("since_ms").asLong))
+        val ownerStr = node.get("owner").asText
+        val stamped = node.get("since_ms").asLong
+        // freshness = max(lock stamp, beat-sidecar mtime): on schemes
+        // without an atomic rename the heartbeat never rewrites the
+        // lock (a torn holder body must be impossible to observe) — it
+        // touches the sidecar, whose MTIME is metadata and atomic. The
+        // sidecar is owner-keyed, so a previous holder's leftover can
+        // only contribute an OLD mtime, which max() ignores.
+        val sinceMs =
+          try math.max(stamped,
+            fs.getFileStatus(beatPath(dir, ownerStr)).getModificationTime)
+          catch { case _: Throwable => stamped }
+        Some(Holder(ownerStr, sinceMs))
       } catch {
         // racing a release between exists() and open(): lock is free
         case _: java.io.FileNotFoundException =>
@@ -145,14 +163,22 @@ object StoreLock {
     // file: (POSIX rename(2) via NIO ATOMIC_MOVE+REPLACE_EXISTING, the
     // same flags ObjectCache's publish uses) and on HDFS (FileContext
     // Rename.OVERWRITE) — so a reader never observes a truncated body.
-    // Every OTHER scheme falls back to an IN-PLACE overwrite: a
-    // FileContext rename needs an AbstractFileSystem binding most
-    // FileSystem-only schemes (including this repo's cached-*) don't
-    // have, and a non-atomic rename would make the lock MOMENTARILY
-    // ABSENT mid-beat — which holder() reads as "free", breaking mutual
-    // exclusion. The in-place path's worst case is the opposite and
-    // safe one: a torn read reports held-with-mtime-age, which the
-    // unreadable-holder fallback above already handles.
+    // Every OTHER scheme beats through the owner-keyed SIDECAR file
+    // instead (r12; closes the r9 torn-read finding): a FileContext
+    // rename needs an AbstractFileSystem binding most FileSystem-only
+    // schemes (including this repo's cached-*) don't have, a
+    // non-atomic rename would make the lock MOMENTARILY ABSENT
+    // mid-beat — which holder() reads as "free", breaking mutual
+    // exclusion — and the previous in-place overwrite left a window
+    // where a reader saw a TORN holder body. The sidecar has none of
+    // these: the lock file is IMMUTABLE after its atomic create (no
+    // torn read is possible), and freshness rides the sidecar's
+    // MTIME — file metadata, atomic on every scheme, exactly the
+    // signal holder() already max()es in. Torn sidecar CONTENT is
+    // harmless by construction; only its timestamp is read. (An
+    // etag-conditional CAS could do this too where a store supports
+    // it, but needs per-store APIs; the mtime sidecar is
+    // scheme-portable and needs only create().)
     def atomicRewrite(json: Array[Byte]): Unit = {
       val scheme = Option(lock.toUri.getScheme).getOrElse("file")
       if (scheme == "file") {
@@ -181,7 +207,8 @@ object StoreLock {
           try fs.delete(tmp, false) catch { case _: java.io.IOException => () }
         }
       } else {
-        val out = fs.create(lock, true)
+        // sidecar touch: content is debug aid only, mtime is the signal
+        val out = fs.create(beatPath(dir, owner), true)
         try out.write(json) finally out.close()
       }
     }
@@ -269,13 +296,19 @@ object StoreLock {
           "a concurrent writer is mid-append — retry after it commits, or " +
           s"delete $LockName if the holder is known dead")
     }
-    // Sweep lock-tmp orphans under the held lock: a hard-killed writer
-    // (SIGKILL between atomicRewrite's create and rename) leaves
-    // _graft_lock.json.tmp-* corpses the finally-delete never ran for.
-    // Our own heartbeat hasn't started yet, so every tmp here is a
-    // corpse; without the sweep they accumulate in the store dir forever.
+    // Sweep lock-tmp AND beat-sidecar orphans under the held lock: a
+    // hard-killed writer leaves _graft_lock.json.tmp-* corpses (SIGKILL
+    // between atomicRewrite's create and rename) and its
+    // _graft_lock.json.beat-* sidecar behind. Our own heartbeat hasn't
+    // started yet, so every such file here is a corpse; without the
+    // sweep they accumulate in the store dir forever. (A leftover beat
+    // is also freshness-harmless — it's owner-keyed and only max()ed
+    // into ITS owner's stamp — this is hygiene.)
     try fs.listStatus(root)
-      .filter(_.getPath.getName.startsWith(s"$LockName.tmp-"))
+      .filter { s =>
+        val n = s.getPath.getName
+        n.startsWith(s"$LockName.tmp-") || n.startsWith(s"$LockName.beat-")
+      }
       .foreach(s => fs.delete(s.getPath, false))
     catch { case _: java.io.IOException => () }
     val beat = startHeartbeat()
@@ -295,7 +328,12 @@ object StoreLock {
       // this lock exists to prevent). Release only when the holder is
       // still us; otherwise warn loudly and leave the usurper's lock.
       holder(dir, conf) match {
-        case Some(h) if h.owner == self.owner => fs.delete(lock, false)
+        case Some(h) if h.owner == self.owner =>
+          fs.delete(lock, false)
+          // drop our beat sidecar with the lock (fallback schemes); a
+          // crash-left one is swept at the next acquisition anyway
+          try fs.delete(beatPath(dir, owner), false)
+          catch { case _: java.io.IOException => () }
         case Some(h) =>
           System.err.println(
             s"[StoreLock] NOT releasing $dir/$LockName: held by ${h.owner} " +

@@ -409,6 +409,47 @@ class IncrementalDedupSpec extends SparkSuite {
     assert(graft.fs.StoreLock.holder(dir, conf).isEmpty)
   }
 
+  test("rename-less scheme: the lock file is immutable while beats ride the sidecar") {
+    // the r9 finding: on schemes without an atomic rename (object
+    // stores, the cached-* family) the heartbeat used to overwrite the
+    // lock IN PLACE, leaving a torn-read window. The r12 contract: the
+    // lock body NEVER changes after its atomic create (a torn read is
+    // impossible), freshness rides the owner-keyed sidecar's mtime, and
+    // a long cycle still never goes stale.
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.mock.impl", classOf[graft.fs.MockRemoteFileSystem].getName)
+    val local = Files.createTempDirectory("incdedup_sidecar").toString
+    val dir = s"mock://$local/store"
+    val lockPath = java.nio.file.Paths.get(s"$local/store/_graft_lock.json")
+    graft.fs.StoreLock.withLock(dir, conf, owner = "remote-writer",
+      staleMs = 3000L) {
+      val initial = java.nio.file.Files.readAllBytes(lockPath).toSeq
+      val deadline = System.currentTimeMillis() + 4500L // spans 3-4 beats
+      while (System.currentTimeMillis() < deadline) {
+        assert(java.nio.file.Files.readAllBytes(lockPath).toSeq == initial,
+          "lock body changed on a rename-less scheme — torn-read window reopened")
+        Thread.sleep(50)
+      }
+      // the sidecar carried the freshness: past staleMs, still not stale
+      val h = graft.fs.StoreLock.holder(dir, conf)
+      assert(h.exists(_.owner == "remote-writer"), h.toString)
+      assert(h.exists(x => System.currentTimeMillis() - x.sinceMs < 3000L),
+        s"sidecar mtime did not refresh freshness: $h")
+      // and a second writer still detects-and-fails
+      val e = intercept[IllegalStateException] {
+        graft.fs.StoreLock.withLock(dir, conf, owner = "thief",
+          staleMs = 3000L) { fail("must not acquire") }
+      }
+      assert(e.getMessage.contains("remote-writer"), e.getMessage)
+    }
+    // release removed lock AND sidecar
+    assert(graft.fs.StoreLock.holder(dir, conf).isEmpty)
+    val leftovers = java.nio.file.Files.list(
+      java.nio.file.Paths.get(s"$local/store")).toArray.map(_.toString)
+      .filter(_.contains("_graft_lock"))
+    assert(leftovers.isEmpty, leftovers.mkString(", "))
+  }
+
   test("two racing writers: at least one commits, store never corrupts") {
     // real concurrency: both threads target one store with overlapping
     // content. The lock serializes whoever wins; the loser either waits
