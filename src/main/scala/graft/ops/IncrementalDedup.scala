@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Incremental deduplication across corpus appends — the shape a 100 TB
@@ -128,16 +128,6 @@ object IncrementalDedup {
   private def manifestParts(spark: SparkSession, dir: String): Option[Int] =
     manifestValue(spark, dir, "store_parts").map(_.toInt)
 
-  /** Resolve the partition count for this cycle: explicit beats
-    * manifest beats first-batch auto-sizing. `estStoreRows` is only
-    * evaluated on store creation with an auto caller (it counts the
-    * batch). */
-  private def resolveParts(
-      spark: SparkSession, dir: String, requested: Int,
-      estStoreRows: => Long): Int =
-    if (requested != AutoStoreParts) requested
-    else manifestParts(spark, dir).getOrElse(storePartsFor(estStoreRows))
-
   private def bpOf(parts: Int, keys: Column*): Column =
     pmod(xxhash64(keys: _*), lit(parts)).cast("int")
 
@@ -145,6 +135,26 @@ object IncrementalDedup {
     * store's partition count, so the collect is a small driver result. */
   private def touched(batchRows: DataFrame): Seq[Int] =
     batchRows.select("bp").distinct().collect().map(_.getInt(0)).toIndexedSeq
+
+  /** The `collect_set(bp)` observe metric as partition ids. The metric
+    * rides the batch checkpoint's own materialization (the Components
+    * convergence pattern), so warm cycles get their touched-partition
+    * set WITHOUT a separate probe job. */
+  private def intSeqOf(v: Any): Seq[Int] = v match {
+    case s: scala.collection.Seq[_] =>
+      s.map(_.asInstanceOf[Number].intValue).toIndexedSeq
+    case a: Array[_] =>
+      a.toIndexedSeq.map(_.asInstanceOf[Number].intValue)
+    case other => throw new IllegalStateException(
+      s"unexpected touched-metric shape: $other")
+  }
+
+  /** Geometry known before any compute? Explicit beats manifest; None
+    * means creation-with-auto (the only shape that must count first). */
+  private def knownParts(
+      spark: SparkSession, dir: String, requested: Int): Option[Int] =
+    if (requested != AutoStoreParts) Some(requested)
+    else manifestParts(spark, dir)
 
   /** Store geometry manifest (`_graft_store.json`, `_`-prefixed so
     * parquet discovery ignores it): a store is only readable under the
@@ -270,25 +280,38 @@ object IncrementalDedup {
       requestedParts: Int,
       compactFiles: Int = 0): DataFrame = {
     val spark = docsNew.sparkSession
-    // digest BEFORE sizing: the eager checkpoint materializes the blocks
-    // every later step reuses (probe, join, append), so the creation-only
-    // sizing count below reads in-memory blocks — not a dedicated source
-    // scan per batch (the r11 artifact's extra action). Warm cycles with
-    // a manifest never evaluate the count at all (resolveParts is lazy).
-    val digestedBase = docsNew
+    val digestedRaw = docsNew
       .filter(col(textCol).isNotNull)
       .select(col("doc_id"), md5(col(textCol)).as("digest"))
-      .localCheckpoint()
-    // exact store: one row per distinct digest ≈ one per batch doc
-    val storeParts = resolveParts(spark, storeDir, requestedParts,
-      digestedBase.count())
+    // One eager checkpoint materializes the blocks every later step
+    // reuses (join sides, append). When geometry is already known —
+    // every warm cycle — bp rides the checkpoint and the touched-
+    // partition probe rides its materialization as an observe metric:
+    // zero dedicated probe jobs (r12; the Components convergence
+    // pattern). Only creation-with-auto checkpoints before sizing, and
+    // it needs no probe at all — the store it would prune is empty.
+    val (digested, touchedParts, storeParts) =
+      knownParts(spark, storeDir, requestedParts) match {
+        case Some(parts) =>
+          val obs = Observation()
+          val d = digestedRaw
+            .withColumn("bp", bpOf(parts, col("digest")))
+            .observe(obs, collect_set(col("bp")).as("touched"))
+            .localCheckpoint()
+          (d, intSeqOf(obs.get("touched")), parts)
+        case None =>
+          val base = digestedRaw.localCheckpoint()
+          // exact store: one row per distinct digest ≈ one per batch doc
+          val parts = storePartsFor(base.count())
+          (base.withColumn("bp", bpOf(parts, col("digest"))),
+            Seq.empty[Int], parts)
+      }
     checkOrWriteMeta(spark, storeDir,
       Map("variant" -> "exact", "store_parts" -> storeParts.toString))
-    // bp is a cheap hash recompute over the checkpointed blocks
-    val digested = digestedBase
-      .withColumn("bp", bpOf(storeParts, col("digest")))
-    val store = prunedStore(digested,
-      readStore(spark, storeDir, "digest STRING, keep_doc_id BIGINT, bp INT"))
+    val read = readStore(spark, storeDir,
+      "digest STRING, keep_doc_id BIGINT, bp INT")
+    val store =
+      if (read._2) prune(read._1, touchedParts) else read._1.drop("bp")
     // batch-internal keeper: min doc_id per digest within the batch
     val batchKeep = digested.groupBy("digest")
       .agg(min("doc_id").as("batch_keep"))
@@ -308,7 +331,12 @@ object IncrementalDedup {
       .select("doc_id", "digest", "dup_of")
       // materialize BEFORE the store append below: the plan reads the
       // store directory, and a lazy frame re-evaluated after the append
-      // would see the batch's own digests and mark every doc a dup
+      // would see the batch's own digests and mark every doc a dup.
+      // (Unconditional: an A/B run skipping it on creation cycles —
+      // where the store side is a local empty relation the append can't
+      // invalidate — measured NEUTRAL-to-WORSE at the gate; deferring a
+      // creation batch's verdict join into the caller's action just
+      // moves the work under someone else's plan.)
       .localCheckpoint()
     // persist the batch's NOVEL digests (one keeper per new digest);
     // anti-join the store so a RETRIED batch — whose keepers stay novel
@@ -364,26 +392,36 @@ object IncrementalDedup {
     val rowsPerBand = numHashes / bands
     // the ONE banding implementation (Dedup.bandSignatures): the store
     // holds banded rows, so it is only usable if every batch bands
-    // identically — same bands, same rowsPerBand, same hash. Banded
-    // BEFORE sizing: the eager checkpoint materializes the blocks the
-    // probe, both join sides, and the append reuse, so the creation-only
-    // sizing count reads in-memory blocks, not a second source scan.
-    val banded = Dedup.bandSignatures(
+    // identically — same bands, same rowsPerBand, same hash. One eager
+    // checkpoint feeds both join sides and the append; warm cycles fuse
+    // bp and the touched-partition observe metric into it (no probe
+    // job), creation-with-auto counts the checkpointed rows to size the
+    // store (banded rows = docs × bands exactly — no multiplier).
+    val bandedRaw = Dedup.bandSignatures(
       Dedup.minhashSignatures(docsNew, textCol, numHashes = numHashes),
       bands, rowsPerBand)
-      .localCheckpoint()
-    // minhash store holds `bands` posting rows per doc — exactly the
-    // banded row count, no multiplier needed
-    val storeParts = resolveParts(spark, storeDir, requestedParts,
-      banded.count())
+    val (newBanded, touchedParts, storeParts) =
+      knownParts(spark, storeDir, requestedParts) match {
+        case Some(parts) =>
+          val obs = Observation()
+          val d = bandedRaw
+            .withColumn("bp", bpOf(parts, col("band"), col("bh")))
+            .observe(obs, collect_set(col("bp")).as("touched"))
+            .localCheckpoint()
+          (d, intSeqOf(obs.get("touched")), parts)
+        case None =>
+          val base = bandedRaw.localCheckpoint()
+          val parts = storePartsFor(base.count())
+          (base.withColumn("bp", bpOf(parts, col("band"), col("bh"))),
+            Seq.empty[Int], parts)
+      }
     checkOrWriteMeta(spark, storeDir, Map(
       "variant" -> "minhash", "store_parts" -> storeParts.toString,
       "num_hashes" -> numHashes.toString, "bands" -> bands.toString))
-    val newBanded = banded
-      .withColumn("bp", bpOf(storeParts, col("band"), col("bh")))
-    val store = prunedStore(newBanded,
-      readStore(spark, storeDir,
-        "doc_id BIGINT, sig ARRAY<BIGINT>, band INT, bh BIGINT, bp INT"))
+    val read = readStore(spark, storeDir,
+      "doc_id BIGINT, sig ARRAY<BIGINT>, band INT, bh BIGINT, bp INT")
+    val store =
+      if (read._2) prune(read._1, touchedParts) else read._1.drop("bp")
     val batchBanded = newBanded.drop("bp")
     // candidates: every bucket pair touching the batch. doc_a < doc_b
     // normalizes orientation and drops self-pairs; dropDuplicates
@@ -405,7 +443,8 @@ object IncrementalDedup {
       .filter(col("est_jaccard") >= threshold)
       .select("doc_a", "doc_b", "est_jaccard")
       // materialize BEFORE the store append below rewrites the directory
-      // the `store` side of the join reads
+      // the `store` side of the join reads (unconditional — see the
+      // exact variant's A/B note)
       .localCheckpoint()
     // idempotent append: a retried batch (downstream failure, re-run)
     // must not duplicate its rows — a doubled store would inflate every
@@ -519,15 +558,26 @@ object IncrementalDedup {
       }: _*)).as("tb"))
       .select(col("vec_id"), col("vec"),
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-    // bucketed BEFORE sizing: the eager checkpoint materializes the
-    // blocks the probe, both join sides, and the append reuse, so the
-    // creation-only sizing count reads in-memory blocks, not a second
-    // source scan
-    val bucketedNew = bucketed(newVecs).localCheckpoint()
-    // vector store holds `tables` posting rows per vector — exactly the
-    // bucketed row count, no multiplier needed
-    val storeParts = resolveParts(spark, storeDir, requestedParts,
-      bucketedNew.count())
+    // One eager checkpoint feeds both join sides and the append; warm
+    // cycles fuse bp + the touched-partition observe metric into it (no
+    // probe job), creation-with-auto counts the checkpointed rows to
+    // size the store (bucketed rows = vectors × tables exactly)
+    val bucketedRaw = bucketed(newVecs)
+    val (newBucketed, touchedParts, storeParts) =
+      knownParts(spark, storeDir, requestedParts) match {
+        case Some(parts) =>
+          val obs = Observation()
+          val d = bucketedRaw
+            .withColumn("bp", bpOf(parts, col("tbl"), col("bucket")))
+            .observe(obs, collect_set(col("bp")).as("touched"))
+            .localCheckpoint()
+          (d, intSeqOf(obs.get("touched")), parts)
+        case None =>
+          val base = bucketedRaw.localCheckpoint()
+          val parts = storePartsFor(base.count())
+          (base.withColumn("bp", bpOf(parts, col("tbl"), col("bucket"))),
+            Seq.empty[Int], parts)
+      }
     // legacy (pre-vec_type) manifests: omit the key from the strict
     // check — their implicit width is double and vecType already is
     val typeMeta =
@@ -536,12 +586,11 @@ object IncrementalDedup {
     checkOrWriteMeta(spark, storeDir, Map(
       "variant" -> "embedding", "store_parts" -> storeParts.toString,
       "planes" -> planes.toString, "tables" -> tables.toString) ++ typeMeta)
-    val newBucketed = bucketedNew
-      .withColumn("bp", bpOf(storeParts, col("tbl"), col("bucket")))
-    val store = prunedStore(newBucketed,
-      readStore(spark, storeDir,
-        s"vec_id BIGINT, vec ARRAY<${vecType.toUpperCase}>, tbl INT, " +
-          "bucket BIGINT, bp INT"))
+    val read = readStore(spark, storeDir,
+      s"vec_id BIGINT, vec ARRAY<${vecType.toUpperCase}>, tbl INT, " +
+        "bucket BIGINT, bp INT")
+    val store =
+      if (read._2) prune(read._1, touchedParts) else read._1.drop("bp")
     val batchBucketed = newBucketed.drop("bp")
     val out = store.unionByName(batchBucketed).as("a")
       .join(batchBucketed.as("b"), Seq("tbl", "bucket"))
@@ -554,8 +603,9 @@ object IncrementalDedup {
         round(Similarity.cosine(col("a.vec"), col("b.vec")), 4).as("cosine"))
       .dropDuplicates("id_a", "id_b")
       .filter(col("cosine") >= threshold)
-      // materialize BEFORE the store append rewrites the directory the
-      // `store` side of the join reads
+      // materialize BEFORE the store append below rewrites the directory
+      // the `store` side of the join reads (unconditional — see the
+      // exact variant's A/B note)
       .localCheckpoint()
     // idempotent append: a retried batch must not double its rows — a
     // doubled store would emit every cross pair twice-blocked and break
@@ -830,12 +880,4 @@ object IncrementalDedup {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema), false)
   }
 
-  /** Pruned store view for one batch: partition-filter to the batch's
-    * touched `bp`s when the store holds data; skip the probe job when it
-    * does not (the empty frame is already the complete view). */
-  private def prunedStore(batch: DataFrame, read: (DataFrame, Boolean)): DataFrame =
-    read match {
-      case (df, true) => prune(df, touched(batch))
-      case (df, false) => df.drop("bp")
-    }
 }
