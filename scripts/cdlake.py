@@ -161,3 +161,42 @@ class Cdl:
         partition); returns the number rewritten."""
         return self._spark._jvm.graft.PyBridge.compactDedupStore(
             self._spark._jsparkSession, store_dir)
+
+    # -- persisted IVF ANN index (graft extension): build-once /
+    # append-many / search-many over cell-partitioned parquet. ----------
+    def ivf_build(self, df, index_dir, nlist=16, kmeans_iters=0):
+        self._spark._jvm.graft.PyBridge.ivfBuild(
+            df._jdf, index_dir, int(nlist), int(kmeans_iters))
+
+    def ivf_append(self, df, index_dir, rebuild_imbalance=0.0,
+                   rebuild_iters=2):
+        """Locked append against the frozen centroids. Returns True iff
+        the cell-health trigger (max/mean occupancy > rebuild_imbalance)
+        fired a recluster; 0.0 keeps the trigger off."""
+        return self._spark._jvm.graft.PyBridge.ivfAppend(
+            df._jdf, index_dir, float(rebuild_imbalance),
+            int(rebuild_iters))
+
+    def ivf_search(self, df, index_dir, k, nprobe=4):
+        return DataFrame(
+            self._spark._jvm.graft.PyBridge.ivfSearch(
+                self._spark._jsparkSession, index_dir, df._jdf,
+                int(k), int(nprobe)),
+            self._spark)
+
+    def ivf_occupancy(self, index_dir):
+        """Per-cell occupancy (cell, n) as a DataFrame — the health feed."""
+        return DataFrame(
+            self._spark._jvm.graft.PyBridge.ivfOccupancy(
+                self._spark._jsparkSession, index_dir),
+            self._spark)
+
+    def ivf_imbalance(self, index_dir):
+        """max/mean cell occupancy; 1.0 is perfectly balanced."""
+        return self._spark._jvm.graft.PyBridge.ivfImbalance(
+            self._spark._jsparkSession, index_dir)
+
+    def ivf_rebuild(self, index_dir, kmeans_iters=2):
+        """Re-cluster in place (fresh centroids, crash-safe swap)."""
+        self._spark._jvm.graft.PyBridge.ivfRebuild(
+            self._spark._jsparkSession, index_dir, int(kmeans_iters))

@@ -184,6 +184,49 @@ def test_incremental_dedup_over_bridge(spark):
     assert [(p["doc_a"], p["doc_b"]) for p in again] == [(0, 1)]
 
 
+def test_ivf_index_over_bridge(spark):
+    """The persisted ANN index over py4j: build, exhaustive-probe search
+    (top-1 of a vector's own clone is itself at cosine 1.0), health
+    telemetry, and a drift-triggered recluster."""
+    import random
+    from cdlake import Cdl
+    cdl = Cdl(spark)
+    work = tempfile.mkdtemp(prefix="cdlake_ivf_")
+    idx = f"{work}/ivf"
+
+    rng = random.Random(7)
+    corpus = [(i, [rng.uniform(-1, 1) for _ in range(8)])
+              for i in range(64)]
+    df = spark.createDataFrame(corpus,
+                               "vec_id LONG, embedding ARRAY<DOUBLE>")
+    cdl.ivf_build(df, idx, nlist=8)
+
+    q = spark.createDataFrame([corpus[3]],
+                              "vec_id LONG, embedding ARRAY<DOUBLE>")
+    top = cdl.ivf_search(q, idx, k=1, nprobe=8).collect()
+    assert top[0]["neighbor_id"] == 3 and top[0]["cosine"] == 1.0
+
+    occ = {r["cell"]: r["n"] for r in cdl.ivf_occupancy(idx).collect()}
+    assert sum(occ.values()) == 64
+    assert cdl.ivf_imbalance(idx) >= 1.0
+
+    # a dense clone cloud of one vector drifts one cell hot; a tight
+    # threshold trips the recluster, a huge one does not
+    cloud = [(1000 + j, [x + j * 1e-4 for x in corpus[5][1]])
+             for j in range(100)]
+    cdf = spark.createDataFrame(cloud,
+                                "vec_id LONG, embedding ARRAY<DOUBLE>")
+    assert cdl.ivf_append(cdf, idx, rebuild_imbalance=1e9) is False
+    probe = spark.createDataFrame([(2000, corpus[5][1])],
+                                  "vec_id LONG, embedding ARRAY<DOUBLE>")
+    rebuilt = cdl.ivf_append(probe, idx, rebuild_imbalance=2.0)
+    assert rebuilt is True
+    # nothing lost through the swap; the clone cloud is still findable
+    assert sum(r["n"] for r in cdl.ivf_occupancy(idx).collect()) == 165
+    top2 = cdl.ivf_search(q, idx, k=1, nprobe=8).collect()
+    assert top2[0]["cosine"] == 1.0
+
+
 def test_to_csv_collates_bench_outputs(tmp_path):
     """The results collator (scripts/to_csv.py) on reference-shaped
     per-run JSON: union-of-keys header in first-seen order, index

@@ -83,4 +83,37 @@ object PyBridge {
 
   def compactDedupStore(spark: SparkSession, storeDir: String): Int =
     graft.ops.IncrementalDedup.compactStore(spark, storeDir)
+
+  // -- persisted IVF ANN index (training-pipeline extension, SURVEY
+  // §2.10): build-once / append-many / search-many from pyspark --------
+
+  def ivfBuild(df: DataFrame, indexDir: String, nlist: java.lang.Number,
+      kmeansIters: java.lang.Number): Unit =
+    graft.ops.IvfIndex.build(df, indexDir, nlist.intValue,
+      kmeansIters.intValue)
+
+  /** Locked append; returns true iff the cell-health trigger fired a
+    * recluster (rebuildImbalance <= 0 keeps the trigger off). */
+  def ivfAppend(df: DataFrame, indexDir: String,
+      rebuildImbalance: Double, rebuildIters: java.lang.Number): Boolean =
+    graft.ops.IvfIndex.append(df, indexDir,
+      rebuildImbalance = rebuildImbalance,
+      rebuildIters = rebuildIters.intValue)
+
+  def ivfSearch(spark: SparkSession, indexDir: String, queries: DataFrame,
+      k: java.lang.Number, nprobe: java.lang.Number): DataFrame =
+    graft.ops.IvfIndex.search(spark, indexDir, queries, k.intValue,
+      nprobe.intValue)
+
+  /** Per-cell occupancy (cell, n) — the health feed. */
+  def ivfOccupancy(spark: SparkSession, indexDir: String): DataFrame =
+    graft.ops.IvfIndex.cellOccupancy(spark, indexDir)
+
+  /** max/mean cell occupancy (1.0 = balanced). */
+  def ivfImbalance(spark: SparkSession, indexDir: String): Double =
+    graft.ops.IvfIndex.imbalance(spark, indexDir)
+
+  def ivfRebuild(spark: SparkSession, indexDir: String,
+      kmeansIters: java.lang.Number): Unit =
+    graft.ops.IvfIndex.rebuild(spark, indexDir, kmeansIters.intValue)
 }
