@@ -104,11 +104,50 @@ object Main {
         val n = graft.ops.IncrementalDedup.compactStore(spark, store)
         println(s"compacted $n fragmented partition(s) in $store")
 
+      // persisted IVF ANN index (training-pipeline extension): the
+      // cron-able build / append / search / health shapes
+      case "ivf" :: "build" :: input :: index :: rest =>
+        val nlist = rest match {
+          case Nil      => 16
+          case n :: Nil => n.toInt
+          case other    => sys.error(s"usage: ivf build <in.parquet> <indexDir> [nlist]; got $other")
+        }
+        graft.ops.IvfIndex.build(spark.read.parquet(input), index, nlist)
+        println(s"ivf index built at $index (nlist=$nlist)")
+      case "ivf" :: "append" :: input :: index :: rest =>
+        val thresh = rest match {
+          case Nil      => 0.0
+          case t :: Nil => t.toDouble
+          case other    => sys.error(
+            s"usage: ivf append <in.parquet> <indexDir> [rebuildImbalance]; got $other")
+        }
+        val rebuilt = graft.ops.IvfIndex.append(
+          spark.read.parquet(input), index, rebuildImbalance = thresh)
+        println(s"ivf append done" +
+          (if (rebuilt) " (cell-health trigger fired: index re-clustered)" else ""))
+      case "ivf" :: "search" :: queries :: index :: k :: rest =>
+        val nprobe = rest match {
+          case Nil      => 4
+          case n :: Nil => n.toInt
+          case other    => sys.error(
+            s"usage: ivf search <queries.parquet> <indexDir> <k> [nprobe]; got $other")
+        }
+        graft.ops.IvfIndex.search(spark, index,
+          spark.read.parquet(queries), k.toInt, nprobe)
+          .orderBy("query_id", "rank").show(100, truncate = false)
+      case "ivf" :: "health" :: index :: Nil =>
+        val imb = graft.ops.IvfIndex.imbalance(spark, index)
+        println(f"imbalance (max/mean occupancy): $imb%.2f")
+        graft.ops.IvfIndex.cellOccupancy(spark, index)
+          .orderBy(org.apache.spark.sql.functions.col("n").desc)
+          .show(100, truncate = false)
+
       case other =>
         sys.error(s"usage: [--catalog-flag value]... {cp <from> <to> | query <target> <sql> " +
           s"[--at-version N] | versions <target> | compact <target> [--zorder x,y] [bytes] | " +
           s"take <target> <i,j,...> [col,col] | dedup <exact|minhash|embedding> <in.parquet> " +
-          s"<storeDir> <out.parquet> | compact-store <storeDir>}; got $other")
+          s"<storeDir> <out.parquet> | compact-store <storeDir> | " +
+          s"ivf {build|append|search|health} ...}; got $other")
     }
 
   private def parseArgs(args: List[String]): (Map[String, String], List[String]) =
