@@ -218,6 +218,24 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("__slice"), p)
   }
 
+  test("ranking-window top-k plans as WindowGroupLimit, not full window materialization") {
+    // the v3 fuzz family's `w <= k` filter must push into the window as
+    // a group limit on BOTH sides of the shuffle (partial + final) — a
+    // regression to ranking every row before filtering costs a full
+    // sort+materialize per partition at 100 TB
+    val p = planOf(FuzzQueries.queries("q_fuzz_win_3301")(spark, sf))
+    assert(p.contains("WindowGroupLimit"), p)
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("set-op arms each push their own range to the scan") {
+    // the nested half-range arms read disjoint row-group ranges; a lost
+    // pushdown would scan the table twice in full
+    val p = formatted(FuzzQueries.queries("q_fuzz_set_4001")(spark, sf))
+    assert(p.contains("GreaterThanOrEqual(o_orderkey,700)"), p)
+    assert(p.contains("GreaterThanOrEqual(o_orderkey,1050)"), p)
+  }
+
   test("salted join spreads the key space: salt rides the join keys") {
     import org.apache.spark.sql.functions.col
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
