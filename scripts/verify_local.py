@@ -57,6 +57,8 @@ def main(sf_dir, out_dir):
             print(f"DRIFT {v}")
     except FileNotFoundError:
         pass
+    except Exception as e:  # a malformed report must not zero the gate
+        print(f"DRIFT (preflight.json unreadable: {e})")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     import glob
     ok, bad, weak = [], [], []

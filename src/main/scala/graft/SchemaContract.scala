@@ -89,12 +89,12 @@ object SchemaContract {
       }
     }
 
-  /** Report violations to stderr, loudly, and return whether the corpus
-    * is clean. Deliberately does NOT throw: Verify/Bench run a hundred
-    * queries whose other tables may be fine — zeroing the whole round
-    * over one drifted column is the r10 failure with the sign flipped.
-    * The named report is the point. */
-  def report(spark: SparkSession, sfDir: String): Boolean = {
+  /** Report violations to stderr, loudly, and return them. Deliberately
+    * does NOT throw: Verify/Bench run a hundred queries whose other
+    * tables may be fine — zeroing the whole round over one drifted
+    * column is the r10 failure with the sign flipped. The named report
+    * is the point. */
+  def report(spark: SparkSession, sfDir: String): Seq[String] = {
     val v = violations(spark, sfDir)
     if (v.nonEmpty) {
       System.err.println(
@@ -103,6 +103,6 @@ object SchemaContract {
           "dispatch:")
       v.foreach(x => System.err.println(s"[preflight]   $x"))
     }
-    v.isEmpty
+    v
   }
 }

@@ -15,26 +15,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // corpus-drift preflight: name the drifted table/column UP FRONT
-    // (the r10 events.ts re-encode surfaced as six deep cast errors);
-    // the violations also land in preflight.json for verify_local.py
-    val drift = SchemaContract.violations(spark, sfDir)
-    SchemaContract.report(spark, sfDir)
-    Files.writeString(Paths.get(s"$outDir/preflight.json"),
-      drift.map(v => "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
-        .mkString("[", ",", "]"))
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-      // operators persist reusable signature tables; drop between queries
-      spark.catalog.clearCache()
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
+    // — a tab or CR in builder-authored SQL or an exception message would
+    // otherwise make the driver's json.load fail and silently zero the
+    // round's correctness.
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -44,6 +28,23 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // corpus-drift preflight: name the drifted table/column UP FRONT
+    // (the r10 events.ts re-encode surfaced as six deep cast errors);
+    // the violations also land in preflight.json for verify_local.py.
+    // Full escaping matters here too — an "unreadable" violation embeds
+    // a raw exception message that can span lines.
+    val drift = SchemaContract.report(spark, sfDir)
+    Files.writeString(Paths.get(s"$outDir/preflight.json"),
+      drift.map(q).mkString("[", ",", "]"))
+    SparkEntry.queries.foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+      // operators persist reusable signature tables; drop between queries
+      spark.catalog.clearCache()
+    }
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -72,6 +72,15 @@ object IncrementalDedup {
     * still fails loudly on a manifest mismatch. */
   val AutoStoreParts = 0
 
+  /** Sentinel: adopt an existing store's manifest geometry, create at
+    * [[DefaultStoreParts]] otherwise — the STREAMING default. Streams
+    * must not auto-size (batch 0 is typically tiny and would freeze a
+    * growing store at the floor), but a fixed default alone would
+    * hard-fail every micro-batch on RESTART against a store created
+    * under any other geometry (the manifest check is strict, by
+    * design); this sentinel restarts cleanly against both. */
+  val AdoptOrDefaultStoreParts = -1
+
   /** Partition count for a NEW store, from the rows it is created with —
     * the `planesFor` discipline applied to layout: geometry is a scale
     * knob, not a constant. The trade (DefaultStoreParts doc): more
@@ -151,10 +160,16 @@ object IncrementalDedup {
 
   /** Geometry known before any compute? Explicit beats manifest; None
     * means creation-with-auto (the only shape that must count first). */
+  private def knownPartsFrom(mParts: Option[Int], requested: Int): Option[Int] =
+    requested match {
+      case AutoStoreParts           => mParts
+      case AdoptOrDefaultStoreParts => Some(mParts.getOrElse(DefaultStoreParts))
+      case r                        => Some(r)
+    }
+
   private def knownParts(
       spark: SparkSession, dir: String, requested: Int): Option[Int] =
-    if (requested != AutoStoreParts) Some(requested)
-    else manifestParts(spark, dir)
+    knownPartsFrom(manifestParts(spark, dir), requested)
 
   /** Store geometry manifest (`_graft_store.json`, `_`-prefixed so
     * parquet discovery ignores it): a store is only readable under the
@@ -349,8 +364,8 @@ object IncrementalDedup {
         .select(col("digest"), col("doc_id").as("keep_doc_id"))
         .withColumn("bp", bpOf(storeParts, col("digest"))),
       storeDir)
-    if (compactFiles > 0)
-      maybeCompactLocked(spark, storeDir, touched(digested), compactFiles)
+    if (compactFiles > 0 && touchedParts.nonEmpty)
+      maybeCompactLocked(spark, storeDir, touchedParts, compactFiles)
     out
   }
 
@@ -460,8 +475,8 @@ object IncrementalDedup {
       newBanded.join(store.select("doc_id", "band"),
         Seq("doc_id", "band"), "left_anti"),
       storeDir)
-    if (compactFiles > 0)
-      maybeCompactLocked(spark, storeDir, touched(newBanded), compactFiles)
+    if (compactFiles > 0 && touchedParts.nonEmpty)
+      maybeCompactLocked(spark, storeDir, touchedParts, compactFiles)
     out
   }
 
@@ -527,17 +542,24 @@ object IncrementalDedup {
       requestedParts: Int,
       compactFiles: Int = 0): DataFrame = {
     val spark = embsNew.sparkSession
-    val srcType = embsNew.schema(vecCol).dataType match {
-      case org.apache.spark.sql.types.ArrayType(
-        org.apache.spark.sql.types.FloatType, _) => "float"
-      case org.apache.spark.sql.types.ArrayType(_, _) => "double"
+    // srcType: only a FLOAT source earns a float store; every other
+    // element type (double, but also int/long/decimal arrays a caller
+    // may hand us) is "double" and MUST be cast below — writing a raw
+    // non-double array into a store whose schema says ARRAY<DOUBLE>
+    // would make the store unreadable on the next batch
+    val srcElem = embsNew.schema(vecCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(e, _) => e
       case other => throw new IllegalArgumentException(
         s"$vecCol must be an array column, got ${other.sql}")
     }
+    val srcType =
+      if (srcElem == org.apache.spark.sql.types.FloatType) "float"
+      else "double"
     // store width: the manifest's vec_type beats everything; a manifest
     // without one is a pre-vec_type store (always double); creation
     // adopts the source width
-    val manifestExists = manifestParts(spark, storeDir).isDefined
+    val mParts = manifestParts(spark, storeDir)
+    val manifestExists = mParts.isDefined
     val mVecType =
       if (manifestExists) manifestValue(spark, storeDir, "vec_type") else None
     val vecType = mVecType.getOrElse(if (manifestExists) "double" else srcType)
@@ -545,9 +567,16 @@ object IncrementalDedup {
       s"store $storeDir holds ARRAY<FLOAT> vectors (vec_type:float) but " +
         s"this batch's $vecCol is double — narrowing would change scores; " +
         "rebuild the store as double or cast the batch explicitly")
+    // cast unless the batch's ELEMENT type already equals the store
+    // width exactly — srcType alone is not enough (an int/long array is
+    // labeled "double" but still needs the cast)
+    val widthMatches = (vecType == "float" &&
+      srcElem == org.apache.spark.sql.types.FloatType) ||
+      (vecType == "double" &&
+        srcElem == org.apache.spark.sql.types.DoubleType)
     val newVecs = embsNew.select(col(idCol).cast("long").as("vec_id"),
-      (if (srcType == vecType) col(vecCol)
-       else transform(col(vecCol), x => x.cast("double"))).as("vec"))
+      (if (widthMatches) col(vecCol)
+       else transform(col(vecCol), x => x.cast(vecType))).as("vec"))
     // map-only bucket explode, shared with the batch path's geometry:
     // same planes ⇒ the store blocks identically for every batch
     def bucketed(v: DataFrame): DataFrame = v.select(
@@ -564,7 +593,7 @@ object IncrementalDedup {
     // size the store (bucketed rows = vectors × tables exactly)
     val bucketedRaw = bucketed(newVecs)
     val (newBucketed, touchedParts, storeParts) =
-      knownParts(spark, storeDir, requestedParts) match {
+      knownPartsFrom(mParts, requestedParts) match {
         case Some(parts) =>
           val obs = Observation()
           val d = bucketedRaw
@@ -619,8 +648,8 @@ object IncrementalDedup {
       newBucketed.join(store.select("vec_id", "tbl"),
         Seq("vec_id", "tbl"), "left_anti"),
       storeDir)
-    if (compactFiles > 0)
-      maybeCompactLocked(spark, storeDir, touched(newBucketed), compactFiles)
+    if (compactFiles > 0 && touchedParts.nonEmpty)
+      maybeCompactLocked(spark, storeDir, touchedParts, compactFiles)
     out
   }
 
@@ -639,12 +668,15 @@ object IncrementalDedup {
     * property StreamingCurationSpec pins for the stateless curation
     * expressions and this method extends to stateful-store dedup.
     *
-    * Streaming defaults to `DefaultStoreParts`, NOT auto-sizing: a
-    * stream's first micro-batch is typically tiny (often empty), and
-    * auto geometry sizes the store from batch 0 forever — a store that
-    * grows to millions of rows would be stuck at the 32-part floor,
-    * un-pruning every later cycle. A caller who knows the expected
-    * corpus passes `storePartsFor(expectedRows)` explicitly.
+    * Streaming defaults to `AdoptOrDefaultStoreParts`: NOT auto-sizing
+    * (a stream's first micro-batch is typically tiny — often empty —
+    * and auto geometry sizes the store from batch 0 forever, freezing a
+    * growing store at the 32-part floor), and NOT a bare fixed default
+    * either (the strict manifest check would hard-fail every micro-batch
+    * on RESTART against a store created under any other geometry). The
+    * sentinel adopts an existing manifest and creates at
+    * `DefaultStoreParts`. A caller who knows the expected corpus passes
+    * `storePartsFor(expectedRows)` explicitly.
     *
     * `compactFiles` defaults ON for streams (64): per-epoch appends are
     * exactly the workload that dies of small files — a week of 1-minute
@@ -656,7 +688,7 @@ object IncrementalDedup {
       resultsDir: String,
       checkpointDir: String,
       textCol: String = "text",
-      storeParts: Int = DefaultStoreParts,
+      storeParts: Int = AdoptOrDefaultStoreParts,
       compactFiles: Int = 64): org.apache.spark.sql.streaming.StreamingQuery =
     docsStream.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -671,8 +703,8 @@ object IncrementalDedup {
     * stream against the persisted signature store, one locked cycle per
     * micro-batch; pair rows land under `resultsDir/batch=<epoch>` with
     * the same per-epoch-overwrite exactly-once contract as
-    * `exactStream` — and the same `DefaultStoreParts` default (batch-0
-    * auto-sizing would freeze a growing store at the floor). */
+    * `exactStream` — and the same `AdoptOrDefaultStoreParts` default
+    * (adopt the manifest; create at the fixed default). */
   def minhashStream(
       docsStream: DataFrame,
       storeDir: String,
@@ -682,7 +714,7 @@ object IncrementalDedup {
       numHashes: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.5,
-      storeParts: Int = DefaultStoreParts,
+      storeParts: Int = AdoptOrDefaultStoreParts,
       compactFiles: Int = 64): org.apache.spark.sql.streaming.StreamingQuery =
     docsStream.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -820,8 +852,8 @@ object IncrementalDedup {
     * stream against the persisted bucket store, one locked cycle per
     * micro-batch; pair rows land under `resultsDir/batch=<epoch>` with
     * the same per-epoch-overwrite exactly-once contract as
-    * `exactStream`, and the same `DefaultStoreParts` default (batch-0
-    * auto-sizing would freeze a growing store at the floor). Geometry
+    * `exactStream`, and the same `AdoptOrDefaultStoreParts` default
+    * (adopt the manifest; create at the fixed default). Geometry
     * params feed the store manifest on first batch and are validated
     * against it ever after. */
   def embeddingStream(
@@ -834,7 +866,7 @@ object IncrementalDedup {
       threshold: Double = 0.95,
       planes: Int = 8,
       tables: Int = 16,
-      storeParts: Int = DefaultStoreParts,
+      storeParts: Int = AdoptOrDefaultStoreParts,
       compactFiles: Int = 64): org.apache.spark.sql.streaming.StreamingQuery =
     embsStream.writeStream
       .option("checkpointLocation", checkpointDir)

@@ -81,7 +81,33 @@ object IvfIndex {
       val spark = batch.sparkSession
       // finish (or discard) any crashed rebuild swap BEFORE reading
       sweepRebuild(spark, indexDir)
-      val cand = batch.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      // width guard (the embeddingBatch vec_type discipline): the
+      // assignments table has ONE element width, fixed at build; an
+      // append of a different width would commit mixed-width files into
+      // the same partitions and make every later read throw. Upcasting
+      // into a double table is exact; anything else is the caller's
+      // bug, surfaced loudly here instead of at the next search.
+      val tableElem = spark.read.parquet(s"$indexDir/assignments")
+        .schema("vec").dataType match {
+          case org.apache.spark.sql.types.ArrayType(e, _) => e
+          case other => throw new IllegalStateException(
+            s"index $indexDir assignments vec is ${other.sql}, not an array")
+        }
+      val batchElem = batch.schema(vecCol).dataType match {
+        case org.apache.spark.sql.types.ArrayType(e, _) => e
+        case other => throw new IllegalArgumentException(
+          s"$vecCol must be an array column, got ${other.sql}")
+      }
+      val widthOk = tableElem == batchElem
+      require(widthOk ||
+        tableElem == org.apache.spark.sql.types.DoubleType,
+        s"index $indexDir stores ARRAY<${tableElem.sql}> vectors but the " +
+          s"batch's $vecCol is ARRAY<${batchElem.sql}> — narrowing would " +
+          "change scores; rebuild the index at the wider type or cast " +
+          "the batch explicitly")
+      val cand = batch.select(col(idCol).as("id"),
+        (if (widthOk) col(vecCol)
+         else transform(col(vecCol), x => x.cast("double"))).as("vec"))
       val centroids = spark.read.parquet(s"$indexDir/centroids")
       val assigned = Similarity.assignCells(cand, centroids)
         // reused by the touched probe, the anti-join, and the write
@@ -100,15 +126,36 @@ object IvfIndex {
       trigger
     }
 
+  /** Read-path self-heal: a rebuild crash between a live table's delete
+    * and its rename leaves the table missing with `_rebuild_ready` set.
+    * Locked writers sweep that on their next cycle, but a search-only
+    * deployment (appends nightly, queries all day) would otherwise fail
+    * until the next writer. When — and only when — a live table is
+    * missing alongside the marker, take the lock briefly and finish the
+    * swap; normal reads never touch the lock. */
+  private def ensureReadable(spark: SparkSession, indexDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val missing = IndexTables.exists(n => !fs.exists(new Path(root, n)))
+    if (missing && fs.exists(new Path(root, RebuildReady)))
+      graft.fs.StoreLock.withLock(indexDir,
+        spark.sparkContext.hadoopConfiguration) {
+        sweepRebuild(spark, indexDir)
+      }
+  }
+
   /** Per-cell occupancy (cell, n) of the assignments table. The count
     * groups on the HIVE PARTITION column, so the scan reads no data
     * columns — footer metadata and directory names only; cheap enough
     * to run after every append even on a 100 TB index. Cells that exist
     * in the centroid table but hold no vectors have no partition
     * directory and so no row here. */
-  def cellOccupancy(spark: SparkSession, indexDir: String): DataFrame =
+  def cellOccupancy(spark: SparkSession, indexDir: String): DataFrame = {
+    ensureReadable(spark, indexDir)
     spark.read.parquet(s"$indexDir/assignments")
       .groupBy("cell").agg(count(lit(1)).as("n"))
+  }
 
   /** max/mean cell occupancy — 1.0 is perfectly balanced; the probe
     * cost model degrades linearly in this ratio (a probe of the hottest
@@ -226,6 +273,7 @@ object IvfIndex {
       nprobe: Int = 4,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    ensureReadable(spark, indexDir)
     val centroids = broadcast(spark.read.parquet(s"$indexDir/centroids"))
     val qcells = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))

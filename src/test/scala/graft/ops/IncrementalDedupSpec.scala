@@ -615,6 +615,55 @@ class IncrementalDedupSpec extends SparkSuite {
     assert(spark.read.parquet(dir).select("vec_id").distinct().count() == 24)
   }
 
+  test("AdoptOrDefaultStoreParts: streams restart against ANY existing geometry, create at the fixed default") {
+    // the streaming default must adopt a manifest (a fixed default
+    // would hard-fail every micro-batch on restart against a store
+    // created under other geometry) and create at DefaultStoreParts
+    // (auto-sizing from a tiny batch 0 would freeze the floor)
+    val adopted = Files.createTempDirectory("incdedup_adopt").toString + "/store"
+    val b = Seq((1L, "aaa"), (2L, "bbb")).toDF("doc_id", "text")
+    // store created under auto geometry -> 32-part floor in the manifest
+    IncrementalDedup.exactBatch(b, adopted)
+    def parts(dir: String): String = {
+      val s = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, "_graft_store.json")), "UTF-8")
+      "\"store_parts\":\"(\\d+)\"".r.findFirstMatchIn(s).get.group(1)
+    }
+    assert(parts(adopted) == "32")
+    // a "restarted stream" cycle with the sentinel adopts 32, no throw
+    val again = IncrementalDedup.exactBatch(
+      Seq((3L, "aaa")).toDF("doc_id", "text"), adopted,
+      storeParts = IncrementalDedup.AdoptOrDefaultStoreParts)
+    assert(again.collect().map(r =>
+      Option(r.getAs[java.lang.Long]("dup_of")).map(_.toLong)).toSeq ==
+      Seq(Some(1L)))
+    assert(parts(adopted) == "32")
+    // against a FRESH dir the sentinel creates at the fixed default
+    val fresh = Files.createTempDirectory("incdedup_adopt2").toString + "/store"
+    IncrementalDedup.exactBatch(b, fresh,
+      storeParts = IncrementalDedup.AdoptOrDefaultStoreParts)
+    assert(parts(fresh) == IncrementalDedup.DefaultStoreParts.toString)
+  }
+
+  test("embedding: a non-fp array batch is cast to double, store stays readable") {
+    // ARRAY<BIGINT> input must not write raw long-element files into a
+    // store whose schema says ARRAY<DOUBLE> (the next batch would throw
+    // reading them)
+    val dir = Files.createTempDirectory("incemb_int").toString + "/store"
+    val ints = Seq((1L, Seq(1L, 0L, 0L, 0L)), (2L, Seq(0L, 1L, 0L, 0L)))
+      .toDF("vec_id", "embedding")
+    IncrementalDedup.embeddingBatch(ints, dir, threshold = 0.95).count()
+    assert(spark.read.parquet(dir).schema("vec").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, true))
+    // warm cycle against the store parses and scores fine: an exact
+    // clone of vector 1 pairs with it at cosine 1.0
+    val clone = Seq((10L, Seq(1L, 0L, 0L, 0L))).toDF("vec_id", "embedding")
+    val pairs = IncrementalDedup.embeddingBatch(clone, dir, threshold = 0.95)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(pairs.toSeq == Seq((1L, 10L)))
+  }
+
   test("compactFiles: fragmentation past the threshold auto-compacts; verdicts unchanged") {
     import org.apache.hadoop.fs.Path
     val dir = Files.createTempDirectory("incdedup_autocompact").toString + "/store"

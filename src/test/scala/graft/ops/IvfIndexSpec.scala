@@ -90,6 +90,51 @@ class IvfIndexSpec extends SparkSuite {
     assert(spark.read.parquet(s"$dir/assignments").count() == n0 + 1)
   }
 
+  test("append width guard: double into a float index is loud; float into double upcasts") {
+    import spark.implicits._
+    // float index (built from the float embeddings table)
+    val fDir = Files.createTempDirectory("ivfwidth_f").toString
+    IvfIndex.build(cands, fDir, nlist = 8)
+    val dBatch = Seq((900001L, Seq(0.1, 0.2, 0.3))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.append(dBatch, fDir)
+    }
+    assert(e.getMessage.contains("narrowing"), e.getMessage)
+    // double index accepts a float batch by exact upcast
+    val dDir = Files.createTempDirectory("ivfwidth_d").toString
+    IvfIndex.build(
+      cands.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding")),
+      dDir, nlist = 8)
+    val fBatch = queries.filter(col("vec_id") === 1)
+      .select(lit(900002L).as("vec_id"), col("embedding"))
+    IvfIndex.append(fBatch, dDir)
+    val top = IvfIndex.search(spark, dDir,
+      queries.filter(col("vec_id") === 1), k = 1, nprobe = 8).collect().head
+    assert(top.getAs[Long]("neighbor_id") == 900002L)
+    assert(top.getAs[Double]("cosine") == 1.0)
+  }
+
+  test("a crashed rebuild swap self-heals on the READ path") {
+    import org.apache.hadoop.fs.Path
+    val dir = Files.createTempDirectory("ivfcrash").toString
+    IvfIndex.build(cands, dir, nlist = 8)
+    val n0 = spark.read.parquet(s"$dir/assignments").count()
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate the worst crash window: new generation fully written
+    // under tmp, ready marker set, live tables DELETED, renames never ran
+    val tmp = new Path(dir, "_rebuild_tmp")
+    fs.mkdirs(tmp)
+    assert(fs.rename(new Path(dir, "centroids"), new Path(tmp, "centroids")))
+    assert(fs.rename(new Path(dir, "assignments"), new Path(tmp, "assignments")))
+    fs.create(new Path(dir, "_rebuild_ready"), true).close()
+    // a pure READER (health probe) finishes the swap and answers
+    assert(IvfIndex.imbalance(spark, dir) >= 1.0)
+    assert(spark.read.parquet(s"$dir/assignments").count() == n0)
+    assert(!fs.exists(new Path(dir, "_rebuild_ready")))
+    assert(!fs.exists(tmp))
+  }
+
   test("cell health: drifted appends trip the rebuild trigger; post-rebuild search equals brute force") {
     import spark.implicits._
     val dir = Files.createTempDirectory("ivfhealth").toString
