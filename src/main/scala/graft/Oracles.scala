@@ -555,6 +555,36 @@ object Oracles {
         |  count(*) OVER (PARTITION BY component) AS cluster_size
         |FROM comp ORDER BY doc_id""".stripMargin,
 
+    // incremental clustering: the SAME full-corpus recursive-CTE oracle
+    // as q_dedup_clusters — the store's two-batch arrival must land on
+    // the identical resolved label set
+    "q_dedup_clusters_incremental" ->
+      """WITH RECURSIVE tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE source IN ('src0', 'src1')),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+        |           i -> array_to_string(t[i:i+2], ' '))) AS shingle
+        |       FROM tk),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |it AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        |       FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+        |       GROUP BY 1, 2),
+        |p AS (SELECT doc_a, doc_b FROM it
+        |      JOIN sizes sa ON it.doc_a = sa.doc_id
+        |      JOIN sizes sb ON it.doc_b = sb.doc_id
+        |      WHERE round(CAST(n_common AS DOUBLE) /
+        |        CAST(sa.n + sb.n - n_common AS DOUBLE), 4) >= 0.01),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM p
+        |      UNION ALL SELECT doc_b, doc_a FROM p),
+        |r AS (SELECT a AS v, a AS u FROM e
+        |      UNION
+        |      SELECT r.v, e.b FROM r JOIN e ON r.u = e.a),
+        |comp AS (SELECT v AS doc_id, min(u) AS component FROM r GROUP BY v)
+        |SELECT doc_id, component,
+        |  count(*) OVER (PARTITION BY component) AS cluster_size
+        |FROM comp ORDER BY doc_id""".stripMargin,
+
     // survivors of duplicate clustering: same recursive-CTE components
     // as q_dedup_clusters; a doc survives iff it is unpaired or its
     // cluster's min id

@@ -1022,6 +1022,32 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Incremental CLUSTERING gate: the same pair graph as
+    * q_dedup_clusters arrives as two batches (split by pair hash)
+    * against a fresh persisted label store — the resolved store must
+    * equal the full-corpus recursive-CTE oracle, proving the
+    * union-find store loses and invents nothing across arrivals
+    * (cluster growth, cross-batch merges, and dethroned roots all
+    * occur in this corpus' graph). Fresh store per call (idempotence,
+    * like qDedupIncremental). */
+  def qDedupClustersIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = rd(s, dir, "documents")
+      .filter(col("source").isin("src0", "src1"))
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.01)
+      .localCheckpoint() // both batch filters read one materialization
+    val tmp = java.nio.file.Files.createTempDirectory("graft_inccomp_")
+    TmpCleanup.register(tmp)
+    val store = tmp.toString + "/store"
+    val h = pmod(xxhash64(col("doc_a"), col("doc_b")), lit(2))
+    graft.ops.IncrementalComponents.addPairs(pairs.filter(h === 0), store)
+    graft.ops.IncrementalComponents.addPairs(pairs.filter(h === 1), store)
+    val w = Window.partitionBy("component")
+    graft.ops.IncrementalComponents.labels(s, store)
+      .select(col("v").as("doc_id"), col("component"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .orderBy("doc_id")
+  }
+
   /** Incremental EMBEDDING near-dup against a persisted vector store:
     * the base corpus arrives as batch 1 (no qualifying pairs — max base
     * cosine ≈ 0.6), the planted near-dup vectors as batch 2; batch 2's

@@ -101,7 +101,8 @@ object SparkEntry {
     "q_knn_ivf_index" -> (Queries.qKnnIvfIndex _),
     "q_skew_salted_join" -> (Queries.qSkewSaltedJoin _),
     "q_heavy_hitters" -> (Queries.qHeavyHitters _),
-    "q_dedup_incremental_embedding" -> (Queries.qDedupIncrementalEmbedding _)
+    "q_dedup_incremental_embedding" -> (Queries.qDedupIncrementalEmbedding _),
+    "q_dedup_clusters_incremental" -> (Queries.qDedupClustersIncremental _)
   ) ++ FuzzQueries.queries // differential fuzz gate (seeded AST → both engines)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

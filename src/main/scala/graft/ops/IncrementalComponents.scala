@@ -1,0 +1,317 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental connected components over an ARRIVING pair stream — the
+  * clustering maintenance a production dedup pipeline runs between full
+  * rebuilds: `Components.ofPairs` answers "what are the clusters of
+  * THESE pairs", this store answers "what are the clusters of every
+  * pair ever seen", one batch at a time, without recomputing the
+  * corpus-wide fixpoint per batch (quadratic over the pipeline's
+  * lifetime — the same argument as [[IncrementalDedup]], one level up
+  * the stack: its pair batches are exactly this operator's input).
+  *
+  * Layout (the union-find shape, made restartable):
+  *  - `labels/` — (v, component) parquet, hive-partitioned by
+  *    `bp = pmod(xxhash64(v), parts)`: the lookup an arriving batch
+  *    does — "what clusters do MY endpoints already belong to" — is a
+  *    partition-pruned scan of the batch's own hash range. One row per
+  *    vertex EVER seen in a pair, appended once, never rewritten by
+  *    arrivals.
+  *  - `merges/` — (old, new) parquet: the union-find parent log. When a
+  *    batch's pairs connect existing clusters, nothing in `labels`
+  *    moves — the dethroned roots get one merge row each. Cluster
+  *    merges touch O(merged clusters) rows, not O(cluster members):
+  *    relabeling a billion-member cluster on arrival would be the
+  *    quadratic this store exists to avoid.
+  *  - reads resolve labels THROUGH the merge log: the log is bounded by
+  *    total merge events, collected driver-side and path-compressed (a
+  *    few MB per million merges — cf. the IVF centroid pull), then
+  *    broadcast into one equi-join. [[compact]] folds the log into
+  *    `labels` in place and empties it — run it when the log grows past
+  *    taste; the store works identically (only slower reads) if never
+  *    compacted.
+  *
+  * Component ids are the cluster's MINIMUM vertex id (the
+  * `Components.ofPairs` convention), so incremental labels are
+  * BATCH-ORDER INDEPENDENT: after any sequence of pair batches the
+  * resolved view equals `Components.ofPairs` over the union of all
+  * pairs (IncrementalComponentsSpec pins the parity; the gate checks a
+  * two-batch split against the full-corpus recursive-CTE oracle).
+  *
+  * Concurrency: every cycle (and the compaction) runs under the store's
+  * [[graft.fs.StoreLock]], like the dedup stores. Retried batches are
+  * tolerated: label appends are anti-joined per vertex, and a replayed
+  * merge row maps a root to the root it already maps to (resolution is
+  * idempotent); duplicate log rows are cleared by the next compact. */
+object IncrementalComponents {
+
+  private val LabelsDir = "labels"
+  private val MergesDir = "merges"
+
+  private def bpOf(parts: Int, v: org.apache.spark.sql.Column) =
+    pmod(xxhash64(v), lit(parts)).cast("int")
+
+  /** Driver-side union-find resolution of the merge log: collect the
+    * (old, new) rows — bounded by merge EVENTS, not corpus — and
+    * path-compress every chain to its root. Returns the compressed
+    * mapping (empty when the log is empty or absent). */
+  private def mergeMap(spark: SparkSession, dir: String): Map[Long, Long] = {
+    val p = new org.apache.hadoop.fs.Path(dir, MergesDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val raw = spark.read.schema("old BIGINT, new BIGINT")
+        .parquet(p.toString)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // path compression: follow chains (c3->c2, c2->c1 => c3->c1).
+      // Chains are acyclic by construction (new < old always), so the
+      // walk terminates; memo keeps the total O(log size).
+      val memo = scala.collection.mutable.Map.empty[Long, Long]
+      def root(c: Long): Long = memo.getOrElseUpdate(c,
+        raw.get(c) match {
+          case Some(next) => root(next)
+          case None       => c
+        })
+      raw.keys.map(k => k -> root(k)).toMap
+    }
+  }
+
+  /** The resolved label view: every vertex ever seen, with its CURRENT
+    * canonical component (labels joined through the compressed merge
+    * log). This is the frame a pipeline joins against to shrink a
+    * corpus. */
+  def labels(spark: SparkSession, storeDir: String): DataFrame = {
+    val lp = new org.apache.hadoop.fs.Path(storeDir, LabelsDir)
+    val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(lp))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "v BIGINT, component BIGINT"))
+    val base = spark.read.schema("v BIGINT, component BIGINT, bp INT")
+      .parquet(lp.toString).drop("bp")
+    resolve(base, mergeMap(spark, storeDir))
+  }
+
+  /** Join `frame`'s `component` column through the compressed merge
+    * map — one broadcast equi-join, or the frame unchanged when the
+    * log is empty. */
+  private def resolve(frame: DataFrame, mm: Map[Long, Long]): DataFrame =
+    if (mm.isEmpty) frame
+    else {
+      val spark = frame.sparkSession
+      import spark.implicits._
+      val m = broadcast(mm.toSeq.toDF("__old", "__root"))
+      frame.join(m, frame("component") === m("__old"), "left")
+        .withColumn("component",
+          coalesce(col("__root"), col("component")))
+        .drop("__old", "__root")
+    }
+
+  /** Absorb one batch of undirected pairs into the store (created on
+    * first use) and return the resolved (v, component) view of THIS
+    * batch's vertices. Store partition count fixes at creation via
+    * [[IncrementalDedup.storePartsFor]] over the batch's vertex count
+    * (manifest-recorded, explicit wins — the dedup-store discipline). */
+  def addPairs(
+      pairs: DataFrame,
+      storeDir: String,
+      aCol: String = "doc_a",
+      bCol: String = "doc_b",
+      storeParts: Int = IncrementalDedup.AutoStoreParts): DataFrame =
+    graft.fs.StoreLock.withLock(storeDir,
+      pairs.sparkSession.sparkContext.hadoopConfiguration) {
+      addPairsLocked(pairs, storeDir, aCol, bCol, storeParts)
+    }
+
+  private def addPairsLocked(
+      pairs: DataFrame,
+      storeDir: String,
+      aCol: String,
+      bCol: String,
+      requestedParts: Int): DataFrame = {
+    val spark = pairs.sparkSession
+    // heal a crashed compaction swap BEFORE reading anything
+    sweepCompact(spark, storeDir)
+    val edges = pairs
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .localCheckpoint()
+    val verts = edges.select(col("a").as("v"))
+      .unionAll(edges.select(col("b").as("v")))
+      .distinct()
+      .localCheckpoint()
+    // explicit beats manifest beats batch-sized auto (the dedup-store
+    // precedence; a mismatched explicit fails loudly in the meta check)
+    val storeParts =
+      if (requestedParts != IncrementalDedup.AutoStoreParts) requestedParts
+      else manifestPartsOf(spark, storeDir)
+        .getOrElse(IncrementalDedup.storePartsFor(verts.count()))
+    checkOrWriteMeta(spark, storeDir, storeParts)
+
+    val lp = s"$storeDir/$LabelsDir"
+    val lpPath = new org.apache.hadoop.fs.Path(lp)
+    val fs = lpPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mm = mergeMap(spark, storeDir)
+    // existing assignments of the batch's endpoints: partition-pruned to
+    // the batch's own hash range, resolved through the merge log
+    val existing =
+      if (!fs.exists(lpPath))
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "v BIGINT, component BIGINT"))
+      else {
+        val touched = verts
+          .select(bpOf(storeParts, col("v")).as("bp")).distinct()
+          .collect().map(_.getInt(0)).toIndexedSeq
+        resolve(
+          spark.read.schema("v BIGINT, component BIGINT, bp INT")
+            .parquet(lp)
+            .filter(col("bp").isin(touched: _*)).drop("bp")
+            .join(verts, Seq("v"), "left_semi"),
+          mm)
+      }
+    val existingCk = existing.localCheckpoint()
+    // local graph: the batch's pairs plus one (v — current root) edge
+    // per already-labeled endpoint. Component ids live in the vertex id
+    // namespace (cluster-min convention), so a root participates as a
+    // virtual vertex and min-label propagation over this SMALL graph
+    // yields the correct NEW canonical for every touched cluster.
+    val graph = edges.select(col("a").as("doc_a"), col("b").as("doc_b"))
+      .unionAll(existingCk
+        .filter(col("v") =!= col("component"))
+        .select(col("v").as("doc_a"), col("component").as("doc_b")))
+    val comp = Components.ofPairs(graph).localCheckpoint()
+
+    // 1. fresh vertices get their first label row
+    val fresh = comp.join(verts, Seq("v"), "left_semi")
+      .join(existingCk.select("v"), Seq("v"), "left_anti")
+      .withColumn("bp", bpOf(storeParts, col("v")))
+    fresh.repartition(col("bp"))
+      .write.partitionBy("bp").mode("append").parquet(lp)
+    // 2. dethroned roots get a merge row: roots whose NEW component is
+    //    smaller than themselves. O(touched clusters) rows.
+    val dethroned = comp
+      .join(existingCk.select(col("component").as("v")).distinct(), Seq("v"),
+        "left_semi")
+      .filter(col("component") < col("v"))
+      .select(col("v").as("old"), col("component").as("new"))
+    dethroned.write.mode("append").parquet(s"$storeDir/$MergesDir")
+
+    // the batch view: resolved labels for this batch's vertices.
+    // comp already holds the final canonical for every batch vertex —
+    // return it directly (checkpointed above, so later store writes
+    // cannot invalidate it).
+    comp.join(verts, Seq("v"), "left_semi")
+  }
+
+  /** Fold the merge log into the label table and clear it. Relabeling
+    * never moves a row between partitions (bp keys on v, not
+    * component), so this rewrites the labels table in place via the
+    * tmp + ready-marker roll-forward (the IvfIndex rebuild protocol):
+    * a crash either discards the half-built tmp or finishes the swap on
+    * the next locked cycle. Returns the number of rows whose label
+    * changed. */
+  def compact(spark: SparkSession, storeDir: String): Long =
+    graft.fs.StoreLock.withLock(storeDir,
+      spark.sparkContext.hadoopConfiguration) {
+      sweepCompact(spark, storeDir)
+      val mm = mergeMap(spark, storeDir)
+      if (mm.isEmpty) 0L
+      else {
+        import org.apache.hadoop.fs.Path
+        val root = new Path(storeDir)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val lp = s"$storeDir/$LabelsDir"
+        val base = spark.read.schema("v BIGINT, component BIGINT, bp INT")
+          .parquet(lp)
+        val obs = org.apache.spark.sql.Observation()
+        val resolved = resolve(
+          base.withColumn("__prev", col("component")), mm)
+          .observe(obs, count(when(col("component") =!= col("__prev"),
+            lit(1))).as("changed"))
+          .drop("__prev")
+        val tmp = new Path(root, "_compact_tmp")
+        fs.delete(tmp, true)
+        resolved.repartition(col("bp"))
+          .write.partitionBy("bp").parquet(tmp.toString)
+        val changed = obs.get("changed").asInstanceOf[Long]
+        fs.create(new Path(root, "_compact_ready"), true).close()
+        finishSwap(fs, root)
+        changed
+      }
+    }
+
+  /** Roll the compaction swap forward: place tmp as labels, drop the
+    * folded merge log, clear the marker. Every locked cycle calls
+    * [[sweepCompact]] first, so a crash mid-swap heals on the next
+    * cycle. */
+  private def finishSwap(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Unit = {
+    import org.apache.hadoop.fs.Path
+    val tmp = new Path(root, "_compact_tmp")
+    val live = new Path(root, LabelsDir)
+    if (fs.exists(tmp)) {
+      fs.delete(live, true)
+      require(fs.rename(tmp, live), s"rename failed: $tmp -> $live")
+    }
+    fs.delete(new Path(root, MergesDir), true)
+    fs.delete(new Path(root, "_compact_ready"), false)
+  }
+
+  private def sweepCompact(spark: SparkSession, storeDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(root, "_compact_ready"))) finishSwap(fs, root)
+    else fs.delete(new Path(root, "_compact_tmp"), true)
+  }
+
+  // --- manifest (the IncrementalDedup discipline, variant-tagged) ------
+
+  private def manifestPartsOf(
+      spark: SparkSession, dir: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_graft_store.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val body =
+          try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        Option(new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(body).get("store_parts")).map(_.asText.toInt)
+      }
+    } catch { case _: Exception => None }
+  }
+
+  private def checkOrWriteMeta(
+      spark: SparkSession, dir: String, parts: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_graft_store.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val body =
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+      require(Option(node.get("variant")).exists(_.asText == "components") &&
+        Option(node.get("store_parts")).exists(_.asText.toInt == parts),
+        s"store $dir was created with different geometry: expected " +
+          s"variant=components, store_parts=$parts, manifest has $body")
+    } else {
+      val tmp = new org.apache.hadoop.fs.Path(dir,
+        s"_graft_store.json.tmp-${ProcessHandle.current().pid()}")
+      val out = fs.create(tmp, true)
+      try out.write(
+        s"""{"store_parts":"$parts","variant":"components"}"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      require(fs.rename(tmp, p), s"manifest rename failed: $tmp -> $p")
+    }
+  }
+}
