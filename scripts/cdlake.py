@@ -162,6 +162,37 @@ class Cdl:
         return self._spark._jvm.graft.PyBridge.compactDedupStore(
             self._spark._jsparkSession, store_dir)
 
+    # -- incremental clustering (graft extension): the persisted
+    # union-find the dedup pair batches feed. ---------------------------
+    def clusters_add_pairs(self, df, store_dir):
+        """Absorb one batch of (doc_a, doc_b) pairs; returns the batch's
+        resolved (v, component) view."""
+        return DataFrame(
+            self._spark._jvm.graft.PyBridge.clustersAddPairs(
+                df._jdf, store_dir),
+            self._spark)
+
+    def clusters_labels(self, store_dir):
+        """Every vertex ever paired, with its current canonical
+        component (cluster-min ids)."""
+        return DataFrame(
+            self._spark._jvm.graft.PyBridge.clustersLabels(
+                self._spark._jsparkSession, store_dir),
+            self._spark)
+
+    def clusters_keepers(self, store_dir):
+        """One canonical member per cluster (v == component)."""
+        return DataFrame(
+            self._spark._jvm.graft.PyBridge.clustersKeepers(
+                self._spark._jsparkSession, store_dir),
+            self._spark)
+
+    def clusters_compact(self, store_dir):
+        """Fold the merge log into the label table; returns the number
+        of relabeled rows."""
+        return self._spark._jvm.graft.PyBridge.clustersCompact(
+            self._spark._jsparkSession, store_dir)
+
     # -- persisted IVF ANN index (graft extension): build-once /
     # append-many / search-many over cell-partitioned parquet. ----------
     def ivf_build(self, df, index_dir, nlist=16, kmeans_iters=0):

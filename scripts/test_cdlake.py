@@ -184,6 +184,35 @@ def test_incremental_dedup_over_bridge(spark):
     assert [(p["doc_a"], p["doc_b"]) for p in again] == [(0, 1)]
 
 
+def test_incremental_clusters_over_bridge(spark):
+    """The clustering store over py4j: two pair batches whose second
+    MERGES clusters from the first, then the resolved labels/keepers
+    views and a compaction pass."""
+    from cdlake import Cdl
+    cdl = Cdl(spark)
+    store = tempfile.mkdtemp(prefix="cdlake_clusters_") + "/store"
+
+    b1 = spark.createDataFrame([(1, 2), (10, 11)], "doc_a LONG, doc_b LONG")
+    b2 = spark.createDataFrame([(2, 10), (20, 21)], "doc_a LONG, doc_b LONG")
+    v1 = {r["v"]: r["component"]
+          for r in cdl.clusters_add_pairs(b1, store).collect()}
+    assert v1 == {1: 1, 2: 1, 10: 10, 11: 10}
+    v2 = {r["v"]: r["component"]
+          for r in cdl.clusters_add_pairs(b2, store).collect()}
+    assert v2 == {2: 1, 10: 1, 20: 20, 21: 20}  # 10's cluster merged into 1
+    labels = {r["v"]: r["component"]
+              for r in cdl.clusters_labels(store).collect()}
+    assert labels == {1: 1, 2: 1, 10: 1, 11: 1, 20: 20, 21: 20}
+    keepers = {r["v"] for r in cdl.clusters_keepers(store).collect()}
+    assert keepers == {1, 20}
+    # compaction folds the dethroned root's two stale rows and is
+    # label-preserving
+    assert cdl.clusters_compact(store) == 2
+    after = {r["v"]: r["component"]
+             for r in cdl.clusters_labels(store).collect()}
+    assert after == labels
+
+
 def test_ivf_index_over_bridge(spark):
     """The persisted ANN index over py4j: build, exhaustive-probe search
     (top-1 of a vector's own clone is itself at cosine 1.0), health

@@ -84,6 +84,23 @@ object PyBridge {
   def compactDedupStore(spark: SparkSession, storeDir: String): Int =
     graft.ops.IncrementalDedup.compactStore(spark, storeDir)
 
+  // -- incremental clustering (training-pipeline extension, SURVEY
+  // §2.10): the persisted union-find the dedup pair batches feed -------
+
+  /** One locked cycle absorbing a pair batch; returns the batch's
+    * resolved (v, component) view. */
+  def clustersAddPairs(pairs: DataFrame, storeDir: String): DataFrame =
+    graft.ops.IncrementalComponents.addPairs(pairs, storeDir)
+
+  def clustersLabels(spark: SparkSession, storeDir: String): DataFrame =
+    graft.ops.IncrementalComponents.labels(spark, storeDir)
+
+  def clustersKeepers(spark: SparkSession, storeDir: String): DataFrame =
+    graft.ops.IncrementalComponents.keepers(spark, storeDir)
+
+  def clustersCompact(spark: SparkSession, storeDir: String): Long =
+    graft.ops.IncrementalComponents.compact(spark, storeDir)
+
   // -- persisted IVF ANN index (training-pipeline extension, SURVEY
   // §2.10): build-once / append-many / search-many from pyspark --------
 

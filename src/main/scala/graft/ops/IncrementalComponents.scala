@@ -143,11 +143,17 @@ object IncrementalComponents {
       .distinct()
       .localCheckpoint()
     // explicit beats manifest beats batch-sized auto (the dedup-store
-    // precedence; a mismatched explicit fails loudly in the meta check)
-    val storeParts =
-      if (requestedParts != IncrementalDedup.AutoStoreParts) requestedParts
-      else manifestPartsOf(spark, storeDir)
-        .getOrElse(IncrementalDedup.storePartsFor(verts.count()))
+    // precedence; a mismatched explicit fails loudly in the meta check);
+    // the streaming sentinel adopts the manifest, creates at the default
+    val storeParts = requestedParts match {
+      case IncrementalDedup.AutoStoreParts =>
+        manifestPartsOf(spark, storeDir)
+          .getOrElse(IncrementalDedup.storePartsFor(verts.count()))
+      case IncrementalDedup.AdoptOrDefaultStoreParts =>
+        manifestPartsOf(spark, storeDir)
+          .getOrElse(IncrementalDedup.DefaultStoreParts)
+      case r => r
+    }
     checkOrWriteMeta(spark, storeDir, storeParts)
 
     val lp = s"$storeDir/$LabelsDir"
@@ -206,6 +212,38 @@ object IncrementalComponents {
     // cannot invalidate it).
     comp.join(verts, Seq("v"), "left_semi")
   }
+
+  /** Streaming form: absorb a PAIR STREAM into the label store, one
+    * locked cycle per micro-batch — the natural downstream of
+    * `IncrementalDedup.minhashStream`'s pair output. Batch views land
+    * under `resultsDir/batch=<epoch>`, overwritten per epoch (the
+    * exactly-once contract of the dedup streams); the STORE itself is
+    * idempotent under replay, so the pipeline end-to-end tolerates
+    * at-least-once delivery. */
+  def pairStream(
+      pairsStream: DataFrame,
+      storeDir: String,
+      resultsDir: String,
+      checkpointDir: String,
+      aCol: String = "doc_a",
+      bCol: String = "doc_b",
+      storeParts: Int = IncrementalDedup.AdoptOrDefaultStoreParts): org.apache.spark.sql.streaming.StreamingQuery =
+    pairsStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        addPairs(batch.toDF(), storeDir, aCol, bCol, storeParts)
+          .write.mode("overwrite").parquet(s"$resultsDir/batch=$id")
+        ()
+      }
+      .start()
+
+  /** One row per CLUSTER: the canonical member (v == component) of
+    * every multi-member cluster plus, implicitly, every never-paired
+    * document a caller keeps by anti-joining the label view — the
+    * store-backed form of `Dedup.keepRepresentatives`'s decision.
+    * Shrinking a corpus is then `docs ⨝ keepers ∪ docs ⟂ labels`. */
+  def keepers(spark: SparkSession, storeDir: String): DataFrame =
+    labels(spark, storeDir).filter(col("v") === col("component"))
 
   /** Fold the merge log into the label table and clear it. Relabeling
     * never moves a row between partitions (bp keys on v, not

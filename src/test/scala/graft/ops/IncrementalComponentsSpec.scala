@@ -93,6 +93,39 @@ class IncrementalComponentsSpec extends SparkSuite {
     assert(rows.count() == rows.select("v").distinct().count())
   }
 
+  test("pair stream equals batch arrival; keepers are the canonical members") {
+    val work = Files.createTempDirectory("inccomp_stream").toString
+    val srcDir = s"$work/pairs"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    // two staged files = two micro-batches; second MERGES clusters
+    Seq((1L, 2L), (10L, 11L)).toDF("doc_a", "doc_b")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val stream = spark.readStream
+      .schema("doc_a LONG, doc_b LONG").parquet(srcDir)
+    val q = IncrementalComponents.pairStream(
+      stream, s"$work/store", s"$work/out", s"$work/ckpt")
+    try {
+      q.processAllAvailable()
+      Seq((2L, 10L), (20L, 21L)).toDF("doc_a", "doc_b")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = labelMap(IncrementalComponents.labels(spark, s"$work/store"))
+    val want = labelMap(Components.ofPairs(
+      Seq((1L, 2L), (10L, 11L), (2L, 10L), (20L, 21L))
+        .toDF("doc_a", "doc_b")))
+    assert(got == want)
+    // streaming default adopted/created the fixed default geometry
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$work/store", "_graft_store.json")), "UTF-8")
+    assert(manifest.contains(s""""store_parts":"${IncrementalDedup.DefaultStoreParts}""""),
+      manifest)
+    // keepers: one canonical member per cluster
+    val k = IncrementalComponents.keepers(spark, s"$work/store")
+      .select("v").as[Long].collect().toSet
+    assert(k == Set(1L, 20L))
+  }
+
   test("a crashed compaction swap heals on the next cycle") {
     val dir = Files.createTempDirectory("inccomp_crash").toString + "/store"
     IncrementalComponents.addPairs(Seq((1L, 2L)).toDF("doc_a", "doc_b"), dir)
