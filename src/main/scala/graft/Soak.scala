@@ -304,6 +304,39 @@ object Soak {
         ops.IncrementalDedup.exactBatch(fragBatch(900), fragOff)
       })
 
+    // --- incremental clustering: the pair stream's downstream ---------
+    // The N×-scaled near-dup pair graph arrives in two hash-split
+    // batches; the claims under test are (a) per-batch cost tracks the
+    // BATCH's graph, not the store, (b) cross-batch merges cost
+    // O(dethroned roots) in the log, and (c) the resolved read and the
+    // post-compact read stay cheap as the store grows.
+    val ccPairsPath = s"$tmp/cc_pairs"
+    ops.Dedup.ngramJaccardPairs(twoSrc, n = 3, threshold = 0.01)
+      .write.parquet(ccPairsPath)
+    val ccPairs = spark.read.parquet(ccPairsPath)
+    val ccStore = s"$tmp/cc_store"
+    // parity split, not hash: batch A sees only odd-id left endpoints,
+    // so clusters whose true min id is EVEN get a temporary odd
+    // canonical that batch B must dethrone — the merge path runs at
+    // corpus scale, not just in the unit tests
+    val ccSplit = pmod(col("doc_a"), lit(2))
+    val ccRuns = Seq(
+      run("inc_clusters_batch_a") {
+        ops.IncrementalComponents.addPairs(ccPairs.filter(ccSplit === 1), ccStore)
+      },
+      run("inc_clusters_batch_b") {
+        ops.IncrementalComponents.addPairs(ccPairs.filter(ccSplit === 0), ccStore)
+      },
+      run("inc_clusters_labels") {
+        ops.IncrementalComponents.labels(spark, ccStore)
+      }, {
+        val folded = ops.IncrementalComponents.compact(spark, ccStore)
+        System.err.println(s"[soak] clusters compact folded $folded rows")
+        run("inc_clusters_labels_compacted") {
+          ops.IncrementalComponents.labels(spark, ccStore)
+        }
+      })
+
     def dirBytes(path: String): Long = {
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -324,7 +357,7 @@ object Soak {
         .map { case (n, p) => s""""$n":${dirBytes(p)}""" }
         .mkString("{", ",", "}")
 
-    val json = (runs ++ embRuns ++ incRuns ++ widthRuns ++ fragRuns).map(r =>
+    val json = (runs ++ embRuns ++ incRuns ++ widthRuns ++ fragRuns ++ ccRuns).map(r =>
       s"""{"op":"${r.name}","sec":${f"${r.sec}%.2f"},"rows":${r.rows},""" +
         s""""shuffle_write_mb":${f"${r.shuffleWriteMB}%.1f"},""" +
         s""""shuffle_read_mb":${f"${r.shuffleReadMB}%.1f"},""" +
