@@ -66,15 +66,26 @@ object IncrementalComponents {
         .parquet(p.toString)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       // path compression: follow chains (c3->c2, c2->c1 => c3->c1).
-      // Chains are acyclic by construction (new < old always), so the
-      // walk terminates; memo keeps the total O(log size).
-      val memo = scala.collection.mutable.Map.empty[Long, Long]
-      def root(c: Long): Long = memo.getOrElseUpdate(c,
-        raw.get(c) match {
-          case Some(next) => root(next)
-          case None       => c
-        })
-      raw.keys.map(k => k -> root(k)).toMap
+      // Chains are acyclic by construction (new < old always), so every
+      // walk terminates. ITERATIVE walk with an explicit path, not
+      // recursion: a re-entrant getOrElseUpdate can corrupt a resizing
+      // mutable map, and a million-link chain would blow the stack.
+      // Each link is walked once total (memo), so the whole pass is
+      // O(log size).
+      val memo = scala.collection.mutable.HashMap.empty[Long, Long]
+      raw.keys.foreach { k =>
+        if (!memo.contains(k)) {
+          var c = k
+          val path = scala.collection.mutable.ArrayBuffer.empty[Long]
+          while (!memo.contains(c) && raw.contains(c)) {
+            path += c
+            c = raw(c)
+          }
+          val r = memo.getOrElse(c, c)
+          path.foreach(memo.update(_, r))
+        }
+      }
+      raw.keys.map(k => k -> memo(k)).toMap
     }
   }
 
