@@ -353,7 +353,8 @@ object Soak {
         .mkString("{", ",", "}")
     val storeBytes =
       Seq("mh_store" -> mhStore, "emb_store" -> embStore,
-        "emb_store_f32" -> f32Store, "emb_store_f64" -> f64Store)
+        "emb_store_f32" -> f32Store, "emb_store_f64" -> f64Store,
+        "cc_store" -> ccStore)
         .map { case (n, p) => s""""$n":${dirBytes(p)}""" }
         .mkString("{", ",", "}")
 

@@ -51,7 +51,7 @@ object IncrementalComponents {
   private val MergesDir = "merges"
 
   private def bpOf(parts: Int, v: org.apache.spark.sql.Column) =
-    pmod(xxhash64(v), lit(parts)).cast("int")
+    IncrementalDedup.bpOf(parts, v)
 
   /** Driver-side union-find resolution of the merge log: collect the
     * (old, new) rows — bounded by merge EVENTS, not corpus — and
@@ -89,11 +89,29 @@ object IncrementalComponents {
     }
   }
 
+  /** Read-path self-heal (the IvfIndex.ensureReadable discipline): a
+    * compact crash between the live delete and the rename leaves
+    * `labels/` missing with the ready marker set — a read would
+    * otherwise silently return an EMPTY frame (every document looks
+    * unclustered) until the next locked writer heals it. When — and
+    * only when — the marker is present, take the lock briefly and
+    * finish the swap; normal reads never touch the lock. */
+  private def ensureReadable(spark: SparkSession, storeDir: String): Unit = {
+    val ready = new org.apache.hadoop.fs.Path(storeDir, "_compact_ready")
+    val fs = ready.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(ready))
+      graft.fs.StoreLock.withLock(storeDir,
+        spark.sparkContext.hadoopConfiguration) {
+        sweepCompact(spark, storeDir)
+      }
+  }
+
   /** The resolved label view: every vertex ever seen, with its CURRENT
     * canonical component (labels joined through the compressed merge
     * log). This is the frame a pipeline joins against to shrink a
     * corpus. */
   def labels(spark: SparkSession, storeDir: String): DataFrame = {
+    ensureReadable(spark, storeDir)
     val lp = new org.apache.hadoop.fs.Path(storeDir, LabelsDir)
     val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(lp))
@@ -158,14 +176,17 @@ object IncrementalComponents {
     // the streaming sentinel adopts the manifest, creates at the default
     val storeParts = requestedParts match {
       case IncrementalDedup.AutoStoreParts =>
-        manifestPartsOf(spark, storeDir)
+        IncrementalDedup.manifestParts(spark, storeDir)
           .getOrElse(IncrementalDedup.storePartsFor(verts.count()))
       case IncrementalDedup.AdoptOrDefaultStoreParts =>
-        manifestPartsOf(spark, storeDir)
+        IncrementalDedup.manifestParts(spark, storeDir)
           .getOrElse(IncrementalDedup.DefaultStoreParts)
       case r => r
     }
-    checkOrWriteMeta(spark, storeDir, storeParts)
+    // the SHARED manifest discipline (actionable corrupt-manifest error,
+    // tmp-orphan sweep, temp-write + rename) — one implementation
+    IncrementalDedup.checkOrWriteMeta(spark, storeDir, Map(
+      "variant" -> "components", "store_parts" -> storeParts.toString))
 
     val lp = s"$storeDir/$LabelsDir"
     val lpPath = new org.apache.hadoop.fs.Path(lp)
@@ -317,50 +338,5 @@ object IncrementalComponents {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new Path(root, "_compact_ready"))) finishSwap(fs, root)
     else fs.delete(new Path(root, "_compact_tmp"), true)
-  }
-
-  // --- manifest (the IncrementalDedup discipline, variant-tagged) ------
-
-  private def manifestPartsOf(
-      spark: SparkSession, dir: String): Option[Int] = {
-    val p = new org.apache.hadoop.fs.Path(dir, "_graft_store.json")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    try {
-      if (!fs.exists(p)) None
-      else {
-        val in = fs.open(p)
-        val body =
-          try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-          finally in.close()
-        Option(new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(body).get("store_parts")).map(_.asText.toInt)
-      }
-    } catch { case _: Exception => None }
-  }
-
-  private def checkOrWriteMeta(
-      spark: SparkSession, dir: String, parts: Int): Unit = {
-    val p = new org.apache.hadoop.fs.Path(dir, "_graft_store.json")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) {
-      val in = fs.open(p)
-      val body =
-        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-        finally in.close()
-      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
-      require(Option(node.get("variant")).exists(_.asText == "components") &&
-        Option(node.get("store_parts")).exists(_.asText.toInt == parts),
-        s"store $dir was created with different geometry: expected " +
-          s"variant=components, store_parts=$parts, manifest has $body")
-    } else {
-      val tmp = new org.apache.hadoop.fs.Path(dir,
-        s"_graft_store.json.tmp-${ProcessHandle.current().pid()}")
-      val out = fs.create(tmp, true)
-      try out.write(
-        s"""{"store_parts":"$parts","variant":"components"}"""
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      require(fs.rename(tmp, p), s"manifest rename failed: $tmp -> $p")
-    }
   }
 }

@@ -115,7 +115,7 @@ object IncrementalDedup {
   /** One manifest value, if the store exists and its manifest parses.
     * Unparseable manifests yield None here — `checkOrWriteMeta` raises
     * the actionable error for those. */
-  private def manifestValue(
+  private[ops] def manifestValue(
       spark: SparkSession, dir: String, key: String): Option[String] = {
     val p = new org.apache.hadoop.fs.Path(dir, "_graft_store.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -134,10 +134,10 @@ object IncrementalDedup {
 
   /** The store's manifest-recorded partition count (`store_parts` is
     * written by every creation, so its presence ⇔ a manifest exists). */
-  private def manifestParts(spark: SparkSession, dir: String): Option[Int] =
+  private[ops] def manifestParts(spark: SparkSession, dir: String): Option[Int] =
     manifestValue(spark, dir, "store_parts").map(_.toInt)
 
-  private def bpOf(parts: Int, keys: Column*): Column =
+  private[ops] def bpOf(parts: Int, keys: Column*): Column =
     pmod(xxhash64(keys: _*), lit(parts)).cast("int")
 
   /** Distinct store partitions the batch touches — bounded by the
@@ -181,7 +181,7 @@ object IncrementalDedup {
     * quietly vanish. The manifest turns that into a loud
     * IllegalArgumentException on the first batch: written at store
     * creation, verified key-by-key on every later cycle. */
-  private def checkOrWriteMeta(
+  private[ops] def checkOrWriteMeta(
       spark: SparkSession, dir: String, meta: Map[String, String]): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir, "_graft_store.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
