@@ -104,6 +104,22 @@ object Main {
         val n = graft.ops.IncrementalDedup.compactStore(spark, store)
         println(s"compacted $n fragmented partition(s) in $store")
 
+      // incremental clustering (training-pipeline extension): absorb
+      // dedup pair batches into the persisted union-find
+      case "clusters" :: "add" :: input :: store :: Nil =>
+        val view = graft.ops.IncrementalComponents.addPairs(
+          spark.read.parquet(input), store)
+        println(s"clusters add: ${view.count()} labeled vertices in batch")
+      case "clusters" :: "labels" :: store :: Nil =>
+        graft.ops.IncrementalComponents.labels(spark, store)
+          .orderBy("v").show(100, truncate = false)
+      case "clusters" :: "keepers" :: store :: Nil =>
+        graft.ops.IncrementalComponents.keepers(spark, store)
+          .orderBy("v").show(100, truncate = false)
+      case "clusters" :: "compact" :: store :: Nil =>
+        val n = graft.ops.IncrementalComponents.compact(spark, store)
+        println(s"clusters compact: folded $n relabeled rows")
+
       // persisted IVF ANN index (training-pipeline extension): the
       // cron-able build / append / search / health shapes
       case "ivf" :: "build" :: input :: index :: rest =>
@@ -147,6 +163,7 @@ object Main {
           s"[--at-version N] | versions <target> | compact <target> [--zorder x,y] [bytes] | " +
           s"take <target> <i,j,...> [col,col] | dedup <exact|minhash|embedding> <in.parquet> " +
           s"<storeDir> <out.parquet> | compact-store <storeDir> | " +
+          s"clusters {add|labels|keepers|compact} ... | " +
           s"ivf {build|append|search|health} ...}; got $other")
     }
 
