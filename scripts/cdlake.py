@@ -150,6 +150,12 @@ class Cdl:
                 df._jdf, store_dir, float(threshold)),
             self._spark)
 
+    def dedup_simhash(self, df, store_dir, max_hamming=3):
+        return DataFrame(
+            self._spark._jvm.graft.PyBridge.dedupSimhash(
+                df._jdf, store_dir, int(max_hamming)),
+            self._spark)
+
     def dedup_embedding(self, df, store_dir, threshold=0.95):
         return DataFrame(
             self._spark._jvm.graft.PyBridge.dedupEmbedding(

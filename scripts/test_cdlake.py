@@ -183,6 +183,15 @@ def test_incremental_dedup_over_bridge(spark):
     again = cdl.dedup_minhash(mh2, mh_store).collect()
     assert [(p["doc_a"], p["doc_b"]) for p in again] == [(0, 1)]
 
+    # simhash variant: identical text arriving in batch 2 pairs with
+    # batch 1's doc through the store at hamming 0
+    sh_store = f"{work}/sh_store"
+    assert cdl.dedup_simhash(mh1, sh_store).count() == 0
+    sh2 = spark.createDataFrame([(1, base)], "doc_id LONG, text STRING")
+    sh_pairs = cdl.dedup_simhash(sh2, sh_store).collect()
+    assert [(p["doc_a"], p["doc_b"], p["hamming"])
+            for p in sh_pairs] == [(0, 1, 0)]
+
 
 def test_incremental_clusters_over_bridge(spark):
     """The clustering store over py4j: two pair batches whose second

@@ -76,6 +76,11 @@ object PyBridge {
     graft.ops.IncrementalDedup.minhashBatch(df, storeDir,
       threshold = threshold)
 
+  def dedupSimhash(df: DataFrame, storeDir: String,
+      maxHamming: Int): DataFrame =
+    graft.ops.IncrementalDedup.simhashBatch(df, storeDir,
+      maxHamming = maxHamming)
+
   def dedupEmbedding(df: DataFrame, storeDir: String,
       threshold: Double): DataFrame =
     graft.ops.IncrementalDedup.embeddingBatch(df, storeDir,

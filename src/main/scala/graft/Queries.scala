@@ -1022,6 +1022,53 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Incremental SIMHASH gate, double-checked: (1) the incremental
+    * union over two batch arrivals must equal the full-corpus one-shot
+    * `Dedup.simhashPairs` SET-EXACTLY — the store-path contract,
+    * checked Spark-side where both sides are computable, emitted as
+    * `inc_eq_full` for the oracle to expect TRUE; (2) the same two
+    * engine-independent facts as `q_dedup_simhash` — the TRUE
+    * jaccard ≥ 0.9 pair count (DuckDB's brute force recomputes it) and
+    * recall ≥ 0.5 of those pairs among the incrementally-found
+    * radius-3 candidates (SimHash blocking is an honest heuristic —
+    * see qDedupSimhash's rationale for the 0.5 floor). Five sources,
+    * chosen so the j ≥ 0.9 pairs INSIDE the subset are non-vacuous at
+    * every SF (3/5/14 pairs at sf0.001/0.01/0.1) and several CROSS the
+    * src0+src1-arrives-second batch split (3/4/7) — the store path
+    * carries real pairs — while the gate pays the near-quadratic
+    * 16-bit-band blocking on ~25% of the corpus (~6% of the full
+    * cost), three times (two arrivals + the one-shot equality side).
+    * Fresh store per call (idempotence, like qDedupIncremental). */
+  def qDedupIncrementalSimhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = rd(s, dir, "documents")
+      .filter(col("source").isin("src0", "src1", "src5", "src12", "src13"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_incsim_")
+    TmpCleanup.register(tmp)
+    val store = tmp.toString + "/store"
+    val b1 = graft.ops.IncrementalDedup.simhashBatch(
+      docs.filter(!col("source").isin("src0", "src1")), store)
+    val b2 = graft.ops.IncrementalDedup.simhashBatch(
+      docs.filter(col("source").isin("src0", "src1")), store)
+    val inc = b1.unionByName(b2)
+      .select("doc_a", "doc_b", "hamming").localCheckpoint()
+    // checkpoint: both except() directions read `full`, and the pair
+    // set is tiny while its blocking join is the expensive part
+    val full = Dedup.simhashPairs(docs, maxHamming = 3)
+      .select("doc_a", "doc_b", "hamming").localCheckpoint()
+    val diff = inc.except(full).unionByName(full.except(inc))
+      .agg(count(lit(1)).as("__diff"))
+    val truth = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.9)
+      .select("doc_a", "doc_b").localCheckpoint()
+    val nTrue = truth.agg(count(lit(1)).as("n_true_pairs"))
+    val foundTrue = truth.join(inc, Seq("doc_a", "doc_b"), "left_semi")
+      .agg(count(lit(1)).as("__found"))
+    nTrue.crossJoin(diff).crossJoin(foundTrue)
+      .select(col("n_true_pairs"),
+        (col("__diff") === 0L).as("inc_eq_full"),
+        (col("__found").cast("double") >=
+          col("n_true_pairs").cast("double") * 0.5).as("recall_ok"))
+  }
+
   /** Incremental CLUSTERING gate: the same pair graph as
     * q_dedup_clusters arrives as two batches (split by pair hash)
     * against a fresh persisted label store — the resolved store must

@@ -102,7 +102,8 @@ object SparkEntry {
     "q_skew_salted_join" -> (Queries.qSkewSaltedJoin _),
     "q_heavy_hitters" -> (Queries.qHeavyHitters _),
     "q_dedup_incremental_embedding" -> (Queries.qDedupIncrementalEmbedding _),
-    "q_dedup_clusters_incremental" -> (Queries.qDedupClustersIncremental _)
+    "q_dedup_clusters_incremental" -> (Queries.qDedupClustersIncremental _),
+    "q_dedup_incremental_simhash" -> (Queries.qDedupIncrementalSimhash _)
   ) ++ FuzzQueries.queries // differential fuzz gate (seeded AST → both engines)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -338,11 +338,30 @@ object Dedup {
   def simhashPairsFromSignatures(
       sigs: DataFrame,
       maxHamming: Int): DataFrame = {
+    val banded = simhashBanded(sigs, maxHamming)
+      .localCheckpoint() // both join sides; freed once unreachable
+    banded.as("a").join(banded.as("b"), Seq("band", "bh"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long")
+          .as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** The multi-index banding under `simhashPairsFromSignatures`, split
+    * out so the incremental store (`IncrementalDedup.simhashBatch`) can
+    * persist the SAME banded rows the one-shot path joins on — one
+    * banding implementation, one completeness proof. Output:
+    * (doc_id, simhash, band, bh), `maxHamming + 1` rows per doc; 64
+    * bits distributed as evenly as possible — `rem` leading bands get
+    * one extra bit (e.g. radius 4 → widths 13,13,13,13,12). */
+  private[graft] def simhashBanded(
+      sigs: DataFrame,
+      maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64,
       s"maxHamming must be in [0, 64): $maxHamming")
     val bands = maxHamming + 1
-    // distribute 64 bits as evenly as possible: `rem` leading bands get
-    // one extra bit (e.g. radius 4 -> widths 13,13,13,13,12)
     val base = 64 / bands
     val rem = 64 % bands
     val widths = Seq.tabulate(bands)(i => base + (if (i < rem) 1 else 0))
@@ -352,17 +371,9 @@ object Dedup {
       struct(lit(i).as("band"),
         shiftrightunsigned(col("simhash"), st).bitwiseAND(lit(mask)).as("bh"))
     }
-    val banded = sigs.select(col("doc_id"), col("simhash"),
+    sigs.select(col("doc_id"), col("simhash"),
       explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bh"))
-      .localCheckpoint() // both join sides; freed once unreachable
-    banded.as("a").join(banded.as("b"), Seq("band", "bh"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long")
-          .as("hamming"))
-      .dropDuplicates("doc_a", "doc_b")
-      .filter(col("hamming") <= maxHamming)
   }
 
   /** Keep one representative per near-dup cluster — the step after pair

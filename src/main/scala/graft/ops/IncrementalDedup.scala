@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
   * pipeline's lifetime and is the difference between minutes and days at
   * scale.
   *
-  * Three variants:
+  * Four variants:
   *  - exact (content digest): the store is (digest, keep_doc_id); a new
   *    batch's duplicates are one partition-pruned equi-join away.
   *  - MinHash-LSH (near-dup): the store holds the BANDED signature rows
@@ -30,6 +30,11 @@ import org.apache.spark.sql.functions._
   *    verifies est-Jaccard in the join itself, with no O(corpus)
   *    signature-fetch join afterwards. Incremental pairs over a batch
   *    sequence equal the full-batch pairs (IncrementalDedupSpec).
+  *  - SimHash (near-dup): the store holds the multi-index banded rows
+  *    (doc_id, simhash, band, bh) — `radius + 1` rows per doc; the
+  *    pigeonhole completeness proof (Dedup.simhashPairs) carries over
+  *    batch boundaries because the store keeps every doc's full band
+  *    set and equal band values co-partition.
   *  - embedding (cosine): the store holds the LSH-bucketed vector rows
   *    (vec_id, vec, tbl, bucket) — same posting-row trade, tables×
   *    storage for scan locality; exact cosine computes map-side while
@@ -480,6 +485,101 @@ object IncrementalDedup {
     out
   }
 
+  /** SimHash near-dup pairs of one batch against the banded-signature
+    * store at `storeDir` (created if absent): returns
+    * (doc_a, doc_b, hamming) for every pair within `maxHamming` with at
+    * least one side in the batch (store-internal pairs were reported
+    * when THEIR batches arrived). Over a sequence of batches the union
+    * of results equals the full-corpus `Dedup.simhashPairs` — and the
+    * pigeonhole completeness proof carries over batch boundaries: a
+    * cross-batch pair within the radius shares at least one exact band
+    * value, the store holds every older doc's complete band rows, and
+    * equal (band, bh) hashes to the same store partition, so the pruned
+    * view always contains the witness row.
+    *
+    * Holds the store lock for the read → compute → append cycle like
+    * `exactBatch` — a concurrent writer fails loudly, never corrupts. */
+  def simhashBatch(
+      docsNew: DataFrame,
+      storeDir: String,
+      textCol: String = "text",
+      maxHamming: Int = 3,
+      storeParts: Int = AutoStoreParts,
+      compactFiles: Int = 0): DataFrame =
+    graft.fs.StoreLock.withLock(storeDir,
+      docsNew.sparkSession.sparkContext.hadoopConfiguration) {
+      simhashBatchLocked(docsNew, storeDir, textCol, maxHamming,
+        storeParts, compactFiles)
+    }
+
+  private def simhashBatchLocked(
+      docsNew: DataFrame,
+      storeDir: String,
+      textCol: String,
+      maxHamming: Int,
+      requestedParts: Int,
+      compactFiles: Int): DataFrame = {
+    val spark = docsNew.sparkSession
+    // the ONE banding implementation (Dedup.simhashBanded): the store
+    // holds banded rows, so every batch must band identically — same
+    // radius, same widths (max_hamming rides the manifest). One eager
+    // checkpoint feeds both join sides and the append; warm cycles fuse
+    // bp and the touched-partition observe metric into it, creation
+    // counts the checkpointed rows (docs × (radius+1) bands exactly).
+    val bandedRaw = Dedup.simhashBanded(
+      Dedup.simhash(docsNew, textCol), maxHamming)
+    val (newBanded, touchedParts, storeParts) =
+      knownParts(spark, storeDir, requestedParts) match {
+        case Some(parts) =>
+          val obs = Observation()
+          val d = bandedRaw
+            .withColumn("bp", bpOf(parts, col("band"), col("bh")))
+            .observe(obs, collect_set(col("bp")).as("touched"))
+            .localCheckpoint()
+          (d, intSeqOf(obs.get("touched")), parts)
+        case None =>
+          val base = bandedRaw.localCheckpoint()
+          val parts = storePartsFor(base.count())
+          (base.withColumn("bp", bpOf(parts, col("band"), col("bh"))),
+            Seq.empty[Int], parts)
+      }
+    checkOrWriteMeta(spark, storeDir, Map(
+      "variant" -> "simhash", "store_parts" -> storeParts.toString,
+      "max_hamming" -> maxHamming.toString))
+    val read = readStore(spark, storeDir,
+      "doc_id BIGINT, simhash BIGINT, band INT, bh BIGINT, bp INT")
+    val store =
+      if (read._2) prune(read._1, touchedParts) else read._1.drop("bp")
+    val batchBanded = newBanded.drop("bp")
+    // candidates: every bucket pair touching the batch; the Hamming
+    // verify needs only the two 64-bit signatures already on the rows
+    val all = store.unionByName(batchBanded)
+    val out = all.as("a").join(batchBanded.as("b"), Seq("band", "bh"))
+      .filter(col("a.doc_id") =!= col("b.doc_id"))
+      .select(
+        least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("long").as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("hamming") <= maxHamming)
+      // materialize BEFORE the store append below rewrites the directory
+      // the `store` side of the join reads (unconditional — see the
+      // exact variant's A/B note)
+      .localCheckpoint()
+    // idempotent append: ROW-granular (doc_id, band) anti-join, same
+    // rationale as the minhash variant — a crashed append may have
+    // committed only SOME of a doc's band rows, and deterministic
+    // signatures route a retried row to the same pruned-view witness
+    appendStore(
+      newBanded.join(store.select("doc_id", "band"),
+        Seq("doc_id", "band"), "left_anti"),
+      storeDir)
+    if (compactFiles > 0 && touchedParts.nonEmpty)
+      maybeCompactLocked(spark, storeDir, touchedParts, compactFiles)
+    out
+  }
+
   /** Embedding near-dup pairs of one batch against the vector store at
     * `storeDir` (created if absent) — the cosine-domain member of the
     * incremental family: returns (id_a, id_b, cosine) for every pair
@@ -721,6 +821,32 @@ object IncrementalDedup {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         minhashBatch(batch.toDF(), storeDir, textCol, numHashes, bands,
           threshold, storeParts, compactFiles)
+          .write.mode("overwrite").parquet(s"$resultsDir/batch=$id")
+        ()
+      }
+      .start()
+
+  /** Streaming twin of `simhashBatch` — near-dup pairs of a document
+    * stream against the persisted banded-signature store, one locked
+    * cycle per micro-batch; pair rows land under
+    * `resultsDir/batch=<epoch>` with the same per-epoch-overwrite
+    * exactly-once contract as `exactStream` — and the same
+    * `AdoptOrDefaultStoreParts` default (adopt the manifest; create at
+    * the fixed default). */
+  def simhashStream(
+      docsStream: DataFrame,
+      storeDir: String,
+      resultsDir: String,
+      checkpointDir: String,
+      textCol: String = "text",
+      maxHamming: Int = 3,
+      storeParts: Int = AdoptOrDefaultStoreParts,
+      compactFiles: Int = 64): org.apache.spark.sql.streaming.StreamingQuery =
+    docsStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        simhashBatch(batch.toDF(), storeDir, textCol, maxHamming,
+          storeParts, compactFiles)
           .write.mode("overwrite").parquet(s"$resultsDir/batch=$id")
         ()
       }

@@ -577,6 +577,38 @@ class IncrementalDedupSpec extends SparkSuite {
     assert(spark.read.parquet(dir).select("doc_id").distinct().count() == 5)
   }
 
+  test("simhash: union over batches equals full-corpus pairs") {
+    val dir = Files.createTempDirectory("incdedup_sh").toString + "/store"
+    val base = "the quick brown fox jumps over the lazy dog and runs far away " +
+      "into the deep green forest while birds sing songs above the tall trees"
+    val near = base.replace("lazy dog", "sleepy dog")
+    val far = "completely different text about spark shuffles partitions " +
+      "joins aggregates windows and the catalyst optimizer pipeline stages"
+    // doc 4 repeats doc 0/1's exact text in the SECOND batch, so a
+    // hamming-0 cross-batch pair is guaranteed (the near/far docs keep
+    // the verify non-trivial — their hamming is corpus-dependent, and
+    // the set-equality assertion holds whichever side of the radius
+    // they land on)
+    val b1 = Seq((0L, base), (1L, base), (3L, far)).toDF("doc_id", "text")
+    val b2 = Seq((2L, near), (4L, base)).toDF("doc_id", "text")
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("hamming"))).toSet
+    val inc = pairsOf(IncrementalDedup.simhashBatch(b1, dir)) ++
+      pairsOf(IncrementalDedup.simhashBatch(b2, dir))
+    val full = pairsOf(Dedup.simhashPairs(b1.unionByName(b2)))
+    assert(inc == full)
+    // non-vacuous: within-batch (0,1) and cross-batch (0,4)/(1,4)
+    // identical-text pairs at hamming 0
+    assert(Set((0L, 1L, 0L), (0L, 4L, 0L), (1L, 4L, 0L)).subsetOf(full))
+    // retried batch: same pairs, store doc count unchanged (the store
+    // holds radius+1 banded rows per doc — count docs, not rows)
+    val again = pairsOf(IncrementalDedup.simhashBatch(b2, dir))
+    assert(again.subsetOf(full))
+    assert(spark.read.parquet(dir).select("doc_id").distinct().count() == 5)
+    assert(spark.read.parquet(dir).count() == 5 * 4) // radius 3 → 4 bands/doc
+  }
+
   test("embedding: union over batches equals full-corpus pairs") {
     val dir = Files.createTempDirectory("incdedup_emb").toString + "/store"
     // deterministic corpus: 20 random dim-16 vectors + near-dups of

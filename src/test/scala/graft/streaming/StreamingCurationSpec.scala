@@ -106,6 +106,38 @@ class StreamingCurationSpec extends SparkSuite {
     assert(want.exists(p => p._1 == 0L && p._2 == 1L)) // non-vacuous
   }
 
+  test("simhash near-dup streaming equals the full-corpus pair set") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("shstream").toString
+    val base = "the quick brown fox jumps over the lazy dog and runs far away " +
+      "into the deep green forest while birds sing songs above the tall trees"
+    val far = "completely different text about spark shuffles partitions " +
+      "joins aggregates windows and the catalyst optimizer pipeline stages"
+    // doc 4 repeats base in the second file: a guaranteed hamming-0
+    // cross-micro-batch pair through the store
+    val f1 = Seq((0L, base), (1L, base), (3L, far))
+    val f2 = Seq((2L, base.replace("lazy dog", "sleepy dog")), (4L, base))
+    f1.toDF("doc_id", "text").coalesce(1).write.parquet(s"$work/in/f1")
+    f2.toDF("doc_id", "text").coalesce(1).write.parquet(s"$work/in/f2")
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$work/in/*")
+    val q = graft.ops.IncrementalDedup.simhashStream(
+      stream, s"$work/store", s"$work/out", s"$work/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("hamming"))).toSet
+    // stream union over micro-batches = full-corpus batch pairs,
+    // whatever the file->batch assignment was
+    val got = pairs(spark.read.parquet(s"$work/out"))
+    val want = pairs(graft.ops.Dedup.simhashPairs(
+      (f1 ++ f2).toDF("doc_id", "text")))
+    assert(got == want)
+    assert(Set((0L, 1L, 0L), (0L, 4L, 0L)).subsetOf(want)) // non-vacuous
+  }
+
   test("embedding near-dup streaming equals the full-corpus pair set") {
     import spark.implicits._
     val work = Files.createTempDirectory("embstream").toString
