@@ -528,6 +528,132 @@ object FuzzQueries {
        |ORDER BY k ASC, p ASC""".stripMargin
   }
 
+  // --- V4 grammar: subquery predicates and multi-level grouping --------
+  // The two operator families the hand-written gate rows reach only at
+  // fixed shapes: subquery predicates (IN / NOT IN / EXISTS / NOT
+  // EXISTS / scalar-compare — Spark plans the DataFrame semi/anti-join
+  // form while DuckDB runs the textual subquery through its own
+  // decorrelation, so the differential crosses two genuinely different
+  // planning paths) and multi-level grouping (ROLLUP/CUBE subtotal
+  // rows). Satisfiability: the orders-side bound lives in [20, 69] —
+  // o_custkey spans ≥140 at the SMALLEST corpus, so both `< bound` and
+  // `>= bound` order sets are non-empty, which keeps every IN/EXISTS
+  // polarity non-empty (orderkeys are dense and every order has
+  // lineitems); the scalar floor is `count(*) % m + 1` ∈ [1, 25] under
+  // quantity's 1..50. Determinism: grouped outputs order by the full
+  // row; rollup keys are mod-reduced NON-NULL columns, so a NULL key
+  // always means a subtotal row — no data/subtotal ambiguity — and
+  // NULLS FIRST is pinned on both renderings.
+  private final case class QSub(
+      kind: String,  // in | not_in | exists | not_exists | scalar
+      bound: Long,   // orders arm: o_custkey < bound
+      wide: Cmp,     // satisfiable outer lineitem filter
+      group: String, // outer group key
+      mod: Long)     // scalar kind: quantity floor = count(*) % mod + 1
+
+  private def genSub(seed: Int): QSub = {
+    val rnd = new scala.util.Random(seed)
+    val kind = Seq("in", "not_in", "exists", "not_exists", "scalar")(
+      rnd.nextInt(5))
+    val bound = 20L + rnd.nextInt(50)
+    val wide = wideArm(rnd, tables("lineitem")) match { case c: Cmp => c }
+    val group = Seq("l_linenumber", "l_suppkey")(rnd.nextInt(2))
+    QSub(kind, bound, wide, group, 10L + rnd.nextInt(16))
+  }
+
+  private def sparkOfSub(q: QSub)(s: SparkSession, dir: String): DataFrame = {
+    val li = Queries.rd(s, dir, "lineitem").filter(col(q.wide.c) >= q.wide.lit)
+    val subOrders = Queries.rd(s, dir, "orders")
+      .filter(col("o_custkey") < q.bound)
+    val filtered = q.kind match {
+      // IN and EXISTS are the same semi-join to Catalyst — the
+      // differential lives on the DuckDB side, where the two forms
+      // decorrelate differently
+      case "in" | "exists" =>
+        li.join(subOrders.select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"), "left_semi")
+      case "not_in" | "not_exists" =>
+        // o_orderkey is non-null, so NOT IN has no three-valued trap
+        // and the anti join is exact
+        li.join(subOrders.select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+      case _ =>
+        val floor = subOrders
+          .agg((count(lit(1)) % q.mod + 1).as("qfloor"))
+        li.crossJoin(floor).filter(col("l_quantity") >= col("qfloor"))
+    }
+    filtered.groupBy(q.group)
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity")).cast("long").as("s"))
+      .orderBy(col(q.group).asc, col("n").asc, col("s").asc)
+  }
+
+  private def sqlOfSub(q: QSub): String = {
+    val subPred = q.kind match {
+      case "in" =>
+        s"l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_custkey < ${q.bound})"
+      case "not_in" =>
+        s"l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_custkey < ${q.bound})"
+      case "exists" =>
+        s"EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey AND o_custkey < ${q.bound})"
+      case "not_exists" =>
+        s"NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey AND o_custkey < ${q.bound})"
+      case _ =>
+        s"l_quantity >= (SELECT count(*) % ${q.mod} + 1 FROM orders WHERE o_custkey < ${q.bound})"
+    }
+    s"""SELECT ${q.group}, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(l_quantity) AS BIGINT) AS s
+       |FROM lineitem
+       |WHERE ${q.wide.c} >= ${q.wide.lit} AND $subPred
+       |GROUP BY ${q.group}
+       |ORDER BY ${q.group} ASC, n ASC, s ASC""".stripMargin
+  }
+
+  private final case class QRoll(
+      table: String,
+      src1: String, m1: Long, // k1 = src1 % m1 (never NULL in data rows)
+      src2: String, m2: Long, // k2 = src2 % m2
+      op: String,             // rollup | cube
+      wide: Cmp,
+      aggCol: String)
+
+  private def genRoll(seed: Int): QRoll = {
+    val rnd = new scala.util.Random(seed)
+    val table = tables.keys.toSeq.sorted.apply(rnd.nextInt(tables.size))
+    val cols = tables(table)
+    val src1 = cols(rnd.nextInt(cols.size))
+    val src2 = cols.filterNot(_ == src1).apply(
+      rnd.nextInt(cols.size - 1))
+    val op = if (rnd.nextBoolean()) "rollup" else "cube"
+    val wide = wideArm(rnd, cols) match { case c: Cmp => c }
+    QRoll(table, src1, 2L + rnd.nextInt(3), src2, 3L + rnd.nextInt(3),
+      op, wide, cols(rnd.nextInt(cols.size)))
+  }
+
+  private def sparkOfRoll(q: QRoll)(s: SparkSession, dir: String): DataFrame = {
+    val base = Queries.rd(s, dir, q.table)
+      .filter(col(q.wide.c) >= q.wide.lit)
+      .withColumn("k1", (col(q.src1) % q.m1).cast("long"))
+      .withColumn("k2", (col(q.src2) % q.m2).cast("long"))
+    val grouped =
+      if (q.op == "rollup") base.rollup("k1", "k2") else base.cube("k1", "k2")
+    grouped
+      .agg(count(lit(1)).as("n"),
+        sum(col(q.aggCol)).cast("long").as("s"))
+      .orderBy(col("k1").asc_nulls_first, col("k2").asc_nulls_first)
+  }
+
+  private def sqlOfRoll(q: QRoll): String = {
+    val opSql = if (q.op == "rollup") "ROLLUP" else "CUBE"
+    s"""SELECT k1, k2, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(${q.aggCol}) AS BIGINT) AS s
+       |FROM (SELECT CAST(${q.src1} % ${q.m1} AS BIGINT) AS k1,
+       |        CAST(${q.src2} % ${q.m2} AS BIGINT) AS k2, ${q.aggCol}
+       |      FROM ${q.table} WHERE ${q.wide.c} >= ${q.wide.lit}) sub
+       |GROUP BY $opSql (k1, k2)
+       |ORDER BY k1 ASC NULLS FIRST, k2 ASC NULLS FIRST""".stripMargin
+  }
+
   /** Seeds are FIXED: the gate must be reproducible run-to-run and match
     * the oracle map below. Plain seeds fuzz one table; join seeds fuzz
     * lineitem ⋈ orders compositions (pushdown through the join, partial
@@ -542,6 +668,11 @@ object FuzzQueries {
   // arms and all six set ops are drawn at least once); 4413: except_all
   private val winSeeds = Seq(3001, 3109, 3203, 3301, 3308)
   private val setSeeds = Seq(4001, 4099, 4201, 4303, 4409, 4413)
+  // v4, seed-scanned: the five sub seeds draw all five subquery kinds
+  // (scalar, not_exists, not_in, in, exists) across both group keys;
+  // the four roll seeds draw both ops over all three tables
+  private val subSeeds = Seq(5000, 5002, 5004, 5006, 5014)
+  private val rollSeeds = Seq(6000, 6006, 6012, 6014)
 
   /** SELECT DISTINCT over nullable derived columns — row-level DISTINCT
     * treats NULLs as equal (one NULL row survives per key shape) in
@@ -596,7 +727,11 @@ object FuzzQueries {
       winSeeds.map(sd => s"q_fuzz_win_$sd" ->
         (sparkOfWin(genWindow(sd)) _)).toMap ++
       setSeeds.map(sd => s"q_fuzz_set_$sd" ->
-        (sparkOfSet(genSetOp(sd)) _)).toMap +
+        (sparkOfSet(genSetOp(sd)) _)).toMap ++
+      subSeeds.map(sd => s"q_fuzz_sub_$sd" ->
+        (sparkOfSub(genSub(sd)) _)).toMap ++
+      rollSeeds.map(sd => s"q_fuzz_roll_$sd" ->
+        (sparkOfRoll(genRoll(sd)) _)).toMap +
       ("q_fuzz_empty_scalar" -> (emptyScalar _)) +
       ("q_fuzz_distinct_rows" -> (distinctRows _))
 
@@ -610,7 +745,9 @@ object FuzzQueries {
       distinctSeeds.map(sd => s"q_fuzz_distinct_$sd" ->
         sqlOfV2(genDistinct(sd))).toMap ++
       winSeeds.map(sd => s"q_fuzz_win_$sd" -> sqlOfWin(genWindow(sd))).toMap ++
-      setSeeds.map(sd => s"q_fuzz_set_$sd" -> sqlOfSet(genSetOp(sd))).toMap +
+      setSeeds.map(sd => s"q_fuzz_set_$sd" -> sqlOfSet(genSetOp(sd))).toMap ++
+      subSeeds.map(sd => s"q_fuzz_sub_$sd" -> sqlOfSub(genSub(sd))).toMap ++
+      rollSeeds.map(sd => s"q_fuzz_roll_$sd" -> sqlOfRoll(genRoll(sd))).toMap +
       ("q_fuzz_empty_scalar" -> emptyScalarSql) +
       ("q_fuzz_distinct_rows" -> distinctRowsSql)
 
