@@ -236,6 +236,31 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("GreaterThanOrEqual(o_orderkey,1050)"), p)
   }
 
+  test("subquery arms plan as semi/anti joins with the outer filter pushed") {
+    // the v4 fuzz family's IN/EXISTS render as LeftSemi and NOT IN/NOT
+    // EXISTS as LeftAnti — never a full join materializing orders
+    // columns — and the outer wide filter still reaches the lineitem
+    // scan through the join (a lost pushdown reads the fact table in
+    // full at 100 TB)
+    val semi = planOf(FuzzQueries.queries("q_fuzz_sub_5006")(spark, sf))
+    assert(semi.contains("LeftSemi"), semi)
+    val anti = planOf(FuzzQueries.queries("q_fuzz_sub_5004")(spark, sf))
+    assert(anti.contains("LeftAnti"), anti)
+    val p = formatted(FuzzQueries.queries("q_fuzz_sub_5006")(spark, sf))
+    assert(p.contains("PushedFilters") &&
+      p.contains("GreaterThanOrEqual"), p)
+  }
+
+  test("rollup/cube plan as one Expand over a single scan, aggregated partially") {
+    // multi-level grouping must be the Expand shape (one scan, one
+    // grouping-set expansion, map-side partial aggregation) — not one
+    // scan+aggregate per grouping set
+    val p = planOf(FuzzQueries.queries("q_fuzz_roll_6000")(spark, sf))
+    assert(p.contains("Expand"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    assert(p.contains("partial_count") || p.contains("partial"), p)
+  }
+
   test("salted join spreads the key space: salt rides the join keys") {
     import org.apache.spark.sql.functions.col
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
