@@ -156,6 +156,12 @@ class Cdl:
                 df._jdf, store_dir, int(max_hamming)),
             self._spark)
 
+    def dedup_ngram(self, df, store_dir, threshold=0.5):
+        return DataFrame(
+            self._spark._jvm.graft.PyBridge.dedupNgram(
+                df._jdf, store_dir, float(threshold)),
+            self._spark)
+
     def dedup_embedding(self, df, store_dir, threshold=0.95):
         return DataFrame(
             self._spark._jvm.graft.PyBridge.dedupEmbedding(

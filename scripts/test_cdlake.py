@@ -192,6 +192,14 @@ def test_incremental_dedup_over_bridge(spark):
     assert [(p["doc_a"], p["doc_b"], p["hamming"])
             for p in sh_pairs] == [(0, 1, 0)]
 
+    # ngram variant: the near-dup pair surfaces through the posting
+    # store with an exact shared-gram count and jaccard
+    ng_store = f"{work}/ng_store"
+    assert cdl.dedup_ngram(mh1, ng_store).count() == 0
+    ng_pairs = cdl.dedup_ngram(mh2, ng_store).collect()
+    assert [(p["doc_a"], p["doc_b"]) for p in ng_pairs] == [(0, 1)]
+    assert ng_pairs[0]["jaccard"] >= 0.5
+
 
 def test_incremental_clusters_over_bridge(spark):
     """The clustering store over py4j: two pair batches whose second

@@ -934,6 +934,31 @@ object Oracles {
         |JOIN k2 USING (digest)
         |ORDER BY doc_id""".stripMargin,
 
+    // q_dedup_incremental_ngram: the union over batch arrivals IS the
+    // engine-independent exact-Jaccard pair set over the five-source
+    // subset, so the oracle recomputes the full output values — the
+    // strongest oracle form in the incremental family.
+    "q_dedup_incremental_ngram" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t
+        |            FROM documents
+        |            WHERE source IN ('src0','src1','src5','src12','src13')),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+        |           i -> array_to_string(t[i:i+2], ' '))) AS shingle
+        |       FROM tk),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |it AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        |       FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+        |       GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_common,
+        |  round(CAST(n_common AS DOUBLE) /
+        |    CAST(sa.n + sb.n - n_common AS DOUBLE), 4) AS jaccard
+        |FROM it JOIN sizes sa ON it.doc_a = sa.doc_id
+        |        JOIN sizes sb ON it.doc_b = sb.doc_id
+        |WHERE round(CAST(n_common AS DOUBLE) /
+        |    CAST(sa.n + sb.n - n_common AS DOUBLE), 4) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
     // q_dedup_incremental_simhash: the store-path contract (incremental
     // union ≡ full-corpus one-shot) is checked Spark-side — both sides
     // are simhash computations no SQL engine reproduces — and surfaces

@@ -81,6 +81,11 @@ object PyBridge {
     graft.ops.IncrementalDedup.simhashBatch(df, storeDir,
       maxHamming = maxHamming)
 
+  def dedupNgram(df: DataFrame, storeDir: String,
+      threshold: Double): DataFrame =
+    graft.ops.IncrementalDedup.ngramBatch(df, storeDir,
+      threshold = threshold)
+
   def dedupEmbedding(df: DataFrame, storeDir: String,
       threshold: Double): DataFrame =
     graft.ops.IncrementalDedup.embeddingBatch(df, storeDir,

@@ -1022,6 +1022,31 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Incremental N-GRAM JACCARD gate — the STRONGEST oracle in the
+    * incremental family: the union of the two batch arrivals' pair
+    * sets is itself the engine-independent exact-Jaccard pair set, so
+    * DuckDB's brute force recomputes the full output VALUES (doc ids,
+    * shared-gram counts, jaccard), not just booleans. Same five-source
+    * subset and src0+src1-arrives-second split as the simhash gate
+    * (cross-split pairs known non-vacuous at every SF); exactness of
+    * the union-parity needs no gram's final df over the cap, which
+    * holds at the oracle's sf0.01 (125 docs ≪ dfCap 1000). Fresh store
+    * per call (idempotence, like qDedupIncremental). */
+  def qDedupIncrementalNgram(s: SparkSession, dir: String): DataFrame = {
+    val docs = rd(s, dir, "documents")
+      .filter(col("source").isin("src0", "src1", "src5", "src12", "src13"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_incng_")
+    TmpCleanup.register(tmp)
+    val store = tmp.toString + "/store"
+    val b1 = graft.ops.IncrementalDedup.ngramBatch(
+      docs.filter(!col("source").isin("src0", "src1")), store,
+      n = 3, threshold = 0.8)
+    val b2 = graft.ops.IncrementalDedup.ngramBatch(
+      docs.filter(col("source").isin("src0", "src1")), store,
+      n = 3, threshold = 0.8)
+    b1.unionByName(b2).orderBy("doc_a", "doc_b")
+  }
+
   /** Incremental SIMHASH gate, double-checked: (1) the incremental
     * union over two batch arrivals must equal the full-corpus one-shot
     * `Dedup.simhashPairs` SET-EXACTLY — the store-path contract,

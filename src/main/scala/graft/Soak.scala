@@ -218,6 +218,7 @@ object Soak {
     // the append as a retry and silently drop its rows — exactly what
     // a 9e8 base did at factor>=10 (copy 9's raw doc 1000 = 900001000).
     val mhStore = s"$tmp/mh_store"
+    val ngStore = s"$tmp/ng_store"
     val baseDocs = docs.filter(col("doc_id") < 2)
     def freshDocs(tag: Int): DataFrame = baseDocs.select(
       (col("doc_id") + lit(1000000000000L + tag * 1000L)).as("doc_id"),
@@ -238,6 +239,23 @@ object Soak {
       },
       run("inc_minhash_append_b") {
         ops.IncrementalDedup.minhashBatch(freshDocs(2), mhStore)
+      },
+      // posting-list store (late r12): a text doc touches ~one bucket
+      // PER DISTINCT GRAM (~100), not ~16 band keys — so pruning leans
+      // on auto geometry: the N× seed sizes the store to ~rows/4Ki
+      // partitions (2048 at factor 10) and a 2-doc append touches
+      // ~200 of them (~10%), where a hand-fixed 256 would scan ~80%
+      run("inc_ngram_seed") {
+        ops.IncrementalDedup.ngramBatch(corpus, ngStore,
+          n = 3, threshold = 0.8)
+      },
+      run("inc_ngram_append_a") {
+        ops.IncrementalDedup.ngramBatch(freshDocs(3), ngStore,
+          n = 3, threshold = 0.8)
+      },
+      run("inc_ngram_append_b") {
+        ops.IncrementalDedup.ngramBatch(freshDocs(4), ngStore,
+          n = 3, threshold = 0.8)
       },
       // scaled planes here too (the seed batch is the same bucket
       // self-join); the store manifest then holds them for every append

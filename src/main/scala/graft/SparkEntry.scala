@@ -103,7 +103,8 @@ object SparkEntry {
     "q_heavy_hitters" -> (Queries.qHeavyHitters _),
     "q_dedup_incremental_embedding" -> (Queries.qDedupIncrementalEmbedding _),
     "q_dedup_clusters_incremental" -> (Queries.qDedupClustersIncremental _),
-    "q_dedup_incremental_simhash" -> (Queries.qDedupIncrementalSimhash _)
+    "q_dedup_incremental_simhash" -> (Queries.qDedupIncrementalSimhash _),
+    "q_dedup_incremental_ngram" -> (Queries.qDedupIncrementalNgram _)
   ) ++ FuzzQueries.queries // differential fuzz gate (seeded AST → both engines)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -95,8 +95,9 @@ object Main {
           case "exact"     => graft.ops.IncrementalDedup.exactBatch(batch, store)
           case "minhash"   => graft.ops.IncrementalDedup.minhashBatch(batch, store)
           case "simhash"   => graft.ops.IncrementalDedup.simhashBatch(batch, store)
+          case "ngram"     => graft.ops.IncrementalDedup.ngramBatch(batch, store)
           case "embedding" => graft.ops.IncrementalDedup.embeddingBatch(batch, store)
-          case m           => sys.error(s"unknown dedup mode: $m (exact|minhash|simhash|embedding)")
+          case m           => sys.error(s"unknown dedup mode: $m (exact|minhash|simhash|ngram|embedding)")
         }
         res.write.mode("overwrite").parquet(out)
         println(s"dedup $mode: ${spark.read.parquet(out).count()} result rows -> $out")
@@ -162,7 +163,7 @@ object Main {
       case other =>
         sys.error(s"usage: [--catalog-flag value]... {cp <from> <to> | query <target> <sql> " +
           s"[--at-version N] | versions <target> | compact <target> [--zorder x,y] [bytes] | " +
-          s"take <target> <i,j,...> [col,col] | dedup <exact|minhash|simhash|embedding> <in.parquet> " +
+          s"take <target> <i,j,...> [col,col] | dedup <exact|minhash|simhash|ngram|embedding> <in.parquet>" +
           s"<storeDir> <out.parquet> | compact-store <storeDir> | " +
           s"clusters {add|labels|keepers|compact} ... | " +
           s"ivf {build|append|search|health} ...}; got $other")

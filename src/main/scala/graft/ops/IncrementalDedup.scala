@@ -21,9 +21,13 @@ import org.apache.spark.sql.functions._
   * pipeline's lifetime and is the difference between minutes and days at
   * scale.
   *
-  * Four variants:
+  * Five variants:
   *  - exact (content digest): the store is (digest, keep_doc_id); a new
   *    batch's duplicates are one partition-pruned equi-join away.
+  *  - n-gram Jaccard (exact near-dup): the store is the posting-list
+  *    inverted index (doc_id, gram_hash, doc_gram_count), partitioned
+  *    by gram bucket; a batch's pairs come from one df-capped join of
+  *    its postings against the touched buckets.
   *  - MinHash-LSH (near-dup): the store holds the BANDED signature rows
   *    (doc_id, sig, band, bh) — the posting-list layout: the signature
   *    payload rides every band row (bands× storage) so a bucket match
@@ -485,6 +489,145 @@ object IncrementalDedup {
     out
   }
 
+  /** Exact n-gram Jaccard near-dup pairs of one batch against the
+    * posting-list store at `storeDir` (created if absent) — the
+    * incremental inverted index: the store holds one row per
+    * (doc, distinct gram hash) with the doc's gram count riding every
+    * row, hive-partitioned by gram-hash bucket. A batch joins its own
+    * posting rows against ONLY the store partitions its grams hash
+    * into, so append cost is O(|batch postings| + touched buckets) —
+    * never a full-corpus re-join. A warm cycle runs three pruned store
+    * scans (idempotency anti-join, df aggregate, posting semi-join) —
+    * one more than the sketch stores, the price of exact df; the
+    * pruning pin bounds each below 10% of the store (scans are
+    * columnar and embarrassingly parallel — the 100 TB trade
+    * documented on the one-shot). Returns (doc_a, doc_b, n_common,
+    * jaccard) for every pair at `threshold` with at least one side in
+    * the batch; over a batch sequence the union equals the one-shot
+    * `Dedup.ngramJaccardPairs` WHENEVER the one-shot itself is exact,
+    * i.e. no gram's final document frequency exceeds `dfCap` (the
+    * one-shot's own exactness condition — a gram crossing the cap
+    * AFTER a pair was emitted would be dropped by the one-shot but was
+    * counted at emission time here). df is computed per cycle over the
+    * bucket-complete pruned view ∪ batch, so it is EXACT for every
+    * gram the batch touches at that point in time.
+    *
+    * Pair counting discipline: the unified row set (store ∪ novel
+    * batch rows) is duplicate-free by construction (the novel rows are
+    * the append's own (doc_id, shingle) anti-join), and each unordered
+    * pair is counted once — batch⋈batch pairs keep `a < b`, store-only
+    * ⋈ batch pairs keep any orientation and normalize — so `n_common`
+    * is the true shared-gram count, never doubled. A retried batch's
+    * rows arrive from the STORE side (flagged as batch members by id),
+    * so retries re-emit their pairs and append nothing.
+    *
+    * `n` is store geometry (every batch must shingle identically) and
+    * rides the manifest; `threshold`/`dfCap` are per-call query
+    * parameters — keep them constant across a store's lifetime or the
+    * union-parity contract above is off. Holds the store lock for the
+    * read → compute → append cycle like `exactBatch`. */
+  def ngramBatch(
+      docsNew: DataFrame,
+      storeDir: String,
+      textCol: String = "text",
+      n: Int = 5,
+      threshold: Double = 0.5,
+      dfCap: Int = 1000,
+      storeParts: Int = AutoStoreParts,
+      compactFiles: Int = 0): DataFrame =
+    graft.fs.StoreLock.withLock(storeDir,
+      docsNew.sparkSession.sparkContext.hadoopConfiguration) {
+      ngramBatchLocked(docsNew, storeDir, textCol, n, threshold, dfCap,
+        storeParts, compactFiles)
+    }
+
+  private def ngramBatchLocked(
+      docsNew: DataFrame,
+      storeDir: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      dfCap: Int,
+      requestedParts: Int,
+      compactFiles: Int): DataFrame = {
+    val spark = docsNew.sparkSession
+    val grams = graft.functions.SketchExprs
+      .gramHashes(col(textCol), n, distinct = true)
+    // one row per (doc, distinct gram), the doc's gram count riding —
+    // the posting-row trade (minhash variant doc): sizes are in hand at
+    // the pair join, no O(corpus) size-fetch join afterwards
+    val rawRows = docsNew.select(col("doc_id"),
+      explode(grams).as("shingle"),
+      coalesce(size(grams), lit(0)).cast("long").as("nsh"))
+    val (newBatch, touchedParts, storeParts) =
+      knownParts(spark, storeDir, requestedParts) match {
+        case Some(parts) =>
+          val obs = Observation()
+          val d = rawRows
+            .withColumn("bp", bpOf(parts, col("shingle")))
+            .observe(obs, collect_set(col("bp")).as("touched"))
+            .localCheckpoint()
+          (d, intSeqOf(obs.get("touched")), parts)
+        case None =>
+          val base = rawRows.localCheckpoint()
+          // posting stores carry more rows per doc than banded sketch
+          // stores; the same 4 Ki-rows-per-partition target applies
+          val parts = storePartsFor(base.count())
+          (base.withColumn("bp", bpOf(parts, col("shingle"))),
+            Seq.empty[Int], parts)
+      }
+    checkOrWriteMeta(spark, storeDir, Map(
+      "variant" -> "ngram", "store_parts" -> storeParts.toString,
+      "n" -> n.toString))
+    val read = readStore(spark, storeDir,
+      "doc_id BIGINT, shingle BIGINT, nsh BIGINT, bp INT")
+    val store =
+      if (read._2) prune(read._1, touchedParts) else read._1.drop("bp")
+    // novel rows: the append payload AND the batch side of the unified
+    // set — checkpointed once (bp riding for the partitioned append),
+    // BEFORE the append rewrites the store dir
+    val newRows = newBatch.join(store.select("doc_id", "shingle"),
+        Seq("doc_id", "shingle"), "left_anti")
+      .localCheckpoint()
+    val batchIds = docsNew.select("doc_id").distinct()
+    val flagged = store.unionByName(newRows.drop("bp"))
+      .join(batchIds.withColumn("inb", lit(true)), Seq("doc_id"), "left")
+      .withColumn("inb", coalesce(col("inb"), lit(false)))
+    // document frequency over the bucket-complete view — exact for
+    // every gram the batch touches; the (1, dfCap] filter is the same
+    // quadratic-hazard bound as the one-shot
+    val shared = flagged.groupBy("shingle").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > 1 && col("__df") <= dfCap)
+      .select("shingle")
+    val capped = flagged.join(shared, Seq("shingle"), "left_semi")
+      .localCheckpoint()
+    val out = capped.as("a")
+      .join(capped.filter(col("inb")).as("b"), Seq("shingle"))
+      .filter(col("a.doc_id") =!= col("b.doc_id") &&
+        (!col("a.inb") || col("a.doc_id") < col("b.doc_id")))
+      .select(
+        least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+        when(col("a.doc_id") < col("b.doc_id"), col("a.nsh"))
+          .otherwise(col("b.nsh")).as("size_a"),
+        when(col("a.doc_id") < col("b.doc_id"), col("b.nsh"))
+          .otherwise(col("a.nsh")).as("size_b"))
+      .groupBy("doc_a", "doc_b", "size_a", "size_b")
+      .agg(count(lit(1)).as("n_common"))
+      .withColumn("jaccard",
+        round(col("n_common").cast("double") /
+          (col("size_a") + col("size_b") - col("n_common")).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "n_common", "jaccard")
+      // materialize BEFORE the append below rewrites the directory the
+      // `store` side reads (unconditional — see the exact variant)
+      .localCheckpoint()
+    appendStore(newRows, storeDir)
+    if (compactFiles > 0 && touchedParts.nonEmpty)
+      maybeCompactLocked(spark, storeDir, touchedParts, compactFiles)
+    out
+  }
+
   /** SimHash near-dup pairs of one batch against the banded-signature
     * store at `storeDir` (created if absent): returns
     * (doc_a, doc_b, hamming) for every pair within `maxHamming` with at
@@ -821,6 +964,34 @@ object IncrementalDedup {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         minhashBatch(batch.toDF(), storeDir, textCol, numHashes, bands,
           threshold, storeParts, compactFiles)
+          .write.mode("overwrite").parquet(s"$resultsDir/batch=$id")
+        ()
+      }
+      .start()
+
+  /** Streaming twin of `ngramBatch` — exact-Jaccard near-dup pairs of
+    * a document stream against the persisted posting-list store, one
+    * locked cycle per micro-batch; pair rows land under
+    * `resultsDir/batch=<epoch>` with the same per-epoch-overwrite
+    * exactly-once contract as `exactStream` — and the same
+    * `AdoptOrDefaultStoreParts` default (adopt the manifest; create at
+    * the fixed default). */
+  def ngramStream(
+      docsStream: DataFrame,
+      storeDir: String,
+      resultsDir: String,
+      checkpointDir: String,
+      textCol: String = "text",
+      n: Int = 5,
+      threshold: Double = 0.5,
+      dfCap: Int = 1000,
+      storeParts: Int = AdoptOrDefaultStoreParts,
+      compactFiles: Int = 64): org.apache.spark.sql.streaming.StreamingQuery =
+    docsStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        ngramBatch(batch.toDF(), storeDir, textCol, n, threshold, dfCap,
+          storeParts, compactFiles)
           .write.mode("overwrite").parquet(s"$resultsDir/batch=$id")
         ()
       }

@@ -550,6 +550,22 @@ class IncrementalDedupSpec extends SparkSuite {
     }
     assert(mhRecs < (storeRows * 2) / 10,
       s"1-doc minhash append read $mhRecs of a $storeRows-row store (2 scans)")
+
+    // ngram posting store: every distinct gram is its own bucket key, so
+    // a 12-token doc (8 5-grams) touches ≤ 8 of 256 partitions per scan.
+    // A warm posting cycle runs THREE pruned store scans (idempotency
+    // anti-join, df aggregate, posting semi-join) where the sketch
+    // stores run two — the bound encodes <10% per scan; a single
+    // UNpruned scan alone would already exceed it
+    val ngDir = Files.createTempDirectory("incdedup_prune_n").toString + "/store"
+    IncrementalDedup.ngramBatch(mhSeed, ngDir, storeParts = 256)
+    val ngStoreRows = spark.read.parquet(ngDir).count()
+    val ngOne = Seq((9999L, text(42L))).toDF("doc_id", "text")
+    val ngRecs = recordsReadDuring {
+      IncrementalDedup.ngramBatch(ngOne, ngDir).collect()
+    }
+    assert(ngRecs < (ngStoreRows * 3) / 10,
+      s"1-doc ngram append read $ngRecs of a $ngStoreRows-row store (3 scans)")
   }
 
   test("minhash: union over batches equals full-corpus pairs") {
@@ -575,6 +591,78 @@ class IncrementalDedupSpec extends SparkSuite {
     val again = pairsOf(IncrementalDedup.minhashBatch(b2, dir, threshold = 0.5))
     assert(again.subsetOf(full))
     assert(spark.read.parquet(dir).select("doc_id").distinct().count() == 5)
+  }
+
+  test("ngram: union over batches equals full-corpus pairs, counts exact") {
+    val dir = Files.createTempDirectory("incdedup_ng").toString + "/store"
+    val base = "the quick brown fox jumps over the lazy dog and runs far away " +
+      "into the deep green forest while birds sing songs above the tall trees"
+    val near = base.replace("lazy dog", "sleepy dog")
+    val far = "completely different text about spark shuffles partitions " +
+      "joins aggregates windows and the catalyst optimizer pipeline stages"
+    val b1 = Seq((0L, base), (1L, base), (3L, far)).toDF("doc_id", "text")
+    val b2 = Seq((2L, near), (4L, "the " + base)).toDF("doc_id", "text")
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("n_common"), r.getAs[Double]("jaccard"))).toSet
+    val inc = pairsOf(IncrementalDedup.ngramBatch(b1, dir, threshold = 0.5)) ++
+      pairsOf(IncrementalDedup.ngramBatch(b2, dir, threshold = 0.5))
+    val full = pairsOf(Dedup.ngramJaccardPairs(
+      b1.unionByName(b2), threshold = 0.5))
+    // n_common and jaccard match VALUE-exactly, not just the pair set —
+    // the flag discipline must count each unordered pair's shared grams
+    // exactly once whichever sides they arrive from
+    assert(inc == full)
+    // non-vacuous: within-batch (0,1) at jaccard 1.0 and cross-batch
+    // pairs through the store
+    assert(full.exists(p => p._1 == 0L && p._2 == 1L && p._4 == 1.0))
+    assert(full.exists(p => p._1 == 0L && p._2 == 4L))
+    assert(full.exists(p => p._1 == 2L && p._2 == 4L)) // batch-internal
+    // retried batch: pairs re-emitted from the store side (subset of
+    // full), store posting count unchanged
+    val storeCount = spark.read.parquet(dir).count()
+    val again = pairsOf(IncrementalDedup.ngramBatch(b2, dir, threshold = 0.5))
+    assert(again.nonEmpty && again.subsetOf(full))
+    assert(spark.read.parquet(dir).count() == storeCount)
+    assert(spark.read.parquet(dir).select("doc_id").distinct().count() == 5)
+  }
+
+  test("ngram: dfCap drops stop-grams identically to the one-shot") {
+    val dir = Files.createTempDirectory("incdedup_ngcap").toString + "/store"
+    // batch 1 carries ALL the stop-phrase docs, so its grams hit df=4 >
+    // cap=3 immediately — dropped by the creation cycle AND the
+    // one-shot; batch 2's doc shares grams only with doc 3 (df=2, under
+    // the cap, and nothing later pushes them over). That satisfies the
+    // documented parity condition: no gram's df crosses the cap AFTER a
+    // pair that counted it was emitted.
+    val stop = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    val b1 = Seq(
+      (0L, s"alpha beta gamma delta epsilon zeta eta theta $stop"),
+      (1L, s"alpha beta gamma delta epsilon zeta eta iota $stop"),
+      (2L, s"alpha beta gamma delta epsilon zeta eta theta $stop"),
+      (3L, s"totally unrelated words nothing shared here at all everywhere $stop"))
+      .toDF("doc_id", "text")
+    val b2 = Seq(
+      (4L, "totally unrelated words nothing shared here at all indeed"))
+      .toDF("doc_id", "text")
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("n_common"))).toSet
+    val inc =
+      pairsOf(IncrementalDedup.ngramBatch(b1, dir, threshold = 0.1, dfCap = 3)) ++
+        pairsOf(IncrementalDedup.ngramBatch(b2, dir, threshold = 0.1, dfCap = 3))
+    val full = pairsOf(Dedup.ngramJaccardPairs(
+      b1.unionByName(b2), threshold = 0.1, dfCap = 3))
+    assert(inc == full)
+    // the cap is ACTIVE: identical docs (0,2) lose their df=4 stop
+    // grams, so the uncapped one-shot counts strictly more shared grams
+    val uncapped = pairsOf(Dedup.ngramJaccardPairs(
+      b1.unionByName(b2), threshold = 0.1, dfCap = 1000))
+    val c02 = full.find(p => p._1 == 0L && p._2 == 2L).get._3
+    val u02 = uncapped.find(p => p._1 == 0L && p._2 == 2L).get._3
+    assert(c02 < u02, s"capped $c02 vs uncapped $u02")
+    // cross-batch pair through the store under the cap
+    assert(full.exists(p => p._1 == 3L && p._2 == 4L))
   }
 
   test("simhash: union over batches equals full-corpus pairs") {

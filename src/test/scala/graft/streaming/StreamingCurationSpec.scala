@@ -106,6 +106,37 @@ class StreamingCurationSpec extends SparkSuite {
     assert(want.exists(p => p._1 == 0L && p._2 == 1L)) // non-vacuous
   }
 
+  test("ngram near-dup streaming equals the full-corpus pair set") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("ngstream").toString
+    val base = "the quick brown fox jumps over the lazy dog and runs far away " +
+      "into the deep green forest while birds sing songs above the tall trees"
+    val far = "completely different text about spark shuffles partitions " +
+      "joins aggregates windows and the catalyst optimizer pipeline stages"
+    val f1 = Seq((0L, base), (1L, base), (3L, far))
+    val f2 = Seq((2L, base.replace("lazy dog", "sleepy dog")), (4L, "the " + base))
+    f1.toDF("doc_id", "text").coalesce(1).write.parquet(s"$work/in/f1")
+    f2.toDF("doc_id", "text").coalesce(1).write.parquet(s"$work/in/f2")
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$work/in/*")
+    val q = graft.ops.IncrementalDedup.ngramStream(
+      stream, s"$work/store", s"$work/out", s"$work/ckpt", threshold = 0.5)
+    try q.processAllAvailable() finally q.stop()
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("n_common"), r.getAs[Double]("jaccard"))).toSet
+    // stream union over micro-batches = full-corpus batch pairs,
+    // count-exact, whatever the file->batch assignment was
+    val got = pairs(spark.read.parquet(s"$work/out"))
+    val want = pairs(graft.ops.Dedup.ngramJaccardPairs(
+      (f1 ++ f2).toDF("doc_id", "text"), threshold = 0.5))
+    assert(got == want)
+    assert(want.exists(p => p._1 == 0L && p._2 == 1L && p._4 == 1.0))
+    assert(want.exists(p => p._1 == 0L && p._2 == 4L)) // cross-batch
+  }
+
   test("simhash near-dup streaming equals the full-corpus pair set") {
     import spark.implicits._
     val work = Files.createTempDirectory("shstream").toString
