@@ -162,10 +162,13 @@ class Cdl:
                 df._jdf, store_dir, float(threshold)),
             self._spark)
 
-    def dedup_embedding(self, df, store_dir, threshold=0.95):
+    def dedup_embedding(self, df, store_dir, threshold=0.95, layout="adopt"):
+        """layout: "inline" (vectors ride every bucket row), "split"
+        (posting/forward-index split, ~tables x smaller at rest), or
+        "adopt" (follow the store's manifest; creates inline)."""
         return DataFrame(
-            self._spark._jvm.graft.PyBridge.dedupEmbedding(
-                df._jdf, store_dir, float(threshold)),
+            self._spark._jvm.graft.PyBridge.dedupEmbeddingLayout(
+                df._jdf, store_dir, float(threshold), layout),
             self._spark)
 
     def compact_dedup_store(self, store_dir):

@@ -200,6 +200,21 @@ def test_incremental_dedup_over_bridge(spark):
     assert [(p["doc_a"], p["doc_b"]) for p in ng_pairs] == [(0, 1)]
     assert ng_pairs[0]["jaccard"] >= 0.5
 
+    # embedding variant over the bridge, split layout: batch 2's clone
+    # pairs with batch 1's vector THROUGH the posting/forward split,
+    # and later calls adopt the layout from the manifest
+    e1 = spark.createDataFrame([(0, [1.0, 0.1, 0.0, 0.0])],
+                               "vec_id LONG, embedding ARRAY<DOUBLE>")
+    e2 = spark.createDataFrame([(1, [0.99, 0.11, 0.0, 0.01])],
+                               "vec_id LONG, embedding ARRAY<DOUBLE>")
+    emb_store = f"{work}/emb_store"
+    assert cdl.dedup_embedding(e1, emb_store, layout="split").count() == 0
+    emb_pairs = cdl.dedup_embedding(e2, emb_store).collect()  # adopt
+    assert [(p["id_a"], p["id_b"]) for p in emb_pairs] == [(0, 1)]
+    assert emb_pairs[0]["cosine"] >= 0.95
+    import os as _os
+    assert _os.path.isdir(f"{emb_store}/vectors")
+
 
 def test_incremental_clusters_over_bridge(spark):
     """The clustering store over py4j: two pair batches whose second

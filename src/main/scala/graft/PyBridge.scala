@@ -91,6 +91,12 @@ object PyBridge {
     graft.ops.IncrementalDedup.embeddingBatch(df, storeDir,
       threshold = threshold)
 
+  /** `layout`: "inline" | "split" | "adopt" (follow the manifest). */
+  def dedupEmbeddingLayout(df: DataFrame, storeDir: String,
+      threshold: Double, layout: String): DataFrame =
+    graft.ops.IncrementalDedup.embeddingBatch(df, storeDir,
+      threshold = threshold, layout = layout)
+
   def compactDedupStore(spark: SparkSession, storeDir: String): Int =
     graft.ops.IncrementalDedup.compactStore(spark, storeDir)
 

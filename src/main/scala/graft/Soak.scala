@@ -282,6 +282,7 @@ object Soak {
       .select("vec_id", "embedding")
     val f32Store = s"$tmp/emb_store_f32"
     val f64Store = s"$tmp/emb_store_f64"
+    val splitStore = s"$tmp/emb_store_split"
     val widthRuns = Seq(
       run("inc_embedding_seed_f32") {
         ops.IncrementalDedup.embeddingBatch(rawEmb, f32Store)
@@ -291,6 +292,13 @@ object Soak {
           rawEmb.select(col("vec_id"),
             transform(col("embedding"), x => x.cast("double")).as("embedding")),
           f64Store)
+      },
+      // split layout (late r12): each vector stored once instead of
+      // riding all 16 bucket rows — report bytes against the inline f32
+      // twin above (same source, same geometry constants)
+      run("inc_embedding_seed_split") {
+        ops.IncrementalDedup.embeddingBatch(rawEmb, splitStore,
+          layout = "split")
       })
 
     // --- fragmentation: N appends with vs without auto-compaction -----
@@ -370,8 +378,11 @@ object Soak {
         .map { case (n, p) => s""""$n":${dirFiles(p)}""" }
         .mkString("{", ",", "}")
     val storeBytes =
-      Seq("mh_store" -> mhStore, "emb_store" -> embStore,
+      Seq("mh_store" -> mhStore, "ng_store" -> ngStore,
+        "emb_store" -> embStore,
         "emb_store_f32" -> f32Store, "emb_store_f64" -> f64Store,
+        "emb_store_split" -> splitStore,
+        "emb_store_split_vectors" -> s"$splitStore/vectors",
         "cc_store" -> ccStore)
         .map { case (n, p) => s""""$n":${dirBytes(p)}""" }
         .mkString("{", ",", "}")

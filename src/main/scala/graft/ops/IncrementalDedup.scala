@@ -758,6 +758,31 @@ object IncrementalDedup {
     * stores ARRAY<DOUBLE>, and float batches upcast exactly into it.
     * The one forbidden direction is double batches into a float store
     * (narrowing is lossy); the manifest check makes that loud. */
+  /** Store layout is a structural constant like `planes`/`tables`:
+    *  - `"inline"` (default): bucket rows carry the vector — `tables`×
+    *    vector duplication at rest buys a verify with both vectors in
+    *    hand from the bucket join (no fetch join at all).
+    *  - `"split"`: the posting/forward-index split — `postings/` holds
+    *    vector-free bucket rows (hive by bucket hash) and `vectors/`
+    *    holds each vector ONCE (hive by id hash). Candidates come from
+    *    the same pruned bucket join, DEDUPED while still vector-free,
+    *    then the two vectors are fetched by a join against only the
+    *    id-hash partitions the candidate ids live in (an O(k) driver
+    *    collect of partition ids, the `touched` pattern). At rest this
+    *    is ~`tables`× smaller, and the blocking exchange moves 24-byte
+    *    posting rows instead of vectors — the trade to take when
+    *    near-dup candidates are rare relative to corpus (always, at
+    *    100 TB); inline wins only when the fetch join's two extra
+    *    shuffles cost more than `tables`× scan+storage, i.e. tiny
+    *    stores. Crash order: vectors append BEFORE postings — a crash
+    *    between leaves a vector without postings (unreachable,
+    *    harmless, repaired by the retry) and never a posting whose
+    *    candidate pair would silently drop at the fetch join.
+    * The layout rides the manifest. The default `"adopt"` follows the
+    * store (creation ⇒ inline) — layout is discoverable and
+    * result-neutral, so restarted streams and naive callers need no
+    * foreknowledge; an EXPLICIT layout that disagrees with the store
+    * fails loudly, same as mismatched banding. */
   def embeddingBatch(
       embsNew: DataFrame,
       storeDir: String,
@@ -767,11 +792,12 @@ object IncrementalDedup {
       planes: Int = 8,
       tables: Int = 16,
       storeParts: Int = AutoStoreParts,
-      compactFiles: Int = 0): DataFrame =
+      compactFiles: Int = 0,
+      layout: String = "adopt"): DataFrame =
     graft.fs.StoreLock.withLock(storeDir,
       embsNew.sparkSession.sparkContext.hadoopConfiguration) {
       embeddingBatchLocked(embsNew, storeDir, idCol, vecCol, threshold,
-        planes, tables, storeParts, compactFiles)
+        planes, tables, storeParts, compactFiles, layout)
     }
 
   private def embeddingBatchLocked(
@@ -783,7 +809,8 @@ object IncrementalDedup {
       planes: Int,
       tables: Int,
       requestedParts: Int,
-      compactFiles: Int = 0): DataFrame = {
+      compactFiles: Int = 0,
+      layout: String = "adopt"): DataFrame = {
     val spark = embsNew.sparkSession
     // srcType: only a FLOAT source earns a float store; every other
     // element type (double, but also int/long/decimal arrays a caller
@@ -801,11 +828,29 @@ object IncrementalDedup {
     // store width: the manifest's vec_type beats everything; a manifest
     // without one is a pre-vec_type store (always double); creation
     // adopts the source width
+    require(layout == "inline" || layout == "split" || layout == "adopt",
+      s"layout must be inline, split, or adopt: $layout")
     val mParts = manifestParts(spark, storeDir)
     val manifestExists = mParts.isDefined
     val mVecType =
       if (manifestExists) manifestValue(spark, storeDir, "vec_type") else None
     val vecType = mVecType.getOrElse(if (manifestExists) "double" else srcType)
+    // explicit layout is strict like every other structural constant
+    // (manifests predating the key are inline by construction); the
+    // "adopt" default follows the manifest — layout is DISCOVERABLE
+    // and result-neutral, so restarted streams and naive callers need
+    // no foreknowledge, unlike banding (which silently changes rows)
+    val mLayout =
+      if (manifestExists) manifestValue(spark, storeDir, "store_layout") else None
+    val storeLayout =
+      if (layout == "adopt") mLayout.getOrElse("inline")
+      else {
+        require(!manifestExists || mLayout.getOrElse("inline") == layout,
+          s"store $storeDir was created with layout " +
+            s"${mLayout.getOrElse("inline")} but this batch requests $layout — " +
+            "a store must be read with the constants it was written under")
+        layout
+      }
     require(vecType == "double" || srcType == "float",
       s"store $storeDir holds ARRAY<FLOAT> vectors (vec_type:float) but " +
         s"this batch's $vecCol is double — narrowing would change scores; " +
@@ -834,7 +879,11 @@ object IncrementalDedup {
     // cycles fuse bp + the touched-partition observe metric into it (no
     // probe job), creation-with-auto counts the checkpointed rows to
     // size the store (bucketed rows = vectors × tables exactly)
-    val bucketedRaw = bucketed(newVecs)
+    // split postings never persist the vector, so the checkpoint that
+    // feeds the bucket join and the append must not carry it either
+    val bucketedRaw =
+      if (storeLayout == "split") bucketed(newVecs).drop("vec")
+      else bucketed(newVecs)
     val (newBucketed, touchedParts, storeParts) =
       knownPartsFrom(mParts, requestedParts) match {
         case Some(parts) =>
@@ -855,9 +904,17 @@ object IncrementalDedup {
     val typeMeta =
       if (manifestExists && mVecType.isEmpty) Map.empty[String, String]
       else Map("vec_type" -> vecType)
+    // same legacy rule as vec_type: a pre-layout manifest stays keyless
+    val layoutMeta =
+      if (manifestExists && mLayout.isEmpty) Map.empty[String, String]
+      else Map("store_layout" -> storeLayout)
     checkOrWriteMeta(spark, storeDir, Map(
       "variant" -> "embedding", "store_parts" -> storeParts.toString,
-      "planes" -> planes.toString, "tables" -> tables.toString) ++ typeMeta)
+      "planes" -> planes.toString, "tables" -> tables.toString) ++
+      typeMeta ++ layoutMeta)
+    if (storeLayout == "split")
+      return embeddingSplitCycle(spark, storeDir, newVecs, newBucketed,
+        touchedParts, storeParts, vecType, threshold, compactFiles)
     val read = readStore(spark, storeDir,
       s"vec_id BIGINT, vec ARRAY<${vecType.toUpperCase}>, tbl INT, " +
         "bucket BIGINT, bp INT")
@@ -893,6 +950,92 @@ object IncrementalDedup {
       storeDir)
     if (compactFiles > 0 && touchedParts.nonEmpty)
       maybeCompactLocked(spark, storeDir, touchedParts, compactFiles)
+    out
+  }
+
+  /** The split-layout cycle body (see `embeddingBatch`'s layout doc):
+    * candidates from the vector-free posting join, deduped, then both
+    * vectors fetched from only the id-hash partitions the candidate
+    * ids live in. Runs under the already-held store lock. */
+  private def embeddingSplitCycle(
+      spark: SparkSession,
+      storeDir: String,
+      newVecs: DataFrame,
+      newBucketed: DataFrame,
+      touchedParts: Seq[Int],
+      storeParts: Int,
+      vecType: String,
+      threshold: Double,
+      compactFiles: Int): DataFrame = {
+    val postingsDir = s"$storeDir/postings"
+    val vectorsDir = s"$storeDir/vectors"
+    val readP = readStore(spark, postingsDir,
+      "vec_id BIGINT, tbl INT, bucket BIGINT, bp INT")
+    val storeP =
+      if (readP._2) prune(readP._1, touchedParts) else readP._1.drop("bp")
+    val batchP = newBucketed.drop("bp")
+    // the batch's vectors, one row each, id-hash partitioned; the fused
+    // observe yields the vector partitions the batch touches (append
+    // witness + compaction scope)
+    val obsV = Observation()
+    val newVecRows = newVecs
+      .withColumn("bp", bpOf(storeParts, col("vec_id")))
+      .observe(obsV, collect_set(col("bp")).as("touched"))
+      .localCheckpoint()
+    val batchVps = intSeqOf(obsV.get("touched"))
+    // candidates dedupe BEFORE any vector is in flight: the blocking
+    // exchange moves 24-byte posting rows and the pair-dedupe 16-byte
+    // id pairs — vectors never ride either
+    val cand = storeP.unionByName(batchP).as("a")
+      .join(batchP.as("b"), Seq("tbl", "bucket"))
+      .filter(col("a.vec_id") =!= col("b.vec_id"))
+      .select(
+        least(col("a.vec_id"), col("b.vec_id")).as("id_a"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .localCheckpoint()
+    // O(k) driver edge, the `touched` pattern: the candidate ids'
+    // vector partitions — the fetch below scans ONLY those
+    val candVps = cand.select(explode(array(
+        bpOf(storeParts, col("id_a")),
+        bpOf(storeParts, col("id_b")))).as("vp"))
+      .distinct().collect().map(_.getInt(0)).toIndexedSeq
+    val readV = readStore(spark, vectorsDir,
+      s"vec_id BIGINT, vec ARRAY<${vecType.toUpperCase}>, bp INT")
+    val fetched = (if (readV._2) prune(readV._1, candVps)
+      else readV._1.drop("bp"))
+      .unionByName(newVecRows.drop("bp"))
+      // a retried batch's ids exist on both sides; the rows are
+      // identical, keep one
+      .dropDuplicates("vec_id")
+    val out = cand
+      .join(fetched.select(col("vec_id").as("id_a"), col("vec").as("va")),
+        Seq("id_a"))
+      .join(fetched.select(col("vec_id").as("id_b"), col("vec").as("vb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Similarity.cosine(col("va"), col("vb")), 4).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      // materialize before the appends below rewrite the directories
+      // the fetch/anti-join plans read
+      .localCheckpoint()
+    // vectors FIRST (crash-order contract in embeddingBatch's doc)
+    appendStore(
+      newVecRows.join(
+        (if (readV._2) prune(readV._1, batchVps) else readV._1.drop("bp"))
+          .select("vec_id"),
+        Seq("vec_id"), "left_anti"),
+      vectorsDir)
+    appendStore(
+      newBucketed.join(storeP.select("vec_id", "tbl"),
+        Seq("vec_id", "tbl"), "left_anti"),
+      postingsDir)
+    if (compactFiles > 0) {
+      if (touchedParts.nonEmpty)
+        maybeCompactLocked(spark, postingsDir, touchedParts, compactFiles)
+      if (batchVps.nonEmpty)
+        maybeCompactLocked(spark, vectorsDir, batchVps, compactFiles)
+    }
     out
   }
 
@@ -1041,7 +1184,12 @@ object IncrementalDedup {
   def compactStore(spark: SparkSession, storeDir: String): Int =
     graft.fs.StoreLock.withLock(storeDir,
       spark.sparkContext.hadoopConfiguration) {
-      compactStoreLocked(spark, storeDir)
+      // split embedding stores keep their hive dirs one level down;
+      // both halves compact under the one root lock
+      if (manifestValue(spark, storeDir, "store_layout").contains("split"))
+        compactStoreLocked(spark, s"$storeDir/postings") +
+          compactStoreLocked(spark, s"$storeDir/vectors")
+      else compactStoreLocked(spark, storeDir)
     }
 
   /** Fragmentation trigger for the batch cycles (`compactFiles` knob):
@@ -1164,12 +1312,13 @@ object IncrementalDedup {
       planes: Int = 8,
       tables: Int = 16,
       storeParts: Int = AdoptOrDefaultStoreParts,
-      compactFiles: Int = 64): org.apache.spark.sql.streaming.StreamingQuery =
+      compactFiles: Int = 64,
+      layout: String = "adopt"): org.apache.spark.sql.streaming.StreamingQuery =
     embsStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         embeddingBatch(batch.toDF(), storeDir, idCol, vecCol, threshold,
-          planes, tables, storeParts, compactFiles)
+          planes, tables, storeParts, compactFiles, layout)
           .write.mode("overwrite").parquet(s"$resultsDir/batch=$id")
         ()
       }

@@ -735,6 +735,80 @@ class IncrementalDedupSpec extends SparkSuite {
     assert(spark.read.parquet(dir).select("vec_id").distinct().count() == 24)
   }
 
+  test("embedding split layout: parity with inline, 1x vector footprint") {
+    val base = Files.createTempDirectory("incdedup_split")
+    val splitDir = base.toString + "/split"
+    val inlineDir = base.toString + "/inline"
+    val rnd = new scala.util.Random(19)
+    def vec(): Seq[Double] = Seq.fill(16)(rnd.nextDouble() - 0.5)
+    def near(v: Seq[Double]): Seq[Double] = v.updated(0, v.head + 0.02)
+    val baseV = (0L until 20L).map(i => (i, vec())).toMap
+    val b1 = (0L until 10L).map(i => (i, baseV(i))).toSeq
+      .toDF("vec_id", "embedding")
+    val b2 = ((10L until 20L).map(i => (i, baseV(i))) ++
+      Seq((100L, near(baseV(0L))), (107L, near(baseV(7L)))))
+      .toDF("vec_id", "embedding")
+    val b3 = Seq((115L, near(baseV(15L))), (200L, vec()))
+      .toDF("vec_id", "embedding")
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("cosine"))).toSet
+    val split =
+      pairsOf(IncrementalDedup.embeddingBatch(b1, splitDir,
+        threshold = 0.95, layout = "split")) ++
+        pairsOf(IncrementalDedup.embeddingBatch(b2, splitDir,
+          threshold = 0.95, layout = "split")) ++
+        // adopt default: a later caller needs no layout foreknowledge
+        pairsOf(IncrementalDedup.embeddingBatch(b3, splitDir,
+          threshold = 0.95))
+    Seq(b1, b2, b3).foreach(b =>
+      IncrementalDedup.embeddingBatch(b, inlineDir, threshold = 0.95))
+    val full = pairsOf(Dedup.embeddingNearDupPairs(
+      b1.unionByName(b2).unionByName(b3), threshold = 0.95))
+    assert(split == full)
+    assert(Set((0L, 100L), (7L, 107L), (15L, 115L))
+      .subsetOf(full.map(p => (p._1, p._2))))
+    // structure: postings carry no vectors; each vector stored ONCE
+    val postings = spark.read.parquet(s"$splitDir/postings")
+    assert(!postings.columns.contains("vec"))
+    val vectors = spark.read.parquet(s"$splitDir/vectors")
+    assert(vectors.count() == 24 &&
+      vectors.select("vec_id").distinct().count() == 24)
+    // footprint: the split store's vector bytes are a small fraction of
+    // the inline store's (which duplicates every vector 16x)
+    def bytesUnder(p: String): Long = {
+      val f = new java.io.File(p)
+      if (f.isDirectory) f.listFiles.map(x => bytesUnder(x.getPath)).sum
+      else if (f.getName.endsWith(".parquet")) f.length else 0L
+    }
+    val vecBytes = bytesUnder(s"$splitDir/vectors")
+    val inlineBytes = bytesUnder(inlineDir)
+    assert(vecBytes * 4 < inlineBytes,
+      s"split vectors $vecBytes vs inline $inlineBytes")
+    // retried batch: verdicts re-emitted, nothing re-appended
+    val before = postings.count() -> vectors.count()
+    val again = pairsOf(IncrementalDedup.embeddingBatch(b3, splitDir,
+      threshold = 0.95, layout = "split"))
+    assert(again.subsetOf(full))
+    assert(spark.read.parquet(s"$splitDir/postings").count() == before._1 &&
+      spark.read.parquet(s"$splitDir/vectors").count() == before._2)
+    // explicit layout mismatch fails loudly in both directions
+    val e1 = intercept[IllegalArgumentException] {
+      IncrementalDedup.embeddingBatch(b3, splitDir, layout = "inline")
+    }
+    assert(e1.getMessage.contains("layout"))
+    val e2 = intercept[IllegalArgumentException] {
+      IncrementalDedup.embeddingBatch(b3, inlineDir, layout = "split")
+    }
+    assert(e2.getMessage.contains("layout"))
+    // compactStore reaches both halves of the split store
+    assert(IncrementalDedup.compactStore(spark, splitDir) > 0)
+    assert(IncrementalDedup.compactStore(spark, splitDir) == 0)
+    val afterCompact = pairsOf(IncrementalDedup.embeddingBatch(
+      Seq((300L, near(baseV(3L)))).toDF("vec_id", "embedding"), splitDir))
+    assert(afterCompact.map(p => (p._1, p._2)) == Set((3L, 300L)))
+  }
+
   test("AdoptOrDefaultStoreParts: streams restart against ANY existing geometry, create at the fixed default") {
     // the streaming default must adopt a manifest (a fixed default
     // would hard-fail every micro-batch on restart against a store
