@@ -224,6 +224,7 @@ object Soak {
       (col("doc_id") + lit(1000000000000L + tag * 1000L)).as("doc_id"),
       regexp_replace(col("text"), "(^|\\s)", "$1c0_").as("text"))
     val embStore = s"$tmp/emb_store"
+    val embSplitStore = s"$tmp/emb_store_split_inc"
     val baseVecs = gateEmb.filter(col("vec_id") < 2)
     def freshVecs(tag: Int): DataFrame = baseVecs.select(
       (col("vec_id") + lit(2000000000000L + tag * 1000L)).as("vec_id"),
@@ -269,6 +270,22 @@ object Soak {
       },
       run("inc_embedding_append_b") {
         ops.IncrementalDedup.embeddingBatch(freshVecs(2), embStore,
+          planes = scaledPlanes)
+      },
+      // split-layout twin (late r12): same contract, but appends also
+      // exercise the pruned forward-index fetch — input_krec should sit
+      // BELOW the inline twin's (posting rows read are vector-free and
+      // the vector fetch scans only the candidate ids' partitions)
+      run("inc_embedding_split_seed") {
+        ops.IncrementalDedup.embeddingBatch(embCorpus, embSplitStore,
+          planes = scaledPlanes, layout = "split")
+      },
+      run("inc_embedding_split_append_a") {
+        ops.IncrementalDedup.embeddingBatch(freshVecs(3), embSplitStore,
+          planes = scaledPlanes)
+      },
+      run("inc_embedding_split_append_b") {
+        ops.IncrementalDedup.embeddingBatch(freshVecs(4), embSplitStore,
           planes = scaledPlanes)
       })
 

@@ -89,14 +89,18 @@ object Main {
       // training-pipeline extension (not in the reference CLI): one
       // incremental dedup cycle of a parquet batch against a persisted
       // store — the cron-able shape of SURVEY §2.10's incremental family
-      case "dedup" :: mode :: input :: store :: out :: Nil =>
+      case "dedup" :: mode :: input :: store :: out :: rest if rest.size <= 1 =>
         val batch = spark.read.parquet(input)
+        // optional trailing layout (embedding only): inline|split|adopt
+        val layout = rest.headOption.getOrElse("adopt")
+        require(rest.isEmpty || mode == "embedding",
+          s"layout argument only applies to embedding: $rest")
         val res = mode match {
           case "exact"     => graft.ops.IncrementalDedup.exactBatch(batch, store)
           case "minhash"   => graft.ops.IncrementalDedup.minhashBatch(batch, store)
           case "simhash"   => graft.ops.IncrementalDedup.simhashBatch(batch, store)
           case "ngram"     => graft.ops.IncrementalDedup.ngramBatch(batch, store)
-          case "embedding" => graft.ops.IncrementalDedup.embeddingBatch(batch, store)
+          case "embedding" => graft.ops.IncrementalDedup.embeddingBatch(batch, store, layout = layout)
           case m           => sys.error(s"unknown dedup mode: $m (exact|minhash|simhash|ngram|embedding)")
         }
         res.write.mode("overwrite").parquet(out)
@@ -164,7 +168,7 @@ object Main {
         sys.error(s"usage: [--catalog-flag value]... {cp <from> <to> | query <target> <sql> " +
           s"[--at-version N] | versions <target> | compact <target> [--zorder x,y] [bytes] | " +
           s"take <target> <i,j,...> [col,col] | dedup <exact|minhash|simhash|ngram|embedding> <in.parquet>" +
-          s"<storeDir> <out.parquet> | compact-store <storeDir> | " +
+          s"<storeDir> <out.parquet> [inline|split] | compact-store <storeDir> | " +
           s"clusters {add|labels|keepers|compact} ... | " +
           s"ivf {build|append|search|health} ...}; got $other")
     }
