@@ -273,9 +273,12 @@ object Soak {
           planes = scaledPlanes)
       },
       // split-layout twin (late r12): same contract, but appends also
-      // exercise the pruned forward-index fetch — input_krec should sit
-      // BELOW the inline twin's (posting rows read are vector-free and
-      // the vector fetch scans only the candidate ids' partitions)
+      // exercise the pruned forward-index fetch. Measured trade at 10×:
+      // record counts read are similar to inline (the posting rows are
+      // vector-FREE, so bytes are far lower at similar krec) while wall
+      // pays the extra checkpoint + vp-collect + fetch shuffle — split
+      // is the at-rest/footprint choice (~10× smaller store), inline
+      // the per-append-latency choice
       run("inc_embedding_split_seed") {
         ops.IncrementalDedup.embeddingBatch(embCorpus, embSplitStore,
           planes = scaledPlanes, layout = "split")
@@ -400,6 +403,7 @@ object Soak {
         "emb_store_f32" -> f32Store, "emb_store_f64" -> f64Store,
         "emb_store_split" -> splitStore,
         "emb_store_split_vectors" -> s"$splitStore/vectors",
+        "emb_store_split_inc" -> embSplitStore,
         "cc_store" -> ccStore)
         .map { case (n, p) => s""""$n":${dirBytes(p)}""" }
         .mkString("{", ",", "}")

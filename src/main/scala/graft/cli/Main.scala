@@ -106,6 +106,34 @@ object Main {
         res.write.mode("overwrite").parquet(out)
         println(s"dedup $mode: ${spark.read.parquet(out).count()} result rows -> $out")
 
+      // store health at a glance, from ONE listing (no Spark scan):
+      // geometry manifest, partitions/files/bytes, and the per-partition
+      // file max — the fragmentation signal compact-store resets
+      case "store-info" :: store :: Nil =>
+        val conf = spark.sparkContext.hadoopConfiguration
+        val manifest = graft.ops.IncrementalDedup.storeManifest(spark, store)
+        if (manifest.isEmpty) println(s"$store: no manifest (not a graft store, or empty)")
+        else manifest.toSeq.sortBy(_._1).foreach { case (k, v) => println(s"$k = $v") }
+        def statsOf(dir: String): Option[String] = {
+          val p = new org.apache.hadoop.fs.Path(dir)
+          val fs = p.getFileSystem(conf)
+          if (!fs.exists(p)) None
+          else {
+            val parts = fs.listStatus(p)
+              .filter(s => s.isDirectory && s.getPath.getName.startsWith("bp="))
+            val perPart = parts.map(d => fs.listStatus(d.getPath)
+              .count(_.getPath.getName.endsWith(".parquet")))
+            val sum = fs.getContentSummary(p)
+            Some(s"partitions=${parts.length} files=${sum.getFileCount} " +
+              s"bytes=${sum.getLength} max_files_per_partition=" +
+              s"${if (perPart.isEmpty) 0 else perPart.max}")
+          }
+        }
+        if (manifest.get("store_layout").contains("split")) {
+          statsOf(s"$store/postings").foreach(s => println(s"postings: $s"))
+          statsOf(s"$store/vectors").foreach(s => println(s"vectors: $s"))
+        } else statsOf(store).foreach(println)
+
       case "compact-store" :: store :: Nil =>
         val n = graft.ops.IncrementalDedup.compactStore(spark, store)
         println(s"compacted $n fragmented partition(s) in $store")
@@ -169,6 +197,7 @@ object Main {
           s"[--at-version N] | versions <target> | compact <target> [--zorder x,y] [bytes] | " +
           s"take <target> <i,j,...> [col,col] | dedup <exact|minhash|simhash|ngram|embedding> <in.parquet>" +
           s"<storeDir> <out.parquet> [inline|split] | compact-store <storeDir> | " +
+          s"store-info <storeDir> | " +
           s"clusters {add|labels|keepers|compact} ... | " +
           s"ivf {build|append|search|health} ...}; got $other")
     }

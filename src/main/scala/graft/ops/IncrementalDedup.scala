@@ -121,6 +121,26 @@ object IncrementalDedup {
     math.min(math.max(pow2, minParts.toLong), maxParts.toLong).toInt
   }
 
+  /** The store's whole manifest as a map (empty if absent or
+    * unparseable) — the read surface for tooling (CLI `store-info`);
+    * the batch cycles use the strict per-key check instead. */
+  def storeManifest(spark: SparkSession, dir: String): Map[String, String] = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_graft_store.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      if (!fs.exists(p)) Map.empty
+      else {
+        val in = fs.open(p)
+        val body =
+          try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+        import scala.jdk.CollectionConverters._
+        node.fields().asScala.map(e => e.getKey -> e.getValue.asText).toMap
+      }
+    } catch { case _: Exception => Map.empty }
+  }
+
   /** One manifest value, if the store exists and its manifest parses.
     * Unparseable manifests yield None here — `checkOrWriteMeta` raises
     * the actionable error for those. */
