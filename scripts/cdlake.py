@@ -177,6 +177,13 @@ class Cdl:
         return self._spark._jvm.graft.PyBridge.compactDedupStore(
             self._spark._jsparkSession, store_dir)
 
+    def rebuild_dedup_store(self, src_dir, dst_dir, new_parts=0):
+        """Re-bucket a store into dst_dir under new partition geometry
+        (new_parts <= 0 auto-sizes from the store's rows); repoint the
+        pipeline at dst_dir afterwards. Returns the partition count."""
+        return self._spark._jvm.graft.PyBridge.rebuildDedupStore(
+            self._spark._jsparkSession, src_dir, dst_dir, int(new_parts))
+
     # -- incremental clustering (graft extension): the persisted
     # union-find the dedup pair batches feed. ---------------------------
     def clusters_add_pairs(self, df, store_dir):

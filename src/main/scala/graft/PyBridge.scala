@@ -100,6 +100,13 @@ object PyBridge {
   def compactDedupStore(spark: SparkSession, storeDir: String): Int =
     graft.ops.IncrementalDedup.compactStore(spark, storeDir)
 
+  /** newParts <= 0 auto-sizes from the store's rows. */
+  def rebuildDedupStore(spark: SparkSession, srcDir: String,
+      dstDir: String, newParts: Int): Int =
+    graft.ops.IncrementalDedup.rebuildStore(spark, srcDir, dstDir,
+      if (newParts <= 0) graft.ops.IncrementalDedup.AutoStoreParts
+      else newParts)
+
   // -- incremental clustering (training-pipeline extension, SURVEY
   // §2.10): the persisted union-find the dedup pair batches feed -------
 

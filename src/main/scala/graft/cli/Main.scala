@@ -134,6 +134,15 @@ object Main {
           statsOf(s"$store/vectors").foreach(s => println(s"vectors: $s"))
         } else statsOf(store).foreach(println)
 
+      // geometry migration: re-bucket a store into a fresh dir at a new
+      // partition count (omit parts -> auto-size from the store's rows);
+      // repoint the pipeline at <dst> when it prints
+      case "rebuild-store" :: src :: dst :: rest if rest.size <= 1 =>
+        val parts = rest.headOption.map(_.toInt)
+          .getOrElse(graft.ops.IncrementalDedup.AutoStoreParts)
+        val n = graft.ops.IncrementalDedup.rebuildStore(spark, src, dst, parts)
+        println(s"rebuilt $src -> $dst at $n partitions")
+
       case "compact-store" :: store :: Nil =>
         val n = graft.ops.IncrementalDedup.compactStore(spark, store)
         println(s"compacted $n fragmented partition(s) in $store")
@@ -197,7 +206,7 @@ object Main {
           s"[--at-version N] | versions <target> | compact <target> [--zorder x,y] [bytes] | " +
           s"take <target> <i,j,...> [col,col] | dedup <exact|minhash|simhash|ngram|embedding> <in.parquet>" +
           s"<storeDir> <out.parquet> [inline|split] | compact-store <storeDir> | " +
-          s"store-info <storeDir> | " +
+          s"store-info <storeDir> | rebuild-store <src> <dst> [parts] | " +
           s"clusters {add|labels|keepers|compact} ... | " +
           s"ivf {build|append|search|health} ...}; got $other")
     }

@@ -257,29 +257,38 @@ object IncrementalDedup {
           "refusing to adopt a foreign or pre-manifest store; migrate " +
           "it explicitly (rebuild, or write the manifest by hand after " +
           "verifying the layout)")
-      val json = meta.toSeq.sortBy(_._1)
-        .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
-      // temp-write + rename (the StoreLock.atomicRewrite pattern): a crash
-      // mid-write must not leave a truncated manifest that fails every
-      // later batch until someone repairs it by hand. The `_`-prefixed
-      // temp is invisible to parquet discovery; the lock is held, so no
-      // concurrent creator races the rename.
-      // First sweep tmp orphans a writer that crashed between create and
-      // rename left behind — safe under the held lock, and without it
-      // they accumulate forever (and a later same-pid process would
-      // silently overwrite one).
-      val root2 = new org.apache.hadoop.fs.Path(dir)
-      if (fs.exists(root2))
-        fs.listStatus(root2)
-          .filter(_.getPath.getName.startsWith("_graft_store.json.tmp-"))
-          .foreach(s => fs.delete(s.getPath, false))
-      val tmp = new org.apache.hadoop.fs.Path(dir,
-        s"_graft_store.json.tmp-${ProcessHandle.current().pid()}")
-      val out = fs.create(tmp, true)
-      try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      require(fs.rename(tmp, p), s"manifest rename failed: $tmp -> $p")
+      writeManifest(fs, dir, meta)
     }
+  }
+
+  /** The manifest write itself — temp-write + rename (the
+    * StoreLock.atomicRewrite pattern): a crash mid-write must not leave
+    * a truncated manifest that fails every later batch until someone
+    * repairs it by hand. The `_`-prefixed temp is invisible to parquet
+    * discovery; callers hold the relevant lock, so no concurrent
+    * creator races the rename. Sweeps tmp orphans a writer that crashed
+    * between create and rename left behind — without it they accumulate
+    * forever (and a later same-pid process would silently overwrite
+    * one). Shared by creation (`checkOrWriteMeta`, behind the
+    * foreign-store guard) and `rebuildStore`'s data-first commit (which
+    * KNOWS the data is its own, so the guard must not apply). */
+  private def writeManifest(
+      fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      meta: Map[String, String]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_graft_store.json")
+    val json = meta.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+    val root2 = new org.apache.hadoop.fs.Path(dir)
+    if (fs.exists(root2))
+      fs.listStatus(root2)
+        .filter(_.getPath.getName.startsWith("_graft_store.json.tmp-"))
+        .foreach(s => fs.delete(s.getPath, false))
+    val tmp = new org.apache.hadoop.fs.Path(dir,
+      s"_graft_store.json.tmp-${ProcessHandle.current().pid()}")
+    val out = fs.create(tmp, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    require(fs.rename(tmp, p), s"manifest rename failed: $tmp -> $p")
   }
 
   /** Partition-pruned store view: the isin over the partition column
@@ -1211,6 +1220,89 @@ object IncrementalDedup {
           compactStoreLocked(spark, s"$storeDir/vectors")
       else compactStoreLocked(spark, storeDir)
     }
+
+  /** Rebuild a store under NEW partition geometry, into a fresh
+    * directory — the migration path `storePartsFor`'s doc promises for
+    * a store that outgrew its creation-time sizing (a 32-part gate
+    * store that became a billion-row deployment prunes appends at
+    * 1/32 forever until rebuilt). Rows are RE-BUCKETED, never
+    * recomputed: signatures/postings/vectors — the expensive part —
+    * copy verbatim; only `bp` is rehashed under `newParts`
+    * (`AutoStoreParts` sizes from the store's actual row count, the
+    * same policy creation uses). The copy is crash-safe by
+    * construction: data lands in `dstDir` first and the manifest —
+    * the only thing that makes a directory a store — commits LAST, so
+    * a crashed rebuild leaves an unadoptable data-bearing dir that
+    * `checkOrWriteMeta`'s foreign-store guard refuses (delete and
+    * re-run), never a half-geometry store. Runs under the SOURCE
+    * store's lock so the snapshot is consistent against concurrent
+    * appends; callers repoint their pipeline to `dstDir` when it
+    * returns (the table-rebuild-then-repoint discipline — in-place
+    * geometry swap is deliberately not offered: its crash windows
+    * would need recovery hooks in every cycle for a maintenance
+    * operation that runs once per store lifetime). Returns the new
+    * partition count. */
+  def rebuildStore(
+      spark: SparkSession,
+      srcDir: String,
+      dstDir: String,
+      newParts: Int = AutoStoreParts): Int =
+    graft.fs.StoreLock.withLock(srcDir,
+      spark.sparkContext.hadoopConfiguration) {
+      rebuildStoreLocked(spark, srcDir, dstDir, newParts)
+    }
+
+  private def rebuildStoreLocked(
+      spark: SparkSession, srcDir: String, dstDir: String,
+      requestedParts: Int): Int = {
+    val manifest = storeManifest(spark, srcDir)
+    require(manifest.contains("variant"),
+      s"$srcDir has no readable store manifest — not a graft store")
+    val dstPath = new org.apache.hadoop.fs.Path(dstDir)
+    val dstFs = dstPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!dstFs.exists(dstPath) || dstFs.listStatus(dstPath).isEmpty,
+      s"rebuild destination $dstDir exists and is not empty")
+    // bucket key per variant — the SAME keys the batch cycles hash, so
+    // the rebuilt store prunes identically to one created at this size
+    val variant = manifest("variant")
+    val split = manifest.get("store_layout").contains("split")
+    def hasParts(dir: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.exists(p) &&
+        fs.listStatus(p).exists(_.getPath.getName.startsWith("bp="))
+    }
+    def rebucket(src: String, dst: String, keys: Seq[String],
+        parts: Int): Unit =
+      if (hasParts(src)) { // a manifest-only store rebuilds to one
+        val rows = spark.read.parquet(src).drop("bp")
+          .withColumn("bp", bpOf(parts, keys.map(col): _*))
+        rows.repartition(col("bp"))
+          .write.partitionBy("bp").mode("errorifexists").parquet(dst)
+      }
+    val keys: Seq[String] = variant match {
+      case "exact"     => Seq("digest")
+      case "minhash"   => Seq("band", "bh")
+      case "simhash"   => Seq("band", "bh")
+      case "ngram"     => Seq("shingle")
+      case "embedding" => Seq("tbl", "bucket")
+      case v => sys.error(s"unknown store variant in manifest: $v")
+    }
+    val srcData = if (split) s"$srcDir/postings" else srcDir
+    val parts =
+      if (requestedParts > 0) requestedParts
+      else storePartsFor(
+        if (hasParts(srcData)) spark.read.parquet(srcData).count() else 0L)
+    if (split) {
+      rebucket(s"$srcDir/postings", s"$dstDir/postings", keys, parts)
+      rebucket(s"$srcDir/vectors", s"$dstDir/vectors", Seq("vec_id"), parts)
+    } else rebucket(srcDir, dstDir, keys, parts)
+    // manifest LAST — the commit point; every other key carries over
+    writeManifest(
+      dstPath.getFileSystem(spark.sparkContext.hadoopConfiguration),
+      dstDir, manifest + ("store_parts" -> parts.toString))
+    parts
+  }
 
   /** Fragmentation trigger for the batch cycles (`compactFiles` knob):
     * list the partitions THIS batch touched — O(touched) listings, never

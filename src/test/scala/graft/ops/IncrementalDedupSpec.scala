@@ -735,6 +735,56 @@ class IncrementalDedupSpec extends SparkSuite {
     assert(spark.read.parquet(dir).select("vec_id").distinct().count() == 24)
   }
 
+  test("rebuildStore: new geometry, same verdicts, pruning intact") {
+    val base = Files.createTempDirectory("incdedup_rebuild")
+    // minhash store seeded at explicit 256 parts, rebuilt to 8 — the
+    // outgrown-gate-store migration in miniature (direction is
+    // irrelevant to the mechanism; 256->8 keeps the test corpus tiny)
+    val src = base.toString + "/src"
+    def text(i: Long): String =
+      (0 until 12).map(j => s"w${(i * 13 + j * 7) % 997}").mkString(" ")
+    val seed = (0L until 200L).map(i => (i, text(i))).toDF("doc_id", "text")
+    IncrementalDedup.minhashBatch(seed, src, storeParts = 256)
+    val dst = base.toString + "/dst"
+    assert(IncrementalDedup.rebuildStore(spark, src, dst, 8) == 8)
+    // same rows, new manifest geometry, every bucket key rehashed into
+    // the new partition space
+    assert(spark.read.parquet(dst).count() == spark.read.parquet(src).count())
+    assert(IncrementalDedup.storeManifest(spark, dst)("store_parts") == "8")
+    assert(IncrementalDedup.storeManifest(spark, dst)("bands") ==
+      IncrementalDedup.storeManifest(spark, src)("bands"))
+    // a batch against the rebuilt store: identical pairs to the source
+    val one = Seq((9999L, text(42L))).toDF("doc_id", "text")
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val viaDst = pairsOf(IncrementalDedup.minhashBatch(one, dst))
+    val viaSrc = pairsOf(IncrementalDedup.minhashBatch(one, src))
+    assert(viaDst == viaSrc && viaDst.contains((42L, 9999L)))
+    // auto sizing: tiny store -> the 32-part floor
+    val dstAuto = base.toString + "/dst_auto"
+    assert(IncrementalDedup.rebuildStore(spark, src, dstAuto) == 32)
+    // split embedding store: both halves re-bucketed, pairs preserved
+    val esrc = base.toString + "/esrc"
+    val vecs = (0L until 20L).map(i =>
+      (i, Seq.tabulate(8)(d => math.sin(i * 8 + d + 1).abs)))
+      .toDF("vec_id", "embedding")
+    IncrementalDedup.embeddingBatch(vecs, esrc, layout = "split")
+    val edst = base.toString + "/edst"
+    assert(IncrementalDedup.rebuildStore(spark, esrc, edst, 4) == 4)
+    assert(IncrementalDedup.storeManifest(spark, edst)("store_layout") == "split")
+    assert(spark.read.parquet(s"$edst/vectors").count() == 20)
+    val probe = Seq((500L, Seq.tabulate(8)(d => math.sin(3 * 8 + d + 1).abs)))
+      .toDF("vec_id", "embedding") // clone of vec 3: cosine 1 pair
+    val epairs = IncrementalDedup.embeddingBatch(probe, edst)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(epairs.contains((3L, 500L)))
+    // a non-empty non-store destination is refused
+    val eBad = intercept[IllegalArgumentException] {
+      IncrementalDedup.rebuildStore(spark, src, dst, 16)
+    }
+    assert(eBad.getMessage.contains("not empty"))
+  }
+
   test("embedding split layout: parity with inline, 1x vector footprint") {
     val base = Files.createTempDirectory("incdedup_split")
     val splitDir = base.toString + "/split"
