@@ -132,6 +132,9 @@ object Main {
         if (manifest.get("store_layout").contains("split")) {
           statsOf(s"$store/postings").foreach(s => println(s"postings: $s"))
           statsOf(s"$store/vectors").foreach(s => println(s"vectors: $s"))
+        } else if (manifest.get("variant").contains("components")) {
+          statsOf(s"$store/labels").foreach(s => println(s"labels: $s"))
+          statsOf(s"$store/merges").foreach(s => println(s"merges: $s"))
         } else statsOf(store).foreach(println)
 
       // geometry migration: re-bucket a store into a fresh dir at a new
@@ -204,7 +207,7 @@ object Main {
       case other =>
         sys.error(s"usage: [--catalog-flag value]... {cp <from> <to> | query <target> <sql> " +
           s"[--at-version N] | versions <target> | compact <target> [--zorder x,y] [bytes] | " +
-          s"take <target> <i,j,...> [col,col] | dedup <exact|minhash|simhash|ngram|embedding> <in.parquet>" +
+          s"take <target> <i,j,...> [col,col] | dedup <exact|minhash|simhash|ngram|embedding> <in.parquet> " +
           s"<storeDir> <out.parquet> [inline|split] | compact-store <storeDir> | " +
           s"store-info <storeDir> | rebuild-store <src> <dst> [parts] | " +
           s"clusters {add|labels|keepers|compact} ... | " +

@@ -145,21 +145,8 @@ object IncrementalDedup {
     * Unparseable manifests yield None here — `checkOrWriteMeta` raises
     * the actionable error for those. */
   private[ops] def manifestValue(
-      spark: SparkSession, dir: String, key: String): Option[String] = {
-    val p = new org.apache.hadoop.fs.Path(dir, "_graft_store.json")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    try {
-      if (!fs.exists(p)) None
-      else {
-        val in = fs.open(p)
-        val body =
-          try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-          finally in.close()
-        Option(new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(body).get(key)).map(_.asText)
-      }
-    } catch { case _: Exception => None }
-  }
+      spark: SparkSession, dir: String, key: String): Option[String] =
+    storeManifest(spark, dir).get(key)
 
   /** The store's manifest-recorded partition count (`store_parts` is
     * written by every creation, so its presence ⇔ a manifest exists). */
@@ -248,10 +235,18 @@ object IncrementalDedup {
       // re-initialize it (the pruned reads would drop its rows as
       // schema-less), exactly the failure the manifest exists to stop.
       val root = new org.apache.hadoop.fs.Path(dir)
-      val hasData = fs.exists(root) && fs.listStatus(root).exists { s =>
-        s.getPath.getName.startsWith("bp=") ||
-          s.getPath.getName.endsWith(".parquet")
-      }
+      // a split store keeps its hive dirs one level down — a lost
+      // manifest over postings/vectors must be refused exactly like a
+      // lost manifest over root bp= dirs (re-initializing it would mix
+      // layouts or re-bucket silently)
+      def holdsParts(p: org.apache.hadoop.fs.Path): Boolean =
+        fs.exists(p) && fs.listStatus(p).exists { s =>
+          s.getPath.getName.startsWith("bp=") ||
+            s.getPath.getName.endsWith(".parquet")
+        }
+      val hasData = holdsParts(root) ||
+        Seq("postings", "vectors").exists(sub =>
+          holdsParts(new org.apache.hadoop.fs.Path(root, sub)))
       require(!hasData,
         s"store $dir holds data but no _graft_store.json manifest — " +
           "refusing to adopt a foreign or pre-manifest store; migrate " +
@@ -618,7 +613,10 @@ object IncrementalDedup {
     val newRows = newBatch.join(store.select("doc_id", "shingle"),
         Seq("doc_id", "shingle"), "left_anti")
       .localCheckpoint()
-    val batchIds = docsNew.select("doc_id").distinct()
+    // ids off the CHECKPOINTED rows, not docsNew — the caller's
+    // upstream plan must not re-execute for a flag column (a doc with
+    // zero grams contributes no flagged rows, so its absence is moot)
+    val batchIds = newBatch.select("doc_id").distinct()
     val flagged = store.unionByName(newRows.drop("bp"))
       .join(batchIds.withColumn("inb", lit(true)), Seq("doc_id"), "left")
       .withColumn("inb", coalesce(col("inb"), lit(false)))
@@ -1255,9 +1253,16 @@ object IncrementalDedup {
   private def rebuildStoreLocked(
       spark: SparkSession, srcDir: String, dstDir: String,
       requestedParts: Int): Int = {
+    // distinguish "not a store" from "store with a broken manifest" —
+    // the operator actions differ (wrong path vs repair the file)
+    val mPath = new org.apache.hadoop.fs.Path(srcDir, "_graft_store.json")
+    val srcFs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(srcFs.exists(mPath),
+      s"$srcDir has no _graft_store.json manifest — not a graft store")
     val manifest = storeManifest(spark, srcDir)
     require(manifest.contains("variant"),
-      s"$srcDir has no readable store manifest — not a graft store")
+      s"$srcDir has an unreadable _graft_store.json (or one without " +
+        "'variant') — repair the manifest before rebuilding")
     val dstPath = new org.apache.hadoop.fs.Path(dstDir)
     val dstFs = dstPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(!dstFs.exists(dstPath) || dstFs.listStatus(dstPath).isEmpty,
@@ -1288,6 +1293,13 @@ object IncrementalDedup {
       case "embedding" => Seq("tbl", "bucket")
       case v => sys.error(s"unknown store variant in manifest: $v")
     }
+    // finish any crashed compaction swap FIRST: partitions stranded in
+    // `_compact_trash` are invisible to the parquet snapshot below, and
+    // a rebuild that missed them would commit a silently smaller store
+    if (split) {
+      sweepCompactTrash(spark, s"$srcDir/postings")
+      sweepCompactTrash(spark, s"$srcDir/vectors")
+    } else sweepCompactTrash(spark, srcDir)
     val srcData = if (split) s"$srcDir/postings" else srcDir
     val parts =
       if (requestedParts > 0) requestedParts
@@ -1325,6 +1337,46 @@ object IncrementalDedup {
     if (frag) { compactStoreLocked(spark, storeDir); () }
   }
 
+  /** Recovery sweep for a crashed [[compactStoreLocked]] swap: restore
+    * partitions left in `_compact_trash` but never re-placed. The
+    * commit witness is `tmp/<name>` (this sweep runs BEFORE tmp is
+    * deleted): the place step renames tmp/<name> → root/<name>, so
+    * tmp/<name> ABSENT while the partition exists means the place
+    * COMMITTED — the live partition already holds the trash rows
+    * compacted, and merging them back would double every row in it
+    * (duplicate pairs, inflated bucket joins, duplicate exact keepers —
+    * silently). Only when tmp/<name> still EXISTS did the crash land
+    * between the two renames; a live dst then means a later append
+    * recreated the partition with new rows only, and the trash rows —
+    * the store's original data — must MERGE in, not be skipped (a skip
+    * hands them to the delete below: silent store data loss). File
+    * names are task-UUID-unique, so per-file moves cannot collide.
+    * Run by every compact AND by `rebuildStore` before snapshotting —
+    * parquet discovery ignores `_`-prefixed dirs, so a snapshot taken
+    * over un-swept trash would silently drop those partitions' rows. */
+  private def sweepCompactTrash(spark: SparkSession, storeDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val trash = new Path(root, "_compact_trash")
+    val tmp = new Path(root, "_compact_tmp")
+    def mustRename(src: Path, dst: Path): Unit =
+      require(fs.rename(src, dst), s"rename failed: $src -> $dst")
+    if (fs.exists(trash))
+      fs.listStatus(trash).foreach { s =>
+        val name = s.getPath.getName
+        val dst = new Path(root, name)
+        if (!fs.exists(dst)) mustRename(s.getPath, dst)
+        else if (fs.exists(new Path(tmp, name)))
+          fs.listStatus(s.getPath)
+            .filter(_.getPath.getName.endsWith(".parquet"))
+            .foreach(f => mustRename(f.getPath, new Path(dst, f.getPath.getName)))
+        else fs.delete(s.getPath, true) // place committed: trash is a stale copy
+      }
+    fs.delete(trash, true)
+    fs.delete(tmp, true)
+  }
+
   private def compactStoreLocked(spark: SparkSession, storeDir: String): Int = {
     locally {
       import org.apache.hadoop.fs.Path
@@ -1338,33 +1390,7 @@ object IncrementalDedup {
       // live partition on the place step. Fail loudly instead.
       def mustRename(src: Path, dst: Path): Unit =
         require(fs.rename(src, dst), s"rename failed: $src -> $dst")
-      // recovery sweep: restore partitions a crashed compact left in
-      // trash but never re-placed. The commit witness is `tmp/<name>`
-      // (this sweep runs BEFORE tmp is deleted): the place step renames
-      // tmp/<name> → root/<name>, so tmp/<name> ABSENT while the
-      // partition exists means the place COMMITTED — the live partition
-      // already holds the trash rows compacted, and merging them back
-      // would double every row in it (duplicate pairs, inflated bucket
-      // joins, duplicate exact keepers — silently). Only when
-      // tmp/<name> still EXISTS did the crash land between the two
-      // renames; a live dst then means a later append recreated the
-      // partition with new rows only, and the trash rows — the store's
-      // original data — must MERGE in, not be skipped (a skip hands
-      // them to the delete below: silent store data loss). File names
-      // are task-UUID-unique, so per-file moves cannot collide.
-      if (fs.exists(trash))
-        fs.listStatus(trash).foreach { s =>
-          val name = s.getPath.getName
-          val dst = new Path(root, name)
-          if (!fs.exists(dst)) mustRename(s.getPath, dst)
-          else if (fs.exists(new Path(tmp, name)))
-            fs.listStatus(s.getPath)
-              .filter(_.getPath.getName.endsWith(".parquet"))
-              .foreach(f => mustRename(f.getPath, new Path(dst, f.getPath.getName)))
-          else fs.delete(s.getPath, true) // place committed: trash is a stale copy
-        }
-      fs.delete(trash, true)
-      fs.delete(tmp, true)
+      sweepCompactTrash(spark, storeDir)
       if (!fs.exists(root)) 0
       else {
         val parts = fs.listStatus(root)

@@ -785,6 +785,38 @@ class IncrementalDedupSpec extends SparkSuite {
     assert(eBad.getMessage.contains("not empty"))
   }
 
+  test("a split store that lost its manifest is refused, not re-initialized") {
+    val dir = Files.createTempDirectory("incdedup_lostman").toString + "/store"
+    val vecs = Seq((1L, Seq(1.0, 0.2, 0.0, 0.1)), (2L, Seq(0.0, 1.0, 0.3, 0.0)))
+      .toDF("vec_id", "embedding")
+    IncrementalDedup.embeddingBatch(vecs, dir, layout = "split")
+    // simulate a copy that dropped underscore-prefixed files
+    assert(new java.io.File(dir, "_graft_store.json").delete())
+    val e = intercept[IllegalArgumentException] {
+      IncrementalDedup.embeddingBatch(vecs, dir)
+    }
+    assert(e.getMessage.contains("refusing to adopt"), e.getMessage)
+  }
+
+  test("rebuildStore finishes a crashed compaction sweep before snapshotting") {
+    val base = Files.createTempDirectory("incdedup_rbtrash")
+    val src = base.toString + "/src"
+    val seed = (0L until 50L)
+      .map(i => (i, s"unique-text-$i")).toDF("doc_id", "text")
+    IncrementalDedup.exactBatch(seed, src, storeParts = 8)
+    val rows = spark.read.parquet(src).count()
+    // simulate a compact crash: one live partition stranded in trash
+    val srcDir = new java.io.File(src)
+    val aPart = srcDir.listFiles.filter(_.getName.startsWith("bp=")).head
+    val trash = new java.io.File(srcDir, "_compact_trash")
+    assert(trash.mkdir())
+    assert(aPart.renameTo(new java.io.File(trash, aPart.getName)))
+    assert(spark.read.parquet(src).count() < rows) // snapshot WOULD drop rows
+    val dst = base.toString + "/dst"
+    IncrementalDedup.rebuildStore(spark, src, dst, 4)
+    assert(spark.read.parquet(dst).count() == rows) // sweep restored them
+  }
+
   test("embedding split layout: parity with inline, 1x vector footprint") {
     val base = Files.createTempDirectory("incdedup_split")
     val splitDir = base.toString + "/split"
