@@ -286,6 +286,33 @@ object IncrementalDedup {
     require(fs.rename(tmp, p), s"manifest rename failed: $tmp -> $p")
   }
 
+  /** Shared geometry step of every batch cycle. Warm (geometry known):
+    * `bp` rides the one eager checkpoint that feeds the join sides and
+    * the append, and the touched-partition probe rides its
+    * materialization as an observe metric — zero dedicated probe jobs
+    * (r12; the Components convergence pattern). Creation-with-auto:
+    * checkpoint first, size from the checkpointed row count (each
+    * variant's rows-per-doc shape is documented at its call site), no
+    * probe at all — the store it would prune is empty. Returns
+    * (checkpointed rows carrying bp, touched partition ids, parts). */
+  private def resolveGeometry(
+      known: Option[Int],
+      raw: DataFrame,
+      keys: Seq[Column]): (DataFrame, Seq[Int], Int) =
+    known match {
+      case Some(parts) =>
+        val obs = Observation()
+        val d = raw.withColumn("bp", bpOf(parts, keys: _*))
+          .observe(obs, collect_set(col("bp")).as("touched"))
+          .localCheckpoint()
+        (d, intSeqOf(obs.get("touched")), parts)
+      case None =>
+        val base = raw.localCheckpoint()
+        val parts = storePartsFor(base.count())
+        (base.withColumn("bp", bpOf(parts, keys: _*)),
+          Seq.empty[Int], parts)
+    }
+
   /** Partition-pruned store view: the isin over the partition column
     * becomes PartitionFilters on the scan — untouched bp directories are
     * never opened. */
@@ -331,29 +358,10 @@ object IncrementalDedup {
     val digestedRaw = docsNew
       .filter(col(textCol).isNotNull)
       .select(col("doc_id"), md5(col(textCol)).as("digest"))
-    // One eager checkpoint materializes the blocks every later step
-    // reuses (join sides, append). When geometry is already known —
-    // every warm cycle — bp rides the checkpoint and the touched-
-    // partition probe rides its materialization as an observe metric:
-    // zero dedicated probe jobs (r12; the Components convergence
-    // pattern). Only creation-with-auto checkpoints before sizing, and
-    // it needs no probe at all — the store it would prune is empty.
-    val (digested, touchedParts, storeParts) =
-      knownParts(spark, storeDir, requestedParts) match {
-        case Some(parts) =>
-          val obs = Observation()
-          val d = digestedRaw
-            .withColumn("bp", bpOf(parts, col("digest")))
-            .observe(obs, collect_set(col("bp")).as("touched"))
-            .localCheckpoint()
-          (d, intSeqOf(obs.get("touched")), parts)
-        case None =>
-          val base = digestedRaw.localCheckpoint()
-          // exact store: one row per distinct digest ≈ one per batch doc
-          val parts = storePartsFor(base.count())
-          (base.withColumn("bp", bpOf(parts, col("digest"))),
-            Seq.empty[Int], parts)
-      }
+    // auto sizing sees one row per batch doc ≈ one distinct digest
+    val (digested, touchedParts, storeParts) = resolveGeometry(
+      knownParts(spark, storeDir, requestedParts),
+      digestedRaw, Seq(col("digest")))
     checkOrWriteMeta(spark, storeDir,
       Map("variant" -> "exact", "store_parts" -> storeParts.toString))
     val read = readStore(spark, storeDir,
@@ -448,21 +456,10 @@ object IncrementalDedup {
     val bandedRaw = Dedup.bandSignatures(
       Dedup.minhashSignatures(docsNew, textCol, numHashes = numHashes),
       bands, rowsPerBand)
-    val (newBanded, touchedParts, storeParts) =
-      knownParts(spark, storeDir, requestedParts) match {
-        case Some(parts) =>
-          val obs = Observation()
-          val d = bandedRaw
-            .withColumn("bp", bpOf(parts, col("band"), col("bh")))
-            .observe(obs, collect_set(col("bp")).as("touched"))
-            .localCheckpoint()
-          (d, intSeqOf(obs.get("touched")), parts)
-        case None =>
-          val base = bandedRaw.localCheckpoint()
-          val parts = storePartsFor(base.count())
-          (base.withColumn("bp", bpOf(parts, col("band"), col("bh"))),
-            Seq.empty[Int], parts)
-      }
+    // auto sizing sees banded rows = docs × bands exactly
+    val (newBanded, touchedParts, storeParts) = resolveGeometry(
+      knownParts(spark, storeDir, requestedParts),
+      bandedRaw, Seq(col("band"), col("bh")))
     checkOrWriteMeta(spark, storeDir, Map(
       "variant" -> "minhash", "store_parts" -> storeParts.toString,
       "num_hashes" -> numHashes.toString, "bands" -> bands.toString))
@@ -583,23 +580,11 @@ object IncrementalDedup {
     val rawRows = docsNew.select(col("doc_id"),
       explode(grams).as("shingle"),
       coalesce(size(grams), lit(0)).cast("long").as("nsh"))
-    val (newBatch, touchedParts, storeParts) =
-      knownParts(spark, storeDir, requestedParts) match {
-        case Some(parts) =>
-          val obs = Observation()
-          val d = rawRows
-            .withColumn("bp", bpOf(parts, col("shingle")))
-            .observe(obs, collect_set(col("bp")).as("touched"))
-            .localCheckpoint()
-          (d, intSeqOf(obs.get("touched")), parts)
-        case None =>
-          val base = rawRows.localCheckpoint()
-          // posting stores carry more rows per doc than banded sketch
-          // stores; the same 4 Ki-rows-per-partition target applies
-          val parts = storePartsFor(base.count())
-          (base.withColumn("bp", bpOf(parts, col("shingle"))),
-            Seq.empty[Int], parts)
-      }
+    // auto sizing sees one posting row per (doc, distinct gram) — more
+    // rows per doc than the banded sketch stores, same 4 Ki target
+    val (newBatch, touchedParts, storeParts) = resolveGeometry(
+      knownParts(spark, storeDir, requestedParts),
+      rawRows, Seq(col("shingle")))
     checkOrWriteMeta(spark, storeDir, Map(
       "variant" -> "ngram", "store_parts" -> storeParts.toString,
       "n" -> n.toString))
@@ -698,21 +683,10 @@ object IncrementalDedup {
     // counts the checkpointed rows (docs × (radius+1) bands exactly).
     val bandedRaw = Dedup.simhashBanded(
       Dedup.simhash(docsNew, textCol), maxHamming)
-    val (newBanded, touchedParts, storeParts) =
-      knownParts(spark, storeDir, requestedParts) match {
-        case Some(parts) =>
-          val obs = Observation()
-          val d = bandedRaw
-            .withColumn("bp", bpOf(parts, col("band"), col("bh")))
-            .observe(obs, collect_set(col("bp")).as("touched"))
-            .localCheckpoint()
-          (d, intSeqOf(obs.get("touched")), parts)
-        case None =>
-          val base = bandedRaw.localCheckpoint()
-          val parts = storePartsFor(base.count())
-          (base.withColumn("bp", bpOf(parts, col("band"), col("bh"))),
-            Seq.empty[Int], parts)
-      }
+    // auto sizing sees banded rows = docs × (radius + 1) exactly
+    val (newBanded, touchedParts, storeParts) = resolveGeometry(
+      knownParts(spark, storeDir, requestedParts),
+      bandedRaw, Seq(col("band"), col("bh")))
     checkOrWriteMeta(spark, storeDir, Map(
       "variant" -> "simhash", "store_parts" -> storeParts.toString,
       "max_hamming" -> maxHamming.toString))
@@ -911,21 +885,10 @@ object IncrementalDedup {
     val bucketedRaw =
       if (storeLayout == "split") bucketed(newVecs).drop("vec")
       else bucketed(newVecs)
-    val (newBucketed, touchedParts, storeParts) =
-      knownPartsFrom(mParts, requestedParts) match {
-        case Some(parts) =>
-          val obs = Observation()
-          val d = bucketedRaw
-            .withColumn("bp", bpOf(parts, col("tbl"), col("bucket")))
-            .observe(obs, collect_set(col("bp")).as("touched"))
-            .localCheckpoint()
-          (d, intSeqOf(obs.get("touched")), parts)
-        case None =>
-          val base = bucketedRaw.localCheckpoint()
-          val parts = storePartsFor(base.count())
-          (base.withColumn("bp", bpOf(parts, col("tbl"), col("bucket"))),
-            Seq.empty[Int], parts)
-      }
+    // auto sizing sees bucketed rows = vectors × tables exactly
+    val (newBucketed, touchedParts, storeParts) = resolveGeometry(
+      knownPartsFrom(mParts, requestedParts),
+      bucketedRaw, Seq(col("tbl"), col("bucket")))
     // legacy (pre-vec_type) manifests: omit the key from the strict
     // check — their implicit width is double and vecType already is
     val typeMeta =
@@ -1095,6 +1058,23 @@ object IncrementalDedup {
     * exactly the workload that dies of small files — a week of 1-minute
     * triggers is ~10k files per hot partition — and the touched-set
     * check amortizes one selective rewrite per 64 epochs. */
+  /** Shared foreachBatch plumbing of the five stream twins: one locked
+    * batch cycle per micro-batch, results under `resultsDir/batch=<epoch>`
+    * with the per-epoch-overwrite exactly-once contract (a replayed
+    * epoch overwrites its own output and appends nothing to the store —
+    * the cycles' idempotency anti-joins). */
+  private def streamCycles(
+      docsStream: DataFrame, resultsDir: String, checkpointDir: String)(
+      cycle: DataFrame => DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+    docsStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        cycle(batch.toDF())
+          .write.mode("overwrite").parquet(s"$resultsDir/batch=$id")
+        ()
+      }
+      .start()
+
   def exactStream(
       docsStream: DataFrame,
       storeDir: String,
@@ -1103,14 +1083,8 @@ object IncrementalDedup {
       textCol: String = "text",
       storeParts: Int = AdoptOrDefaultStoreParts,
       compactFiles: Int = 64): org.apache.spark.sql.streaming.StreamingQuery =
-    docsStream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        exactBatch(batch.toDF(), storeDir, textCol, storeParts, compactFiles)
-          .write.mode("overwrite").parquet(s"$resultsDir/batch=$id")
-        ()
-      }
-      .start()
+    streamCycles(docsStream, resultsDir, checkpointDir)(
+      exactBatch(_, storeDir, textCol, storeParts, compactFiles))
 
   /** Streaming twin of `minhashBatch` — near-dup pairs of a document
     * stream against the persisted signature store, one locked cycle per
@@ -1129,15 +1103,9 @@ object IncrementalDedup {
       threshold: Double = 0.5,
       storeParts: Int = AdoptOrDefaultStoreParts,
       compactFiles: Int = 64): org.apache.spark.sql.streaming.StreamingQuery =
-    docsStream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        minhashBatch(batch.toDF(), storeDir, textCol, numHashes, bands,
-          threshold, storeParts, compactFiles)
-          .write.mode("overwrite").parquet(s"$resultsDir/batch=$id")
-        ()
-      }
-      .start()
+    streamCycles(docsStream, resultsDir, checkpointDir)(
+      minhashBatch(_, storeDir, textCol, numHashes, bands,
+        threshold, storeParts, compactFiles))
 
   /** Streaming twin of `ngramBatch` — exact-Jaccard near-dup pairs of
     * a document stream against the persisted posting-list store, one
@@ -1157,15 +1125,9 @@ object IncrementalDedup {
       dfCap: Int = 1000,
       storeParts: Int = AdoptOrDefaultStoreParts,
       compactFiles: Int = 64): org.apache.spark.sql.streaming.StreamingQuery =
-    docsStream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        ngramBatch(batch.toDF(), storeDir, textCol, n, threshold, dfCap,
-          storeParts, compactFiles)
-          .write.mode("overwrite").parquet(s"$resultsDir/batch=$id")
-        ()
-      }
-      .start()
+    streamCycles(docsStream, resultsDir, checkpointDir)(
+      ngramBatch(_, storeDir, textCol, n, threshold, dfCap,
+        storeParts, compactFiles))
 
   /** Streaming twin of `simhashBatch` — near-dup pairs of a document
     * stream against the persisted banded-signature store, one locked
@@ -1183,15 +1145,9 @@ object IncrementalDedup {
       maxHamming: Int = 3,
       storeParts: Int = AdoptOrDefaultStoreParts,
       compactFiles: Int = 64): org.apache.spark.sql.streaming.StreamingQuery =
-    docsStream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        simhashBatch(batch.toDF(), storeDir, textCol, maxHamming,
-          storeParts, compactFiles)
-          .write.mode("overwrite").parquet(s"$resultsDir/batch=$id")
-        ()
-      }
-      .start()
+    streamCycles(docsStream, resultsDir, checkpointDir)(
+      simhashBatch(_, storeDir, textCol, maxHamming,
+        storeParts, compactFiles))
 
   /** Compact a store in place: every append leaves one file per touched
     * partition, so a store that has absorbed thousands of batches holds
@@ -1310,9 +1266,8 @@ object IncrementalDedup {
       rebucket(s"$srcDir/vectors", s"$dstDir/vectors", Seq("vec_id"), parts)
     } else rebucket(srcDir, dstDir, keys, parts)
     // manifest LAST — the commit point; every other key carries over
-    writeManifest(
-      dstPath.getFileSystem(spark.sparkContext.hadoopConfiguration),
-      dstDir, manifest + ("store_parts" -> parts.toString))
+    writeManifest(dstFs, dstDir,
+      manifest + ("store_parts" -> parts.toString))
     parts
   }
 
@@ -1452,15 +1407,9 @@ object IncrementalDedup {
       storeParts: Int = AdoptOrDefaultStoreParts,
       compactFiles: Int = 64,
       layout: String = "adopt"): org.apache.spark.sql.streaming.StreamingQuery =
-    embsStream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        embeddingBatch(batch.toDF(), storeDir, idCol, vecCol, threshold,
-          planes, tables, storeParts, compactFiles, layout)
-          .write.mode("overwrite").parquet(s"$resultsDir/batch=$id")
-        ()
-      }
-      .start()
+    streamCycles(embsStream, resultsDir, checkpointDir)(
+      embeddingBatch(_, storeDir, idCol, vecCol, threshold,
+        planes, tables, storeParts, compactFiles, layout))
 
   /** Append rows (carrying their `bp` column) under the hive layout.
     * The pre-write repartition ON the partition column is the file-count
