@@ -139,6 +139,42 @@ object IncrementalComponents {
         .drop("__old", "__root")
     }
 
+  /** Rebuild the label store under new partition geometry into a fresh
+    * dir — the components arm of `IncrementalDedup.rebuildStore`,
+    * called under the SOURCE store's lock. Rebuild resolves THROUGH
+    * the merge log (the same fold `compact` applies), so the new store
+    * starts with canonical labels and an EMPTY log: geometry migration
+    * is also a full compaction. Manifest commits last, like the dedup
+    * variants. */
+  private[ops] def rebuildLocked(
+      spark: SparkSession, srcDir: String, dstDir: String,
+      requestedParts: Int): Int = {
+    sweepCompact(spark, srcDir) // finish any crashed compact swap first
+    val lp = new org.apache.hadoop.fs.Path(srcDir, LabelsDir)
+    val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val resolved =
+      if (!fs.exists(lp)) None
+      else Some(resolve(
+        spark.read.schema("v BIGINT, component BIGINT, bp INT")
+          .parquet(lp.toString).drop("bp"),
+        mergeMap(spark, srcDir)).localCheckpoint())
+    val parts =
+      if (requestedParts > 0) requestedParts
+      else IncrementalDedup.storePartsFor(
+        resolved.map(_.count()).getOrElse(0L))
+    resolved.foreach { r =>
+      r.withColumn("bp", bpOf(parts, col("v")))
+        .repartition(col("bp"))
+        .write.partitionBy("bp").mode("errorifexists")
+        .parquet(s"$dstDir/$LabelsDir")
+    }
+    val dstFs = new org.apache.hadoop.fs.Path(dstDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    IncrementalDedup.writeManifest(dstFs, dstDir, Map(
+      "variant" -> "components", "store_parts" -> parts.toString))
+    parts
+  }
+
   /** Absorb one batch of undirected pairs into the store (created on
     * first use) and return the resolved (v, component) view of THIS
     * batch's vertices. Store partition count fixes at creation via

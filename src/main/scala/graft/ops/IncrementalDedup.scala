@@ -267,7 +267,7 @@ object IncrementalDedup {
     * one). Shared by creation (`checkOrWriteMeta`, behind the
     * foreign-store guard) and `rebuildStore`'s data-first commit (which
     * KNOWS the data is its own, so the guard must not apply). */
-  private def writeManifest(
+  private[ops] def writeManifest(
       fs: org.apache.hadoop.fs.FileSystem, dir: String,
       meta: Map[String, String]): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir, "_graft_store.json")
@@ -1226,6 +1226,11 @@ object IncrementalDedup {
     // bucket key per variant — the SAME keys the batch cycles hash, so
     // the rebuilt store prunes identically to one created at this size
     val variant = manifest("variant")
+    // the clusters store rebuilds THROUGH its merge log (resolution +
+    // re-bucket in one) — its own module owns that logic
+    if (variant == "components")
+      return IncrementalComponents.rebuildLocked(
+        spark, srcDir, dstDir, requestedParts)
     val split = manifest.get("store_layout").contains("split")
     def hasParts(dir: String): Boolean = {
       val p = new org.apache.hadoop.fs.Path(dir)
@@ -1247,7 +1252,8 @@ object IncrementalDedup {
       case "simhash"   => Seq("band", "bh")
       case "ngram"     => Seq("shingle")
       case "embedding" => Seq("tbl", "bucket")
-      case v => sys.error(s"unknown store variant in manifest: $v")
+      case v => sys.error(s"unknown store variant in manifest: $v " +
+        "(exact|minhash|simhash|ngram|embedding|components)")
     }
     // finish any crashed compaction swap FIRST: partitions stranded in
     // `_compact_trash` are invisible to the parquet snapshot below, and

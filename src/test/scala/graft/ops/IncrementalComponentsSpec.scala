@@ -126,6 +126,32 @@ class IncrementalComponentsSpec extends SparkSuite {
     assert(k == Set(1L, 20L))
   }
 
+  test("rebuildStore on a clusters store: resolved labels, fresh geometry, empty log") {
+    val base = Files.createTempDirectory("inccomp_rebuild")
+    val src = base.toString + "/src"
+    // two batches whose second MERGES clusters -> the source has a
+    // non-empty merge log for the rebuild to fold
+    IncrementalComponents.addPairs(
+      Seq((1L, 2L), (10L, 11L)).toDF("doc_a", "doc_b"), src)
+    IncrementalComponents.addPairs(
+      Seq((2L, 10L), (20L, 21L)).toDF("doc_a", "doc_b"), src)
+    val want = labelMap(IncrementalComponents.labels(spark, src))
+    assert(want(11L) == 1L) // the merge is live, resolved via the log
+    val dst = base.toString + "/dst"
+    assert(IncrementalDedup.rebuildStore(spark, src, dst, 4) == 4)
+    assert(IncrementalDedup.storeManifest(spark, dst) ==
+      Map("variant" -> "components", "store_parts" -> "4"))
+    // labels identical, but now CANONICAL in the label table itself —
+    // the rebuilt store has no merge log to resolve through
+    assert(labelMap(IncrementalComponents.labels(spark, dst)) == want)
+    assert(!new java.io.File(dst, "merges").exists())
+    // the rebuilt store keeps absorbing: connect a new vertex to an
+    // old (previously dethroned) cluster member
+    IncrementalComponents.addPairs(
+      Seq((11L, 99L)).toDF("doc_a", "doc_b"), dst)
+    assert(labelMap(IncrementalComponents.labels(spark, dst))(99L) == 1L)
+  }
+
   test("a crashed compaction swap heals on the next cycle") {
     val dir = Files.createTempDirectory("inccomp_crash").toString + "/store"
     IncrementalComponents.addPairs(Seq((1L, 2L)).toDF("doc_a", "doc_b"), dir)
