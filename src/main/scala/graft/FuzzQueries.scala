@@ -654,6 +654,70 @@ object FuzzQueries {
        |ORDER BY k1 ASC NULLS FIRST, k2 ASC NULLS FIRST""".stripMargin
   }
 
+  // --- V5 grammar: correlated scalar subqueries ------------------------
+  // The decorrelation stressor: "rows above/below their GROUP's
+  // aggregate". Spark renders the WINDOW form (partition aggregate +
+  // filter — the idiomatic DataFrame shape), DuckDB the textual
+  // correlated scalar subquery, so the compare crosses window
+  // evaluation on one side and subquery decorrelation on the other.
+  // Equality holds because the inner subquery carries the SAME wide
+  // filter as the outer query — the correlated set IS the window
+  // partition. Engine-portable arithmetic: avg is an exact-integer sum
+  // divided once in double (identical IEEE result both sides);
+  // min/max stay integral. Strict/non-strict comparisons are both
+  // drawn; boundary rows (value == aggregate) resolve identically.
+  private final case class QCorr(
+      group: String,  // correlation key
+      aggFn: String,  // avg | min | max over l_quantity
+      cmp: String,    // > | <=
+      wide: Cmp)
+
+  private def genCorr(seed: Int): QCorr = {
+    val rnd = new scala.util.Random(seed)
+    val group = Seq("l_orderkey", "l_suppkey", "l_partkey")(rnd.nextInt(3))
+    val aggFn = Seq("avg", "min", "max")(rnd.nextInt(3))
+    // `> max(group)` is structurally empty — the one draw the
+    // satisfiability discipline forbids; every other (fn, cmp) combo
+    // keeps rows (`<= min` keeps exactly the group minima — the tie
+    // shape; `<= max` keeps all — the boundary shape)
+    val cmp =
+      if (aggFn == "max") "<="
+      else if (rnd.nextBoolean()) ">" else "<="
+    val wide = wideArm(rnd, tables("lineitem")) match { case c: Cmp => c }
+    QCorr(group, aggFn, cmp, wide)
+  }
+
+  private def sparkOfCorr(q: QCorr)(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(q.group)
+    val aggCol = q.aggFn match {
+      case "avg" => avg(col("l_quantity"))
+      case "min" => min(col("l_quantity"))
+      case "max" => max(col("l_quantity"))
+    }
+    val filtered = Queries.rd(s, dir, "lineitem")
+      .filter(col(q.wide.c) >= q.wide.lit)
+      .withColumn("__t", aggCol.over(w))
+    val kept = q.cmp match {
+      case ">" => filtered.filter(col("l_quantity") > col("__t"))
+      case _   => filtered.filter(col("l_quantity") <= col("__t"))
+    }
+    kept.groupBy(q.group)
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity")).cast("long").as("s"))
+      .orderBy(col(q.group).asc, col("n").asc, col("s").asc)
+  }
+
+  private def sqlOfCorr(q: QCorr): String =
+    s"""SELECT ${q.group}, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(l_quantity) AS BIGINT) AS s
+       |FROM lineitem l
+       |WHERE l.${q.wide.c} >= ${q.wide.lit} AND l.l_quantity ${q.cmp} (
+       |  SELECT ${q.aggFn}(l2.l_quantity) FROM lineitem l2
+       |  WHERE l2.${q.group} = l.${q.group}
+       |    AND l2.${q.wide.c} >= ${q.wide.lit})
+       |GROUP BY ${q.group}
+       |ORDER BY ${q.group} ASC, n ASC, s ASC""".stripMargin
+
   /** Seeds are FIXED: the gate must be reproducible run-to-run and match
     * the oracle map below. Plain seeds fuzz one table; join seeds fuzz
     * lineitem ⋈ orders compositions (pushdown through the join, partial
@@ -673,6 +737,9 @@ object FuzzQueries {
   // the four roll seeds draw both ops over all three tables
   private val subSeeds = Seq(5000, 5002, 5004, 5006, 5014)
   private val rollSeeds = Seq(6000, 6006, 6012, 6014)
+  // v5, seed-scanned: all five legal (aggFn, cmp) shapes across all
+  // three correlation keys (avg>/avg<=/min>/min<=/max<=)
+  private val corrSeeds = Seq(7001, 7002, 7003, 7006, 7007)
 
   /** SELECT DISTINCT over nullable derived columns — row-level DISTINCT
     * treats NULLs as equal (one NULL row survives per key shape) in
@@ -731,7 +798,9 @@ object FuzzQueries {
       subSeeds.map(sd => s"q_fuzz_sub_$sd" ->
         (sparkOfSub(genSub(sd)) _)).toMap ++
       rollSeeds.map(sd => s"q_fuzz_roll_$sd" ->
-        (sparkOfRoll(genRoll(sd)) _)).toMap +
+        (sparkOfRoll(genRoll(sd)) _)).toMap ++
+      corrSeeds.map(sd => s"q_fuzz_corr_$sd" ->
+        (sparkOfCorr(genCorr(sd)) _)).toMap +
       ("q_fuzz_empty_scalar" -> (emptyScalar _)) +
       ("q_fuzz_distinct_rows" -> (distinctRows _))
 
@@ -747,7 +816,8 @@ object FuzzQueries {
       winSeeds.map(sd => s"q_fuzz_win_$sd" -> sqlOfWin(genWindow(sd))).toMap ++
       setSeeds.map(sd => s"q_fuzz_set_$sd" -> sqlOfSet(genSetOp(sd))).toMap ++
       subSeeds.map(sd => s"q_fuzz_sub_$sd" -> sqlOfSub(genSub(sd))).toMap ++
-      rollSeeds.map(sd => s"q_fuzz_roll_$sd" -> sqlOfRoll(genRoll(sd))).toMap +
+      rollSeeds.map(sd => s"q_fuzz_roll_$sd" -> sqlOfRoll(genRoll(sd))).toMap ++
+      corrSeeds.map(sd => s"q_fuzz_corr_$sd" -> sqlOfCorr(genCorr(sd))).toMap +
       ("q_fuzz_empty_scalar" -> emptyScalarSql) +
       ("q_fuzz_distinct_rows" -> distinctRowsSql)
 

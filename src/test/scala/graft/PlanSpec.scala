@@ -261,6 +261,17 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("partial_count") || p.contains("partial"), p)
   }
 
+  test("correlated-scalar arm plans as ONE window over a filtered scan") {
+    // the v5 fuzz family must stay the window shape — one scan, the
+    // wide filter pushed beneath the window, a single Window operator —
+    // not a self-join decorrelation that scans lineitem twice
+    val p = planOf(FuzzQueries.queries("q_fuzz_corr_7007")(spark, sf))
+    assert(p.contains("Window"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    val f = formatted(FuzzQueries.queries("q_fuzz_corr_7007")(spark, sf))
+    assert(f.contains("PushedFilters") && f.contains("GreaterThanOrEqual"), f)
+  }
+
   test("salted join spreads the key space: salt rides the join keys") {
     import org.apache.spark.sql.functions.col
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
