@@ -783,6 +783,27 @@ class IncrementalDedupSpec extends SparkSuite {
       IncrementalDedup.rebuildStore(spark, src, dst, 16)
     }
     assert(eBad.getMessage.contains("not empty"))
+    // the remaining variants re-bucket on their own keys: the rebuilt
+    // store's next batch must return the same pairs as the source's
+    def parity(variant: String,
+        seedF: (org.apache.spark.sql.DataFrame, String) => Unit,
+        batchF: String => org.apache.spark.sql.DataFrame): Unit = {
+      val s = base.toString + s"/${variant}_src"
+      val d = base.toString + s"/${variant}_dst"
+      seedF(seed, s)
+      assert(IncrementalDedup.rebuildStore(spark, s, d, 8) == 8)
+      val got = batchF(d).collect().map(_.toSeq).toSet
+      val want = batchF(s).collect().map(_.toSeq).toSet
+      assert(got == want && got.nonEmpty, s"$variant rebuild parity")
+    }
+    parity("ngram",
+      (b, s) => { IncrementalDedup.ngramBatch(b, s, storeParts = 256); () },
+      d => IncrementalDedup.ngramBatch(
+        Seq((9999L, text(42L))).toDF("doc_id", "text"), d))
+    parity("simhash",
+      (b, s) => { IncrementalDedup.simhashBatch(b, s, storeParts = 256); () },
+      d => IncrementalDedup.simhashBatch(
+        Seq((9998L, text(7L))).toDF("doc_id", "text"), d))
   }
 
   test("a split store that lost its manifest is refused, not re-initialized") {
