@@ -76,16 +76,20 @@ class CachedFileSystem extends FileSystem {
 
   override def open(f: Path, bufferSize: Int): FSDataInputStream = {
     val ip = toInner(f)
-    val cfg = ObjectCache.fromConf(getConf)
     // admission decided once per open: below-threshold objects (and an
     // unarmed cache) stream straight from the backend — same verdict
     // ObjectCache.readRange would reach per read, without paying it per
-    // read. Length also bounds EOF handling in the cached stream.
-    val len = inner.getFileStatus(ip).getLen
-    cfg match {
-      case Some(c) if len >= c.minObjectSize =>
-        new FSDataInputStream(new CachedFileSystem.CachedInput(getConf, ip, len))
-      case _ => inner.open(ip, bufferSize)
+    // read. Length also bounds EOF handling in the cached stream. The
+    // stat runs only when a cache is armed: an unarmed session must not
+    // pay an extra metadata RPC per open just to discard the length.
+    ObjectCache.fromConf(getConf) match {
+      case Some(c) =>
+        val len = inner.getFileStatus(ip).getLen
+        if (len >= c.minObjectSize)
+          new FSDataInputStream(
+            new CachedFileSystem.CachedInput(getConf, ip, len))
+        else inner.open(ip, bufferSize)
+      case None => inner.open(ip, bufferSize)
     }
   }
 
@@ -142,11 +146,17 @@ object CachedFileSystem {
       classOf[CachedFileSystem].getName)
 
   /** `inner://host/path` → `cached-inner://host/path` (the caller must
-    * have `install`ed the matching inner scheme on the session conf). */
+    * have `install`ed the matching inner scheme on the session conf).
+    * A pure string prefix — NOT a URI round-trip: data-file paths may
+    * carry URI-illegal characters (a space in a partition value is the
+    * classic one — Spark's escapePathName leaves spaces alone), and
+    * URI.create throws on them where re-encoding would silently change
+    * the path downstream readers resolve. Prefixing leaves the path
+    * bytes untouched, so the routed path parses exactly as the
+    * un-routed one would. */
   def route(uri: String): String = {
-    val u = URI.create(uri)
-    new URI(s"$SchemePrefix${u.getScheme}", u.getAuthority, u.getPath,
-      null, null).toString
+    require(uri.contains("://"), s"route needs a scheme'd URI: $uri")
+    SchemePrefix + uri
   }
 
   /** Seekable/pread stream over ObjectCache ranged reads. Parquet

@@ -300,10 +300,13 @@ final class CdlFs(
     // refresh()/take-fallback contract), and the rewrite below reads the
     // directory — retiring only the manifest's list would leave those
     // extra files in place and double-count their rows forever
-    val srcFiles = CommitLog.dataFiles(tableLocation, hconf)
+    // lengths ride the ONE recursive listing — re-statting 100k small
+    // files serially from the driver (the exact situation compact
+    // exists for) would cost 100k metadata RPCs before any rewrite
+    val srcWithLen = CommitLog.dataFilesWithLen(tableLocation, hconf)
+    val srcFiles = srcWithLen.map(_._1)
     if (srcFiles.isEmpty) return 0
-    val totalBytes = srcFiles.map(f =>
-      fs.getFileStatus(new Path(rootP, f)).getLen).sum
+    val totalBytes = srcWithLen.map(_._2).sum
     val numFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     // cluster key: the persistent stamp when every row carries it, else
     // the path order (same total order the stamp was assigned in)

@@ -49,15 +49,24 @@ object CommitLog {
     * hidden (`.`/`_`-prefixed) work files anywhere on the path. */
   def dataFiles(
       tableLocation: String,
-      conf: Configuration = new Configuration()): Seq[String] = {
+      conf: Configuration = new Configuration()): Seq[String] =
+    dataFilesWithLen(tableLocation, conf).map(_._1)
+
+  /** Same listing with each file's length — the statuses the recursive
+    * list returns already carry it, and a caller that re-stats N files
+    * one by one to size a compaction pays N serial metadata RPCs for
+    * information this ONE pass had in hand. */
+  def dataFilesWithLen(
+      tableLocation: String,
+      conf: Configuration = new Configuration()): Seq[(String, Long)] = {
     val (fs, root) = open(tableLocation, conf)
     listDataFiles(fs, root)
   }
 
-  private def listDataFiles(fs: FileSystem, root: Path): Seq[String] = {
+  private def listDataFiles(fs: FileSystem, root: Path): Seq[(String, Long)] = {
     if (!fs.exists(root)) return Seq.empty
     val rootUri = root.toUri.getPath.stripSuffix("/")
-    val out = Seq.newBuilder[String]
+    val out = Seq.newBuilder[(String, Long)]
     val it = fs.listFiles(root, true)
     while (it.hasNext) {
       val st = it.next()
@@ -65,9 +74,9 @@ object CommitLog {
       val segs = rel.split("/")
       val hidden = segs.exists(s => s.startsWith(".") || s == "_temporary") ||
         segs.head == LogDir
-      if (!hidden && rel.endsWith(".parquet")) out += rel
+      if (!hidden && rel.endsWith(".parquet")) out += ((rel, st.getLen))
     }
-    out.result().sorted
+    out.result().sortBy(_._1)
   }
 
   def versions(tableLocation: String, conf: Configuration = new Configuration()): Seq[Int] = {
@@ -122,19 +131,32 @@ object CommitLog {
     val prev = latest(tableLocation, conf)
     val version = prev.map(_.version).getOrElse(0) + 1
     val rowCount = prev.map(_.rowCount).getOrElse(0L) + rowsAdded
-    val files = listDataFiles(fs, root)
+    val files = listDataFiles(fs, root).map(_._1)
     val ts = System.currentTimeMillis()
-    val json = new StringBuilder()
-      .append("{\"version\":").append(version)
-      .append(",\"timestamp_ms\":").append(ts)
-      .append(",\"row_count\":").append(rowCount)
-      .append(",\"files\":[")
-      .append(files.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
-        .mkString(","))
-      .append("]}").toString
-    val out = fs.create(new Path(dir, f"v$version%08d.json"), true)
+    // serialize with Jackson (the same mapper snapshot() reads with):
+    // hand-rolled escaping missed control characters, which are legal
+    // in POSIX filenames an EXTERNAL writer may have dropped into the
+    // table — one such path would wedge every later read of the log
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    node.put("version", version)
+    node.put("timestamp_ms", ts)
+    node.put("row_count", rowCount)
+    val arr = node.putArray("files")
+    files.foreach(arr.add)
+    val json = mapper.writeValueAsString(node)
+    // temp-write + atomic rename (the StoreLock.atomicRewrite pattern):
+    // a crash mid-write must not leave a torn manifest — versions()
+    // would list it and every snapshot()/latest() (and therefore every
+    // later commit, stamp, and compact) would throw until someone
+    // deletes the file by hand. The `_`-prefixed temp is invisible to
+    // both versions() (name regex) and parquet discovery.
+    val dst = new Path(dir, f"v$version%08d.json")
+    val tmp = new Path(dir, s"_v$version.tmp-${ProcessHandle.current().pid()}")
+    val out = fs.create(tmp, true)
     try out.write(json.getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    require(fs.rename(tmp, dst), s"manifest rename failed: $tmp -> $dst")
     Snapshot(version, ts, rowCount, files)
   }
 

@@ -30,10 +30,15 @@ object Export {
     * carry contiguous row_ids (base + chunk_id), so `row_id - chunk_id`
     * is a per-generation key; max per (parent, name) is the newest. One
     * hash-partitioned agg + equi-join — no windows, no driver state.
-    * Unstamped legacy tables (null row_id) degrade to no dedupe. */
+    * Unstamped legacy tables (null row_id) degrade to no dedupe. The
+    * unstamped sentinel is -1 — BELOW any genuine generation (the
+    * writeRootfs/fallbackStamped convention): 0 would collide with the
+    * table's very first stamped append (row_id 0 − chunk_id 0), and a
+    * later unstamped append of the same path would then TIE it instead
+    * of losing, letting two generations' positional writes race. */
   private[fs] def latestGeneration(table: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val gen = table.withColumn("__gen",
-      coalesce(col("row_id") - col("chunk_id"), lit(0L)))
+      coalesce(col("row_id") - col("chunk_id"), lit(-1L)))
     val newest = gen.groupBy("parent", "name").agg(max("__gen").as("__gen"))
     gen.join(newest, Seq("parent", "name", "__gen")).drop("__gen")
   }
@@ -59,9 +64,13 @@ object Export {
         }
       }
 
-    // Pass 2: positional chunk payload writes.
+    // Pass 2: positional chunk payload writes. `data` is nullable in
+    // the schema (an external writer may append metadata-only rows);
+    // a null payload writes nothing — pass 1's truncate already sized
+    // the file, so skipping is exactly the positional-write semantics.
     current
       .select("parent", "name", "chunk_offset", "data")
+      .filter(col("data").isNotNull)
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
         rows.foreach { r =>
           val p = Paths.get(

@@ -110,6 +110,12 @@ object Ingest {
       .flatMap { case (m, fileBase) =>
         val layout = RootFs.chunkLayout(m.size, maxChunkSize)
         val ch = java.nio.channels.FileChannel.open(Paths.get(m.absPath))
+        // the exhaustion close below never runs when a task dies (or a
+        // downstream operator stops early) mid-iteration — without the
+        // completion listener every such task leaks one fd per in-flight
+        // file, and stage retries over a large tree exhaust the limit
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => if (ch.isOpen) ch.close()))
         val it = layout.iterator.map { case (id, off, len) =>
           val buf = java.nio.ByteBuffer.allocate(len.toInt)
           ch.position(off)
@@ -260,8 +266,7 @@ object Ingest {
       .option("recursiveFileLookup", "true").load(rootAbs)
       .select(col("path"), col("modificationTime"), col("length"))
       .filter(notSymlink(col("path")))
-    val empties = emptyFileEntries(spark, rootAbs)
-    val all = meta.unionByName(empties)
+    val all = meta.unionByName(listingGapEntries(spark, rootAbs))
 
     // name/parent from the path string, relative to the ingest root
     // (scheme + optional authority stripped, then the root's path part)
@@ -315,7 +320,17 @@ object Ingest {
   /** Zero-byte regular files under `root`, shaped like the binaryFile
     * metadata projection. Streaming RemoteIterator: the driver holds only
     * the EMPTY files, not the tree. */
-  private def emptyFileEntries(spark: SparkSession, rootAbs: String): DataFrame = {
+  /** The files Spark's binaryFile listing cannot see, found by ONE
+    * driver-side recursive listing (the walk `run()` does anyway):
+    *  - EMPTY files — binaryFile drops zero-length objects;
+    *  - files under `_`/`.`-prefixed segments — InMemoryFileIndex's
+    *    hidden-path filter is hardcoded, and silently losing /.bashrc
+    *    or a _SUCCESS marker from a filesystem COPY tool is data loss
+    *    (`run()`'s walk has always ingested them; the two ingest paths
+    *    must agree).
+    * Bytes for the non-empty gap files still read on EXECUTORS — this
+    * walk contributes only (path, mtime, length) rows. */
+  private def listingGapEntries(spark: SparkSession, rootAbs: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
     val conf = spark.sparkContext.hadoopConfiguration
@@ -329,13 +344,11 @@ object Ingest {
       val u = st.getPath.toUri
       val localSymlink = (u.getScheme == null || u.getScheme == "file") &&
         Files.isSymbolicLink(Paths.get(u.getPath))
-      // match binaryFile's hidden-path convention: `_`/`.`-prefixed
-      // segments (e.g. _SUCCESS markers) are not data
       val hidden = u.getPath.stripPrefix(rootPathPart).split("/")
         .exists(s => s.startsWith("_") || s.startsWith("."))
-      if (st.getLen == 0 && st.isFile && !localSymlink && !hidden)
+      if (st.isFile && !localSymlink && (hidden || st.getLen == 0))
         out += ((st.getPath.toString,
-          new java.sql.Timestamp(st.getModificationTime), 0L))
+          new java.sql.Timestamp(st.getModificationTime), st.getLen))
     }
     out.result()
       .toDF("path", "modificationTime", "length")

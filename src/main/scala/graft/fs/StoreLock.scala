@@ -115,6 +115,22 @@ object StoreLock {
     * acquisition with capped exponential backoff until the deadline —
     * for callers like a streaming micro-batch that would otherwise fail
     * the whole trigger because a compaction briefly held the store. */
+  /** Holder JSON with the owner JSON-escaped: a caller-supplied owner
+    * carrying a quote, backslash, or control char must not produce an
+    * unreadable holder file — that would break BOTH the heartbeat's
+    * ownership check (since_ms freezes, a competitor breaks a live
+    * lock) and the release's owner compare (the lock is never deleted,
+    * stalling every later cycle until staleMs). */
+  private def holderJsonOf(owner: String, sinceMs: Long): Array[Byte] = {
+    val esc = owner.flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case c if c < ' '  => f"\\u${c.toInt}%04x"
+      case c             => c.toString
+    }
+    s"""{"owner":"$esc","since_ms":$sinceMs}""".getBytes(StandardCharsets.UTF_8)
+  }
+
   def withLock[T](
       dir: String,
       conf: Configuration = new Configuration(),
@@ -128,9 +144,7 @@ object StoreLock {
 
     val sinceMs = System.currentTimeMillis()
     val self = Holder(owner, sinceMs)
-    val holderJson =
-      s"""{"owner":"$owner","since_ms":$sinceMs}"""
-        .getBytes(StandardCharsets.UTF_8)
+    val holderJson = holderJsonOf(owner, sinceMs)
 
     def tryAcquire(): Boolean =
       try {
@@ -241,8 +255,7 @@ object StoreLock {
             Thread.sleep(math.max(staleMs / 3, 1000L))
             if (!stopping.get && holder(dir, conf).exists(_.owner == owner)) {
               atomicRewrite(
-                s"""{"owner":"$owner","since_ms":${System.currentTimeMillis()}}"""
-                  .getBytes(StandardCharsets.UTF_8))
+                holderJsonOf(owner, System.currentTimeMillis()))
             }
           } catch {
             case _: InterruptedException => // loop re-checks the flag

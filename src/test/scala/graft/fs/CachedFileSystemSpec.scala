@@ -127,6 +127,16 @@ class CachedFileSystemSpec extends SparkSuite {
     } finally in2.close()
   }
 
+  test("route is a pure scheme prefix: URI-illegal path chars survive") {
+    // a space in a partition value is legal on the filesystem; routing
+    // must not throw on it or re-encode the path bytes
+    assert(CachedFileSystem.route("s3a://b/p0=My Documents/x.parquet") ==
+      "cached-s3a://b/p0=My Documents/x.parquet")
+    intercept[IllegalArgumentException] {
+      CachedFileSystem.route("/no/scheme/here")
+    }
+  }
+
   test("writes through the cached scheme land on the backend and invalidate") {
     val tmp = Files.createTempDirectory("cachedfs4").toString
     arm(s"$tmp/cache", minObject = 1)

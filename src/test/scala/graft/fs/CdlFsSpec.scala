@@ -145,6 +145,19 @@ class CdlFsSpec extends SparkSuite {
     assert(m == 0)
   }
 
+  test("export generation sentinel: first stamped append beats an unstamped re-append") {
+    import spark.implicits._
+    // generation key of the table's FIRST stamped append is 0 (row_id 0
+    // - chunk_id 0): the unstamped sentinel must sort BELOW it, never
+    // tie it — a tie would let two generations' positional writes race
+    val t = Seq(
+      ("/", "f.txt", 0L, Some(0L), "new"),
+      ("/", "f.txt", 0L, None, "old"))
+      .toDF("parent", "name", "chunk_id", "row_id", "tag")
+    val kept = graft.fs.Export.latestGeneration(t).collect()
+    assert(kept.length == 1 && kept.head.getAs[String]("tag") == "new")
+  }
+
   test("take falls back when external rows lack the row_id stamp") {
     import org.apache.spark.sql.functions.lit
     val fsX = CdlFs.open(spark, DatasetCatalog(),

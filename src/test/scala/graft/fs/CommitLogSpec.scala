@@ -121,10 +121,15 @@ class CommitLogSpec extends SparkSuite {
     Files.write(Paths.get(s"$tree/a.bin"), Array.fill[Byte](2500)('x'))
     Files.write(Paths.get(s"$tree/sub/b.txt"), "bb".getBytes)
     Files.write(Paths.get(s"$tree/zero.bin"), Array.emptyByteArray)
-    // zero-byte HIDDEN files (a previous Spark job's marker) must be
-    // skipped like binaryFile skips non-empty hidden files
+    // HIDDEN files must be ingested like run()'s walk ingests them —
+    // this is a filesystem COPY tool, and /.bashrc or a _SUCCESS
+    // marker silently missing from an export is data loss. Spark's
+    // binaryFile listing cannot see them (hardcoded hidden-path
+    // filter), so the driver-side gap walk contributes them; the
+    // non-empty dotfile proves its BYTES flow through the executor
+    // read path too.
     Files.write(Paths.get(s"$tree/_SUCCESS"), Array.emptyByteArray)
-    Files.write(Paths.get(s"$tree/sub/.hidden"), Array.emptyByteArray)
+    Files.write(Paths.get(s"$tree/sub/.hidden"), "dot".getBytes)
 
     val fs = CdlFs.open(spark,
       graft.core.DatasetCatalog(maxChunkSize = 1024),
@@ -136,10 +141,29 @@ class CommitLogSpec extends SparkSuite {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     assert(rows == Set(
       ("/", "a.bin", 0L), ("/", "a.bin", 1L), ("/", "a.bin", 2L),
-      ("/", "zero.bin", 0L), ("/sub", "b.txt", 0L)))
-    // bytes round-trip through the remote read path
+      ("/", "zero.bin", 0L), ("/sub", "b.txt", 0L),
+      ("/", "_SUCCESS", 0L), ("/sub", ".hidden", 0L)))
+    // bytes round-trip through the remote read path — for the plainly
+    // listed file AND the gap-walked hidden one
     assert(new String(fs.readFilesByCondition("name = 'b.txt'")
       .collect().head.getAs[Array[Byte]]("data")) == "bb")
+    assert(new String(fs.readFilesByCondition("name = '.hidden'")
+      .collect().head.getAs[Array[Byte]]("data")) == "dot")
+  }
+
+  test("a data file with a control char in its name does not wedge the log") {
+    val conf = hconf
+    val tmp = Files.createTempDirectory("ctrlname").toString
+    val loc = s"$tmp/rootfs"
+    Files.createDirectories(Paths.get(loc))
+    // legal POSIX filename an EXTERNAL writer could drop in; the
+    // manifest serializer must escape it or every later read throws
+    Files.write(Paths.get(loc, "bad\nname.parquet"), "junk".getBytes)
+    val snap = CommitLog.commit(loc, 0L, conf)
+    assert(snap.files.exists(_.contains("bad\nname")))
+    // the round-trip is the point: a torn serializer parses nothing
+    val back = CommitLog.snapshot(loc, snap.version, conf).get
+    assert(back.files == snap.files)
   }
 
   test("manifests exclude in-flight _temporary and hidden work files") {

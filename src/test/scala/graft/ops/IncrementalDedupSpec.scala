@@ -283,6 +283,17 @@ class IncrementalDedupSpec extends SparkSuite {
     b.join(10000)
   }
 
+  test("an owner with JSON metacharacters still releases its lock") {
+    // an unescaped quote/backslash would make the holder file
+    // unparseable: the release's owner compare never matches, the lock
+    // is never deleted, and the NEXT writer here would fail loudly
+    val dir = Files.createTempDirectory("lock_meta").toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    graft.fs.StoreLock.withLock(dir, conf,
+      owner = "job \"nightly\" \\ batch") { () }
+    graft.fs.StoreLock.withLock(dir, conf, owner = "second") { () }
+  }
+
   test("release deletes only our own lock, never a usurper's fresh one") {
     // The double-break hazard: A's cycle outlives staleMs, B breaks the
     // stale lock and claims a fresh one. A's release must then NOT delete
