@@ -16,13 +16,14 @@ import graft.functions.{CosineSimilarity, LshSignature, RabinFingerprint, Vector
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    // the ONE len builder (Len.builder): BINARY keeps the reference's
+    // byte semantics, strings keep Spark 4's builtin character
+    // semantics — a blanket octet override would silently change
+    // len('héllo') for every user query in the session
     e.injectFunction((
       FunctionIdentifier("len"),
       new ExpressionInfo(classOf[OctetLength].getName, "len"),
-      (exprs: Seq[Expression]) => {
-        require(exprs.length == 1, s"len() takes 1 argument, got ${exprs.length}")
-        Cast(OctetLength(exprs.head), LongType)
-      }))
+      graft.functions.Len.builder))
     e.injectFunction((
       FunctionIdentifier("rabin_fingerprint"),
       new ExpressionInfo(classOf[RabinFingerprint].getName, "rabin_fingerprint"),
@@ -49,14 +50,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("lsh_signature"),
       new ExpressionInfo(classOf[LshSignature].getName, "lsh_signature"),
       (exprs: Seq[Expression]) => {
-        require(exprs.length == 2, "lsh_signature() takes (vec, planes)")
-        val planes = exprs(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
-            org.apache.spark.sql.types.IntegerType) => v
-          case other => throw new IllegalArgumentException(
-            s"lsh_signature planes must be an int literal, got $other")
-        }
-        LshSignature(exprs(0), planes)
+        // same 2-3 arg contract as the Vec.register path — the 3-arg
+        // form builds table k of a multi-table LSH index and must not
+        // be available on one registration path only
+        require(exprs.length == 2 || exprs.length == 3,
+          "lsh_signature() takes (vec, planes[, planeOffset])")
+        val off =
+          if (exprs.length == 3)
+            graft.functions.FnArgs.intLit(exprs(2), "lsh_signature planeOffset")
+          else 0
+        LshSignature(exprs(0),
+          graft.functions.FnArgs.intLit(exprs(1), "lsh_signature planes"), off)
       }))
   }
 }

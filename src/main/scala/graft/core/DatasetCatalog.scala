@@ -30,14 +30,23 @@ final case class DatasetCatalog(
   def merge(kwargs: Map[String, String]): Either[String, DatasetCatalog] =
     kwargs.foldLeft[Either[String, DatasetCatalog]](Right(this)) {
       case (acc, (k, v)) =>
+        // numeric parses go through the Either contract too — a raw
+        // NumberFormatException would bypass the error path the strict
+        // merge promises, and without naming the offending KEY
+        def num[T](parse: String => T)(set: T => DatasetCatalog) =
+          try Right(set(parse(v)))
+          catch {
+            case _: NumberFormatException =>
+              Left(s"catalog key $k needs an integer value, got: $v")
+          }
         acc.flatMap { c =>
           k match {
             case "cache_dir"             => Right(c.copy(cacheDir = v))
-            case "max_buffer_size"       => Right(c.copy(maxBufferSize = v.toLong))
-            case "max_cache_size"        => Right(c.copy(maxCacheSize = v.toLong))
-            case "max_chunk_size"        => Right(c.copy(maxChunkSize = v.toLong))
-            case "max_write_threads"     => Right(c.copy(maxWriteThreads = v.toInt))
-            case "min_cache_object_size" => Right(c.copy(minCacheObjectSize = v.toLong))
+            case "max_buffer_size"       => num(_.toLong)(x => c.copy(maxBufferSize = x))
+            case "max_cache_size"        => num(_.toLong)(x => c.copy(maxCacheSize = x))
+            case "max_chunk_size"        => num(_.toLong)(x => c.copy(maxChunkSize = x))
+            case "max_write_threads"     => num(_.toInt)(x => c.copy(maxWriteThreads = x))
+            case "min_cache_object_size" => num(_.toLong)(x => c.copy(minCacheObjectSize = x))
             case "s3_endpoint"           => Right(c.copy(s3Endpoint = v))
             case "s3_region"             => Right(c.copy(s3Region = v))
             case "s3_access_key"         => Right(c.copy(s3AccessKey = Some(v)))

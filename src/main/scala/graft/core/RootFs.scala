@@ -49,16 +49,16 @@ object RootFs {
       data: Array[Byte],
       row_id: Option[Long] = None)
 
-  /** Chunk layout for a file of `size` bytes under `maxChunkSize`
-    * (0 disables chunking → one chunk). Closed form matches the
-    * reference loop (crates/cdl-fs/src/lib.rs:666-697):
-    * chunk_id ∈ 0..=((size-1)/max), offset = id*max,
-    * chunk_size = min(size, (id+1)*max) - offset. */
   /** Number of chunks a file of `size` bytes occupies (closed form of
     * `chunkLayout(...).size` — no Seq materialization for huge files). */
   def chunkCount(size: Long, maxChunkSize: Long): Long =
     if (maxChunkSize <= 0 || size == 0) 1L else (size - 1) / maxChunkSize + 1
 
+  /** Chunk layout for a file of `size` bytes under `maxChunkSize`
+    * (0 disables chunking → one chunk). Closed form matches the
+    * reference loop (crates/cdl-fs/src/lib.rs:666-697):
+    * chunk_id ∈ 0..=((size-1)/max), offset = id*max,
+    * chunk_size = min(size, (id+1)*max) - offset. */
   def chunkLayout(size: Long, maxChunkSize: Long): Seq[(Long, Long, Long)] = {
     require(size >= 0, s"negative size $size")
     if (maxChunkSize <= 0 || size == 0) Seq((0L, 0L, size))

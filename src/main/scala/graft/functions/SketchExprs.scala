@@ -33,11 +33,8 @@ object SketchExprs {
 
   /** Register all sketch functions on `spark` (idempotent). */
   def register(spark: SparkSession): Unit = {
-    def lit2Int(e: Expression, what: String): Int = e match {
-      case Literal(v: Int, IntegerType) => v
-      case other => throw new IllegalArgumentException(
-        s"$what must be an int literal, got $other")
-    }
+    def lit2Int(e: Expression, what: String): Int =
+      FnArgs.intLit(e, what)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sig",
       (exprs: Seq[Expression]) => {
@@ -349,35 +346,38 @@ case class WinnowMinima(child: Expression, w: Int) extends UnaryExpression {
     * the distinct+sort needs a TreeSet, which is not worth inlining as
     * Java source (the call stays inside the whole-stage-codegen stage). */
   def winnow(arr: ArrayData): ArrayData = {
+    // sliding-window minimum via the monotonic deque: each index is
+    // pushed and popped at most once, so the pass is O(n) where the
+    // naive per-window rescan was O(n·w) — a w-fold cut in the per-row
+    // hot loop this expression exists to optimize (w=50 is a typical
+    // MOSS window). The deque holds indices of a non-decreasing value
+    // run; the window's minimum VALUE is at its head, and the output
+    // SET of minima is tie-break-independent.
     val n = arr.numElements()
     if (n < w) return new GenericArrayData(Array.empty[Any])
+    val dq = new java.util.ArrayDeque[Integer]()
     if (isString) {
       val set = new java.util.TreeSet[UTF8String]()
-      var i = w - 1
+      var i = 0
       while (i < n) {
-        var m = arr.getUTF8String(i - w + 1)
-        var j = i - w + 2
-        while (j <= i) {
-          val c = arr.getUTF8String(j)
-          if (c.compareTo(m) < 0) m = c
-          j += 1
-        }
-        set.add(m)
+        val v = arr.getUTF8String(i)
+        while (!dq.isEmpty &&
+          arr.getUTF8String(dq.peekLast()).compareTo(v) >= 0) dq.removeLast()
+        dq.addLast(i)
+        if (dq.peekFirst() <= i - w) dq.removeFirst()
+        if (i >= w - 1) set.add(arr.getUTF8String(dq.peekFirst()))
         i += 1
       }
       new GenericArrayData(set.toArray.asInstanceOf[Array[Any]])
     } else {
       val set = new java.util.TreeSet[java.lang.Long]()
-      var i = w - 1
+      var i = 0
       while (i < n) {
-        var m = arr.getLong(i - w + 1)
-        var j = i - w + 2
-        while (j <= i) {
-          val c = arr.getLong(j)
-          if (c < m) m = c
-          j += 1
-        }
-        set.add(m)
+        val v = arr.getLong(i)
+        while (!dq.isEmpty && arr.getLong(dq.peekLast()) >= v) dq.removeLast()
+        dq.addLast(i)
+        if (dq.peekFirst() <= i - w) dq.removeFirst()
+        if (i >= w - 1) set.add(arr.getLong(dq.peekFirst()))
         i += 1
       }
       val out = new Array[Long](set.size)

@@ -237,13 +237,9 @@ object Vec {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2 || exprs.length == 3,
           s"lsh_signature() takes (vec, planes[, planeOffset])")
-        def intLit(e: Expression, what: String): Int = e match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
-          case other => throw new IllegalArgumentException(
-            s"lsh_signature $what must be an int literal, got $other")
-        }
-        val off = if (exprs.length == 3) intLit(exprs(2), "planeOffset") else 0
-        LshSignature(exprs(0), intLit(exprs(1), "planes"), off)
+        val off = if (exprs.length == 3)
+          FnArgs.intLit(exprs(2), "lsh_signature planeOffset") else 0
+        LshSignature(exprs(0), FnArgs.intLit(exprs(1), "lsh_signature planes"), off)
       },
       "scala_udf")
   }

@@ -18,7 +18,12 @@ import org.apache.spark.sql.types._
 object EventStreams {
 
   /** Fallback schema when the source dir is still empty at stream open:
-    * `ts` as raw nanos (TIMESTAMP(NANOS) files read as long). */
+    * `ts` as raw nanos (TIMESTAMP(NANOS) files read as long — the
+    * encoding the CURRENT corpus ships). A stream opened on an empty
+    * dir that will be fed TIMESTAMP_NTZ files instead must pass its own
+    * schema: the streaming engine pins the schema at open, and a
+    * type-mismatched file fails the micro-batch loudly (never a silent
+    * 1000× ts_ms skew — the dispatch below is per-TYPE). */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -60,22 +65,59 @@ object EventStreams {
   /** Stateful sessionization with mapGroupsWithState: the incremental form
     * of the batch q_sessionize (30-minute gap splits a session). Emits the
     * running per-user totals each trigger; state is one small record per
-    * user. */
-  def sessionize(events: Dataset[Event]): Dataset[UserSessions] = {
+    * user.
+    *
+    * Ordering contract: events are sorted WITHIN each trigger, and an
+    * event arriving in a LATER trigger with an older timestamp joins the
+    * already-open session (counted, never advancing — or rewinding —
+    * the session clock). The clock is monotone: a late straggler must
+    * not drag `lastTsMs` backwards, or the next in-order event would
+    * measure its gap against the straggler and open a phantom session
+    * the batch twin (which sorts globally) never sees.
+    *
+    * State bound: state is one small record per user EVER seen —
+    * unbounded on an open-ended key space. Pass `evictAfter` (e.g.
+    * "2 hours", several times the session gap) to evict idle users
+    * with a final totals emission; a user reappearing after eviction
+    * starts fresh totals, and consumers that need lifetime totals
+    * aggregate the emissions downstream. Eviction uses
+    * ProcessingTimeTimeout, which makes the engine schedule no-data
+    * micro-batches to fire timeouts — pair it with a real trigger
+    * interval in production; the default (no eviction) keeps
+    * `processAllAvailable` drives (tests, backfills) from busy-looping
+    * empty batches. */
+  def sessionize(
+      events: Dataset[Event],
+      evictAfter: Option[String] = None): Dataset[UserSessions] = {
     import events.sparkSession.implicits._
+    val timeoutKind = evictAfter
+      .map(_ => GroupStateTimeout.ProcessingTimeTimeout)
+      .getOrElse(GroupStateTimeout.NoTimeout)
     events.groupByKey(_.user_id)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState(timeoutKind) {
         (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = batch.toSeq.sortBy(e => (e.ts_ms, e.event_id))
-          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
-          sorted.foreach { e =>
-            val newSession = st.lastTsMs == Long.MinValue ||
-              e.ts_ms - st.lastTsMs > 1800000L
-            st = SessionState(e.ts_ms,
-              st.nSessions + (if (newSession) 1 else 0), st.nEvents + 1)
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            UserSessions(userId, st.nSessions, st.nEvents)
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts_ms, e.event_id))
+            var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+            sorted.foreach { e =>
+              if (st.lastTsMs == Long.MinValue || e.ts_ms >= st.lastTsMs) {
+                val newSession = st.lastTsMs == Long.MinValue ||
+                  e.ts_ms - st.lastTsMs > 1800000L
+                st = SessionState(e.ts_ms,
+                  st.nSessions + (if (newSession) 1 else 0), st.nEvents + 1)
+              } else {
+                // late arrival: joins the open session; clock stays put
+                st = st.copy(nEvents = st.nEvents + 1)
+              }
+            }
+            state.update(st)
+            evictAfter.foreach(state.setTimeoutDuration)
+            UserSessions(userId, st.nSessions, st.nEvents)
           }
-          state.update(st)
-          UserSessions(userId, st.nSessions, st.nEvents)
       }
   }
 
@@ -98,7 +140,8 @@ object EventStreams {
   def runToMemory(df: DataFrame, name: String, outputMode: String = "append"): Unit = {
     val q = df.writeStream.outputMode(outputMode)
       .format("memory").queryName(name).start()
-    q.processAllAvailable()
-    q.stop()
+    // stop even when a micro-batch fails: a dangling query keeps the
+    // memory-sink name registered and wedges the next run under it
+    try q.processAllAvailable() finally q.stop()
   }
 }

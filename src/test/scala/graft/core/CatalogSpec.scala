@@ -32,6 +32,11 @@ class CatalogSpec extends AnyFunSuite {
     assert(DatasetCatalog.fromMap(Map("bogus_key" -> "1")).isLeft)
   }
 
+  test("non-numeric value for a numeric key is a Left naming the key, not a throw") {
+    val e = DatasetCatalog.fromMap(Map("max_buffer_size" -> "1e9"))
+    assert(e.isLeft && e.swap.exists(_.contains("max_buffer_size")), e)
+  }
+
   test("storageOptions exports S3A config") {
     val c = DatasetCatalog(s3AccessKey = Some("k"), s3SecretKey = Some("s"))
     val o = c.storageOptions

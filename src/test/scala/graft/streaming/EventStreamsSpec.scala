@@ -88,6 +88,45 @@ class EventStreamsSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("a late cross-trigger straggler never rewinds the session clock") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("evlate").toString
+    def stage(events: Seq[(Long, Long, Long)], tag: String): Unit = {
+      val tmp = Files.createTempDirectory("evlateb").toString
+      events.toDF("event_id", "user_id", "ts_ms")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      import scala.jdk.CollectionConverters._
+      Files.list(java.nio.file.Paths.get(tmp)).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .foreach(p => Files.move(p,
+          java.nio.file.Paths.get(dir, s"$tag-${p.getFileName}")))
+    }
+    // trigger 1: t=1000s. trigger 2: a straggler at t=10s — it must
+    // JOIN the open session without dragging lastTs back, or trigger
+    // 3's t=1900s (a 900 s real gap) would read as a 1890 s gap and
+    // open a phantom second session the batch twin never sees.
+    stage(Seq((1L, 7L, 1000000L)), "b1")
+    val stream = spark.readStream
+      .schema("event_id BIGINT, user_id BIGINT, ts_ms BIGINT")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .as[EventStreams.Event]
+    val q = EventStreams.sessionize(stream).writeStream
+      .outputMode("update").format("memory").queryName("late_sessions").start()
+    q.processAllAvailable()
+    stage(Seq((2L, 7L, 10000L)), "b2")
+    q.processAllAvailable()
+    stage(Seq((3L, 7L, 1900000L)), "b3")
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("late_sessions")
+      .groupBy("user_id")
+      .agg(max("n_sessions").as("ns"), max("n_events").as("ne"))
+      .collect().head
+    assert(last.getLong(1) == 1L, s"phantom session: $last")
+    assert(last.getLong(2) == 3L, s"straggler dropped: $last")
+  }
+
   test("streaming dedup drops within-horizon duplicates, first arrival wins") {
     val dir = Files.createTempDirectory("evdedup").toString
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
