@@ -29,21 +29,30 @@ object IvfIndex {
       nlist: Int = 16,
       kmeansIters: Int = 0,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): Unit = {
-    val cand = candidates.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    // seeding + assignment are the SAME helpers the inline ivfTopK uses —
-    // the "persisted index reproduces the inline path" contract
-    val cents =
-      if (kmeansIters > 0)
-        Similarity.kmeansCentroids(candidates, nlist, kmeansIters, idCol, vecCol)
-      else Similarity.seedCentroids(cand, nlist)
-    cents.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
-    val centroids =
-      candidates.sparkSession.read.parquet(s"$indexDir/centroids")
-    Similarity.assignCells(cand, centroids)
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$indexDir/assignments")
-  }
+      vecCol: String = "embedding"): Unit =
+    // under the writer lock like every other mutation: an unlocked
+    // build racing a locked append would interleave its overwrites with
+    // the append's reads. And sweep FIRST — a stale _rebuild_ready
+    // marker from a crashed rebuild would otherwise survive the build
+    // and resurrect the PRE-crash generation over the fresh tables on
+    // the next locked cycle's sweep.
+    graft.fs.StoreLock.withLock(indexDir,
+      candidates.sparkSession.sparkContext.hadoopConfiguration) {
+      sweepRebuild(candidates.sparkSession, indexDir)
+      val cand = candidates.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      // seeding + assignment are the SAME helpers the inline ivfTopK uses —
+      // the "persisted index reproduces the inline path" contract
+      val cents =
+        if (kmeansIters > 0)
+          Similarity.kmeansCentroids(candidates, nlist, kmeansIters, idCol, vecCol)
+        else Similarity.seedCentroids(cand, nlist)
+      cents.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+      val centroids =
+        candidates.sparkSession.read.parquet(s"$indexDir/centroids")
+      Similarity.assignCells(cand, centroids)
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$indexDir/assignments")
+    }
 
   /** Append a batch to an existing index WITHOUT a rebuild — the
     * maintenance path an hourly-ingest vector store actually runs. New
@@ -100,7 +109,8 @@ object IvfIndex {
       }
       val widthOk = tableElem == batchElem
       require(widthOk ||
-        tableElem == org.apache.spark.sql.types.DoubleType,
+        (tableElem == org.apache.spark.sql.types.DoubleType &&
+          batchElem.isInstanceOf[org.apache.spark.sql.types.NumericType]),
         s"index $indexDir stores ARRAY<${tableElem.sql}> vectors but the " +
           s"batch's $vecCol is ARRAY<${batchElem.sql}> — narrowing would " +
           "change scores; rebuild the index at the wider type or cast " +
@@ -108,6 +118,10 @@ object IvfIndex {
       val cand = batch.select(col(idCol).as("id"),
         (if (widthOk) col(vecCol)
          else transform(col(vecCol), x => x.cast("double"))).as("vec"))
+        // the existing-id anti-join below cannot catch a duplicate
+        // WITHIN the batch (neither copy is in the table yet) — both
+        // would commit and the neighbor would surface at two ranks
+        .dropDuplicates("id")
       val centroids = spark.read.parquet(s"$indexDir/centroids")
       val assigned = Similarity.assignCells(cand, centroids)
         // reused by the touched probe, the anti-join, and the write
@@ -200,6 +214,13 @@ object IvfIndex {
     fs.delete(tmp, true)
     val corpus = spark.read.parquet(s"$indexDir/assignments")
       .select("id", "vec")
+    // KNOWN RATCHET: nlist derives from the current centroid table, and
+    // kmeansCentroids drops cells that received no members — a rebuild
+    // over heavily drifted data can emit fewer than nlist centroids,
+    // and the NEXT rebuild inherits the shrunken count. Monitor with
+    // `health`/`imbalance` and re-`build` at the intended nlist if the
+    // cell count has decayed; carrying nlist in an index manifest is
+    // the durable fix.
     val nlist = spark.read.parquet(s"$indexDir/centroids").count().toInt
     // build the COMPLETE new generation under tmp — reads the live
     // tables, writes elsewhere, so no read-under-overwrite hazard
@@ -251,15 +272,23 @@ object IvfIndex {
 
   /** The assignments scan restricted to `cells` — THE partition-pruned
     * read (search() and the pruning spec share it, so the spec tests the
-    * real plan). Cells filter as INT literals: hive partition-type
-    * inference types the small numeric `cell=` values as INT, and a
-    * BIGINT comparison would wrap the partition attribute in a cast —
-    * which defeats partition pruning and silently degrades every probe
-    * to a full corpus scan. */
+    * real plan). Literal type MATCHES the inferred partition type: hive
+    * partition inference types small `cell=` values as INT, and a
+    * BIGINT comparison there would wrap the partition attribute in a
+    * cast — defeating pruning, degrading every probe to a corpus scan.
+    * But a blanket `.toInt` would silently TRUNCATE when the inference
+    * says BIGINT (seed cells are raw vector ids, which can exceed Int):
+    * the isin would match nothing, searches would return empty, and the
+    * append anti-join's witness would vanish. Dispatch on the schema. */
   private[ops] def probedAssignments(
-      spark: SparkSession, indexDir: String, cells: Seq[Long]): DataFrame =
-    spark.read.parquet(s"$indexDir/assignments")
-      .filter(col("cell").isin(cells.map(_.toInt): _*))
+      spark: SparkSession, indexDir: String, cells: Seq[Long]): DataFrame = {
+    val df = spark.read.parquet(s"$indexDir/assignments")
+    val lits: Seq[Any] = df.schema("cell").dataType match {
+      case org.apache.spark.sql.types.IntegerType => cells.map(_.toInt)
+      case _                                      => cells
+    }
+    df.filter(col("cell").isin(lits: _*))
+  }
 
   /** Search the index: exact cosine top-k over the `nprobe` nearest
     * cells of each query. The probed cell set reaches the assignments
@@ -289,13 +318,13 @@ object IvfIndex {
     val probedCells = qcells.select("cell").distinct()
       .collect().map(_.getLong(0)).toSeq
     val assignments = probedAssignments(spark, indexDir, probedCells)
-    val scored = assignments.join(broadcast(qcells), Seq("cell"))
-      .select(col("query_id"), col("id").as("neighbor_id"),
-        round(Similarity.cosine(col("qvec"), col("vec")), 4).as("cosine"))
-    // two-stage top-k: no partition ever holds a query's whole probed set
-    val out = Similarity.twoStageTopK(scored, k)
-      .localCheckpoint() // release the qcells pin without invalidating out
-    qcells.unpersist()
-    out
+    try {
+      val scored = assignments.join(broadcast(qcells), Seq("cell"))
+        .select(col("query_id"), col("id").as("neighbor_id"),
+          round(Similarity.cosine(col("qvec"), col("vec")), 4).as("cosine"))
+      // two-stage top-k: no partition ever holds a query's whole probed set
+      Similarity.twoStageTopK(scored, k)
+        .localCheckpoint() // release the qcells pin without invalidating out
+    } finally qcells.unpersist() // a failed probe must not pin the cache
   }
 }

@@ -46,7 +46,14 @@ object Sampling {
 
   /** Disjoint, exhaustive split assignment (train/val/test …): adds
     * `outCol` with the split name chosen by the key's bucket against the
-    * cumulative fraction thresholds. Fractions must sum to 1. */
+    * cumulative fraction thresholds. Fractions must sum to 1.
+    *
+    * NULL keys are dropped, matching `hashSample`/`mixtureSample` — a
+    * null key hashes to NULL, every threshold comparison is UNKNOWN,
+    * and the when-chain's `otherwise` would silently dump every
+    * null-key row into the LAST split (typically the held-out set).
+    * One family-wide rule — mint keys upstream — beats three silent
+    * per-operator behaviors. */
   def assignSplits(
       df: DataFrame,
       key: Column,
@@ -65,7 +72,7 @@ object Sampling {
         Some(acc.fold(when(cond, name))(_.when(cond, name)))
       }
       .fold(lit(splits.head._1))(_.otherwise(splits.last._1))
-    df.withColumn(outCol, labeled)
+    df.filter(key.isNotNull).withColumn(outCol, labeled)
   }
 
   /** Source-mixture sample — the "data mixing" step of a training
@@ -113,7 +120,11 @@ object Sampling {
       salt: String = ""): DataFrame = {
     val w = Window.partitionBy(strata.map(col): _*)
       .orderBy(md5(concat(lit(salt), key)), key)
-    df.withColumn("rank", row_number().over(w).cast("long"))
+    // null keys dropped (the family rule — see assignSplits): a NULL
+    // ordering key would sort FIRST and be deterministically preferred
+    // into every stratum's sample
+    df.filter(key.isNotNull)
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
 }

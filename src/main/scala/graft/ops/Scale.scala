@@ -47,9 +47,17 @@ object Scale {
     * this (SPARK-25341): a fetch failure in an indeterminate stage
     * re-runs the WHOLE stage, not just lost tasks, so output stays
     * consistent at the cost of a wider retry. */
-  private[graft] def saltOf(df: DataFrame, factor: Int): Column =
-    pmod(xxhash64((df.columns.toIndexedSeq.map(col) :+
+  private[graft] def saltOf(df: DataFrame, factor: Int): Column = {
+    // hash only the HASHABLE columns: xxhash64 rejects MapType children
+    // at analysis time, and a payload map riding the skewed side must
+    // not fail a join it plays no role in salting (any column subset
+    // spreads byte-identical rows once the partition id is mixed in)
+    val hashable = df.schema.fields.toIndexedSeq
+      .filter(f => !f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      .map(f => col(f.name))
+    pmod(xxhash64((hashable :+
       spark_partition_id().cast("long")): _*), lit(factor)).cast("int")
+  }
 
   /** Top-k heavy hitters per group without funneling any group through a
     * single task: partial top-k per (group, hash-slice of the value),

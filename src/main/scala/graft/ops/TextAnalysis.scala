@@ -46,7 +46,13 @@ object TextAnalysis {
       text, stopwords +: langMarkers.map(_._2))
 
   /** Fraction of tokens that are (English) stopwords — the standard cheap
-    * quality / language signal. */
+    * quality / language signal. Known skew, shared with the DuckDB
+    * oracle's restatement: the numerator (tokenSetCounts) skips
+    * zero-length tokens while the denominator (size of a single-space
+    * split) counts them, so text with repeated/leading/trailing spaces
+    * under-scores proportionally to its empty-token count. Both sides
+    * of the gate compute it identically; fixing it means changing the
+    * ratio's definition in BOTH at once. */
   def stopwordRatio(text: Column): Column = {
     val toks = tokens(text)
     round(
@@ -80,7 +86,9 @@ object TextAnalysis {
   }
 
   /** Language-ID by stopword evidence: counts hits from tiny per-language
-    * marker lexicons and picks the argmax (ties → 'und'). N-gram-free but
+    * marker lexicons and picks the argmax (zero hits → 'und'; equal
+    * non-zero hits break by language-key order — de/en/es/fr — the
+    * deterministic rule the gate pins). N-gram-free but
     * the same shape as real lang-id: per-language evidence → argmax. */
   def langIdHeuristic(text: Column): Column = {
     val scored = langMarkers.zipWithIndex.map { case ((lang, _), i) =>
