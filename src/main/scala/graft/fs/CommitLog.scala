@@ -152,6 +152,17 @@ object CommitLog {
     // deletes the file by hand. The `_`-prefixed temp is invisible to
     // both versions() (name regex) and parquet discovery.
     val dst = new Path(dir, f"v$version%08d.json")
+    // sweep orphaned temp files first (the writeManifest pattern): a
+    // crashed commit's _v<N>.tmp-<pid> would otherwise sit in the log
+    // dir forever, and a LATER process that drew the same pid at the
+    // same version would silently overwrite it mid-write. Safe to
+    // delete unconditionally: commit is single-writer by contract (a
+    // concurrent commit already races the version rename itself), so
+    // any tmp present here is a dead writer's
+    fs.listStatus(dir)
+      .filter(_.getPath.getName.startsWith("_v"))
+      .filter(_.getPath.getName.contains(".tmp-"))
+      .foreach(s => fs.delete(s.getPath, false))
     val tmp = new Path(dir, s"_v$version.tmp-${ProcessHandle.current().pid()}")
     val out = fs.create(tmp, true)
     try out.write(json.getBytes(StandardCharsets.UTF_8))

@@ -98,9 +98,28 @@ object SketchExprs {
         ArrayIntersectCount(exprs(0), exprs(1))
       },
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_might_contain",
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          "bloom_might_contain() takes (value, bloomBytes)")
+        val bytes = exprs(1) match {
+          case Literal(v: Array[Byte], BinaryType) => v
+          case other => throw new IllegalArgumentException(
+            s"bloom bytes must be a binary literal, got $other")
+        }
+        BloomMightContain(exprs(0), bytes)
+      },
+      "scala_udf")
   }
 
   private def ensure(): Unit = register(SparkSession.active)
+
+  def bloomMightContain(value: Column, bloomBytes: Array[Byte]): Column = {
+    ensure()
+    call_function("bloom_might_contain", value,
+      org.apache.spark.sql.functions.lit(bloomBytes))
+  }
 
   def minhashSig(hashes: Column, numHashes: Int): Column = {
     ensure()
@@ -355,36 +374,57 @@ case class WinnowMinima(child: Expression, w: Int) extends UnaryExpression {
     // SET of minima is tie-break-independent.
     val n = arr.numElements()
     if (n < w) return new GenericArrayData(Array.empty[Any])
-    val dq = new java.util.ArrayDeque[Integer]()
+    // the deque is a primitive int ring (capacity w+1 — it never holds
+    // more than w live indices): the ArrayDeque[Integer] variant boxed
+    // every pushed index on the per-token hot path (r12 verdict watch
+    // item — winnow cpu 1.96→3.88 core-s). Contents live at ring
+    // positions head..head+size-1 (mod cap); head+size < 2·cap always,
+    // so the wrap is a conditional subtract, not a division.
+    val cap = w + 1
+    val ring = new Array[Int](cap)
+    var head = 0
+    var size = 0
+    @inline def wrap(x: Int): Int = if (x >= cap) x - cap else x
     if (isString) {
       val set = new java.util.TreeSet[UTF8String]()
       var i = 0
       while (i < n) {
         val v = arr.getUTF8String(i)
-        while (!dq.isEmpty &&
-          arr.getUTF8String(dq.peekLast()).compareTo(v) >= 0) dq.removeLast()
-        dq.addLast(i)
-        if (dq.peekFirst() <= i - w) dq.removeFirst()
-        if (i >= w - 1) set.add(arr.getUTF8String(dq.peekFirst()))
+        while (size > 0 &&
+          arr.getUTF8String(ring(wrap(head + size - 1))).compareTo(v) >= 0)
+          size -= 1
+        ring(wrap(head + size)) = i
+        size += 1
+        if (ring(head) <= i - w) { head = wrap(head + 1); size -= 1 }
+        if (i >= w - 1) set.add(arr.getUTF8String(ring(head)))
         i += 1
       }
       new GenericArrayData(set.toArray.asInstanceOf[Array[Any]])
     } else {
-      val set = new java.util.TreeSet[java.lang.Long]()
+      // collect every window minimum into a primitive buffer, then
+      // sort + adjacent-dedupe — same output SET as the old
+      // TreeSet[java.lang.Long] without a boxed node per insert
+      val mins = new Array[Long](n - w + 1)
+      var m = 0
       var i = 0
       while (i < n) {
         val v = arr.getLong(i)
-        while (!dq.isEmpty && arr.getLong(dq.peekLast()) >= v) dq.removeLast()
-        dq.addLast(i)
-        if (dq.peekFirst() <= i - w) dq.removeFirst()
-        if (i >= w - 1) set.add(arr.getLong(dq.peekFirst()))
+        while (size > 0 && arr.getLong(ring(wrap(head + size - 1))) >= v)
+          size -= 1
+        ring(wrap(head + size)) = i
+        size += 1
+        if (ring(head) <= i - w) { head = wrap(head + 1); size -= 1 }
+        if (i >= w - 1) { mins(m) = arr.getLong(ring(head)); m += 1 }
         i += 1
       }
-      val out = new Array[Long](set.size)
-      val it = set.iterator()
+      java.util.Arrays.sort(mins, 0, m)
       var k = 0
-      while (it.hasNext) { out(k) = it.next(); k += 1 }
-      UnsafeArrayData.fromPrimitiveArray(out)
+      var j = 0
+      while (j < m) {
+        if (j == 0 || mins(j) != mins(k - 1)) { mins(k) = mins(j); k += 1 }
+        j += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOfRange(mins, 0, k))
     }
   }
 
@@ -396,6 +436,48 @@ case class WinnowMinima(child: Expression, w: Int) extends UnaryExpression {
       val ref = ctx.addReferenceObj("winnowExpr", this,
         classOf[WinnowMinima].getName)
       s"${ev.value} = $ref.winnow($arr);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Membership probe of a LONG column against a serialized
+  * `org.apache.spark.util.sketch.BloomFilter` — the incremental ngram
+  * store's gram-existence sidecar (IncrementalDedup). NO FALSE
+  * NEGATIVES: a `false` means the store definitively lacks the gram,
+  * which is what lets the batch cycle drop never-seen grams from its
+  * pruned store scans. The filter bytes ride the plan's reference
+  * array (one copy per stage, broadcast with the task binary), and the
+  * probe stays inside whole-stage codegen via the same object-callback
+  * pattern as [[WinnowMinima]]. */
+case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
+  extends UnaryExpression {
+
+  @transient private lazy val bloom =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bloomBytes))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bloom_might_contain requires BIGINT, got ${other.sql}")
+  }
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain"
+
+  /** Public so generated code can call back into it. */
+  def probe(v: Long): Boolean = bloom.mightContainLong(v)
+
+  override def nullSafeEval(input: Any): Any =
+    probe(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val ref = ctx.addReferenceObj("bloomExpr", this,
+        classOf[BloomMightContain].getName)
+      s"${ev.value} = $ref.probe($v);"
     })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

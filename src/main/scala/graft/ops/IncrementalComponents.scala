@@ -185,18 +185,30 @@ object IncrementalComponents {
       storeDir: String,
       aCol: String = "doc_a",
       bCol: String = "doc_b",
-      storeParts: Int = IncrementalDedup.AutoStoreParts): DataFrame =
+      storeParts: Int = IncrementalDedup.AutoStoreParts,
+      mergeLogCap: Long = DefaultMergeLogCap): DataFrame =
     graft.fs.StoreLock.withLock(storeDir,
       pairs.sparkSession.sparkContext.hadoopConfiguration) {
-      addPairsLocked(pairs, storeDir, aCol, bCol, storeParts)
+      addPairsLocked(pairs, storeDir, aCol, bCol, storeParts, mergeLogCap)
     }
+
+  /** Merge-log row cap before a cycle auto-compacts (r12 verdict #3):
+    * [[mergeMap]] collects the log driver-side, so an uncompacted
+    * lifetime of merge events was the one unbounded driver structure
+    * left in the engine. Folding at ~1M rows bounds the collect at
+    * ~16 MB while keeping compactions rare (a merge event retires a
+    * CLUSTER — corpora don't produce millions of cluster merges per
+    * batch). 0 disables the auto-fold (a caller running its own
+    * compaction cadence). */
+  val DefaultMergeLogCap: Long = 1L << 20
 
   private def addPairsLocked(
       pairs: DataFrame,
       storeDir: String,
       aCol: String,
       bCol: String,
-      requestedParts: Int): DataFrame = {
+      requestedParts: Int,
+      mergeLogCap: Long = DefaultMergeLogCap): DataFrame = {
     val spark = pairs.sparkSession
     // heal a crashed compaction swap BEFORE reading anything
     sweepCompact(spark, storeDir)
@@ -274,6 +286,24 @@ object IncrementalComponents {
       .select(col("v").as("old"), col("component").as("new"))
     dethroned.write.mode("append").parquet(s"$storeDir/$MergesDir")
 
+    // merge-log residence bound: once the log (existing + this batch's
+    // rows) passes the cap, fold it into labels NOW, under the lock we
+    // already hold. The count is a parquet-metadata scan, not a data
+    // read; after the fold the log is empty, so the next cycle's
+    // driver-side collect is bounded by cap + one batch's merges.
+    if (mergeLogCap > 0) {
+      val mp = new org.apache.hadoop.fs.Path(storeDir, MergesDir)
+      if (fs.exists(mp) &&
+          spark.read.schema("old BIGINT, new BIGINT")
+            .parquet(mp.toString).count() > mergeLogCap) {
+        val folded = compactLocked(spark, storeDir)
+        if (sys.env.contains("GRAFT_COMPONENTS_LOG"))
+          System.err.println(
+            s"[components] merge-log cap $mergeLogCap hit: folded, " +
+              s"$folded labels rewritten")
+      }
+    }
+
     // the batch view: resolved labels for this batch's vertices.
     // comp already holds the final canonical for every batch vertex —
     // return it directly (checkpointed above, so later store writes
@@ -324,6 +354,13 @@ object IncrementalComponents {
     graft.fs.StoreLock.withLock(storeDir,
       spark.sparkContext.hadoopConfiguration) {
       sweepCompact(spark, storeDir)
+      compactLocked(spark, storeDir)
+    }
+
+  /** The compaction fold body, for callers that already hold the store
+    * lock (the public [[compact]], and [[addPairsLocked]]'s merge-log
+    * cap). */
+  private def compactLocked(spark: SparkSession, storeDir: String): Long = {
       val mm = mergeMap(spark, storeDir)
       if (mm.isEmpty) 0L
       else {

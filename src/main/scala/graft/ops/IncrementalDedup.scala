@@ -582,16 +582,61 @@ object IncrementalDedup {
       coalesce(size(grams), lit(0)).cast("long").as("nsh"))
     // auto sizing sees one posting row per (doc, distinct gram) — more
     // rows per doc than the banded sketch stores, same 4 Ki target
+    val mParts = manifestParts(spark, storeDir)
+    val manifestExists = mParts.isDefined
     val (newBatch, touchedParts, storeParts) = resolveGeometry(
-      knownParts(spark, storeDir, requestedParts),
+      knownPartsFrom(mParts, requestedParts),
       rawRows, Seq(col("shingle")))
+    // gram-bloom geometry (r13): adopt from the manifest, or size at
+    // creation from this batch's posting rows with 4× headroom (rows
+    // upper-bound distinct grams; a store that outgrows the cap only
+    // DEGRADES the bloom's fp rate — probes drift back toward the
+    // touched-partition scan, never toward wrong answers — and
+    // `rebuildStore` re-sizes it). Legacy pre-bloom manifests stay
+    // keyless and skip the sidecar entirely (the vec_type rule).
+    val bloomGeom: Option[(Long, Long)] =
+      if (manifestExists)
+        for {
+          c <- manifestValue(spark, storeDir, "bloom_cap").map(_.toLong)
+          b <- manifestValue(spark, storeDir, "bloom_bits").map(_.toLong)
+        } yield (c, b)
+      else Some(gramBloomGeometry(math.max(1L, newBatch.count())))
+    val bloomMeta = bloomGeom match {
+      case Some((c, b)) if !manifestExists =>
+        Map("bloom_cap" -> c.toString, "bloom_bits" -> b.toString)
+      case _ => Map.empty[String, String]
+    }
     checkOrWriteMeta(spark, storeDir, Map(
       "variant" -> "ngram", "store_parts" -> storeParts.toString,
-      "n" -> n.toString))
+      "n" -> n.toString) ++ bloomMeta)
     val read = readStore(spark, storeDir,
       "doc_id BIGINT, shingle BIGINT, nsh BIGINT, bp INT")
+    // warm cycles probe the sidecar bloom: a MISS gram is definitively
+    // absent from the store (no false negatives), so partitions touched
+    // only by never-seen grams drop out of every pruned scan below —
+    // the dominant scan cost of fresh-document appends (BASELINE §r12:
+    // ~100 touched buckets per doc vs 16 for the sketch stores). A
+    // missing sidecar under a bloom-keyed manifest (crash between the
+    // sidecar's delete and rename) self-heals with one full posting
+    // scan, the roll-forward discipline of the other store repairs.
+    val oldBloomBytes: Option[Array[Byte]] =
+      if (!read._2) None
+      else bloomGeom.map { case (c, b) =>
+        readGramBloom(spark, storeDir).getOrElse(
+          bloomToBytes(read._1.stat.bloomFilter("shingle", c, b)))
+      }
     val store =
-      if (read._2) prune(read._1, touchedParts) else read._1.drop("bp")
+      if (!read._2) read._1.drop("bp")
+      else oldBloomBytes match {
+        case Some(bytes) =>
+          val hitParts = newBatch
+            .filter(graft.functions.SketchExprs
+              .bloomMightContain(col("shingle"), bytes))
+            .select("bp").distinct().collect()
+            .map(_.getInt(0)).toIndexedSeq
+          prune(read._1, hitParts)
+        case None => prune(read._1, touchedParts)
+      }
     // novel rows: the append payload AND the batch side of the unified
     // set — checkpointed once (bp riding for the partitioned append),
     // BEFORE the append rewrites the store dir
@@ -634,6 +679,20 @@ object IncrementalDedup {
       // materialize BEFORE the append below rewrites the directory the
       // `store` side reads (unconditional — see the exact variant)
       .localCheckpoint()
+    // bloom BEFORE the append (superset-at-every-instant invariant —
+    // see writeGramBloom): the batch's shingles fold into the sidecar,
+    // built with the manifest's (cap, bits) so the merge is compatible
+    bloomGeom.foreach { case (c, b) =>
+      val batchBloom = newBatch.stat.bloomFilter("shingle", c, b)
+      val merged = oldBloomBytes match {
+        case Some(bytes) =>
+          val old = org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(bytes))
+          old.mergeInPlace(batchBloom)
+        case None => batchBloom
+      }
+      writeGramBloom(spark, storeDir, merged)
+    }
     appendStore(newRows, storeDir)
     if (compactFiles > 0 && touchedParts.nonEmpty)
       maybeCompactLocked(spark, storeDir, touchedParts, compactFiles)
@@ -881,9 +940,18 @@ object IncrementalDedup {
     // probe job), creation-with-auto counts the checkpointed rows to
     // size the store (bucketed rows = vectors × tables exactly)
     // split postings never persist the vector, so the checkpoint that
-    // feeds the bucket join and the append must not carry it either
+    // feeds the bucket join and the append must not carry it either.
+    // Split layout pins the caller's upstream plan ONCE here: postings
+    // and the vectors/ rows must come from the same materialization — a
+    // nondeterministic source (sample, generated ids) re-executed per
+    // leg could commit vectors/ rows that disagree with postings/, and
+    // a posting id missing from vectors/ silently drops its candidate
+    // pair at the fetch join. Inline needs no pin: its one checkpointed
+    // frame carries both the posting and the vector.
+    val newVecsPinned =
+      if (storeLayout == "split") newVecs.localCheckpoint() else newVecs
     val bucketedRaw =
-      if (storeLayout == "split") bucketed(newVecs).drop("vec")
+      if (storeLayout == "split") bucketed(newVecsPinned).drop("vec")
       else bucketed(newVecs)
     // auto sizing sees bucketed rows = vectors × tables exactly
     val (newBucketed, touchedParts, storeParts) = resolveGeometry(
@@ -903,7 +971,7 @@ object IncrementalDedup {
       "planes" -> planes.toString, "tables" -> tables.toString) ++
       typeMeta ++ layoutMeta)
     if (storeLayout == "split")
-      return embeddingSplitCycle(spark, storeDir, newVecs, newBucketed,
+      return embeddingSplitCycle(spark, storeDir, newVecsPinned, newBucketed,
         touchedParts, storeParts, vecType, threshold, compactFiles)
     val read = readStore(spark, storeDir,
       s"vec_id BIGINT, vec ARRAY<${vecType.toUpperCase}>, tbl INT, " +
@@ -1271,9 +1339,20 @@ object IncrementalDedup {
       rebucket(s"$srcDir/postings", s"$dstDir/postings", keys, parts)
       rebucket(s"$srcDir/vectors", s"$dstDir/vectors", Seq("vec_id"), parts)
     } else rebucket(srcDir, dstDir, keys, parts)
+    // ngram: regenerate the gram-bloom sidecar with FRESH sizing from
+    // the rebuilt store's actual rows — rebuild is both the saturation
+    // escape hatch for an outgrown bloom and the migration path that
+    // gives a pre-bloom legacy store its first sidecar
+    val bloomMeta: Map[String, String] =
+      if (variant == "ngram" && hasParts(dstDir)) {
+        val postings = spark.read.parquet(dstDir)
+        val (c, b) = gramBloomGeometry(math.max(1L, postings.count()))
+        writeGramBloom(spark, dstDir, postings.stat.bloomFilter("shingle", c, b))
+        Map("bloom_cap" -> c.toString, "bloom_bits" -> b.toString)
+      } else Map.empty
     // manifest LAST — the commit point; every other key carries over
     writeManifest(dstFs, dstDir,
-      manifest + ("store_parts" -> parts.toString))
+      manifest + ("store_parts" -> parts.toString) ++ bloomMeta)
     parts
   }
 
@@ -1426,6 +1505,67 @@ object IncrementalDedup {
   private def appendStore(rows: DataFrame, storeDir: String): Unit =
     rows.repartition(col("bp"))
       .write.partitionBy("bp").mode("append").parquet(storeDir)
+
+  // ---------- ngram gram-bloom sidecar (r13) ----------
+
+  private val GramBloomFile = "_gram_bloom"
+
+  /** (cap, bits) for a store whose creation batch carries `rows`
+    * posting rows: 4× headroom over the rows (an upper bound on
+    * distinct grams) at 3% fp when full. Both constants ride the
+    * manifest so every later batch builds MERGE-COMPATIBLE blooms
+    * (same bit count ⇒ same hash count). */
+  private def gramBloomGeometry(rows: Long): (Long, Long) = {
+    val cap = math.max(1L << 22, 4L * rows)
+    // optimalNumOfBits(n, p) = -n·ln(p)/ln²2
+    val bits = math.ceil(
+      -cap.toDouble * math.log(0.03) / (math.log(2) * math.log(2))).toLong
+    (cap, bits)
+  }
+
+  private def readGramBloom(
+      spark: SparkSession, storeDir: String): Option[Array[Byte]] = {
+    val p = new org.apache.hadoop.fs.Path(storeDir, GramBloomFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(in.readAllBytes()) finally in.close()
+    }
+  }
+
+  private def bloomToBytes(
+      b: org.apache.spark.util.sketch.BloomFilter): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    b.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** Temp-write + delete + rename (rename-onto-existing is not
+    * portable across hadoop filesystems). A crash between the delete
+    * and the rename leaves the sidecar MISSING under a bloom-keyed
+    * manifest — the batch cycle self-heals that with one full posting
+    * scan; a crash after the rename is simply the new bloom. The bloom
+    * is always written BEFORE the posting append it covers, so it is a
+    * SUPERSET of the store at every instant — supersets only cost fp
+    * scans, never correctness. */
+  private def writeGramBloom(
+      spark: SparkSession, storeDir: String,
+      bloom: org.apache.spark.util.sketch.BloomFilter): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(root)
+    fs.listStatus(root)
+      .filter(_.getPath.getName.startsWith(s"$GramBloomFile.tmp-"))
+      .foreach(s => fs.delete(s.getPath, false))
+    val tmp = new Path(root, s"$GramBloomFile.tmp-${ProcessHandle.current().pid()}")
+    val out = fs.create(tmp, true)
+    try bloom.writeTo(out) finally out.close()
+    val dst = new Path(root, GramBloomFile)
+    fs.delete(dst, false)
+    require(fs.rename(tmp, dst), s"bloom rename failed: $tmp -> $dst")
+  }
 
   /** Read a store dir that may not exist yet (first batch): an empty
     * frame with the right schema keeps the joins well-typed. Data lives

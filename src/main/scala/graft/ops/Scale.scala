@@ -48,12 +48,22 @@ object Scale {
     * re-runs the WHOLE stage, not just lost tasks, so output stays
     * consistent at the cost of a wider retry. */
   private[graft] def saltOf(df: DataFrame, factor: Int): Column = {
-    // hash only the HASHABLE columns: xxhash64 rejects MapType children
+    // hash only the HASHABLE columns: xxhash64 rejects MapType ANYWHERE
+    // in a column's type tree (top-level, struct field, array element)
     // at analysis time, and a payload map riding the skewed side must
     // not fail a join it plays no role in salting (any column subset
     // spreads byte-identical rows once the partition id is mixed in)
+    def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = {
+      import org.apache.spark.sql.types._
+      dt match {
+        case _: MapType => true
+        case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+        case a: ArrayType => hasMap(a.elementType)
+        case _ => false
+      }
+    }
     val hashable = df.schema.fields.toIndexedSeq
-      .filter(f => !f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      .filter(f => !hasMap(f.dataType))
       .map(f => col(f.name))
     pmod(xxhash64((hashable :+
       spark_partition_id().cast("long")): _*), lit(factor)).cast("int")

@@ -81,11 +81,13 @@ object EventStreams {
     * with a final totals emission; a user reappearing after eviction
     * starts fresh totals, and consumers that need lifetime totals
     * aggregate the emissions downstream. Eviction uses
-    * ProcessingTimeTimeout, which makes the engine schedule no-data
-    * micro-batches to fire timeouts — pair it with a real trigger
-    * interval in production; the default (no eviction) keeps
-    * `processAllAvailable` drives (tests, backfills) from busy-looping
-    * empty batches. */
+    * ProcessingTimeTimeout, which makes the stateful operator request
+    * another micro-batch unconditionally (to fire timeouts) — pair it
+    * with a real trigger interval in production. Do NOT drive an
+    * evicting query with Trigger.AvailableNow (it never terminates:
+    * the pending-timer batches count as work) or processAllAvailable
+    * (busy-loops); the default (no eviction) keeps those drives
+    * (tests, backfills) working. */
   def sessionize(
       events: Dataset[Event],
       evictAfter: Option[String] = None): Dataset[UserSessions] = {

@@ -61,6 +61,32 @@ class IncrementalComponentsSpec extends SparkSuite {
     assert(v == Map(9L -> 5L, 30L -> 5L))
   }
 
+  test("merge-log cap auto-folds under the cycle's lock (r13)") {
+    val dir = Files.createTempDirectory("inccomp_cap").toString + "/store"
+    // batch 1: four singleton-pair clusters rooted at 10, 20, 30, 40
+    IncrementalComponents.addPairs(
+      Seq((10L, 11L), (20L, 21L), (30L, 31L), (40L, 41L)).toDF(
+        "doc_a", "doc_b"), dir)
+    // batch 2 merges all four into one cluster rooted at 1 → 4 merge
+    // rows, over the cap of 2 → the cycle folds the log itself
+    val v = labelMap(IncrementalComponents.addPairs(
+      Seq((1L, 10L), (1L, 20L), (1L, 30L), (1L, 40L)).toDF("doc_a", "doc_b"),
+      dir, mergeLogCap = 2L))
+    assert(v.values.toSet == Set(1L))
+    // the fold ran: log gone, labels already canonical on disk
+    assert(!new java.io.File(s"$dir/merges").exists())
+    val raw = spark.read.parquet(s"$dir/labels")
+    assert(raw.filter(col("component") =!= 1L).count() == 0L)
+    // and the resolved view is correct for every vertex ever seen
+    val got = labelMap(IncrementalComponents.labels(spark, dir))
+    assert(got == Seq(1L, 10L, 11L, 20L, 21L, 30L, 31L, 40L, 41L)
+      .map(_ -> 1L).toMap)
+    // a later batch keeps working against the folded store
+    val v3 = labelMap(IncrementalComponents.addPairs(
+      Seq((41L, 50L)).toDF("doc_a", "doc_b"), dir))
+    assert(v3 == Map(41L -> 1L, 50L -> 1L))
+  }
+
   test("merge chains resolve transitively across many batches") {
     val dir = Files.createTempDirectory("inccomp_chain").toString + "/store"
     // clusters {40,41}, {30,31}, {20,21}, {10,11} created high-to-low,

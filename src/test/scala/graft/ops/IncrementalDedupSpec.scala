@@ -604,6 +604,84 @@ class IncrementalDedupSpec extends SparkSuite {
     assert(spark.read.parquet(dir).select("doc_id").distinct().count() == 5)
   }
 
+  test("ngram gram-bloom: all-novel appends skip the store scan (r13)") {
+    // 200-doc seed like the pruning pin; the append doc's tokens live
+    // OUTSIDE the seed's token space, so every gram is a bloom miss and
+    // the three pruned store scans collapse to (near) nothing — only
+    // bloom false positives (3% at cap, ~0 here: cap has 4× headroom)
+    // may pull a partition back in
+    val dir = Files.createTempDirectory("incdedup_bloom").toString + "/store"
+    def text(i: Long): String =
+      (0 until 12).map(j => s"w${(i * 13 + j * 7) % 997}").mkString(" ")
+    val seed = (0L until 200L).map(i => (i, text(i))).toDF("doc_id", "text")
+    IncrementalDedup.ngramBatch(seed, dir, storeParts = 256)
+    assert(new java.io.File(s"$dir/_gram_bloom").exists(),
+      "creation must write the bloom sidecar")
+    val storeRows = spark.read.parquet(dir).count()
+    val novel = Seq((9999L, (0 until 12).map(j => s"zz$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val recs = recordsReadDuring {
+      IncrementalDedup.ngramBatch(novel, dir).collect()
+    }
+    // the append's own checkpointed rows are re-read by its jobs; the
+    // bound says the STORE was not — 8 grams × a handful of fp
+    // partitions at ~13 rows each stays far under one store scan
+    assert(recs < storeRows / 4,
+      s"all-novel 1-doc append read $recs of a $storeRows-row store")
+
+    // overlap append still finds its pairs THROUGH the bloom-pruned scan
+    val dup = Seq((10000L, text(42L))).toDF("doc_id", "text")
+    val pairs = IncrementalDedup.ngramBatch(dup, dir, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(pairs.contains((42L, 10000L)))
+  }
+
+  test("ngram gram-bloom: missing sidecar self-heals; legacy store stays legacy") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("incdedup_bloomheal").toString + "/store"
+    val b1 = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "iota kappa lambda mu nu xi omicron pi")).toDF("doc_id", "text")
+    IncrementalDedup.ngramBatch(b1, dir, threshold = 0.5)
+    // crash window: sidecar deleted, manifest still bloom-keyed
+    assert(new java.io.File(s"$dir/_gram_bloom").delete())
+    val b2 = Seq((3L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val pairs = IncrementalDedup.ngramBatch(b2, dir, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(pairs.contains((1L, 3L)), "heal path must still find the dup")
+    assert(new java.io.File(s"$dir/_gram_bloom").exists(),
+      "the healed cycle rewrites the sidecar")
+
+    // legacy store: strip the bloom keys + sidecar; cycles must run the
+    // pre-bloom path (no sidecar reappears, no manifest mutation) and a
+    // rebuild is the migration that grants one
+    val mf = new java.io.File(s"$dir/_graft_store.json")
+    val body = new String(java.nio.file.Files.readAllBytes(mf.toPath), "UTF-8")
+    // keys are sorted, so bloom_bits/bloom_cap lead and each carries a
+    // trailing comma — stripping key+comma leaves valid JSON
+    val legacy = body.replaceAll("\"bloom_(bits|cap)\":\"[0-9]+\",?", "")
+    java.nio.file.Files.write(mf.toPath, legacy.getBytes("UTF-8"))
+    // the out-of-band rewrite invalidates LocalFileSystem's crc sidecar
+    new java.io.File(s"$dir/._graft_store.json.crc").delete()
+    assert(new java.io.File(s"$dir/_gram_bloom").delete())
+    val pairs2 = IncrementalDedup.ngramBatch(
+      Seq((4L, "iota kappa lambda mu nu xi omicron pi")).toDF("doc_id", "text"),
+      dir, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(pairs2.contains((2L, 4L)))
+    assert(!new java.io.File(s"$dir/_gram_bloom").exists(),
+      "a pre-bloom manifest must not sprout a sidecar mid-life")
+    val dst = Files.createTempDirectory("incdedup_bloomheal2").toString + "/re"
+    IncrementalDedup.rebuildStore(spark, dir, dst)
+    assert(new java.io.File(s"$dst/_gram_bloom").exists(),
+      "rebuild migrates a legacy store to the bloom sidecar")
+    val pairs3 = IncrementalDedup.ngramBatch(
+      Seq((5L, "alpha beta gamma delta epsilon zeta eta theta"))
+        .toDF("doc_id", "text"), dst, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(pairs3.contains((1L, 5L)) && pairs3.contains((3L, 5L)))
+  }
+
   test("ngram: union over batches equals full-corpus pairs, counts exact") {
     val dir = Files.createTempDirectory("incdedup_ng").toString + "/store"
     val base = "the quick brown fox jumps over the lazy dog and runs far away " +

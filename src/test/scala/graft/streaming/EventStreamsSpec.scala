@@ -165,6 +165,102 @@ class EventStreamsSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == want)
   }
+
+  test("evictAfter bounds state across many triggers; totals stay exact (r13)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("evevict").toString
+    def stage(events: Seq[(Long, Long, Long)], tag: String): Unit = {
+      val tmp = Files.createTempDirectory("evevictb").toString
+      events.toDF("event_id", "user_id", "ts_ms")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      import scala.jdk.CollectionConverters._
+      Files.list(java.nio.file.Paths.get(tmp)).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .foreach(p => Files.move(p,
+          java.nio.file.Paths.get(dir, s"$tag-${p.getFileName}")))
+    }
+    // one short-lived CONTINUOUS-trigger query per epoch over a SHARED
+    // checkpoint. ProcessingTimeTimeout makes the stateful operator
+    // request a batch unconditionally (FlatMapGroupsWithStateExec.
+    // shouldRunAnotherBatch is `true` for that timeout kind), so a
+    // Trigger.AvailableNow drive NEVER terminates and a
+    // processAllAvailable drive busy-loops — the production cadence is
+    // a real trigger interval, sampled until the epoch's state drains.
+    // Each epoch's query is stopped and restarted, which ALSO exercises
+    // state + timer persistence across restarts.
+    val triggers = 20
+    val cohort = 5 // users per epoch; each user lives in EXACTLY one
+    val perUser = 4 // events per user, 1 s apart — one session each
+    val ckpt = Files.createTempDirectory("evevict_ck").toString
+    // foreachBatch, not the memory sink: the memory sink cannot recover
+    // from a checkpoint, and each epoch here IS a checkpoint recovery
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]
+    var maxState = 0L
+    (0 until triggers).foreach { t =>
+      stage(cohortEvents(t, cohort, perUser), s"t$t")
+      val stream = spark.readStream
+        .schema("event_id BIGINT, user_id BIGINT, ts_ms BIGINT")
+        .parquet(dir)
+        .as[EventStreams.Event]
+      val q = EventStreams.sessionize(stream,
+        evictAfter = Some("300 milliseconds"))
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(
+          "50 milliseconds"))
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[EventStreams.UserSessions], _: Long) =>
+          df.collect().foreach(u =>
+            emitted.add((u.user_id, u.n_sessions, u.n_events)))
+        }.start()
+      // run until the epoch's state drains to zero: the cohort's data
+      // batch arms 5 timers, the 300 ms eviction fires them, numRows
+      // returns to 0 — the bounded-store property, observed directly
+      val deadline = System.currentTimeMillis() + 60000L
+      var drained = false
+      var epochMax = 0L
+      while (!drained && System.currentTimeMillis() < deadline) {
+        Thread.sleep(100)
+        val p = q.lastProgress
+        if (p != null && p.stateOperators.nonEmpty) {
+          val rows = p.stateOperators.head.numRowsTotal
+          epochMax = math.max(epochMax, rows)
+          maxState = math.max(maxState, rows)
+          // drained only after the epoch's data was seen (epochMax
+          // moved past zero) and the evictions emptied the store
+          drained = rows == 0 && epochMax > 0
+        }
+      }
+      q.stop()
+      assert(drained, s"epoch $t: state never drained (max $epochMax)")
+    }
+    // 100 distinct users flowed through; live state never held more
+    // than the in-flight cohort (+ stragglers caught pre-eviction)
+    assert(maxState > 0 && maxState <= 4L * cohort,
+      s"state rows reached $maxState for ${triggers * cohort} users — " +
+        "eviction is not bounding the store")
+    // totals exact for EVERY user despite eviction: one session,
+    // perUser events — the final (possibly timeout-emitted) row wins
+    import scala.jdk.CollectionConverters._
+    val got = emitted.asScala.toSeq.groupBy(_._1).map { case (u, rows) =>
+      (u, rows.map(_._2).max, rows.map(_._3).max)
+    }.toSeq
+    assert(got.size == triggers * cohort)
+    assert(got.forall { case (_, ns, ne) => ns == 1L && ne == perUser.toLong },
+      s"bad totals: ${got.filterNot { case (_, ns, ne) => ns == 1L && ne == perUser.toLong }.take(5).mkString(",")}")
+  }
+
+  /** Trigger t's cohort: users t*1000+u, each with `perUser` events 1 s
+    * apart starting at a per-trigger epoch — every user's events form
+    * exactly one session and arrive within one trigger. */
+  private def cohortEvents(
+      t: Int, cohort: Int, perUser: Int): Seq[(Long, Long, Long)] =
+    for {
+      u <- 0 until cohort
+      i <- 0 until perUser
+    } yield (
+      (t.toLong * 100000L) + u * 100L + i,
+      t.toLong * 1000L + u,
+      1000000000L + t * 3600000L + i * 1000L)
 }
 
 private object Queries {
