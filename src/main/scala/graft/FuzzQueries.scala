@@ -732,6 +732,149 @@ object FuzzQueries {
   // arms and all six set ops are drawn at least once); 4413: except_all
   private val winSeeds = Seq(3001, 3109, 3203, 3301, 3308)
   private val setSeeds = Seq(4001, 4099, 4201, 4303, 4409, 4413)
+  // --- V6 grammar: cross-family compositions ---------------------------
+  // The two families the earlier grammars never compose (r12 verdict
+  // #5): ranking windows over a JOIN tree, and set operations whose
+  // arms are GROUPED AGGREGATES. Determinism carries over from v3: the
+  // window projection is ⊆ {partition col} ∪ OVER(ORDER BY) cols, so
+  // any ordering tie is between rows identical in every projected
+  // column and the assigned numbers cannot diverge between engines.
+  // Satisfiability for the grouped set ops is per-op: the
+  // value column is min(proj % m) for union/intersect draws (stable
+  // across the nested ranges, so arms agree on most groups) and
+  // count(*) for union_all/except draws (counts strictly shrink from
+  // armA to armB wherever the [lo, hi) band holds rows, so the
+  // difference is non-empty) — then seed-scanned by `main` at all
+  // three SFs like every other family.
+  private final case class QWinJoin(
+      custLt: Long,        // orders side pre-filtered: o_custkey < L
+      part: String,
+      fn: String,          // row_number | rank
+      ord: Seq[String],
+      wide: Cmp,           // satisfiable lineitem filter
+      keep: Long)
+
+  private def genWinJoin(seed: Int): QWinJoin = {
+    val rnd = new scala.util.Random(seed)
+    val custLt = 40L + rnd.nextInt(100)
+    val part = Seq("l_suppkey", "l_linenumber", "o_custkey")(rnd.nextInt(3))
+    val fn = if (rnd.nextBoolean()) "row_number" else "rank"
+    val ord =
+      if (fn == "row_number") Seq("l_orderkey", "l_linenumber")
+      else Seq(Seq("l_quantity", "l_partkey")(rnd.nextInt(2)))
+    val wide = wideArm(rnd, tables("lineitem")) match { case c: Cmp => c }
+    QWinJoin(custLt, part, fn, ord, wide, 2L + rnd.nextInt(3))
+  }
+
+  private def sparkOfWinJoin(q: QWinJoin)(
+      s: SparkSession, dir: String): DataFrame = {
+    val proj = (q.part +: q.ord).distinct
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(q.part)).orderBy(q.ord.map(col(_).asc): _*)
+    val fnCol = if (q.fn == "row_number") row_number() else rank()
+    Queries.rd(s, dir, "lineitem")
+      .join(Queries.rd(s, dir, "orders")
+        .filter(col("o_custkey") < q.custLt)
+        .select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col(q.wide.c) >= q.wide.lit)
+      .select(proj.map(c => col(c).cast("long").as(c)): _*)
+      .withColumn("w", fnCol.over(w).cast("long"))
+      .filter(col("w") <= q.keep)
+      .orderBy((q.part +: "w" +: q.ord).distinct.map(col(_).asc): _*)
+  }
+
+  private def sqlOfWinJoin(q: QWinJoin): String = {
+    val proj = (q.part +: q.ord).distinct
+      .map(c => s"CAST($c AS BIGINT) AS $c").mkString(", ")
+    val over = s"${q.fn}() OVER (PARTITION BY ${q.part} " +
+      s"ORDER BY ${q.ord.mkString(" ASC, ")} ASC)"
+    val order = (q.part +: "w" +: q.ord).distinct
+      .map(c => s"$c ASC").mkString(", ")
+    s"""SELECT ${(q.part +: q.ord).distinct.mkString(", ")}, w FROM (
+       |  SELECT $proj, CAST($over AS BIGINT) AS w
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE o_custkey < ${q.custLt} AND ${q.wide.c} >= ${q.wide.lit}
+       |) sub
+       |WHERE w <= ${q.keep}
+       |ORDER BY $order""".stripMargin
+  }
+
+  private final case class QSetGrp(
+      table: String,
+      keyCol: String,      // nested-range filter column
+      lo: Long, hi: Long,
+      grpCol: String,      // LOW-cardinality group key
+      projCol: String, mod: Long,
+      op: String,
+      useCount: Boolean)   // v = count(*) (else min(proj % mod))
+
+  private def genSetGrp(seed: Int): QSetGrp = {
+    val rnd = new scala.util.Random(seed)
+    val table = tables.keys.toSeq.sorted.apply(rnd.nextInt(tables.size))
+    val cols = tables(table)
+    val keyCol = cols.maxBy(ranges)
+    val r = ranges(keyCol)
+    val lo = r / 2
+    val hi = lo + math.max((r - lo) / 2, 1)
+    val grpCol = cols.filterNot(_ == keyCol).minBy(ranges)
+    val others = cols.filterNot(c => c == keyCol || c == grpCol)
+    val projCol = if (others.isEmpty) grpCol else others(rnd.nextInt(others.size))
+    val op = Seq("union_all", "union", "intersect", "intersect_all",
+      "except", "except_all")(rnd.nextInt(6))
+    val useCount = op == "union_all" || op == "except" || op == "except_all"
+    QSetGrp(table, keyCol, lo, hi, grpCol, projCol, 3L + rnd.nextInt(4), op,
+      useCount)
+  }
+
+  private def sparkOfSetGrp(q: QSetGrp)(
+      s: SparkSession, dir: String): DataFrame = {
+    def arm(bound: Long): DataFrame = {
+      val v =
+        if (q.useCount) count(lit(1)).as("v")
+        else min(col(q.projCol) % q.mod).cast("long").as("v")
+      Queries.rd(s, dir, q.table)
+        .filter(col(q.keyCol) >= bound)
+        .groupBy(col(q.grpCol).cast("long").as("g"))
+        .agg(v)
+    }
+    val a = arm(q.lo); val b = arm(q.hi)
+    val combined = q.op match {
+      case "union_all"     => a.unionAll(b)
+      case "union"         => a.unionAll(b).distinct()
+      case "intersect"     => a.intersect(b)
+      case "intersect_all" => a.intersectAll(b)
+      case "except"        => a.except(b)
+      case "except_all"    => a.exceptAll(b)
+      case other           => throw new MatchError(other)
+    }
+    combined.orderBy(col("g").asc, col("v").asc)
+  }
+
+  private def sqlOfSetGrp(q: QSetGrp): String = {
+    def arm(bound: Long): String = {
+      val v =
+        if (q.useCount) "CAST(count(*) AS BIGINT)"
+        else s"CAST(min(${q.projCol} % ${q.mod}) AS BIGINT)"
+      s"SELECT CAST(${q.grpCol} AS BIGINT) AS g, $v AS v " +
+        s"FROM ${q.table} WHERE ${q.keyCol} >= $bound GROUP BY ${q.grpCol}"
+    }
+    val opSql = q.op match {
+      case "union_all"     => "UNION ALL"
+      case "union"         => "UNION"
+      case "intersect"     => "INTERSECT"
+      case "intersect_all" => "INTERSECT ALL"
+      case "except"        => "EXCEPT"
+      case "except_all"    => "EXCEPT ALL"
+    }
+    s"""SELECT g, v FROM (
+       |${arm(q.lo)}
+       |$opSql
+       |${arm(q.hi)}
+       |) u
+       |ORDER BY g ASC, v ASC""".stripMargin
+  }
+
   // v4, seed-scanned: the five sub seeds draw all five subquery kinds
   // (scalar, not_exists, not_in, in, exists) across both group keys;
   // the four roll seeds draw both ops over all three tables
@@ -740,6 +883,11 @@ object FuzzQueries {
   // v5, seed-scanned: all five legal (aggFn, cmp) shapes across all
   // three correlation keys (avg>/avg<=/min>/min<=/max<=)
   private val corrSeeds = Seq(7001, 7002, 7003, 7006, 7007)
+  // v6, seed-scanned: winjoin covers both fns × all three partition
+  // cols; setgrp covers both value shapes and ≥4 of the 6 ops across
+  // ≥2 tables — all probed non-empty at the three SFs by `main`
+  private val winJoinSeeds = Seq(8000, 8001, 8002, 8004)
+  private val setGrpSeeds = Seq(9000, 9001, 9002, 9003, 9006)
 
   /** SELECT DISTINCT over nullable derived columns — row-level DISTINCT
     * treats NULLs as equal (one NULL row survives per key shape) in
@@ -800,7 +948,11 @@ object FuzzQueries {
       rollSeeds.map(sd => s"q_fuzz_roll_$sd" ->
         (sparkOfRoll(genRoll(sd)) _)).toMap ++
       corrSeeds.map(sd => s"q_fuzz_corr_$sd" ->
-        (sparkOfCorr(genCorr(sd)) _)).toMap +
+        (sparkOfCorr(genCorr(sd)) _)).toMap ++
+      winJoinSeeds.map(sd => s"q_fuzz_winjoin_$sd" ->
+        (sparkOfWinJoin(genWinJoin(sd)) _)).toMap ++
+      setGrpSeeds.map(sd => s"q_fuzz_setgrp_$sd" ->
+        (sparkOfSetGrp(genSetGrp(sd)) _)).toMap +
       ("q_fuzz_empty_scalar" -> (emptyScalar _)) +
       ("q_fuzz_distinct_rows" -> (distinctRows _))
 
@@ -817,7 +969,11 @@ object FuzzQueries {
       setSeeds.map(sd => s"q_fuzz_set_$sd" -> sqlOfSet(genSetOp(sd))).toMap ++
       subSeeds.map(sd => s"q_fuzz_sub_$sd" -> sqlOfSub(genSub(sd))).toMap ++
       rollSeeds.map(sd => s"q_fuzz_roll_$sd" -> sqlOfRoll(genRoll(sd))).toMap ++
-      corrSeeds.map(sd => s"q_fuzz_corr_$sd" -> sqlOfCorr(genCorr(sd))).toMap +
+      corrSeeds.map(sd => s"q_fuzz_corr_$sd" -> sqlOfCorr(genCorr(sd))).toMap ++
+      winJoinSeeds.map(sd => s"q_fuzz_winjoin_$sd" ->
+        sqlOfWinJoin(genWinJoin(sd))).toMap ++
+      setGrpSeeds.map(sd => s"q_fuzz_setgrp_$sd" ->
+        sqlOfSetGrp(genSetGrp(sd))).toMap +
       ("q_fuzz_empty_scalar" -> emptyScalarSql) +
       ("q_fuzz_distinct_rows" -> distinctRowsSql)
 
