@@ -803,6 +803,13 @@ object Oracles {
         |           FROM scored)
         |SELECT query_id, neighbor_id, cosine, rank FROM ranked
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    // coded (IVF-PQ) probe: recall boolean, the q_knn_lsh convention —
+    // the Spark side computes recall against ITS exact brute force; the
+    // oracle pins the query count and the expected flag
+    "q_knn_ivf_pq" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
+
     // persisted-IVF exhaustive probe — must equal brute force, same SQL
     "q_knn_ivf_index" ->
       """WITH idx AS (SELECT unnest(range(1, 65)) AS i),

@@ -875,6 +875,31 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** Coded (IVF-PQ, r13) probe through the same persisted index: the
+    * scoring pass reads the int8 `code` column (8× fewer bytes than the
+    * vectors), exact re-rank on the top k·4 candidates. The candidate
+    * CUT is approximate, so the gate pins the engine-independent recall
+    * boolean (the q_knn_lsh convention) — recall vs exact brute force
+    * must be ≥ 0.95; byte-level pruning and score exactness are pinned
+    * in IvfIndexSpec. */
+  def qKnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val embs = rd(s, dir, "embeddings")
+    val q = embs.filter(col("vec_id") < 5)
+    val idx = prepareIvfIndex(s, dir)
+    val coded = graft.ops.IvfIndex.search(s, idx, q,
+      k = 3, nprobe = 16, rerank = 4)
+    val exact = Similarity.bruteForceTopK(q, embs.filter(col("vec_id") >= 5), k = 3)
+    val hits = coded.select("query_id", "neighbor_id")
+      .join(exact.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("__hits"))
+    q.agg(countDistinct(col("vec_id")).as("n_queries"))
+      .crossJoin(hits)
+      .select(col("n_queries"),
+        (col("__hits").cast("double") / (col("n_queries") * 3) >= 0.95)
+          .as("recall_ok"))
+  }
+
   /** Embedding-cosine near-dup: the engine-independent exact-verified
     * pair set {pairs : true cosine ≥ 0.95}. LSH only BLOCKS candidates
     * (16 tables × 8 planes, deterministic); the exact cosine verify

@@ -381,7 +381,33 @@ object Soak {
         run("inc_clusters_labels_compacted") {
           ops.IncrementalComponents.labels(spark, ccStore)
         }
-      })
+      }) ++ {
+      // small-append cadence (r13 verdict #6): with the store holding
+      // the full N× graph, a small batch's absorb cost must track the
+      // BATCH's endpoints (pruned label-partition reads), not the store.
+      // Batch content: 50 of the corpus pairs with doc_a remapped to a
+      // fresh id — each fresh vertex attaches to an EXISTING cluster
+      // through its stored doc_b endpoint. The "low" batch uses fresh
+      // ids BELOW every stored id, so each attach also dethrones the
+      // cluster's canonical — the merge path, at store scale.
+      val ccSeed = ccPairs.orderBy("doc_a", "doc_b").limit(50)
+        .localCheckpoint()
+      def ccAttach(base: Long, tag: Int): DataFrame = ccSeed.select(
+        (monotonically_increasing_id() + lit(base + tag * 1000L)).as("doc_a"),
+        col("doc_b"))
+      Seq(
+        run("inc_clusters_append_attach") {
+          ops.IncrementalComponents.addPairs(ccAttach(4000000000000L, 1), ccStore)
+        },
+        run("inc_clusters_append_dethrone") {
+          // negative fresh ids: strictly below every stored id, so every
+          // touched cluster's canonical is replaced -> merge log rows
+          ops.IncrementalComponents.addPairs(ccAttach(-9000000000000L, 2), ccStore)
+        },
+        run("inc_clusters_labels_after_appends") {
+          ops.IncrementalComponents.labels(spark, ccStore)
+        })
+    }
 
     def dirBytes(path: String): Long = {
       val p = new org.apache.hadoop.fs.Path(path)
@@ -404,7 +430,8 @@ object Soak {
         "emb_store_split" -> splitStore,
         "emb_store_split_vectors" -> s"$splitStore/vectors",
         "emb_store_split_inc" -> embSplitStore,
-        "cc_store" -> ccStore)
+        "cc_store" -> ccStore,
+        "cc_store_merge_log" -> s"$ccStore/merges")
         .map { case (n, p) => s""""$n":${dirBytes(p)}""" }
         .mkString("{", ",", "}")
 

@@ -188,14 +188,15 @@ object Main {
         println(s"ivf append done" +
           (if (rebuilt) " (cell-health trigger fired: index re-clustered)" else ""))
       case "ivf" :: "search" :: queries :: index :: k :: rest =>
-        val nprobe = rest match {
-          case Nil      => 4
-          case n :: Nil => n.toInt
-          case other    => sys.error(
-            s"usage: ivf search <queries.parquet> <indexDir> <k> [nprobe]; got $other")
+        val (nprobe, rerank) = rest match {
+          case Nil           => (4, 0)
+          case n :: Nil      => (n.toInt, 0)
+          case n :: r :: Nil => (n.toInt, r.toInt)
+          case other         => sys.error(
+            s"usage: ivf search <queries.parquet> <indexDir> <k> [nprobe [rerank]]; got $other")
         }
         graft.ops.IvfIndex.search(spark, index,
-          spark.read.parquet(queries), k.toInt, nprobe)
+          spark.read.parquet(queries), k.toInt, nprobe, rerank = rerank)
           .orderBy("query_id", "rank").show(100, truncate = false)
       case "ivf" :: "health" :: index :: Nil =>
         val imb = graft.ops.IvfIndex.imbalance(spark, index)
@@ -211,7 +212,7 @@ object Main {
           s"<storeDir> <out.parquet> [inline|split] | compact-store <storeDir> | " +
           s"store-info <storeDir> | rebuild-store <src> <dst> [parts] | " +
           s"clusters {add|labels|keepers|compact} ... | " +
-          s"ivf {build|append|search|health} ...}; got $other")
+          s"ivf {build|append|search [nprobe [rerank]]|health} ...}; got $other")
     }
 
   private def parseArgs(args: List[String]): (Map[String, String], List[String]) =

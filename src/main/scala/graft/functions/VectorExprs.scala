@@ -212,6 +212,142 @@ object LshSignature {
     org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(v, 42L)
 }
 
+/** Int8 scalar-quantization code: byte i = floor(xᵢ·127/max|x| + 0.5) ∈
+  * [−127, 127], packed one signed byte per dimension into BINARY — 8×
+  * smaller than the double vector it encodes (4× vs float). Cosine is
+  * scale-invariant, so the per-vector scale is deliberately NOT stored:
+  * `cosine_code(q, vec_code(v)) ≈ cosine(q, v)` with no side data.
+  * `floor(x + 0.5)` (not round) for the same cross-engine bit
+  * determinism the quantizeInt8 aggregate pins; the all-zero vector
+  * (max|x| = 0) encodes to all-zero bytes rather than dividing by zero. */
+case class QuantizeCode(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"vec_code requires ARRAY<FLOAT|DOUBLE>, got ${other.sql}")
+  }
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "vec_code"
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var m = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      val a = math.abs(x); if (a > m) m = a
+      i += 1
+    }
+    val out = new Array[Byte](n)
+    if (m > 0.0) {
+      i = 0
+      while (i < n) {
+        val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        out(i) = math.floor(x * 127.0 / m + 0.5).toByte
+        i += 1
+      }
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val m = ctx.freshName("m"); val x = ctx.freshName("x")
+      val out = ctx.freshName("out"); val a = ctx.freshName("a")
+      val get = if (isFloat) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+      s"""
+         |int $n = $arr.numElements();
+         |double $m = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $a = java.lang.Math.abs($get);
+         |  if ($a > $m) $m = $a;
+         |}
+         |byte[] $out = new byte[$n];
+         |if ($m > 0.0) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $x = $get;
+         |    $out[$i] = (byte) java.lang.Math.floor($x * 127.0 / $m + 0.5);
+         |  }
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** cosine(q, decode(code)) — the IVF-PQ probe's scoring loop: the full-
+  * precision query against a [[QuantizeCode]] byte code, one fused loop,
+  * no materialized decode. The code's unknown scale cancels out of the
+  * cosine, so the result equals cosine against the dequantized vector
+  * exactly; vs the ORIGINAL vector it carries only the ±0.5/127
+  * per-component rounding error (|Δcosine| ≲ 0.006 — re-rank recovers
+  * exact order). An all-zero code (the zero vector's encoding) scores
+  * NaN, same as exact cosine against a zero vector. */
+case class CosineCodeSim(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType | DoubleType, _), BinaryType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"cosine_code requires (ARRAY<FLOAT|DOUBLE>, BINARY), got ${l.sql}, ${r.sql}")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_code"
+
+  private def isFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val code = b.asInstanceOf[Array[Byte]]
+    val n = math.min(x.numElements(), code.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = code(i).toDouble
+      dot += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb"); val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      val get = if (isFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.length);
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = $get;
+         |  double $yv = (double) $b[$i];
+         |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Registration + Column-level helpers. The helpers self-register on the
   * active session so operator code can stay session-free (one active
   * session per process, the repo's test/bench/verify shape). */
@@ -233,6 +369,20 @@ object Vec {
       },
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_code",
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, s"vec_code() takes 1 argument")
+        QuantizeCode(exprs(0))
+      },
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_code",
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, s"cosine_code() takes 2 arguments")
+        CosineCodeSim(exprs(0), exprs(1))
+      },
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lsh_signature",
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2 || exprs.length == 3,
@@ -249,6 +399,11 @@ object Vec {
   def dot(a: Column, b: Column): Column = { ensure(); call_function("vec_dot", a, b) }
 
   def cosine(a: Column, b: Column): Column = { ensure(); call_function("cosine_sim", a, b) }
+
+  def code(v: Column): Column = { ensure(); call_function("vec_code", v) }
+
+  def cosineCode(q: Column, code: Column): Column =
+    { ensure(); call_function("cosine_code", q, code) }
 
   def lshSignature(vec: Column, planes: Int, planeOffset: Int = 0): Column = {
     ensure()

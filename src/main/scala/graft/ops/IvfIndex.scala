@@ -49,10 +49,25 @@ object IvfIndex {
       cents.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
       val centroids =
         candidates.sparkSession.read.parquet(s"$indexDir/centroids")
-      Similarity.assignCells(cand, centroids)
-        .write.mode("overwrite").partitionBy("cell")
-        .parquet(s"$indexDir/assignments")
+      writeAssignments(Similarity.assignCells(cand, centroids),
+        s"$indexDir/assignments", org.apache.spark.sql.SaveMode.Overwrite)
     }
+
+  /** The one assignments writer all mutations share. Adds the int8 probe
+    * `code` ([[graft.functions.QuantizeCode]] — 8× smaller than the
+    * double vector, the column a coded probe scans INSTEAD of `vec`) and
+    * sorts each cell partition by id, so the coded search's re-rank
+    * fetch (`id IN (candidates)`) lands on tight per-row-group id
+    * ranges — parquet min/max skipping turns the fetch into point reads
+    * instead of a second pass over the probed cells. */
+  private def writeAssignments(
+      assigned: DataFrame, dir: String,
+      mode: org.apache.spark.sql.SaveMode): Unit =
+    assigned
+      .withColumn("code", graft.functions.Vec.code(col("vec")))
+      .repartition(col("cell"))
+      .sortWithinPartitions("cell", "id")
+      .write.mode(mode).partitionBy("cell").parquet(dir)
 
   /** Append a batch to an existing index WITHOUT a rebuild — the
     * maintenance path an hourly-ingest vector store actually runs. New
@@ -96,8 +111,8 @@ object IvfIndex {
       // the same partitions and make every later read throw. Upcasting
       // into a double table is exact; anything else is the caller's
       // bug, surfaced loudly here instead of at the next search.
-      val tableElem = spark.read.parquet(s"$indexDir/assignments")
-        .schema("vec").dataType match {
+      val tableSchema = spark.read.parquet(s"$indexDir/assignments").schema
+      val tableElem = tableSchema("vec").dataType match {
           case org.apache.spark.sql.types.ArrayType(e, _) => e
           case other => throw new IllegalStateException(
             s"index $indexDir assignments vec is ${other.sql}, not an array")
@@ -129,9 +144,17 @@ object IvfIndex {
       val touched = assigned.select("cell").distinct()
         .collect().map(_.getLong(0)).toSeq // ≤ nlist values, driver-safe
       val existing = probedAssignments(spark, indexDir, touched)
-      assigned
+      val fresh = assigned
         .join(existing.select(col("id")), Seq("id"), "left_anti")
+      // an index built before the code column existed stays UNCODED —
+      // appending coded rows into it would leave nulls on the old rows
+      // and a coded probe would silently drop them; rebuild() upgrades
+      if (tableSchema.fieldNames.contains("code"))
+        writeAssignments(fresh, s"$indexDir/assignments",
+          org.apache.spark.sql.SaveMode.Append)
+      else fresh
         .repartition(col("cell"))
+        .sortWithinPartitions("cell", "id")
         .write.mode("append").partitionBy("cell")
         .parquet(s"$indexDir/assignments")
       val trigger = rebuildImbalance > 0 &&
@@ -230,10 +253,10 @@ object IvfIndex {
       else Similarity.seedCentroids(corpus, nlist)
     cents.coalesce(1).write.mode("overwrite").parquet(s"$tmp/centroids")
     val newCents = spark.read.parquet(s"$tmp/centroids")
-    Similarity.assignCells(corpus, newCents)
-      .repartition(col("cell"))
-      .write.partitionBy("cell").mode("overwrite")
-      .parquet(s"$tmp/assignments")
+    // codes re-derive from vec, so a rebuild also UPGRADES a pre-code
+    // index to the coded layout
+    writeAssignments(Similarity.assignCells(corpus, newCents),
+      s"$tmp/assignments", org.apache.spark.sql.SaveMode.Overwrite)
     // commit: from here the swap rolls FORWARD (sweepRebuild finishes
     // it after any crash); before here a crash discards tmp
     fs.create(new Path(root, RebuildReady), true).close()
@@ -293,7 +316,22 @@ object IvfIndex {
   /** Search the index: exact cosine top-k over the `nprobe` nearest
     * cells of each query. The probed cell set reaches the assignments
     * scan as a partition filter (≤ nlist values, collected driver-side —
-    * k-sized, not corpus-sized), so only those partitions are read. */
+    * k-sized, not corpus-sized), so only those partitions are read.
+    *
+    * `rerank` = 0 (default) scores every probed row on the full `vec`
+    * column — exact over the probed cells. `rerank` ≥ 1 is the IVF-PQ
+    * path: the scoring pass reads only the int8 `code` column (8× fewer
+    * bytes off disk — at 100 TB the probe's IO is the search cost),
+    * keeps the top k·rerank candidates per query by approximate cosine,
+    * then re-ranks JUST those on exact vectors — an `id IN (…)` fetch
+    * (≤ |queries|·k·rerank ids, driver-bounded by construction) against
+    * the id-sorted cell files, so parquet min/max skips the row groups
+    * holding no candidate. Final scores are exact cosine; only the
+    * candidate CUT is approximate (int8 |Δcosine| ≲ 0.006, so recall
+    * loss needs true neighbors separated by less than the quantization
+    * noise — the recall unit pins ≥ 0.95 at rerank 4). Requires a coded
+    * index (built/rebuilt since the code column); throws otherwise
+    * rather than silently scoring nulls. */
   def search(
       spark: SparkSession,
       indexDir: String,
@@ -301,7 +339,8 @@ object IvfIndex {
       k: Int,
       nprobe: Int = 4,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      rerank: Int = 0): DataFrame = {
     ensureReadable(spark, indexDir)
     val centroids = broadcast(spark.read.parquet(s"$indexDir/centroids"))
     val qcells = queries
@@ -319,12 +358,36 @@ object IvfIndex {
       .collect().map(_.getLong(0)).toSeq
     val assignments = probedAssignments(spark, indexDir, probedCells)
     try {
-      val scored = assignments.join(broadcast(qcells), Seq("cell"))
-        .select(col("query_id"), col("id").as("neighbor_id"),
-          round(Similarity.cosine(col("qvec"), col("vec")), 4).as("cosine"))
-      // two-stage top-k: no partition ever holds a query's whole probed set
-      Similarity.twoStageTopK(scored, k)
-        .localCheckpoint() // release the qcells pin without invalidating out
+      if (rerank <= 0) {
+        val scored = assignments.join(broadcast(qcells), Seq("cell"))
+          .select(col("query_id"), col("id").as("neighbor_id"),
+            round(Similarity.cosine(col("qvec"), col("vec")), 4).as("cosine"))
+        // two-stage top-k: no partition ever holds a query's whole probed set
+        Similarity.twoStageTopK(scored, k)
+          .localCheckpoint() // release the qcells pin without invalidating out
+      } else {
+        require(assignments.schema.fieldNames.contains("code"),
+          s"index $indexDir has no probe codes — built before the coded " +
+            "layout; rebuild() upgrades it in place")
+        // scoring pass: (cell, id, code) only — vec never leaves disk here
+        val approx = assignments.select("cell", "id", "code")
+          .join(broadcast(qcells), Seq("cell"))
+          .select(col("query_id"), col("id").as("neighbor_id"),
+            graft.functions.Vec.cosineCode(col("qvec"), col("code")).as("cosine"))
+        val cand = Similarity.twoStageTopK(approx, k * rerank)
+          .select("query_id", "neighbor_id").localCheckpoint()
+        val candIds = cand.select("neighbor_id").distinct()
+          .collect().map(_.getLong(0)).toSeq
+        val qvecs = qcells.select("query_id", "qvec").distinct()
+        val exact = probedAssignments(spark, indexDir, probedCells)
+          .filter(col("id").isin(candIds: _*)) // pushed; id-sorted cells
+          .select(col("id").as("neighbor_id"), col("vec"))
+          .join(broadcast(cand), Seq("neighbor_id"))
+          .join(broadcast(qvecs), Seq("query_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            round(Similarity.cosine(col("qvec"), col("vec")), 4).as("cosine"))
+        Similarity.twoStageTopK(exact, k).localCheckpoint()
+      }
     } finally qcells.unpersist() // a failed probe must not pin the cache
   }
 }

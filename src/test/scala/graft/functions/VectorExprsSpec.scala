@@ -79,6 +79,53 @@ class VectorExprsSpec extends SparkSuite {
     }
   }
 
+  test("vec_code / cosine_code: scale-invariant int8 quantization, plain-Scala parity") {
+    import spark.implicits._
+    val rows = vecs.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val got = vecs.as("a").join(vecs.as("b"), col("a.id") + 1 === col("b.id"))
+      .select(col("a.id").as("id"),
+        Vec.code(col("b.v")).as("code"),
+        Vec.cosineCode(col("a.v"), Vec.code(col("b.v"))).as("ccos"),
+        Vec.cosine(col("a.v"), col("b.v")).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1),
+        r.getDouble(2), r.getDouble(3)))
+    got.foreach { case (id, code, ccos, cos) =>
+      val a = rows(id); val b = rows(id + 1)
+      // reference quantization: floor(x*127/max|x| + 0.5)
+      val m = b.map(x => math.abs(x.toDouble)).max
+      val ref = b.map(x => math.floor(x.toDouble * 127.0 / m + 0.5).toByte)
+      assert(code.toSeq == ref.toSeq, s"code id=$id")
+      // reference cosine(a, code)
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      (0 until 64).foreach { i =>
+        val x = a(i).toDouble; val y = ref(i).toDouble
+        d += x * y; na += x * x; nb += y * y
+      }
+      assert(ccos == d / (math.sqrt(na) * math.sqrt(nb)), s"ccos id=$id")
+      // int8 rounding error bound: the coded cosine tracks the exact one
+      assert(math.abs(ccos - cos) < 0.01, s"id=$id ccos=$ccos cos=$cos")
+    }
+    // codegen == interpreted for both new expressions
+    val exprsDf = vecs.select(Vec.code(col("v")).as("q"),
+      Vec.cosineCode(col("v"), Vec.code(col("v"))).as("c"))
+    val withCodegen = exprsDf.collect()
+      .map(r => (r.getAs[Array[Byte]](0).toSeq, r.getDouble(1))).toSeq
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interpreted = exprsDf.collect()
+        .map(r => (r.getAs[Array[Byte]](0).toSeq, r.getDouble(1))).toSeq
+      assert(withCodegen == interpreted)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    // the zero vector encodes to all-zero bytes (no divide-by-zero)
+    val z = Seq(Tuple1(Array(0.0, 0.0))).toDF("v")
+      .select(Vec.code(col("v"))).collect()(0).getAs[Array[Byte]](0)
+    assert(z.toSeq == Seq[Byte](0, 0))
+  }
+
   test("null vectors yield null, mixed float/double element types work") {
     import spark.implicits._
     val df = Seq(

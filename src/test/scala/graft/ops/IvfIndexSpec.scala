@@ -135,6 +135,94 @@ class IvfIndexSpec extends SparkSuite {
     assert(!fs.exists(tmp))
   }
 
+  test("coded probe (rerank): recall vs exact >= 0.95; surviving scores are exact") {
+    // exhaustive probe so the exact path IS brute force over the corpus
+    val exact = IvfIndex.search(spark, indexDir, queries, k = 3, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val coded = IvfIndex.search(spark, indexDir, queries, k = 3, nprobe = 8,
+      rerank = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val exactPairs = exact.map(t => (t._1, t._2)).toSet
+    val codedPairs = coded.map(t => (t._1, t._2)).toSet
+    val recall = codedPairs.intersect(exactPairs).size.toDouble / exactPairs.size
+    assert(recall >= 0.95, s"recall $recall: coded=$codedPairs exact=$exactPairs")
+    // the re-rank scores on full vectors: every agreed pair's cosine is
+    // BIT-identical to the exact path's, not approximate
+    val exactScore = exact.map(t => (t._1, t._2) -> t._3).toMap
+    coded.filter(t => exactPairs((t._1, t._2))).foreach { t =>
+      assert(exactScore((t._1, t._2)) == t._3, s"score drift on $t")
+    }
+  }
+
+  test("coded probe scan bytes: the code column is >=4x smaller at rest than the vectors it replaces") {
+    // double-width index — the 100 TB layout the byte-cut claim is about
+    // (int8 vs float64; the gate corpus's float32 table halves the ratio)
+    val dir = Files.createTempDirectory("ivfbytes").toString
+    IvfIndex.build(
+      cands.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding")),
+      dir, nlist = 8)
+    // parquet footer truth: per-column compressed chunk bytes — exactly
+    // what a columnar probe reads off disk for (code) vs (vec)
+    import org.apache.hadoop.fs.Path
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(dir).getFileSystem(conf)
+    val files = fs.listFiles(new Path(s"$dir/assignments"), true)
+    var vecBytes = 0L; var codeBytes = 0L
+    while (files.hasNext) {
+      val f = files.next()
+      if (f.getPath.getName.endsWith(".parquet")) {
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
+        try rd.getFooter.getBlocks.asScala.foreach(_.getColumns.asScala.foreach { c =>
+          val p = c.getPath.toDotString
+          if (p.startsWith("vec")) vecBytes += c.getTotalSize
+          else if (p == "code") codeBytes += c.getTotalSize
+        }) finally rd.close()
+      }
+    }
+    assert(codeBytes > 0 && vecBytes > 0)
+    assert(vecBytes.toDouble / codeBytes >= 4.0,
+      s"vec $vecBytes vs code $codeBytes = ${vecBytes.toDouble / codeBytes}x")
+    // and the coded search over this index is still right
+    val got = IvfIndex.search(spark, dir, queries, k = 1, nprobe = 8, rerank = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Similarity.bruteForceTopK(queries, cands, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+  }
+
+  test("coded probe on a pre-code index is loud; rebuild upgrades it in place") {
+    val dir = Files.createTempDirectory("ivflegacy").toString
+    IvfIndex.build(cands, dir, nlist = 8)
+    // strip the code column — the layout every index built before r13 has
+    val stripped = spark.read.parquet(s"$dir/assignments")
+      .select("id", "vec", "cell").localCheckpoint()
+    stripped.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/assignments")
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.search(spark, indexDir = dir, queries, k = 3, nprobe = 8,
+        rerank = 4).collect()
+    }
+    assert(e.getMessage.contains("rebuild"), e.getMessage)
+    // appends PRESERVE uncodedness (no mixed null/value code column)...
+    val batch = queries.filter(col("vec_id") === 0)
+      .select(lit(910000L).as("vec_id"), col("embedding"))
+    IvfIndex.append(batch, dir)
+    assert(!spark.read.parquet(s"$dir/assignments")
+      .schema.fieldNames.contains("code"))
+    // ...and rebuild() upgrades: coded search works and equals brute force
+    IvfIndex.rebuild(spark, dir, kmeansIters = 0)
+    val got = rows(IvfIndex.search(spark, dir, queries, k = 3, nprobe = 8,
+      rerank = 4))
+    val want = rows(Similarity.bruteForceTopK(
+      queries, cands.select(col("vec_id"), col("embedding")).unionByName(batch),
+      k = 3))
+    assert(got == want)
+  }
+
   test("cell health: drifted appends trip the rebuild trigger; post-rebuild search equals brute force") {
     import spark.implicits._
     val dir = Files.createTempDirectory("ivfhealth").toString
