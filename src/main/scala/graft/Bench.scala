@@ -154,8 +154,11 @@ object Bench {
     def jmap(f: Sample => Double): String = results
       .map { case (k, s) => "\"" + k + "\":" + f(s) }.mkString("{", ",", "}")
     val total = results.map(_._2.sec).sum
+    // headline subtotal for the named TPC-H suite (VERDICT r12 #1)
+    val tpchTotal =
+      results.filter(_._1.startsWith("tpch_")).map(_._2.sec).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_.sec)},"gc_sec":${jmap(_.gcSec)},"probe_sec":${jmap(_.probeSec)},"cpu_sec":${jmap(_.cpuSec)},"calibration_sec":$calib,"io_calibration_sec":$ioCalib,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","tpch_total_sec":$tpchTotal,"queries":${jmap(_.sec)},"gc_sec":${jmap(_.gcSec)},"probe_sec":${jmap(_.probeSec)},"cpu_sec":${jmap(_.cpuSec)},"calibration_sec":$calib,"io_calibration_sec":$ioCalib,"sf":"$sfDir"}"""
     println(json)
     try {
       val out = java.nio.file.Paths.get("BENCH_local.json")

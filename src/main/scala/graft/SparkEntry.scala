@@ -99,13 +99,15 @@ object SparkEntry {
     "q_zorder_key" -> (Queries.qZorderKey _),
     "q_dedup_incremental" -> (Queries.qDedupIncremental _),
     "q_knn_ivf_index" -> (Queries.qKnnIvfIndex _),
+    "q_knn_ivf_pq" -> (Queries.qKnnIvfPq _),
     "q_skew_salted_join" -> (Queries.qSkewSaltedJoin _),
     "q_heavy_hitters" -> (Queries.qHeavyHitters _),
     "q_dedup_incremental_embedding" -> (Queries.qDedupIncrementalEmbedding _),
     "q_dedup_clusters_incremental" -> (Queries.qDedupClustersIncremental _),
     "q_dedup_incremental_simhash" -> (Queries.qDedupIncrementalSimhash _),
     "q_dedup_incremental_ngram" -> (Queries.qDedupIncrementalNgram _)
-  ) ++ FuzzQueries.queries // differential fuzz gate (seeded AST → both engines)
+  ) ++ FuzzQueries.queries ++ // differential fuzz gate (seeded AST → both engines)
+    Tpch.queries // the 22-query TPC-H suite (Tpch.scala), corpus-adapted
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. EVERY query has one (92/92): inherently
@@ -113,5 +115,6 @@ object SparkEntry {
     * gated semantically instead — the query emits the engine-independent
     * contract (exact counts + tolerance booleans, verified pair sets,
     * recall flags) and the oracle recomputes the truth. */
-  def oracleSql: Map[String, String] = Oracles.map ++ FuzzQueries.oracleSql
+  def oracleSql: Map[String, String] =
+    Oracles.map ++ FuzzQueries.oracleSql ++ Tpch.oracleSql
 }

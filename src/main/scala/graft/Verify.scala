@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: only run queries whose name starts with the
+    // prefix (local iteration); the driver's 2-arg call runs everything
+    val (sfDir, outDir, prefix) = args match {
+      case Array(a, b)    => (a, b, "")
+      case Array(a, b, p) => (a, b, p)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -36,7 +41,9 @@ object Verify {
     val drift = SchemaContract.report(spark, sfDir)
     Files.writeString(Paths.get(s"$outDir/preflight.json"),
       drift.map(q).mkString("[", ",", "]"))
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => name.startsWith(prefix) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
