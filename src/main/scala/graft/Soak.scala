@@ -258,6 +258,19 @@ object Soak {
         ops.IncrementalDedup.ngramBatch(freshDocs(4), ngStore,
           n = 3, threshold = 0.8)
       },
+      // NOVEL-text append (r13): tokens bijected to a prefix no copy
+      // uses, so every gram of the batch MISSES the store's bloom
+      // sidecar — the pruned scans drop to near zero where the
+      // duplicate-content appends above rightly scan their ~100
+      // touched buckets. This is the common ingest case (most arriving
+      // documents are new), and the bloom's whole payoff
+      run("inc_ngram_append_novel") {
+        ops.IncrementalDedup.ngramBatch(
+          baseDocs.select(
+            (col("doc_id") + lit(1500000000000L)).as("doc_id"),
+            regexp_replace(col("text"), "(^|\\s)", "$1z9novel_").as("text")),
+          ngStore, n = 3, threshold = 0.8)
+      },
       // scaled planes here too (the seed batch is the same bucket
       // self-join); the store manifest then holds them for every append
       run("inc_embedding_seed") {
