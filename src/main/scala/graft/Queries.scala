@@ -457,6 +457,20 @@ object Queries {
       // (l_orderkey, l_linenumber) pairs
       .orderBy("l_orderkey", "l_linenumber", "ln_price", "sqrt_qty", "mod_part")
 
+  /** BM25 keyword retrieval (ops.Bm25) over the documents table: two
+    * fixed three-term queries drawn from the corpus vocabulary, top-5
+    * each. The oracle recomputes the full formula in SQL — scores are
+    * value-checked, not just ranked, since the 4-dp round happens
+    * BEFORE ranking in both engines (the operator's determinism
+    * contract). */
+  def qBm25Search(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val queries = Seq((0L, "hash join merge"), (1L, "scan filter column"))
+      .toDF("query_id", "query")
+    graft.ops.Bm25.search(rd(s, dir, "documents"), queries, k = 5)
+      .orderBy("query_id", "rank")
+  }
+
   def qArrayFns(s: SparkSession, dir: String): DataFrame = {
     val toks = split(col("text"), " ")
     rd(s, dir, "documents").select(

@@ -100,6 +100,7 @@ object SparkEntry {
     "q_dedup_incremental" -> (Queries.qDedupIncremental _),
     "q_knn_ivf_index" -> (Queries.qKnnIvfIndex _),
     "q_knn_ivf_pq" -> (Queries.qKnnIvfPq _),
+    "q_bm25_search" -> (Queries.qBm25Search _),
     "q_skew_salted_join" -> (Queries.qSkewSaltedJoin _),
     "q_heavy_hitters" -> (Queries.qHeavyHitters _),
     "q_dedup_incremental_embedding" -> (Queries.qDedupIncrementalEmbedding _),
