@@ -230,11 +230,23 @@ class Cdl:
             df._jdf, index_dir, float(rebuild_imbalance),
             int(rebuild_iters))
 
-    def ivf_search(self, df, index_dir, k, nprobe=4):
+    def ivf_search(self, df, index_dir, k, nprobe=4, rerank=0):
+        """rerank=0: exact probe. rerank>=1: IVF-PQ — score the probed
+        cells on int8 codes (8x fewer scan bytes), exact-re-rank the top
+        k*rerank candidates per query (needs a coded index; rebuild
+        upgrades an old one)."""
         return DataFrame(
             self._spark._jvm.graft.PyBridge.ivfSearch(
                 self._spark._jsparkSession, index_dir, df._jdf,
-                int(k), int(nprobe)),
+                int(k), int(nprobe), int(rerank)),
+            self._spark)
+
+    def bm25_search(self, docs, queries, k, k1=1.2, b=0.75):
+        """BM25 keyword retrieval: docs (doc_id, text) x queries
+        (query_id, query) -> top-k (query_id, doc_id, bm25, rank)."""
+        return DataFrame(
+            self._spark._jvm.graft.PyBridge.bm25Search(
+                docs._jdf, queries._jdf, int(k), float(k1), float(b)),
             self._spark)
 
     def ivf_occupancy(self, index_dir):

@@ -287,6 +287,28 @@ def test_ivf_index_over_bridge(spark):
     top2 = cdl.ivf_search(q, idx, k=1, nprobe=8).collect()
     assert top2[0]["cosine"] == 1.0
 
+    # coded (IVF-PQ) probe: same top-1 at the same exact score
+    top3 = cdl.ivf_search(q, idx, k=1, nprobe=8, rerank=4).collect()
+    assert top3[0]["neighbor_id"] == top2[0]["neighbor_id"]
+    assert top3[0]["cosine"] == 1.0
+
+
+def test_bm25_search_over_bridge(spark):
+    """BM25 keyword retrieval over py4j: the exact-match doc ranks
+    first, non-matching docs never surface."""
+    from cdlake import Cdl
+    cdl = Cdl(spark)
+    docs = spark.createDataFrame(
+        [(1, "spark runs fast fast"), (2, "spark runs slow"),
+         (3, "ducks swim in ponds")],
+        "doc_id LONG, text STRING")
+    queries = spark.createDataFrame(
+        [(0, "spark fast")], "query_id LONG, query STRING")
+    hits = cdl.bm25_search(docs, queries, k=5).collect()
+    assert [h["doc_id"] for h in hits] == [1, 2]
+    assert hits[0]["bm25"] > hits[1]["bm25"]
+    assert [h["rank"] for h in hits] == [1, 2]
+
 
 def test_to_csv_collates_bench_outputs(tmp_path):
     """The results collator (scripts/to_csv.py) on reference-shaped

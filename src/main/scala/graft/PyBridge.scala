@@ -140,10 +140,21 @@ object PyBridge {
       rebuildImbalance = rebuildImbalance,
       rebuildIters = rebuildIters.intValue)
 
+  /** rerank 0 = exact probe; rerank >= 1 scores the probed cells on
+    * int8 codes (8× fewer scan bytes) and exact-re-ranks the top
+    * k·rerank candidates per query (requires a coded index). */
   def ivfSearch(spark: SparkSession, indexDir: String, queries: DataFrame,
-      k: java.lang.Number, nprobe: java.lang.Number): DataFrame =
+      k: java.lang.Number, nprobe: java.lang.Number,
+      rerank: java.lang.Number): DataFrame =
     graft.ops.IvfIndex.search(spark, indexDir, queries, k.intValue,
-      nprobe.intValue)
+      nprobe.intValue, rerank = rerank.intValue)
+
+  // -- BM25 lexical retrieval (training-pipeline extension, SURVEY
+  // §2.10): keyword search / lexical decontamination from pyspark -----
+
+  def bm25Search(docs: DataFrame, queries: DataFrame,
+      k: java.lang.Number, k1: Double, b: Double): DataFrame =
+    graft.ops.Bm25.search(docs, queries, k.intValue, k1, b)
 
   /** Per-cell occupancy (cell, n) — the health feed. */
   def ivfOccupancy(spark: SparkSession, indexDir: String): DataFrame =

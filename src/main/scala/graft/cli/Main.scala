@@ -166,6 +166,21 @@ object Main {
         val n = graft.ops.IncrementalComponents.compact(spark, store)
         println(s"clusters compact: folded $n relabeled rows")
 
+      // BM25 keyword retrieval (training-pipeline extension): ad-hoc
+      // lexical search of a (doc_id, text) parquet table
+      case "search" :: input :: queryText :: rest =>
+        val k = rest match {
+          case Nil      => 10
+          case n :: Nil => n.toInt
+          case other    => sys.error(
+            s"usage: search <docs.parquet> <query text> [k]; got $other")
+        }
+        import spark.implicits._
+        graft.ops.Bm25.search(spark.read.parquet(input),
+          Seq((0L, queryText)).toDF("query_id", "query"), k)
+          .select("doc_id", "bm25", "rank")
+          .orderBy("rank").show(k, truncate = false)
+
       // persisted IVF ANN index (training-pipeline extension): the
       // cron-able build / append / search / health shapes
       case "ivf" :: "build" :: input :: index :: rest =>
@@ -212,7 +227,8 @@ object Main {
           s"<storeDir> <out.parquet> [inline|split] | compact-store <storeDir> | " +
           s"store-info <storeDir> | rebuild-store <src> <dst> [parts] | " +
           s"clusters {add|labels|keepers|compact} ... | " +
-          s"ivf {build|append|search [nprobe [rerank]]|health} ...}; got $other")
+          s"ivf {build|append|search [nprobe [rerank]]|health} ... | " +
+          s"search <docs.parquet> <query text> [k]}; got $other")
     }
 
   private def parseArgs(args: List[String]): (Map[String, String], List[String]) =
