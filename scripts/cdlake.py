@@ -105,6 +105,13 @@ class CdlFs:
                 self._jfs, target_file_bytes, list(zorder))
         return self._bridge.compact(self._jfs, target_file_bytes)
 
+    def delete_where(self, condition):
+        """Copy-on-write DELETE (takedown path): physically removes rows
+        matching the SQL condition; only files containing a match are
+        rewritten, row_ids of kept rows are stable. Returns the number
+        of rows deleted. Not undoable (see CdlFs.deleteWhere)."""
+        return self._bridge.deleteWhere(self._jfs, condition)
+
     def versions(self):
         return list(self._bridge.versions(self._jfs))
 

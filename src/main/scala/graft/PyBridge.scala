@@ -51,6 +51,11 @@ object PyBridge {
   def compact(fs: CdlFs, targetFileBytes: java.lang.Number): Int =
     fs.compact(targetFileBytes.longValue())
 
+  /** Copy-on-write DELETE (CdlFs.deleteWhere): physically removes rows
+    * matching the SQL condition, rewriting only touched files. */
+  def deleteWhere(fs: CdlFs, condition: String): Long =
+    fs.deleteWhere(condition)
+
   /** Z-order variant: `zorderBy` is a java.util.List of exactly two
     * column names (py4j marshals Python lists to that). */
   def compactZOrder(

@@ -76,6 +76,12 @@ object Main {
         val n = CdlFs.open(spark, catalog, target)
           .compact(targetBytes, zorderBy = zorder)
         println(s"compacted to $n data files")
+      case "delete" :: target :: condition :: Nil =>
+        // copy-on-write takedown (CdlFs.deleteWhere): rows matching the
+        // SQL condition are physically removed; only files containing a
+        // match are rewritten. Not undoable by design.
+        val n = CdlFs.open(spark, catalog, target).deleteWhere(condition)
+        println(s"deleted $n rows")
       case "take" :: target :: indices :: rest =>
         // the reference's Lance take(indices, columns) surface
         // (python/cdlake/filesystem.py:58-63) exposed on the CLI
@@ -223,6 +229,7 @@ object Main {
       case other =>
         sys.error(s"usage: [--catalog-flag value]... {cp <from> <to> | query <target> <sql> " +
           s"[--at-version N] | versions <target> | compact <target> [--zorder x,y] [bytes] | " +
+          s"delete <target> <condition> | " +
           s"take <target> <i,j,...> [col,col] | dedup <exact|minhash|simhash|ngram|embedding> <in.parquet> " +
           s"<storeDir> <out.parquet> [inline|split] | compact-store <storeDir> | " +
           s"store-info <storeDir> | rebuild-store <src> <dst> [parts] | " +

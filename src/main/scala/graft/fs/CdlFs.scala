@@ -376,6 +376,117 @@ final class CdlFs(
     committed.files.size
   }
 
+  /** Copy-on-write DELETE: physically removes every row matching the
+    * SQL `condition` (evaluated over the canonical 11-column schema,
+    * SQL DELETE semantics — NULL keeps the row) and commits the result
+    * as the next version. The operation a training-data lake cannot
+    * ship without: takedown / right-to-be-forgotten requests must make
+    * the bytes GONE, not just filtered at read time — an append-only
+    * log can only mask.
+    *
+    * Scale design (the reason this is not `table.filter(...).write`):
+    * only files that CONTAIN a matching row are rewritten. One pruned
+    * scan (Catalyst pushes the predicate to the parquet scan, so
+    * min/max row-group stats skip clean files without reading their
+    * pages) finds the touched file set via `input_file_name`; clean
+    * files — at 100 TB with a selective predicate, almost all of them
+    * — are carried over untouched, byte-identical, never opened for
+    * write. Cost is O(matching files), not O(table). Kept rows keep
+    * their `row_id` stamps (deleted ordinals retire — the CommitLog's
+    * cumulative `row_count` is a high-water stamp base, so ids are
+    * never reused) and rewritten files are re-clustered on the stamp,
+    * so `take` pruning stays tight.
+    *
+    * Crash contract — same class as `compact`, documented not hidden:
+    * rewritten files land before their sources are removed, so a crash
+    * mid-delete leaves DUPLICATE kept rows (and the not-yet-removed
+    * matching rows); heal by deleting the files the last committed
+    * manifest lists, then re-issuing the delete. Time travel to
+    * versions whose files a delete rewrote is invalidated — for a
+    * takedown that is the point (the equivalent of Delta's
+    * DELETE + VACUUM(0)).
+    *
+    * @return number of rows deleted */
+  def deleteWhere(condition: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val rootP = new Path(tableLocation)
+    val hfs = rootP.getFileSystem(hconf)
+    if (CommitLog.latest(tableLocation, hconf).isEmpty)
+      throw new IllegalStateException(
+        s"nothing to delete from: no committed version at $tableLocation")
+    // capture the DIRECTORY's files (not the manifest's) for the same
+    // external-writer reason compact does
+    val srcWithLen = CommitLog.dataFilesWithLen(tableLocation, hconf)
+    if (srcWithLen.isEmpty) return 0L
+    val base = tableLocation.stripSuffix("/")
+    val byPath: Map[String, (String, Long)] = srcWithLen.map { case (rel, len) =>
+      // key by scheme-less absolute path: input_file_name() returns a
+      // full URI whose scheme/authority rendering need not match `base`
+      new Path(s"$base/$rel").toUri.getPath -> ((rel, len))
+    }.toMap
+    val pred = expr(condition)
+    val keepPred = !coalesce(pred, lit(false))
+    def readFiles(rels: Seq[String]): DataFrame =
+      canonical(spark.read.parquet(rels.map(r => s"$base/$r"): _*))
+    // 1. ONE pruned scan finds (touched file, matching rows): the
+    //    predicate reaches the parquet scan, so files whose stats
+    //    exclude it are never read. O(touched files) driver list —
+    //    the same class as the file listing itself.
+    val touchedCounts = readFiles(srcWithLen.map(_._1))
+      .withColumn("__file", input_file_name())
+      .filter(pred)
+      .groupBy("__file").agg(count(lit(1)).as("__n"))
+      .collect()
+      .map { r =>
+        val abs = new Path(new java.net.URI(r.getString(0))).toUri.getPath
+        byPath.get(abs) match {
+          case Some((rel, len)) => (rel, len, r.getLong(1))
+          case None => throw new IllegalStateException(
+            s"deleteWhere: matched file $abs not in the captured listing " +
+              "(concurrent writer?)")
+        }
+      }
+    if (touchedCounts.isEmpty) return 0L
+    val deleted = touchedCounts.map(_._3).sum
+    val touched = touchedCounts.map(_._1).toSeq
+    // 2. rewrite ONLY the touched files, kept rows re-clustered on the
+    //    same keys compact uses so take/file stats stay tight
+    val keys =
+      if (fullyStamped) Seq(col("row_id"))
+      else Seq(col("parent"), col("name"), col("chunk_id"))
+    val touchedBytes = touchedCounts.map(_._2).sum
+    val numFiles = math.max(1,
+      math.ceil(touchedBytes.toDouble / (128L * 1024 * 1024)).toInt)
+    val tmp = new Path(rootP, ".graft_delete_tmp")
+    hfs.delete(tmp, true)
+    readFiles(touched)
+      .filter(keepPred)
+      .repartitionByRange(numFiles, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .withColumn("p0", Ingest.topSegment(col("parent")))
+      .write.mode("overwrite").partitionBy("p0").parquet(tmp.toString)
+    // 3. move rewrites in, retire exactly the touched sources, commit
+    //    (rowsAdded=0: row_count is the next stamp's base and deleted
+    //    ids retire rather than free)
+    val it = hfs.listFiles(tmp, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = st.getPath.toUri.getPath
+        .stripPrefix(tmp.toUri.getPath).stripPrefix("/")
+      if (rel.endsWith(".parquet") && !rel.contains("_temporary")) {
+        val dst = new Path(rootP, rel)
+        hfs.mkdirs(dst.getParent)
+        if (!hfs.rename(st.getPath, dst))
+          throw new java.io.IOException(s"deleteWhere: rename failed for $rel")
+      }
+    }
+    hfs.delete(tmp, true)
+    touched.foreach(f => hfs.delete(new Path(rootP, f), false))
+    CommitLog.commit(tableLocation, 0L, hconf)
+    refresh()
+    deleted
+  }
+
   /** Dataset→dataset copy, any direction (reference `copy_to`,
     * crates/cdl-fs/src/lib.rs:72-76). Local destination re-materializes
     * files; table destination appends rows. */
