@@ -840,6 +840,65 @@ object Oracles {
         |SELECT query_id, doc_id, bm25, rank FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
 
+    // DSIR importance selection — the full hashed-bucket LLR formula in
+    // SQL: md5-prefix buckets (B=4096), add-one smoothing on both the
+    // target (lang='en') and raw distributions, per-doc occurrence sum
+    // rounded at 4 dp BEFORE ranking (the BM25 rule)
+    "q_importance_topk" ->
+      """WITH tok AS (SELECT doc_id, lang = 'en' AS t,
+        |    unnest(string_split(text, ' ')) AS token FROM documents),
+        |b AS (SELECT doc_id, t, substr(md5(token), 1, 3) AS bucket FROM tok),
+        |counts AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_raw,
+        |    CAST(count(*) FILTER (WHERE t) AS BIGINT) AS n_tgt
+        |  FROM b GROUP BY bucket),
+        |tot AS (SELECT CAST(sum(n_raw) AS DOUBLE) AS nr,
+        |    CAST(sum(n_tgt) AS DOUBLE) AS nt FROM counts),
+        |w AS (SELECT bucket,
+        |    ln((n_tgt + 1) / (nt + 4096)) - ln((n_raw + 1) / (nr + 4096)) AS w
+        |  FROM counts, tot),
+        |scored AS (SELECT doc_id, round(sum(w), 4) AS importance
+        |  FROM b JOIN w USING (bucket) GROUP BY doc_id)
+        |SELECT doc_id, importance FROM scored
+        |ORDER BY importance DESC, doc_id ASC LIMIT 50""".stripMargin,
+
+    // Gumbel-top-k resample: same scores, selection by noisy key. The
+    // seeded uniform is six md5 hex digits decoded positionally (exact
+    // powers of two, so the sum is bit-exact in any engine); the ln()
+    // ulp drift is absorbed by the 4-dp round before ranking
+    "q_importance_resample" ->
+      """WITH tok AS (SELECT doc_id, lang = 'en' AS t,
+        |    unnest(string_split(text, ' ')) AS token FROM documents),
+        |b AS (SELECT doc_id, t, substr(md5(token), 1, 3) AS bucket FROM tok),
+        |counts AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_raw,
+        |    CAST(count(*) FILTER (WHERE t) AS BIGINT) AS n_tgt
+        |  FROM b GROUP BY bucket),
+        |tot AS (SELECT CAST(sum(n_raw) AS DOUBLE) AS nr,
+        |    CAST(sum(n_tgt) AS DOUBLE) AS nt FROM counts),
+        |w AS (SELECT bucket,
+        |    ln((n_tgt + 1) / (nt + 4096)) - ln((n_raw + 1) / (nr + 4096)) AS w
+        |  FROM counts, tot),
+        |scored AS (SELECT doc_id, round(sum(w), 4) AS importance
+        |  FROM b JOIN w USING (bucket) GROUP BY doc_id),
+        |h AS (SELECT doc_id, importance,
+        |    md5('dsir' || CAST(doc_id AS VARCHAR)) AS h FROM scored),
+        |u AS (SELECT doc_id, importance,
+        |    (CASE WHEN ascii(substr(h, 1, 1)) >= 97
+        |      THEN ascii(substr(h, 1, 1)) - 87 ELSE ascii(substr(h, 1, 1)) - 48 END) * 0.0625
+        |  + (CASE WHEN ascii(substr(h, 2, 1)) >= 97
+        |      THEN ascii(substr(h, 2, 1)) - 87 ELSE ascii(substr(h, 2, 1)) - 48 END) * 0.00390625
+        |  + (CASE WHEN ascii(substr(h, 3, 1)) >= 97
+        |      THEN ascii(substr(h, 3, 1)) - 87 ELSE ascii(substr(h, 3, 1)) - 48 END) * 0.000244140625
+        |  + (CASE WHEN ascii(substr(h, 4, 1)) >= 97
+        |      THEN ascii(substr(h, 4, 1)) - 87 ELSE ascii(substr(h, 4, 1)) - 48 END) * 1.52587890625e-05
+        |  + (CASE WHEN ascii(substr(h, 5, 1)) >= 97
+        |      THEN ascii(substr(h, 5, 1)) - 87 ELSE ascii(substr(h, 5, 1)) - 48 END) * 9.5367431640625e-07
+        |  + (CASE WHEN ascii(substr(h, 6, 1)) >= 97
+        |      THEN ascii(substr(h, 6, 1)) - 87 ELSE ascii(substr(h, 6, 1)) - 48 END) * 5.960464477539063e-08
+        |  + 2.9802322387695312e-08 AS u FROM h)
+        |SELECT doc_id, importance,
+        |  round(importance / 2.0 - ln(-ln(u)), 4) AS gumbel_key
+        |FROM u ORDER BY gumbel_key DESC, doc_id ASC LIMIT 50""".stripMargin,
+
     // coded (IVF-PQ) probe: recall boolean, the q_knn_lsh convention —
     // the Spark side computes recall against ITS exact brute force; the
     // oracle pins the query count and the expected flag

@@ -471,6 +471,25 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** DSIR-style data selection: top-50 documents by hashed-bucket
+    * log-likelihood ratio against the English subset as target
+    * (ImportanceSampling.selectTopK). Fully value-checked — features,
+    * smoothing, and ranking are md5-deterministic, so the oracle runs
+    * the identical formula. */
+  def qImportanceTopk(s: SparkSession, dir: String): DataFrame =
+    graft.ops.ImportanceSampling.selectTopK(
+      rd(s, dir, "documents"), col("lang") === "en", k = 50)
+
+  /** Gumbel-top-k importance RESAMPLING (weighted sampling without
+    * replacement ∝ softmax(importance/T), seed-deterministic): same
+    * scores as qImportanceTopk, selection by noisy key. The seeded
+    * Gumbel draw is md5-positional arithmetic, so the oracle replays
+    * the exact same sample. */
+  def qImportanceResample(s: SparkSession, dir: String): DataFrame =
+    graft.ops.ImportanceSampling.resampleGumbel(
+      rd(s, dir, "documents"), col("lang") === "en", k = 50,
+      temperature = 2.0, salt = "dsir")
+
   def qArrayFns(s: SparkSession, dir: String): DataFrame = {
     val toks = split(col("text"), " ")
     rd(s, dir, "documents").select(

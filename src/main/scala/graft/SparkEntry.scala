@@ -101,6 +101,8 @@ object SparkEntry {
     "q_knn_ivf_index" -> (Queries.qKnnIvfIndex _),
     "q_knn_ivf_pq" -> (Queries.qKnnIvfPq _),
     "q_bm25_search" -> (Queries.qBm25Search _),
+    "q_importance_topk" -> (Queries.qImportanceTopk _),
+    "q_importance_resample" -> (Queries.qImportanceResample _),
     "q_skew_salted_join" -> (Queries.qSkewSaltedJoin _),
     "q_heavy_hitters" -> (Queries.qHeavyHitters _),
     "q_dedup_incremental_embedding" -> (Queries.qDedupIncrementalEmbedding _),
