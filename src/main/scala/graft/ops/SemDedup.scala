@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SemDeDup-style SEMANTIC deduplication: partition the embedding space
+  * with k-means, generate near-duplicate pairs only WITHIN each cluster
+  * (exact cosine ≥ `tau` on the clustered candidates), then keep one
+  * representative per duplicate component. The embedding-space
+  * complement to the LSH blocking in `Dedup.embeddingNearDupPairs`:
+  * LSH blocks by random hyperplanes, SemDeDup blocks by LEARNED
+  * cluster structure — the recipe the paper applies to web-scale
+  * image/text corpora, where semantic duplicates concentrate inside
+  * k-means cells.
+  *
+  * Scale shape: the cluster assignment is one broadcast join against
+  * k centroid rows plus a per-id argmax (map-side). The quadratic
+  * step is fenced INSIDE cells — the within-cell self-join shuffles
+  * (cell, id, vec) rows by cell, and with k sized so cells hold ~10³
+  * vectors (k ≈ N/1000) each cell's pair block is ~10⁶ comparisons,
+  * embarrassingly parallel across cells. A skewed cell degrades one
+  * task, not the job; `IvfIndex.imbalance`-style occupancy telemetry
+  * applies unchanged if cells drift. Components + keep-one reuse the
+  * dedup family's machinery ((id,label)-only shuffles).
+  *
+  * Approximation contract (the paper's, stated not hidden): duplicates
+  * SPLIT ACROSS cells are not examined — exact clones always co-locate
+  * (identical vectors have identical centroid distances and the argmax
+  * tie-break is deterministic), but near-dups straddling a cell
+  * boundary can survive. Raising `iters` tightens cells; LSH
+  * (`Dedup.embeddingNearDupPairs`) is the exhaustive-recall
+  * alternative when a missed pair is a correctness defect. */
+object SemDedup {
+
+  /** Cluster assignment: (id, cell, vec) with each embedding assigned
+    * to its max-cosine centroid (ties → higher cell id, deterministic
+    * — the same rule as `Similarity.kmeansCentroids`' own
+    * assignment). */
+  def assign(
+      embs: DataFrame,
+      nClusters: Int,
+      iters: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cents = Similarity.kmeansCentroids(embs, nClusters, iters, idCol, vecCol)
+    embs
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
+      .join(broadcast(cents))
+      .groupBy("id")
+      .agg(
+        max(struct(Similarity.cosine(col("vec"), col("centroid")).as("c"),
+          col("cell").as("cell"))).as("best"),
+        first(col("vec")).as("vec"))
+      .select(col("id"), col("best.cell").as("cell"), col("vec"))
+  }
+
+  /** Within-cell near-duplicate pairs at exact cosine ≥ `tau`:
+    * (doc_a, doc_b, cosine) with doc_a < doc_b, 4-dp rounded cosine
+    * (the family's determinism convention). */
+  def pairs(
+      embs: DataFrame,
+      nClusters: Int,
+      tau: Double,
+      iters: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val assigned = assign(embs, nClusters, iters, idCol, vecCol)
+      .localCheckpoint() // one k-means, reused by both join sides
+    assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        round(Similarity.cosine(col("a.vec"), col("b.vec")), 4).as("cosine"))
+      .filter(col("cosine") >= tau)
+  }
+
+  /** Keep-one semantic dedup: `embs` minus every non-representative
+    * member of a within-cell duplicate component (min-id
+    * representative, via the shared components machinery). */
+  def dedup(
+      embs: DataFrame,
+      nClusters: Int,
+      tau: Double,
+      iters: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    Dedup.keepRepresentatives(
+      embs, pairs(embs, nClusters, tau, iters, idCol, vecCol), idCol)
+}

@@ -1,0 +1,74 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** SemDeDup semantic dedup: clone groups collapse to their min-id
+  * representative, distinct vectors survive, assignment is
+  * deterministic, and the within-cell fence holds (pairs only form
+  * inside a cell). */
+class SemDedupSpec extends SparkSuite {
+
+  /** 4 well-separated base directions in 8 dims, plus exact clones of
+    * base 0 and near-clones (tiny perturbation) of base 1. */
+  private lazy val corpus = {
+    import spark.implicits._
+    def v(dir: Int, eps: Double = 0.0): Seq[Double] = {
+      val a = Array.fill(8)(0.01)
+      a(dir * 2) = 1.0
+      a((dir * 2 + 1) % 8) += eps
+      a.toSeq
+    }
+    Seq(
+      (0L, v(0)), (1L, v(0)), (2L, v(0, 0.02)), // clone group {0,1,2}
+      (10L, v(1)), (11L, v(1, 0.05)),           // near-clone pair {10,11}
+      // (0.05, not smaller: pairs round cosine at 4 dp, so a
+      // perturbation must keep the rounded cosine clear of 1.0000)
+      (20L, v(2)),                              // singletons
+      (30L, v(3))
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("clone groups collapse to the min-id representative") {
+    val kept = SemDedup.dedup(corpus, nClusters = 4, tau = 0.99)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 10L, 20L, 30L))
+  }
+
+  test("tau fences the pair set: higher tau removes less") {
+    val loose = SemDedup.dedup(corpus, nClusters = 4, tau = 0.9).count()
+    val tight = SemDedup.dedup(corpus, nClusters = 4, tau = 0.9995).count()
+    assert(loose <= tight)
+    // at a tau above the near-clone cosine only EXACT clones collapse
+    val keptTight = SemDedup.dedup(corpus, nClusters = 4, tau = 0.9995)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(keptTight.contains(10L) && keptTight.contains(11L))
+  }
+
+  test("exact clones always co-locate; pairs carry exact 4-dp cosine") {
+    val p = SemDedup.pairs(corpus, nClusters = 4, tau = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the exact clone pair is present at cosine 1.0
+    assert(p.exists { case (a, b, c) => a == 0L && b == 1L && c == 1.0 })
+    p.foreach { case (a, b, c) =>
+      assert(a < b); assert(c >= 0.99 && c <= 1.0)
+    }
+  }
+
+  test("assignment is deterministic across runs") {
+    val a1 = SemDedup.assign(corpus, nClusters = 4)
+      .select("id", "cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a2 = SemDedup.assign(corpus, nClusters = 4)
+      .select("id", "cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a1 == a2)
+  }
+
+  test("no over-removal on the real corpus: every removed doc has a true witness") {
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    // background corpus max pair cosine ≈ 0.6 → nothing qualifies at .95
+    val kept = SemDedup.dedup(embs, nClusters = 16, tau = 0.95)
+    assert(kept.count() == embs.count())
+  }
+}
