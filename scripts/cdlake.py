@@ -256,6 +256,33 @@ class Cdl:
                 docs._jdf, queries._jdf, int(k), float(k1), float(b)),
             self._spark)
 
+    def dsir_topk(self, docs, target_cond, k):
+        """DSIR importance selection: deterministic top-k of docs
+        (doc_id, text) by hashed-bucket log-likelihood ratio against the
+        SQL target condition (e.g. "lang = 'en'")."""
+        return DataFrame(
+            self._spark._jvm.graft.PyBridge.dsirTopK(
+                docs._jdf, target_cond, int(k)),
+            self._spark)
+
+    def dsir_resample(self, docs, target_cond, k, temperature=1.0,
+                      salt="dsir"):
+        """Gumbel-top-k importance resample: k docs sampled without
+        replacement proportional to softmax(importance/T),
+        deterministic given the salt."""
+        return DataFrame(
+            self._spark._jvm.graft.PyBridge.dsirResample(
+                docs._jdf, target_cond, int(k), float(temperature), salt),
+            self._spark)
+
+    def sem_dedup(self, embs, n_clusters=16, tau=0.95):
+        """SemDeDup keep-one semantic dedup of (vec_id, embedding) over
+        k-means cells (within-cell exact cosine >= tau)."""
+        return DataFrame(
+            self._spark._jvm.graft.PyBridge.semDedup(
+                embs._jdf, int(n_clusters), float(tau)),
+            self._spark)
+
     def ivf_occupancy(self, index_dir):
         """Per-cell occupancy (cell, n) as a DataFrame — the health feed."""
         return DataFrame(

@@ -310,6 +310,31 @@ def test_bm25_search_over_bridge(spark):
     assert [h["rank"] for h in hits] == [1, 2]
 
 
+def test_dsir_and_semdedup_over_bridge(spark):
+    """DSIR selection + SemDeDup over py4j: target-aligned docs outrank,
+    the Gumbel resample is salt-deterministic, clone groups collapse."""
+    from cdlake import Cdl
+    cdl = Cdl(spark)
+    docs = spark.createDataFrame(
+        [(1, "alpha beta", "en"), (2, "alpha gamma", "en"),
+         (3, "delta delta", "zz"), (4, "alpha delta", "zz")],
+        "doc_id LONG, text STRING, lang STRING")
+    top = cdl.dsir_topk(docs, "lang = 'en'", k=2).collect()
+    assert {r["doc_id"] for r in top} <= {1, 2, 4}  # never the delta-only doc
+    r1 = [r["doc_id"] for r in cdl.dsir_resample(docs, "lang = 'en'", 2,
+                                                 salt="s").collect()]
+    r2 = [r["doc_id"] for r in cdl.dsir_resample(docs, "lang = 'en'", 2,
+                                                 salt="s").collect()]
+    assert r1 == r2  # replayable
+
+    embs = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [1.0, 0.0, 0.0]), (3, [0.0, 1.0, 0.0])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    kept = sorted(r["vec_id"] for r in
+                  cdl.sem_dedup(embs, n_clusters=2, tau=0.99).collect())
+    assert kept == [1, 3]
+
+
 def test_to_csv_collates_bench_outputs(tmp_path):
     """The results collator (scripts/to_csv.py) on reference-shaped
     per-run JSON: union-of-keys header in first-seen order, index

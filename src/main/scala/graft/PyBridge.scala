@@ -161,6 +161,28 @@ object PyBridge {
       k: java.lang.Number, k1: Double, b: Double): DataFrame =
     graft.ops.Bm25.search(docs, queries, k.intValue, k1, b)
 
+  // -- DSIR importance selection + SemDeDup (training-pipeline
+  // extensions, SURVEY §2.10) ----------------------------------------
+
+  /** Deterministic top-k by hashed-bucket LLR importance against the
+    * SQL `targetCond` subset. */
+  def dsirTopK(docs: DataFrame, targetCond: String,
+      k: java.lang.Number): DataFrame =
+    graft.ops.ImportanceSampling.selectTopK(
+      docs, org.apache.spark.sql.functions.expr(targetCond), k.intValue)
+
+  /** Seeded Gumbel-top-k importance resample (∝ softmax(score/T)). */
+  def dsirResample(docs: DataFrame, targetCond: String,
+      k: java.lang.Number, temperature: Double, salt: String): DataFrame =
+    graft.ops.ImportanceSampling.resampleGumbel(
+      docs, org.apache.spark.sql.functions.expr(targetCond), k.intValue,
+      temperature, salt)
+
+  /** SemDeDup keep-one semantic dedup over k-means cells. */
+  def semDedup(embs: DataFrame, nClusters: java.lang.Number,
+      tau: Double): DataFrame =
+    graft.ops.SemDedup.dedup(embs, nClusters.intValue, tau)
+
   /** Per-cell occupancy (cell, n) — the health feed. */
   def ivfOccupancy(spark: SparkSession, indexDir: String): DataFrame =
     graft.ops.IvfIndex.cellOccupancy(spark, indexDir)

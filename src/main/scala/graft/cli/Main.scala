@@ -187,6 +187,42 @@ object Main {
           .select("doc_id", "bm25", "rank")
           .orderBy("rank").show(k, truncate = false)
 
+      // DSIR importance selection (training-pipeline extension): score
+      // a (doc_id, text) table against a SQL target condition, keep the
+      // deterministic top-k (or a seeded Gumbel resample with
+      // --resample T salt)
+      case "dsir" :: input :: cond :: kArg :: rest =>
+        val docs = spark.read.parquet(input)
+        val k = kArg.toInt
+        val out = rest match {
+          case Nil =>
+            graft.ops.ImportanceSampling.selectTopK(
+              docs, org.apache.spark.sql.functions.expr(cond), k)
+          case "--resample" :: t :: salt :: Nil =>
+            graft.ops.ImportanceSampling.resampleGumbel(
+              docs, org.apache.spark.sql.functions.expr(cond), k,
+              temperature = t.toDouble, salt = salt)
+          case other => sys.error(
+            s"usage: dsir <docs.parquet> <condition> <k> [--resample T salt]; got $other")
+        }
+        out.show(k, truncate = false)
+
+      // SemDeDup semantic dedup (training-pipeline extension): k-means
+      // cells + within-cell exact-cosine keep-one over a
+      // (vec_id, embedding) parquet table
+      case "semdedup" :: input :: outPath :: rest =>
+        val (kClusters, tau) = rest match {
+          case Nil             => (16, 0.95)
+          case c :: Nil        => (c.toInt, 0.95)
+          case c :: t :: Nil   => (c.toInt, t.toDouble)
+          case other => sys.error(
+            s"usage: semdedup <in.parquet> <out.parquet> [nClusters [tau]]; got $other")
+        }
+        val kept = graft.ops.SemDedup.dedup(
+          spark.read.parquet(input), kClusters, tau)
+        kept.write.mode("overwrite").parquet(outPath)
+        println(s"semdedup: kept ${spark.read.parquet(outPath).count()} rows")
+
       // persisted IVF ANN index (training-pipeline extension): the
       // cron-able build / append / search / health shapes
       case "ivf" :: "build" :: input :: index :: rest =>
@@ -235,7 +271,9 @@ object Main {
           s"store-info <storeDir> | rebuild-store <src> <dst> [parts] | " +
           s"clusters {add|labels|keepers|compact} ... | " +
           s"ivf {build|append|search [nprobe [rerank]]|health} ... | " +
-          s"search <docs.parquet> <query text> [k]}; got $other")
+          s"search <docs.parquet> <query text> [k] | " +
+          s"dsir <docs.parquet> <condition> <k> [--resample T salt] | " +
+          s"semdedup <in.parquet> <out.parquet> [nClusters [tau]]}; got $other")
     }
 
   private def parseArgs(args: List[String]): (Map[String, String], List[String]) =
