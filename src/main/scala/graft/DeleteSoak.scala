@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.core.{DatasetCatalog, GlobalPath}
+import graft.fs.{CdlFs, CommitLog, Ingest}
+
+/** Delete-at-scale soak: measure that `CdlFs.deleteWhere` rewrites
+  * O(matching files), not O(table) — the claim the takedown path's
+  * 100 TB story rests on. Builds a rootfs table of `factor` × the
+  * documents corpus spread over 64 top-level dirs, then times
+  *  1. a single-document takedown (one file of hundreds touched),
+  *  2. a directory-scoped purge (only that p0 partition's files),
+  * reporting rewritten vs carried-over file counts and bytes from the
+  * commit-log listing — the same numbers a storage bill shows.
+  * Usage: `runMain graft.DeleteSoak [sfDir] [factor]` → BASELINE rows.
+  */
+object DeleteSoak {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val factor = if (args.length > 1) args(1).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val root = java.nio.file.Files.createTempDirectory("delete_soak").toString
+    val docs = Queries.rd(spark, sfDir, "documents").select("doc_id", "text")
+    val scaled = (0 until factor).map { i =>
+      docs.select((col("doc_id") + lit(i.toLong * 10_000_000L)).as("doc_id"),
+        col("text"))
+    }.reduce(_ unionAll _)
+    // one row per document, 64 top-level dirs → ≥64 p0-partitioned files
+    val rows = scaled.select(
+      concat(lit("doc_"), col("doc_id"), lit(".txt")).as("name"),
+      concat(lit("/d"), pmod(col("doc_id"), lit(64))).as("parent"),
+      lit(null).cast("timestamp").as("atime"),
+      lit(null).cast("timestamp").as("ctime"),
+      lit(null).cast("timestamp").as("mtime"),
+      lit(420).as("mode"),
+      octet_length(col("text")).cast("long").as("size"),
+      lit(0L).as("chunk_id"),
+      lit(0L).as("chunk_offset"),
+      octet_length(col("text")).cast("long").as("chunk_size"),
+      col("text").cast("binary").as("data"))
+    val fsys = CdlFs.open(spark, DatasetCatalog(),
+      GlobalPath.parse(s"$root/ds").fold(sys.error, identity))
+    Ingest.writeRootfs(rows, fsys.tableLocation)
+    val hconf = spark.sparkContext.hadoopConfiguration
+
+    def listing() = CommitLog.dataFilesWithLen(fsys.tableLocation, hconf).toMap
+    def drive(label: String, cond: String): Unit = {
+      val before = listing()
+      val t0 = System.nanoTime()
+      val deleted = fsys.deleteWhere(cond)
+      val wall = (System.nanoTime() - t0) / 1e9
+      val after = listing()
+      val rewrittenFrom = before.keySet -- after.keySet
+      val carried = before.keySet.intersect(after.keySet)
+      val touchedBytes = rewrittenFrom.toSeq.map(before).sum
+      val totalBytes = before.values.sum
+      println(f"$label: rows_deleted=$deleted wall=$wall%.2fs " +
+        f"files=${before.size} rewritten=${rewrittenFrom.size} " +
+        f"carried=${carried.size} " +
+        f"bytes_touched_frac=${touchedBytes.toDouble / totalBytes}%.4f")
+    }
+
+    val n = fsys.table.count()
+    println(s"corpus: $n rows over ${listing().size} files at $root")
+    drive("single_doc_takedown", "name = 'doc_42.txt'")
+    drive("dir_purge", "parent = '/d7'")
+    drive("no_match", "name = 'absent.bin'")
+    spark.stop()
+  }
+}
