@@ -104,4 +104,12 @@ class ImportanceSamplingSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"weight-table join must broadcast, got:\n$plan")
   }
+
+  test("selection is distributed top-k, never a global sort or window") {
+    val plan = ImportanceSampling.selectTopK(corpus, col("is_t"), k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"selection must plan as TakeOrderedAndProject, got:\n$plan")
+    assert(!plan.contains("Window"), s"no window in the selection:\n$plan")
+  }
 }

@@ -63,6 +63,18 @@ class SemDedupSpec extends SparkSuite {
     assert(a1 == a2)
   }
 
+  test("assignment broadcasts centroids; the pair join is never cartesian") {
+    val aPlan = SemDedup.assign(corpus, nClusters = 4)
+      .queryExecution.executedPlan.toString
+    assert(aPlan.contains("BroadcastExchange") ||
+      aPlan.contains("BroadcastNestedLoopJoin"),
+      s"centroid join must broadcast k rows, got:\n$aPlan")
+    val pPlan = SemDedup.pairs(corpus, nClusters = 4, tau = 0.99)
+      .queryExecution.executedPlan.toString
+    assert(!pPlan.contains("CartesianProduct"),
+      s"within-cell pairs must equi-join on cell, got:\n$pPlan")
+  }
+
   test("no over-removal on the real corpus: every removed doc has a true witness") {
     val embs = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id"),
