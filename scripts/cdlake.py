@@ -112,6 +112,11 @@ class CdlFs:
         of rows deleted. Not undoable (see CdlFs.deleteWhere)."""
         return self._bridge.deleteWhere(self._jfs, condition)
 
+    def vacuum(self):
+        """Drop commit-log versions a compact/delete made unreadable;
+        returns the dropped version numbers."""
+        return list(self._bridge.vacuumLog(self._jfs))
+
     def versions(self):
         return list(self._bridge.versions(self._jfs))
 

@@ -56,6 +56,13 @@ object PyBridge {
   def deleteWhere(fs: CdlFs, condition: String): Long =
     fs.deleteWhere(condition)
 
+  /** Drop commit-log versions a compact/delete made unreadable; returns
+    * the dropped version numbers. */
+  def vacuumLog(fs: CdlFs): java.util.List[Integer] = {
+    import scala.jdk.CollectionConverters._
+    fs.vacuumLog().map(Integer.valueOf).asJava
+  }
+
   /** Z-order variant: `zorderBy` is a java.util.List of exactly two
     * column names (py4j marshals Python lists to that). */
   def compactZOrder(

@@ -82,6 +82,11 @@ object Main {
         // match are rewritten. Not undoable by design.
         val n = CdlFs.open(spark, catalog, target).deleteWhere(condition)
         println(s"deleted $n rows")
+      case "vacuum" :: target :: Nil =>
+        // drop commit-log versions a compact/delete made unreadable
+        val dropped = CdlFs.open(spark, catalog, target).vacuumLog()
+        println(s"vacuumed ${dropped.size} unreadable versions" +
+          (if (dropped.nonEmpty) dropped.mkString(": ", ", ", "") else ""))
       case "take" :: target :: indices :: rest =>
         // the reference's Lance take(indices, columns) surface
         // (python/cdlake/filesystem.py:58-63) exposed on the CLI
@@ -265,7 +270,7 @@ object Main {
       case other =>
         sys.error(s"usage: [--catalog-flag value]... {cp <from> <to> | query <target> <sql> " +
           s"[--at-version N] | versions <target> | compact <target> [--zorder x,y] [bytes] | " +
-          s"delete <target> <condition> | " +
+          s"delete <target> <condition> | vacuum <target> | " +
           s"take <target> <i,j,...> [col,col] | dedup <exact|minhash|simhash|ngram|embedding> <in.parquet> " +
           s"<storeDir> <out.parquet> [inline|split] | compact-store <storeDir> | " +
           s"store-info <storeDir> | rebuild-store <src> <dst> [parts] | " +

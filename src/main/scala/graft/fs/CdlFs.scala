@@ -487,6 +487,11 @@ final class CdlFs(
     deleted
   }
 
+  /** Drop commit-log versions made unreadable by a compact or delete
+    * (CommitLog.vacuum). Readable history survives; returns the dropped
+    * version numbers. */
+  def vacuumLog(): Seq[Int] = CommitLog.vacuum(tableLocation, hconf)
+
   /** Dataset→dataset copy, any direction (reference `copy_to`,
     * crates/cdl-fs/src/lib.rs:72-76). Local destination re-materializes
     * files; table destination appends rows. */

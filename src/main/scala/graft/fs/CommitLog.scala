@@ -171,6 +171,32 @@ object CommitLog {
     Snapshot(version, ts, rowCount, files)
   }
 
+  /** Drop snapshot manifests that are no longer READABLE — versions
+    * referencing at least one data file a later compact or delete
+    * physically removed (both document that trade: OPTIMIZE+VACUUM(0) /
+    * takedown semantics). Such a version's `tableAt` already fails at
+    * scan time with a missing-file error; vacuuming turns the confusing
+    * late failure into an honest absent version. The LATEST version is
+    * kept unconditionally (it lists the live file set by construction),
+    * and readable history — appends nothing rewrote — survives, so time
+    * travel over intact versions is untouched. Single-writer contract,
+    * like `commit`. Returns the dropped version numbers. */
+  def vacuum(
+      tableLocation: String,
+      conf: Configuration = new Configuration()): Seq[Int] = {
+    val (fs, root) = open(tableLocation, conf)
+    val vs = versions(tableLocation, conf)
+    if (vs.size <= 1) return Nil
+    val present = listDataFiles(fs, root).map(_._1).toSet
+    val dropped = vs.init.filter { v =>
+      snapshot(tableLocation, v, conf)
+        .exists(s => !s.files.forall(present.contains))
+    }
+    val dir = new Path(root, LogDir)
+    dropped.foreach(v => fs.delete(new Path(dir, f"v$v%08d.json"), false))
+    dropped
+  }
+
   /** Fully-qualified paths of a snapshot's data files (for
     * spark.read.parquet) — scheme preserved, so time travel works on
     * object stores too. */

@@ -139,6 +139,29 @@ class DeleteSpec extends SparkSuite {
     assert(fs.versions.max == v0)
   }
 
+  test("vacuum drops exactly the versions a delete made unreadable") {
+    val fs = freshFs("vacuum")
+    // v1 = ingest; append a second tree so v2's history is also live
+    val extra = Files.createTempDirectory("del-vac-extra").toString
+    Files.write(Paths.get(s"$extra/later.txt"), "LATERROW".getBytes)
+    Ingest.run(fs, extra)
+    val before = fs.versions
+    assert(before.size >= 2)
+    // nothing unreadable yet: vacuum is a no-op
+    assert(fs.vacuumLog().isEmpty)
+    assert(fs.versions == before)
+    // the delete rewrites purgedir files listed by EVERY prior version
+    fs.deleteWhere("parent = '/purgedir'")
+    val dropped = fs.vacuumLog()
+    assert(dropped.toSet == before.toSet) // all pre-delete versions gone
+    val left = fs.versions
+    assert(left.size == 1)
+    // the surviving (latest) version stays readable via time travel
+    assert(fs.tableAt(left.head).count() == fs.table.count())
+    // idempotent
+    assert(fs.vacuumLog().isEmpty)
+  }
+
   test("NULL condition keeps the row (SQL DELETE semantics)") {
     val fs = freshFs("nulls")
     val before = fs.table.count()
