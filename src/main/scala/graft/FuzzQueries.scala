@@ -875,6 +875,142 @@ object FuzzQueries {
        |ORDER BY g ASC, v ASC""".stripMargin
   }
 
+  // v7 family 1 — JOIN OF TWO GROUPED SUBQUERIES (agg → join → agg):
+  // each arm groups a DIFFERENT table by a shared-domain key modulo m,
+  // the arms equi-join on the group id, and an optional cross-arm
+  // comparison filters on the two aggregate values. No earlier family
+  // joins AFTER aggregation (winjoin windows after a row-level join;
+  // setgrp set-ops grouped arms of the SAME table).
+  private final case class QAggJoin(
+      lt: String, lk: String,   // left table + its key column
+      rt: String, rk: String,   // right table + shared-domain key
+      mod: Long,
+      lo1: Long, lo2: Long,     // per-arm key filters
+      lf: String, lproj: String, lmod: Long, // left agg shape
+      rf: String, rproj: String, rmod: Long, // right agg shape
+      cmp: Option[String])      // None | ">=" | "<" on (va, vb)
+
+  private def genAggJoin(seed: Int): QAggJoin = {
+    val rnd = new scala.util.Random(seed)
+    // pair from seed PARITY, not a random draw: consecutive java
+    // Random seeds correlate on the first boolean (all 10001–10008
+    // drew true), which starved the lineitem pair of coverage
+    val (lt, lk, rt, rk) =
+      if (seed % 2 == 1) ("orders", "o_custkey", "customer", "c_custkey")
+      else ("lineitem", "l_orderkey", "orders", "o_orderkey")
+    val mod = 5L + rnd.nextInt(6)
+    def lo(k: String) = ranges(k) / 4 + rnd.nextInt((ranges(k) / 4).toInt max 1)
+    def aggShape(t: String): (String, String, Long) = {
+      val fn = Seq("count", "min", "max")(rnd.nextInt(3))
+      val cols = tables(t)
+      (fn, cols(rnd.nextInt(cols.size)), 3L + rnd.nextInt(5))
+    }
+    val (lf, lp, lm) = aggShape(lt)
+    val (rf, rp, rm) = aggShape(rt)
+    val cmp = rnd.nextInt(3) match {
+      case 0 => Some(">="); case 1 => Some("<"); case _ => None
+    }
+    QAggJoin(lt, lk, rt, rk, mod, lo(lk), lo(rk), lf, lp, lm, rf, rp, rm, cmp)
+  }
+
+  private def sparkOfAggJoin(q: QAggJoin)(
+      s: SparkSession, dir: String): DataFrame = {
+    def arm(t: String, k: String, lo: Long,
+        fn: String, proj: String, pmod: Long, alias: String): DataFrame = {
+      val v = fn match {
+        case "count" => count(lit(1))
+        case "min"   => min(col(proj) % pmod)
+        case "max"   => max(col(proj) % pmod)
+      }
+      Queries.rd(s, dir, t)
+        .filter(col(k) >= lo)
+        .groupBy((col(k) % q.mod).cast("long").as("g"))
+        .agg(v.cast("long").as(alias))
+    }
+    val a = arm(q.lt, q.lk, q.lo1, q.lf, q.lproj, q.lmod, "va")
+    val b = arm(q.rt, q.rk, q.lo2, q.rf, q.rproj, q.rmod, "vb")
+    val joined = a.join(b, Seq("g"))
+    val filtered = q.cmp match {
+      case Some(">=") => joined.filter(col("va") >= col("vb"))
+      case Some("<")  => joined.filter(col("va") < col("vb"))
+      case _          => joined
+    }
+    filtered.select("g", "va", "vb").orderBy(col("g").asc)
+  }
+
+  private def sqlOfAggJoin(q: QAggJoin): String = {
+    def arm(t: String, k: String, lo: Long,
+        fn: String, proj: String, pmod: Long, alias: String): String = {
+      val v = fn match {
+        case "count" => "count(*)"
+        case "min"   => s"min($proj % $pmod)"
+        case "max"   => s"max($proj % $pmod)"
+      }
+      s"SELECT CAST($k % ${q.mod} AS BIGINT) AS g, CAST($v AS BIGINT) AS $alias " +
+        s"FROM $t WHERE $k >= $lo GROUP BY $k % ${q.mod}"
+    }
+    val where = q.cmp.map(c => s"\nWHERE a.va $c b.vb").getOrElse("")
+    s"""SELECT a.g AS g, a.va AS va, b.vb AS vb FROM (
+       |${arm(q.lt, q.lk, q.lo1, q.lf, q.lproj, q.lmod, "va")}
+       |) a JOIN (
+       |${arm(q.rt, q.rk, q.lo2, q.rf, q.rproj, q.rmod, "vb")}
+       |) b ON a.g = b.g$where
+       |ORDER BY g ASC""".stripMargin
+  }
+
+  // v7 family 2 — RANK GROUPS BY THEIR AGGREGATE (window AFTER
+  // aggregation — the top-k-groups report shape): group, aggregate,
+  // then rank the groups globally by the aggregate value. The win
+  // family windows over raw rows; no family windows over a grouped
+  // result. The global window runs over ≤ |groups| rows (bounded by the
+  // group key's cardinality, not the corpus), and (v DESC, g ASC) is a
+  // total order so rank is tie-free in both engines.
+  private final case class QRankGrp(
+      table: String, grpCol: String, keyCol: String, lo: Long,
+      useCount: Boolean, projCol: String, pmod: Long, keep: Long)
+
+  private def genRankGrp(seed: Int): QRankGrp = {
+    val rnd = new scala.util.Random(seed)
+    val table = tables.keys.toSeq.sorted.apply(rnd.nextInt(tables.size))
+    val cols = tables(table)
+    val keyCol = cols.maxBy(ranges)
+    val lo = ranges(keyCol) / 3 + rnd.nextInt((ranges(keyCol) / 4).toInt max 1)
+    val grpCol = cols.filterNot(_ == keyCol).minBy(ranges)
+    val others = cols.filterNot(c => c == keyCol || c == grpCol)
+    val projCol = if (others.isEmpty) grpCol else others(rnd.nextInt(others.size))
+    QRankGrp(table, grpCol, keyCol, lo, rnd.nextBoolean(), projCol,
+      3L + rnd.nextInt(4), 2L + rnd.nextInt(4))
+  }
+
+  private def sparkOfRankGrp(q: QRankGrp)(
+      s: SparkSession, dir: String): DataFrame = {
+    val v =
+      if (q.useCount) count(lit(1))
+      else min(col(q.projCol) % q.pmod)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("v").desc, col("g").asc)
+    Queries.rd(s, dir, q.table)
+      .filter(col(q.keyCol) >= q.lo)
+      .groupBy(col(q.grpCol).cast("long").as("g"))
+      .agg(v.cast("long").as("v"))
+      .withColumn("r", rank().over(w).cast("long"))
+      .filter(col("r") <= q.keep)
+      .orderBy(col("r").asc, col("g").asc)
+  }
+
+  private def sqlOfRankGrp(q: QRankGrp): String = {
+    val v =
+      if (q.useCount) "count(*)"
+      else s"min(${q.projCol} % ${q.pmod})"
+    s"""SELECT g, v, r FROM (
+       |  SELECT g, v, CAST(rank() OVER (ORDER BY v DESC, g ASC) AS BIGINT) AS r
+       |  FROM (SELECT CAST(${q.grpCol} AS BIGINT) AS g, CAST($v AS BIGINT) AS v
+       |        FROM ${q.table} WHERE ${q.keyCol} >= ${q.lo}
+       |        GROUP BY ${q.grpCol}) s
+       |) t WHERE r <= ${q.keep}
+       |ORDER BY r ASC, g ASC""".stripMargin
+  }
+
   // v4, seed-scanned: the five sub seeds draw all five subquery kinds
   // (scalar, not_exists, not_in, in, exists) across both group keys;
   // the four roll seeds draw both ops over all three tables
@@ -888,6 +1024,13 @@ object FuzzQueries {
   // ≥2 tables — all probed non-empty at the three SFs by `main`
   private val winJoinSeeds = Seq(8000, 8001, 8002, 8004)
   private val setGrpSeeds = Seq(9000, 9001, 9002, 9003, 9006)
+  // v7, seed-scanned: aggjoin covers both table pairs (parity-forced),
+  // all three agg fns, and all three cmp arms (>= / < / none — the <
+  // arms came from the 10009+ scan, the low block drew none); rankgrp
+  // covers all three tables and both value shapes — all probed
+  // non-empty at the three SFs by `main`
+  private val aggJoinSeeds = Seq(10001, 10002, 10004, 10007, 10011, 10012)
+  private val rankGrpSeeds = Seq(11000, 11001, 11002, 11003)
 
   /** SELECT DISTINCT over nullable derived columns — row-level DISTINCT
     * treats NULLs as equal (one NULL row survives per key shape) in
@@ -952,7 +1095,11 @@ object FuzzQueries {
       winJoinSeeds.map(sd => s"q_fuzz_winjoin_$sd" ->
         (sparkOfWinJoin(genWinJoin(sd)) _)).toMap ++
       setGrpSeeds.map(sd => s"q_fuzz_setgrp_$sd" ->
-        (sparkOfSetGrp(genSetGrp(sd)) _)).toMap +
+        (sparkOfSetGrp(genSetGrp(sd)) _)).toMap ++
+      aggJoinSeeds.map(sd => s"q_fuzz_aggjoin_$sd" ->
+        (sparkOfAggJoin(genAggJoin(sd)) _)).toMap ++
+      rankGrpSeeds.map(sd => s"q_fuzz_rankgrp_$sd" ->
+        (sparkOfRankGrp(genRankGrp(sd)) _)).toMap +
       ("q_fuzz_empty_scalar" -> (emptyScalar _)) +
       ("q_fuzz_distinct_rows" -> (distinctRows _))
 
@@ -973,7 +1120,11 @@ object FuzzQueries {
       winJoinSeeds.map(sd => s"q_fuzz_winjoin_$sd" ->
         sqlOfWinJoin(genWinJoin(sd))).toMap ++
       setGrpSeeds.map(sd => s"q_fuzz_setgrp_$sd" ->
-        sqlOfSetGrp(genSetGrp(sd))).toMap +
+        sqlOfSetGrp(genSetGrp(sd))).toMap ++
+      aggJoinSeeds.map(sd => s"q_fuzz_aggjoin_$sd" ->
+        sqlOfAggJoin(genAggJoin(sd))).toMap ++
+      rankGrpSeeds.map(sd => s"q_fuzz_rankgrp_$sd" ->
+        sqlOfRankGrp(genRankGrp(sd))).toMap +
       ("q_fuzz_empty_scalar" -> emptyScalarSql) +
       ("q_fuzz_distinct_rows" -> distinctRowsSql)
 
@@ -994,7 +1145,8 @@ object FuzzQueries {
     spark.sparkContext.setLogLevel("WARN")
     for ((name, sql) <- oracleSql.toSeq.sortBy(_._1)
          if name.contains("null") || name.contains("louter") ||
-           name.contains("distinct"))
+           name.contains("distinct") || name.contains("aggjoin") ||
+           name.contains("rankgrp"))
       println(s"-- $name\n${sql.replaceAll("\n+", "\n")}")
     var empty = 0
     for (dir <- dirs; (name, fn) <- queries.toSeq.sortBy(_._1)) {
