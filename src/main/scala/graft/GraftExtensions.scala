@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, OctetLength}
 import org.apache.spark.sql.types.LongType
 
-import graft.functions.{CosineSimilarity, LshSignature, RabinFingerprint, VectorDot}
+import graft.functions.{CosineSimilarity, LshSignature, NearestCell, RabinFingerprint, VectorDot}
 
 /** Session extensions registering the engine's SQL functions at session
   * build time — `spark.sql.extensions=graft.GraftExtensions` (or
@@ -61,6 +61,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           else 0
         LshSignature(exprs(0),
           graft.functions.FnArgs.intLit(exprs(1), "lsh_signature planes"), off)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("nearest_cell"),
+      new ExpressionInfo(classOf[NearestCell].getName, "nearest_cell"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3, "nearest_cell() takes (vec, cells, centroids)")
+        NearestCell(exprs(0),
+          graft.functions.FnArgs.longArrayLit(exprs(1), "nearest_cell cells"),
+          graft.functions.FnArgs.matrixLit(exprs(2), "nearest_cell centroids"))
       }))
   }
 }

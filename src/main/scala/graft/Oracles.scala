@@ -899,6 +899,21 @@ object Oracles {
         |  round(importance / 2.0 - ln(-ln(u)), 4) AS gumbel_key
         |FROM u ORDER BY gumbel_key DESC, doc_id ASC LIMIT 50""".stripMargin,
 
+    // token-budget selection — the same prefix cumsum in SQL. ROWS
+    // frame spelled out: the default RANGE frame would include ORDER BY
+    // peers, and although (n_chars, doc_id) is tie-free the contract
+    // should not depend on that
+    "q_token_budget" ->
+      """SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens FROM (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    sum(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
+        |      ORDER BY n_chars DESC, doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |  FROM documents) t
+        |WHERE cum_tokens <= 5000
+        |ORDER BY cum_tokens ASC""".stripMargin,
+
     // SemDeDup: k-means cells are engine-specific, so the gate checks
     // the operator's guarantees in-engine (no over-removal vs exact
     // cosine, planted-clone recall) and the oracle pins corpus size +

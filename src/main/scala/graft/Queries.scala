@@ -490,6 +490,19 @@ object Queries {
       rd(s, dir, "documents"), col("lang") === "en", k = 50,
       temperature = 2.0, salt = "dsir")
 
+  /** Token-budget-bounded selection: the longest-documents-first prefix
+    * whose cumulative whitespace-token count stays ≤ 5000
+    * (BudgetSample.takeUntil — the distributed two-pass cumsum, no
+    * single-partition window; PlanSpec pins the shape). cum_tokens is
+    * monotone in priority order, so it doubles as the output's
+    * deterministic sort key. */
+  def qTokenBudget(s: SparkSession, dir: String): DataFrame =
+    graft.ops.BudgetSample.takeUntil(
+      rd(s, dir, "documents"), budget = 5000L,
+      ord = Seq(col("n_chars").desc, col("doc_id").asc))
+      .select("doc_id", "n_tokens", "cum_tokens")
+      .orderBy("cum_tokens")
+
   def qArrayFns(s: SparkSession, dir: String): DataFrame = {
     val toks = split(col("text"), " ")
     rd(s, dir, "documents").select(

@@ -196,7 +196,18 @@ object Soak {
       // yardstick (quadratic: do NOT run at 100×)
       (if (factor <= 10) Seq(run("embedding_pairs_gate_geometry") {
         ops.Dedup.embeddingNearDupPairs(embCorpus, threshold = 0.95)
-      }) else Nil)
+      }) else Nil) ++
+      // SemDeDup over the same corpus: k tracks the corpus through
+      // clustersFor so cells stay ~256 vectors and the within-cell pair
+      // block is corpus-size-independent per cell; rows = kept docs
+      // (≈ corpus − caught planted clones, cell-straddle loss allowed)
+      {
+        val nEmb = embCorpus.count() // exact corpus size for cell sizing
+        Seq(run("semdedup_keep") {
+          ops.SemDedup.dedup(embCorpus,
+            nClusters = ops.SemDedup.clustersFor(nEmb), tau = 0.95)
+        })
+      }
 
     // --- incremental store growth: seed at N×, then SMALL appends -----
     // The claim under test is the partitioned-store contract: an

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType}
 
 /** Shared argument extraction for the SQL function builders — ONE
   * int-literal match instead of a copy per registration site (the
@@ -12,5 +12,21 @@ private[graft] object FnArgs {
     case Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(
       s"$what must be an int literal, got $other")
+  }
+
+  def longArrayLit(e: Expression, what: String): Array[Long] = e match {
+    case Literal(v: org.apache.spark.sql.catalyst.util.ArrayData,
+        ArrayType(LongType, _)) => v.toLongArray()
+    case other => throw new IllegalArgumentException(
+      s"$what must be an ARRAY<BIGINT> literal, got $other")
+  }
+
+  def matrixLit(e: Expression, what: String): Array[Array[Double]] = e match {
+    case Literal(v: org.apache.spark.sql.catalyst.util.ArrayData,
+        ArrayType(ArrayType(DoubleType, _), _)) =>
+      (0 until v.numElements()).map(i =>
+        v.getArray(i).toDoubleArray()).toArray
+    case other => throw new IllegalArgumentException(
+      s"$what must be an ARRAY<ARRAY<DOUBLE>> literal, got $other")
   }
 }

@@ -351,6 +351,103 @@ case class CosineCodeSim(left: Expression, right: Expression)
 /** Registration + Column-level helpers. The helpers self-register on the
   * active session so operator code can stay session-free (one active
   * session per process, the repo's test/bench/verify shape). */
+/** Map-only nearest-centroid assignment: argmax over a PLAN-EMBEDDED
+  * centroid matrix, cosine per cell in one fused codegen loop. The
+  * structural fix for the k-means assignment join: the previous shape
+  * (broadcast join × k centroids → n·k exploded rows → vector-carrying
+  * groupBy argmax) shuffles n·k rows — measured 1123 s at the 100×
+  * SemDeDup soak where this expression's map-only pass needs none.
+  * Ties on cosine pick the HIGHER cell, bit-matching the
+  * `max(struct(cosine, cell))` argmax it replaces (same accumulation
+  * order as CosineSimilarity, so assignments are identical).
+  *
+  * The matrix rides the serialized expression to every task (the same
+  * bytes a broadcast would ship) — fine to k ~ 100k × d ~ 1k; beyond
+  * that a two-level (coarse-then-fine) assignment is the deploy story,
+  * not a bigger literal. */
+case class NearestCell(
+    child: Expression,
+    cells: Array[Long],
+    matrix: Array[Array[Double]])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) =>
+      if (cells.length == matrix.length && cells.nonEmpty)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"nearest_cell: ${cells.length} cells vs ${matrix.length} centroids (need equal, non-zero)")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_cell requires ARRAY<FLOAT|DOUBLE>, got ${other.sql}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "nearest_cell"
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    var best = Double.NegativeInfinity
+    var bestCell = Long.MinValue
+    var c = 0
+    while (c < matrix.length) {
+      val cent = matrix(c)
+      val n = math.min(v.numElements(), cent.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val xv = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        val yv = cent(i)
+        dot += xv * yv; na += xv * xv; nb += yv * yv
+        i += 1
+      }
+      val cos = dot / (math.sqrt(na) * math.sqrt(nb))
+      if (cos > best || (cos == best && cells(c) > bestCell)) {
+        best = cos; bestCell = cells(c)
+      }
+      c += 1
+    }
+    bestCell
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val mat = ctx.addReferenceObj("nearestCellMatrix", matrix, "double[][]")
+      val cls = ctx.addReferenceObj("nearestCellIds", cells, "long[]")
+      val get = if (isFloat) s"(double) $v.getFloat" else s"$v.getDouble"
+      val c = ctx.freshName("c"); val i = ctx.freshName("i")
+      val n = ctx.freshName("n"); val cent = ctx.freshName("cent")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb"); val cos = ctx.freshName("cos")
+      val best = ctx.freshName("best"); val bestCell = ctx.freshName("bestCell")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |double $best = Double.NEGATIVE_INFINITY;
+         |long $bestCell = Long.MIN_VALUE;
+         |for (int $c = 0; $c < $mat.length; $c++) {
+         |  double[] $cent = $mat[$c];
+         |  int $n = java.lang.Math.min($v.numElements(), $cent.length);
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xv = $get($i);
+         |    double $yv = $cent[$i];
+         |    $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |  }
+         |  double $cos = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  if ($cos > $best || ($cos == $best && $cls[$c] > $bestCell)) {
+         |    $best = $cos; $bestCell = $cls[$c];
+         |  }
+         |}
+         |${ev.value} = $bestCell;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object Vec {
 
   def register(spark: SparkSession): Unit = {
@@ -383,6 +480,16 @@ object Vec {
       },
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nearest_cell",
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3,
+          s"nearest_cell() takes (vec, cells, centroids)")
+        NearestCell(exprs(0),
+          FnArgs.longArrayLit(exprs(1), "nearest_cell cells"),
+          FnArgs.matrixLit(exprs(2), "nearest_cell centroids"))
+      },
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lsh_signature",
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2 || exprs.length == 3,
@@ -410,5 +517,17 @@ object Vec {
     call_function("lsh_signature", vec,
       org.apache.spark.sql.functions.lit(planes),
       org.apache.spark.sql.functions.lit(planeOffset))
+  }
+
+  /** Map-only nearest-centroid cell id (see NearestCell). `cells` and
+    * `centroids` are parallel, embedded in the plan as literals. */
+  def nearestCell(
+      vec: Column,
+      cells: Array[Long],
+      centroids: Array[Array[Double]]): Column = {
+    ensure()
+    call_function("nearest_cell", vec,
+      org.apache.spark.sql.functions.typedlit(cells.toSeq),
+      org.apache.spark.sql.functions.typedlit(centroids.map(_.toSeq).toSeq))
   }
 }

@@ -32,10 +32,22 @@ import org.apache.spark.sql.functions._
   * alternative when a missed pair is a correctness defect. */
 object SemDedup {
 
+  /** Production cluster count for a corpus of `n` vectors: cells hold
+    * ~`targetCell` members, so the within-cell pair block stays
+    * ~targetCell² comparisons per cell REGARDLESS of corpus size — the
+    * `Similarity.planesFor` analogue for the k-means fence (a fixed k
+    * densifies cells linearly with the corpus and the self-join grows
+    * quadratically, the same failure the LSH soak measured at fixed
+    * planes). Assignment cost grows as n·k; at k ≈ n/targetCell that is
+    * n²/targetCell broadcast-local flops — bounded cell size is the
+    * trade SemDeDup makes for learned (not random) blocking. */
+  def clustersFor(n: Long, targetCell: Int = 256): Int =
+    math.max(4, math.ceil(n.toDouble / targetCell).toInt)
+
   /** Cluster assignment: (id, cell, vec) with each embedding assigned
-    * to its max-cosine centroid (ties → higher cell id, deterministic
-    * — the same rule as `Similarity.kmeansCentroids`' own
-    * assignment). */
+    * to its max-cosine centroid (ties → higher cell id, deterministic)
+    * — the shared map-only `Similarity.assignCells` path (the
+    * `nearest_cell` codegen argmax; no n·k join explosion). */
   def assign(
       embs: DataFrame,
       nClusters: Int,
@@ -43,15 +55,10 @@ object SemDedup {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val cents = Similarity.kmeansCentroids(embs, nClusters, iters, idCol, vecCol)
-    embs
-      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
-      .join(broadcast(cents))
-      .groupBy("id")
-      .agg(
-        max(struct(Similarity.cosine(col("vec"), col("centroid")).as("c"),
-          col("cell").as("cell"))).as("best"),
-        first(col("vec")).as("vec"))
-      .select(col("id"), col("best.cell").as("cell"), col("vec"))
+    Similarity.assignCells(
+      embs.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec")),
+      cents)
+      .select(col("id"), col("cell"), col("vec"))
   }
 
   /** Within-cell near-duplicate pairs at exact cosine ≥ `tau`:

@@ -197,12 +197,20 @@ object Similarity {
         row_number().over(Window.orderBy("cid")).cast("long") - 1)
       .select(col("cell"), col("cvec").cast("array<double>").as("centroid"))
     (0 until iters).foreach { _ =>
-      val assigned = cand.join(broadcast(cents))
-        .groupBy("cid")
-        .agg(max(struct(cosine(col("cvec"), col("centroid")).as("c"),
-          col("cell").as("cell"))).as("best"),
-          first(col("cvec")).as("cvec"))
-        .select(col("best.cell").as("cell"), col("cvec"))
+      // map-only argmax (nearest_cell): the old join-then-groupBy shape
+      // shuffled n·k vector-carrying rows per Lloyd round — see
+      // assignCells. Collecting cents is the k×dim driver round-trip
+      // this loop already makes at the end of every round.
+      val crows = cents
+        .select(col("cell").cast("long"), col("centroid").cast("array<double>"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+      if (crows.isEmpty) return cents // empty corpus: nothing to refine
+      val assigned = cand.select(
+        graft.functions.Vec.nearestCell(
+          col("cvec"), crows.map(_._1), crows.map(_._2)).as("cell"),
+        col("cvec"))
       val means = assigned
         .select(col("cell"), posexplode(col("cvec")).as(Seq("pos", "x")))
         .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
@@ -226,16 +234,30 @@ object Similarity {
     cand.orderBy("id").limit(nlist)
       .select(col("id").as("cell"), col("vec").cast("array<double>").as("centroid"))
 
-  /** Nearest-centroid assignment via max(struct(cos, cell)) — argmax
-    * without a window; same sharing rationale as seedCentroids.
-    * Expects (id, vec) × broadcast (cell, centroid) → (id, vec, cell). */
-  private[ops] def assignCells(cand: DataFrame, centroids: DataFrame): DataFrame =
-    cand.join(broadcast(centroids))
-      .groupBy("id")
-      .agg(max(struct(cosine(col("vec"), col("centroid")).as("c"),
-        col("cell").as("cell"))).as("best"),
-        first(col("vec")).as("vec"))
-      .select(col("id"), col("vec"), col("best.cell").as("cell"))
+  /** Nearest-centroid assignment, MAP-ONLY via the `nearest_cell`
+    * codegen expression — same sharing rationale as seedCentroids.
+    * Expects (id, vec) × (cell, centroid) → (id, vec, cell).
+    *
+    * The previous shape (broadcast join × k centroids → n·k exploded
+    * rows → vector-carrying groupBy argmax) shuffled n·k rows and went
+    * quadratic as k tracks the corpus (1123 s at the 100× SemDeDup
+    * soak); the fused argmax loop needs no shuffle at all. The collect
+    * is the k-row centroid table (nlist / clustersFor — the same
+    * driver bound kmeansCentroids' own round-trip already carries).
+    * Assignments are bit-identical: same cosine accumulation order as
+    * CosineSimilarity, ties → higher cell like max(struct(c, cell)). */
+  private[ops] def assignCells(cand: DataFrame, centroids: DataFrame): DataFrame = {
+    val rows = centroids
+      .select(col("cell").cast("long"), col("centroid").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    if (rows.isEmpty) cand.select(col("id"), col("vec"))
+      .withColumn("cell", lit(0L)).limit(0)
+    else cand.select(col("id"), col("vec"),
+      graft.functions.Vec.nearestCell(
+        col("vec"), rows.map(_._1), rows.map(_._2)).as("cell"))
+  }
 
   /** IVF (inverted-file) ANN top-k: candidates are partitioned into
     * `nlist` cells by nearest centroid; each query probes only its

@@ -135,4 +135,53 @@ class VectorExprsSpec extends SparkSuite {
     assert(r(0).getDouble(0) == 11.0)
     assert(r(1).isNullAt(0))
   }
+
+  test("nearest_cell equals the max(struct(cosine, cell)) argmax it replaced") {
+    val rnd = new scala.util.Random(11)
+    val cells = Array(3L, 7L, 20L, 41L)
+    val cents = Array.fill(4)(Array.fill(64)(rnd.nextDouble() * 2 - 1))
+    // declarative oracle: explode the centroid table, argmax by
+    // max(struct(cos, cell)) — the exact shape assignCells used before
+    import spark.implicits._
+    val centDf = cells.zip(cents.map(_.toSeq)).toSeq.toDF("cell", "centroid")
+    val oracle = vecs.join(broadcast(centDf))
+      .groupBy("id")
+      .agg(max(struct(Vec.cosine(col("v"), col("centroid")).as("c"),
+        col("cell").as("cell"))).as("best"))
+      .select(col("id"), col("best.cell").as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fused = vecs.select(col("id"),
+      Vec.nearestCell(col("v"), cells, cents).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fused == oracle)
+
+    // tie-break: two IDENTICAL centroids → the higher cell wins, the
+    // max(struct(...)) rule
+    val dup = Seq(Tuple1(Array(1.0, 0.0))).toDF("v")
+      .select(Vec.nearestCell(col("v"),
+        Array(5L, 9L), Array(Array(1.0, 0.0), Array(1.0, 0.0))))
+      .collect()(0).getLong(0)
+    assert(dup == 9L)
+
+    // codegen == interpreted
+    val exprsDf = vecs.select(Vec.nearestCell(col("v"), cells, cents).as("c"))
+    val withCodegen = exprsDf.collect().map(_.getLong(0)).toSeq
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      assert(exprsDf.collect().map(_.getLong(0)).toSeq == withCodegen)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+
+    // null vector → null
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val nullDf = spark.createDataFrame(
+      java.util.Arrays.asList(Row(null)),
+      StructType(Seq(StructField("v", ArrayType(DoubleType)))))
+    assert(nullDf.select(Vec.nearestCell(col("v"), cells, cents))
+      .collect()(0).isNullAt(0))
+  }
 }

@@ -63,12 +63,18 @@ class SemDedupSpec extends SparkSuite {
     assert(a1 == a2)
   }
 
-  test("assignment broadcasts centroids; the pair join is never cartesian") {
-    val aPlan = SemDedup.assign(corpus, nClusters = 4)
+  test("assignment is map-only (nearest_cell, no join); pair join never cartesian") {
+    // parquet-backed source: a local Seq corpus constant-folds to a
+    // LocalTableScan and the plan under test disappears
+    val real = spark.read.parquet(s"$sf/embeddings.parquet")
+    val aPlan = SemDedup.assign(real, nClusters = 4)
       .queryExecution.executedPlan.toString
-    assert(aPlan.contains("BroadcastExchange") ||
-      aPlan.contains("BroadcastNestedLoopJoin"),
-      s"centroid join must broadcast k rows, got:\n$aPlan")
+    // the n·k centroid join is gone: assignment is one codegen argmax
+    // over the plan-embedded matrix — no join, no exchange
+    assert(aPlan.contains("nearest_cell"),
+      s"assignment must use the nearest_cell expression, got:\n$aPlan")
+    assert(!aPlan.contains("Join"),
+      s"assignment must not join against centroids, got:\n$aPlan")
     val pPlan = SemDedup.pairs(corpus, nClusters = 4, tau = 0.99)
       .queryExecution.executedPlan.toString
     assert(!pPlan.contains("CartesianProduct"),
