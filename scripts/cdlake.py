@@ -280,6 +280,15 @@ class Cdl:
                 docs._jdf, target_cond, int(k), float(temperature), salt),
             self._spark)
 
+    def hybrid_search(self, docs, embs, queries, k, n_per=10):
+        """Hybrid retrieval: reciprocal-rank fusion of BM25 (docs:
+        doc_id, text) and exact cosine (embs: vec_id, embedding);
+        queries carries (query_id, query, qvec). Top-k per query."""
+        return DataFrame(
+            self._spark._jvm.graft.PyBridge.hybridSearch(
+                docs._jdf, embs._jdf, queries._jdf, int(k), int(n_per)),
+            self._spark)
+
     def sem_dedup(self, embs, n_clusters=16, tau=0.95):
         """SemDeDup keep-one semantic dedup of (vec_id, embedding) over
         k-means cells (within-cell exact cosine >= tau)."""

@@ -334,6 +334,14 @@ def test_dsir_and_semdedup_over_bridge(spark):
                   cdl.sem_dedup(embs, n_clusters=2, tau=0.99).collect())
     assert kept == [1, 3]
 
+    # hybrid RRF: doc 1 matches lexically AND semantically -> rank 1
+    hq = spark.createDataFrame(
+        [(0, "alpha beta", [1.0, 0.0, 0.0])],
+        "query_id LONG, query STRING, qvec ARRAY<DOUBLE>")
+    hits = cdl.hybrid_search(docs.select("doc_id", "text"), embs, hq,
+                             k=3).collect()
+    assert hits[0]["doc_id"] == 1 and hits[0]["rank"] == 1
+
 
 def test_to_csv_collates_bench_outputs(tmp_path):
     """The results collator (scripts/to_csv.py) on reference-shaped

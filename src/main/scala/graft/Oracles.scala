@@ -899,6 +899,71 @@ object Oracles {
         |  round(importance / 2.0 - ln(-ln(u)), 4) AS gumbel_key
         |FROM u ORDER BY gumbel_key DESC, doc_id ASC LIMIT 50""".stripMargin,
 
+    // hybrid retrieval — BM25 (the q_bm25_search formula, top-10) full-
+    // outer-joined with exact cosine (queries = embeddings 0/1 over the
+    // whole table, top-10), RRF k0=60, fused rank <= 5. CAST(1 AS
+    // DOUBLE): a bare 1.0 is DECIMAL in DuckDB and the division must
+    // stay IEEE double to match Spark bit-for-bit
+    "q_hybrid_search" ->
+      """WITH q(query_id, query) AS (VALUES
+        |    (CAST(0 AS BIGINT), 'hash join merge'),
+        |    (CAST(1 AS BIGINT), 'scan filter column')),
+        |qterms AS (SELECT DISTINCT query_id,
+        |    unnest(string_split(query, ' ')) AS term FROM q),
+        |dls AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+        |  FROM documents),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |    avg(dl) AS avgdl FROM dls),
+        |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |postings AS (
+        |  SELECT term, t.doc_id, dl, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM toks t JOIN dls USING (doc_id)
+        |  WHERE term IN (SELECT term FROM qterms)
+        |  GROUP BY term, t.doc_id, dl),
+        |dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+        |  FROM postings GROUP BY term),
+        |bscored AS (
+        |  SELECT query_id, doc_id,
+        |    round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2
+        |      / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS bm25
+        |  FROM postings JOIN dft USING (term) JOIN qterms USING (term), stats
+        |  GROUP BY query_id, doc_id),
+        |lex AS (SELECT query_id, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY bm25 DESC, doc_id ASC) AS INTEGER) AS rank
+        |  FROM bscored QUALIFY rank <= 10),
+        |idx AS (SELECT unnest(range(1, 65)) AS i),
+        |qv AS (SELECT vec_id AS qid, embedding AS e FROM embeddings WHERE vec_id < 2),
+        |cv AS (SELECT vec_id AS nid, embedding AS e FROM embeddings),
+        |qe AS (SELECT qid, i, CAST(e[i] AS DOUBLE) AS x FROM qv, idx),
+        |ce AS (SELECT nid, i, CAST(e[i] AS DOUBLE) AS x FROM cv, idx),
+        |qn AS (SELECT qid, sqrt(sum(x * x)) AS nrm FROM qe GROUP BY qid),
+        |cn AS (SELECT nid, sqrt(sum(x * x)) AS nrm FROM ce GROUP BY nid),
+        |dots AS (SELECT qid, nid, sum(qe.x * ce.x) AS dot
+        |         FROM qe JOIN ce USING (i) GROUP BY qid, nid),
+        |sscored AS (SELECT qid AS query_id, nid AS doc_id,
+        |             round(dot / (qn.nrm * cn.nrm), 4) AS cosine
+        |           FROM dots JOIN qn USING (qid) JOIN cn USING (nid)),
+        |sem AS (SELECT query_id, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, doc_id ASC) AS INTEGER) AS rank
+        |  FROM sscored QUALIFY rank <= 10),
+        |fused AS (
+        |  SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+        |         COALESCE(l.doc_id, s.doc_id) AS doc_id,
+        |         round(COALESCE(CAST(1 AS DOUBLE) / (60 + l.rank), 0)
+        |             + COALESCE(CAST(1 AS DOUBLE) / (60 + s.rank), 0), 6) AS rrf
+        |  FROM lex l FULL OUTER JOIN sem s
+        |    ON l.query_id = s.query_id AND l.doc_id = s.doc_id),
+        |ranked AS (SELECT query_id, doc_id, rrf,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rrf DESC, doc_id ASC) AS INTEGER) AS rank
+        |  FROM fused)
+        |SELECT query_id, doc_id, rrf, rank FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
     // token-budget selection — the same prefix cumsum in SQL. ROWS
     // frame spelled out: the default RANGE frame would include ORDER BY
     // peers, and although (n_chars, doc_id) is tie-free the contract

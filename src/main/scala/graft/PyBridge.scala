@@ -185,6 +185,12 @@ object PyBridge {
       docs, org.apache.spark.sql.functions.expr(targetCond), k.intValue,
       temperature, salt)
 
+  /** Hybrid retrieval: RRF fusion of BM25 and exact cosine; `queries`
+    * carries (query_id, query, qvec). */
+  def hybridSearch(docs: DataFrame, embs: DataFrame, queries: DataFrame,
+      k: java.lang.Number, nPer: java.lang.Number): DataFrame =
+    graft.ops.HybridSearch.search(docs, embs, queries, k.intValue, nPer.intValue)
+
   /** SemDeDup keep-one semantic dedup over k-means cells. */
   def semDedup(embs: DataFrame, nClusters: java.lang.Number,
       tau: Double): DataFrame =

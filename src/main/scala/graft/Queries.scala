@@ -503,6 +503,26 @@ object Queries {
       .select("doc_id", "n_tokens", "cum_tokens")
       .orderBy("cum_tokens")
 
+  /** Hybrid retrieval: RRF fusion of BM25 (the q_bm25_search queries)
+    * and exact cosine (query vectors = embeddings 0/1 over the full
+    * embedding table), top-10 each side, fused top-5. Fully
+    * value-checked: both input rankings are 4-dp-round-deterministic
+    * and the RRF sum is two exact divisions in fixed order, rounded at
+    * 6 dp before the fused rank. */
+  def qHybridSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val texts = Seq((0L, "hash join merge"), (1L, "scan filter column"))
+      .toDF("query_id", "query")
+    val queries = texts.join(
+      rd(s, dir, "embeddings").filter(col("vec_id") < 2)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec")),
+      Seq("query_id"))
+    graft.ops.HybridSearch.search(
+      rd(s, dir, "documents"), rd(s, dir, "embeddings"), queries,
+      k = 5, nPer = 10)
+      .orderBy("query_id", "rank")
+  }
+
   def qArrayFns(s: SparkSession, dir: String): DataFrame = {
     val toks = split(col("text"), " ")
     rd(s, dir, "documents").select(

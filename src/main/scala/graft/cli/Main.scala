@@ -192,6 +192,27 @@ object Main {
           .select("doc_id", "bm25", "rank")
           .orderBy("rank").show(k, truncate = false)
 
+      // hybrid retrieval (training-pipeline extension): RRF fusion of
+      // BM25 over (doc_id, text) and exact cosine over (vec_id,
+      // embedding); the query vector is looked up from the embeddings
+      // table by id
+      case "hybrid" :: docsPath :: embsPath :: queryText :: qvecId :: rest =>
+        val k = rest match {
+          case Nil      => 5
+          case n :: Nil => n.toInt
+          case other    => sys.error(
+            s"usage: hybrid <docs.parquet> <embs.parquet> <query text> <qvecId> [k]; got $other")
+        }
+        import spark.implicits._
+        val embs = spark.read.parquet(embsPath)
+        val queries = Seq((0L, queryText)).toDF("query_id", "query")
+          .crossJoin(embs
+            .filter(org.apache.spark.sql.functions.col("vec_id") === qvecId.toLong)
+            .select(org.apache.spark.sql.functions.col("embedding").as("qvec")))
+        graft.ops.HybridSearch.search(
+          spark.read.parquet(docsPath), embs, queries, k)
+          .orderBy("rank").show(k, truncate = false)
+
       // DSIR importance selection (training-pipeline extension): score
       // a (doc_id, text) table against a SQL target condition, keep the
       // deterministic top-k (or a seeded Gumbel resample with
@@ -278,6 +299,7 @@ object Main {
           s"ivf {build|append|search [nprobe [rerank]]|health} ... | " +
           s"search <docs.parquet> <query text> [k] | " +
           s"dsir <docs.parquet> <condition> <k> [--resample T salt] | " +
+          s"hybrid <docs.parquet> <embs.parquet> <query text> <qvecId> [k] | " +
           s"semdedup <in.parquet> <out.parquet> [nClusters [tau]]}; got $other")
     }
 
