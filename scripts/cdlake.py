@@ -280,6 +280,16 @@ class Cdl:
                 docs._jdf, target_cond, int(k), float(temperature), salt),
             self._spark)
 
+    def budget_take_until(self, docs, budget, order):
+        """Token-budget selection: the maximal priority-ordered prefix
+        of docs (needs a text column) within `budget` cumulative
+        whitespace tokens. `order` is a list of "col" / "col:desc"
+        priority keys (must form a total order)."""
+        return DataFrame(
+            self._spark._jvm.graft.PyBridge.budgetTakeUntil(
+                docs._jdf, int(budget), list(order)),
+            self._spark)
+
     def hybrid_search(self, docs, embs, queries, k, n_per=10):
         """Hybrid retrieval: reciprocal-rank fusion of BM25 (docs:
         doc_id, text) and exact cosine (embs: vec_id, embedding);

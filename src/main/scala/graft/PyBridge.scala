@@ -185,6 +185,19 @@ object PyBridge {
       docs, org.apache.spark.sql.functions.expr(targetCond), k.intValue,
       temperature, salt)
 
+  /** Token-budget selection: priority columns as "col" or "col:desc"
+    * strings (py4j-marshalled list). */
+  def budgetTakeUntil(docs: DataFrame, budget: java.lang.Number,
+      ord: java.util.List[String]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val cols = ord.asScala.toSeq.map { c =>
+      if (c.endsWith(":desc"))
+        org.apache.spark.sql.functions.col(c.stripSuffix(":desc")).desc
+      else org.apache.spark.sql.functions.col(c).asc
+    }
+    graft.ops.BudgetSample.takeUntil(docs, budget.longValue, cols)
+  }
+
   /** Hybrid retrieval: RRF fusion of BM25 and exact cosine; `queries`
     * carries (query_id, query, qvec). */
   def hybridSearch(docs: DataFrame, embs: DataFrame, queries: DataFrame,

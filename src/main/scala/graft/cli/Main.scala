@@ -192,6 +192,21 @@ object Main {
           .select("doc_id", "bm25", "rank")
           .orderBy("rank").show(k, truncate = false)
 
+      // token-budget selection (training-pipeline extension): the
+      // maximal priority-ordered prefix within a token budget; priority
+      // columns are comma-separated, ":desc" suffix flips direction
+      case "budget" :: input :: outPath :: budgetArg :: ordArg :: Nil =>
+        val ord = ordArg.split(",").toSeq.map { c =>
+          if (c.endsWith(":desc"))
+            org.apache.spark.sql.functions.col(c.stripSuffix(":desc")).desc
+          else org.apache.spark.sql.functions.col(c).asc
+        }
+        val sel = graft.ops.BudgetSample.takeUntilWithRelease(
+          spark.read.parquet(input), budgetArg.toLong, ord)
+        sel.df.write.mode("overwrite").parquet(outPath)
+        sel.release()
+        println(s"selected ${spark.read.parquet(outPath).count()} docs within $budgetArg tokens")
+
       // hybrid retrieval (training-pipeline extension): RRF fusion of
       // BM25 over (doc_id, text) and exact cosine over (vec_id,
       // embedding); the query vector is looked up from the embeddings
@@ -300,6 +315,7 @@ object Main {
           s"search <docs.parquet> <query text> [k] | " +
           s"dsir <docs.parquet> <condition> <k> [--resample T salt] | " +
           s"hybrid <docs.parquet> <embs.parquet> <query text> <qvecId> [k] | " +
+          s"budget <docs.parquet> <out.parquet> <tokenBudget> <col[:desc],...> | " +
           s"semdedup <in.parquet> <out.parquet> [nClusters [tau]]}; got $other")
     }
 
