@@ -190,12 +190,8 @@ object PyBridge {
   def budgetTakeUntil(docs: DataFrame, budget: java.lang.Number,
       ord: java.util.List[String]): DataFrame = {
     import scala.jdk.CollectionConverters._
-    val cols = ord.asScala.toSeq.map { c =>
-      if (c.endsWith(":desc"))
-        org.apache.spark.sql.functions.col(c.stripSuffix(":desc")).desc
-      else org.apache.spark.sql.functions.col(c).asc
-    }
-    graft.ops.BudgetSample.takeUntil(docs, budget.longValue, cols)
+    graft.ops.BudgetSample.takeUntil(docs, budget.longValue,
+      graft.ops.BudgetSample.parseOrd(ord.asScala.toSeq))
   }
 
   /** Hybrid retrieval: RRF fusion of BM25 and exact cosine; `queries`

@@ -196,11 +196,7 @@ object Main {
       // maximal priority-ordered prefix within a token budget; priority
       // columns are comma-separated, ":desc" suffix flips direction
       case "budget" :: input :: outPath :: budgetArg :: ordArg :: Nil =>
-        val ord = ordArg.split(",").toSeq.map { c =>
-          if (c.endsWith(":desc"))
-            org.apache.spark.sql.functions.col(c.stripSuffix(":desc")).desc
-          else org.apache.spark.sql.functions.col(c).asc
-        }
+        val ord = graft.ops.BudgetSample.parseOrd(ordArg.split(",").toSeq)
         val sel = graft.ops.BudgetSample.takeUntilWithRelease(
           spark.read.parquet(input), budgetArg.toLong, ord)
         sel.df.write.mode("overwrite").parquet(outPath)

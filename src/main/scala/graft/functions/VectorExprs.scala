@@ -357,9 +357,11 @@ case class CosineCodeSim(left: Expression, right: Expression)
   * (broadcast join × k centroids → n·k exploded rows → vector-carrying
   * groupBy argmax) shuffles n·k rows — measured 1123 s at the 100×
   * SemDeDup soak where this expression's map-only pass needs none.
-  * Ties on cosine pick the HIGHER cell, bit-matching the
-  * `max(struct(cosine, cell))` argmax it replaces (same accumulation
-  * order as CosineSimilarity, so assignments are identical).
+  * Ties on cosine pick the HIGHER cell, and a NaN cosine (zero vector
+  * or zero centroid) sorts ABOVE every real cosine, bit-matching the
+  * `max(struct(cosine, cell))` argmax it replaces (Spark's Double
+  * ordering puts NaN above all values; same accumulation order as
+  * CosineSimilarity, so assignments are identical).
   *
   * The matrix rides the serialized expression to every task (the same
   * bytes a broadcast would ship) — fine to k ~ 100k × d ~ 1k; beyond
@@ -404,7 +406,12 @@ case class NearestCell(
         i += 1
       }
       val cos = dot / (math.sqrt(na) * math.sqrt(nb))
-      if (cos > best || (cos == best && cells(c) > bestCell)) {
+      // Double.compare, not >/==: a NaN cosine (zero vector or zero
+      // centroid) must sort ABOVE every real value with NaN == NaN on
+      // ties, exactly Spark's struct-max ordering — plain > never
+      // matches NaN and would leave bestCell at Long.MinValue.
+      val cmp = java.lang.Double.compare(cos, best)
+      if (cmp > 0 || (cmp == 0 && cells(c) > bestCell)) {
         best = cos; bestCell = cells(c)
       }
       c += 1
@@ -436,7 +443,8 @@ case class NearestCell(
          |    $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
          |  }
          |  double $cos = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
-         |  if ($cos > $best || ($cos == $best && $cls[$c] > $bestCell)) {
+         |  int ${cos}Cmp = java.lang.Double.compare($cos, $best);
+         |  if (${cos}Cmp > 0 || (${cos}Cmp == 0 && $cls[$c] > $bestCell)) {
          |    $best = $cos; $bestCell = $cls[$c];
          |  }
          |}

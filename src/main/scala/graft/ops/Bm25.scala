@@ -39,6 +39,26 @@ import org.apache.spark.sql.functions._
   */
 object Bm25 {
 
+  /** The query-restricted posting list — (term, doc_id, dl, tf) for
+    * query terms only. The broadcast LEFT SEMI sits BELOW the tf
+    * aggregation so the exploded corpus never reaches a shuffle
+    * unfiltered; package-private so the plan-shape spec can pin that
+    * property on the subtree search() checkpoints. */
+  private[ops] def postingsOf(
+      docs: DataFrame,
+      qterms: DataFrame,
+      docIdCol: String,
+      textCol: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    docs
+      .select(col(docIdCol).as("doc_id"),
+        size(toks).cast("double").as("dl"),
+        explode(toks).as("term"))
+      .join(broadcast(qterms.select("term").distinct()), Seq("term"), "left_semi")
+      .groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).cast("double").as("tf"))
+  }
+
   def search(
       docs: DataFrame,
       queries: DataFrame,
@@ -59,13 +79,12 @@ object Bm25 {
     val stats = docs.agg(
       count(lit(1)).cast("double").as("n_docs"),
       avg(size(toks)).as("avgdl"))
-    val postings = docs
-      .select(col(docIdCol).as("doc_id"),
-        size(toks).cast("double").as("dl"),
-        explode(toks).as("term"))
-      .join(broadcast(qterms.select("term").distinct()), Seq("term"), "left_semi")
-      .groupBy("term", "doc_id", "dl")
-      .agg(count(lit(1)).cast("double").as("tf"))
+    // localCheckpoint: postings feeds BOTH the broadcast df-per-term
+    // aggregate and the scoring join — without it the broadcast
+    // materialization and the main plan each run the full
+    // explode+semi-join+aggregate corpus pass (the SemDedup.pairs
+    // shared-subtree convention; blocks freed once unreachable)
+    val postings = postingsOf(docs, qterms, docIdCol, textCol).localCheckpoint()
     val dfPerTerm = postings.groupBy("term")
       .agg(count(lit(1)).cast("double").as("df"))
     val scored = postings

@@ -9,8 +9,8 @@ import org.apache.spark.storage.StorageLevel
   * prefix of documents whose cumulative token count stays within a
   * budget — "give me the best N-billion-token subset" — the last step
   * between scored/deduped corpus and tokenizer. Greedy PREFIX
-  * semantics: cumulative counts are monotone (every doc has ≥ 1
-  * token), so the first overflowing document cuts the stream and
+  * semantics: cumulative counts are monotone (every doc counts ≥ 0
+  * tokens; NULL text counts 0), so the first overflowing document cuts the stream and
   * nothing after it back-fills — deterministic, order-stable, and
   * expressible identically in any SQL engine.
   *
@@ -33,6 +33,15 @@ object BudgetSample {
 
   final case class Selected(df: DataFrame, release: () => Unit)
 
+  /** The user-facing ordering mini-syntax — "col" (ascending) or
+    * "col:desc" — parsed in ONE place so the CLI and the Python bridge
+    * can never drift on what the same argument selects. */
+  def parseOrd(specs: Seq[String]): Seq[Column] =
+    specs.map { c =>
+      if (c.endsWith(":desc")) col(c.stripSuffix(":desc")).desc
+      else col(c).asc
+    }
+
   /** Docs of the maximal `ord`-ordered prefix with cumulative tokens ≤
     * `budget`, as (original columns…, n_tokens, cum_tokens), in
     * priority order. `ord` must be a total order (tie-break on a
@@ -48,8 +57,12 @@ object BudgetSample {
     // nonce: same cache-dedupe defeat as Ordinal.stampWithCount — two
     // selections over one source must not share a canonicalized plan
     val nonce = java.util.UUID.randomUUID().toString
+    // coalesce(0): a NULL text row counts zero tokens and stays
+    // selectable — without it the per-partition sum row is NULL when a
+    // range bucket holds only null-text docs and getLong below throws
     val ranged = docs
-      .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)))
+      .withColumn(
+        "n_tokens", coalesce(TextAnalysis.tokenCount(col(textCol)), lit(0L)))
       .repartitionByRange(parts, ord: _*)
       .sortWithinPartitions(ord: _*)
       .withColumn("__pid", spark_partition_id())

@@ -31,7 +31,8 @@ import org.apache.spark.sql.functions._
   * Scale shape: two corpus passes, both shuffle-light. Pass 1 builds
   * the bucket table — explode tokens, ONE (bucket, count, count-if-
   * target) aggregation with map-side partials over at most B=4096
-  * groups. Pass 2 scores — explode tokens, broadcast-join the ≤4096-row
+  * groups, collected whole (an O(B) driver edge) so totals and the
+  * weight broadcast never re-run it. Pass 2 scores — explode tokens, broadcast-join the ≤4096-row
   * weight table, per-doc sum. Selection is orderBy+limit (per-partition
   * top-k merged on the driver — never a global single-partition
   * window). At 100 TB nothing here holds state beyond B rows plus one
@@ -41,7 +42,9 @@ object ImportanceSampling {
   /** Feature-space size: 3 hex chars = 4096 buckets. */
   val B = 4096
 
-  private def tokensOf(text: Column): Column = split(text, " ")
+  // the corpus tokenization convention, by name — DSIR's feature space
+  // must stay in sync with BM25/BudgetSample/the oracle SQL
+  private def tokensOf(text: Column): Column = TextAnalysis.tokens(text)
 
   /** Hashed feature bucket of one token — the 3-char md5 prefix, kept
     * AS the hex string (both engines substring md5 identically; parsing
@@ -60,19 +63,24 @@ object ImportanceSampling {
       .select(explode(tokensOf(col(textCol))).as("token"),
         coalesce(targetCond, lit(false)).as("__t"))
       .select(bucket(col("token")).as("bucket"), col("__t"))
-    val counts = tok.groupBy("bucket")
+    // ONE corpus aggregate, collected whole (≤ B = 4096 rows — an O(B)
+    // driver edge); totals and weights are then local arithmetic, so
+    // neither a totals job nor the later broadcast re-runs the
+    // explode+groupBy corpus pass. math.log is java.lang.Math.log,
+    // the same function Spark's `log` expression evaluates — weights
+    // are bit-identical to the previous in-plan form.
+    val countRows = tok.groupBy("bucket")
       .agg(count(lit(1)).as("n_raw"),
         sum(when(col("__t"), 1L).otherwise(0L)).as("n_tgt"))
-    // two scalars to the driver (an O(1) edge), broadcast back inside
-    // the literal — not a crossJoin of a 1-row frame per bucket row
-    val totals = counts.agg(
-      sum(col("n_raw")).as("nr"), sum(col("n_tgt")).as("nt")).head()
-    val nRaw = totals.getLong(0)
-    val nTgt = totals.getLong(1)
-    counts.select(col("bucket"),
-      (log((col("n_tgt") + 1).cast("double") / lit((nTgt + B).toDouble)) -
-        log((col("n_raw") + 1).cast("double") / lit((nRaw + B).toDouble)))
-        .as("w"))
+      .collect()
+    val nRaw = countRows.iterator.map(_.getLong(1)).sum
+    val nTgt = countRows.iterator.map(_.getLong(2)).sum
+    val weights = countRows.toSeq.map { r =>
+      (r.getString(0),
+        math.log((r.getLong(2) + 1).toDouble / (nTgt + B)) -
+          math.log((r.getLong(1) + 1).toDouble / (nRaw + B)))
+    }
+    docs.sparkSession.createDataFrame(weights).toDF("bucket", "w")
   }
 
   /** Per-document importance: Σ over token occurrences of the bucket

@@ -379,7 +379,7 @@ object IvfIndex {
         val candIds = cand.select("neighbor_id").distinct()
           .collect().map(_.getLong(0)).toSeq
         val qvecs = qcells.select("query_id", "qvec").distinct()
-        val exact = probedAssignments(spark, indexDir, probedCells)
+        val exact = assignments
           .filter(col("id").isin(candIds: _*)) // pushed; id-sorted cells
           .select(col("id").as("neighbor_id"), col("vec"))
           .join(broadcast(cand), Seq("neighbor_id"))

@@ -196,7 +196,9 @@ object Similarity {
       .withColumn("cell",
         row_number().over(Window.orderBy("cid")).cast("long") - 1)
       .select(col("cell"), col("cvec").cast("array<double>").as("centroid"))
-    (0 until iters).foreach { _ =>
+    var round = 0
+    var emptySeed = false // an empty corpus stays empty — stop refining
+    while (round < iters && !emptySeed) {
       // map-only argmax (nearest_cell): the old join-then-groupBy shape
       // shuffled n·k vector-carrying rows per Lloyd round — see
       // assignCells. Collecting cents is the k×dim driver round-trip
@@ -206,21 +208,24 @@ object Similarity {
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
         .sortBy(_._1)
-      if (crows.isEmpty) return cents // empty corpus: nothing to refine
-      val assigned = cand.select(
-        graft.functions.Vec.nearestCell(
-          col("cvec"), crows.map(_._1), crows.map(_._2)).as("cell"),
-        col("cvec"))
-      val means = assigned
-        .select(col("cell"), posexplode(col("cvec")).as(Seq("pos", "x")))
-        .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
-        .groupBy("cell")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          p => p.getField("m")).as("centroid"))
-      // k×dim round-trip through the driver keeps the next round's plan flat
-      val rows = means.collect().map(r =>
-        (r.getAs[Long]("cell"), r.getSeq[Double](1)))
-      cents = rows.toSeq.toDF("cell", "centroid")
+      if (crows.isEmpty) emptySeed = true
+      else {
+        val assigned = cand.select(
+          graft.functions.Vec.nearestCell(
+            col("cvec"), crows.map(_._1), crows.map(_._2)).as("cell"),
+          col("cvec"))
+        val means = assigned
+          .select(col("cell"), posexplode(col("cvec")).as(Seq("pos", "x")))
+          .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
+          .groupBy("cell")
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+            p => p.getField("m")).as("centroid"))
+        // k×dim round-trip through the driver keeps the next round's plan flat
+        val rows = means.collect().map(r =>
+          (r.getAs[Long]("cell"), r.getSeq[Double](1)))
+        cents = rows.toSeq.toDF("cell", "centroid")
+      }
+      round += 1
     }
     cents
   }

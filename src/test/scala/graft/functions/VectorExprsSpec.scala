@@ -184,4 +184,43 @@ class VectorExprsSpec extends SparkSuite {
     assert(nullDf.select(Vec.nearestCell(col("v"), cells, cents))
       .collect()(0).isNullAt(0))
   }
+
+  test("nearest_cell NaN cosine (zero vector / zero centroid) matches struct-max") {
+    import spark.implicits._
+    // A zero vector has NaN cosine against EVERY centroid; Spark's
+    // max(struct(cos, cell)) puts NaN above all doubles, so the argmax
+    // is the highest cell — never the Long.MinValue sentinel.
+    val zeroVec = Seq(Tuple1(Array(0.0, 0.0))).toDF("v")
+      .select(Vec.nearestCell(col("v"),
+        Array(5L, 9L), Array(Array(1.0, 0.0), Array(0.0, 1.0))))
+      .collect()(0).getLong(0)
+    assert(zeroVec == 9L, s"zero vector must land in the highest cell, got $zeroVec")
+    // A zero CENTROID is NaN for every input: it beats all real
+    // cosines under the NaN-above-all ordering.
+    val zeroCent = Seq(Tuple1(Array(1.0, 0.0))).toDF("v")
+      .select(Vec.nearestCell(col("v"),
+        Array(5L, 9L), Array(Array(0.0, 0.0), Array(1.0, 0.0))))
+      .collect()(0).getLong(0)
+    assert(zeroCent == 5L, s"NaN centroid sorts above cos=1, got $zeroCent")
+    // and the declarative struct-max oracle agrees on the zero vector
+    val centDf = Seq((5L, Seq(1.0, 0.0)), (9L, Seq(0.0, 1.0))).toDF("cell", "centroid")
+    val oracle = Seq((1L, Array(0.0, 0.0))).toDF("id", "v")
+      .join(broadcast(centDf))
+      .groupBy("id")
+      .agg(max(struct(Vec.cosine(col("v"), col("centroid")).as("c"),
+        col("cell").as("cell"))).as("best"))
+      .select(col("best.cell")).collect()(0).getLong(0)
+    assert(oracle == zeroVec)
+    // codegen path agrees with interpreted on the NaN case
+    val df = Seq(Tuple1(Array(0.0, 0.0))).toDF("v")
+      .select(Vec.nearestCell(col("v"),
+        Array(5L, 9L), Array(Array(1.0, 0.0), Array(0.0, 1.0))).as("c"))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(df.collect()(0).getLong(0) == 9L)
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
 }

@@ -81,11 +81,17 @@ class Bm25Spec extends SparkSuite {
     // unfiltered. Witness: the first aggregate's input rows equal the
     // corpus' query-term occurrences, not its token count.
     val q = Seq((0L, "spark")).toDF("query_id", "query")
-    val out = Bm25.search(docs, q, k = 10)
-    val plan = out.queryExecution.executedPlan.toString
+    // search() localCheckpoints the postings subtree (it feeds both the
+    // df-per-term broadcast and the scoring join), which hides it from
+    // the final executed plan — pin the property on the subtree itself
+    val qterms = q.select(col("query_id"),
+      explode(split(col("query"), " ")).as("term")).distinct()
+    val postings = Bm25.postingsOf(docs, qterms, "doc_id", "text")
+    val plan = postings.queryExecution.executedPlan.toString
     // the semi join exists and is broadcast
     assert(plan.contains("LeftSemi"), plan)
     assert(plan.contains("BroadcastHashJoin"), plan)
+    val out = Bm25.search(docs, q, k = 10)
     val occurrences = corpus.map(_._2.split(" ").count(_ == "spark")).sum
     assert(occurrences == 2)
     // and the scores still come out right end-to-end

@@ -64,6 +64,28 @@ class BudgetSampleSpec extends SparkSuite {
     sel.release()
   }
 
+  test("NULL text counts zero tokens and stays selectable (no null-sum crash)") {
+    import spark.implicits._
+    // doc 2 has NULL text; docs 4/5 are an ALL-NULL priority band that
+    // range-partitions together — previously their per-partition token
+    // sum was NULL and the driver-side getLong threw
+    val withNulls = Seq(
+      (1L, 10L, Some("a b c")),
+      (2L, 20L, None: Option[String]),
+      (3L, 30L, Some("d e")),
+      (4L, 40L, None: Option[String]),
+      (5L, 41L, None: Option[String])
+    ).toDF("doc_id", "pri", "text")
+    val got = BudgetSample.takeUntil(withNulls, 5L,
+      Seq(col("pri").asc, col("doc_id").asc))
+      .select("doc_id", "n_tokens", "cum_tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    // cum: 3, 3, 5, 5, 5 — every zero-token doc rides within budget
+    assert(got == Seq((1L, 3L, 3L), (2L, 0L, 3L), (3L, 2L, 5L),
+      (4L, 0L, 5L), (5L, 0L, 5L)))
+  }
+
   test("release unpins the ranged intermediate") {
     val sel = BudgetSample.takeUntilWithRelease(docs, 12L,
       Seq(col("pri").asc, col("doc_id").asc))
