@@ -307,6 +307,21 @@ class Cdl:
                 embs._jdf, int(n_clusters), float(tau)),
             self._spark)
 
+    def span_dedup(self, docs, w=10):
+        """ExactSubstr-style span dedup of (doc_id, text): cut every
+        non-keeper occurrence of a duplicated w-token window; the global
+        first occurrence survives."""
+        return DataFrame(
+            self._spark._jvm.graft.PyBridge.spanDedup(docs._jdf, int(w)),
+            self._spark)
+
+    def duplicated_spans(self, docs, w=10):
+        """Detection half of span_dedup: (doc_id, pos) of the spans it
+        would cut."""
+        return DataFrame(
+            self._spark._jvm.graft.PyBridge.duplicatedSpans(docs._jdf, int(w)),
+            self._spark)
+
     def ivf_occupancy(self, index_dir):
         """Per-cell occupancy (cell, n) as a DataFrame — the health feed."""
         return DataFrame(

@@ -343,6 +343,22 @@ def test_dsir_and_semdedup_over_bridge(spark):
     assert hits[0]["doc_id"] == 1 and hits[0]["rank"] == 1
 
 
+def test_span_dedup_over_bridge(spark):
+    """Span dedup over py4j: the non-keeper copy of a duplicated window
+    is cut, the keeper doc is untouched, detection lists the cut."""
+    from cdlake import Cdl
+    cdl = Cdl(spark)
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x a b c y")],
+        "doc_id LONG, text STRING")
+    spans = [(r["doc_id"], r["pos"])
+             for r in cdl.duplicated_spans(docs, w=3).collect()]
+    assert spans == [(2, 1)]  # "a b c" at doc 2 pos 1; doc 1 pos 0 keeps
+    out = {r["doc_id"]: r["text"]
+           for r in cdl.span_dedup(docs, w=3).collect()}
+    assert out == {1: "a b c d e", 2: "x y"}
+
+
 def test_to_csv_collates_bench_outputs(tmp_path):
     """The results collator (scripts/to_csv.py) on reference-shaped
     per-run JSON: union-of-keys header in first-seen order, index

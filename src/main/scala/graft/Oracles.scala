@@ -899,6 +899,59 @@ object Oracles {
         |  round(importance / 2.0 - ln(-ln(u)), 4) AS gumbel_key
         |FROM u ORDER BY gumbel_key DESC, doc_id ASC LIMIT 50""".stripMargin,
 
+    // span (ExactSubstr-style) dedup, detection half: duplicated
+    // 10-token windows ranked by (doc_id, pos); rank 1 is the keeper,
+    // every later occurrence is a span to cut — the same total order
+    // the Spark side's min(struct(doc_id, pos)) selects
+    "q_span_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |win AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |    array_to_string(toks[i:i+9], ' ') AS wtext
+        |  FROM d, UNNEST(generate_series(1, len(toks) - 9)) AS t(i)
+        |),
+        |dup AS (SELECT wtext FROM win GROUP BY wtext HAVING count(*) >= 2),
+        |ranked AS (
+        |  SELECT w.doc_id, w.pos,
+        |    row_number() OVER (PARTITION BY w.wtext ORDER BY w.doc_id, w.pos) AS rn
+        |  FROM win w JOIN dup USING (wtext)
+        |)
+        |SELECT doc_id, pos FROM ranked WHERE rn > 1
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    // span dedup, rewrite half: surviving tokens re-joined in position
+    // order for every doc a span touched; a fully-covered doc keeps ''
+    // (LEFT JOIN + coalesce — string_agg over zero rows yields no row)
+    "q_span_dedup_clean" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |win AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |    array_to_string(toks[i:i+9], ' ') AS wtext
+        |  FROM d, UNNEST(generate_series(1, len(toks) - 9)) AS t(i)
+        |),
+        |dup AS (SELECT wtext FROM win GROUP BY wtext HAVING count(*) >= 2),
+        |ranked AS (
+        |  SELECT w.doc_id, w.pos,
+        |    row_number() OVER (PARTITION BY w.wtext ORDER BY w.doc_id, w.pos) AS rn
+        |  FROM win w JOIN dup USING (wtext)
+        |),
+        |spans AS (SELECT doc_id, pos FROM ranked WHERE rn > 1),
+        |tok AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS p, toks[i] AS tok
+        |  FROM d, UNNEST(generate_series(1, len(toks))) AS t(i)
+        |),
+        |surv AS (
+        |  SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.p) AS text_clean
+        |  FROM tok t
+        |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+        |    WHERE s.doc_id = t.doc_id AND t.p BETWEEN s.pos AND s.pos + 9)
+        |  GROUP BY t.doc_id
+        |)
+        |SELECT c.doc_id, coalesce(v.text_clean, '') AS text_clean
+        |FROM (SELECT DISTINCT doc_id FROM spans) c
+        |LEFT JOIN surv v USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     // hybrid retrieval — BM25 (the q_bm25_search formula, top-10) full-
     // outer-joined with exact cosine (queries = embeddings 0/1 over the
     // whole table, top-10), RRF k0=60, fused rank <= 5. CAST(1 AS

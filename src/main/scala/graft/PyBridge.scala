@@ -205,6 +205,15 @@ object PyBridge {
       tau: Double): DataFrame =
     graft.ops.SemDedup.dedup(embs, nClusters.intValue, tau)
 
+  /** Span (ExactSubstr-style) dedup: duplicated w-token spans cut,
+    * keepers kept. */
+  def spanDedup(docs: DataFrame, w: java.lang.Number): DataFrame =
+    graft.ops.SpanDedup.removeSpans(docs, w.intValue)
+
+  /** Detection half of spanDedup: the (doc_id, pos) spans it would cut. */
+  def duplicatedSpans(docs: DataFrame, w: java.lang.Number): DataFrame =
+    graft.ops.SpanDedup.duplicatedSpans(docs, w.intValue)
+
   /** Per-cell occupancy (cell, n) — the health feed. */
   def ivfOccupancy(spark: SparkSession, indexDir: String): DataFrame =
     graft.ops.IvfIndex.cellOccupancy(spark, indexDir)

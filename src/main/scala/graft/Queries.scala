@@ -503,6 +503,30 @@ object Queries {
       .select("doc_id", "n_tokens", "cum_tokens")
       .orderBy("cum_tokens")
 
+  /** Span (ExactSubstr-style) dedup, detection half: every non-keeper
+    * occurrence of a 10-token window duplicated anywhere in the
+    * documents corpus, as (doc_id, pos). Keeper = global min
+    * (doc_id, pos) per window text — a total order, so the oracle
+    * reproduces the selection exactly. */
+  def qSpanDedup(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SpanDedup.duplicatedSpans(rd(s, dir, "documents"), w = 10)
+      .orderBy("doc_id", "pos")
+
+  /** Span dedup, rewrite half: the cleaned text of every document the
+    * cut touched (a fully-covered doc keeps an empty string — it was
+    * pure duplicated content). Restricted to changed docs so the gate
+    * row stays focused; untouched docs are byte-identical by
+    * construction (unit-pinned). */
+  def qSpanDedupClean(s: SparkSession, dir: String): DataFrame = {
+    val docs = rd(s, dir, "documents")
+    val changed = graft.ops.SpanDedup.duplicatedSpans(docs, w = 10)
+      .select("doc_id").distinct()
+    graft.ops.SpanDedup.removeSpans(docs, w = 10)
+      .join(broadcast(changed), Seq("doc_id"))
+      .select(col("doc_id"), col("text").as("text_clean"))
+      .orderBy("doc_id")
+  }
+
   /** Hybrid retrieval: RRF fusion of BM25 (the q_bm25_search queries)
     * and exact cosine (query vectors = embeddings 0/1 over the full
     * embedding table), top-10 each side, fused top-5. Fully

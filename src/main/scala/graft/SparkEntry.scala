@@ -105,6 +105,8 @@ object SparkEntry {
     "q_semantic_dedup" -> (Queries.qSemanticDedup _),
     "q_token_budget" -> (Queries.qTokenBudget _),
     "q_hybrid_search" -> (Queries.qHybridSearch _),
+    "q_span_dedup" -> (Queries.qSpanDedup _),
+    "q_span_dedup_clean" -> (Queries.qSpanDedupClean _),
     "q_importance_resample" -> (Queries.qImportanceResample _),
     "q_skew_salted_join" -> (Queries.qSkewSaltedJoin _),
     "q_heavy_hitters" -> (Queries.qHeavyHitters _),

@@ -260,6 +260,21 @@ object Main {
         kept.write.mode("overwrite").parquet(outPath)
         println(s"semdedup: kept ${spark.read.parquet(outPath).count()} rows")
 
+      // span (ExactSubstr-style) dedup (training-pipeline extension):
+      // cut every non-keeper duplicated w-token window out of a
+      // (doc_id, text) parquet table
+      case "spandedup" :: input :: outPath :: rest =>
+        val w = rest match {
+          case Nil      => 10
+          case x :: Nil => x.toInt
+          case other => sys.error(
+            s"usage: spandedup <in.parquet> <out.parquet> [w]; got $other")
+        }
+        val docs = spark.read.parquet(input)
+        graft.ops.SpanDedup.removeSpans(docs, w)
+          .write.mode("overwrite").parquet(outPath)
+        println(s"spandedup: rewrote ${spark.read.parquet(outPath).count()} docs (w=$w)")
+
       // persisted IVF ANN index (training-pipeline extension): the
       // cron-able build / append / search / health shapes
       case "ivf" :: "build" :: input :: index :: rest =>
@@ -312,7 +327,8 @@ object Main {
           s"dsir <docs.parquet> <condition> <k> [--resample T salt] | " +
           s"hybrid <docs.parquet> <embs.parquet> <query text> <qvecId> [k] | " +
           s"budget <docs.parquet> <out.parquet> <tokenBudget> <col[:desc],...> | " +
-          s"semdedup <in.parquet> <out.parquet> [nClusters [tau]]}; got $other")
+          s"semdedup <in.parquet> <out.parquet> [nClusters [tau]] | " +
+          s"spandedup <in.parquet> <out.parquet> [w]}; got $other")
     }
 
   private def parseArgs(args: List[String]): (Map[String, String], List[String]) =
