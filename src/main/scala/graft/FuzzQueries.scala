@@ -1011,6 +1011,111 @@ object FuzzQueries {
        |ORDER BY r ASC, g ASC""".stripMargin
   }
 
+  // v8 family 1 — GROUPS COMPARED TO THE MEAN OF GROUP AGGREGATES
+  // (uncorrelated scalar subqueries OVER an aggregated result — the
+  // "above/below average" report shape; the sub/corr families subquery
+  // over RAW rows only). Mean comparison is INTEGER-EXACT: v·n ⋛ Σv
+  // instead of v ⋛ avg(v), so no fp tie can diverge between engines.
+  private final case class QAvgHaving(
+      table: String, grpCol: String, keyCol: String, lo: Long,
+      useCount: Boolean, projCol: String, pmod: Long, ge: Boolean)
+
+  private def genAvgHaving(seed: Int): QAvgHaving = {
+    val rnd = new scala.util.Random(seed)
+    val table = tables.keys.toSeq.sorted.apply(rnd.nextInt(tables.size))
+    val cols = tables(table)
+    val keyCol = cols.maxBy(ranges)
+    val lo = ranges(keyCol) / 4 + rnd.nextInt((ranges(keyCol) / 4).toInt max 1)
+    val grpCol = cols.filterNot(_ == keyCol).minBy(ranges)
+    val others = cols.filterNot(c => c == keyCol || c == grpCol)
+    val projCol = if (others.isEmpty) grpCol else others(rnd.nextInt(others.size))
+    QAvgHaving(table, grpCol, keyCol, lo, rnd.nextBoolean(), projCol,
+      3L + rnd.nextInt(5), rnd.nextBoolean())
+  }
+
+  private def sparkOfAvgHaving(q: QAvgHaving)(
+      s: SparkSession, dir: String): DataFrame = {
+    val v =
+      if (q.useCount) count(lit(1))
+      else max(col(q.projCol) % q.pmod)
+    val g = Queries.rd(s, dir, q.table)
+      .filter(col(q.keyCol) >= q.lo)
+      .groupBy(col(q.grpCol).cast("long").as("g"))
+      .agg(v.cast("long").as("v"))
+    // broadcast-scalar idiom: (n, Σv) is one row; the SQL rendering
+    // uses genuine scalar subqueries — same semantics, and the
+    // DIFFERENCE in plan shape is the differential point
+    val stats = g.agg(count(lit(1)).cast("long").as("n"),
+      sum(col("v")).cast("long").as("s"))
+    val j = g.crossJoin(broadcast(stats))
+    val f =
+      if (q.ge) j.filter(col("v") * col("n") >= col("s"))
+      else j.filter(col("v") * col("n") < col("s"))
+    f.select("g", "v").orderBy(col("g").asc, col("v").asc)
+  }
+
+  private def sqlOfAvgHaving(q: QAvgHaving): String = {
+    val v = if (q.useCount) "count(*)" else s"max(${q.projCol} % ${q.pmod})"
+    val cmp = if (q.ge) ">=" else "<"
+    s"""WITH grp AS (
+       |  SELECT CAST(${q.grpCol} AS BIGINT) AS g, CAST($v AS BIGINT) AS v
+       |  FROM ${q.table} WHERE ${q.keyCol} >= ${q.lo}
+       |  GROUP BY ${q.grpCol})
+       |SELECT g, v FROM grp
+       |WHERE v * (SELECT count(*) FROM grp) $cmp (SELECT sum(v) FROM grp)
+       |ORDER BY g ASC, v ASC""".stripMargin
+  }
+
+  // v8 family 2 — RUNNING FRAME OVER A GROUPED RESULT (cumulative sum
+  // of group aggregates in group order — the cumulative-share report
+  // shape): the win family frames over RAW rows, rankgrp ranks groups
+  // frameless; no family runs an explicit ROWS frame over an aggregate.
+  // The global window covers ≤ |groups| rows (group-key cardinality,
+  // corpus-size-independent) and g is unique, so cum is a total order.
+  private final case class QCumGrp(
+      table: String, grpCol: String, keyCol: String, lo: Long,
+      useCount: Boolean, projCol: String, pmod: Long)
+
+  private def genCumGrp(seed: Int): QCumGrp = {
+    val rnd = new scala.util.Random(seed)
+    val table = tables.keys.toSeq.sorted.apply(rnd.nextInt(tables.size))
+    val cols = tables(table)
+    val keyCol = cols.maxBy(ranges)
+    val lo = ranges(keyCol) / 3 + rnd.nextInt((ranges(keyCol) / 4).toInt max 1)
+    val grpCol = cols.filterNot(_ == keyCol).minBy(ranges)
+    val others = cols.filterNot(c => c == keyCol || c == grpCol)
+    val projCol = if (others.isEmpty) grpCol else others(rnd.nextInt(others.size))
+    QCumGrp(table, grpCol, keyCol, lo, rnd.nextBoolean(), projCol,
+      3L + rnd.nextInt(4))
+  }
+
+  private def sparkOfCumGrp(q: QCumGrp)(
+      s: SparkSession, dir: String): DataFrame = {
+    val v =
+      if (q.useCount) count(lit(1))
+      else min(col(q.projCol) % q.pmod)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("g").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Queries.rd(s, dir, q.table)
+      .filter(col(q.keyCol) >= q.lo)
+      .groupBy(col(q.grpCol).cast("long").as("g"))
+      .agg(v.cast("long").as("v"))
+      .withColumn("cum", sum(col("v")).over(w).cast("long"))
+      .orderBy(col("g").asc)
+  }
+
+  private def sqlOfCumGrp(q: QCumGrp): String = {
+    val v = if (q.useCount) "count(*)" else s"min(${q.projCol} % ${q.pmod})"
+    s"""SELECT g, v, CAST(sum(v) OVER (ORDER BY g ASC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |FROM (SELECT CAST(${q.grpCol} AS BIGINT) AS g, CAST($v AS BIGINT) AS v
+       |      FROM ${q.table} WHERE ${q.keyCol} >= ${q.lo}
+       |      GROUP BY ${q.grpCol}) s
+       |ORDER BY g ASC""".stripMargin
+  }
+
   // v4, seed-scanned: the five sub seeds draw all five subquery kinds
   // (scalar, not_exists, not_in, in, exists) across both group keys;
   // the four roll seeds draw both ops over all three tables
@@ -1031,6 +1136,12 @@ object FuzzQueries {
   // non-empty at the three SFs by `main`
   private val aggJoinSeeds = Seq(10001, 10002, 10004, 10007, 10011, 10012)
   private val rankGrpSeeds = Seq(11000, 11001, 11002, 11003)
+  // v8, seed-scanned (below): avghaving covers all three tables, both
+  // value shapes, and BOTH comparison arms (>= mean / < mean); cumgrp
+  // covers all three tables and both value shapes — all probed
+  // non-empty at the three SFs by `main`
+  private val avgHavingSeeds = Seq(12000, 12001, 12002, 12003, 12006)
+  private val cumGrpSeeds = Seq(13000, 13001, 13002, 13006, 13010)
 
   /** SELECT DISTINCT over nullable derived columns — row-level DISTINCT
     * treats NULLs as equal (one NULL row survives per key shape) in
@@ -1099,7 +1210,11 @@ object FuzzQueries {
       aggJoinSeeds.map(sd => s"q_fuzz_aggjoin_$sd" ->
         (sparkOfAggJoin(genAggJoin(sd)) _)).toMap ++
       rankGrpSeeds.map(sd => s"q_fuzz_rankgrp_$sd" ->
-        (sparkOfRankGrp(genRankGrp(sd)) _)).toMap +
+        (sparkOfRankGrp(genRankGrp(sd)) _)).toMap ++
+      avgHavingSeeds.map(sd => s"q_fuzz_avghav_$sd" ->
+        (sparkOfAvgHaving(genAvgHaving(sd)) _)).toMap ++
+      cumGrpSeeds.map(sd => s"q_fuzz_cumgrp_$sd" ->
+        (sparkOfCumGrp(genCumGrp(sd)) _)).toMap +
       ("q_fuzz_empty_scalar" -> (emptyScalar _)) +
       ("q_fuzz_distinct_rows" -> (distinctRows _))
 
@@ -1124,7 +1239,11 @@ object FuzzQueries {
       aggJoinSeeds.map(sd => s"q_fuzz_aggjoin_$sd" ->
         sqlOfAggJoin(genAggJoin(sd))).toMap ++
       rankGrpSeeds.map(sd => s"q_fuzz_rankgrp_$sd" ->
-        sqlOfRankGrp(genRankGrp(sd))).toMap +
+        sqlOfRankGrp(genRankGrp(sd))).toMap ++
+      avgHavingSeeds.map(sd => s"q_fuzz_avghav_$sd" ->
+        sqlOfAvgHaving(genAvgHaving(sd))).toMap ++
+      cumGrpSeeds.map(sd => s"q_fuzz_cumgrp_$sd" ->
+        sqlOfCumGrp(genCumGrp(sd))).toMap +
       ("q_fuzz_empty_scalar" -> emptyScalarSql) +
       ("q_fuzz_distinct_rows" -> distinctRowsSql)
 
@@ -1146,7 +1265,8 @@ object FuzzQueries {
     for ((name, sql) <- oracleSql.toSeq.sortBy(_._1)
          if name.contains("null") || name.contains("louter") ||
            name.contains("distinct") || name.contains("aggjoin") ||
-           name.contains("rankgrp"))
+           name.contains("rankgrp") || name.contains("avghav") ||
+           name.contains("cumgrp"))
       println(s"-- $name\n${sql.replaceAll("\n+", "\n")}")
     var empty = 0
     for (dir <- dirs; (name, fn) <- queries.toSeq.sortBy(_._1)) {

@@ -151,6 +151,20 @@ object Soak {
       run("keep_representatives") {
         val pairs = ops.Dedup.ngramJaccardPairs(twoSrc, n = 3, threshold = 0.01)
         ops.Dedup.keepRepresentatives(twoSrc, pairs)
+      },
+      // span dedup at the gate geometry (w=10): the token bijection
+      // preserves within-copy duplicated windows exactly, so true span
+      // count scales linearly — detection (the wh shuffle + broadcast
+      // probe) and the full rewrite measured separately
+      run("span_dedup_spans") {
+        ops.SpanDedup.duplicatedSpans(corpus, w = 10)
+      },
+      run("span_dedup_rewrite") {
+        // reference the rewritten text: a bare count() lets Catalyst
+        // eliminate the (aggregated-unique-key) left join and measure
+        // an empty plan — the length filter forces the actual cut
+        ops.SpanDedup.removeSpans(corpus, w = 10)
+          .filter(coalesce(length(col("text")), lit(0)) >= 0)
       })
 
     // --- embedding family: the gate's planted corpus scaled N× --------

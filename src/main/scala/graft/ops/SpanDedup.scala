@@ -36,7 +36,11 @@ import org.apache.spark.sql.functions._
   *   3. Rebuild: per-doc span-start lists (collect_list over the span
   *      rows — only affected docs) broadcast back, and the cut is a
   *      map-only higher-order `filter` over the token array. The corpus
-  *      itself never exchanges.
+  *      itself never exchanges — it is SCANNED up to three map-only
+  *      times (dup aggregate, probe, rebuild), the deliberate trade:
+  *      checkpointing the window table to share the first two scans
+  *      would materialize ~w× the corpus bytes, far costlier than a
+  *      repeated tokenize+md5 map pass.
   *
   *   At pathological duplication (distinct duplicated windows too big
   *   to broadcast) drop the two explicit broadcast() hints and let AQE
