@@ -322,6 +322,24 @@ class Cdl:
             self._spark._jvm.graft.PyBridge.duplicatedSpans(docs._jdf, int(w)),
             self._spark)
 
+    def curate(self, docs, benchmark=None, min_quality=0.4,
+               budget=None, budget_fraction=None):
+        """End-to-end curation funnel over (doc_id, text) docs: quality
+        filter -> exact dedup -> optional decontamination vs benchmark
+        -> optional token budget. Returns (curated_docs, funnel) where
+        funnel rows are (stage_idx, stage, docs_in, docs_out,
+        tokens_out)."""
+        jvm = self._spark._jvm
+        pair = jvm.graft.PyBridge.curate(
+            docs._jdf,
+            benchmark._jdf if benchmark is not None else None,
+            float(min_quality),
+            jvm.java.lang.Long(int(budget)) if budget is not None else None,
+            jvm.java.lang.Double(float(budget_fraction))
+            if budget_fraction is not None else None)
+        return (DataFrame(pair[0], self._spark),
+                DataFrame(pair[1], self._spark))
+
     def ivf_occupancy(self, index_dir):
         """Per-cell occupancy (cell, n) as a DataFrame — the health feed."""
         return DataFrame(

@@ -359,6 +359,34 @@ def test_span_dedup_over_bridge(spark):
     assert out == {1: "a b c d e", 2: "x y"}
 
 
+def test_curate_over_bridge(spark):
+    """Curation funnel over py4j: the low-quality doc drops at stage 1,
+    the duplicate at stage 2, the benchmark-contaminated doc at stage 3,
+    and the funnel's docs_in chain is consistent."""
+    from cdlake import Cdl
+    cdl = Cdl(spark)
+    good = ("the quick brown fox jumps over the lazy dog and it is a "
+            "fine day in the park ") * 3
+    contaminated = ("the secret benchmark question about the capital of "
+                    "france is answered in the training document here "
+                    "with plenty of padding tokens to pass the quality "
+                    "bar of the pipeline today")
+    docs = spark.createDataFrame(
+        [(1, good), (2, good), (3, "x!!"), (4, contaminated)],
+        "doc_id LONG, text STRING")
+    bench = spark.createDataFrame(
+        [(100, "the secret benchmark question about the capital of "
+               "france is answered")],
+        "doc_id LONG, text STRING")
+    kept, funnel = cdl.curate(docs, benchmark=bench, min_quality=0.4)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1]
+    rows = {r["stage"]: (r["docs_in"], r["docs_out"])
+            for r in funnel.collect()}
+    assert rows["quality"] == (4, 3)       # doc 3 fails quality
+    assert rows["exact_dup"] == (3, 2)     # doc 2 is doc 1's copy
+    assert rows["contaminated"] == (2, 1)  # doc 4 shares bench 3-grams
+
+
 def test_to_csv_collates_bench_outputs(tmp_path):
     """The results collator (scripts/to_csv.py) on reference-shaped
     per-run JSON: union-of-keys header in first-seen order, index

@@ -8,6 +8,49 @@ package graft
   */
 object Oracles {
 
+  /** Shared label CTE for the two curation rows: corpus = documents
+    * minus src0, per-doc (n_tokens, quality, md5 digest), exit stage
+    * charged to the FIRST dropping stage — quality(<0.4 or NULL text) →
+    * exact_dup (not the digest's min quality-passing doc_id) →
+    * contaminated (any 3-gram shared with src0) → NULL (survivor).
+    * Formula fragments are the proven q_corpus_clean / q_decontaminate
+    * restatements. */
+  private val curationLab: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+      |feat AS (
+      |  SELECT doc_id, text,
+      |    CAST(coalesce(len(string_split(text, ' ')), 0) AS BIGINT) AS n_tokens,
+      |    round((least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) +
+      |           (1.0 - least(round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) /
+      |             CAST(greatest(length(text), 1) AS DOUBLE), 4) * 5.0, 1.0)) +
+      |           least(round(CAST(len(list_filter(string_split(text, ' '), x -> x IN
+      |               ('the','a','of','and','to','in','is','it'))) AS DOUBLE) /
+      |             CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE), 4) * 4.0, 1.0)) / 3.0, 4) AS quality,
+      |    md5(text) AS digest
+      |  FROM corpus),
+      |lab0 AS (
+      |  SELECT *, (text IS NOT NULL AND quality >= 0.4) AS qpass FROM feat),
+      |withk AS (
+      |  SELECT *, min(CASE WHEN qpass THEN doc_id END)
+      |    OVER (PARTITION BY digest) AS keeper FROM lab0),
+      |tkc AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+      |shc AS (SELECT DISTINCT doc_id, source,
+      |          unnest(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+      |            i -> array_to_string(t[i:i+2], ' '))) AS g
+      |        FROM tkc),
+      |bgc AS (SELECT DISTINCT g FROM shc WHERE source = 'src0'),
+      |contam AS (SELECT shc.doc_id FROM shc JOIN bgc USING (g)
+      |           WHERE shc.source <> 'src0'
+      |           GROUP BY shc.doc_id HAVING count(*) >= 1),
+      |lab AS (
+      |  SELECT doc_id, n_tokens, quality,
+      |    CASE WHEN NOT qpass THEN 'quality'
+      |         WHEN doc_id <> keeper THEN 'exact_dup'
+      |         WHEN doc_id IN (SELECT doc_id FROM contam) THEN 'contaminated'
+      |         END AS exit
+      |  FROM withk)""".stripMargin
+
   val map: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1031,6 +1074,50 @@ object Oracles {
         |  FROM documents) t
         |WHERE cum_tokens <= 5000
         |ORDER BY cum_tokens ASC""".stripMargin,
+
+    // Curation pipeline: the q_corpus_clean quality formula + md5-digest
+    // keep-min dedup + the q_decontaminate 3-gram overlap + the
+    // q_token_budget window cumsum, composed sequentially; a doc is
+    // charged to the FIRST stage dropping it. Budget = floor(60 % of
+    // the stage-3 survivors' tokens) — exact IEEE product both sides.
+    "q_curation_funnel" ->
+      s"""$curationLab,
+        |stats AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_in,
+        |    CAST(sum(CASE WHEN exit = 'quality' THEN 1 ELSE 0 END) AS BIGINT) AS n_q,
+        |    CAST(sum(CASE WHEN exit = 'exact_dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_d,
+        |    CAST(sum(CASE WHEN exit = 'contaminated' THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+        |    CAST(sum(CASE WHEN exit IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_s,
+        |    CAST(sum(CASE WHEN exit IS NULL THEN n_tokens ELSE 0 END) AS BIGINT) AS t_s,
+        |    CAST(sum(CASE WHEN exit = 'contaminated' OR exit IS NULL THEN n_tokens ELSE 0 END) AS BIGINT) AS t_2,
+        |    CAST(sum(CASE WHEN exit IS NOT NULL AND exit <> 'quality' OR exit IS NULL THEN n_tokens ELSE 0 END) AS BIGINT) AS t_1
+        |  FROM lab),
+        |sel AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_b,
+        |    CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS t_b
+        |  FROM (SELECT n_tokens, sum(n_tokens) OVER (
+        |          ORDER BY quality DESC, doc_id ASC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |        FROM lab WHERE exit IS NULL) s, stats
+        |  WHERE cum <= CAST(floor(0.6 * t_s) AS BIGINT))
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage_idx, 'quality' AS stage,
+        |    n_in AS docs_in, n_in - n_q AS docs_out, t_1 AS tokens_out FROM stats
+        |  UNION ALL SELECT 2, 'exact_dup', n_in - n_q, n_in - n_q - n_d, t_2 FROM stats
+        |  UNION ALL SELECT 3, 'contaminated', n_in - n_q - n_d, n_s, t_s FROM stats
+        |  UNION ALL SELECT 4, 'budget', n_s, n_b, t_b FROM stats, sel)
+        |ORDER BY stage_idx""".stripMargin,
+
+    "q_curation_docs" ->
+      s"""$curationLab,
+        |tot AS (SELECT sum(n_tokens) AS t_s FROM lab WHERE exit IS NULL),
+        |sel AS (SELECT doc_id, n_tokens, CAST(sum(n_tokens) OVER (
+        |          ORDER BY quality DESC, doc_id ASC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |        FROM lab WHERE exit IS NULL)
+        |SELECT doc_id, n_tokens, cum_tokens FROM sel, tot
+        |WHERE cum_tokens <= CAST(floor(0.6 * t_s) AS BIGINT)
+        |ORDER BY doc_id""".stripMargin,
 
     // SemDeDup: k-means cells are engine-specific, so the gate checks
     // the operator's guarantees in-engine (no over-removal vs exact

@@ -214,6 +214,25 @@ object PyBridge {
   def duplicatedSpans(docs: DataFrame, w: java.lang.Number): DataFrame =
     graft.ops.SpanDedup.duplicatedSpans(docs, w.intValue)
 
+  /** End-to-end curation funnel. Returns [curated docs, funnel]; both
+    * are localCheckpointed so the pinned intermediates release before
+    * the bridge returns (the curated corpus materializes once —
+    * py4j callers hold results across arbitrary Python time). Nullable
+    * knobs: benchmark (skip decontamination), budget/budgetFraction
+    * (skip the token-budget stage; absolute wins). */
+  def curate(docs: DataFrame, benchmark: DataFrame,
+      minQuality: Double, budget: java.lang.Long,
+      budgetFraction: java.lang.Double): Array[DataFrame] = {
+    val res = graft.ops.Curation.run(docs, graft.ops.Curation.Config(
+      minQuality = minQuality,
+      benchmark = Option(benchmark),
+      budget = Option(budget).map(_.longValue),
+      budgetFraction = Option(budgetFraction).map(_.doubleValue)))
+    val out = Array(res.docs.localCheckpoint(), res.funnel.localCheckpoint())
+    res.release()
+    out
+  }
+
   /** Per-cell occupancy (cell, n) — the health feed. */
   def ivfOccupancy(spark: SparkSession, indexDir: String): DataFrame =
     graft.ops.IvfIndex.cellOccupancy(spark, indexDir)

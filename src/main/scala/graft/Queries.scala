@@ -1108,6 +1108,40 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  private def curationAt(s: SparkSession, dir: String): graft.ops.Curation.Result = {
+    val docs = rd(s, dir, "documents")
+    graft.ops.Curation.run(
+      docs.filter(col("source") =!= "src0"),
+      graft.ops.Curation.Config(
+        minQuality = 0.4,
+        benchmark = Some(docs.filter(col("source") === "src0")),
+        decontamN = 3,
+        budgetFraction = Some(0.6)))
+  }
+
+  /** The full curation funnel — quality(0.4) → exact dedup →
+    * 3-gram decontamination vs src0 → keep the best 60 % of surviving
+    * tokens — reported as per-stage attrition rows. Every stage is
+    * md5/count-deterministic, so the whole funnel is a full value
+    * oracle (the composition of the q_corpus_clean, q_decontaminate
+    * and q_token_budget formulas). */
+  def qCurationFunnel(s: SparkSession, dir: String): DataFrame = {
+    val res = curationAt(s, dir)
+    val out = res.funnel.orderBy("stage_idx").localCheckpoint()
+    res.release()
+    out
+  }
+
+  /** The curated corpus itself: the doc ids stage 4 selected, with
+    * their token counts and budget-order cumulative position. */
+  def qCurationDocs(s: SparkSession, dir: String): DataFrame = {
+    val res = curationAt(s, dir)
+    val out = res.docs.select("doc_id", "n_tokens", "cum_tokens")
+      .orderBy("doc_id").localCheckpoint()
+    res.release()
+    out
+  }
+
   /** Sequence packing at a 512-token budget: per-source concat-then-chunk
     * layout — offsets and pack spans are fully determined by
     * (source, doc_id) order. */

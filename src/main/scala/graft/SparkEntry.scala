@@ -113,7 +113,9 @@ object SparkEntry {
     "q_dedup_incremental_embedding" -> (Queries.qDedupIncrementalEmbedding _),
     "q_dedup_clusters_incremental" -> (Queries.qDedupClustersIncremental _),
     "q_dedup_incremental_simhash" -> (Queries.qDedupIncrementalSimhash _),
-    "q_dedup_incremental_ngram" -> (Queries.qDedupIncrementalNgram _)
+    "q_dedup_incremental_ngram" -> (Queries.qDedupIncrementalNgram _),
+    "q_curation_funnel" -> (Queries.qCurationFunnel _),
+    "q_curation_docs" -> (Queries.qCurationDocs _)
   ) ++ FuzzQueries.queries ++ // differential fuzz gate (seeded AST → both engines)
     Tpch.queries // the 22-query TPC-H suite (Tpch.scala), corpus-adapted
 

@@ -26,8 +26,12 @@ import org.apache.spark.sql.functions._
   *
   * Dates are shifted into the corpus' 1995–2001 window. Conventions
   * follow Queries.scala: deterministic total ORDER BY, round()ed double
-  * aggregates, BIGINT casts on computed integers (DuckDB's sum(INT) is
-  * HUGEINT), DATE outputs instead of raw timestamps.
+  * aggregates AT-or-above the value's exact decimal width (price
+  * products are exact at 4 dp; rounding such a sum at 2 dp eventually
+  * lands a group on a .xx5 double tie the two engines break apart —
+  * q09 did exactly that at sf0.1), BIGINT casts on computed integers
+  * (DuckDB's sum(INT) is HUGEINT), DATE outputs instead of raw
+  * timestamps.
   *
   * The correlation-heavy queries (q2 correlated min, q4/q21 (NOT)
   * EXISTS, q17/q20 correlated aggregates, q15 CTE+scalar, q22
@@ -124,7 +128,7 @@ object Tpch {
     // q9: product-type profit; cost proxy = p_retailprice*l_quantity*0.1
     // (partsupp.ps_supplycost is absent from the corpus).
     "tpch_q09" ->
-      """SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+      """SELECT nation, o_year, round(sum(amount), 4) AS sum_profit
         |FROM (
         |  SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
         |    l_extendedprice * (1 - l_discount)
@@ -178,7 +182,7 @@ object Tpch {
         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
         |  GROUP BY l_suppkey)
-        |SELECT s_suppkey, s_name, round(total_revenue, 2) AS total_revenue
+        |SELECT s_suppkey, s_name, round(total_revenue, 4) AS total_revenue
         |FROM supplier, revenue
         |WHERE s_suppkey = supplier_no
         |  AND total_revenue = (SELECT max(total_revenue) FROM revenue)

@@ -275,6 +275,31 @@ object Main {
           .write.mode("overwrite").parquet(outPath)
         println(s"spandedup: rewrote ${spark.read.parquet(outPath).count()} docs (w=$w)")
 
+      // end-to-end curation funnel (training-pipeline extension):
+      // quality → exact dedup → optional decontamination → optional
+      // token budget; writes the curated corpus and prints the funnel
+      case "curate" :: input :: outPath :: rest =>
+        var cfg = graft.ops.Curation.Config()
+        var r = rest
+        while (r.nonEmpty) r = r match {
+          case "--min-quality" :: q :: t =>
+            cfg = cfg.copy(minQuality = q.toDouble); t
+          case "--benchmark" :: p :: t =>
+            cfg = cfg.copy(benchmark = Some(spark.read.parquet(p))); t
+          case "--budget" :: b :: t =>
+            cfg = cfg.copy(budget = Some(b.toLong)); t
+          case "--budget-fraction" :: f :: t =>
+            cfg = cfg.copy(budgetFraction = Some(f.toDouble)); t
+          case other => sys.error(
+            "usage: curate <in.parquet> <out.parquet> [--min-quality q] " +
+              s"[--benchmark bm.parquet] [--budget N | --budget-fraction f]; got $other")
+        }
+        val res = graft.ops.Curation.run(spark.read.parquet(input), cfg)
+        res.docs.write.mode("overwrite").parquet(outPath)
+        res.funnel.orderBy("stage_idx").show(10, truncate = false)
+        res.release()
+        println(s"curate: kept ${spark.read.parquet(outPath).count()} docs")
+
       // persisted IVF ANN index (training-pipeline extension): the
       // cron-able build / append / search / health shapes
       case "ivf" :: "build" :: input :: index :: rest =>
@@ -328,7 +353,9 @@ object Main {
           s"hybrid <docs.parquet> <embs.parquet> <query text> <qvecId> [k] | " +
           s"budget <docs.parquet> <out.parquet> <tokenBudget> <col[:desc],...> | " +
           s"semdedup <in.parquet> <out.parquet> [nClusters [tau]] | " +
-          s"spandedup <in.parquet> <out.parquet> [w]}; got $other")
+          s"spandedup <in.parquet> <out.parquet> [w] | " +
+          s"curate <in.parquet> <out.parquet> [--min-quality q] [--benchmark bm.parquet] " +
+          s"[--budget N | --budget-fraction f]}; got $other")
     }
 
   private def parseArgs(args: List[String]): (Map[String, String], List[String]) =
