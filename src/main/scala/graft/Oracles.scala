@@ -12,7 +12,7 @@ object Oracles {
     * minus src0, per-doc (n_tokens, quality, md5 digest), exit stage
     * charged to the FIRST dropping stage — quality(<0.4 or NULL text) →
     * exact_dup (not the digest's min quality-passing doc_id) →
-    * contaminated (any 3-gram shared with src0) → NULL (survivor).
+    * contaminated (any 5-gram shared with src0) → NULL (survivor).
     * Formula fragments are the proven q_corpus_clean / q_decontaminate
     * restatements. */
   private val curationLab: String =
@@ -36,8 +36,8 @@ object Oracles {
       |    OVER (PARTITION BY digest) AS keeper FROM lab0),
       |tkc AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
       |shc AS (SELECT DISTINCT doc_id, source,
-      |          unnest(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
-      |            i -> array_to_string(t[i:i+2], ' '))) AS g
+      |          unnest(list_transform(range(1, greatest(len(t) - 4, 1) + 1),
+      |            i -> array_to_string(t[i:i+4], ' '))) AS g
       |        FROM tkc),
       |bgc AS (SELECT DISTINCT g FROM shc WHERE source = 'src0'),
       |contam AS (SELECT shc.doc_id FROM shc JOIN bgc USING (g)

@@ -1115,12 +1115,16 @@ object Queries {
       graft.ops.Curation.Config(
         minQuality = 0.4,
         benchmark = Some(docs.filter(col("source") === "src0")),
-        decontamN = 3,
+        // n = 5, NOT the collision-rich 3 the q_decontaminate gate
+        // uses: on this synthetic vocabulary 3-grams flag ~100 % of
+        // the sf0.1 corpus, collapsing stages 3–4 to a 2-doc no-op —
+        // 5-grams leave a meaningful survivor set at every SF
+        decontamN = 5,
         budgetFraction = Some(0.6)))
   }
 
   /** The full curation funnel — quality(0.4) → exact dedup →
-    * 3-gram decontamination vs src0 → keep the best 60 % of surviving
+    * 5-gram decontamination vs src0 → keep the best 60 % of surviving
     * tokens — reported as per-stage attrition rows. Every stage is
     * md5/count-deterministic, so the whole funnel is a full value
     * oracle (the composition of the q_corpus_clean, q_decontaminate
