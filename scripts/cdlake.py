@@ -174,6 +174,17 @@ class Cdl:
                 df._jdf, store_dir, float(threshold)),
             self._spark)
 
+    def dedup_span(self, df, store_dir, w=10):
+        """One locked span-dedup cycle: (doc_id, pos, keep_doc_id,
+        keep_pos) of every w-token window of df already seen — in the
+        store or earlier in df. Appends df's novel windows. Feed the
+        result to span rewrite via span_dedup on a one-shot corpus, or
+        cut directly with the JVM cutSpans."""
+        return DataFrame(
+            self._spark._jvm.graft.PyBridge.dedupSpan(
+                df._jdf, store_dir, int(w)),
+            self._spark)
+
     def dedup_embedding(self, df, store_dir, threshold=0.95, layout="adopt"):
         """layout: "inline" (vectors ride every bucket row), "split"
         (posting/forward-index split, ~tables x smaller at rest), or

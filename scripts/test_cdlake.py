@@ -359,6 +359,20 @@ def test_span_dedup_over_bridge(spark):
     assert out == {1: "a b c d e", 2: "x y"}
 
 
+def test_incremental_span_dedup_over_bridge(spark, tmp_path):
+    """Incremental span store over py4j: batch 2's duplicated window is
+    cut against batch 1's stored keeper."""
+    from cdlake import Cdl
+    cdl = Cdl(spark)
+    store = str(tmp_path / "span_store")
+    b1 = spark.createDataFrame([(1, "a b c d e")], "doc_id LONG, text STRING")
+    b2 = spark.createDataFrame([(9, "x a b c z")], "doc_id LONG, text STRING")
+    assert cdl.dedup_span(b1, store, w=3).count() == 0
+    spans = [(r["doc_id"], r["pos"], r["keep_doc_id"], r["keep_pos"])
+             for r in cdl.dedup_span(b2, store, w=3).collect()]
+    assert spans == [(9, 1, 1, 0)]
+
+
 def test_curate_over_bridge(spark):
     """Curation funnel over py4j: the low-quality doc drops at stage 1,
     the duplicate at stage 2, the benchmark-contaminated doc at stage 3,

@@ -51,6 +51,26 @@ object Oracles {
       |         END AS exit
       |  FROM withk)""".stripMargin
 
+  /** Span-dedup detection (shared by the one-shot and incremental
+    * rows): duplicated 10-token windows ranked by (doc_id, pos); rank 1
+    * is the keeper, every later occurrence is a span to cut — the same
+    * total order the Spark side's min(struct(doc_id, pos)) selects. */
+  private val spanDedupSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |win AS (
+      |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+      |    array_to_string(toks[i:i+9], ' ') AS wtext
+      |  FROM d, UNNEST(generate_series(1, len(toks) - 9)) AS t(i)
+      |),
+      |dup AS (SELECT wtext FROM win GROUP BY wtext HAVING count(*) >= 2),
+      |ranked AS (
+      |  SELECT w.doc_id, w.pos,
+      |    row_number() OVER (PARTITION BY w.wtext ORDER BY w.doc_id, w.pos) AS rn
+      |  FROM win w JOIN dup USING (wtext)
+      |)
+      |SELECT doc_id, pos FROM ranked WHERE rn > 1
+      |ORDER BY doc_id, pos""".stripMargin
+
   val map: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -946,21 +966,13 @@ object Oracles {
     // 10-token windows ranked by (doc_id, pos); rank 1 is the keeper,
     // every later occurrence is a span to cut — the same total order
     // the Spark side's min(struct(doc_id, pos)) selects
-    "q_span_dedup" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |win AS (
-        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
-        |    array_to_string(toks[i:i+9], ' ') AS wtext
-        |  FROM d, UNNEST(generate_series(1, len(toks) - 9)) AS t(i)
-        |),
-        |dup AS (SELECT wtext FROM win GROUP BY wtext HAVING count(*) >= 2),
-        |ranked AS (
-        |  SELECT w.doc_id, w.pos,
-        |    row_number() OVER (PARTITION BY w.wtext ORDER BY w.doc_id, w.pos) AS rn
-        |  FROM win w JOIN dup USING (wtext)
-        |)
-        |SELECT doc_id, pos FROM ranked WHERE rn > 1
-        |ORDER BY doc_id, pos""".stripMargin,
+    "q_span_dedup" -> spanDedupSql,
+
+    // incremental span dedup: first-arrival keepers under the gate's
+    // doc_id-ORDERED two-batch split equal the one-shot global-min
+    // keepers, so the union of batch span sets is the full-corpus span
+    // set — the oracle is the one-shot text verbatim
+    "q_span_dedup_incremental" -> spanDedupSql,
 
     // span dedup, rewrite half: surviving tokens re-joined in position
     // order for every doc a span touched; a fully-covered doc keeps ''

@@ -103,6 +103,11 @@ object PyBridge {
     graft.ops.IncrementalDedup.embeddingBatch(df, storeDir,
       threshold = threshold)
 
+  /** One locked span-dedup cycle: duplicated w-token spans of `df`
+    * against the persisted window store (first-arrival keepers). */
+  def dedupSpan(df: DataFrame, storeDir: String, w: java.lang.Number): DataFrame =
+    graft.ops.IncrementalSpanDedup.spanBatch(df, storeDir, w.intValue)
+
   /** `layout`: "inline" | "split" | "adopt" (follow the manifest). */
   def dedupEmbeddingLayout(df: DataFrame, storeDir: String,
       threshold: Double, layout: String): DataFrame =

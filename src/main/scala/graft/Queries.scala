@@ -512,6 +512,24 @@ object Queries {
     graft.ops.SpanDedup.duplicatedSpans(rd(s, dir, "documents"), w = 10)
       .orderBy("doc_id", "pos")
 
+  /** Incremental span dedup: two doc_id-ordered batches through the
+    * persisted window store. First-arrival keepers equal the one-shot
+    * global-min keepers under an ordered split, so the union of batch
+    * span sets IS the full-corpus span set — the oracle is the
+    * q_span_dedup SQL verbatim. */
+  def qSpanDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = rd(s, dir, "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_incspan_")
+    TmpCleanup.register(tmp)
+    val store = tmp.toString + "/store"
+    val half = docs.count() / 2 // doc_ids are dense 0..N-1 (TESTDATA)
+    val a = graft.ops.IncrementalSpanDedup.spanBatch(
+      docs.filter(col("doc_id") < half), store, w = 10)
+    val b = graft.ops.IncrementalSpanDedup.spanBatch(
+      docs.filter(col("doc_id") >= half), store, w = 10)
+    a.unionByName(b).select("doc_id", "pos").orderBy("doc_id", "pos")
+  }
+
   /** Span dedup, rewrite half: the cleaned text of every document the
     * cut touched (a fully-covered doc keeps an empty string — it was
     * pure duplicated content). Restricted to changed docs so the gate

@@ -296,6 +296,30 @@ object Soak {
             regexp_replace(col("text"), "(^|\\s)", "$1z9novel_").as("text")),
           ngStore, n = 3, threshold = 0.8)
       },
+      // window store (late r13): ~one stored row per corpus token (the
+      // posting trade), auto geometry sizes partitions from the seed's
+      // window count; a 2-doc append touches ~one bucket per window
+      // (~180 for two ~100-token docs), so the pruned scans stay a
+      // bounded store fraction while the seed rightly grows with N×.
+      // freshDocs' c0_ bijection rewrites every token, so its windows
+      // miss the store — the append proves the novel path; the
+      // within-batch duplicate between append docs 0/1's shared
+      // boilerplate (if any) rides the batch-internal keeper branch
+      run("inc_span_seed") {
+        ops.IncrementalSpanDedup.spanBatch(corpus, s"$tmp/span_store", w = 10)
+      },
+      run("inc_span_append_dup") {
+        // copy-0 content under fresh ids: every window duplicates a
+        // stored keeper — the all-hit path
+        ops.IncrementalSpanDedup.spanBatch(
+          baseDocs.select(
+            (col("doc_id") + lit(1700000000000L)).as("doc_id"), col("text")),
+          s"$tmp/span_store", w = 10)
+      },
+      run("inc_span_append_novel") {
+        ops.IncrementalSpanDedup.spanBatch(
+          freshDocs(9), s"$tmp/span_store", w = 10)
+      },
       // scaled planes here too (the seed batch is the same bucket
       // self-join); the store manifest then holds them for every append
       run("inc_embedding_seed") {
@@ -469,7 +493,8 @@ object Soak {
         "emb_store_split_vectors" -> s"$splitStore/vectors",
         "emb_store_split_inc" -> embSplitStore,
         "cc_store" -> ccStore,
-        "cc_store_merge_log" -> s"$ccStore/merges")
+        "cc_store_merge_log" -> s"$ccStore/merges",
+        "span_store" -> s"$tmp/span_store")
         .map { case (n, p) => s""""$n":${dirBytes(p)}""" }
         .mkString("{", ",", "}")
 

@@ -112,7 +112,8 @@ object Main {
           case "simhash"   => graft.ops.IncrementalDedup.simhashBatch(batch, store)
           case "ngram"     => graft.ops.IncrementalDedup.ngramBatch(batch, store)
           case "embedding" => graft.ops.IncrementalDedup.embeddingBatch(batch, store, layout = layout)
-          case m           => sys.error(s"unknown dedup mode: $m (exact|minhash|simhash|ngram|embedding)")
+          case "span"      => graft.ops.IncrementalSpanDedup.spanBatch(batch, store)
+          case m           => sys.error(s"unknown dedup mode: $m (exact|minhash|simhash|ngram|embedding|span)")
         }
         res.write.mode("overwrite").parquet(out)
         println(s"dedup $mode: ${spark.read.parquet(out).count()} result rows -> $out")

@@ -183,7 +183,7 @@ object IncrementalDedup {
       case r                        => Some(r)
     }
 
-  private def knownParts(
+  private[ops] def knownParts(
       spark: SparkSession, dir: String, requested: Int): Option[Int] =
     knownPartsFrom(manifestParts(spark, dir), requested)
 
@@ -295,7 +295,7 @@ object IncrementalDedup {
     * variant's rows-per-doc shape is documented at its call site), no
     * probe at all — the store it would prune is empty. Returns
     * (checkpointed rows carrying bp, touched partition ids, parts). */
-  private def resolveGeometry(
+  private[ops] def resolveGeometry(
       known: Option[Int],
       raw: DataFrame,
       keys: Seq[Column]): (DataFrame, Seq[Int], Int) =
@@ -316,7 +316,7 @@ object IncrementalDedup {
   /** Partition-pruned store view: the isin over the partition column
     * becomes PartitionFilters on the scan — untouched bp directories are
     * never opened. */
-  private def prune(store: DataFrame, parts: Seq[Int]): DataFrame =
+  private[ops] def prune(store: DataFrame, parts: Seq[Int]): DataFrame =
     store.filter(col("bp").isin(parts: _*)).drop("bp")
 
   /** Exact-dedup one batch against the digest store at `storeDir`
@@ -1364,7 +1364,7 @@ object IncrementalDedup {
     * shows first; amortized cost is one selective rewrite per
     * `threshold` appends, which is the knob's meaning. Runs under the
     * already-held cycle lock. */
-  private def maybeCompactLocked(
+  private[ops] def maybeCompactLocked(
       spark: SparkSession, storeDir: String,
       parts: Seq[Int], threshold: Int): Unit = {
     val root = new org.apache.hadoop.fs.Path(storeDir)
@@ -1502,7 +1502,7 @@ object IncrementalDedup {
     * (tasks × partitions files per append); with it each bp's rows
     * coalesce into one task → one file per touched partition per
     * append. The exchange moves batch-sized data only. */
-  private def appendStore(rows: DataFrame, storeDir: String): Unit =
+  private[ops] def appendStore(rows: DataFrame, storeDir: String): Unit =
     rows.repartition(col("bp"))
       .write.partitionBy("bp").mode("append").parquet(storeDir)
 
@@ -1575,7 +1575,7 @@ object IncrementalDedup {
     * cycle's caller skips the touched-partition probe job entirely
     * (pruning an empty store buys nothing, and the probe is a full pass
     * over the batch's checkpointed blocks). */
-  private def readStore(
+  private[ops] def readStore(
       spark: SparkSession, dir: String, ddl: String): (DataFrame, Boolean) = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -57,7 +57,7 @@ object SpanDedup {
   /** (doc_id, pos, wh): one row per w-token window start (0-based token
     * index); wh = md5 hex of the space-joined window text. Docs with
     * fewer than w tokens contribute no windows. Map-only. */
-  private def windows(
+  private[ops] def windows(
       docs: DataFrame, w: Int, idCol: String, textCol: String): DataFrame =
     docs
       .select(col(idCol).as("doc_id"),
@@ -100,8 +100,21 @@ object SpanDedup {
       docs: DataFrame,
       w: Int = 10,
       idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    cutSpans(docs, duplicatedSpans(docs, w, idCol, textCol), w, idCol, textCol)
+
+  /** The rebuild half alone: cut the given (doc_id, pos) w-token spans
+    * out of `docs` (same coverage-merge, pass-through, and empty-string
+    * contracts as removeSpans). Lets a caller that already HAS the span
+    * set — the incremental store, a saved detection run — pay only the
+    * map-side rewrite. */
+  def cutSpans(
+      docs: DataFrame,
+      spans: DataFrame,
+      w: Int = 10,
+      idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val perDoc = duplicatedSpans(docs, w, idCol, textCol)
+    val perDoc = spans
       .groupBy("doc_id").agg(collect_list(col("pos")).as("__starts"))
       .withColumnRenamed("doc_id", "__span_doc")
     val wl = lit(w.toLong)
