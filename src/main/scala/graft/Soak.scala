@@ -309,16 +309,20 @@ object Soak {
         ops.IncrementalSpanDedup.spanBatch(corpus, s"$tmp/span_store", w = 10)
       },
       run("inc_span_append_dup") {
-        // copy-0 content under fresh ids: every window duplicates a
+        // copy-0 content under fresh ids (freshDocs applies the same
+        // c0_ bijection the corpus carries): every window duplicates a
         // stored keeper — the all-hit path
         ops.IncrementalSpanDedup.spanBatch(
-          baseDocs.select(
-            (col("doc_id") + lit(1700000000000L)).as("doc_id"), col("text")),
-          s"$tmp/span_store", w = 10)
+          freshDocs(9), s"$tmp/span_store", w = 10)
       },
       run("inc_span_append_novel") {
+        // tokens bijected to a prefix no copy uses — every window
+        // misses the store; scans stay bounded by touched partitions
         ops.IncrementalSpanDedup.spanBatch(
-          freshDocs(9), s"$tmp/span_store", w = 10)
+          baseDocs.select(
+            (col("doc_id") + lit(1700000000000L)).as("doc_id"),
+            regexp_replace(col("text"), "(^|\\s)", "$1z9span_").as("text")),
+          s"$tmp/span_store", w = 10)
       },
       // scaled planes here too (the seed batch is the same bucket
       // self-join); the store manifest then holds them for every append
