@@ -1131,7 +1131,7 @@ object IncrementalDedup {
     * with the per-epoch-overwrite exactly-once contract (a replayed
     * epoch overwrites its own output and appends nothing to the store —
     * the cycles' idempotency anti-joins). */
-  private def streamCycles(
+  private[ops] def streamCycles(
       docsStream: DataFrame, resultsDir: String, checkpointDir: String)(
       cycle: DataFrame => DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
     docsStream.writeStream
@@ -1320,8 +1320,9 @@ object IncrementalDedup {
       case "simhash"   => Seq("band", "bh")
       case "ngram"     => Seq("shingle")
       case "embedding" => Seq("tbl", "bucket")
+      case "span"      => Seq("wh")
       case v => sys.error(s"unknown store variant in manifest: $v " +
-        "(exact|minhash|simhash|ngram|embedding|components)")
+        "(exact|minhash|simhash|ngram|embedding|span|components)")
     }
     // finish any crashed compaction swap FIRST: partitions stranded in
     // `_compact_trash` are invisible to the parquet snapshot below, and

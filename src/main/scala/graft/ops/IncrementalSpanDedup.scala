@@ -55,6 +55,25 @@ object IncrementalSpanDedup {
       spanBatchLocked(docsNew, storeDir, w, textCol, storeParts, compactFiles)
     }
 
+  /** Streaming twin of [[spanBatch]] — duplicated spans of a document
+    * stream against the persisted window store, one locked cycle per
+    * micro-batch; span rows land under `resultsDir/batch=<epoch>` with
+    * the family's per-epoch-overwrite exactly-once contract, and the
+    * same `AdoptOrDefaultStoreParts` default (adopt the manifest;
+    * create at the fixed default — streams must not auto-size off a
+    * tiny batch 0). */
+  def spanStream(
+      docsStream: DataFrame,
+      storeDir: String,
+      resultsDir: String,
+      checkpointDir: String,
+      w: Int = 10,
+      textCol: String = "text",
+      storeParts: Int = IncrementalDedup.AdoptOrDefaultStoreParts,
+      compactFiles: Int = 64): org.apache.spark.sql.streaming.StreamingQuery =
+    IncrementalDedup.streamCycles(docsStream, resultsDir, checkpointDir)(
+      spanBatch(_, storeDir, w, textCol, storeParts, compactFiles))
+
   private def spanBatchLocked(
       docsNew: DataFrame,
       storeDir: String,

@@ -113,6 +113,48 @@ class IncrementalSpanDedupSpec extends SparkSuite {
     assert(out == Map(9L -> "x z", 10L -> "no dup here"))
   }
 
+  test("spanStream: micro-batch cycles equal the cross-file window dedup") {
+    val work = Files.createTempDirectory("spanstream").toString
+    Seq((1L, "a b c d e")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$work/in/f1")
+    Seq((9L, "x a b c z")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$work/in/f2")
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$work/in/*")
+    val q = IncrementalSpanDedup.spanStream(
+      stream, s"$work/store", s"$work/out", s"$work/ckpt", w = 3)
+    try q.processAllAvailable() finally q.stop()
+    // "a b c" occurs once per file: whatever order the files became
+    // micro-batches, exactly ONE occurrence is the keeper and the other
+    // is the span — and they are the two known positions
+    val out = spark.read.parquet(s"$work/out")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3))))
+    assert(out.length == 1)
+    val (span, keeper) = out.head
+    assert(Set(span, keeper) == Set((1L, 0L), (9L, 1L)))
+    // store = one keeper per distinct window across the stream (3 + 3
+    // windows, "a b c" shared → 5)
+    assert(spark.read.parquet(s"$work/store").count() == 5)
+  }
+
+  test("rebuildStore re-buckets a span store; appends prune and agree") {
+    val src = store()
+    def text(i: Long): String =
+      (0 until 12).map(j => s"w${(i * 13 + j * 7) % 9973}").mkString(" ")
+    val seed = (0L until 300L).map(i => (i, text(i))).toDF("doc_id", "text")
+    IncrementalSpanDedup.spanBatch(seed, src, w = 10, storeParts = 256)
+    val dst = store()
+    val parts = IncrementalDedup.rebuildStore(spark, src, dst, 8)
+    assert(parts == 8)
+    val out = IncrementalSpanDedup.spanBatch(
+      Seq((9999L, text(42L))).toDF("doc_id", "text"), dst, w = 10)
+      .collect()
+    assert(out.length == 3 && out.forall(_.getLong(2) == 42L))
+  }
+
   private def recordsReadDuring(body: => Unit): Long = {
     val recs = new java.util.concurrent.atomic.AtomicLong
     val l = new org.apache.spark.scheduler.SparkListener {
