@@ -165,6 +165,23 @@ object Soak {
         // an empty plan — the length filter forces the actual cut
         ops.SpanDedup.removeSpans(corpus, w = 10)
           .filter(coalesce(length(col("text")), lit(0)) >= 0)
+      },
+      // curation funnel at the gate config: copy 0 plays the benchmark
+      // (every copy's windows biject, so decontamination flags exactly
+      // the benchmark copy's 5-gram twins — none across copies); the
+      // run returns the SELECTED docs, exercising the whole labeled
+      // pass + digest shuffle + budget cumsum in one row
+      run("curation_selected") {
+        val bench = corpus.filter(col("doc_id") < 100000000L &&
+          col("source") === "src0")
+        val res = ops.Curation.run(
+          corpus.filter(col("doc_id") >= 100000000L ||
+            col("source") =!= "src0"),
+          ops.Curation.Config(minQuality = 0.4, benchmark = Some(bench),
+            decontamN = 5, budgetFraction = Some(0.6)))
+        val out = res.docs.select("doc_id", "cum_tokens").localCheckpoint()
+        res.release()
+        out
       })
 
     // --- embedding family: the gate's planted corpus scaled N× --------
