@@ -334,12 +334,12 @@ class Cdl:
             self._spark)
 
     def curate(self, docs, benchmark=None, min_quality=0.4,
-               budget=None, budget_fraction=None):
+               budget=None, budget_fraction=None, decontam_n=5):
         """End-to-end curation funnel over (doc_id, text) docs: quality
         filter -> exact dedup -> optional decontamination vs benchmark
-        -> optional token budget. Returns (curated_docs, funnel) where
-        funnel rows are (stage_idx, stage, docs_in, docs_out,
-        tokens_out)."""
+        (decontam_n-gram overlap) -> optional token budget. Returns
+        (curated_docs, funnel) where funnel rows are (stage_idx, stage,
+        docs_in, docs_out, tokens_out)."""
         jvm = self._spark._jvm
         pair = jvm.graft.PyBridge.curate(
             docs._jdf,
@@ -347,7 +347,8 @@ class Cdl:
             float(min_quality),
             jvm.java.lang.Long(int(budget)) if budget is not None else None,
             jvm.java.lang.Double(float(budget_fraction))
-            if budget_fraction is not None else None)
+            if budget_fraction is not None else None,
+            int(decontam_n))
         return (DataFrame(pair[0], self._spark),
                 DataFrame(pair[1], self._spark))
 

@@ -227,10 +227,12 @@ object PyBridge {
     * (skip the token-budget stage; absolute wins). */
   def curate(docs: DataFrame, benchmark: DataFrame,
       minQuality: Double, budget: java.lang.Long,
-      budgetFraction: java.lang.Double): Array[DataFrame] = {
+      budgetFraction: java.lang.Double,
+      decontamN: java.lang.Number): Array[DataFrame] = {
     val res = graft.ops.Curation.run(docs, graft.ops.Curation.Config(
       minQuality = minQuality,
       benchmark = Option(benchmark),
+      decontamN = decontamN.intValue,
       budget = Option(budget).map(_.longValue),
       budgetFraction = Option(budgetFraction).map(_.doubleValue)))
     val out = Array(res.docs.localCheckpoint(), res.funnel.localCheckpoint())

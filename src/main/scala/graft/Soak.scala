@@ -318,10 +318,8 @@ object Soak {
       // window count; a 2-doc append touches ~one bucket per window
       // (~180 for two ~100-token docs), so the pruned scans stay a
       // bounded store fraction while the seed rightly grows with N×.
-      // freshDocs' c0_ bijection rewrites every token, so its windows
-      // miss the store — the append proves the novel path; the
-      // within-batch duplicate between append docs 0/1's shared
-      // boilerplate (if any) rides the batch-internal keeper branch
+      // The two appends measure both probe outcomes: all-hit (c0_
+      // content — the corpus carries the same bijection) and all-miss
       run("inc_span_seed") {
         ops.IncrementalSpanDedup.spanBatch(corpus, s"$tmp/span_store", w = 10)
       },

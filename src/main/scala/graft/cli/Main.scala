@@ -102,17 +102,19 @@ object Main {
       // store — the cron-able shape of SURVEY §2.10's incremental family
       case "dedup" :: mode :: input :: store :: out :: rest if rest.size <= 1 =>
         val batch = spark.read.parquet(input)
-        // optional trailing layout (embedding only): inline|split|adopt
+        // optional trailing arg: embedding layout (inline|split|adopt)
+        // or span window width
         val layout = rest.headOption.getOrElse("adopt")
-        require(rest.isEmpty || mode == "embedding",
-          s"layout argument only applies to embedding: $rest")
+        val spanW = if (mode == "span") rest.headOption.map(_.toInt).getOrElse(10) else 10
+        require(rest.isEmpty || mode == "embedding" || mode == "span",
+          s"trailing argument only applies to embedding (layout) or span (w): $rest")
         val res = mode match {
           case "exact"     => graft.ops.IncrementalDedup.exactBatch(batch, store)
           case "minhash"   => graft.ops.IncrementalDedup.minhashBatch(batch, store)
           case "simhash"   => graft.ops.IncrementalDedup.simhashBatch(batch, store)
           case "ngram"     => graft.ops.IncrementalDedup.ngramBatch(batch, store)
           case "embedding" => graft.ops.IncrementalDedup.embeddingBatch(batch, store, layout = layout)
-          case "span"      => graft.ops.IncrementalSpanDedup.spanBatch(batch, store)
+          case "span"      => graft.ops.IncrementalSpanDedup.spanBatch(batch, store, w = spanW)
           case m           => sys.error(s"unknown dedup mode: $m (exact|minhash|simhash|ngram|embedding|span)")
         }
         res.write.mode("overwrite").parquet(out)
@@ -287,13 +289,15 @@ object Main {
             cfg = cfg.copy(minQuality = q.toDouble); t
           case "--benchmark" :: p :: t =>
             cfg = cfg.copy(benchmark = Some(spark.read.parquet(p))); t
+          case "--decontam-n" :: n :: t =>
+            cfg = cfg.copy(decontamN = n.toInt); t
           case "--budget" :: b :: t =>
             cfg = cfg.copy(budget = Some(b.toLong)); t
           case "--budget-fraction" :: f :: t =>
             cfg = cfg.copy(budgetFraction = Some(f.toDouble)); t
           case other => sys.error(
             "usage: curate <in.parquet> <out.parquet> [--min-quality q] " +
-              s"[--benchmark bm.parquet] [--budget N | --budget-fraction f]; got $other")
+              s"[--benchmark bm.parquet] [--decontam-n n] [--budget N | --budget-fraction f]; got $other")
         }
         val res = graft.ops.Curation.run(spark.read.parquet(input), cfg)
         res.docs.write.mode("overwrite").parquet(outPath)
@@ -344,8 +348,8 @@ object Main {
         sys.error(s"usage: [--catalog-flag value]... {cp <from> <to> | query <target> <sql> " +
           s"[--at-version N] | versions <target> | compact <target> [--zorder x,y] [bytes] | " +
           s"delete <target> <condition> | vacuum <target> | " +
-          s"take <target> <i,j,...> [col,col] | dedup <exact|minhash|simhash|ngram|embedding> <in.parquet> " +
-          s"<storeDir> <out.parquet> [inline|split] | compact-store <storeDir> | " +
+          s"take <target> <i,j,...> [col,col] | dedup <exact|minhash|simhash|ngram|embedding|span> <in.parquet> " +
+          s"<storeDir> <out.parquet> [inline|split] (embedding) / [w] (span) | compact-store <storeDir> | " +
           s"store-info <storeDir> | rebuild-store <src> <dst> [parts] | " +
           s"clusters {add|labels|keepers|compact} ... | " +
           s"ivf {build|append|search [nprobe [rerank]]|health} ... | " +

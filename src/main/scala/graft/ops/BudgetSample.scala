@@ -45,12 +45,17 @@ object BudgetSample {
   /** Docs of the maximal `ord`-ordered prefix with cumulative tokens ≤
     * `budget`, as (original columns…, n_tokens, cum_tokens), in
     * priority order. `ord` must be a total order (tie-break on a
-    * unique id) for the selection to be reproducible. */
+    * unique id) for the selection to be reproducible. `tokenCol`: name
+    * of a PRECOMPUTED per-doc token-count column to use instead of
+    * re-tokenizing `textCol` — callers that already carry the count
+    * (Curation's labeled frame) skip a full tokenize pass over the
+    * surviving text. */
   def takeUntilWithRelease(
       docs: DataFrame,
       budget: Long,
       ord: Seq[Column],
-      textCol: String = "text"): Selected = {
+      textCol: String = "text",
+      tokenCol: Option[String] = None): Selected = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
     val spark = docs.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
@@ -60,9 +65,12 @@ object BudgetSample {
     // coalesce(0): a NULL text row counts zero tokens and stays
     // selectable — without it the per-partition sum row is NULL when a
     // range bucket holds only null-text docs and getLong below throws
+    val tokenExpr = tokenCol match {
+      case Some(c) => coalesce(col(c).cast("long"), lit(0L))
+      case None    => coalesce(TextAnalysis.tokenCount(col(textCol)), lit(0L))
+    }
     val ranged = docs
-      .withColumn(
-        "n_tokens", coalesce(TextAnalysis.tokenCount(col(textCol)), lit(0L)))
+      .withColumn("n_tokens", tokenExpr)
       .repartitionByRange(parts, ord: _*)
       .sortWithinPartitions(ord: _*)
       .withColumn("__pid", spark_partition_id())

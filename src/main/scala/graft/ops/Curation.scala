@@ -58,16 +58,23 @@ object Curation {
     * `benchmark` is set; 4 runs when `budget` or `budgetFraction` is
     * set (absolute wins if both are given). `ord` is the stage-4
     * priority (must be a total order; defaults to best-quality-first,
-    * doc_id tie-break). */
+    * doc_id tie-break). `decontamN` follows Decontaminate.overlap's
+    * default (5 — short grams over-flag; the gate measured 3-grams
+    * marking ~100 % of a synthetic corpus). `broadcastContaminated`
+    * hints the contaminated-id join; turn it OFF when the benchmark
+    * overlaps a large corpus fraction (the flagged set then approaches
+    * corpus size and must not ship to every executor — AQE picks a
+    * shuffle join instead, semantics identical). */
   final case class Config(
       minQuality: Double = 0.4,
       benchmark: Option[DataFrame] = None,
-      decontamN: Int = 3,
+      decontamN: Int = 5,
       minOverlap: Int = 1,
       budget: Option[Long] = None,
       budgetFraction: Option[Double] = None,
       ord: Seq[Column] = Seq(col("quality").desc, col("doc_id").asc),
-      textCol: String = "text")
+      textCol: String = "text",
+      broadcastContaminated: Boolean = true)
 
   /** `docs`: the curated corpus (original columns + n_tokens, quality;
     * + cum_tokens when stage 4 ran), in stage-4 priority order when
@@ -100,7 +107,9 @@ object Curation {
     val withKeeper = featured.withColumn("__keeper",
       min(when(col("__qpass"), col("doc_id"))).over(keeperW))
     val joined = contaminated match {
-      case Some(c) => withKeeper.join(broadcast(c), Seq("doc_id"), "left")
+      case Some(c) =>
+        val side = if (cfg.broadcastContaminated) broadcast(c) else c
+        withKeeper.join(side, Seq("doc_id"), "left")
       case None    => withKeeper.withColumn("__contam", lit(null).cast("boolean"))
     }
     val labeled = joined
@@ -131,8 +140,10 @@ object Curation {
       cfg.budgetFraction.map(f => math.floor(f * tS).toLong))
     val (finalDocs, nB, tB, releaseBudget) = budgetOpt match {
       case Some(b) =>
+        // tokenCol: the labeled frame already carries n_tokens — the
+        // budget stage must not re-tokenize the surviving text
         val sel = BudgetSample.takeUntilWithRelease(
-          survivors, b, cfg.ord, cfg.textCol)
+          survivors, b, cfg.ord, cfg.textCol, tokenCol = Some("n_tokens"))
         val out = sel.df.agg(
           count(lit(1)).cast("long"), coalesce(sum("n_tokens"), lit(0L)))
           .collect().head

@@ -86,6 +86,22 @@ class BudgetSampleSpec extends SparkSuite {
       (4L, 0L, 5L), (5L, 0L, 5L)))
   }
 
+  test("a precomputed tokenCol selects identically to re-tokenizing") {
+    import org.apache.spark.sql.functions.{coalesce, lit, size, split}
+    val pre = docs.withColumn("tc",
+      coalesce(size(split(col("text"), " ")).cast("long"), lit(0L)))
+    val a = BudgetSample.takeUntilWithRelease(pre, 12L,
+      Seq(col("pri").asc, col("doc_id").asc), tokenCol = Some("tc"))
+    val b = BudgetSample.takeUntilWithRelease(docs, 12L,
+      Seq(col("pri").asc, col("doc_id").asc))
+    def rows(s: BudgetSample.Selected) = s.df
+      .select("doc_id", "n_tokens", "cum_tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(rows(a) == rows(b) && rows(a).nonEmpty)
+    a.release(); b.release()
+  }
+
   test("release unpins the ranged intermediate") {
     val sel = BudgetSample.takeUntilWithRelease(docs, 12L,
       Seq(col("pri").asc, col("doc_id").asc))
