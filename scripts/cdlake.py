@@ -178,11 +178,19 @@ class Cdl:
         """One locked span-dedup cycle: (doc_id, pos, keep_doc_id,
         keep_pos) of every w-token window of df already seen — in the
         store or earlier in df. Appends df's novel windows. Feed the
-        result to span rewrite via span_dedup on a one-shot corpus, or
-        cut directly with the JVM cutSpans."""
+        result to cut_spans to rewrite the batch."""
         return DataFrame(
             self._spark._jvm.graft.PyBridge.dedupSpan(
                 df._jdf, store_dir, int(w)),
+            self._spark)
+
+    def cut_spans(self, docs, spans, w=10):
+        """Rebuild half of span dedup alone: cut the given (doc_id,
+        pos) w-token spans out of docs (coverage-merge, pass-through,
+        and empty-string contracts as span_dedup)."""
+        return DataFrame(
+            self._spark._jvm.graft.PyBridge.cutSpans(
+                docs._jdf, spans._jdf, int(w)),
             self._spark)
 
     def dedup_embedding(self, df, store_dir, threshold=0.95, layout="adopt"):

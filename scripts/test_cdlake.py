@@ -368,9 +368,14 @@ def test_incremental_span_dedup_over_bridge(spark, tmp_path):
     b1 = spark.createDataFrame([(1, "a b c d e")], "doc_id LONG, text STRING")
     b2 = spark.createDataFrame([(9, "x a b c z")], "doc_id LONG, text STRING")
     assert cdl.dedup_span(b1, store, w=3).count() == 0
+    spans_df = cdl.dedup_span(b2, store, w=3)
     spans = [(r["doc_id"], r["pos"], r["keep_doc_id"], r["keep_pos"])
-             for r in cdl.dedup_span(b2, store, w=3).collect()]
+             for r in spans_df.collect()]
     assert spans == [(9, 1, 1, 0)]
+    # rewrite the batch from the incremental span rows
+    out = {r["doc_id"]: r["text"]
+           for r in cdl.cut_spans(b2, spans_df, w=3).collect()}
+    assert out == {9: "x z"}
 
 
 def test_curate_over_bridge(spark):

@@ -108,6 +108,12 @@ object PyBridge {
   def dedupSpan(df: DataFrame, storeDir: String, w: java.lang.Number): DataFrame =
     graft.ops.IncrementalSpanDedup.spanBatch(df, storeDir, w.intValue)
 
+  /** Rebuild half of span dedup alone: cut the given (doc_id, pos)
+    * spans out of `docs` — the incremental flow's rewrite step. */
+  def cutSpans(docs: DataFrame, spans: DataFrame,
+      w: java.lang.Number): DataFrame =
+    graft.ops.SpanDedup.cutSpans(docs, spans, w.intValue)
+
   /** `layout`: "inline" | "split" | "adopt" (follow the manifest). */
   def dedupEmbeddingLayout(df: DataFrame, storeDir: String,
       threshold: Double, layout: String): DataFrame =

@@ -305,6 +305,21 @@ object Main {
         res.release()
         println(s"curate: kept ${spark.read.parquet(outPath).count()} docs")
 
+      // rebuild half of span dedup alone: cut previously-detected
+      // (doc_id, pos) spans out of a batch — pairs with `dedup span`
+      // to complete the incremental substring-dedup flow
+      case "cutspans" :: input :: spansPath :: outPath :: rest =>
+        val w = rest match {
+          case Nil      => 10
+          case x :: Nil => x.toInt
+          case other => sys.error(
+            s"usage: cutspans <in.parquet> <spans.parquet> <out.parquet> [w]; got $other")
+        }
+        graft.ops.SpanDedup.cutSpans(
+          spark.read.parquet(input), spark.read.parquet(spansPath), w)
+          .write.mode("overwrite").parquet(outPath)
+        println(s"cutspans: rewrote ${spark.read.parquet(outPath).count()} docs (w=$w)")
+
       // persisted IVF ANN index (training-pipeline extension): the
       // cron-able build / append / search / health shapes
       case "ivf" :: "build" :: input :: index :: rest =>
@@ -358,7 +373,7 @@ object Main {
           s"hybrid <docs.parquet> <embs.parquet> <query text> <qvecId> [k] | " +
           s"budget <docs.parquet> <out.parquet> <tokenBudget> <col[:desc],...> | " +
           s"semdedup <in.parquet> <out.parquet> [nClusters [tau]] | " +
-          s"spandedup <in.parquet> <out.parquet> [w] | " +
+          s"spandedup <in.parquet> <out.parquet> [w] | cutspans <in.parquet> <spans.parquet> <out.parquet> [w] | " +
           s"curate <in.parquet> <out.parquet> [--min-quality q] [--benchmark bm.parquet] " +
           s"[--budget N | --budget-fraction f]}; got $other")
     }
