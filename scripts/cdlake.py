@@ -309,13 +309,23 @@ class Cdl:
                 docs._jdf, int(budget), list(order)),
             self._spark)
 
-    def hybrid_search(self, docs, embs, queries, k, n_per=10):
+    def hybrid_search(self, docs, embs, queries, k, n_per=10,
+                      index_dir=None, nprobe=4, rerank=0):
         """Hybrid retrieval: reciprocal-rank fusion of BM25 (docs:
-        doc_id, text) and exact cosine (embs: vec_id, embedding);
-        queries carries (query_id, query, qvec). Top-k per query."""
+        doc_id, text) and cosine ANN; queries carries (query_id, query,
+        qvec). Top-k per query. index_dir=None scans embs (vec_id,
+        embedding) brute-force; with index_dir set the semantic arm
+        probes that persisted IVF(-PQ) index instead (cell-pruned read;
+        rerank>=1 scores int8 codes) and embs may be None."""
+        if index_dir is None:
+            return DataFrame(
+                self._spark._jvm.graft.PyBridge.hybridSearch(
+                    docs._jdf, embs._jdf, queries._jdf, int(k), int(n_per)),
+                self._spark)
         return DataFrame(
-            self._spark._jvm.graft.PyBridge.hybridSearch(
-                docs._jdf, embs._jdf, queries._jdf, int(k), int(n_per)),
+            self._spark._jvm.graft.PyBridge.hybridSearchIndexed(
+                docs._jdf, index_dir, queries._jdf, int(k), int(n_per),
+                int(nprobe), int(rerank)),
             self._spark)
 
     def sem_dedup(self, embs, n_clusters=16, tau=0.95):

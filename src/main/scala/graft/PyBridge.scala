@@ -197,12 +197,19 @@ object PyBridge {
       temperature, salt)
 
   /** Token-budget selection: priority columns as "col" or "col:desc"
-    * strings (py4j-marshalled list). */
+    * strings (py4j-marshalled list). The curate() discipline: release
+    * the range-partitioned pinned intermediate BEFORE returning —
+    * py4j callers hold results across arbitrary Python time, so the
+    * fire-and-forget form would accumulate cached blocks per call
+    * until context shutdown. */
   def budgetTakeUntil(docs: DataFrame, budget: java.lang.Number,
       ord: java.util.List[String]): DataFrame = {
     import scala.jdk.CollectionConverters._
-    graft.ops.BudgetSample.takeUntil(docs, budget.longValue,
-      graft.ops.BudgetSample.parseOrd(ord.asScala.toSeq))
+    val sel = graft.ops.BudgetSample.takeUntilWithRelease(docs,
+      budget.longValue, graft.ops.BudgetSample.parseOrd(ord.asScala.toSeq))
+    val out = sel.df.localCheckpoint()
+    sel.release()
+    out
   }
 
   /** Hybrid retrieval: RRF fusion of BM25 and exact cosine; `queries`
@@ -210,6 +217,14 @@ object PyBridge {
   def hybridSearch(docs: DataFrame, embs: DataFrame, queries: DataFrame,
       k: java.lang.Number, nPer: java.lang.Number): DataFrame =
     graft.ops.HybridSearch.search(docs, embs, queries, k.intValue, nPer.intValue)
+
+  /** Hybrid retrieval with the semantic arm probing the persisted
+    * IVF(-PQ) index at `indexDir` — the cell-pruned scale path. */
+  def hybridSearchIndexed(docs: DataFrame, indexDir: String,
+      queries: DataFrame, k: java.lang.Number, nPer: java.lang.Number,
+      nprobe: java.lang.Number, rerank: java.lang.Number): DataFrame =
+    graft.ops.HybridSearch.searchIndexed(docs, indexDir, queries,
+      k.intValue, nPer.intValue, nprobe.intValue, rerank.intValue)
 
   /** SemDeDup keep-one semantic dedup over k-means cells. */
   def semDedup(embs: DataFrame, nClusters: java.lang.Number,

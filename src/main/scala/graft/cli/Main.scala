@@ -211,11 +211,23 @@ object Main {
       // embedding); the query vector is looked up from the embeddings
       // table by id
       case "hybrid" :: docsPath :: embsPath :: queryText :: qvecId :: rest =>
-        val k = rest match {
-          case Nil      => 5
-          case n :: Nil => n.toInt
+        // --index <dir> [nprobe [rerank]]: probe the persisted IVF(-PQ)
+        // index for the semantic arm instead of brute-force cosine
+        val (k, indexOpt) = rest match {
+          case Nil      => (5, None)
+          case n :: Nil => (n.toInt, None)
+          case n :: "--index" :: dir :: more =>
+            val (np, rr) = more match {
+              case Nil                 => (4, 0)
+              case a :: Nil            => (a.toInt, 0)
+              case a :: b :: Nil       => (a.toInt, b.toInt)
+              case other               => sys.error(
+                s"usage: … --index <dir> [nprobe [rerank]]; got $other")
+            }
+            (n.toInt, Some((dir, np, rr)))
           case other    => sys.error(
-            s"usage: hybrid <docs.parquet> <embs.parquet> <query text> <qvecId> [k]; got $other")
+            s"usage: hybrid <docs.parquet> <embs.parquet> <query text> <qvecId> " +
+              s"[k [--index <dir> [nprobe [rerank]]]]; got $other")
         }
         import spark.implicits._
         val embs = spark.read.parquet(embsPath)
@@ -223,9 +235,15 @@ object Main {
           .crossJoin(embs
             .filter(org.apache.spark.sql.functions.col("vec_id") === qvecId.toLong)
             .select(org.apache.spark.sql.functions.col("embedding").as("qvec")))
-        graft.ops.HybridSearch.search(
-          spark.read.parquet(docsPath), embs, queries, k)
-          .orderBy("rank").show(k, truncate = false)
+        val docsDf = spark.read.parquet(docsPath)
+        val fused = indexOpt match {
+          case Some((dir, np, rr)) =>
+            graft.ops.HybridSearch.searchIndexed(docsDf, dir, queries, k,
+              nprobe = np, rerank = rr)
+          case None =>
+            graft.ops.HybridSearch.search(docsDf, embs, queries, k)
+        }
+        fused.orderBy("rank").show(k, truncate = false)
 
       // DSIR importance selection (training-pipeline extension): score
       // a (doc_id, text) table against a SQL target condition, keep the

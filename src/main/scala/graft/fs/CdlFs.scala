@@ -397,13 +397,18 @@ final class CdlFs(
     * never reused) and rewritten files are re-clustered on the stamp,
     * so `take` pruning stays tight.
     *
-    * Crash contract — same class as `compact`, documented not hidden:
-    * rewritten files land before their sources are removed, so a crash
-    * mid-delete leaves DUPLICATE kept rows (and the not-yet-removed
-    * matching rows); heal by deleting the files the last committed
-    * manifest lists, then re-issuing the delete. Time travel to
-    * versions whose files a delete rewrote is invalidated — for a
-    * takedown that is the point (the equivalent of Delta's
+    * Crash contract — ROLL-FORWARD (r13 ADVICE): once the rewrites are
+    * fully staged under `.graft_delete_tmp`, a `.graft_delete_pending`
+    * marker (listing the retired source files) commits the delete; the
+    * sweep — run on open and at the start of every delete — finishes
+    * the swap (move remaining rewrites in, drop the listed sources,
+    * commit). A crash BEFORE the marker discards the staging dir and
+    * the table is untouched; a crash AFTER it can no longer bake
+    * duplicate kept rows into the next writer's manifest — the window
+    * the old heal-by-hand contract left open. A sweep that re-runs
+    * after the commit adds one empty version row (harmless). Time
+    * travel to versions whose files a delete rewrote is invalidated —
+    * for a takedown that is the point (the equivalent of Delta's
     * DELETE + VACUUM(0)).
     *
     * @return number of rows deleted */
@@ -411,6 +416,7 @@ final class CdlFs(
     import org.apache.hadoop.fs.Path
     val rootP = new Path(tableLocation)
     val hfs = rootP.getFileSystem(hconf)
+    sweepDeletePending()
     if (CommitLog.latest(tableLocation, hconf).isEmpty)
       throw new IllegalStateException(
         s"nothing to delete from: no committed version at $tableLocation")
@@ -465,26 +471,86 @@ final class CdlFs(
       .sortWithinPartitions(keys: _*)
       .withColumn("p0", Ingest.topSegment(col("parent")))
       .write.mode("overwrite").partitionBy("p0").parquet(tmp.toString)
-    // 3. move rewrites in, retire exactly the touched sources, commit
-    //    (rowsAdded=0: row_count is the next stamp's base and deleted
-    //    ids retire rather than free)
-    val it = hfs.listFiles(tmp, true)
-    while (it.hasNext) {
-      val st = it.next()
-      val rel = st.getPath.toUri.getPath
-        .stripPrefix(tmp.toUri.getPath).stripPrefix("/")
-      if (rel.endsWith(".parquet") && !rel.contains("_temporary")) {
-        val dst = new Path(rootP, rel)
-        hfs.mkdirs(dst.getParent)
-        if (!hfs.rename(st.getPath, dst))
-          throw new java.io.IOException(s"deleteWhere: rename failed for $rel")
-      }
-    }
-    hfs.delete(tmp, true)
-    touched.foreach(f => hfs.delete(new Path(rootP, f), false))
-    CommitLog.commit(tableLocation, 0L, hconf)
+    // 3. COMMIT POINT: the pending marker (retired sources listed, one
+    //    per line; temp-write + rename) — from here the delete rolls
+    //    FORWARD via finishDelete/sweepDeletePending; before here a
+    //    crash discards tmp and the table is untouched
+    writeDeletePending(hfs, rootP, touched)
+    finishDelete(hfs, rootP, touched)
     refresh()
     deleted
+  }
+
+  private val DeletePending = ".graft_delete_pending"
+  private val DeleteTmp = ".graft_delete_tmp"
+
+  private def writeDeletePending(
+      hfs: org.apache.hadoop.fs.FileSystem,
+      rootP: org.apache.hadoop.fs.Path, sources: Seq[String]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val tmp = new Path(rootP,
+      s"$DeletePending.tmp-${ProcessHandle.current().pid()}")
+    val out = hfs.create(tmp, true)
+    try out.write(sources.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dst = new Path(rootP, DeletePending)
+    hfs.delete(dst, false)
+    if (!hfs.rename(tmp, dst))
+      throw new java.io.IOException(s"deleteWhere: marker rename failed: $dst")
+  }
+
+  /** Roll the delete forward: move the staged rewrites in (file names
+    * are task-UUID-unique, so replays of already-moved files are
+    * skipped by the tmp listing itself), retire exactly the listed
+    * sources (idempotent deletes), commit (rowsAdded=0: row_count is
+    * the next stamp's base and deleted ids retire rather than free),
+    * then clear the marker. Every step re-runs safely. */
+  private def finishDelete(
+      hfs: org.apache.hadoop.fs.FileSystem,
+      rootP: org.apache.hadoop.fs.Path, sources: Seq[String]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val tmp = new Path(rootP, DeleteTmp)
+    if (hfs.exists(tmp)) {
+      val it = hfs.listFiles(tmp, true)
+      while (it.hasNext) {
+        val st = it.next()
+        val rel = st.getPath.toUri.getPath
+          .stripPrefix(tmp.toUri.getPath).stripPrefix("/")
+        if (rel.endsWith(".parquet") && !rel.contains("_temporary")) {
+          val dst = new Path(rootP, rel)
+          hfs.mkdirs(dst.getParent)
+          if (!hfs.rename(st.getPath, dst))
+            throw new java.io.IOException(s"deleteWhere: rename failed for $rel")
+        }
+      }
+      hfs.delete(tmp, true)
+    }
+    sources.foreach(f => hfs.delete(new Path(rootP, f), false))
+    CommitLog.commit(tableLocation, 0L, hconf)
+    hfs.delete(new Path(rootP, DeletePending), false)
+  }
+
+  /** Heal a crashed deleteWhere (r13 ADVICE): a pending marker means the
+    * rewrites were fully staged and the swap must complete — otherwise
+    * the not-yet-retired sources would sit as duplicate kept rows that
+    * the NEXT writer's commit silently bakes into a manifest. Marker
+    * absent: any staging dir is a pre-commit crash — discard it. Run on
+    * open and at the start of every delete. */
+  private[fs] def sweepDeletePending(): Unit = {
+    import org.apache.hadoop.fs.Path
+    val rootP = new Path(tableLocation)
+    val hfs = rootP.getFileSystem(hconf)
+    val marker = new Path(rootP, DeletePending)
+    if (hfs.exists(marker)) {
+      val in = hfs.open(marker)
+      val body =
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      val sources = body.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+      finishDelete(hfs, rootP, sources)
+      refresh()
+    } else hfs.delete(new Path(rootP, DeleteTmp), true)
   }
 
   /** Drop commit-log versions made unreadable by a compact or delete
@@ -524,7 +590,11 @@ object CdlFs {
       CachedFileSystem.install(
         spark.sparkContext.hadoopConfiguration, root.dataset.scheme.uriScheme)
     Len.registerAll(spark)
-    new CdlFs(spark, catalog, root)
+    val fs = new CdlFs(spark, catalog, root)
+    // heal a crashed deleteWhere before this session reads anything —
+    // a pending marker means staged rewrites must finish their swap
+    fs.sweepDeletePending()
+    fs
   }
 
   def open(spark: SparkSession, catalog: DatasetCatalog, uri: String): CdlFs =

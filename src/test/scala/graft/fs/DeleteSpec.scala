@@ -162,6 +162,64 @@ class DeleteSpec extends SparkSuite {
     assert(fs.vacuumLog().isEmpty)
   }
 
+  test("crashed delete rolls forward on open: no duplicate kept rows") {
+    // the r13 ADVICE window: rewrites moved in, sources not yet retired,
+    // commit not yet written — before the pending marker this left
+    // duplicate kept rows for the NEXT writer's commit to bake in.
+    // Manufacture that exact state by hand, then prove open() heals it.
+    val fs = freshFs("crash")
+    import org.apache.hadoop.fs.Path
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val loc = fs.tableLocation
+    val before = fs.table.count()
+    val v0 = fs.versions.max
+    val touched = CommitLog.dataFilesWithLen(loc, hconf).map(_._1)
+      .filter(_.contains("p0=purgedir"))
+    assert(touched.nonEmpty)
+    val hfs = new Path(loc).getFileSystem(hconf)
+    // stage + move in the rewrite (kept rows of the touched files:
+    // everything but secret1), as the crashed rename loop left it
+    val stage = s"$loc/.graft_crash_stage"
+    spark.read.parquet(touched.map(r => s"$loc/$r"): _*)
+      .filter(col("name") =!= "secret1.txt")
+      .coalesce(1).write.parquet(stage)
+    val part = hfs.listStatus(new Path(stage))
+      .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+    assert(hfs.rename(part, new Path(s"$loc/p0=purgedir/${part.getName}")))
+    hfs.delete(new Path(stage), true)
+    // the pending marker (the delete's commit point): sources listed
+    val out = hfs.create(new Path(s"$loc/.graft_delete_pending"), true)
+    out.write(touched.mkString("\n").getBytes("UTF-8"))
+    out.close()
+    // the crash window is live: kept purgedir rows exist TWICE
+    fs.refresh()
+    assert(fs.table.count() > before)
+    // open() sweeps: duplicates gone, the deleted row gone, commit written
+    val healed = CdlFs.open(spark, DatasetCatalog(maxChunkSize = 1024), fs.root)
+    assert(healed.table.count() == before - 1)
+    assert(healed.sql(
+      "SELECT * FROM rootfs WHERE name = 'secret1.txt'").count() == 0)
+    assert(healed.table.groupBy("parent", "name", "chunk_id")
+      .count().filter(col("count") > 1).count() == 0)
+    assert(healed.versions.max == v0 + 1)
+    assert(!hfs.exists(new Path(s"$loc/.graft_delete_pending")))
+  }
+
+  test("pre-marker crash discards the staging dir; table untouched") {
+    val fs = freshFs("premarker")
+    import org.apache.hadoop.fs.Path
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val loc = fs.tableLocation
+    val before = fs.table.count()
+    val v0 = fs.versions.max
+    val hfs = new Path(loc).getFileSystem(hconf)
+    hfs.mkdirs(new Path(s"$loc/.graft_delete_tmp/p0=purgedir"))
+    val healed = CdlFs.open(spark, DatasetCatalog(maxChunkSize = 1024), fs.root)
+    assert(!hfs.exists(new Path(s"$loc/.graft_delete_tmp")))
+    assert(healed.table.count() == before)
+    assert(healed.versions.max == v0)
+  }
+
   test("NULL condition keeps the row (SQL DELETE semantics)") {
     val fs = freshFs("nulls")
     val before = fs.table.count()

@@ -57,4 +57,70 @@ class HybridSearchSpec extends SparkSuite {
     val again = HybridSearch.search(docs, embs, queries, k = 5).collect()
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
+
+  test("index-backed searchIndexed matches brute-force RRF (recall >= 0.95)") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = Seq((0L, "hash join merge"), (3L, "sort spill memory"))
+      .toDF("query_id", "query")
+      .join(embs.select(col("vec_id").as("query_id"),
+        col("embedding").as("qvec")), Seq("query_id"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("hybrid_ivf_").toString
+    IvfIndex.build(embs, dir, nlist = 8, kmeansIters = 2)
+    val k = 5
+    val brute = HybridSearch.search(docs, embs, queries, k)
+      .select("query_id", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact probe at full nprobe coverage AND the PQ-coded probe: both
+    // arms must reproduce the brute-force fused top-k (recall pin)
+    for (rerank <- Seq(0, 4)) {
+      val indexed = HybridSearch.searchIndexed(docs, dir, queries, k,
+        nprobe = 8, rerank = rerank)
+        .select("query_id", "doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (indexed intersect brute).size.toDouble / brute.size
+      assert(recall >= 0.95, s"rerank=$rerank recall $recall: " +
+        s"indexed=$indexed brute=$brute")
+    }
+    // the pruned-scan property holds THROUGH the fusion: a 1-cell probe
+    // reads measurably fewer file-source records than the full-coverage
+    // probe (the BM25 arm is identical on both sides, so the delta is
+    // the semantic arm's partition pruning — the IvfIndexSpec plan pin
+    // can't see through search()'s eager localCheckpoint, the metric can)
+    val lowIo = recordsReadDuring {
+      HybridSearch.searchIndexed(docs, dir, queries, k, nprobe = 1).count()
+    }
+    val fullIo = recordsReadDuring {
+      HybridSearch.searchIndexed(docs, dir, queries, k, nprobe = 8).count()
+    }
+    assert(lowIo < fullIo, s"nprobe=1 read $lowIo records vs $fullIo at " +
+      "nprobe=8 — the indexed arm lost its partition pruning")
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(dir))
+  }
+
+  private def recordsReadDuring(body: => Unit): Long = {
+    // the IncrementalDedupSpec pruning witness: file-source records read
+    // across every task the body runs, listener-bus drain included
+    val recs = new java.util.concurrent.atomic.AtomicLong
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          recs.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      body
+      var last = -1L
+      var stable = 0
+      while (stable < 3) {
+        Thread.sleep(200)
+        val now = recs.get()
+        if (now == last) stable += 1 else { stable = 0; last = now }
+      }
+      recs.get()
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
 }
