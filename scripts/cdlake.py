@@ -215,6 +215,21 @@ class Cdl:
         return self._spark._jvm.graft.PyBridge.rebuildDedupStore(
             self._spark._jsparkSession, src_dir, dst_dir, int(new_parts))
 
+    def retract(self, store_dir, ids):
+        """Takedown for DERIVED data: erase the given doc/vec ids' rows
+        from a dedup-family store (variant from the manifest) — pair
+        with delete_where on the table itself. Returns rows removed."""
+        return self._spark._jvm.graft.PyBridge.retract(
+            self._spark._jsparkSession, store_dir,
+            [int(i) for i in ids])
+
+    def ivf_retract(self, index_dir, ids):
+        """Takedown for the IVF index: remove the ids' assignment rows,
+        rewriting only touched cells. Returns rows removed."""
+        return self._spark._jvm.graft.PyBridge.ivfRetract(
+            self._spark._jsparkSession, index_dir,
+            [int(i) for i in ids])
+
     # -- incremental clustering (graft extension): the persisted
     # union-find the dedup pair batches feed. ---------------------------
     def clusters_add_pairs(self, df, store_dir):
@@ -352,21 +367,25 @@ class Cdl:
             self._spark)
 
     def curate(self, docs, benchmark=None, min_quality=0.4,
-               budget=None, budget_fraction=None, decontam_n=5):
+               budget=None, budget_fraction=None, decontam_n=5,
+               near_dup=None):
         """End-to-end curation funnel over (doc_id, text) docs: quality
-        filter -> exact dedup -> optional decontamination vs benchmark
-        (decontam_n-gram overlap) -> optional token budget. Returns
-        (curated_docs, funnel) where funnel rows are (stage_idx, stage,
-        docs_in, docs_out, tokens_out)."""
+        filter -> exact dedup -> optional NEAR-dup dedup (near_dup =
+        exact 3-gram-jaccard threshold) -> optional decontamination vs
+        benchmark (decontam_n-gram overlap) -> optional token budget.
+        Returns (curated_docs, funnel) where funnel rows are
+        (stage_idx, stage, docs_in, docs_out, tokens_out)."""
         jvm = self._spark._jvm
-        pair = jvm.graft.PyBridge.curate(
+        pair = jvm.graft.PyBridge.curateNearDup(
             docs._jdf,
             benchmark._jdf if benchmark is not None else None,
             float(min_quality),
             jvm.java.lang.Long(int(budget)) if budget is not None else None,
             jvm.java.lang.Double(float(budget_fraction))
             if budget_fraction is not None else None,
-            int(decontam_n))
+            int(decontam_n),
+            jvm.java.lang.Double(float(near_dup))
+            if near_dup is not None else None)
         return (DataFrame(pair[0], self._spark),
                 DataFrame(pair[1], self._spark))
 

@@ -215,6 +215,19 @@ def test_incremental_dedup_over_bridge(spark):
     import os as _os
     assert _os.path.isdir(f"{emb_store}/vectors")
 
+    # retraction (takedown for derived data): erase keeper 1 from the
+    # exact store — the content re-keeps on next arrival; and erase doc 0
+    # from the minhash store — the near-dup pair is gone
+    assert cdl.retract(store, [1]) == 1
+    r3 = {r["doc_id"]: r["dup_of"]
+          for r in cdl.dedup_exact(
+              spark.createDataFrame([(30, "aaa"), (31, "bbb")],
+                                    "doc_id LONG, text STRING"),
+              store).collect()}
+    assert r3 == {30: None, 31: 2}
+    assert cdl.retract(mh_store, [0]) > 0
+    assert cdl.dedup_minhash(mh2, mh_store).count() == 0
+
 
 def test_incremental_clusters_over_bridge(spark):
     """The clustering store over py4j: two pair batches whose second
@@ -291,6 +304,11 @@ def test_ivf_index_over_bridge(spark):
     top3 = cdl.ivf_search(q, idx, k=1, nprobe=8, rerank=4).collect()
     assert top3[0]["neighbor_id"] == top2[0]["neighbor_id"]
     assert top3[0]["cosine"] == 1.0
+
+    # retraction: vector 3 becomes unsearchable, cell-pruned rewrite
+    assert cdl.ivf_retract(idx, [3]) == 1
+    top4 = cdl.ivf_search(q, idx, k=1, nprobe=8).collect()
+    assert top4[0]["neighbor_id"] != 3
 
 
 def test_bm25_search_over_bridge(spark):

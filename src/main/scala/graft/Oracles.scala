@@ -1120,6 +1120,102 @@ object Oracles {
         |  UNION ALL SELECT 4, 'budget', n_s, n_b, t_b FROM stats, sel)
         |ORDER BY stage_idx""".stripMargin,
 
+    // Five-stage funnel with the fuzzy pass: the curationLab quality /
+    // exact-dedup fragments, then TRUE 3-gram jaccard >= 0.8 pairs over
+    // the stage-2 survivors (the q_dedup_minhash_lsh oracle equivalence:
+    // LSH only blocks, banding recall is 1 at 0.8, the exact verify
+    // defines the set), connected components by recursive CTE (the
+    // q_dedup_clusters convention, min-id canonical), non-representative
+    // members charged to near_dup; decontamination and the 60 % budget
+    // close the funnel.
+    "q_curation_neardup" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+        |feat AS (
+        |  SELECT doc_id, text,
+        |    CAST(coalesce(len(string_split(text, ' ')), 0) AS BIGINT) AS n_tokens,
+        |    round((least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) +
+        |           (1.0 - least(round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) /
+        |             CAST(greatest(length(text), 1) AS DOUBLE), 4) * 5.0, 1.0)) +
+        |           least(round(CAST(len(list_filter(string_split(text, ' '), x -> x IN
+        |               ('the','a','of','and','to','in','is','it'))) AS DOUBLE) /
+        |             CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE), 4) * 4.0, 1.0)) / 3.0, 4) AS quality,
+        |    md5(text) AS digest
+        |  FROM corpus),
+        |lab0 AS (
+        |  SELECT *, (text IS NOT NULL AND quality >= 0.4) AS qpass FROM feat),
+        |withk AS (
+        |  SELECT *, min(CASE WHEN qpass THEN doc_id END)
+        |    OVER (PARTITION BY digest) AS keeper FROM lab0),
+        |tk2 AS (SELECT doc_id, string_split(text, ' ') AS t FROM withk
+        |        WHERE qpass AND doc_id = keeper),
+        |sh2 AS (SELECT DISTINCT doc_id,
+        |          unnest(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+        |            i -> array_to_string(t[i:i+2], ' '))) AS shingle
+        |        FROM tk2),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
+        |it AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        |       FROM sh2 a JOIN sh2 b USING (shingle) WHERE a.doc_id < b.doc_id
+        |       GROUP BY 1, 2),
+        |p AS (SELECT doc_a, doc_b FROM it
+        |      JOIN sizes sa ON it.doc_a = sa.doc_id
+        |      JOIN sizes sb ON it.doc_b = sb.doc_id
+        |      WHERE round(CAST(n_common AS DOUBLE) /
+        |        CAST(sa.n + sb.n - n_common AS DOUBLE), 4) >= 0.8),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM p
+        |      UNION ALL SELECT doc_b, doc_a FROM p),
+        |r AS (SELECT a AS v, a AS u FROM e
+        |      UNION
+        |      SELECT r.v, e.b FROM r JOIN e ON r.u = e.a),
+        |ndrop AS (SELECT v AS doc_id FROM
+        |            (SELECT v, min(u) AS component FROM r GROUP BY v)
+        |          WHERE v <> component),
+        |tkc AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |shc AS (SELECT DISTINCT doc_id, source,
+        |          unnest(list_transform(range(1, greatest(len(t) - 4, 1) + 1),
+        |            i -> array_to_string(t[i:i+4], ' '))) AS g
+        |        FROM tkc),
+        |bgc AS (SELECT DISTINCT g FROM shc WHERE source = 'src0'),
+        |contam AS (SELECT shc.doc_id FROM shc JOIN bgc USING (g)
+        |           WHERE shc.source <> 'src0'
+        |           GROUP BY shc.doc_id HAVING count(*) >= 1),
+        |lab AS (
+        |  SELECT doc_id, n_tokens, quality,
+        |    CASE WHEN NOT qpass THEN 'quality'
+        |         WHEN doc_id <> keeper THEN 'exact_dup'
+        |         WHEN doc_id IN (SELECT doc_id FROM ndrop) THEN 'near_dup'
+        |         WHEN doc_id IN (SELECT doc_id FROM contam) THEN 'contaminated'
+        |         END AS exit
+        |  FROM withk),
+        |stats AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_in,
+        |    CAST(sum(CASE WHEN exit = 'quality' THEN 1 ELSE 0 END) AS BIGINT) AS n_q,
+        |    CAST(sum(CASE WHEN exit = 'exact_dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_d,
+        |    CAST(sum(CASE WHEN exit = 'near_dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_n,
+        |    CAST(sum(CASE WHEN exit = 'contaminated' THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+        |    CAST(sum(CASE WHEN exit IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_s,
+        |    CAST(sum(CASE WHEN exit IS NULL THEN n_tokens ELSE 0 END) AS BIGINT) AS t_s,
+        |    CAST(sum(CASE WHEN exit = 'contaminated' OR exit IS NULL THEN n_tokens ELSE 0 END) AS BIGINT) AS t_2b,
+        |    CAST(sum(CASE WHEN exit IN ('near_dup', 'contaminated') OR exit IS NULL THEN n_tokens ELSE 0 END) AS BIGINT) AS t_2,
+        |    CAST(sum(CASE WHEN exit IS NOT NULL AND exit <> 'quality' OR exit IS NULL THEN n_tokens ELSE 0 END) AS BIGINT) AS t_1
+        |  FROM lab),
+        |sel AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_b,
+        |    CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS t_b
+        |  FROM (SELECT n_tokens, sum(n_tokens) OVER (
+        |          ORDER BY quality DESC, doc_id ASC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |        FROM lab WHERE exit IS NULL) s, stats
+        |  WHERE cum <= CAST(floor(0.6 * t_s) AS BIGINT))
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage_idx, 'quality' AS stage,
+        |    n_in AS docs_in, n_in - n_q AS docs_out, t_1 AS tokens_out FROM stats
+        |  UNION ALL SELECT 2, 'exact_dup', n_in - n_q, n_in - n_q - n_d, t_2 FROM stats
+        |  UNION ALL SELECT 3, 'near_dup', n_in - n_q - n_d, n_in - n_q - n_d - n_n, t_2b FROM stats
+        |  UNION ALL SELECT 4, 'contaminated', n_in - n_q - n_d - n_n, n_s, t_s FROM stats
+        |  UNION ALL SELECT 5, 'budget', n_s, n_b, t_b FROM stats, sel)
+        |ORDER BY stage_idx""".stripMargin,
+
     "q_curation_docs" ->
       s"""$curationLab,
         |tot AS (SELECT sum(n_tokens) AS t_s FROM lab WHERE exit IS NULL),

@@ -123,6 +123,21 @@ object PyBridge {
   def compactDedupStore(spark: SparkSession, storeDir: String): Int =
     graft.ops.IncrementalDedup.compactStore(spark, storeDir)
 
+  /** Takedown for DERIVED data: erase the ids' rows from a dedup-family
+    * store (exact/minhash/simhash/ngram/embedding/span/components,
+    * dispatched on the manifest). Returns rows removed. */
+  def retract(spark: SparkSession, storeDir: String,
+      ids: java.util.List[java.lang.Number]): Long =
+    graft.ops.Retract.retract(spark, storeDir,
+      ids.asScala.map(_.longValue()).toSeq)
+
+  /** Takedown for the IVF index: remove the ids' assignment rows,
+    * rewriting only touched cells. */
+  def ivfRetract(spark: SparkSession, indexDir: String,
+      ids: java.util.List[java.lang.Number]): Long =
+    graft.ops.IvfIndex.retract(spark, indexDir,
+      ids.asScala.map(_.longValue()).toSeq)
+
   /** newParts <= 0 auto-sizes from the store's rows. */
   def rebuildDedupStore(spark: SparkSession, srcDir: String,
       dstDir: String, newParts: Int): Int =
@@ -249,13 +264,24 @@ object PyBridge {
   def curate(docs: DataFrame, benchmark: DataFrame,
       minQuality: Double, budget: java.lang.Long,
       budgetFraction: java.lang.Double,
-      decontamN: java.lang.Number): Array[DataFrame] = {
+      decontamN: java.lang.Number): Array[DataFrame] =
+    curateNearDup(docs, benchmark, minQuality, budget, budgetFraction,
+      decontamN, null)
+
+  /** curate() with the optional near-dup stage (nearDup = exact
+    * n-gram-jaccard threshold, null = off). */
+  def curateNearDup(docs: DataFrame, benchmark: DataFrame,
+      minQuality: Double, budget: java.lang.Long,
+      budgetFraction: java.lang.Double,
+      decontamN: java.lang.Number,
+      nearDup: java.lang.Double): Array[DataFrame] = {
     val res = graft.ops.Curation.run(docs, graft.ops.Curation.Config(
       minQuality = minQuality,
       benchmark = Option(benchmark),
       decontamN = decontamN.intValue,
       budget = Option(budget).map(_.longValue),
-      budgetFraction = Option(budgetFraction).map(_.doubleValue)))
+      budgetFraction = Option(budgetFraction).map(_.doubleValue),
+      nearDup = Option(nearDup).map(_.doubleValue)))
     val out = Array(res.docs.localCheckpoint(), res.funnel.localCheckpoint())
     res.release()
     out

@@ -1154,6 +1154,28 @@ object Queries {
     out
   }
 
+  /** The canonical FIVE-stage funnel (r13 verdict #4): quality → exact
+    * dedup → NEAR-dup dedup (MinHash-LSH blocked, exact 3-gram-jaccard
+    * verified at 0.8 — the q_dedup_minhash_lsh machinery, where banding
+    * recall is 1 so the pair set is engine-independent) → 5-gram
+    * decontamination → 60 % token budget. Components keep the min-id
+    * representative; every other member is charged to `near_dup`. */
+  def qCurationNeardup(s: SparkSession, dir: String): DataFrame = {
+    val docs = rd(s, dir, "documents")
+    val res = graft.ops.Curation.run(
+      docs.filter(col("source") =!= "src0"),
+      graft.ops.Curation.Config(
+        minQuality = 0.4,
+        benchmark = Some(docs.filter(col("source") === "src0")),
+        decontamN = 5,
+        budgetFraction = Some(0.6),
+        nearDup = Some(0.8),
+        nearDupN = 3))
+    val out = res.funnel.orderBy("stage_idx").localCheckpoint()
+    res.release()
+    out
+  }
+
   /** The curated corpus itself: the doc ids stage 4 selected, with
     * their token counts and budget-order cumulative position. */
   def qCurationDocs(s: SparkSession, dir: String): DataFrame = {

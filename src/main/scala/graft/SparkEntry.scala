@@ -115,6 +115,7 @@ object SparkEntry {
     "q_dedup_incremental_simhash" -> (Queries.qDedupIncrementalSimhash _),
     "q_dedup_incremental_ngram" -> (Queries.qDedupIncrementalNgram _),
     "q_curation_funnel" -> (Queries.qCurationFunnel _),
+    "q_curation_neardup" -> (Queries.qCurationNeardup _),
     "q_curation_docs" -> (Queries.qCurationDocs _),
     "q_span_dedup_incremental" -> (Queries.qSpanDedupIncremental _)
   ) ++ FuzzQueries.queries ++ // differential fuzz gate (seeded AST → both engines)

@@ -164,6 +164,14 @@ object Main {
         val n = graft.ops.IncrementalDedup.compactStore(spark, store)
         println(s"compacted $n fragmented partition(s) in $store")
 
+      // store retraction (takedown path for DERIVED data): erase the
+      // given docs' signature/posting/keeper/label rows from a dedup-
+      // family store — pair with `delete` on the table itself
+      case "retract" :: store :: idsArg :: Nil =>
+        val ids = idsArg.split(",").toSeq.map(_.trim.toLong)
+        val n = graft.ops.Retract.retract(spark, store, ids)
+        println(s"retracted $n store row(s) for ${ids.size} id(s)")
+
       // incremental clustering (training-pipeline extension): absorb
       // dedup pair batches into the persisted union-find
       case "clusters" :: "add" :: input :: store :: Nil =>
@@ -313,9 +321,12 @@ object Main {
             cfg = cfg.copy(budget = Some(b.toLong)); t
           case "--budget-fraction" :: f :: t =>
             cfg = cfg.copy(budgetFraction = Some(f.toDouble)); t
+          case "--near-dup" :: thr :: t =>
+            cfg = cfg.copy(nearDup = Some(thr.toDouble)); t
           case other => sys.error(
             "usage: curate <in.parquet> <out.parquet> [--min-quality q] " +
-              s"[--benchmark bm.parquet] [--decontam-n n] [--budget N | --budget-fraction f]; got $other")
+              s"[--benchmark bm.parquet] [--decontam-n n] [--near-dup jaccard] " +
+              s"[--budget N | --budget-fraction f]; got $other")
         }
         val res = graft.ops.Curation.run(spark.read.parquet(input), cfg)
         res.docs.write.mode("overwrite").parquet(outPath)
@@ -370,6 +381,10 @@ object Main {
         graft.ops.IvfIndex.search(spark, index,
           spark.read.parquet(queries), k.toInt, nprobe, rerank = rerank)
           .orderBy("query_id", "rank").show(100, truncate = false)
+      case "ivf" :: "retract" :: index :: idsArg :: Nil =>
+        val ids = idsArg.split(",").toSeq.map(_.trim.toLong)
+        val n = graft.ops.IvfIndex.retract(spark, index, ids)
+        println(s"ivf retract: removed $n assignment row(s)")
       case "ivf" :: "health" :: index :: Nil =>
         val imb = graft.ops.IvfIndex.imbalance(spark, index)
         println(f"imbalance (max/mean occupancy): $imb%.2f")
@@ -384,6 +399,7 @@ object Main {
           s"take <target> <i,j,...> [col,col] | dedup <exact|minhash|simhash|ngram|embedding|span> <in.parquet> " +
           s"<storeDir> <out.parquet> [inline|split] (embedding) / [w] (span) | compact-store <storeDir> | " +
           s"store-info <storeDir> | rebuild-store <src> <dst> [parts] | " +
+          s"retract <storeDir> <id,id,...> | ivf retract <indexDir> <id,id,...> | " +
           s"clusters {add|labels|keepers|compact} ... | " +
           s"ivf {build|append|search [nprobe [rerank]]|health} ... | " +
           s"search <docs.parquet> <query text> [k] | " +

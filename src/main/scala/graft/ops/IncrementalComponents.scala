@@ -99,10 +99,11 @@ object IncrementalComponents {
   private def ensureReadable(spark: SparkSession, storeDir: String): Unit = {
     val ready = new org.apache.hadoop.fs.Path(storeDir, "_compact_ready")
     val fs = ready.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(ready))
+    if (fs.exists(ready) || Retract.pending(spark, s"$storeDir/$LabelsDir"))
       graft.fs.StoreLock.withLock(storeDir,
         spark.sparkContext.hadoopConfiguration) {
         sweepCompact(spark, storeDir)
+        Retract.sweep(spark, s"$storeDir/$LabelsDir")
       }
   }
 
@@ -150,6 +151,7 @@ object IncrementalComponents {
       spark: SparkSession, srcDir: String, dstDir: String,
       requestedParts: Int): Int = {
     sweepCompact(spark, srcDir) // finish any crashed compact swap first
+    Retract.sweep(spark, s"$srcDir/$LabelsDir")
     val lp = new org.apache.hadoop.fs.Path(srcDir, LabelsDir)
     val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val resolved =
@@ -210,8 +212,9 @@ object IncrementalComponents {
       requestedParts: Int,
       mergeLogCap: Long = DefaultMergeLogCap): DataFrame = {
     val spark = pairs.sparkSession
-    // heal a crashed compaction swap BEFORE reading anything
+    // heal a crashed compaction or retraction swap BEFORE reading anything
     sweepCompact(spark, storeDir)
+    Retract.sweep(spark, s"$storeDir/$LabelsDir")
     val edges = pairs
       .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
       .localCheckpoint()
@@ -335,6 +338,48 @@ object IncrementalComponents {
       }
       .start()
 
+  /** Retraction arm of [[Retract.retract]] (runs under the already-held
+    * store lock): erase the retired vertices' label rows AND their
+    * identity as cluster NAMES. The merge log is folded first
+    * ([[compactLocked]] — after it every raw label is canonical and the
+    * log is empty, so retired ids can only appear as `v` or as a
+    * cluster's `component` name), then (1) the retirees' own rows drop
+    * — directly partition-pruned, `bp` keys on v — and (2) clusters a
+    * retiree NAMED are re-canonicalized to their min SURVIVING member.
+    * Every member of such a cluster carries the retired name in its
+    * `component` column, so the touched-partition set of pass 2 is
+    * exactly the partitions holding those members and the rename
+    * mapping computes complete from the touched rows themselves.
+    *
+    * Graph semantics, stated: edges a retired doc contributed stay
+    * merged — the cluster was derived from OTHER documents' content
+    * too, and splitting it would re-run the pair history this store
+    * exists to avoid. What retraction erases is every occurrence of the
+    * retired ID (as a vertex and as a name); RetractSpec pins both.
+    * Returns label rows removed (renames are updates, not removals). */
+  private[ops] def retractLocked(
+      spark: SparkSession, storeDir: String, ids: Seq[Long]): Long = {
+    sweepCompact(spark, storeDir)
+    compactLocked(spark, storeDir)
+    val lp = s"$storeDir/$LabelsDir"
+    val parts = IncrementalDedup.manifestParts(spark, storeDir).getOrElse(
+      sys.error(s"$storeDir has no store_parts in its manifest"))
+    val own = col("v").isin(ids: _*)
+    val removed = Retract.rewriteTouched(spark, lp, "bp", own,
+      _.filter(!own),
+      prefilter = Some(col("bp").isin(Retract.bpsOf(spark, ids, parts): _*)))
+    val named = col("component").isin(ids: _*)
+    Retract.rewriteTouched(spark, lp, "bp", named,
+      df => {
+        val canon = df.filter(named)
+          .groupBy("component").agg(min(col("v")).as("__new"))
+        df.join(canon, Seq("component"), "left")
+          .withColumn("component", coalesce(col("__new"), col("component")))
+          .drop("__new")
+      })
+    removed
+  }
+
   /** One row per CLUSTER: the canonical member (v == component) of
     * every multi-member cluster plus, implicitly, every never-paired
     * document a caller keeps by anti-joining the label view — the
@@ -354,6 +399,7 @@ object IncrementalComponents {
     graft.fs.StoreLock.withLock(storeDir,
       spark.sparkContext.hadoopConfiguration) {
       sweepCompact(spark, storeDir)
+      Retract.sweep(spark, s"$storeDir/$LabelsDir")
       compactLocked(spark, storeDir)
     }
 

@@ -1236,11 +1236,17 @@ object IncrementalDedup {
     graft.fs.StoreLock.withLock(storeDir,
       spark.sparkContext.hadoopConfiguration) {
       // split embedding stores keep their hive dirs one level down;
-      // both halves compact under the one root lock
-      if (manifestValue(spark, storeDir, "store_layout").contains("split"))
+      // both halves compact under the one root lock. Heal any crashed
+      // retraction first — compaction lists live dirs directly.
+      if (manifestValue(spark, storeDir, "store_layout").contains("split")) {
+        Retract.sweep(spark, s"$storeDir/postings")
+        Retract.sweep(spark, s"$storeDir/vectors")
         compactStoreLocked(spark, s"$storeDir/postings") +
           compactStoreLocked(spark, s"$storeDir/vectors")
-      else compactStoreLocked(spark, storeDir)
+      } else {
+        Retract.sweep(spark, storeDir)
+        compactStoreLocked(spark, storeDir)
+      }
     }
 
   /** Rebuild a store under NEW partition geometry, into a fresh
@@ -1324,13 +1330,19 @@ object IncrementalDedup {
       case v => sys.error(s"unknown store variant in manifest: $v " +
         "(exact|minhash|simhash|ngram|embedding|span|components)")
     }
-    // finish any crashed compaction swap FIRST: partitions stranded in
-    // `_compact_trash` are invisible to the parquet snapshot below, and
-    // a rebuild that missed them would commit a silently smaller store
+    // finish any crashed compaction or retraction swap FIRST: partitions
+    // stranded in `_compact_trash` (or mid-retract) are invisible to the
+    // parquet snapshot below, and a rebuild that missed them would
+    // commit a silently smaller store
     if (split) {
       sweepCompactTrash(spark, s"$srcDir/postings")
       sweepCompactTrash(spark, s"$srcDir/vectors")
-    } else sweepCompactTrash(spark, srcDir)
+      Retract.sweep(spark, s"$srcDir/postings")
+      Retract.sweep(spark, s"$srcDir/vectors")
+    } else {
+      sweepCompactTrash(spark, srcDir)
+      Retract.sweep(spark, srcDir)
+    }
     val srcData = if (split) s"$srcDir/postings" else srcDir
     val parts =
       if (requestedParts > 0) requestedParts
@@ -1395,7 +1407,7 @@ object IncrementalDedup {
     * Run by every compact AND by `rebuildStore` before snapshotting —
     * parquet discovery ignores `_`-prefixed dirs, so a snapshot taken
     * over un-swept trash would silently drop those partitions' rows. */
-  private def sweepCompactTrash(spark: SparkSession, storeDir: String): Unit = {
+  private[ops] def sweepCompactTrash(spark: SparkSession, storeDir: String): Unit = {
     import org.apache.hadoop.fs.Path
     val root = new Path(storeDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1578,6 +1590,10 @@ object IncrementalDedup {
     * over the batch's checkpointed blocks). */
   private[ops] def readStore(
       spark: SparkSession, dir: String, ddl: String): (DataFrame, Boolean) = {
+    // heal a crashed retraction before reading — every call site holds
+    // the store lock, so this is the family's retract-sweep hook (the
+    // sweepCompact/sweepRebuild discipline, one level down)
+    Retract.sweep(spark, dir)
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)

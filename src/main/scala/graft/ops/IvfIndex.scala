@@ -39,6 +39,7 @@ object IvfIndex {
     graft.fs.StoreLock.withLock(indexDir,
       candidates.sparkSession.sparkContext.hadoopConfiguration) {
       sweepRebuild(candidates.sparkSession, indexDir)
+      Retract.sweep(candidates.sparkSession, s"$indexDir/assignments")
       val cand = candidates.select(col(idCol).as("id"), col(vecCol).as("vec"))
       // seeding + assignment are the SAME helpers the inline ivfTopK uses —
       // the "persisted index reproduces the inline path" contract
@@ -103,8 +104,10 @@ object IvfIndex {
     graft.fs.StoreLock.withLock(indexDir,
       batch.sparkSession.sparkContext.hadoopConfiguration) {
       val spark = batch.sparkSession
-      // finish (or discard) any crashed rebuild swap BEFORE reading
+      // finish (or discard) any crashed rebuild or retraction swap
+      // BEFORE reading
       sweepRebuild(spark, indexDir)
+      Retract.sweep(spark, s"$indexDir/assignments")
       // width guard (the embeddingBatch vec_type discipline): the
       // assignments table has ONE element width, fixed at build; an
       // append of a different width would commit mixed-width files into
@@ -175,11 +178,31 @@ object IvfIndex {
     val root = new Path(indexDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val missing = IndexTables.exists(n => !fs.exists(new Path(root, n)))
-    if (missing && fs.exists(new Path(root, RebuildReady)))
+    if ((missing && fs.exists(new Path(root, RebuildReady))) ||
+        Retract.pending(spark, s"$indexDir/assignments"))
       graft.fs.StoreLock.withLock(indexDir,
         spark.sparkContext.hadoopConfiguration) {
         sweepRebuild(spark, indexDir)
+        Retract.sweep(spark, s"$indexDir/assignments")
       }
+  }
+
+  /** Retract vectors from the index (r13 verdict #1, the IVF arm):
+    * removes every assignment row of the given ids, rewriting only the
+    * CELL partitions that held one (the [[Retract]] marker roll-forward;
+    * preserves the id-sort the coded re-rank fetch skips on). A later
+    * [[append]] of the same ids re-adds them cleanly — the existing-id
+    * anti-join no longer sees them. Returns rows removed. */
+  def retract(spark: SparkSession, indexDir: String, ids: Seq[Long]): Long = {
+    require(ids.nonEmpty, "retract: empty id list")
+    graft.fs.StoreLock.withLock(indexDir,
+      spark.sparkContext.hadoopConfiguration) {
+      sweepRebuild(spark, indexDir)
+      val pred = col("id").isin(ids.distinct: _*)
+      Retract.rewriteTouched(spark, s"$indexDir/assignments", "cell",
+        pred, _.filter(!coalesce(pred, lit(false))),
+        sortCols = Seq("cell", "id"))
+    }
   }
 
   /** Per-cell occupancy (cell, n) of the assignments table. The count
@@ -219,6 +242,7 @@ object IvfIndex {
     graft.fs.StoreLock.withLock(indexDir,
       spark.sparkContext.hadoopConfiguration) {
       sweepRebuild(spark, indexDir)
+      Retract.sweep(spark, s"$indexDir/assignments")
       rebuildLocked(spark, indexDir, kmeansIters)
     }
 

@@ -1,0 +1,228 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Store retraction — the takedown path for DERIVED data (r13 verdict
+  * #1): `CdlFs.deleteWhere` removes a document's rows from the TABLE,
+  * but its content-derived artifacts survive in the persisted stores —
+  * digest/minhash/simhash rows, ngram postings, span-window keepers,
+  * LSH-bucketed vectors, IVF assignments, cluster labels. For
+  * right-to-be-forgotten those are retained content-derived data;
+  * `retract(storeDir, docIds)` erases them, per store, under the same
+  * store lock the batch cycles hold.
+  *
+  * Scale shape: discovery is ONE column-pruned scan of the store's
+  * 8-byte id column (the ngram df-pass class of cost — columnar,
+  * embarrassingly parallel, no data columns read); the REWRITE then
+  * touches only the partitions that actually held a retired row —
+  * O(touched partitions), never O(store). Stores whose partition key IS
+  * the id hash (the split layout's `vectors/`, the clusters store's
+  * `labels/`) skip even the discovery scan: the candidate `bp` set is
+  * computed from the ids and pruning applies end-to-end. `docIds` is a
+  * driver-side list by design — takedown batches are thousands of ids,
+  * not corpus-sized; chunk larger sets across calls.
+  *
+  * Keeper semantics (exact + span stores): DROP THE ROW and let the
+  * next arrival re-keep. The stores record only the keeper — not the
+  * other occurrences — so "promote the next-min survivor" would need
+  * occurrence history they deliberately don't keep; dropping erases the
+  * content's memory with its keeper (the RTBF-consistent reading: the
+  * first post-retraction copy of that content is novel again).
+  * RetractSpec proves both halves: a retracted keeper appears in no
+  * store scan, and a later batch re-detects against the surviving
+  * state correctly. The ngram store's bloom sidecar is left as a
+  * SUPERSET (it may still claim retired grams) — supersets only cost
+  * false-positive scans, never correctness (the sidecar's standing
+  * contract); `rebuildStore` re-derives it tight.
+  *
+  * Crash contract — roll-forward, the family discipline: the
+  * replacement partitions are fully staged under `_retract_tmp`, then a
+  * `_retract_pending` marker (listing each touched partition as
+  * `replace:` or `drop:`) commits the retraction; [[sweep]] — run by
+  * every locked cycle's store read and by the index/label read-heal
+  * paths — finishes the swap after any crash. Before the marker a
+  * crash discards the staging dir and the store is untouched.
+  */
+object Retract {
+
+  private val RetractTmp = "_retract_tmp"
+  private val RetractPending = "_retract_pending"
+
+  /** Retract `docIds` from the dedup-family store at `storeDir`
+    * (variant from the manifest): removes every row derived from a
+    * retired doc — signature/posting/vector rows keyed `doc_id`/
+    * `vec_id`, keeper rows keyed `keep_doc_id` (exact/span), label rows
+    * and cluster names (components, via
+    * [[IncrementalComponents.retractLocked]]). Returns rows removed. */
+  def retract(spark: SparkSession, storeDir: String, docIds: Seq[Long]): Long = {
+    require(docIds.nonEmpty, "retract: empty id list")
+    graft.fs.StoreLock.withLock(storeDir,
+      spark.sparkContext.hadoopConfiguration) {
+      val manifest = IncrementalDedup.storeManifest(spark, storeDir)
+      require(manifest.contains("variant"),
+        s"$storeDir has no readable _graft_store.json manifest — not a " +
+          "graft store")
+      val ids = docIds.distinct
+      def del(dir: String, idCol: String,
+          prefilter: Option[Column] = None): Long = {
+        // finish any crashed compaction swap first: rows stranded in
+        // `_compact_trash` are invisible to the discovery scan, and a
+        // retired row hiding there would resurface on the next compact
+        IncrementalDedup.sweepCompactTrash(spark, dir)
+        val pred = col(idCol).isin(ids: _*)
+        rewriteTouched(spark, dir, "bp", pred,
+          _.filter(!coalesce(pred, lit(false))), prefilter = prefilter)
+      }
+      manifest("variant") match {
+        case "exact"               => del(storeDir, "keep_doc_id")
+        case "span"                => del(storeDir, "keep_doc_id")
+        case "minhash" | "simhash" => del(storeDir, "doc_id")
+        case "ngram"               => del(storeDir, "doc_id")
+        case "embedding" =>
+          if (manifest.get("store_layout").contains("split")) {
+            // vectors/ is id-hash partitioned: candidate bps from the
+            // ids themselves — pruning end-to-end, no discovery scan
+            val parts = manifest("store_parts").toInt
+            del(s"$storeDir/postings", "vec_id") +
+              del(s"$storeDir/vectors", "vec_id",
+                prefilter = Some(col("bp").isin(bpsOf(spark, ids, parts): _*)))
+          } else del(storeDir, "vec_id")
+        case "components" =>
+          IncrementalComponents.retractLocked(spark, storeDir, ids)
+        case v => sys.error(s"unknown store variant in manifest: $v")
+      }
+    }
+  }
+
+  /** The candidate partition ids a retired-id set hashes into — a tiny
+    * local-relation job (ids are driver-side), the same pmod(xxhash64)
+    * the stores bucket with. */
+  private[ops] def bpsOf(
+      spark: SparkSession, ids: Seq[Long], parts: Int): Seq[Int] = {
+    import spark.implicits._
+    ids.toDF("id").select(IncrementalDedup.bpOf(parts, col("id")).as("bp"))
+      .distinct().collect().map(_.getInt(0)).toIndexedSeq
+  }
+
+  /** Rewrite the partitions of `dataDir` that hold `pred`-matching rows
+    * — and ONLY those — replacing each touched partition's content with
+    * `transform` of it. Returns the number of matching rows found.
+    * `prefilter` (partition-column-only) narrows the discovery scan for
+    * id-hash-partitioned stores. Caller holds the store lock; the swap
+    * is the marker roll-forward documented on the object. */
+  private[ops] def rewriteTouched(
+      spark: SparkSession,
+      dataDir: String,
+      partCol: String,
+      pred: Column,
+      transform: DataFrame => DataFrame,
+      sortCols: Seq[String] = Nil,
+      prefilter: Option[Column] = None): Long = {
+    import org.apache.hadoop.fs.Path
+    sweep(spark, dataDir)
+    val root = new Path(dataDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasData = fs.exists(root) && fs.listStatus(root)
+      .exists(_.getPath.getName.startsWith(s"$partCol="))
+    if (!hasData) return 0L
+    val df0 = spark.read.parquet(dataDir)
+    val scan = prefilter.map(df0.filter).getOrElse(df0)
+    // discovery: (id, partition) only — column-pruned, no data columns
+    val hits = scan.filter(pred)
+      .groupBy(partCol).agg(count(lit(1)).as("__n")).collect()
+    if (hits.isEmpty) return 0L
+    val affected = hits.map(_.getLong(1)).sum
+    val touchedVals: Seq[Any] = hits.map(_.get(0)).toIndexedSeq
+    val touchedNames = touchedVals.map(v => s"$partCol=$v")
+    // stage: touched partitions only (partition-pruned read), transformed
+    val replaced = transform(df0.filter(col(partCol).isin(touchedVals: _*)))
+    val tmp = new Path(root, RetractTmp)
+    fs.delete(tmp, true)
+    val repart = replaced.repartition(col(partCol))
+    (if (sortCols.nonEmpty) repart.sortWithinPartitions(sortCols.map(col): _*)
+     else repart)
+      .write.partitionBy(partCol).mode("overwrite").parquet(tmp.toString)
+    // commit point: a partition whose rows ALL matched stages no tmp dir
+    // and is recorded as drop: — the sweep can then distinguish
+    // "already placed" from "must delete" after any crash
+    val lines = touchedNames.map { n =>
+      if (fs.exists(new Path(tmp, n))) s"replace:$n" else s"drop:$n"
+    }
+    writeMarker(fs, root, lines)
+    finish(fs, root, lines)
+    affected
+  }
+
+  /** Heal a crashed retraction: marker present → finish the swap
+    * (roll forward); marker absent → any staging dir is a pre-commit
+    * crash, discard it. Run by every locked store read. */
+  private[ops] def sweep(spark: SparkSession, dataDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dataDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(root, RetractPending)
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val body =
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      finish(fs, root, body.split("\n").toSeq.map(_.trim).filter(_.nonEmpty))
+    } else fs.delete(new Path(root, RetractTmp), true)
+  }
+
+  /** Quick marker probe for lock-free read paths (the ensureReadable
+    * discipline): heal only when a crashed retraction is actually
+    * pending, taking the lock briefly. */
+  private[ops] def pending(spark: SparkSession, dataDir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dataDir, RetractPending)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Roll the staged swap forward; every step re-runs safely after a
+    * crash: a drop re-deletes (no-op), a replace whose tmp dir is gone
+    * was already placed and its live dir — the NEW data — stays. */
+  private def finish(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      lines: Seq[String]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val tmp = new Path(root, RetractTmp)
+    lines.foreach { l =>
+      l.split(":", 2) match {
+        case Array("drop", name) => fs.delete(new Path(root, name), true)
+        case Array("replace", name) =>
+          val src = new Path(tmp, name)
+          if (fs.exists(src)) {
+            fs.delete(new Path(root, name), true)
+            require(fs.rename(src, new Path(root, name)),
+              s"retract rename failed: $src")
+          } // src absent ⇒ already placed
+        case other => sys.error(s"corrupt retract marker line: $l")
+      }
+    }
+    fs.delete(new Path(root, RetractPending), false)
+    fs.delete(tmp, true)
+  }
+
+  /** Marker write — temp + rename (the manifest discipline): a crash
+    * mid-write must leave either no marker (pre-commit) or a complete
+    * one (roll forward), never a truncated line list. */
+  private def writeMarker(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      lines: Seq[String]): Unit = {
+    import org.apache.hadoop.fs.Path
+    fs.listStatus(root)
+      .filter(_.getPath.getName.startsWith(s"$RetractPending.tmp-"))
+      .foreach(s => fs.delete(s.getPath, false))
+    val tmp = new Path(root,
+      s"$RetractPending.tmp-${ProcessHandle.current().pid()}")
+    val out = fs.create(tmp, true)
+    try out.write(lines.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    require(fs.rename(tmp, new Path(root, RetractPending)),
+      s"retract marker rename failed under $root")
+  }
+}

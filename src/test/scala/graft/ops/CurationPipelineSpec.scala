@@ -53,6 +53,36 @@ class CurationPipelineSpec extends SparkSuite {
     res.release()
   }
 
+  test("near-dup stage charges non-representatives; first-stage rule holds") {
+    // 10 ≈ 11 at 3-gram jaccard >= 0.8 (one token changed in a long
+    // doc); 12 is an EXACT duplicate of 10 — it must charge to
+    // exact_dup, never near_dup; 13 is a near-dup of 10 that fails
+    // quality — it must charge to quality and not drag 10's component
+    val long = ("alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon")
+    val near = long.replace("upsilon", "phi")
+    val docs = Seq(
+      (10L, Some(long)),
+      (11L, Some(near)),
+      (12L, Some(long)),
+      (13L, Some(near + " !!!!!!!!!! @@@@@@@@@@ ########## $$$$$$$$$$ " +
+        "%%%%%%%%%% ^^^^^^^^^^ &&&&&&&&&& ********** (((((((((( ))))))))))"))
+    ).toDF("doc_id", "text")
+    val res = Curation.run(docs,
+      Curation.Config(minQuality = 0.4, nearDup = Some(0.8)))
+    val exits = res.docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val rows = res.funnel.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // sequential numbering: quality=1, exact_dup=2, near_dup=3
+    assert(rows.map(r => r._1 -> r._2).toSeq ==
+      Seq(1L -> "quality", 2L -> "exact_dup", 3L -> "near_dup"))
+    assert(rows(0)._3 == 4L && rows(0)._4 == 3L) // 13 fails quality
+    assert(rows(1)._4 == 2L)                     // 12 exits exact_dup
+    assert(rows(2)._4 == 1L)                     // 11 exits near_dup
+    assert(exits == Set(10L))                    // min-id representative
+    res.release()
+  }
+
   test("a duplicate family that fails quality charges to quality, not exact_dup") {
     val res = Curation.run(
       Seq((1L, "x!!"), (2L, "x!!"), (3L, good)).toDF("doc_id", "text"),
