@@ -234,9 +234,15 @@ object Soak {
       // (≈ corpus − caught planted clones, cell-straddle loss allowed)
       {
         val nEmb = embCorpus.count() // exact corpus size for cell sizing
+        val k = ops.SemDedup.clustersFor(nEmb)
+        // recall telemetry rides the SAME assignment the dedup uses:
+        // sampled LSH cross-check of the cell fence (r13 verdict #7) —
+        // a falling probe is drift showing up before surviving dups do
+        val assigned = ops.SemDedup.assign(embCorpus, k).localCheckpoint()
+        val probe = ops.SemDedup.recallOfAssignment(assigned, tau = 0.95)
+        println(f"semdedup_recall_probe: $probe%.4f (k=$k, sample<=2000)")
         Seq(run("semdedup_keep") {
-          ops.SemDedup.dedup(embCorpus,
-            nClusters = ops.SemDedup.clustersFor(nEmb), tau = 0.95)
+          ops.SemDedup.dedup(embCorpus, nClusters = k, tau = 0.95)
         })
       }
 

@@ -176,7 +176,7 @@ object IncrementalDedup {
 
   /** Geometry known before any compute? Explicit beats manifest; None
     * means creation-with-auto (the only shape that must count first). */
-  private def knownPartsFrom(mParts: Option[Int], requested: Int): Option[Int] =
+  private[ops] def knownPartsFrom(mParts: Option[Int], requested: Int): Option[Int] =
     requested match {
       case AutoStoreParts           => mParts
       case AdoptOrDefaultStoreParts => Some(mParts.getOrElse(DefaultStoreParts))
@@ -348,6 +348,27 @@ object IncrementalDedup {
       exactBatchLocked(docsNew, storeDir, textCol, storeParts, compactFiles)
     }
 
+  /** Key-encoding resolution (r13 verdict #3): the md5-derived store
+    * keys (exact `digest`, span `wh`) rest as 16-BYTE BINARY on stores
+    * created since — half the 32-char hex string that dominated the
+    * at-rest footprint — with bit-exact semantics (`unhex(md5(…))` on
+    * both engines). The encoding is a structural constant like banding:
+    * manifest beats everything; a pre-`key_encoding` manifest is a
+    * legacy HEX store and stays keyless (the vec_type rule), readable
+    * forever; `rebuildStore` migrates it to binary. Returns
+    * (binary?, meta fragment for checkOrWriteMeta). */
+  private[ops] def keyEncodingOf(
+      spark: SparkSession, dir: String,
+      manifestExists: Boolean): (Boolean, Map[String, String]) = {
+    val mEnc =
+      if (manifestExists) manifestValue(spark, dir, "key_encoding") else None
+    val bin = mEnc.map(_ == "binary").getOrElse(!manifestExists)
+    val meta =
+      if (manifestExists && mEnc.isEmpty) Map.empty[String, String]
+      else Map("key_encoding" -> (if (bin) "binary" else "hex"))
+    (bin, meta)
+  }
+
   private def exactBatchLocked(
       docsNew: DataFrame,
       storeDir: String,
@@ -355,17 +376,22 @@ object IncrementalDedup {
       requestedParts: Int,
       compactFiles: Int = 0): DataFrame = {
     val spark = docsNew.sparkSession
+    val mParts = manifestParts(spark, storeDir)
+    val (binKeys, encMeta) = keyEncodingOf(spark, storeDir, mParts.isDefined)
+    val digestExpr =
+      if (binKeys) unhex(md5(col(textCol))) else md5(col(textCol))
     val digestedRaw = docsNew
       .filter(col(textCol).isNotNull)
-      .select(col("doc_id"), md5(col(textCol)).as("digest"))
+      .select(col("doc_id"), digestExpr.as("digest"))
     // auto sizing sees one row per batch doc ≈ one distinct digest
     val (digested, touchedParts, storeParts) = resolveGeometry(
-      knownParts(spark, storeDir, requestedParts),
+      knownPartsFrom(mParts, requestedParts),
       digestedRaw, Seq(col("digest")))
     checkOrWriteMeta(spark, storeDir,
-      Map("variant" -> "exact", "store_parts" -> storeParts.toString))
+      Map("variant" -> "exact", "store_parts" -> storeParts.toString) ++
+        encMeta)
     val read = readStore(spark, storeDir,
-      "digest STRING, keep_doc_id BIGINT, bp INT")
+      s"digest ${if (binKeys) "BINARY" else "STRING"}, keep_doc_id BIGINT, bp INT")
     val store =
       if (read._2) prune(read._1, touchedParts) else read._1.drop("bp")
     // batch-internal keeper: min doc_id per digest within the batch
@@ -407,7 +433,12 @@ object IncrementalDedup {
       storeDir)
     if (compactFiles > 0 && touchedParts.nonEmpty)
       maybeCompactLocked(spark, storeDir, touchedParts, compactFiles)
-    out
+    // the caller-facing digest is hex STRING regardless of the at-rest
+    // encoding (lower(hex(binary)) ≡ md5 hex — bit-exact, and the gate's
+    // DuckDB oracle never changes); a map-only projection over the
+    // checkpointed verdicts
+    if (binKeys) out.withColumn("digest", lower(hex(col("digest"))))
+    else out
   }
 
   /** MinHash near-dup pairs of one batch against the signature store at
@@ -1312,12 +1343,26 @@ object IncrementalDedup {
       fs.exists(p) &&
         fs.listStatus(p).exists(_.getPath.getName.startsWith("bp="))
     }
+    // key-encoding migration (r13 verdict #3): rebuilding a legacy HEX
+    // exact/span store converts its md5 key to 16-byte BINARY — the
+    // conversion runs BEFORE bp is rehashed, so the rebuilt store prunes
+    // exactly like one created binary. Already-binary stores copy
+    // verbatim. The dst manifest records the encoding either way.
+    val hexKeyCol: Option[String] = variant match {
+      case "exact" if !manifest.get("key_encoding").contains("binary") =>
+        Some("digest")
+      case "span" if !manifest.get("key_encoding").contains("binary") =>
+        Some("wh")
+      case _ => None
+    }
     def rebucket(src: String, dst: String, keys: Seq[String],
         parts: Int): Unit =
       if (hasParts(src)) { // a manifest-only store rebuilds to one
-        val rows = spark.read.parquet(src).drop("bp")
-          .withColumn("bp", bpOf(parts, keys.map(col): _*))
-        rows.repartition(col("bp"))
+        val raw = spark.read.parquet(src).drop("bp")
+        val converted = hexKeyCol.fold(raw)(k =>
+          raw.withColumn(k, unhex(col(k))))
+        converted.withColumn("bp", bpOf(parts, keys.map(col): _*))
+          .repartition(col("bp"))
           .write.partitionBy("bp").mode("errorifexists").parquet(dst)
       }
     val keys: Seq[String] = variant match {
@@ -1364,8 +1409,13 @@ object IncrementalDedup {
         Map("bloom_cap" -> c.toString, "bloom_bits" -> b.toString)
       } else Map.empty
     // manifest LAST — the commit point; every other key carries over
+    // (exact/span stores leave a rebuild binary-keyed, migrated or not)
+    val encMeta: Map[String, String] =
+      if (variant == "exact" || variant == "span")
+        Map("key_encoding" -> "binary")
+      else Map.empty
     writeManifest(dstFs, dstDir,
-      manifest + ("store_parts" -> parts.toString) ++ bloomMeta)
+      manifest + ("store_parts" -> parts.toString) ++ bloomMeta ++ encMeta)
     parts
   }
 

@@ -83,17 +83,28 @@ object IncrementalSpanDedup {
       compactFiles: Int): DataFrame = {
     require(w >= 2, s"window width must be >= 2 tokens, got $w")
     val spark = docsNew.sparkSession
-    val winRaw = SpanDedup.windows(docsNew, w, "doc_id", textCol)
+    // key encoding (r13 verdict #3): new stores rest the window hash as
+    // 16-byte BINARY (unhex of the md5 hex the window expression emits)
+    // — the wh column IS the store's dominant at-rest cost (~one row
+    // per corpus token), so this halves it; legacy keyless manifests
+    // stay hex, rebuildStore migrates
+    val mParts = IncrementalDedup.manifestParts(spark, storeDir)
+    val (binKeys, encMeta) =
+      IncrementalDedup.keyEncodingOf(spark, storeDir, mParts.isDefined)
+    val winRaw0 = SpanDedup.windows(docsNew, w, "doc_id", textCol)
+    val winRaw =
+      if (binKeys) winRaw0.withColumn("wh", unhex(col("wh"))) else winRaw0
     // auto sizing sees the batch's window rows ≈ its token count — the
     // store grows by ≤ that many rows per batch, the posting shape
     val (win, touchedParts, storeParts) = IncrementalDedup.resolveGeometry(
-      IncrementalDedup.knownParts(spark, storeDir, requestedParts),
+      IncrementalDedup.knownPartsFrom(mParts, requestedParts),
       winRaw, Seq(col("wh")))
     IncrementalDedup.checkOrWriteMeta(spark, storeDir,
       Map("variant" -> "span", "w" -> w.toString,
-        "store_parts" -> storeParts.toString))
+        "store_parts" -> storeParts.toString) ++ encMeta)
     val read = IncrementalDedup.readStore(spark, storeDir,
-      "wh STRING, keep_doc_id BIGINT, keep_pos BIGINT, bp INT")
+      s"wh ${if (binKeys) "BINARY" else "STRING"}, keep_doc_id BIGINT, " +
+        "keep_pos BIGINT, bp INT")
     val store =
       if (read._2) IncrementalDedup.prune(read._1, touchedParts)
       else read._1.drop("bp")

@@ -81,6 +81,55 @@ object SemDedup {
       .filter(col("cosine") >= tau)
   }
 
+  /** Cell-fence recall telemetry (r13 verdict #7): the paper's
+    * approximation contract says near-dups STRADDLING a cell boundary
+    * survive — this measures that loss instead of trusting it. A
+    * deterministic `sampleN`-vector sample (xxhash64-ordered, so the
+    * same corpus probes the same sample every run) is cross-checked:
+    * pairs the exhaustive LSH blocker finds on the sample
+    * ([[Dedup.embeddingNearDupPairs]] at the same `tau`) vs pairs that
+    * are CO-CELLED under `assigned` — within-cell search is exhaustive,
+    * so the co-celled fraction IS the operator's recall on the sample.
+    * Returns 1.0 on a pair-free sample. Log it like
+    * [[IvfIndex.imbalance]]: a drifting corpus shows up as a falling
+    * probe before it shows up as surviving duplicates. Cost: LSH over
+    * `sampleN` vectors — bounded by the sample, never the corpus (the
+    * fixed default LSH geometry is safe for exactly that reason). */
+  def recallOfAssignment(
+      assigned: DataFrame, tau: Double, sampleN: Int = 2000): Double = {
+    val sample = assigned.orderBy(xxhash64(col("id")), col("id"))
+      .limit(sampleN)
+      .localCheckpoint() // truth pairs + both cell joins read it
+    val truth = Dedup.embeddingNearDupPairs(
+      sample.select(col("id").as("vec_id"), col("vec").as("embedding")),
+      threshold = tau)
+      .select("id_a", "id_b")
+    val cells = sample.select("id", "cell")
+    val counts = truth
+      .join(cells.select(col("id").as("id_a"), col("cell").as("ca")), Seq("id_a"))
+      .join(cells.select(col("id").as("id_b"), col("cell").as("cb")), Seq("id_b"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("ca") === col("cb"), lit(1))).as("co"))
+      .collect().head
+    if (counts.getLong(0) == 0L) 1.0
+    else counts.getLong(1).toDouble / counts.getLong(0)
+  }
+
+  /** Convenience form: cluster, assign, probe — for standalone health
+    * checks. A pipeline already running [[dedup]] should call
+    * [[recallOfAssignment]] on the assignment it computed instead of
+    * paying a second k-means. */
+  def recallProbe(
+      embs: DataFrame,
+      nClusters: Int,
+      tau: Double,
+      iters: Int = 2,
+      sampleN: Int = 2000,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Double =
+    recallOfAssignment(assign(embs, nClusters, iters, idCol, vecCol),
+      tau, sampleN)
+
   /** Keep-one semantic dedup: `embs` minus every non-representative
     * member of a within-cell duplicate component (min-id
     * representative, via the shared components machinery). */

@@ -176,7 +176,10 @@ class IncrementalDedupSpec extends SparkSuite {
     val trash = new org.apache.hadoop.fs.Path(root, "_compact_trash")
     val tmp = new org.apache.hadoop.fs.Path(root, "_compact_tmp")
     def rowsSorted() = spark.read.parquet(dir)
-      .select("digest", "keep_doc_id").collect().map(_.toString).sorted.toSeq
+      // digest rests as BINARY since the key-encoding change; hex it for
+      // a value comparison (Row.toString on byte arrays is identity-based)
+      .select(lower(hex(col("digest"))).as("digest"), col("keep_doc_id"))
+      .collect().map(_.toString).sorted.toSeq
     val before = rowsSorted()
 
     // Case A — crash AFTER a partition's place rename committed but before
@@ -893,6 +896,89 @@ class IncrementalDedupSpec extends SparkSuite {
       (b, s) => { IncrementalDedup.simhashBatch(b, s, storeParts = 256); () },
       d => IncrementalDedup.simhashBatch(
         Seq((9998L, text(7L))).toDF("doc_id", "text"), d))
+  }
+
+  private def writeLegacyManifest(dir: String, json: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_graft_store.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    out.write(json.getBytes("UTF-8")); out.close()
+  }
+
+  test("key encoding: legacy hex adopts, new stores binary, rebuild migrates") {
+    import org.apache.spark.sql.types.{BinaryType, StringType}
+    val base = Files.createTempDirectory("incdedup_keyenc")
+    val b1 = Seq((1L, "aaa"), (2L, "bbb")).toDF("doc_id", "text")
+    val b2 = Seq((10L, "aaa"), (11L, "ccc")).toDF("doc_id", "text")
+
+    // LEGACY store: a pre-key_encoding manifest (keyless) must keep HEX
+    val legacy = base.toString + "/legacy"
+    writeLegacyManifest(legacy,
+      """{"store_parts":"32","variant":"exact"}""")
+    IncrementalDedup.exactBatch(b1, legacy)
+    assert(spark.read.parquet(legacy).schema("digest").dataType == StringType)
+    val legacyVerdicts = IncrementalDedup.exactBatch(b2, legacy)
+      .collect().map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    assert(legacyVerdicts == Map(10L -> Some(1L), 11L -> None))
+
+    // NEW store: binary at rest, hex-identical verdict digests out
+    val fresh = base.toString + "/fresh"
+    val out1 = IncrementalDedup.exactBatch(b1, fresh)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(spark.read.parquet(fresh).schema("digest").dataType == BinaryType)
+    assert(spark.read.parquet(fresh).count() == 2)
+    assert(out1(1L) ==
+      java.security.MessageDigest.getInstance("MD5").digest("aaa".getBytes)
+        .map("%02x".format(_)).mkString)
+
+    // REBUILD migrates legacy hex → binary; verdicts unchanged through it
+    val migrated = base.toString + "/migrated"
+    IncrementalDedup.rebuildStore(spark, legacy, migrated)
+    assert(IncrementalDedup.storeManifest(spark, migrated)
+      .get("key_encoding").contains("binary"))
+    assert(spark.read.parquet(migrated).schema("digest").dataType == BinaryType)
+    val migVerdicts = IncrementalDedup.exactBatch(
+      Seq((20L, "aaa"), (21L, "ccc"), (22L, "ddd")).toDF("doc_id", "text"),
+      migrated)
+      .collect().map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    // keepers survived the conversion: aaa→1 and ccc→11 were both in the
+    // legacy snapshot the rebuild migrated; ddd is novel
+    assert(migVerdicts == Map(20L -> Some(1L), 21L -> Some(11L), 22L -> None))
+
+    // SPAN: legacy hex adopts; rebuild migrates; stored keepers still found
+    val spanLegacy = base.toString + "/span_legacy"
+    writeLegacyManifest(spanLegacy,
+      """{"store_parts":"32","variant":"span","w":"3"}""")
+    IncrementalSpanDedup.spanBatch(
+      Seq((1L, "a b c d e f")).toDF("doc_id", "text"), spanLegacy, w = 3)
+    assert(spark.read.parquet(spanLegacy).schema("wh").dataType == StringType)
+    val spanMigrated = base.toString + "/span_migrated"
+    IncrementalDedup.rebuildStore(spark, spanLegacy, spanMigrated)
+    assert(spark.read.parquet(spanMigrated).schema("wh").dataType == BinaryType)
+    val spans = IncrementalSpanDedup.spanBatch(
+      Seq((9L, "x a b c z")).toDF("doc_id", "text"), spanMigrated, w = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(spans == Set((9L, 1L, 1L, 0L)),
+      "migrated span store lost its keepers through the hex->binary rebuild")
+
+    // the at-rest cut is real: same corpus, hex vs binary span store
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    val hexDir = base.toString + "/span_hex"
+    writeLegacyManifest(hexDir,
+      """{"store_parts":"32","variant":"span","w":"10"}""")
+    IncrementalSpanDedup.spanBatch(docs, hexDir, w = 10)
+    val binDir = base.toString + "/span_bin"
+    IncrementalSpanDedup.spanBatch(docs, binDir, w = 10, storeParts = 32)
+    def bytes(d: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.getContentSummary(p).getLength
+    }
+    val (hexB, binB) = (bytes(hexDir), bytes(binDir))
+    assert(binB < (hexB * 0.85).toLong,
+      s"binary span store $binB B should be well under hex $hexB B")
   }
 
   test("a split store that lost its manifest is refused, not re-initialized") {

@@ -89,4 +89,40 @@ class SemDedupSpec extends SparkSuite {
     val kept = SemDedup.dedup(embs, nClusters = 16, tau = 0.95)
     assert(kept.count() == embs.count())
   }
+
+  test("recall probe: co-celled fraction of the sample's true pairs, exactly") {
+    import spark.implicits.newProductEncoder
+    import spark.implicits.localSeqToDatasetHolder
+    // manufactured assignment — the metric itself under test: 4 true
+    // pairs (clone vectors at cosine 1.0), two co-celled and two
+    // straddling a cell boundary → recall 0.5, no k-means in the loop
+    def v(seed: Int): Seq[Double] = {
+      val a = Array.fill(8)(0.01); a(seed % 8) = 1.0; a(seed % 3) += 0.2
+      a.toSeq
+    }
+    val assigned = Seq(
+      (1L, 0L, v(1)), (2L, 0L, v(1)),   // pair in one cell
+      (3L, 1L, v(2)), (4L, 1L, v(2)),   // pair in one cell
+      (5L, 2L, v(3)), (6L, 3L, v(3)),   // pair straddles cells
+      (7L, 2L, v(4)), (8L, 4L, v(4)),   // pair straddles cells
+      (9L, 5L, v(5))                    // pairless singleton
+    ).toDF("id", "cell", "vec")
+    assert(SemDedup.recallOfAssignment(assigned, tau = 0.99) == 0.5)
+    // all co-celled → 1.0; pair-free sample → 1.0 by convention
+    val coCelled = assigned.withColumn("cell", lit(0L))
+    assert(SemDedup.recallOfAssignment(coCelled, tau = 0.99) == 1.0)
+    val single = Seq((1L, 0L, v(1))).toDF("id", "cell", "vec")
+    assert(SemDedup.recallOfAssignment(single, tau = 0.99) == 1.0)
+    // end-to-end convenience form on the real corpus: identical clones
+    // always co-locate (deterministic argmax) → probe reads 1.0
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val clones = embs.filter(col("vec_id") < 25)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    val withClones = embs.unionByName(clones)
+    val probe = SemDedup.recallProbe(withClones,
+      SemDedup.clustersFor(withClones.count()), tau = 0.95)
+    assert(probe == 1.0, s"clone probe read $probe")
+  }
 }

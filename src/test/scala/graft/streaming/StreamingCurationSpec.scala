@@ -217,4 +217,62 @@ class StreamingCurationSpec extends SparkSuite {
     assert(got.nonEmpty)
     assert(got.toSeq == want.toSeq)
   }
+
+  test("curation funnel streams against the exact store (epoch union = batch)") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("curfunnelstream").toString
+    val good =
+      "the cat and the dog is in the park today and it is warm out there"
+    val good2 =
+      "a quiet morning walk by the river is the best start to any day here"
+    val leaky =
+      "the secret eval question about the old castle is hidden in this " +
+        "training document with the usual padding around it"
+    val bench = Seq(
+      (100L, "the secret eval question about the old castle is hidden"))
+      .toDF("doc_id", "text")
+    // ascending doc_id epochs (the parity precondition): in-epoch dup,
+    // cross-epoch dup, quality fail, contaminated doc, NULL text
+    val e1 = Seq((1L, Some(good)), (2L, Some(good)), (3L, Some("z!!")))
+    val e2 = Seq((10L, Some(good)), (11L, Some(leaky)),
+      (12L, Some(good2)), (13L, None: Option[String]))
+    e1.toDF("doc_id", "text").coalesce(1).write.parquet(s"$work/in/f1")
+    e2.toDF("doc_id", "text").coalesce(1).write.parquet(s"$work/in/f2")
+    val cfg = graft.ops.Curation.Config(
+      minQuality = 0.4, benchmark = Some(bench), decontamN = 3)
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$work/in/*")
+    val q = graft.ops.Curation.stream(
+      stream, s"$work/store", s"$work/out", s"$work/ckpt", cfg)
+    try q.processAllAvailable() finally q.stop()
+    // batch truth over the union
+    val res = graft.ops.Curation.run((e1 ++ e2).toDF("doc_id", "text"), cfg)
+    val wantDocs = res.docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val wantDrops = res.funnel.collect()
+      .map(r => r.getString(1) -> (r.getLong(2) - r.getLong(3))).toMap
+    res.release()
+    // stream: epoch survivors union = batch survivors
+    val gotDocs = spark.read.parquet(s"$work/out/docs")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gotDocs == wantDocs, s"stream $gotDocs vs batch $wantDocs")
+    // per-stage drops sum across epochs to the batch funnel's
+    val gotDrops = spark.read.parquet(s"$work/out/funnel")
+      .groupBy("stage").agg(
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.col("docs_in") -
+            org.apache.spark.sql.functions.col("docs_out")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotDrops == wantDrops, s"stream $gotDrops vs batch $wantDrops")
+    // budget / near-dup configs are rejected loudly
+    intercept[IllegalArgumentException] {
+      graft.ops.Curation.stream(stream, s"$work/store2", s"$work/out2",
+        s"$work/ckpt2", cfg.copy(budget = Some(10L)))
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.Curation.stream(stream, s"$work/store3", s"$work/out3",
+        s"$work/ckpt3", cfg.copy(nearDup = Some(0.8)))
+    }
+  }
 }
