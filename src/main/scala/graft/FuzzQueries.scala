@@ -1116,6 +1116,137 @@ object FuzzQueries {
        |ORDER BY g ASC""".stripMargin
   }
 
+  // v9 family 1 — RUNNING FRAME OVER A SET-OP OVER GROUPED ARMS (the
+  // first THREE-deep composition: group → set-op → window; the setgrp
+  // family stops at the set-op, cumgrp frames over ONE grouped result).
+  // Two arms of the SAME table under different key cutoffs aggregate to
+  // (g, v) rows, combine via UNION ALL / INTERSECT / EXCEPT, and the
+  // running sum frames over the combined result. The window covers
+  // ≤ 2·|groups| rows (corpus-size-independent); UNION ALL can
+  // duplicate (g, v) rows, so the output's total order includes `cum`
+  // itself — equal rows carry distinct cumulative values.
+  private final case class QWinSetGrp(
+      table: String, grpCol: String, keyCol: String,
+      lo1: Long, lo2: Long, op: String, useCount: Boolean,
+      projCol: String, pmod: Long)
+
+  private def genWinSetGrp(seed: Int): QWinSetGrp = {
+    val rnd = new scala.util.Random(seed)
+    val table = tables.keys.toSeq.sorted.apply(rnd.nextInt(tables.size))
+    val cols = tables(table)
+    val keyCol = cols.maxBy(ranges)
+    val r = ranges(keyCol)
+    val lo1 = r / 4 + rnd.nextInt((r / 4).toInt max 1)
+    val lo2 = r / 3 + rnd.nextInt((r / 4).toInt max 1)
+    val grpCol = cols.filterNot(_ == keyCol).minBy(ranges)
+    val others = cols.filterNot(c => c == keyCol || c == grpCol)
+    val projCol = if (others.isEmpty) grpCol else others(rnd.nextInt(others.size))
+    val op = Seq("union_all", "intersect", "except")(rnd.nextInt(3))
+    QWinSetGrp(table, grpCol, keyCol, lo1, lo2, op, rnd.nextBoolean(),
+      projCol, 3L + rnd.nextInt(4))
+  }
+
+  private def sparkOfWinSetGrp(q: QWinSetGrp)(
+      s: SparkSession, dir: String): DataFrame = {
+    def arm(lo: Long): DataFrame = {
+      val v =
+        if (q.useCount) count(lit(1))
+        else max(col(q.projCol) % q.pmod)
+      Queries.rd(s, dir, q.table)
+        .filter(col(q.keyCol) >= lo)
+        .groupBy(col(q.grpCol).cast("long").as("g"))
+        .agg(v.cast("long").as("v"))
+    }
+    val u = q.op match {
+      case "union_all" => arm(q.lo1).unionAll(arm(q.lo2))
+      case "intersect" => arm(q.lo1).intersect(arm(q.lo2))
+      case _           => arm(q.lo1).except(arm(q.lo2))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("g").asc, col("v").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    u.withColumn("cum", sum(col("v")).over(w).cast("long"))
+      .orderBy(col("g").asc, col("v").asc, col("cum").asc)
+  }
+
+  private def sqlOfWinSetGrp(q: QWinSetGrp): String = {
+    val v = if (q.useCount) "count(*)" else s"max(${q.projCol} % ${q.pmod})"
+    val setSql = q.op match {
+      case "union_all" => "UNION ALL"
+      case "intersect" => "INTERSECT"
+      case _           => "EXCEPT"
+    }
+    def arm(lo: Long) =
+      s"""SELECT CAST(${q.grpCol} AS BIGINT) AS g, CAST($v AS BIGINT) AS v
+         |  FROM ${q.table} WHERE ${q.keyCol} >= $lo GROUP BY ${q.grpCol}""".stripMargin
+    s"""WITH u AS (
+       |${arm(q.lo1)}
+       |$setSql
+       |${arm(q.lo2)})
+       |SELECT g, v, CAST(sum(v) OVER (ORDER BY g ASC, v ASC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |FROM u
+       |ORDER BY g ASC, v ASC, cum ASC""".stripMargin
+  }
+
+  // v9 family 2 — CORRELATED SCALAR AGAINST A WINDOWED DERIVED TABLE
+  // (three-deep: window → correlated scalar → group-aggregate; the corr
+  // family correlates against RAW rows only). Rows are ranked within
+  // their group (rank(), tie-stable over a non-unique key, so r is
+  // deterministic), each row keeps iff r·half ≤ the correlated
+  // per-group max rank — "the top 1/half of every group by rank" — and
+  // the survivors re-aggregate. The Spark rendering computes the
+  // correlated scalar as a grouped join (the avghav discipline: the
+  // PLAN-shape divergence is the differential point); the SQL is a
+  // genuine correlated subquery over the windowed CTE.
+  private final case class QCorrWin(
+      table: String, grpCol: String, keyCol: String, lo: Long,
+      dense: Boolean, half: Long)
+
+  private def genCorrWin(seed: Int): QCorrWin = {
+    val rnd = new scala.util.Random(seed)
+    val table = tables.keys.toSeq.sorted.apply(rnd.nextInt(tables.size))
+    val cols = tables(table)
+    val keyCol = cols.maxBy(ranges)
+    val lo = ranges(keyCol) / 4 + rnd.nextInt((ranges(keyCol) / 4).toInt max 1)
+    val grpCol = cols.filterNot(_ == keyCol).minBy(ranges)
+    QCorrWin(table, grpCol, keyCol, lo, rnd.nextBoolean(), 2L + rnd.nextInt(2))
+  }
+
+  private def sparkOfCorrWin(q: QCorrWin)(
+      s: SparkSession, dir: String): DataFrame = {
+    val wspec = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("k").asc)
+    val rfn = if (q.dense) dense_rank() else rank()
+    val ranked = Queries.rd(s, dir, q.table)
+      .filter(col(q.keyCol) >= q.lo)
+      .select(col(q.grpCol).cast("long").as("g"),
+        col(q.keyCol).cast("long").as("k"))
+      .withColumn("r", rfn.over(wspec).cast("long"))
+    val mx = ranked.groupBy("g").agg(max(col("r")).as("__mr"))
+    ranked.join(mx, Seq("g"))
+      .filter(col("r") * q.half <= col("__mr"))
+      .groupBy("g")
+      .agg(count(lit(1)).cast("long").as("n"),
+        max(col("r")).cast("long").as("top_r"))
+      .orderBy(col("g").asc)
+  }
+
+  private def sqlOfCorrWin(q: QCorrWin): String = {
+    val rfn = if (q.dense) "dense_rank()" else "rank()"
+    s"""WITH w AS (
+       |  SELECT CAST(${q.grpCol} AS BIGINT) AS g,
+       |    CAST($rfn OVER (PARTITION BY ${q.grpCol}
+       |      ORDER BY ${q.keyCol} ASC) AS BIGINT) AS r
+       |  FROM ${q.table} WHERE ${q.keyCol} >= ${q.lo})
+       |SELECT g, CAST(count(*) AS BIGINT) AS n, CAST(max(r) AS BIGINT) AS top_r
+       |FROM w x
+       |WHERE x.r * ${q.half} <= (SELECT max(r) FROM w w2 WHERE w2.g = x.g)
+       |GROUP BY g
+       |ORDER BY g ASC""".stripMargin
+  }
+
   // v4, seed-scanned: the five sub seeds draw all five subquery kinds
   // (scalar, not_exists, not_in, in, exists) across both group keys;
   // the four roll seeds draw both ops over all three tables
@@ -1142,6 +1273,12 @@ object FuzzQueries {
   // non-empty at the three SFs by `main`
   private val avgHavingSeeds = Seq(12000, 12001, 12002, 12003, 12006)
   private val cumGrpSeeds = Seq(13000, 13001, 13002, 13006, 13010)
+  // v9, seed-scanned (main's probe): winsetgrp covers all three set ops,
+  // all three tables, and both value shapes; corrwin covers all three
+  // tables, both rank fns, and both halving factors — all probed
+  // non-empty at the three SFs
+  private val winSetGrpSeeds = Seq(14000, 14001, 14007, 14008, 14011, 14012)
+  private val corrWinSeeds = Seq(15000, 15002, 15003, 15004, 15009, 15011)
 
   /** SELECT DISTINCT over nullable derived columns — row-level DISTINCT
     * treats NULLs as equal (one NULL row survives per key shape) in
@@ -1214,7 +1351,11 @@ object FuzzQueries {
       avgHavingSeeds.map(sd => s"q_fuzz_avghav_$sd" ->
         (sparkOfAvgHaving(genAvgHaving(sd)) _)).toMap ++
       cumGrpSeeds.map(sd => s"q_fuzz_cumgrp_$sd" ->
-        (sparkOfCumGrp(genCumGrp(sd)) _)).toMap +
+        (sparkOfCumGrp(genCumGrp(sd)) _)).toMap ++
+      winSetGrpSeeds.map(sd => s"q_fuzz_winsetgrp_$sd" ->
+        (sparkOfWinSetGrp(genWinSetGrp(sd)) _)).toMap ++
+      corrWinSeeds.map(sd => s"q_fuzz_corrwin_$sd" ->
+        (sparkOfCorrWin(genCorrWin(sd)) _)).toMap +
       ("q_fuzz_empty_scalar" -> (emptyScalar _)) +
       ("q_fuzz_distinct_rows" -> (distinctRows _))
 
@@ -1243,7 +1384,11 @@ object FuzzQueries {
       avgHavingSeeds.map(sd => s"q_fuzz_avghav_$sd" ->
         sqlOfAvgHaving(genAvgHaving(sd))).toMap ++
       cumGrpSeeds.map(sd => s"q_fuzz_cumgrp_$sd" ->
-        sqlOfCumGrp(genCumGrp(sd))).toMap +
+        sqlOfCumGrp(genCumGrp(sd))).toMap ++
+      winSetGrpSeeds.map(sd => s"q_fuzz_winsetgrp_$sd" ->
+        sqlOfWinSetGrp(genWinSetGrp(sd))).toMap ++
+      corrWinSeeds.map(sd => s"q_fuzz_corrwin_$sd" ->
+        sqlOfCorrWin(genCorrWin(sd))).toMap +
       ("q_fuzz_empty_scalar" -> emptyScalarSql) +
       ("q_fuzz_distinct_rows" -> distinctRowsSql)
 
