@@ -295,6 +295,32 @@ class Cdl:
                 docs._jdf, queries._jdf, int(k), float(k1), float(b)),
             self._spark)
 
+    def bm25_index(self, docs, index_dir):
+        """Add docs (doc_id, text) to the persisted BM25 inverted index
+        (created if absent; novel docs only — replays are no-ops).
+        Returns the number of novel docs indexed."""
+        return self._spark._jvm.graft.PyBridge.bm25IndexBatch(
+            docs._jdf, index_dir)
+
+    def bm25_index_search(self, index_dir, queries, k, k1=1.2, b=0.75):
+        """BM25 over the persisted index — a term-partition-pruned read
+        (no corpus pass); same output contract as bm25_search."""
+        return DataFrame(
+            self._spark._jvm.graft.PyBridge.bm25IndexSearch(
+                self._spark._jsparkSession, index_dir, queries._jdf,
+                int(k), float(k1), float(b)),
+            self._spark)
+
+    def hybrid_search_fully_indexed(self, bm25_dir, ivf_dir, queries, k,
+                                    n_per=10, nprobe=4, rerank=0):
+        """Hybrid retrieval with BOTH arms as pruned index reads — zero
+        corpus passes per search batch."""
+        return DataFrame(
+            self._spark._jvm.graft.PyBridge.hybridSearchFullyIndexed(
+                self._spark._jsparkSession, bm25_dir, ivf_dir,
+                queries._jdf, int(k), int(n_per), int(nprobe), int(rerank)),
+            self._spark)
+
     def dsir_topk(self, docs, target_cond, k):
         """DSIR importance selection: deterministic top-k of docs
         (doc_id, text) by hashed-bucket log-likelihood ratio against the

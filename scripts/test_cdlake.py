@@ -327,6 +327,18 @@ def test_bm25_search_over_bridge(spark):
     assert hits[0]["bm25"] > hits[1]["bm25"]
     assert [h["rank"] for h in hits] == [1, 2]
 
+    # persisted index: same results through the pruned read; incremental
+    # (second batch appends), then retraction removes a doc end-to-end
+    idx = tempfile.mkdtemp(prefix="cdlake_bm25_") + "/idx"
+    assert cdl.bm25_index(docs.filter("doc_id < 3"), idx) == 2
+    assert cdl.bm25_index(docs.filter("doc_id >= 3"), idx) == 1
+    ih = cdl.bm25_index_search(idx, queries, k=5).collect()
+    assert [(h["doc_id"], h["bm25"], h["rank"]) for h in ih] == \
+        [(h["doc_id"], h["bm25"], h["rank"]) for h in hits]
+    assert cdl.retract(idx, [1]) > 0
+    after = cdl.bm25_index_search(idx, queries, k=5).collect()
+    assert [h["doc_id"] for h in after] == [2]
+
 
 def test_dsir_and_semdedup_over_bridge(spark):
     """DSIR selection + SemDeDup over py4j: target-aligned docs outrank,

@@ -903,6 +903,44 @@ object Oracles {
         |SELECT query_id, doc_id, bm25, rank FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
 
+    // BM25 through the persisted inverted index (r14): identical output
+    // contract to the scan operator, so the oracle is q_bm25_search's
+    // full-formula SQL verbatim — the gate thereby asserts the pruned
+    // index read loses nothing vs the corpus scan
+    "q_bm25_index" ->
+      """WITH q(query_id, query) AS (VALUES
+        |    (CAST(0 AS BIGINT), 'hash join merge'),
+        |    (CAST(1 AS BIGINT), 'scan filter column')),
+        |qterms AS (SELECT DISTINCT query_id,
+        |    unnest(string_split(query, ' ')) AS term FROM q),
+        |dls AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+        |  FROM documents),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |    avg(dl) AS avgdl FROM dls),
+        |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |postings AS (
+        |  SELECT term, t.doc_id, dl, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM toks t JOIN dls USING (doc_id)
+        |  WHERE term IN (SELECT term FROM qterms)
+        |  GROUP BY term, t.doc_id, dl),
+        |dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+        |  FROM postings GROUP BY term),
+        |scored AS (
+        |  SELECT query_id, doc_id,
+        |    round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2
+        |      / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS bm25
+        |  FROM postings JOIN dft USING (term) JOIN qterms USING (term), stats
+        |  GROUP BY query_id, doc_id),
+        |ranked AS (SELECT query_id, doc_id, bm25,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY bm25 DESC, doc_id ASC) AS INTEGER) AS rank
+        |  FROM scored)
+        |SELECT query_id, doc_id, bm25, rank FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+
     // DSIR importance selection — the full hashed-bucket LLR formula in
     // SQL: md5-prefix buckets (B=4096), add-one smoothing on both the
     // target (lang='en') and raw distributions, per-doc occurrence sum

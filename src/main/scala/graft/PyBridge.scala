@@ -194,6 +194,26 @@ object PyBridge {
       k: java.lang.Number, k1: Double, b: Double): DataFrame =
     graft.ops.Bm25.search(docs, queries, k.intValue, k1, b)
 
+  /** One locked index cycle against the persisted BM25 inverted index
+    * (created if absent); returns the number of novel docs added. */
+  def bm25IndexBatch(docs: DataFrame, indexDir: String): Long =
+    graft.ops.Bm25Index.indexBatch(docs, indexDir)
+
+  /** Term-partition-pruned BM25 search over the persisted index —
+    * identical output contract to bm25Search. */
+  def bm25IndexSearch(spark: SparkSession, indexDir: String,
+      queries: DataFrame, k: java.lang.Number, k1: Double,
+      b: Double): DataFrame =
+    graft.ops.Bm25Index.search(spark, indexDir, queries, k.intValue, k1, b)
+
+  /** Fully-indexed hybrid: BOTH arms pruned index reads. */
+  def hybridSearchFullyIndexed(spark: SparkSession, bm25Dir: String,
+      ivfDir: String, queries: DataFrame, k: java.lang.Number,
+      nPer: java.lang.Number, nprobe: java.lang.Number,
+      rerank: java.lang.Number): DataFrame =
+    graft.ops.HybridSearch.searchFullyIndexed(spark, bm25Dir, ivfDir,
+      queries, k.intValue, nPer.intValue, nprobe.intValue, rerank.intValue)
+
   // -- DSIR importance selection + SemDeDup (training-pipeline
   // extensions, SURVEY §2.10) ----------------------------------------
 

@@ -983,6 +983,36 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  private val bm25IndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** One-time BM25 index build over `documents`, memoized per testdata
+    * dir (the prepareIvfIndex discipline). */
+  def prepareBm25Index(s: SparkSession, dir: String): String =
+    bm25IndexCache.getOrElseUpdate(dir, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bm25idx_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        org.apache.hadoop.fs.FileUtil.fullyDelete(tmp.toFile)
+        ()
+      }))
+      graft.ops.Bm25Index.indexBatch(rd(s, dir, "documents"), tmp.toString)
+      tmp.toString
+    })
+
+  /** BM25 through the PERSISTED inverted index (r14): the search reads
+    * only the partitions the query's terms hash into instead of
+    * scanning the corpus — and returns EXACTLY what the scan operator
+    * returns, so this row shares q_bm25_search's full-formula oracle
+    * verbatim. */
+  def qBm25Index(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val idx = prepareBm25Index(s, dir)
+    val queries = Seq((0L, "hash join merge"), (1L, "scan filter column"))
+      .toDF("query_id", "query")
+    graft.ops.Bm25Index.search(s, idx, queries, k = 5)
+      .orderBy("query_id", "rank")
+  }
+
   /** Coded (IVF-PQ, r13) probe through the same persisted index: the
     * scoring pass reads the int8 `code` column (8× fewer bytes than the
     * vectors), exact re-rank on the top k·4 candidates. The candidate

@@ -166,6 +166,30 @@ object Soak {
         ops.SpanDedup.removeSpans(corpus, w = 10)
           .filter(coalesce(length(col("text")), lit(0)) >= 0)
       },
+      // persisted BM25 index (r14): pay the corpus pass ONCE at build,
+      // then every search is a pruned read of the query terms'
+      // partitions — vs the scan operator's full pass PER SEARCH. The
+      // bijected copies make every copy's vocabulary distinct, so the
+      // query targets copy 0's terms explicitly; input_krec is the
+      // scan-vs-probe witness (search_indexed must stay flat as the
+      // corpus scales while search_scan tracks it)
+      run("bm25_index_build") {
+        import spark.implicits._
+        val n = ops.Bm25Index.indexBatch(corpus, s"$tmp/bm25_idx")
+        Seq(n).toDF("novel")
+      },
+      run("bm25_search_scan") {
+        import spark.implicits._
+        ops.Bm25.search(corpus,
+          Seq((0L, "c0_the c0_data c0_query")).toDF("query_id", "query"),
+          k = 10)
+      },
+      run("bm25_search_indexed") {
+        import spark.implicits._
+        ops.Bm25Index.search(spark, s"$tmp/bm25_idx",
+          Seq((0L, "c0_the c0_data c0_query")).toDF("query_id", "query"),
+          k = 10)
+      },
       // curation funnel at the gate config: copy 0 plays the benchmark
       // (every copy's windows biject, so decontamination flags exactly
       // the benchmark copy's 5-gram twins — none across copies); the
@@ -519,7 +543,8 @@ object Soak {
         "emb_store_split_inc" -> embSplitStore,
         "cc_store" -> ccStore,
         "cc_store_merge_log" -> s"$ccStore/merges",
-        "span_store" -> s"$tmp/span_store")
+        "span_store" -> s"$tmp/span_store",
+        "bm25_idx" -> s"$tmp/bm25_idx")
         .map { case (n, p) => s""""$n":${dirBytes(p)}""" }
         .mkString("{", ",", "}")
 

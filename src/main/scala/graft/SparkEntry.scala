@@ -101,6 +101,7 @@ object SparkEntry {
     "q_knn_ivf_index" -> (Queries.qKnnIvfIndex _),
     "q_knn_ivf_pq" -> (Queries.qKnnIvfPq _),
     "q_bm25_search" -> (Queries.qBm25Search _),
+    "q_bm25_index" -> (Queries.qBm25Index _),
     "q_importance_topk" -> (Queries.qImportanceTopk _),
     "q_semantic_dedup" -> (Queries.qSemanticDedup _),
     "q_token_budget" -> (Queries.qTokenBudget _),

@@ -203,6 +203,46 @@ object Main {
           .select("doc_id", "bm25", "rank")
           .orderBy("rank").show(k, truncate = false)
 
+      // persisted BM25 inverted index (training-pipeline extension):
+      // build/append once, search as a term-partition-pruned read
+      case "bm25" :: "build" :: input :: index :: Nil =>
+        val n = graft.ops.Bm25Index.indexBatch(spark.read.parquet(input), index)
+        println(s"bm25 index: $n novel doc(s) added at $index")
+      case "bm25" :: "search" :: index :: queryText :: rest =>
+        val k = rest match {
+          case Nil      => 10
+          case n :: Nil => n.toInt
+          case other    => sys.error(
+            s"usage: bm25 search <indexDir> <query text> [k]; got $other")
+        }
+        import spark.implicits._
+        graft.ops.Bm25Index.search(spark, index,
+          Seq((0L, queryText)).toDF("query_id", "query"), k)
+          .select("doc_id", "bm25", "rank")
+          .orderBy("rank").show(k, truncate = false)
+
+      // fully-indexed hybrid: BOTH arms are pruned index reads — zero
+      // corpus passes per search; the query vector is looked up from
+      // the embeddings table by id
+      case "hybrid-indexed" :: bm25Dir :: ivfDir :: embsPath :: queryText :: qvecId :: rest =>
+        val (k, nprobe, rerank) = rest match {
+          case Nil                 => (5, 4, 0)
+          case a :: Nil            => (a.toInt, 4, 0)
+          case a :: b :: Nil       => (a.toInt, b.toInt, 0)
+          case a :: b :: c :: Nil  => (a.toInt, b.toInt, c.toInt)
+          case other               => sys.error(
+            s"usage: hybrid-indexed <bm25Idx> <ivfIdx> <embs.parquet> " +
+              s"<query text> <qvecId> [k [nprobe [rerank]]]; got $other")
+        }
+        import spark.implicits._
+        val queries = Seq((0L, queryText)).toDF("query_id", "query")
+          .crossJoin(spark.read.parquet(embsPath)
+            .filter(org.apache.spark.sql.functions.col("vec_id") === qvecId.toLong)
+            .select(org.apache.spark.sql.functions.col("embedding").as("qvec")))
+        graft.ops.HybridSearch.searchFullyIndexed(spark, bm25Dir, ivfDir,
+          queries, k, nprobe = nprobe, rerank = rerank)
+          .orderBy("rank").show(k, truncate = false)
+
       // token-budget selection (training-pipeline extension): the
       // maximal priority-ordered prefix within a token budget; priority
       // columns are comma-separated, ":desc" suffix flips direction

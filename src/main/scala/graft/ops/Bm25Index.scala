@@ -1,0 +1,316 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+import org.apache.spark.sql.functions._
+
+/** Persisted BM25 inverted index — the LEXICAL twin of [[IvfIndex]]
+  * (r13 verdict #2 closed the semantic arm's per-search corpus pass;
+  * this closes the lexical arm's): `Bm25.search` explodes the corpus'
+  * tokens on EVERY call, a full scan per search batch — at 100 TB the
+  * index pays that pass once and every search becomes a pruned read of
+  * only the partitions the query's own terms hash into.
+  *
+  * Layout (the store-family conventions of [[IncrementalDedup]]):
+  *
+  *   - `postings/bp=*` — (term, doc_id, dl, tf), hive-partitioned by
+  *     `bp = pmod(xxhash64(term), parts)`: equal terms co-locate, so a
+  *     q-term query reads ≤ q partitions (PartitionFilters) and each
+  *     term's EXACT df is computable from its own partition. `dl` rides
+  *     every row (the posting-row trade: scoring needs no doc-length
+  *     fetch join).
+  *   - `docs/bp=*` — (doc_id, dl), partitioned by doc_id hash: the
+  *     doc-granular idempotency witness (a retried batch's docs are
+  *     found here and append nothing) and the retraction access path.
+  *   - `_bm25_stats` — tiny JSON totals (n_docs, n_text, total_dl) so
+  *     N and avgdl are O(1) at query time; temp-write + rename.
+  *   - `_graft_store.json` — variant=bm25 + store_parts (the strict
+  *     geometry manifest all stores share).
+  *
+  * Append crash order: postings FIRST (row-granular (doc_id, term)
+  * anti-join against the term-pruned store, so a partially-committed
+  * append is REPAIRED by the retry), then `docs/` (a doc is "indexed"
+  * only once its postings are all in), then the stats totals. A crash
+  * between the last two undercounts stats by ≤ one batch until
+  * [[recomputeStats]] — stated, not hidden: BM25 is a ranking function
+  * and N/avgdl drift of one batch moves no rank on any realistic
+  * corpus, but the heal is one cheap 2-column scan of `docs/`.
+  *
+  * Search parity contract: [[search]] over an index built from `docs`
+  * returns EXACTLY `Bm25.search(docs, …)` — same formula, same 4-dp
+  * round-before-rank, same doc_id tie-break (Bm25IndexSpec pins it;
+  * the gate row shares q_bm25_search's full-formula oracle verbatim).
+  */
+object Bm25Index {
+
+  private val StatsFile = "_bm25_stats"
+
+  /** One locked index cycle: add `docsNew` (novel docs only — replays
+    * and id-reuse are doc-granular no-ops) to the index at `dir`,
+    * creating it if absent. Returns the number of NOVEL docs indexed. */
+  def indexBatch(
+      docsNew: DataFrame,
+      dir: String,
+      docIdCol: String = "doc_id",
+      textCol: String = "text",
+      storeParts: Int = IncrementalDedup.AutoStoreParts,
+      compactFiles: Int = 0): Long =
+    graft.fs.StoreLock.withLock(dir,
+      docsNew.sparkSession.sparkContext.hadoopConfiguration) {
+      indexBatchLocked(docsNew, dir, docIdCol, textCol, storeParts,
+        compactFiles)
+    }
+
+  /** Streaming twin: one locked cycle per micro-batch, per-epoch novel
+    * counts under `resultsDir/batch=<epoch>` (the family's per-epoch-
+    * overwrite exactly-once contract; the index itself is idempotent
+    * under replays). */
+  def indexStream(
+      docsStream: DataFrame,
+      dir: String,
+      resultsDir: String,
+      checkpointDir: String,
+      docIdCol: String = "doc_id",
+      textCol: String = "text",
+      storeParts: Int = IncrementalDedup.AdoptOrDefaultStoreParts,
+      compactFiles: Int = 64): org.apache.spark.sql.streaming.StreamingQuery =
+    docsStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val n = indexBatch(batch.toDF(), dir, docIdCol, textCol,
+          storeParts, compactFiles)
+        val spark = batch.sparkSession
+        import spark.implicits._
+        Seq(n).toDF("novel_docs")
+          .write.mode("overwrite").parquet(s"$resultsDir/batch=$id")
+        ()
+      }
+      .start()
+
+  private def indexBatchLocked(
+      docsNew: DataFrame,
+      dir: String,
+      docIdCol: String,
+      textCol: String,
+      requestedParts: Int,
+      compactFiles: Int): Long = {
+    val spark = docsNew.sparkSession
+    val toks = TextAnalysis.tokens(col(textCol))
+    // geometry sizes from POSTING rows (one per (doc, distinct term) —
+    // the ngram store's shape) on creation; warm cycles adopt the manifest
+    val mParts = IncrementalDedup.manifestParts(spark, dir)
+    val postingsRaw = docsNew
+      .select(col(docIdCol).as("doc_id"),
+        size(toks).cast("double").as("dl"), explode(toks).as("term"))
+      .groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val (newPostings, touchedParts, storeParts) =
+      IncrementalDedup.resolveGeometry(
+        IncrementalDedup.knownPartsFrom(mParts, requestedParts),
+        postingsRaw, Seq(col("term")))
+    IncrementalDedup.checkOrWriteMeta(spark, dir, Map(
+      "variant" -> "bm25", "store_parts" -> storeParts.toString))
+    // doc-granular novelty from docs/ (pruned to the batch's id hashes);
+    // dl NULL for NULL text — the search stats convention: such docs
+    // count in N but not in avgdl
+    val readD = IncrementalDedup.readStore(spark, s"$dir/docs",
+      "doc_id BIGINT, dl DOUBLE, bp INT")
+    val batchDocs = docsNew
+      .select(col(docIdCol).as("doc_id"), size(toks).cast("double").as("dl"))
+      .dropDuplicates("doc_id")
+      .withColumn("bp", IncrementalDedup.bpOf(storeParts, col("doc_id")))
+      .localCheckpoint()
+    val docBps = batchDocs.select("bp").distinct()
+      .collect().map(_.getInt(0)).toIndexedSeq
+    val storeD =
+      if (readD._2) IncrementalDedup.prune(readD._1, docBps)
+      else readD._1.drop("bp")
+    val novelDocs = batchDocs
+      .join(storeD.select("doc_id"), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    // stats delta off the novel set (one small aggregate; doc-granular
+    // novelty makes retried batches contribute zero)
+    val deltaRow = novelDocs.agg(
+      count(lit(1)).as("n"),
+      count(col("dl")).as("nt"),
+      coalesce(sum(col("dl")), lit(0.0)).as("td")).collect().head
+    val (dN, dNt, dTd) =
+      (deltaRow.getLong(0), deltaRow.getLong(1), deltaRow.getDouble(2))
+    if (dN == 0L) return 0L
+    // postings of the NOVEL docs only; row-granular (doc_id, term)
+    // anti-join against the term-pruned store so a crashed append's
+    // retry appends exactly the missing rows (equal terms share a bp —
+    // the pruned view is a complete witness)
+    val readP = IncrementalDedup.readStore(spark, s"$dir/postings",
+      "term STRING, doc_id BIGINT, dl DOUBLE, tf DOUBLE, bp INT")
+    val storeP =
+      if (readP._2) IncrementalDedup.prune(readP._1, touchedParts)
+      else readP._1.drop("bp")
+    val novelPostings = newPostings
+      .join(novelDocs.select("doc_id"), Seq("doc_id"), "left_semi")
+      .join(storeP.select("doc_id", "term"), Seq("doc_id", "term"), "left_anti")
+    IncrementalDedup.appendStore(novelPostings, s"$dir/postings")
+    IncrementalDedup.appendStore(novelDocs, s"$dir/docs")
+    writeStats(spark, dir, readStats(spark, dir) match {
+      case Some((n, nt, td)) => (n + dN, nt + dNt, td + dTd)
+      case None              => (dN, dNt, dTd)
+    })
+    if (compactFiles > 0 && touchedParts.nonEmpty)
+      IncrementalDedup.maybeCompactLocked(
+        spark, s"$dir/postings", touchedParts, compactFiles)
+    dN
+  }
+
+  /** Search the index: top-`k` per query by BM25 — a PRUNED read. The
+    * query's distinct terms map to candidate `bp` values driver-side
+    * (a tiny local-relation job), the postings scan opens only those
+    * partitions, and every term's df is exact over its own partition.
+    * N/avgdl come from the O(1) stats file. Identical output contract
+    * to [[Bm25.search]]: (query_id, doc_id, bm25, rank), 4-dp rounded
+    * scores, doc_id tie-break. Lock-free (plain parquet reads). */
+  def search(
+      spark: SparkSession,
+      dir: String,
+      queries: DataFrame,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      queryIdCol: String = "query_id",
+      queryCol: String = "query"): DataFrame = {
+    ensureReadable(spark, dir)
+    val parts = IncrementalDedup.manifestParts(spark, dir).getOrElse(
+      sys.error(s"$dir has no _graft_store.json manifest — not a bm25 index"))
+    val statsOpt = readStats(spark, dir)
+    val qterms = queries.select(col(queryIdCol).as("query_id"),
+        explode(TextAnalysis.tokens(col(queryCol))).as("term"))
+      .distinct()
+      .localCheckpoint() // term list + candidate bps + two joins read it
+    // candidate partitions from the query's own terms — the prune
+    val bps = qterms
+      .select(IncrementalDedup.bpOf(parts, col("term")).as("bp"))
+      .distinct().collect().map(_.getInt(0)).toIndexedSeq
+    val readP = IncrementalDedup.readStoreRaw(spark, s"$dir/postings",
+      "term STRING, doc_id BIGINT, dl DOUBLE, tf DOUBLE, bp INT")
+    require(statsOpt.isDefined || !readP._2,
+      s"$dir holds postings but no $StatsFile — a crash between an " +
+        "append's table writes and its stats write; run recomputeStats")
+    val (n, nt, td) = statsOpt.getOrElse((0L, 0L, 0.0))
+    val avgdl = if (nt == 0) 1.0 else td / nt
+    val postings =
+      (if (readP._2) IncrementalDedup.prune(readP._1, bps)
+       else readP._1.drop("bp"))
+      .join(broadcast(qterms.select("term").distinct()), Seq("term"),
+        "left_semi")
+      .localCheckpoint() // df aggregate + scoring join share one read
+    val dfPerTerm = postings.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("df"))
+    val scored = postings
+      .join(broadcast(dfPerTerm), Seq("term"))
+      .join(broadcast(qterms), Seq("term"))
+      .select(col("query_id"), col("doc_id").as("neighbor_id"),
+        (F.log(lit(1.0) + (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5)) *
+          col("tf") * lit(k1 + 1) /
+          (col("tf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))).as("part"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(round(sum("part"), 4).as("cosine"))
+    Similarity.twoStageTopK(scored, k)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("cosine").as("bm25"), col("rank"))
+  }
+
+  /** Read-path self-heal (the ensureReadable discipline): searches are
+    * lock-free, so a crashed retraction's pending marker is finished
+    * under a brief lock hold only when actually present. */
+  private def ensureReadable(spark: SparkSession, dir: String): Unit =
+    if (Retract.pending(spark, s"$dir/postings") ||
+        Retract.pending(spark, s"$dir/docs"))
+      graft.fs.StoreLock.withLock(dir,
+        spark.sparkContext.hadoopConfiguration) {
+        Retract.sweep(spark, s"$dir/postings")
+        Retract.sweep(spark, s"$dir/docs")
+      }
+
+  /** Retraction arm (runs under the already-held store lock, from
+    * [[Retract.retract]]): drop the retired docs' posting rows
+    * (discovery scan + O(touched partitions) rewrite) and their `docs/`
+    * rows (id-hash pruned end-to-end), then decrement the stats totals
+    * by exactly what `docs/` lost. Returns posting+doc rows removed. */
+  private[ops] def retractLocked(
+      spark: SparkSession, dir: String, ids: Seq[Long]): Long = {
+    val parts = IncrementalDedup.manifestParts(spark, dir).getOrElse(
+      sys.error(s"$dir has no store_parts in its manifest"))
+    val pred = col("doc_id").isin(ids: _*)
+    // capture the stats delta BEFORE the rows go
+    val readD = IncrementalDedup.readStore(spark, s"$dir/docs",
+      "doc_id BIGINT, dl DOUBLE, bp INT")
+    val bps = Retract.bpsOf(spark, ids, parts)
+    val going = (if (readD._2)
+        readD._1.filter(col("bp").isin(bps: _*)) else readD._1)
+      .filter(pred)
+      .agg(count(lit(1)).as("n"), count(col("dl")).as("nt"),
+        coalesce(sum(col("dl")), lit(0.0)).as("td")).collect().head
+    val removedP = Retract.rewriteTouched(spark, s"$dir/postings", "bp",
+      pred, _.filter(!coalesce(pred, lit(false))))
+    val removedD = Retract.rewriteTouched(spark, s"$dir/docs", "bp",
+      pred, _.filter(!coalesce(pred, lit(false))),
+      prefilter = Some(col("bp").isin(bps: _*)))
+    if (going.getLong(0) > 0L)
+      readStats(spark, dir).foreach { case (n, nt, td) =>
+        writeStats(spark, dir, (n - going.getLong(0),
+          nt - going.getLong(1), td - going.getDouble(2)))
+      }
+    removedP + removedD
+  }
+
+  /** Recompute the stats totals exactly from `docs/` — the heal for a
+    * crash between an append's table writes and its stats write. One
+    * 2-column scan of the (doc_id, dl) table. */
+  def recomputeStats(spark: SparkSession, dir: String): Unit =
+    graft.fs.StoreLock.withLock(dir,
+      spark.sparkContext.hadoopConfiguration) {
+      val readD = IncrementalDedup.readStore(spark, s"$dir/docs",
+        "doc_id BIGINT, dl DOUBLE, bp INT")
+      val row = readD._1.agg(count(lit(1)).as("n"), count(col("dl")).as("nt"),
+        coalesce(sum(col("dl")), lit(0.0)).as("td")).collect().head
+      writeStats(spark, dir, (row.getLong(0), row.getLong(1), row.getDouble(2)))
+    }
+
+  private[ops] def readStats(
+      spark: SparkSession, dir: String): Option[(Long, Long, Double)] = {
+    val p = new org.apache.hadoop.fs.Path(dir, StatsFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val body =
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+      Some((node.get("n_docs").asLong, node.get("n_text").asLong,
+        node.get("total_dl").asDouble))
+    }
+  }
+
+  /** Temp-write + rename, the manifest discipline: a crash leaves the
+    * OLD totals, never a truncated file. */
+  private def writeStats(
+      spark: SparkSession, dir: String, v: (Long, Long, Double)): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(root)
+    fs.listStatus(root)
+      .filter(_.getPath.getName.startsWith(s"$StatsFile.tmp-"))
+      .foreach(s => fs.delete(s.getPath, false))
+    val tmp = new Path(root, s"$StatsFile.tmp-${ProcessHandle.current().pid()}")
+    val out = fs.create(tmp, true)
+    // %s of the double keeps full precision (Java Double.toString round-trips)
+    try out.write(
+      s"""{"n_docs":${v._1},"n_text":${v._2},"total_dl":${v._3}}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dst = new Path(root, StatsFile)
+    fs.delete(dst, false)
+    require(fs.rename(tmp, dst), s"stats rename failed: $tmp -> $dst")
+  }
+}

@@ -98,4 +98,29 @@ object HybridSearch {
       .withColumnRenamed("neighbor_id", "doc_id")
     rrf(lex, sem, k, k0)
   }
+
+  /** Fully-indexed end-to-end (r14): BOTH arms are pruned index reads —
+    * the lexical arm probes the persisted BM25 index
+    * ([[Bm25Index.search]], only the query terms' partitions open) and
+    * the semantic arm the IVF(-PQ) index. A search batch touches ZERO
+    * corpus passes; at 100 TB this is the retrieval shape that actually
+    * serves. Fusion semantics unchanged (rrf is rank-source-agnostic). */
+  def searchFullyIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      bm25Dir: String,
+      ivfDir: String,
+      queries: DataFrame,
+      k: Int,
+      nPer: Int = 10,
+      nprobe: Int = 4,
+      rerank: Int = 0,
+      k0: Int = 60): DataFrame = {
+    val lex = Bm25Index.search(spark, bm25Dir,
+      queries.select("query_id", "query"), nPer)
+    val sem = IvfIndex.search(spark, ivfDir,
+      queries.select("query_id", "qvec"), nPer, nprobe,
+      idCol = "query_id", vecCol = "qvec", rerank = rerank)
+      .withColumnRenamed("neighbor_id", "doc_id")
+    rrf(lex, sem, k, k0)
+  }
 }

@@ -1644,6 +1644,15 @@ object IncrementalDedup {
     // the store lock, so this is the family's retract-sweep hook (the
     // sweepCompact/sweepRebuild discipline, one level down)
     Retract.sweep(spark, dir)
+    readStoreRaw(spark, dir, ddl)
+  }
+
+  /** The pure read half of [[readStore]] — for LOCK-FREE read paths
+    * (Bm25Index.search) that must not run the mutating sweep; they heal
+    * via the marker-probe + brief-lock ensureReadable discipline
+    * instead. */
+  private[ops] def readStoreRaw(
+      spark: SparkSession, dir: String, ddl: String): (DataFrame, Boolean) = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)

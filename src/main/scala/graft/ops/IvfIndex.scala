@@ -38,8 +38,9 @@ object IvfIndex {
     // the next locked cycle's sweep.
     graft.fs.StoreLock.withLock(indexDir,
       candidates.sparkSession.sparkContext.hadoopConfiguration) {
-      sweepRebuild(candidates.sparkSession, indexDir)
-      Retract.sweep(candidates.sparkSession, s"$indexDir/assignments")
+      val spark = candidates.sparkSession
+      sweepRebuild(spark, indexDir)
+      Retract.sweep(spark, s"$indexDir/assignments")
       val cand = candidates.select(col(idCol).as("id"), col(vecCol).as("vec"))
       // seeding + assignment are the SAME helpers the inline ivfTopK uses —
       // the "persisted index reproduces the inline path" contract
@@ -48,10 +49,19 @@ object IvfIndex {
           Similarity.kmeansCentroids(candidates, nlist, kmeansIters, idCol, vecCol)
         else Similarity.seedCentroids(cand, nlist)
       cents.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
-      val centroids =
-        candidates.sparkSession.read.parquet(s"$indexDir/centroids")
+      val centroids = spark.read.parquet(s"$indexDir/centroids")
       writeAssignments(Similarity.assignCells(cand, centroids),
         s"$indexDir/assignments", org.apache.spark.sql.SaveMode.Overwrite)
+      // manifest the INTENDED nlist (the former "known ratchet":
+      // kmeansCentroids drops cells that received no members, and a
+      // rebuild that re-derives nlist from the live centroid table
+      // inherits every decay — with the manifest, rebuilds re-cluster
+      // at the design count forever)
+      IncrementalDedup.writeManifest(
+        new org.apache.hadoop.fs.Path(indexDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration),
+        indexDir,
+        Map("variant" -> "ivf", "nlist" -> nlist.toString))
     }
 
   /** The one assignments writer all mutations share. Adds the int8 probe
@@ -261,14 +271,15 @@ object IvfIndex {
     fs.delete(tmp, true)
     val corpus = spark.read.parquet(s"$indexDir/assignments")
       .select("id", "vec")
-    // KNOWN RATCHET: nlist derives from the current centroid table, and
-    // kmeansCentroids drops cells that received no members — a rebuild
-    // over heavily drifted data can emit fewer than nlist centroids,
-    // and the NEXT rebuild inherits the shrunken count. Monitor with
-    // `health`/`imbalance` and re-`build` at the intended nlist if the
-    // cell count has decayed; carrying nlist in an index manifest is
-    // the durable fix.
-    val nlist = spark.read.parquet(s"$indexDir/centroids").count().toInt
+    // nlist comes from the build-time manifest (r14 — the former "known
+    // ratchet" closed): kmeansCentroids drops cells that received no
+    // members, so deriving nlist from the LIVE centroid table let every
+    // drifted rebuild inherit the decayed count. Pre-manifest legacy
+    // indexes keep the old fallback; their first manifest arrives with
+    // the next build().
+    val nlist = IncrementalDedup.manifestValue(spark, indexDir, "nlist")
+      .map(_.toInt)
+      .getOrElse(spark.read.parquet(s"$indexDir/centroids").count().toInt)
     // build the COMPLETE new generation under tmp — reads the live
     // tables, writes elsewhere, so no read-under-overwrite hazard
     val cents =

@@ -90,6 +90,8 @@ object Retract {
           } else del(storeDir, "vec_id")
         case "components" =>
           IncrementalComponents.retractLocked(spark, storeDir, ids)
+        case "bm25" =>
+          Bm25Index.retractLocked(spark, storeDir, ids)
         case v => sys.error(s"unknown store variant in manifest: $v")
       }
     }

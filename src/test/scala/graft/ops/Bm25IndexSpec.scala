@@ -1,0 +1,180 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Persisted BM25 index: exact parity with the corpus-scan operator,
+  * incremental append semantics, term-partition pruning, retraction
+  * with exact stats accounting, and the fully-indexed hybrid. */
+class Bm25IndexSpec extends SparkSuite {
+
+  import spark.implicits.newProductEncoder
+  import spark.implicits.localSeqToDatasetHolder
+
+  private def dir(tag: String): String =
+    Files.createTempDirectory(s"bm25idx_$tag").toString + "/idx"
+
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+    .select("doc_id", "text")
+  private def queries = Seq((0L, "hash join merge"), (1L, "scan filter column"))
+    .toDF("query_id", "query")
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("query_id", "rank").collect().map(_.toString).toSeq
+
+  test("index search equals the corpus-scan operator exactly") {
+    val d = dir("parity")
+    assert(Bm25Index.indexBatch(docs, d) == docs.count())
+    val got = rows(Bm25Index.search(spark, d, queries, k = 5))
+    val want = rows(Bm25.search(docs, queries, k = 5))
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("incremental appends equal one build; replays append nothing") {
+    val d1 = dir("inc")
+    val half = docs.count() / 2
+    assert(Bm25Index.indexBatch(docs.filter(col("doc_id") < half), d1) == half)
+    assert(Bm25Index.indexBatch(docs.filter(col("doc_id") >= half), d1) ==
+      docs.count() - half)
+    // replayed batch: doc-granular no-op — tables and stats unchanged
+    val pBefore = spark.read.parquet(s"$d1/postings").count()
+    val statsBefore = Bm25Index.readStats(spark, d1)
+    assert(Bm25Index.indexBatch(docs.filter(col("doc_id") < half), d1) == 0L)
+    assert(spark.read.parquet(s"$d1/postings").count() == pBefore)
+    assert(Bm25Index.readStats(spark, d1) == statsBefore)
+    // the two-batch index searches identically to a one-shot build
+    val d2 = dir("oneshot")
+    Bm25Index.indexBatch(docs, d2)
+    assert(rows(Bm25Index.search(spark, d1, queries, k = 5)) ==
+      rows(Bm25Index.search(spark, d2, queries, k = 5)))
+  }
+
+  test("NULL text counts in N but not in avgdl (search-stats parity)") {
+    val d = dir("nulls")
+    val withNull = docs.unionByName(
+      Seq((999999L, Option.empty[String])).toDF("doc_id", "text"))
+    Bm25Index.indexBatch(withNull, d)
+    val Some((n, nt, _)) = Bm25Index.readStats(spark, d)
+    assert(n == docs.count() + 1 && nt == docs.count())
+    // and parity holds against the scan operator on the same corpus
+    assert(rows(Bm25Index.search(spark, d, queries, k = 5)) ==
+      rows(Bm25.search(withNull, queries, k = 5)))
+  }
+
+  test("search reads only the query terms' partitions (pruning witness)") {
+    val d = dir("prune")
+    // explicit geometry so term partitions outnumber the query's terms
+    Bm25Index.indexBatch(docs, d, storeParts = 64)
+    val one = Seq((0L, "hash")).toDF("query_id", "query")
+    val lowIo = recordsReadDuring {
+      Bm25Index.search(spark, d, one, k = 5).count()
+    }
+    val full = spark.read.parquet(s"$d/postings").count()
+    assert(lowIo < full / 4,
+      s"1-term search read $lowIo of $full posting rows — pruning lost")
+  }
+
+  test("retraction: unsearchable, stats exact, df re-adjusts") {
+    val d = dir("retract")
+    Bm25Index.indexBatch(docs, d)
+    val Some((n0, nt0, td0)) = Bm25Index.readStats(spark, d)
+    val victim = Bm25Index.search(spark, d, queries, k = 1)
+      .collect().head.getLong(1)
+    val victimDl = docs.filter(col("doc_id") === victim)
+      .select(size(TextAnalysis.tokens(col("text"))).cast("double"))
+      .collect().head.getDouble(0)
+    assert(Retract.retract(spark, d, Seq(victim)) > 0)
+    assert(spark.read.parquet(s"$d/postings")
+      .filter(col("doc_id") === victim).count() == 0)
+    assert(spark.read.parquet(s"$d/docs")
+      .filter(col("doc_id") === victim).count() == 0)
+    assert(Bm25Index.readStats(spark, d).contains(
+      (n0 - 1, nt0 - 1, td0 - victimDl)))
+    assert(!Bm25Index.search(spark, d, queries, k = 5)
+      .collect().map(_.getLong(1)).contains(victim))
+    // parity with the scan operator over the shrunken corpus
+    assert(rows(Bm25Index.search(spark, d, queries, k = 5)) ==
+      rows(Bm25.search(docs.filter(col("doc_id") =!= victim), queries, k = 5)))
+  }
+
+  test("recomputeStats heals a missing stats file; search demands it") {
+    val d = dir("stats")
+    Bm25Index.indexBatch(docs, d)
+    val before = Bm25Index.readStats(spark, d)
+    val fs = new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(d, "_bm25_stats"), false)
+    val e = intercept[IllegalArgumentException] {
+      Bm25Index.search(spark, d, queries, k = 5).count()
+    }
+    assert(e.getMessage.contains("recomputeStats"))
+    Bm25Index.recomputeStats(spark, d)
+    assert(Bm25Index.readStats(spark, d) == before)
+  }
+
+  test("fully-indexed hybrid equals the brute-force hybrid") {
+    val d = dir("hybrid")
+    Bm25Index.indexBatch(docs, d)
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val ivf = Files.createTempDirectory("bm25idx_ivf").toString + "/ivf"
+    IvfIndex.build(embs, ivf, nlist = 8, kmeansIters = 2)
+    val hq = queries.join(embs.select(col("vec_id").as("query_id"),
+      col("embedding").as("qvec")), Seq("query_id"))
+    val brute = HybridSearch.search(docs, embs, hq, k = 5)
+      .select("query_id", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val indexed = HybridSearch.searchFullyIndexed(spark, d, ivf, hq,
+      k = 5, nprobe = 8)
+      .select("query_id", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (indexed intersect brute).size.toDouble / brute.size
+    assert(recall >= 0.95, s"recall $recall: $indexed vs $brute")
+  }
+
+  test("streaming twin: epoch-split index equals the one-shot build") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("bm25stream").toString
+    val e1 = Seq((1L, "spark runs fast fast"), (2L, "spark runs slow"))
+    val e2 = Seq((3L, "ducks swim in ponds"), (4L, "spark ducks pond"))
+    e1.toDF("doc_id", "text").coalesce(1).write.parquet(s"$work/in/f1")
+    e2.toDF("doc_id", "text").coalesce(1).write.parquet(s"$work/in/f2")
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$work/in/*")
+    val q = Bm25Index.indexStream(
+      stream, s"$work/idx", s"$work/out", s"$work/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.read.parquet(s"$work/out")
+      .agg(sum("novel_docs")).collect().head.getLong(0) == 4L)
+    val oneShot = dir("streamref")
+    Bm25Index.indexBatch((e1 ++ e2).toDF("doc_id", "text"), oneShot)
+    val qs = Seq((0L, "spark fast")).toDF("query_id", "query")
+    assert(rows(Bm25Index.search(spark, s"$work/idx", qs, k = 5)) ==
+      rows(Bm25Index.search(spark, oneShot, qs, k = 5)))
+  }
+
+  private def recordsReadDuring(body: => Unit): Long = {
+    val recs = new java.util.concurrent.atomic.AtomicLong
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          recs.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      body
+      var last = -1L
+      var stable = 0
+      while (stable < 3) {
+        Thread.sleep(200)
+        val now = recs.get()
+        if (now == last) stable += 1 else { stable = 0; last = now }
+      }
+      recs.get()
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+}

@@ -260,4 +260,31 @@ class IvfIndexSpec extends SparkSuite {
     val want = rows(Similarity.bruteForceTopK(queries, union, k = 3))
     assert(got == want)
   }
+
+  test("rebuild re-clusters at the manifested nlist (no decay ratchet)") {
+    val dir = Files.createTempDirectory("ivfnlist").toString
+    IvfIndex.build(cands, dir, nlist = 8, kmeansIters = 2)
+    assert(IncrementalDedup.storeManifest(spark, dir)
+      .get("nlist").contains("8"))
+    // simulate a decayed centroid table (drifted rebuilds used to
+    // inherit this count forever): keep 4 of the 8 rows
+    val shrunk = spark.read.parquet(s"$dir/centroids")
+      .orderBy("cell").limit(4).collect()
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(shrunk.toIndexedSeq),
+      spark.read.parquet(s"$dir/centroids").schema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    IvfIndex.rebuild(spark, dir, kmeansIters = 2)
+    assert(spark.read.parquet(s"$dir/centroids").count() == 8,
+      "rebuild inherited the decayed centroid count")
+    // search still exact at full coverage
+    val got = rows(IvfIndex.search(spark, dir, queries, k = 3, nprobe = 8))
+    assert(got == rows(Similarity.bruteForceTopK(queries, cands, k = 3)))
+    // legacy index (no manifest): the old fallback — live centroid count
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "_graft_store.json"), false)
+    IvfIndex.rebuild(spark, dir, kmeansIters = 0)
+    assert(spark.read.parquet(s"$dir/centroids").count() == 8)
+  }
 }
