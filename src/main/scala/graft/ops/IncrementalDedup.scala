@@ -1056,6 +1056,13 @@ object IncrementalDedup {
       vecType: String,
       threshold: Double,
       compactFiles: Int): DataFrame = {
+    var t0 = System.nanoTime()
+    def mark(label: String): Unit =
+      if (sys.env.contains("GRAFT_SPLIT_LOG")) {
+        System.err.println(
+          f"[split] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        t0 = System.nanoTime()
+      }
     val postingsDir = s"$storeDir/postings"
     val vectorsDir = s"$storeDir/vectors"
     val readP = readStore(spark, postingsDir,
@@ -1072,6 +1079,7 @@ object IncrementalDedup {
       .observe(obsV, collect_set(col("bp")).as("touched"))
       .localCheckpoint()
     val batchVps = intSeqOf(obsV.get("touched"))
+    mark("newVecRows checkpoint")
     // candidates dedupe BEFORE any vector is in flight: the blocking
     // exchange moves 24-byte posting rows and the pair-dedupe 16-byte
     // id pairs — vectors never ride either
@@ -1083,12 +1091,14 @@ object IncrementalDedup {
         greatest(col("a.vec_id"), col("b.vec_id")).as("id_b"))
       .dropDuplicates("id_a", "id_b")
       .localCheckpoint()
+    mark("cand join+dedupe checkpoint")
     // O(k) driver edge, the `touched` pattern: the candidate ids'
     // vector partitions — the fetch below scans ONLY those
     val candVps = cand.select(explode(array(
         bpOf(storeParts, col("id_a")),
         bpOf(storeParts, col("id_b")))).as("vp"))
       .distinct().collect().map(_.getInt(0)).toIndexedSeq
+    mark("candVps collect")
     val readV = readStore(spark, vectorsDir,
       s"vec_id BIGINT, vec ARRAY<${vecType.toUpperCase}>, bp INT")
     val fetched = (if (readV._2) prune(readV._1, candVps)
@@ -1108,6 +1118,7 @@ object IncrementalDedup {
       // materialize before the appends below rewrite the directories
       // the fetch/anti-join plans read
       .localCheckpoint()
+    mark("verify fetch checkpoint")
     // vectors FIRST (crash-order contract in embeddingBatch's doc)
     appendStore(
       newVecRows.join(
@@ -1115,10 +1126,12 @@ object IncrementalDedup {
           .select("vec_id"),
         Seq("vec_id"), "left_anti"),
       vectorsDir)
+    mark("vectors append")
     appendStore(
       newBucketed.join(storeP.select("vec_id", "tbl"),
         Seq("vec_id", "tbl"), "left_anti"),
       postingsDir)
+    mark("postings append")
     if (compactFiles > 0) {
       if (touchedParts.nonEmpty)
         maybeCompactLocked(spark, postingsDir, touchedParts, compactFiles)
