@@ -95,10 +95,15 @@ object Bm25Index {
       compactFiles: Int): Long = {
     val spark = docsNew.sparkSession
     val toks = TextAnalysis.tokens(col(textCol))
+    // id-dedupe BEFORE the explode: a doc_id repeated WITHIN the batch
+    // would otherwise double its tf in the grouped postings (the
+    // docs/-side dropDuplicates can't undo that) — ids are a caller
+    // contract corpus-wide, but an in-batch repeat must not corrupt
+    val docsUnique = docsNew.dropDuplicates(docIdCol)
     // geometry sizes from POSTING rows (one per (doc, distinct term) —
     // the ngram store's shape) on creation; warm cycles adopt the manifest
     val mParts = IncrementalDedup.manifestParts(spark, dir)
-    val postingsRaw = docsNew
+    val postingsRaw = docsUnique
       .select(col(docIdCol).as("doc_id"),
         size(toks).cast("double").as("dl"), explode(toks).as("term"))
       .groupBy("term", "doc_id", "dl")
@@ -114,9 +119,8 @@ object Bm25Index {
     // count in N but not in avgdl
     val readD = IncrementalDedup.readStore(spark, s"$dir/docs",
       "doc_id BIGINT, dl DOUBLE, bp INT")
-    val batchDocs = docsNew
+    val batchDocs = docsUnique
       .select(col(docIdCol).as("doc_id"), size(toks).cast("double").as("dl"))
-      .dropDuplicates("doc_id")
       .withColumn("bp", IncrementalDedup.bpOf(storeParts, col("doc_id")))
       .localCheckpoint()
     val docBps = batchDocs.select("bp").distinct()

@@ -51,6 +51,19 @@ class Bm25IndexSpec extends SparkSuite {
       rows(Bm25Index.search(spark, d2, queries, k = 5)))
   }
 
+  test("an in-batch repeated doc_id indexes once with undoubled tf") {
+    val d = dir("dupid")
+    val batch = Seq((1L, "spark spark runs"), (1L, "spark spark runs"),
+      (2L, "ducks swim")).toDF("doc_id", "text")
+    assert(Bm25Index.indexBatch(batch, d) == 2L)
+    val row = spark.read.parquet(s"$d/postings")
+      .filter(col("doc_id") === 1L && col("term") === "spark")
+      .collect()
+    assert(row.length == 1 && row.head.getAs[Double]("tf") == 2.0,
+      s"tf doubled by the in-batch id repeat: ${row.toSeq}")
+    assert(Bm25Index.readStats(spark, d).map(_._1).contains(2L))
+  }
+
   test("NULL text counts in N but not in avgdl (search-stats parity)") {
     val d = dir("nulls")
     val withNull = docs.unionByName(
