@@ -149,6 +149,14 @@ object Main {
         } else if (manifest.get("variant").contains("components")) {
           statsOf(s"$store/labels").foreach(s => println(s"labels: $s"))
           statsOf(s"$store/merges").foreach(s => println(s"merges: $s"))
+        } else if (manifest.get("variant").contains("bm25")) {
+          statsOf(s"$store/postings").foreach(s => println(s"postings: $s"))
+          statsOf(s"$store/docs").foreach(s => println(s"docs: $s"))
+          graft.ops.Bm25Index.readStats(spark, store).foreach {
+            case (n, nt, td) => println(
+              s"stats: n_docs=$n n_text=$nt total_dl=$td " +
+                f"avgdl=${if (nt == 0) 0.0 else td / nt}%.2f")
+          }
         } else statsOf(store).foreach(println)
 
       // geometry migration: re-bucket a store into a fresh dir at a new

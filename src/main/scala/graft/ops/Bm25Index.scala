@@ -279,7 +279,9 @@ object Bm25Index {
       writeStats(spark, dir, (row.getLong(0), row.getLong(1), row.getDouble(2)))
     }
 
-  private[ops] def readStats(
+  /** The totals sidecar as (n_docs, n_text, total_dl) — the read
+    * surface for tooling (CLI `store-info`), like storeManifest. */
+  def readStats(
       spark: SparkSession, dir: String): Option[(Long, Long, Double)] = {
     val p = new org.apache.hadoop.fs.Path(dir, StatsFile)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

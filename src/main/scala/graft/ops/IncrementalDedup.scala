@@ -1279,18 +1279,19 @@ object IncrementalDedup {
   def compactStore(spark: SparkSession, storeDir: String): Int =
     graft.fs.StoreLock.withLock(storeDir,
       spark.sparkContext.hadoopConfiguration) {
-      // split embedding stores keep their hive dirs one level down;
-      // both halves compact under the one root lock. Heal any crashed
-      // retraction first — compaction lists live dirs directly.
-      if (manifestValue(spark, storeDir, "store_layout").contains("split")) {
-        Retract.sweep(spark, s"$storeDir/postings")
-        Retract.sweep(spark, s"$storeDir/vectors")
-        compactStoreLocked(spark, s"$storeDir/postings") +
-          compactStoreLocked(spark, s"$storeDir/vectors")
-      } else {
-        Retract.sweep(spark, storeDir)
-        compactStoreLocked(spark, storeDir)
-      }
+      // split embedding and bm25 stores keep their hive dirs one level
+      // down; both halves compact under the one root lock. Heal any
+      // crashed retraction first — compaction lists live dirs directly.
+      val halves: Seq[String] =
+        if (manifestValue(spark, storeDir, "store_layout").contains("split"))
+          Seq(s"$storeDir/postings", s"$storeDir/vectors")
+        else if (manifestValue(spark, storeDir, "variant").contains("bm25"))
+          Seq(s"$storeDir/postings", s"$storeDir/docs")
+        else Seq(storeDir)
+      halves.map { h =>
+        Retract.sweep(spark, h)
+        compactStoreLocked(spark, h)
+      }.sum
     }
 
   /** Rebuild a store under NEW partition geometry, into a fresh
@@ -1385,31 +1386,51 @@ object IncrementalDedup {
       case "ngram"     => Seq("shingle")
       case "embedding" => Seq("tbl", "bucket")
       case "span"      => Seq("wh")
+      case "bm25"      => Seq("term")
       case v => sys.error(s"unknown store variant in manifest: $v " +
-        "(exact|minhash|simhash|ngram|embedding|span|components)")
+        "(exact|minhash|simhash|ngram|embedding|span|bm25|components)")
     }
+    // bm25 shares the split shape: two hive tables one level down
+    // (postings on term hash, docs on id hash) plus the stats sidecar
+    val bm25 = variant == "bm25"
     // finish any crashed compaction or retraction swap FIRST: partitions
     // stranded in `_compact_trash` (or mid-retract) are invisible to the
     // parquet snapshot below, and a rebuild that missed them would
     // commit a silently smaller store
-    if (split) {
+    val secondHalf =
+      if (split) Some(("vectors", Seq("vec_id")))
+      else if (bm25) Some(("docs", Seq("doc_id")))
+      else None
+    if (secondHalf.isDefined) {
       sweepCompactTrash(spark, s"$srcDir/postings")
-      sweepCompactTrash(spark, s"$srcDir/vectors")
+      sweepCompactTrash(spark, s"$srcDir/${secondHalf.get._1}")
       Retract.sweep(spark, s"$srcDir/postings")
-      Retract.sweep(spark, s"$srcDir/vectors")
+      Retract.sweep(spark, s"$srcDir/${secondHalf.get._1}")
     } else {
       sweepCompactTrash(spark, srcDir)
       Retract.sweep(spark, srcDir)
     }
-    val srcData = if (split) s"$srcDir/postings" else srcDir
+    val srcData =
+      if (secondHalf.isDefined) s"$srcDir/postings" else srcDir
     val parts =
       if (requestedParts > 0) requestedParts
       else storePartsFor(
         if (hasParts(srcData)) spark.read.parquet(srcData).count() else 0L)
-    if (split) {
-      rebucket(s"$srcDir/postings", s"$dstDir/postings", keys, parts)
-      rebucket(s"$srcDir/vectors", s"$dstDir/vectors", Seq("vec_id"), parts)
-    } else rebucket(srcDir, dstDir, keys, parts)
+    secondHalf match {
+      case Some((sub, subKeys)) =>
+        rebucket(s"$srcDir/postings", s"$dstDir/postings", keys, parts)
+        rebucket(s"$srcDir/$sub", s"$dstDir/$sub", subKeys, parts)
+        // bm25: the O(1) totals sidecar carries over byte-identical
+        if (bm25) {
+          val sp = new org.apache.hadoop.fs.Path(srcDir, "_bm25_stats")
+          val sfs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (sfs.exists(sp))
+            org.apache.hadoop.fs.FileUtil.copy(sfs, sp, dstFs,
+              new org.apache.hadoop.fs.Path(dstDir, "_bm25_stats"),
+              false, spark.sparkContext.hadoopConfiguration)
+        }
+      case None => rebucket(srcDir, dstDir, keys, parts)
+    }
     // ngram: regenerate the gram-bloom sidecar with FRESH sizing from
     // the rebuilt store's actual rows — rebuild is both the saturation
     // escape hatch for an outgrown bloom and the migration path that

@@ -146,6 +146,28 @@ class Bm25IndexSpec extends SparkSuite {
     assert(recall >= 0.95, s"recall $recall: $indexed vs $brute")
   }
 
+  test("rebuild + compact handle the two-table layout; search unchanged") {
+    val src = dir("rebuild")
+    Bm25Index.indexBatch(docs, src)
+    val want = rows(Bm25Index.search(spark, src, queries, k = 5))
+    val dst = dir("rebuild_dst")
+    val parts = IncrementalDedup.rebuildStore(spark, src, dst, 16)
+    assert(parts == 16)
+    assert(IncrementalDedup.manifestParts(spark, dst).contains(16))
+    assert(rows(Bm25Index.search(spark, dst, queries, k = 5)) == want)
+    assert(Bm25Index.readStats(spark, dst) == Bm25Index.readStats(spark, src))
+    // fragment the rebuilt store with a second batch, then compact both
+    // halves under the one root lock; search is unchanged after
+    import spark.implicits.newProductEncoder
+    import spark.implicits.localSeqToDatasetHolder
+    Bm25Index.indexBatch(
+      Seq((888888L, "hash join merge extra")).toDF("doc_id", "text"), dst)
+    assert(IncrementalDedup.compactStore(spark, dst) > 0)
+    assert(IncrementalDedup.compactStore(spark, dst) == 0)
+    val after = rows(Bm25Index.search(spark, dst, queries, k = 5))
+    assert(after == rows(Bm25Index.search(spark, dst, queries, k = 5)))
+  }
+
   test("streaming twin: epoch-split index equals the one-shot build") {
     import spark.implicits._
     val work = Files.createTempDirectory("bm25stream").toString
