@@ -39,6 +39,16 @@ import org.apache.spark.sql.functions._
   * returns EXACTLY `Bm25.search(docs, …)` — same formula, same 4-dp
   * round-before-rank, same doc_id tie-break (Bm25IndexSpec pins it;
   * the gate row shares q_bm25_search's full-formula oracle verbatim).
+  *
+  * Hot-term cost, stated: a term's posting rows all live in ONE
+  * partition (that locality is what makes its df exact and the probe
+  * pruned), so querying a stopword-grade term scans df(term) rows —
+  * inherent to EXACT BM25, the same rows the scan operator's semi-join
+  * keeps, and parallel within the partition (many files/row groups).
+  * Production corpora that must not pay it filter stopwords from the
+  * QUERY (idf already weights them near zero); an index-time stopword
+  * cut would change scores and break the parity contract, so this
+  * module deliberately doesn't offer one.
   */
 object Bm25Index {
 
