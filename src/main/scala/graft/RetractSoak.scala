@@ -86,6 +86,27 @@ object RetractSoak {
       { graft.ops.IncrementalDedup.minhashBatch(corpus, s); () })
     drive("span", s =>
       { graft.ops.IncrementalSpanDedup.spanBatch(corpus, s, w = 20); () })
+    // bm25 postings: the doc-keyed discovery + term-partition rewrite
+    // (the docs/ half prunes end-to-end; snapshot() reads postings/)
+    def snapshotSub(dir: String) = snapshot(s"$dir/postings")
+    locally {
+      val store = s"$tmp/store_bm25"
+      val t0 = System.nanoTime()
+      graft.ops.Bm25Index.indexBatch(corpus, store)
+      val buildWall = (System.nanoTime() - t0) / 1e9
+      val rowsBefore = spark.read.parquet(s"$store/postings").count()
+      val before = snapshotSub(store)
+      val t1 = System.nanoTime()
+      val removed = graft.ops.Retract.retract(spark, store, victims)
+      val wall = (System.nanoTime() - t1) / 1e9
+      val after = snapshotSub(store)
+      val rewritten = before.keySet.count(k =>
+        before(k) != after.getOrElse(k, Set.empty[(String, Long)]))
+      println(f"bm25: store_rows=$rowsBefore parts=${before.size} " +
+        f"build=$buildWall%.1fs retract_wall=$wall%.2fs removed=$removed " +
+        f"parts_rewritten=$rewritten " +
+        f"rewrite_frac=${rewritten.toDouble / math.max(1, before.size)}%.4f")
+    }
     spark.stop()
   }
 }
