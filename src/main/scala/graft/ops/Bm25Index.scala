@@ -180,7 +180,13 @@ object Bm25Index {
     * partitions, and every term's df is exact over its own partition.
     * N/avgdl come from the O(1) stats file. Identical output contract
     * to [[Bm25.search]]: (query_id, doc_id, bm25, rank), 4-dp rounded
-    * scores, doc_id tie-break. Lock-free (plain parquet reads). */
+    * scores, doc_id tie-break. Lock-free (plain parquet reads) — a
+    * retraction committing CONCURRENTLY swaps partitions by atomic
+    * rename-fence (Retract.finish), so a racing search sees each
+    * touched partition either whole-old, whole-new, or — inside the
+    * two-rename window — transiently absent (the crash-healed shape),
+    * never half-deleted; quiesce searches around retractions when even
+    * that transient is unacceptable. */
   def search(
       spark: SparkSession,
       dir: String,
@@ -206,7 +212,9 @@ object Bm25Index {
       "term STRING, doc_id BIGINT, dl DOUBLE, tf DOUBLE, bp INT")
     require(statsOpt.isDefined || !readP._2,
       s"$dir holds postings but no $StatsFile — a crash between an " +
-        "append's table writes and its stats write; run recomputeStats")
+        "append's table writes and its stats write; run recomputeStats " +
+        "AND retry the crashed batch (a postings-only crash leaves " +
+        "orphan rows whose terms' df exceeds any recomputed n_docs)")
     val (n, nt, td) = statsOpt.getOrElse((0L, 0L, 0.0))
     val avgdl = if (nt == 0) 1.0 else td / nt
     val postings =
@@ -221,7 +229,14 @@ object Bm25Index {
       .join(broadcast(dfPerTerm), Seq("term"))
       .join(broadcast(qterms), Seq("term"))
       .select(col("query_id"), col("doc_id").as("neighbor_id"),
-        (F.log(lit(1.0) + (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5)) *
+        // the idf numerator clamps at 0: in any CONSISTENT index n ≥ df
+        // (every posting row has a docs/ row) and the clamp is a no-op
+        // that preserves the Bm25.search parity contract — it engages
+        // only in the postings-append-crash state, where an unclamped
+        // ln(1 + negative) would silently score those terms negative
+        // instead of zero until the batch retry heals the index
+        (F.log(lit(1.0) +
+          greatest(lit(0.0), lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5)) *
           col("tf") * lit(k1 + 1) /
           (col("tf") + lit(k1) *
             (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))).as("part"))
@@ -247,47 +262,49 @@ object Bm25Index {
   /** Retraction arm (runs under the already-held store lock, from
     * [[Retract.retract]]): drop the retired docs' posting rows
     * (discovery scan + O(touched partitions) rewrite) and their `docs/`
-    * rows (id-hash pruned end-to-end), then decrement the stats totals
-    * by exactly what `docs/` lost. Returns posting+doc rows removed. */
+    * rows (id-hash pruned end-to-end), then rewrite the stats totals
+    * EXACTLY from the post-rewrite `docs/` (r14 ADVICE: a delta
+    * decrement left a crash window — docs rewrite committed, stats
+    * write lost — where the retry computed a zero delta and the
+    * overcounted totals never healed; the exact recompute is one cheap
+    * 2-column scan and makes any retry, including a 0-row one, the
+    * heal). Returns posting+doc rows removed. */
   private[ops] def retractLocked(
       spark: SparkSession, dir: String, ids: Seq[Long]): Long = {
     val parts = IncrementalDedup.manifestParts(spark, dir).getOrElse(
       sys.error(s"$dir has no store_parts in its manifest"))
     val pred = col("doc_id").isin(ids: _*)
-    // capture the stats delta BEFORE the rows go
-    val readD = IncrementalDedup.readStore(spark, s"$dir/docs",
-      "doc_id BIGINT, dl DOUBLE, bp INT")
     val bps = Retract.bpsOf(spark, ids, parts)
-    val going = (if (readD._2)
-        readD._1.filter(col("bp").isin(bps: _*)) else readD._1)
-      .filter(pred)
-      .agg(count(lit(1)).as("n"), count(col("dl")).as("nt"),
-        coalesce(sum(col("dl")), lit(0.0)).as("td")).collect().head
     val removedP = Retract.rewriteTouched(spark, s"$dir/postings", "bp",
       pred, _.filter(!coalesce(pred, lit(false))))
     val removedD = Retract.rewriteTouched(spark, s"$dir/docs", "bp",
       pred, _.filter(!coalesce(pred, lit(false))),
       prefilter = Some(col("bp").isin(bps: _*)))
-    if (going.getLong(0) > 0L)
-      readStats(spark, dir).foreach { case (n, nt, td) =>
-        writeStats(spark, dir, (n - going.getLong(0),
-          nt - going.getLong(1), td - going.getDouble(2)))
-      }
+    recomputeStatsLocked(spark, dir)
     removedP + removedD
   }
 
   /** Recompute the stats totals exactly from `docs/` — the heal for a
     * crash between an append's table writes and its stats write. One
-    * 2-column scan of the (doc_id, dl) table. */
+    * 2-column scan of the (doc_id, dl) table. NOTE the append-crash
+    * shape it heals is asymmetric: a crash between the POSTINGS append
+    * and the docs append leaves orphan posting rows recomputeStats
+    * cannot see (n_docs would undercount some terms' df) — RETRY THE
+    * BATCH as well; its row-granular anti-join appends exactly the
+    * missing docs/ rows and restores consistency. */
   def recomputeStats(spark: SparkSession, dir: String): Unit =
     graft.fs.StoreLock.withLock(dir,
       spark.sparkContext.hadoopConfiguration) {
-      val readD = IncrementalDedup.readStore(spark, s"$dir/docs",
-        "doc_id BIGINT, dl DOUBLE, bp INT")
-      val row = readD._1.agg(count(lit(1)).as("n"), count(col("dl")).as("nt"),
-        coalesce(sum(col("dl")), lit(0.0)).as("td")).collect().head
-      writeStats(spark, dir, (row.getLong(0), row.getLong(1), row.getDouble(2)))
+      recomputeStatsLocked(spark, dir)
     }
+
+  private def recomputeStatsLocked(spark: SparkSession, dir: String): Unit = {
+    val readD = IncrementalDedup.readStore(spark, s"$dir/docs",
+      "doc_id BIGINT, dl DOUBLE, bp INT")
+    val row = readD._1.agg(count(lit(1)).as("n"), count(col("dl")).as("nt"),
+      coalesce(sum(col("dl")), lit(0.0)).as("td")).collect().head
+    writeStats(spark, dir, (row.getLong(0), row.getLong(1), row.getDouble(2)))
+  }
 
   /** The totals sidecar as (n_docs, n_text, total_dl) — the read
     * surface for tooling (CLI `store-info`), like storeManifest. */

@@ -48,6 +48,7 @@ object Retract {
 
   private val RetractTmp = "_retract_tmp"
   private val RetractPending = "_retract_pending"
+  private val RetractOldPrefix = "_retractold_"
 
   /** Retract `docIds` from the dedup-family store at `storeDir`
     * (variant from the manifest): removes every row derived from a
@@ -57,6 +58,12 @@ object Retract {
     * [[IncrementalComponents.retractLocked]]). Returns rows removed. */
   def retract(spark: SparkSession, storeDir: String, docIds: Seq[Long]): Long = {
     require(docIds.nonEmpty, "retract: empty id list")
+    // IVF indexes dispatch BEFORE the lock (r14 ADVICE): IvfIndex.retract
+    // manages its own locked cycle, and the store lock is not reentrant —
+    // a mis-targeted `retract` on an ivf manifest must route, not confuse
+    if (IncrementalDedup.storeManifest(spark, storeDir)
+        .get("variant").contains("ivf"))
+      return IvfIndex.retract(spark, storeDir, docIds)
     graft.fs.StoreLock.withLock(storeDir,
       spark.sparkContext.hadoopConfiguration) {
       val manifest = IncrementalDedup.storeManifest(spark, storeDir)
@@ -170,7 +177,16 @@ object Retract {
         try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
         finally in.close()
       finish(fs, root, body.split("\n").toSeq.map(_.trim).filter(_.nonEmpty))
-    } else fs.delete(new Path(root, RetractTmp), true)
+    } else {
+      fs.delete(new Path(root, RetractTmp), true)
+      // fenced-out corpses can only outlive their marker if the final
+      // marker delete itself crashed mid-metadata-op — hygiene, and the
+      // underscore prefix keeps them invisible to readers either way
+      if (fs.exists(root))
+        fs.listStatus(root)
+          .filter(_.getPath.getName.startsWith(RetractOldPrefix))
+          .foreach(s => fs.delete(s.getPath, true))
+    }
   }
 
   /** Quick marker probe for lock-free read paths (the ensureReadable
@@ -182,24 +198,48 @@ object Retract {
   }
 
   /** Roll the staged swap forward; every step re-runs safely after a
-    * crash: a drop re-deletes (no-op), a replace whose tmp dir is gone
-    * was already placed and its live dir — the NEW data — stays. */
+    * crash. Partition replacement is RENAME-FENCED (r14 ADVICE): the
+    * live dir first renames to an underscore-prefixed `_retractold_*`
+    * sibling (invisible to parquet listing — readers atomically stop
+    * seeing the OLD rows), then the staged dir renames in, then the old
+    * corpse drops. A lock-free concurrent reader (Bm25Index.search)
+    * listing inside the swap can transiently miss the partition
+    * entirely — the same already-stated crash-healed shape — but can no
+    * longer observe a HALF-DELETED directory (the old delete-then-rename
+    * flow deleted the live dir file-by-file under readers). Crash
+    * matrix: old-present/live-absent → place src, drop old;
+    * src-absent → already placed, drop old; drop lines rename-then-
+    * delete the same way. */
   private def finish(
       fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path,
       lines: Seq[String]): Unit = {
     import org.apache.hadoop.fs.Path
     val tmp = new Path(root, RetractTmp)
+    def fenceOut(name: String): Path = {
+      // atomically retire the live dir behind an ignored-prefix name;
+      // re-runs skip when a prior attempt already moved it
+      val old = new Path(root, s"$RetractOldPrefix$name")
+      val live = new Path(root, name)
+      if (fs.exists(live)) {
+        fs.delete(old, true) // a stale corpse from an even earlier crash
+        require(fs.rename(live, old), s"retract fence rename failed: $live")
+      }
+      old
+    }
     lines.foreach { l =>
       l.split(":", 2) match {
-        case Array("drop", name) => fs.delete(new Path(root, name), true)
+        case Array("drop", name) => fs.delete(fenceOut(name), true)
         case Array("replace", name) =>
           val src = new Path(tmp, name)
-          if (fs.exists(src)) {
-            fs.delete(new Path(root, name), true)
-            require(fs.rename(src, new Path(root, name)),
-              s"retract rename failed: $src")
-          } // src absent ⇒ already placed
+          val old =
+            if (fs.exists(src)) {
+              val o = fenceOut(name)
+              require(fs.rename(src, new Path(root, name)),
+                s"retract rename failed: $src")
+              o
+            } else new Path(root, s"$RetractOldPrefix$name") // already placed
+          fs.delete(old, true)
         case other => sys.error(s"corrupt retract marker line: $l")
       }
     }

@@ -112,6 +112,44 @@ class Bm25IndexSpec extends SparkSuite {
       rows(Bm25.search(docs.filter(col("doc_id") =!= victim), queries, k = 5)))
   }
 
+  test("a lost stats write after a retract heals on ANY retry (r14 ADVICE)") {
+    val d = dir("statsdrift")
+    Bm25Index.indexBatch(docs, d)
+    val overcounted = Bm25Index.readStats(spark, d).get
+    val victim = docs.select("doc_id").collect().head.getLong(0)
+    assert(Retract.retract(spark, d, Seq(victim)) > 0)
+    val healed = Bm25Index.readStats(spark, d).get
+    assert(healed._1 == overcounted._1 - 1)
+    // manufacture the crash: docs/ rewrite committed, stats write lost —
+    // the totals read as if the doc were still indexed
+    val fs = new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(d, "_bm25_stats"), true)
+    out.write((s"""{"n_docs":${overcounted._1},"n_text":${overcounted._2},""" +
+      s""""total_dl":${overcounted._3}}""").getBytes("UTF-8"))
+    out.close()
+    // the retry removes ZERO rows (already gone) — under the old delta
+    // decrement that never healed; the exact recompute does
+    assert(Retract.retract(spark, d, Seq(victim)) == 0L)
+    assert(Bm25Index.readStats(spark, d).contains(healed))
+  }
+
+  test("idf clamps at zero on a postings-crash-shaped index") {
+    val d = dir("clamp")
+    Bm25Index.indexBatch(docs, d)
+    // manufacture the crash shape: stats recomputed from a docs/ table
+    // missing a batch whose postings landed — n_docs below common df
+    val fs = new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(d, "_bm25_stats"), true)
+    out.write("""{"n_docs":1,"n_text":1,"total_dl":40.0}""".getBytes("UTF-8"))
+    out.close()
+    val scores = Bm25Index.search(spark, d, queries, k = 10)
+      .select("bm25").collect().map(_.getDouble(0))
+    assert(scores.nonEmpty && scores.forall(_ >= 0.0),
+      s"negative idf leaked through the clamp: ${scores.filter(_ < 0).toSeq}")
+  }
+
   test("recomputeStats heals a missing stats file; search demands it") {
     val d = dir("stats")
     Bm25Index.indexBatch(docs, d)

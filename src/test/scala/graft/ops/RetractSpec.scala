@@ -195,6 +195,19 @@ class RetractSpec extends SparkSuite {
     assert(top1() == 7L)
   }
 
+  test("ivf manifest dispatches to IvfIndex.retract (r14 ADVICE)") {
+    val d = Files.createTempDirectory("retract_ivf_route").toString + "/idx"
+    val vecs = (0L until 8L).map { i =>
+      val v = Array.fill(4)(0.1); v((i % 4).toInt) = 1.0 + 0.05 * i
+      (i, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    IvfIndex.build(vecs, d, nlist = 2)
+    // the generic entry point routes instead of erroring "unknown variant"
+    assert(Retract.retract(spark, d, Seq(3L)) == 1L)
+    assert(spark.read.parquet(s"$d/assignments")
+      .filter(col("id") === 3L).count() == 0)
+  }
+
   // ------------------------------------------------------------ crash heal
 
   test("marker roll-forward: replace + drop complete; already-placed survives") {
@@ -235,6 +248,25 @@ class RetractSpec extends SparkSuite {
     assert(!fs.exists(new Path(root, "_retract_tmp")))
     assert(spark.read.parquet(root).select("id").collect()
       .map(_.getLong(0)).toSet == Set(2L, 4L))
+    // rename-fence crash shapes (r14 ADVICE): (a) live fenced out to the
+    // _retractold_ sibling but the staged dir not yet placed — the sweep
+    // places it and drops the corpse; (b) placed but corpse not dropped
+    require(fs.rename(new Path(root, "bp=0"), new Path(root, "_retractold_bp=0")))
+    write(0, Seq(7L), s"$root/_retract_tmp")
+    val out3 = fs.create(new Path(root, "_retract_pending"), true)
+    out3.write("replace:bp=0".getBytes("UTF-8")); out3.close()
+    Retract.sweep(spark, root)
+    assert(spark.read.parquet(root).select("id").collect()
+      .map(_.getLong(0)).toSet == Set(7L, 4L))
+    assert(!fs.exists(new Path(root, "_retractold_bp=0")))
+    write(0, Seq(8L), s"$root/_retractold_bp=0") // shape (b): corpse only
+    val out4 = fs.create(new Path(root, "_retract_pending"), true)
+    out4.write("replace:bp=0".getBytes("UTF-8")); out4.close()
+    fs.mkdirs(new Path(root, "_retract_tmp"))
+    Retract.sweep(spark, root)
+    assert(spark.read.parquet(root).select("id").collect()
+      .map(_.getLong(0)).toSet == Set(7L, 4L))
+    assert(!fs.exists(new Path(root, "_retractold_bp=0")))
   }
 
   test("a batch cycle heals a crashed retraction before reading") {
