@@ -107,6 +107,27 @@ object RetractSoak {
         f"parts_rewritten=$rewritten " +
         f"rewrite_frac=${rewritten.toDouble / math.max(1, before.size)}%.4f")
     }
+    // big-batch takedown (r14 verdict #4): 10k ids in ONE call ride the
+    // broadcast-join path (IsinThreshold = 1000) — per-id cost must come
+    // in far BELOW the small batch's (amortized across one discovery
+    // scan + one staged write) and the plan must not inflate with the id
+    // count the way a 10k-term isin predicate tree would
+    locally {
+      val store = s"$tmp/store_exact" // built above; 5 victims already gone
+      val big = corpus.select("doc_id").orderBy("doc_id")
+        .limit(10005).collect().map(_.getLong(0)).toSeq.drop(5)
+      val before = snapshot(store)
+      val t0 = System.nanoTime()
+      val removed = graft.ops.Retract.retract(spark, store, big)
+      val wall = (System.nanoTime() - t0) / 1e9
+      val after = snapshot(store)
+      val rewritten = before.keySet.count(k =>
+        before(k) != after.getOrElse(k, Set.empty[(String, Long)]))
+      println(f"exact_10k_batch: ids=${big.size} retract_wall=$wall%.2fs " +
+        f"removed=$removed per_id_ms=${wall * 1000 / big.size}%.3f " +
+        f"parts_rewritten=$rewritten/" + before.size +
+        f" rewrite_frac=${rewritten.toDouble / math.max(1, before.size)}%.4f")
+    }
     spark.stop()
   }
 }

@@ -273,12 +273,13 @@ object Bm25Index {
       spark: SparkSession, dir: String, ids: Seq[Long]): Long = {
     val parts = IncrementalDedup.manifestParts(spark, dir).getOrElse(
       sys.error(s"$dir has no store_parts in its manifest"))
-    val pred = col("doc_id").isin(ids: _*)
     val bps = Retract.bpsOf(spark, ids, parts)
     val removedP = Retract.rewriteTouched(spark, s"$dir/postings", "bp",
-      pred, _.filter(!coalesce(pred, lit(false))))
+      Retract.semiOn(spark, ids, "doc_id"),
+      Retract.antiOn(spark, ids, "doc_id"))
     val removedD = Retract.rewriteTouched(spark, s"$dir/docs", "bp",
-      pred, _.filter(!coalesce(pred, lit(false))),
+      Retract.semiOn(spark, ids, "doc_id"),
+      Retract.antiOn(spark, ids, "doc_id"),
       prefilter = Some(col("bp").isin(bps: _*)))
     recomputeStatsLocked(spark, dir)
     removedP + removedD

@@ -343,13 +343,17 @@ object IncrementalComponents {
     * identity as cluster NAMES. The merge log is folded first
     * ([[compactLocked]] — after it every raw label is canonical and the
     * log is empty, so retired ids can only appear as `v` or as a
-    * cluster's `component` name), then (1) the retirees' own rows drop
-    * — directly partition-pruned, `bp` keys on v — and (2) clusters a
-    * retiree NAMED are re-canonicalized to their min SURVIVING member.
-    * Every member of such a cluster carries the retired name in its
-    * `component` column, so the touched-partition set of pass 2 is
-    * exactly the partitions holding those members and the rename
-    * mapping computes complete from the touched rows themselves.
+    * cluster's `component` name), then ONE compound rewrite commits
+    * both effects under a single `_retract_pending` marker (r14 verdict
+    * #3 — the old two-sequential-commits shape left a crash window
+    * between them where labels named a retired doc_id until a manual
+    * re-run): the touched set is every partition holding a retiree's
+    * own row OR any member row of a cluster a retiree NAMES (all such
+    * members carry the retired name in their `component` column, so the
+    * discovery scan sees the full cluster), and the staged replacement
+    * drops the retirees' rows then re-canonicalizes retired-named
+    * clusters to their min SURVIVING member — computed AFTER the drop,
+    * from the touched rows themselves, so the mapping is complete.
     *
     * Graph semantics, stated: edges a retired doc contributed stay
     * merged — the cluster was derived from OTHER documents' content
@@ -364,16 +368,27 @@ object IncrementalComponents {
     val lp = s"$storeDir/$LabelsDir"
     val parts = IncrementalDedup.manifestParts(spark, storeDir).getOrElse(
       sys.error(s"$storeDir has no store_parts in its manifest"))
-    val own = col("v").isin(ids: _*)
-    val removed = Retract.rewriteTouched(spark, lp, "bp", own,
-      _.filter(!own),
-      prefilter = Some(col("bp").isin(Retract.bpsOf(spark, ids, parts): _*)))
-    val named = col("component").isin(ids: _*)
-    Retract.rewriteTouched(spark, lp, "bp", named,
+    // removed = own rows only (renames are updates): one column-pruned
+    // count, bp-prefiltered — the compound matcher below can't report
+    // it (its hit count includes renamed members)
+    Retract.sweep(spark, lp)
+    val (labels0, hasData) = IncrementalDedup.readStoreRaw(
+      spark, lp, "v BIGINT, component BIGINT, bp INT")
+    if (!hasData) return 0L
+    val bps = Retract.bpsOf(spark, ids, parts)
+    val removed = Retract.semiOn(spark, ids, "v")(
+      labels0.filter(col("bp").isin(bps: _*))).count()
+    val ownOf = Retract.semiOn(spark, ids, "v")
+    val namedOf = Retract.semiOn(spark, ids, "component")
+    Retract.rewriteTouched(spark, lp, "bp",
+      df => ownOf(df).unionByName(namedOf(df)),
       df => {
-        val canon = df.filter(named)
+        val kept = Retract.antiOn(spark, ids, "v")(df)
+        // min surviving member per retired-named cluster; retired-named
+        // clusters are ≤ the takedown batch, so the mapping broadcasts
+        val canon = namedOf(kept)
           .groupBy("component").agg(min(col("v")).as("__new"))
-        df.join(canon, Seq("component"), "left")
+        kept.join(broadcast(canon), Seq("component"), "left")
           .withColumn("component", coalesce(col("__new"), col("component")))
           .drop("__new")
       })

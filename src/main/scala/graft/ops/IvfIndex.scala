@@ -208,9 +208,9 @@ object IvfIndex {
     graft.fs.StoreLock.withLock(indexDir,
       spark.sparkContext.hadoopConfiguration) {
       sweepRebuild(spark, indexDir)
-      val pred = col("id").isin(ids.distinct: _*)
+      val dd = ids.distinct
       Retract.rewriteTouched(spark, s"$indexDir/assignments", "cell",
-        pred, _.filter(!coalesce(pred, lit(false))),
+        Retract.semiOn(spark, dd, "id"), Retract.antiOn(spark, dd, "id"),
         sortCols = Seq("cell", "id"))
     }
   }

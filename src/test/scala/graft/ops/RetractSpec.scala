@@ -195,6 +195,67 @@ class RetractSpec extends SparkSuite {
     assert(top1() == 7L)
   }
 
+  test("components: one compound marker heals rows AND names together") {
+    import org.apache.hadoop.fs.Path
+    val d = dir("comp_crash")
+    // cluster {1,2,3} named 1; cluster {5,6} named 5; retire id 1
+    IncrementalComponents.addPairs(
+      Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b"), d)
+    val lp = s"$d/labels"
+    val fs = new Path(lp).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // manufacture the compound rewrite's commit point by hand: stage the
+    // touched partitions with BOTH effects applied (v=1 dropped, cluster
+    // 1 renamed to its min survivor 2), write the ONE marker, crash
+    // before any rename — the shape the old two-commit flow could split
+    val live = spark.read.schema("v BIGINT, component BIGINT, bp INT").parquet(lp)
+    val touched = live.filter(col("v") === 1L || col("component") === 1L)
+      .select("bp").distinct().collect().map(_.getInt(0))
+    live.filter(col("bp").isin(touched: _*))
+      .filter(col("v") =!= 1L)
+      .withColumn("component",
+        when(col("component") === 1L, lit(2L)).otherwise(col("component")))
+      .write.partitionBy("bp").parquet(s"$lp/_retract_tmp")
+    val lines = touched.map(b => s"bp=$b").map { n =>
+      if (fs.exists(new Path(s"$lp/_retract_tmp", n))) s"replace:$n" else s"drop:$n"
+    }
+    val out = fs.create(new Path(lp, "_retract_pending"), true)
+    out.write(lines.mkString("\n").getBytes("UTF-8")); out.close()
+    // the next locked cycle sweeps ONCE and both effects land — no
+    // intermediate where labels name a retired doc while its rows are
+    // gone (the single marker is the whole point)
+    val view = IncrementalComponents.addPairs(
+      Seq((5L, 7L)).toDF("doc_a", "doc_b"), d)
+    assert(view.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(5L -> 5L, 7L -> 5L))
+    val labels = IncrementalComponents.labels(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(2L -> 2L, 3L -> 2L, 5L -> 5L, 6L -> 5L, 7L -> 5L),
+      s"compound heal incomplete: $labels")
+    assert(!fs.exists(new Path(lp, "_retract_pending")))
+  }
+
+  test("a 1100-id batch retracts through the broadcast-join path") {
+    val d = dir("bigbatch")
+    val docs = (1L to 64L).map(i => (i, s"content-$i")).toDF("doc_id", "text")
+    IncrementalDedup.exactBatch(docs, d, storeParts = 8)
+    // 1100 > IsinThreshold: isin gives way to the broadcast semi/anti
+    // join; most ids are absent — only the 64 keepers actually go
+    assert(Retract.retract(spark, d, (1L to 1100L)) == 64L)
+    // every keeper went, so every data partition dropped whole
+    val fs = new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(d))
+      .exists(_.getPath.getName.startsWith("bp=")))
+    // components through the same path: compound matcher's join arms
+    val c = dir("bigbatch_comp")
+    IncrementalComponents.addPairs(
+      Seq((1L, 2L), (3L, 4L), (2000L, 2001L)).toDF("doc_a", "doc_b"), c)
+    assert(Retract.retract(spark, c, (1L to 1100L)) == 4L)
+    assert(IncrementalComponents.labels(spark, c).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(2000L -> 2000L, 2001L -> 2000L))
+  }
+
   test("ivf manifest dispatches to IvfIndex.retract (r14 ADVICE)") {
     val d = Files.createTempDirectory("retract_ivf_route").toString + "/idx"
     val vecs = (0L until 8L).map { i =>
