@@ -105,12 +105,44 @@ class CdlFs:
                 self._jfs, target_file_bytes, list(zorder))
         return self._bridge.compact(self._jfs, target_file_bytes)
 
-    def delete_where(self, condition):
+    def delete_where(self, condition, cascade=False):
         """Copy-on-write DELETE (takedown path): physically removes rows
         matching the SQL condition; only files containing a match are
         rewritten, row_ids of kept rows are stable. Returns the number
-        of rows deleted. Not undoable (see CdlFs.deleteWhere)."""
+        of rows deleted. Not undoable (see CdlFs.deleteWhere).
+        cascade=True also retracts the retired row ids from every
+        attached derived store (attach_store) — one call, whole takedown
+        loop; a failing store leaves a resumable pending marker
+        (run_cascade_pending)."""
+        if cascade:
+            return self._bridge.deleteWhereCascade(self._jfs, condition)
         return self._bridge.deleteWhere(self._jfs, condition)
+
+    def attach_store(self, store_dir, id_col="row_id"):
+        """Register a derived dedup/index store for cascaded takedown:
+        its rows are keyed by this table's id_col (BIGINT) values."""
+        self._bridge.attachStore(self._jfs, store_dir, id_col)
+
+    def detach_store(self, store_dir):
+        """Unregister a store (data untouched); True if it was attached."""
+        return self._bridge.detachStore(self._jfs, store_dir)
+
+    def attached_stores(self):
+        """The registry as [(store_dir, id_col), ...]."""
+        return [tuple(s.split("\t")) for s in self._bridge.attachedStores(self._jfs)]
+
+    def cascade_pending_stores(self):
+        """Stores still owed a retraction by a pending cascade."""
+        return list(self._bridge.cascadePendingStores(self._jfs))
+
+    def run_cascade_pending(self):
+        """Resume a pending cascade; returns [(store_dir, rows_removed)]
+        for the stores finished by this call."""
+        out = []
+        for s in self._bridge.runCascadePending(self._jfs):
+            d, n = s.split("\t")
+            out.append((d, int(n)))
+        return out
 
     def vacuum(self):
         """Drop commit-log versions a compact/delete made unreadable;

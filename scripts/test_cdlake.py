@@ -436,6 +436,38 @@ def test_curate_over_bridge(spark):
     assert rows["contaminated"] == (2, 1)  # doc 4 shares bench 3-grams
 
 
+def test_cascade_delete_over_bridge(spark):
+    """One cascaded delete retracts the retired row ids from every
+    attached derived store (the takedown loop in one call)."""
+    from cdlake import Cdl
+    cdl = Cdl(spark, max_chunk_size="1024")
+    work = tempfile.mkdtemp(prefix="cdlake_cascade_")
+    tree = f"{work}/tree"
+    os.makedirs(f"{tree}/purgedir")
+    with open(f"{tree}/keep.txt", "w") as f:
+        f.write("keep these words around")
+    with open(f"{tree}/purgedir/secret.txt", "w") as f:
+        f.write("purge these words away")
+    fs = cdl.open(f"{work}/ds")
+    fs.ingest(tree)
+    # derived store keyed by the table's row_id stamps
+    docs = fs.sql("SELECT row_id AS doc_id, CAST(data AS STRING) AS text "
+                  "FROM rootfs")
+    store = f"{work}/store"
+    cdl.dedup_exact(docs, store)
+    fs.attach_store(store)
+    assert fs.attached_stores() == [(store, "row_id")]
+    retired = [r["row_id"] for r in
+               fs.sql("SELECT row_id FROM rootfs WHERE parent = '/purgedir'")
+               .collect()]
+    assert fs.delete_where("parent = '/purgedir'", cascade=True) == 1
+    store_df = spark.read.parquet(store)
+    assert store_df.where(store_df["keep_doc_id"].isin(retired)).count() == 0
+    assert fs.cascade_pending_stores() == []
+    assert fs.run_cascade_pending() == []
+    assert fs.detach_store(store) is True
+
+
 def test_to_csv_collates_bench_outputs(tmp_path):
     """The results collator (scripts/to_csv.py) on reference-shaped
     per-run JSON: union-of-keys header in first-seen order, index

@@ -56,6 +56,37 @@ object PyBridge {
   def deleteWhere(fs: CdlFs, condition: String): Long =
     fs.deleteWhere(condition)
 
+  /** Cascaded DELETE: also retracts the retired row ids from every
+    * attached derived store (CdlFs.deleteWhere(cond, cascade)). */
+  def deleteWhereCascade(fs: CdlFs, condition: String): Long =
+    fs.deleteWhere(condition, cascade = true)
+
+  /** Register a derived store for cascaded takedown (CdlFs.attachStore). */
+  def attachStore(fs: CdlFs, storeDir: String, idCol: String): Unit =
+    fs.attachStore(storeDir, idCol)
+
+  def detachStore(fs: CdlFs, storeDir: String): Boolean =
+    fs.detachStore(storeDir)
+
+  /** The registry as ["dir\tid_col", ...] (py4j-friendly flat list). */
+  def attachedStores(fs: CdlFs): java.util.List[String] = {
+    import scala.jdk.CollectionConverters._
+    fs.attachedStores.map { case (d, c) => s"$d\t$c" }.asJava
+  }
+
+  /** Stores still owed by a pending cascade (empty when clean). */
+  def cascadePendingStores(fs: CdlFs): java.util.List[String] = {
+    import scala.jdk.CollectionConverters._
+    fs.cascadePendingStores.asJava
+  }
+
+  /** Resume a pending cascade; returns ["dir\trows_removed", ...] for
+    * the stores finished by this call. */
+  def runCascadePending(fs: CdlFs): java.util.List[String] = {
+    import scala.jdk.CollectionConverters._
+    fs.runCascadePending().map { case (d, n) => s"$d\t$n" }.asJava
+  }
+
   /** Drop commit-log versions a compact/delete made unreadable; returns
     * the dropped version numbers. */
   def vacuumLog(fs: CdlFs): java.util.List[Integer] = {

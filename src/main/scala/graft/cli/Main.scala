@@ -76,12 +76,39 @@ object Main {
         val n = CdlFs.open(spark, catalog, target)
           .compact(targetBytes, zorderBy = zorder)
         println(s"compacted to $n data files")
-      case "delete" :: target :: condition :: Nil =>
+      case "delete" :: target :: condition :: rest if rest.size <= 1 =>
         // copy-on-write takedown (CdlFs.deleteWhere): rows matching the
         // SQL condition are physically removed; only files containing a
-        // match are rewritten. Not undoable by design.
-        val n = CdlFs.open(spark, catalog, target).deleteWhere(condition)
-        println(s"deleted $n rows")
+        // match are rewritten. Not undoable by design. `--cascade` also
+        // retracts the retired row ids from every ATTACHED derived store
+        // (`stores attach`) — the one-command right-to-be-forgotten path
+        val cascade = rest match {
+          case Nil               => false
+          case "--cascade" :: _  => true
+          case other             => sys.error(s"usage: delete <target> <cond> [--cascade]; got $other")
+        }
+        val n = CdlFs.open(spark, catalog, target)
+          .deleteWhere(condition, cascade = cascade)
+        println(s"deleted $n rows" + (if (cascade) " (cascaded)" else ""))
+      // derived-store registry + cascade resume (the takedown loop's
+      // orchestration half; see CdlFs.attachStore/runCascadePending)
+      case "stores" :: "attach" :: target :: store :: rest if rest.size <= 1 =>
+        CdlFs.open(spark, catalog, target)
+          .attachStore(store, idCol = rest.headOption.getOrElse("row_id"))
+        println(s"attached $store")
+      case "stores" :: "detach" :: target :: store :: Nil =>
+        val was = CdlFs.open(spark, catalog, target).detachStore(store)
+        println(if (was) s"detached $store" else s"$store was not attached")
+      case "stores" :: "list" :: target :: Nil =>
+        val fs = CdlFs.open(spark, catalog, target)
+        fs.attachedStores.foreach { case (d, c) => println(s"$d (id_col=$c)") }
+        val owed = fs.cascadePendingStores
+        if (owed.nonEmpty)
+          println(s"PENDING cascade owes ${owed.size} store(s): ${owed.mkString(", ")}")
+      case "cascade" :: "resume" :: target :: Nil =>
+        val done = CdlFs.open(spark, catalog, target).runCascadePending()
+        if (done.isEmpty) println("no pending cascade")
+        else done.foreach { case (d, n) => println(s"retracted $n rows from $d") }
       case "vacuum" :: target :: Nil =>
         // drop commit-log versions a compact/delete made unreadable
         val dropped = CdlFs.open(spark, catalog, target).vacuumLog()

@@ -412,11 +412,44 @@ final class CdlFs(
     * DELETE + VACUUM(0)).
     *
     * @return number of rows deleted */
-  def deleteWhere(condition: String): Long = {
+  def deleteWhere(condition: String): Long = deleteWhere(condition, cascade = false)
+
+  /** [[deleteWhere]] with CASCADED derived-store takedown (r14 verdict
+    * #1): with `cascade = true`, the retired rows' ids (per attached
+    * store's id column — see [[attachStore]]) are captured from the same
+    * pruned scan the delete runs anyway, made durable INSIDE the
+    * delete's own commit marker (the `#cascade` trailer — so the id set
+    * becomes permanent at exactly the instant the table delete commits,
+    * never before, never after), and then retracted from every attached
+    * store via [[graft.ops.Retract.retract]].
+    *
+    * Partial-failure contract: the `.graft_cascade_pending` marker lists
+    * the stores still owed a retraction and SHRINKS as each completes
+    * (temp-write + rename per store) — a crash or a failing store leaves
+    * the finished stores recorded as done and [[runCascadePending]]
+    * resumes exactly the remainder (per-store retraction is itself
+    * idempotent, so re-running a half-finished store is safe). A
+    * cascaded delete auto-resumes any pending cascade before starting;
+    * plain opens only WARN (retraction can be long-running — an open
+    * should not silently mutate derived stores). */
+  def deleteWhere(condition: String, cascade: Boolean): Long = {
     import org.apache.hadoop.fs.Path
     val rootP = new Path(tableLocation)
     val hfs = rootP.getFileSystem(hconf)
     sweepDeletePending()
+    // resume an earlier pending cascade first — NON-fatally: a broken
+    // derived store must not block a takedown's table delete (the legal
+    // priority); this delete's obligations MERGE into the marker and the
+    // post-delete resume below surfaces the store's error once the
+    // delete itself is committed and durable
+    if (cascade)
+      try { runCascadePending(); () }
+      catch {
+        case e: Exception => System.err.println(
+          s"[CdlFs] pending cascade did not resume (${e.getMessage}); " +
+            "proceeding with the delete — obligations merge into the marker")
+      }
+    val attachments = if (cascade) attachedStores else Nil
     if (CommitLog.latest(tableLocation, hconf).isEmpty)
       throw new IllegalStateException(
         s"nothing to delete from: no committed version at $tableLocation")
@@ -455,6 +488,24 @@ final class CdlFs(
     if (touchedCounts.isEmpty) return 0L
     val deleted = touchedCounts.map(_._3).sum
     val touched = touchedCounts.map(_._1).toSeq
+    // cascade: the retired ids, per attached id column, read from the
+    // TOUCHED files only (every matching row lives in one by definition)
+    // — collected BEFORE the rewrite erases them, durable only with the
+    // commit marker below
+    val idSets: Map[String, Seq[Long]] = attachments.map(_._2).distinct.map { c =>
+      val rows = readFiles(touched).filter(pred)
+        .select(col(c).cast("long").as("__id")).distinct()
+        .limit(MaxCascadeIds + 1).collect()
+      require(rows.length <= MaxCascadeIds,
+        s"cascade delete retired more than $MaxCascadeIds distinct $c values " +
+          "— split the delete (the id set must stay a driver-side takedown " +
+          "batch, not a corpus)")
+      require(!rows.exists(_.isNullAt(0)),
+        s"cascade delete: NULL $c among the deleted rows — every attached " +
+          "store's id column must be fully stamped (legacy unstamped rows " +
+          "cannot be retracted by id)")
+      c -> rows.map(_.getLong(0)).toIndexedSeq
+    }.toMap
     // 2. rewrite ONLY the touched files, kept rows re-clustered on the
     //    same keys compact uses so take/file stats stay tight
     val keys =
@@ -472,27 +523,34 @@ final class CdlFs(
       .withColumn("p0", Ingest.topSegment(col("parent")))
       .write.mode("overwrite").partitionBy("p0").parquet(tmp.toString)
     // 3. COMMIT POINT: the pending marker (retired sources listed, one
-    //    per line; temp-write + rename) — from here the delete rolls
-    //    FORWARD via finishDelete/sweepDeletePending; before here a
-    //    crash discards tmp and the table is untouched
-    writeDeletePending(hfs, rootP, touched)
-    finishDelete(hfs, rootP, touched)
+    //    per line, plus the cascade trailer when attached stores are
+    //    owed a retraction; temp-write + rename) — from here the delete
+    //    rolls FORWARD via finishDelete/sweepDeletePending; before here
+    //    a crash discards tmp and the table is untouched
+    val cascadeJson =
+      if (attachments.isEmpty || idSets.values.forall(_.isEmpty)) None
+      else Some(cascadeBody(idSets, attachments))
+    writeDeletePending(hfs, rootP, touched, cascadeJson)
+    finishDelete(hfs, rootP, touched, cascadeJson)
     refresh()
+    if (cascade) runCascadePending()
     deleted
   }
 
   private val DeletePending = ".graft_delete_pending"
   private val DeleteTmp = ".graft_delete_tmp"
+  private val CascadeTrailer = "#cascade "
 
   private def writeDeletePending(
       hfs: org.apache.hadoop.fs.FileSystem,
-      rootP: org.apache.hadoop.fs.Path, sources: Seq[String]): Unit = {
+      rootP: org.apache.hadoop.fs.Path, sources: Seq[String],
+      cascadeJson: Option[String] = None): Unit = {
     import org.apache.hadoop.fs.Path
     val tmp = new Path(rootP,
       s"$DeletePending.tmp-${ProcessHandle.current().pid()}")
     val out = hfs.create(tmp, true)
-    try out.write(sources.mkString("\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val body = (sources ++ cascadeJson.map(CascadeTrailer + _)).mkString("\n")
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val dst = new Path(rootP, DeletePending)
     hfs.delete(dst, false)
@@ -508,7 +566,8 @@ final class CdlFs(
     * then clear the marker. Every step re-runs safely. */
   private def finishDelete(
       hfs: org.apache.hadoop.fs.FileSystem,
-      rootP: org.apache.hadoop.fs.Path, sources: Seq[String]): Unit = {
+      rootP: org.apache.hadoop.fs.Path, sources: Seq[String],
+      cascadeJson: Option[String] = None): Unit = {
     import org.apache.hadoop.fs.Path
     val tmp = new Path(rootP, DeleteTmp)
     if (hfs.exists(tmp)) {
@@ -528,6 +587,11 @@ final class CdlFs(
     }
     sources.foreach(f => hfs.delete(new Path(rootP, f), false))
     CommitLog.commit(tableLocation, 0L, hconf)
+    // the cascade obligation moves from the delete marker to its own
+    // BEFORE the delete marker clears: the owed retractions stay durable
+    // across the hand-off (a crash between the two writes re-runs this
+    // whole finish; writeCascadePending merges, so no double-count)
+    cascadeJson.foreach(j => writeCascadePending(hfs, rootP, j))
     hfs.delete(new Path(rootP, DeletePending), false)
   }
 
@@ -547,10 +611,207 @@ final class CdlFs(
       val body =
         try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
         finally in.close()
-      val sources = body.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
-      finishDelete(hfs, rootP, sources)
+      val lines = body.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+      val (cas, sources) = lines.partition(_.startsWith(CascadeTrailer))
+      finishDelete(hfs, rootP, sources,
+        cas.headOption.map(_.stripPrefix(CascadeTrailer)))
       refresh()
     } else hfs.delete(new Path(rootP, DeleteTmp), true)
+  }
+
+  // -------- derived-store registry + cascaded takedown (r14 verdict #1)
+
+  private val StoresFile = "_graft_stores.json"
+  private val CascadePending = ".graft_cascade_pending"
+  private val MaxCascadeIds = 100000
+
+  private def jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** The derived stores attached to this table, as (storeDir, idCol)
+    * pairs from the `_graft_stores.json` sidecar at the table root —
+    * the registry that lets ONE cascaded delete retract a retired doc
+    * from every store derived from this table, instead of an operator
+    * remembering N manual `retract` calls. */
+  def attachedStores: Seq[(String, String)] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(tableLocation, StoresFile)
+    val hfs = p.getFileSystem(hconf)
+    if (!hfs.exists(p)) Nil
+    else {
+      val in = hfs.open(p)
+      val body =
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      import scala.jdk.CollectionConverters._
+      jsonMapper.readTree(body).get("stores").elements().asScala
+        .map(e => (e.get("dir").asText, e.get("id_col").asText)).toSeq
+    }
+  }
+
+  /** Attach a derived store: its rows are keyed by this table's `idCol`
+    * values (BIGINT — the default is the ingest-stamped `row_id`), so a
+    * cascaded delete knows which store ids a retired table row owns.
+    * Validates the target is a real graft store (readable manifest) and
+    * the column exists on the canonical schema; re-attaching updates the
+    * id column in place. */
+  def attachStore(storeDir: String, idCol: String = "row_id"): Unit = {
+    require(RootFs.schema.fieldNames.contains(idCol),
+      s"attachStore: $idCol is not a rootfs column " +
+        s"(have: ${RootFs.schema.fieldNames.mkString(", ")})")
+    val manifest = graft.ops.IncrementalDedup.storeManifest(spark, storeDir)
+    require(manifest.contains("variant"),
+      s"attachStore: $storeDir has no readable _graft_store.json manifest " +
+        "— not a graft store")
+    writeStores(attachedStores.filterNot(_._1 == storeDir) :+ (storeDir -> idCol))
+  }
+
+  /** Detach a store from the registry (its data is untouched). Returns
+    * whether it was attached. */
+  def detachStore(storeDir: String): Boolean = {
+    val before = attachedStores
+    val after = before.filterNot(_._1 == storeDir)
+    if (after.size != before.size) { writeStores(after); true } else false
+  }
+
+  private def writeStores(entries: Seq[(String, String)]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val rootP = new Path(tableLocation)
+    val hfs = rootP.getFileSystem(hconf)
+    val m = jsonMapper
+    val node = m.createObjectNode()
+    val arr = node.putArray("stores")
+    entries.foreach { case (d, c) =>
+      val e = arr.addObject(); e.put("dir", d); e.put("id_col", c); ()
+    }
+    val tmp = new Path(rootP, s"$StoresFile.tmp-${ProcessHandle.current().pid()}")
+    val out = hfs.create(tmp, true)
+    try out.write(m.writeValueAsBytes(node)) finally out.close()
+    val dst = new Path(rootP, StoresFile)
+    hfs.delete(dst, false)
+    if (!hfs.rename(tmp, dst))
+      throw new java.io.IOException(s"store registry rename failed: $dst")
+  }
+
+  /** The cascade obligation as JSON: the retired id set per id column,
+    * and the attached stores still owed a retraction. */
+  private def cascadeBody(
+      idSets: Map[String, Seq[Long]],
+      stores: Seq[(String, String)]): String = {
+    val m = jsonMapper
+    val node = m.createObjectNode()
+    val idsNode = node.putObject("ids")
+    idSets.foreach { case (c, ids) =>
+      val a = idsNode.putArray(c); ids.foreach(i => a.add(i)); ()
+    }
+    val arr = node.putArray("stores")
+    stores.foreach { case (d, c) =>
+      val e = arr.addObject(); e.put("dir", d); e.put("id_col", c); ()
+    }
+    m.writeValueAsString(node)
+  }
+
+  /** Publish/extend the cascade marker (temp-write + rename). An
+    * existing marker MERGES — a second cascaded delete committing while
+    * an earlier cascade is still owed must not drop the earlier ids. */
+  private def writeCascadePending(
+      hfs: org.apache.hadoop.fs.FileSystem,
+      rootP: org.apache.hadoop.fs.Path, json: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val merged = readCascadePending() match {
+      case None => json
+      case Some((oldIds, oldStores)) =>
+        val m = jsonMapper
+        val n = m.readTree(json)
+        import scala.jdk.CollectionConverters._
+        val newIds = Option(n.get("ids")).map(_.fields().asScala.map(e =>
+          e.getKey -> e.getValue.elements().asScala.map(_.asLong).toSeq).toMap)
+          .getOrElse(Map.empty[String, Seq[Long]])
+        val newStores = n.get("stores").elements().asScala
+          .map(e => (e.get("dir").asText, e.get("id_col").asText)).toSeq
+        val ids = (oldIds.keySet ++ newIds.keySet).map(c =>
+          c -> (oldIds.getOrElse(c, Nil) ++ newIds.getOrElse(c, Nil)).distinct.toSeq
+        ).toMap
+        val stores = (oldStores ++ newStores).distinct
+        cascadeBody(ids, stores)
+    }
+    val tmp = new Path(rootP,
+      s"$CascadePending.tmp-${ProcessHandle.current().pid()}")
+    val out = hfs.create(tmp, true)
+    try out.write(merged.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dst = new Path(rootP, CascadePending)
+    hfs.delete(dst, false)
+    if (!hfs.rename(tmp, dst))
+      throw new java.io.IOException(s"cascade marker rename failed: $dst")
+  }
+
+  private def readCascadePending()
+      : Option[(Map[String, Seq[Long]], Seq[(String, String)])] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(tableLocation, CascadePending)
+    val hfs = p.getFileSystem(hconf)
+    if (!hfs.exists(p)) None
+    else {
+      val in = hfs.open(p)
+      val body =
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      import scala.jdk.CollectionConverters._
+      val n = jsonMapper.readTree(body)
+      val ids = Option(n.get("ids")).map(_.fields().asScala.map(e =>
+        e.getKey -> e.getValue.elements().asScala.map(_.asLong).toSeq).toMap)
+        .getOrElse(Map.empty[String, Seq[Long]])
+      val stores = n.get("stores").elements().asScala
+        .map(e => (e.get("dir").asText, e.get("id_col").asText)).toSeq
+      Some((ids, stores))
+    }
+  }
+
+  /** Stores still owed a retraction by a pending cascade (empty when
+    * none is pending) — the inspection half of the partial-failure
+    * contract. */
+  def cascadePendingStores: Seq[String] =
+    readCascadePending().map(_._2.map(_._1)).getOrElse(Nil)
+
+  /** Run (or resume) the pending cascade: retract the marker's retired
+    * ids from each store still listed, shrinking the marker as each
+    * completes. Returns (storeDir, rowsRemoved) for the stores finished
+    * by THIS call; a store that fails stops the run with the marker
+    * still listing it and everything after it — fix and re-run. Safe to
+    * re-run a half-finished store (per-store retraction is idempotent;
+    * its own `_retract_pending` marker heals partition-level crashes). */
+  def runCascadePending(): Seq[(String, Long)] = {
+    import org.apache.hadoop.fs.Path
+    readCascadePending() match {
+      case None => Nil
+      case Some((idSets, stores)) =>
+        val rootP = new Path(tableLocation)
+        val hfs = rootP.getFileSystem(hconf)
+        val done = scala.collection.mutable.ListBuffer[(String, Long)]()
+        var remaining = stores
+        stores.foreach { case (dir, c) =>
+          val ids = idSets.getOrElse(c, Nil)
+          val removed =
+            if (ids.isEmpty) 0L else graft.ops.Retract.retract(spark, dir, ids)
+          done += dir -> removed
+          remaining = remaining.filterNot(_._1 == dir)
+          if (remaining.isEmpty) hfs.delete(new Path(rootP, CascadePending), false)
+          else {
+            // shrink EXACTLY (no merge): this rewrite records completion
+            val tmp = new Path(rootP,
+              s"$CascadePending.tmp-${ProcessHandle.current().pid()}")
+            val out = hfs.create(tmp, true)
+            try out.write(cascadeBody(idSets, remaining)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            finally out.close()
+            val dst = new Path(rootP, CascadePending)
+            hfs.delete(dst, false)
+            if (!hfs.rename(tmp, dst))
+              throw new java.io.IOException(s"cascade marker rename failed: $dst")
+          }
+        }
+        done.toList
+    }
   }
 
   /** Drop commit-log versions made unreadable by a compact or delete
@@ -594,6 +855,14 @@ object CdlFs {
     // heal a crashed deleteWhere before this session reads anything —
     // a pending marker means staged rewrites must finish their swap
     fs.sweepDeletePending()
+    // a pending CASCADE is only warned about: retraction can be a long
+    // job and an open must not silently mutate derived stores — the
+    // next cascaded delete auto-resumes it, or call runCascadePending
+    val owed = fs.cascadePendingStores
+    if (owed.nonEmpty)
+      System.err.println(s"[CdlFs] ${root.dataset.tableUri}: a cascaded " +
+        s"delete still owes retractions to ${owed.size} store(s) " +
+        s"(${owed.mkString(", ")}) — run runCascadePending() to finish")
     fs
   }
 

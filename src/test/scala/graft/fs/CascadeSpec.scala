@@ -1,0 +1,162 @@
+package graft.fs
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSuite
+import graft.core.{DatasetCatalog, GlobalPath}
+import graft.ops.IncrementalDedup
+import org.apache.spark.sql.functions._
+
+/** Cascaded takedown (r14 verdict #1): the `_graft_stores.json`
+  * registry ties a table to its derived stores, and ONE
+  * `deleteWhere(cond, cascade = true)` retracts the retired row ids
+  * from every attached store — with the obligation durable from the
+  * delete's own commit marker, shrinking per completed store, and
+  * resumable after any partial failure. */
+class CascadeSpec extends SparkSuite {
+
+  private def freshFs(tag: String): (CdlFs, String) = {
+    val root = Files.createTempDirectory(s"casc-$tag").toString
+    val fixture = s"$root/fixture"
+    Files.createDirectories(Paths.get(s"$fixture/keepdir"))
+    Files.createDirectories(Paths.get(s"$fixture/purgedir"))
+    Files.write(Paths.get(s"$fixture/keepdir/a.txt"), "keep alpha words".getBytes)
+    Files.write(Paths.get(s"$fixture/keepdir/b.txt"), "keep beta words".getBytes)
+    Files.write(Paths.get(s"$fixture/purgedir/s1.txt"), "purge gamma words".getBytes)
+    Files.write(Paths.get(s"$fixture/purgedir/s2.txt"), "purge delta words".getBytes)
+    val f = CdlFs.open(spark, DatasetCatalog(maxChunkSize = 1024),
+      GlobalPath.parse(s"$root/ds").toOption.get)
+    Ingest.run(f, fixture)
+    (f, root)
+  }
+
+  /** Build an exact-dedup store over the table's rows keyed by row_id. */
+  private def buildStore(fs: CdlFs, dir: String): Unit = {
+    IncrementalDedup.exactBatch(
+      fs.table.select(col("row_id").as("doc_id"),
+        col("data").cast("string").as("text")), dir)
+    ()
+  }
+
+  test("registry: attach/detach round-trips and persists across reopen") {
+    val (fs, root) = freshFs("reg")
+    val s1 = s"$root/store1"; val s2 = s"$root/store2"
+    buildStore(fs, s1); buildStore(fs, s2)
+    fs.attachStore(s1)
+    fs.attachStore(s2, idCol = "row_id")
+    assert(fs.attachedStores == Seq(s1 -> "row_id", s2 -> "row_id"))
+    fs.attachStore(s1, idCol = "chunk_id") // re-attach updates in place
+    assert(fs.attachedStores.toMap == Map(s1 -> "chunk_id", s2 -> "row_id"))
+    val reopened = CdlFs.open(spark, DatasetCatalog(),
+      GlobalPath.parse(s"$root/ds").toOption.get)
+    assert(reopened.attachedStores.toMap ==
+      Map(s1 -> "chunk_id", s2 -> "row_id"))
+    assert(fs.detachStore(s1) && !fs.detachStore(s1))
+    assert(fs.attachedStores == Seq(s2 -> "row_id"))
+    // attaching a non-store fails loudly
+    val e = intercept[IllegalArgumentException] {
+      fs.attachStore(s"$root/fixture")
+    }
+    assert(e.getMessage.contains("not a graft store"))
+    val e2 = intercept[IllegalArgumentException] {
+      fs.attachStore(s1, idCol = "no_such_col")
+    }
+    assert(e2.getMessage.contains("not a rootfs column"))
+  }
+
+  test("one cascaded delete leaves the docs in NO attached store scan") {
+    val (fs, root) = freshFs("basic")
+    val s1 = s"$root/store_exact"; val s2 = s"$root/store_minhash"
+    buildStore(fs, s1)
+    IncrementalDedup.minhashBatch(
+      fs.table.select(col("row_id").as("doc_id"),
+        col("data").cast("string").as("text")), s2)
+    fs.attachStore(s1); fs.attachStore(s2)
+    val retired = fs.table.filter(col("parent") === "/purgedir")
+      .select("row_id").collect().map(_.getLong(0)).toSet
+    assert(retired.size == 2)
+    val deleted = fs.deleteWhere("parent = '/purgedir'", cascade = true)
+    assert(deleted == 2)
+    // table rows gone AND every attached store scan is clean of the ids
+    assert(fs.table.filter(col("parent") === "/purgedir").count() == 0)
+    assert(spark.read.parquet(s1)
+      .filter(col("keep_doc_id").isin(retired.toSeq: _*)).count() == 0)
+    assert(spark.read.parquet(s2)
+      .filter(col("doc_id").isin(retired.toSeq: _*)).count() == 0)
+    // untouched content survives in both stores
+    assert(spark.read.parquet(s1).count() == 2)
+    // no obligation left behind
+    assert(fs.cascadePendingStores.isEmpty)
+    // a cascade with nothing attached is a plain delete
+    assert(fs.deleteWhere("parent = '/nowhere'", cascade = true) == 0)
+  }
+
+  test("partial failure: marker shrinks per store, resumes, merges") {
+    val (fs, root) = freshFs("partial")
+    val good = s"$root/good"; val bad = s"$root/bad"
+    buildStore(fs, good); buildStore(fs, bad)
+    fs.attachStore(bad); fs.attachStore(good) // bad first: fails the run
+    // sabotage AFTER attach: unknown variant makes its retraction throw
+    val manifest = Paths.get(s"$bad/_graft_store.json")
+    val origManifest = new String(Files.readAllBytes(manifest), "UTF-8")
+    Files.write(manifest, origManifest
+      .replace("\"exact\"", "\"bogus\"").getBytes("UTF-8"))
+    val retired1 = fs.table.filter(col("name") === "s1.txt")
+      .select("row_id").collect().map(_.getLong(0)).toSet
+    intercept[RuntimeException] {
+      fs.deleteWhere("name = 's1.txt'", cascade = true)
+    }
+    // the TABLE delete committed; the cascade is owed to BOTH stores
+    // (bad failed before good was reached)
+    assert(fs.table.filter(col("name") === "s1.txt").count() == 0)
+    assert(fs.cascadePendingStores == Seq(bad, good))
+    // a second cascaded delete must NOT be blocked by the broken store
+    // (takedown availability): its table delete commits, its ids MERGE
+    // into the pending marker, and the post-delete resume surfaces the
+    // store failure
+    val retired2 = fs.table.filter(col("name") === "s2.txt")
+      .select("row_id").collect().map(_.getLong(0)).toSet
+    intercept[RuntimeException] {
+      fs.deleteWhere("name = 's2.txt'", cascade = true)
+    }
+    assert(fs.table.filter(col("name") === "s2.txt").count() == 0)
+    assert(fs.cascadePendingStores == Seq(bad, good))
+    // fix the sabotage and resume: all retired ids leave BOTH stores
+    Files.write(manifest, origManifest.getBytes("UTF-8"))
+    val done = fs.runCascadePending()
+    assert(done.map(_._1) == Seq(bad, good))
+    val all = (retired1 ++ retired2).toSeq
+    for (s <- Seq(good, bad))
+      assert(spark.read.parquet(s)
+        .filter(col("keep_doc_id").isin(all: _*)).count() == 0, s"store $s")
+    assert(fs.cascadePendingStores.isEmpty)
+    assert(fs.runCascadePending().isEmpty) // idempotent when clean
+  }
+
+  test("delete-marker hand-off: the #cascade trailer survives a crash") {
+    val (fs, root) = freshFs("handoff")
+    val s1 = s"$root/store1"
+    buildStore(fs, s1)
+    val retired = fs.table.filter(col("parent") === "/purgedir")
+      .select("row_id").collect().map(_.getLong(0)).toSeq
+    // manufacture a crash AFTER the delete's commit-point marker was
+    // written but before finishDelete ran: a marker with no sources
+    // left to retire and the cascade trailer (the table swap itself is
+    // DeleteSpec's ground; this pins the obligation hand-off)
+    val trailer = s"""#cascade {"ids":{"row_id":[${retired.mkString(",")}]},""" +
+      s""""stores":[{"dir":"$s1","id_col":"row_id"}]}"""
+    Files.write(Paths.get(s"${fs.tableLocation}/.graft_delete_pending"),
+      trailer.getBytes("UTF-8"))
+    // open sweeps the delete marker FORWARD: the obligation must move to
+    // the cascade marker, not vanish with the delete marker
+    val reopened = CdlFs.open(spark, DatasetCatalog(),
+      GlobalPath.parse(s"$root/ds").toOption.get)
+    assert(!Files.exists(Paths.get(s"${fs.tableLocation}/.graft_delete_pending")))
+    assert(reopened.cascadePendingStores == Seq(s1))
+    val done = reopened.runCascadePending()
+    assert(done.map(_._1) == Seq(s1) && done.head._2 == retired.size)
+    assert(spark.read.parquet(s1)
+      .filter(col("keep_doc_id").isin(retired: _*)).count() == 0)
+    assert(reopened.cascadePendingStores.isEmpty)
+  }
+}
