@@ -115,6 +115,13 @@ object Soak {
         (meter.inputRecords.get - i0) / 1000L)
     }
 
+    // GRAFT_SOAK_ONLY=text|emb|inc|width|frag|cc restricts the battery
+    // to ONE family (the others skip) — re-probing a single family at a
+    // big factor without paying the whole soak; unset runs everything
+    val soakOnly = sys.env.get("GRAFT_SOAK_ONLY")
+    def family(name: String)(body: => Seq[Run]): Seq[Run] =
+      if (soakOnly.forall(_ == name)) body else Nil
+
     // operator configs mirror the GATE queries exactly (q_dedup_ngram_
     // jaccard / _minhash_lsh / _clusters / _keep), so the curve measures
     // the product constants (dfCap, banding) at scale — the clusters/keep
@@ -122,7 +129,7 @@ object Soak {
     // full-corpus threshold-0.01 graph is one giant component at every
     // factor: a degenerate shape that measures fixpoint depth, not dedup)
     val twoSrc = corpus.filter(col("source").isin("src0", "src1"))
-    val runs = Seq(
+    val runs = family("text")(Seq(
       run("ngram_pairs") {
         ops.Dedup.ngramJaccardPairs(corpus, n = 3, threshold = 0.01)
       },
@@ -206,7 +213,7 @@ object Soak {
         val out = res.docs.select("doc_id", "cum_tokens").localCheckpoint()
         res.release()
         out
-      })
+      }))
 
     // --- embedding family: the gate's planted corpus scaled N× --------
     // Per-copy scaling is a deterministic SIGN FLIP per dimension — a
@@ -242,7 +249,7 @@ object Soak {
     // calls.
     val nVecs = 800L * factor // gate corpus = 800 vectors per copy
     val scaledPlanes = ops.Similarity.planesFor(nVecs)
-    val embRuns = Seq(
+    val embRuns = family("emb")(Seq(
       run("embedding_pairs") {
         ops.Dedup.embeddingNearDupPairs(embCorpus, threshold = 0.95,
           planes = scaledPlanes)
@@ -259,16 +266,27 @@ object Soak {
       {
         val nEmb = embCorpus.count() // exact corpus size for cell sizing
         val k = ops.SemDedup.clustersFor(nEmb)
-        // recall telemetry rides the SAME assignment the dedup uses:
-        // sampled LSH cross-check of the cell fence (r13 verdict #7) —
-        // a falling probe is drift showing up before surviving dups do
+        // recall telemetry rides the SAME assignment the dedup uses.
+        // Two probes, deliberately side by side (r14 verdict #2): the
+        // vector-sampled probe's surviving pairs are clone-heavy and
+        // clones co-locate, so it reads 1.0 even at 100× where planted
+        // near-dup recall is 75% — the banded PAIR probe samples LSH
+        // buckets (pair yield linear in true pairs) and stratifies by
+        // cosine band, so the near bands expose the straddler loss the
+        // clone band masks
         val assigned = ops.SemDedup.assign(embCorpus, k).localCheckpoint()
         val probe = ops.SemDedup.recallOfAssignment(assigned, tau = 0.95)
-        println(f"semdedup_recall_probe: $probe%.4f (k=$k, sample<=2000)")
+        println(f"semdedup_recall_probe: $probe%.4f (k=$k, sample<=2000; " +
+          "vector-sampled, clone-biased — see banded rows)")
+        val bands = ops.SemDedup.recallBands(assigned, tau = 0.95)
+        bands.foreach(b => println(
+          f"semdedup_recall_band[${b.lo}%.4f,${b.hi}%.4f${if (b.isClone) ",clone" else ""}]: " +
+            f"${b.recall}%.4f (pairs=${b.pairs} co=${b.coCelled})"))
+        println(f"semdedup_neardup_recall: ${ops.SemDedup.nearDupRecall(bands)}%.4f")
         Seq(run("semdedup_keep") {
           ops.SemDedup.dedup(embCorpus, nClusters = k, tau = 0.95)
         })
-      }
+      })
 
     // --- incremental store growth: seed at N×, then SMALL appends -----
     // The claim under test is the partitioned-store contract: an
@@ -303,7 +321,7 @@ object Soak {
       transform(col("embedding"), (x, k) =>
         when(pmod(xxhash64(lit(0), k), lit(2)) === 0, x).otherwise(-x))
         .as("embedding"))
-    val incRuns = Seq(
+    val incRuns = family("inc")(Seq(
       run("inc_minhash_seed") {
         ops.IncrementalDedup.minhashBatch(corpus, mhStore)
       },
@@ -401,7 +419,7 @@ object Soak {
       run("inc_embedding_split_append_b") {
         ops.IncrementalDedup.embeddingBatch(freshVecs(4), embSplitStore,
           planes = scaledPlanes)
-      })
+      }))
 
     // --- store footprint: bytes at rest, float vs double width --------
     // The incremental embedding store adopts the SOURCE width (r12):
@@ -414,7 +432,7 @@ object Soak {
     val f32Store = s"$tmp/emb_store_f32"
     val f64Store = s"$tmp/emb_store_f64"
     val splitStore = s"$tmp/emb_store_split"
-    val widthRuns = Seq(
+    val widthRuns = family("width")(Seq(
       run("inc_embedding_seed_f32") {
         ops.IncrementalDedup.embeddingBatch(rawEmb, f32Store)
       },
@@ -430,7 +448,7 @@ object Soak {
       run("inc_embedding_seed_split") {
         ops.IncrementalDedup.embeddingBatch(rawEmb, splitStore,
           layout = "split")
-      })
+      }))
 
     // --- fragmentation: N appends with vs without auto-compaction -----
     // The claim: compactFiles bounds files-per-partition (and so the
@@ -447,19 +465,19 @@ object Soak {
     def fragBatch(tag: Int): DataFrame = fragBase.select(
       (col("doc_id") + lit(3000000000000L + tag * 1000L)).as("doc_id"),
       regexp_replace(col("text"), "(^|\\s)", s"$$1f${tag}_").as("text"))
-    (0 until 24).foreach { i =>
+    if (soakOnly.forall(_ == "frag")) (0 until 24).foreach { i =>
       ops.IncrementalDedup.exactBatch(fragBatch(i), fragAuto,
         compactFiles = 6)
       ops.IncrementalDedup.exactBatch(fragBatch(i), fragOff)
     }
-    val fragRuns = Seq(
+    val fragRuns = family("frag")(Seq(
       run("frag_probe_append_auto") {
         ops.IncrementalDedup.exactBatch(fragBatch(900), fragAuto,
           compactFiles = 6)
       },
       run("frag_probe_append_off") {
         ops.IncrementalDedup.exactBatch(fragBatch(900), fragOff)
-      })
+      }))
 
     // --- incremental clustering: the pair stream's downstream ---------
     // The N×-scaled near-dup pair graph arrives in two hash-split
@@ -477,7 +495,7 @@ object Soak {
     // canonical that batch B must dethrone — the merge path runs at
     // corpus scale, not just in the unit tests
     val ccSplit = pmod(col("doc_a"), lit(2))
-    val ccRuns = Seq(
+    val ccRuns = family("cc")(Seq(
       run("inc_clusters_batch_a") {
         ops.IncrementalComponents.addPairs(ccPairs.filter(ccSplit === 1), ccStore)
       },
@@ -518,7 +536,7 @@ object Soak {
         run("inc_clusters_labels_after_appends") {
           ops.IncrementalComponents.labels(spark, ccStore)
         })
-    }
+    })
 
     def dirBytes(path: String): Long = {
       val p = new org.apache.hadoop.fs.Path(path)

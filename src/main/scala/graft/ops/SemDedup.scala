@@ -95,6 +95,14 @@ object SemDedup {
     * probe before it shows up as surviving duplicates. Cost: LSH over
     * `sampleN` vectors — bounded by the sample, never the corpus (the
     * fixed default LSH geometry is safe for exactly that reason). */
+  /** NOTE (r14 verdict #2 — why [[recallBands]] supersedes this for
+    * telemetry): this probe samples VECTORS, and a uniform sample's
+    * surviving true pairs are clone-heavy (a pair needs BOTH endpoints
+    * drawn — rate (s/N)² — so only dense clone groups yield pairs at
+    * scale), while clones provably co-locate; the probe then reads 1.0
+    * even when near-dup straddler loss is real. It remains correct as
+    * an overall-sample recall; use the banded pair probe to SEE the
+    * boundary loss. */
   def recallOfAssignment(
       assigned: DataFrame, tau: Double, sampleN: Int = 2000): Double = {
     val sample = assigned.orderBy(xxhash64(col("id")), col("id"))
@@ -113,6 +121,88 @@ object SemDedup {
       .collect().head
     if (counts.getLong(0) == 0L) 1.0
     else counts.getLong(1).toDouble / counts.getLong(0)
+  }
+
+  /** One cosine band of the pair-sampled recall probe. `clone` marks
+    * the ≥ 0.9999 band (exact/near-exact copies — these co-locate by
+    * construction and would mask the boundary signal if pooled). */
+  final case class BandRecall(
+      lo: Double, hi: Double, isClone: Boolean, pairs: Long, coCelled: Long) {
+    def recall: Double = if (pairs == 0) 1.0 else coCelled.toDouble / pairs
+  }
+
+  /** Pair-sampled, cosine-banded cell-fence recall (r14 verdict #2):
+    * the vector-sampling probe above cannot see near-dup straddlers —
+    * its sampled true pairs are clone-heavy and clones co-locate — so
+    * this probe samples PAIRS instead, via LSH-bucket sampling: one
+    * map-only signature pass over `assigned` (the same O(corpus) class
+    * as the assignment itself), keep only buckets whose
+    * xxhash64(table, bucket) hashes into a 1-in-`m` sample sized so
+    * ~`sampleN` vectors survive per table, and generate candidate pairs
+    * WITHIN sampled buckets only — pair yield scales LINEARLY with the
+    * true-pair count (every true pair co-buckets in some table at LSH
+    * recall), not quadratically with the vector-sampling rate, and the
+    * quadratic join cost stays bounded by the sample. Surviving pairs
+    * at cosine ≥ `tau` are stratified by cosine band (clones ≥ 0.9999
+    * separate; `bandWidth` slices from `tau` up) and each band reports
+    * its co-celled fraction — within-cell search is exhaustive, so that
+    * fraction IS the operator's recall on that band. A falling
+    * near-band recall is the cell-straddle loss showing up in
+    * telemetry before it shows up as surviving duplicates. */
+  def recallBands(
+      assigned: DataFrame,
+      tau: Double,
+      sampleN: Int = 2000,
+      bandWidth: Double = 0.05,
+      tables: Int = 16): Seq[BandRecall] = {
+    val n = assigned.count()
+    if (n == 0) return Nil
+    val planes = Similarity.planesFor(n)
+    val m = math.max(1L, math.round(n.toDouble / sampleN))
+    val sig = assigned.select(col("id"), col("vec"), col("cell"),
+        explode(array((0 until tables).map { t =>
+          struct(lit(t).as("tbl"),
+            Similarity.lshSignature(col("vec"), planes, t * planes)
+              .as("bucket"))
+        }: _*)).as("tb"))
+      .select(col("id"), col("vec"), col("cell"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      // the bucket sample: deterministic, whole buckets — a pair's two
+      // endpoints survive or fall TOGETHER, which is the whole trick
+      .filter(pmod(xxhash64(col("tbl"), col("bucket")), lit(m)) === 0)
+      .localCheckpoint() // both sides of the bucket self-join read it
+    val pairs = sig.as("a").join(sig.as("b"), Seq("tbl", "bucket"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(Similarity.cosine(col("a.vec"), col("b.vec")), 4).as("cosine"),
+        (col("a.cell") === col("b.cell")).as("co"))
+      .filter(col("cosine") >= tau)
+      .dropDuplicates("id_a", "id_b")
+    val rows = pairs.withColumn("band",
+        when(col("cosine") >= 0.9999, lit(-1))
+          .otherwise(floor((col("cosine") - lit(tau)) / lit(bandWidth))
+            .cast("int")))
+      .groupBy("band").agg(count(lit(1)).as("n"),
+        count(when(col("co"), lit(1))).as("co"))
+      .collect()
+    rows.map { r =>
+      val b = r.getInt(0)
+      if (b == -1) BandRecall(0.9999, 1.0, isClone = true,
+        r.getLong(1), r.getLong(2))
+      else BandRecall(tau + b * bandWidth,
+        math.min(0.9999, tau + (b + 1) * bandWidth), isClone = false,
+        r.getLong(1), r.getLong(2))
+    }.sortBy(_.lo).toIndexedSeq
+  }
+
+  /** The headline number over [[recallBands]]: co-celled fraction of
+    * the NON-clone pairs — the straddler loss the clone band masks.
+    * 1.0 when the sample yielded no non-clone pairs (check the bands'
+    * `pairs` counts before trusting a 1.0). */
+  def nearDupRecall(bands: Seq[BandRecall]): Double = {
+    val near = bands.filterNot(_.isClone)
+    val p = near.map(_.pairs).sum
+    if (p == 0) 1.0 else near.map(_.coCelled).sum.toDouble / p
   }
 
   /** Convenience form: cluster, assign, probe — for standalone health

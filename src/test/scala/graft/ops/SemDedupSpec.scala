@@ -125,4 +125,42 @@ class SemDedupSpec extends SparkSuite {
       SemDedup.clustersFor(withClones.count()), tau = 0.95)
     assert(probe == 1.0, s"clone probe read $probe")
   }
+
+  test("banded pair probe sees the straddler loss the clone band masks") {
+    import spark.implicits.newProductEncoder
+    import spark.implicits.localSeqToDatasetHolder
+    def v(seed: Int, eps: Double = 0.0): Seq[Double] = {
+      val a = Array.fill(8)(0.01); a(seed % 8) = 1.0
+      a((seed + 1) % 8) += eps
+      a.toSeq
+    }
+    // clones co-celled (the real operator's invariant), near-dups
+    // (cosine ≈ 0.97-0.99, below the 0.9999 clone cut) straddling —
+    // the exact shape the vector-sampled probe reads as 1.0
+    val assigned = Seq(
+      (1L, 0L, v(1)), (2L, 0L, v(1)),          // clone pair, co-celled
+      (3L, 1L, v(2)), (4L, 1L, v(2)),          // clone pair, co-celled
+      (10L, 2L, v(3)), (11L, 5L, v(3, 0.18)),  // near pair, STRADDLES
+      (12L, 3L, v(4)), (13L, 6L, v(4, 0.18)),  // near pair, STRADDLES
+      (20L, 4L, v(5))
+    ).toDF("id", "cell", "vec")
+    // the old probe: 4 true pairs, 2 co-celled -> 0.5 pooled; with a
+    // clone-dominant sample it would read near 1.0 — the banded probe
+    // separates the signal instead of pooling it
+    val bands = SemDedup.recallBands(assigned, tau = 0.9)
+    val clone = bands.filter(_.isClone)
+    val near = bands.filterNot(_.isClone)
+    assert(clone.map(_.pairs).sum == 2 && clone.forall(_.recall == 1.0),
+      s"clone band wrong: $bands")
+    assert(near.map(_.pairs).sum == 2 && near.map(_.coCelled).sum == 0,
+      s"near bands must hold the straddlers: $bands")
+    assert(SemDedup.nearDupRecall(bands) == 0.0)
+    // co-celling the near pairs flips the headline to 1.0
+    val healed = assigned.withColumn("cell",
+      when(col("id") === 11L, lit(2L))
+        .when(col("id") === 13L, lit(3L)).otherwise(col("cell")))
+    val healedBands = SemDedup.recallBands(healed, tau = 0.9)
+    assert(SemDedup.nearDupRecall(healedBands) == 1.0, s"$healedBands")
+    assert(SemDedup.nearDupRecall(Nil) == 1.0) // pair-free convention
+  }
 }
