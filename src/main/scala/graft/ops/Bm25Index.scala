@@ -53,6 +53,7 @@ import org.apache.spark.sql.functions._
 object Bm25Index {
 
   private val StatsFile = "_bm25_stats"
+  private val TermBloomFile = "_term_bloom"
 
   /** One locked index cycle: add `docsNew` (novel docs only — replays
     * and id-reuse are doc-granular no-ops) to the index at `dir`,
@@ -122,8 +123,30 @@ object Bm25Index {
       IncrementalDedup.resolveGeometry(
         IncrementalDedup.knownPartsFrom(mParts, requestedParts),
         postingsRaw, Seq(col("term")))
+    // term-bloom geometry (r14 verdict #5 — the ngram gram-bloom
+    // pattern): adopt from the manifest, or size at creation from this
+    // batch's posting rows (an upper bound on distinct terms) with 4×
+    // headroom; both constants ride the manifest so later batches build
+    // merge-compatible blooms. Legacy pre-bloom indexes stay keyless
+    // and skip the sidecar (search then skips the prune, never wrong).
+    val manifestExists = mParts.isDefined
+    val bloomGeom: Option[(Long, Long)] =
+      if (manifestExists)
+        for {
+          c <- IncrementalDedup.manifestValue(spark, dir, "term_bloom_cap")
+            .map(_.toLong)
+          b <- IncrementalDedup.manifestValue(spark, dir, "term_bloom_bits")
+            .map(_.toLong)
+        } yield (c, b)
+      else Some(IncrementalDedup.gramBloomGeometry(
+        math.max(1L, newPostings.count())))
+    val bloomMeta = bloomGeom match {
+      case Some((c, b)) if !manifestExists =>
+        Map("term_bloom_cap" -> c.toString, "term_bloom_bits" -> b.toString)
+      case _ => Map.empty[String, String]
+    }
     IncrementalDedup.checkOrWriteMeta(spark, dir, Map(
-      "variant" -> "bm25", "store_parts" -> storeParts.toString))
+      "variant" -> "bm25", "store_parts" -> storeParts.toString) ++ bloomMeta)
     // doc-granular novelty from docs/ (pruned to the batch's id hashes);
     // dl NULL for NULL text — the search stats convention: such docs
     // count in N but not in avgdl
@@ -156,12 +179,53 @@ object Bm25Index {
     // the pruned view is a complete witness)
     val readP = IncrementalDedup.readStore(spark, s"$dir/postings",
       "term STRING, doc_id BIGINT, dl DOUBLE, tf DOUBLE, bp INT")
+    // warm cycles probe the term bloom: a MISS term is definitively
+    // absent, so partitions touched only by never-indexed terms drop
+    // out of the anti-join's pruned read (the ngram hitParts pattern).
+    // A missing sidecar under a bloom-keyed manifest (crash between the
+    // sidecar's delete and rename) self-heals here with one term-column
+    // scan of the store.
+    val oldBloomBytes: Option[Array[Byte]] =
+      if (!readP._2) None
+      else bloomGeom.map { case (c, b) =>
+        IncrementalDedup.readBloomSidecar(spark, dir, TermBloomFile)
+          .getOrElse(IncrementalDedup.bloomToBytes(
+            readP._1.select(xxhash64(col("term")).as("th"))
+              .stat.bloomFilter("th", c, b)))
+      }
     val storeP =
-      if (readP._2) IncrementalDedup.prune(readP._1, touchedParts)
-      else readP._1.drop("bp")
+      if (!readP._2) readP._1.drop("bp")
+      else oldBloomBytes match {
+        case Some(bytes) =>
+          val hitParts = newPostings
+            .filter(graft.functions.SketchExprs
+              .bloomMightContain(xxhash64(col("term")), bytes))
+            .select("bp").distinct().collect()
+            .map(_.getInt(0)).toIndexedSeq
+          IncrementalDedup.prune(readP._1, hitParts)
+        case None => IncrementalDedup.prune(readP._1, touchedParts)
+      }
     val novelPostings = newPostings
       .join(novelDocs.select("doc_id"), Seq("doc_id"), "left_semi")
       .join(storeP.select("doc_id", "term"), Seq("doc_id", "term"), "left_anti")
+    // bloom BEFORE the append it covers (superset-at-every-instant —
+    // the writeBloomSidecar contract): a crash after this write only
+    // leaves the bloom claiming terms whose postings never landed —
+    // false positives cost a pruned scan, never a wrong answer. The
+    // batch bloom folds ALL of the batch's terms, novel or not
+    // (supersets are free; exactness is rebuildStore's job).
+    bloomGeom.foreach { case (c, b) =>
+      val batchBloom = newPostings
+        .select(xxhash64(col("term")).as("th")).stat.bloomFilter("th", c, b)
+      val merged = oldBloomBytes match {
+        case Some(bytes) =>
+          val old = org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(bytes))
+          old.mergeInPlace(batchBloom)
+        case None => batchBloom
+      }
+      IncrementalDedup.writeBloomSidecar(spark, dir, TermBloomFile, merged)
+    }
     IncrementalDedup.appendStore(novelPostings, s"$dir/postings")
     IncrementalDedup.appendStore(novelDocs, s"$dir/docs")
     writeStats(spark, dir, readStats(spark, dir) match {
@@ -197,13 +261,29 @@ object Bm25Index {
       queryIdCol: String = "query_id",
       queryCol: String = "query"): DataFrame = {
     ensureReadable(spark, dir)
-    val parts = IncrementalDedup.manifestParts(spark, dir).getOrElse(
+    val manifest = IncrementalDedup.storeManifest(spark, dir)
+    val parts = manifest.get("store_parts").map(_.toInt).getOrElse(
       sys.error(s"$dir has no _graft_store.json manifest — not a bm25 index"))
     val statsOpt = readStats(spark, dir)
-    val qterms = queries.select(col(queryIdCol).as("query_id"),
+    val qtermsAll = queries.select(col(queryIdCol).as("query_id"),
         explode(TextAnalysis.tokens(col(queryCol))).as("term"))
       .distinct()
       .localCheckpoint() // term list + candidate bps + two joins read it
+    // never-indexed query terms drop DRIVER-SIDE via the term bloom
+    // (r14 verdict #5): without it they'd open their hashed partitions
+    // to find nothing — a miss is definitively absent (no false
+    // negatives), so the prune never changes results. A bloom-keyed
+    // manifest whose sidecar is missing (crash window) just skips the
+    // prune until the next locked cycle self-heals it.
+    val qterms =
+      (if (manifest.contains("term_bloom_bits"))
+        IncrementalDedup.readBloomSidecar(spark, dir, TermBloomFile)
+       else None) match {
+        case Some(bytes) => qtermsAll.filter(
+          graft.functions.SketchExprs.bloomMightContain(
+            xxhash64(col("term")), bytes))
+        case None => qtermsAll
+      }
     // candidate partitions from the query's own terms — the prune
     val bps = qterms
       .select(IncrementalDedup.bpOf(parts, col("term")).as("bp"))
@@ -268,7 +348,10 @@ object Bm25Index {
     * write lost — where the retry computed a zero delta and the
     * overcounted totals never healed; the exact recompute is one cheap
     * 2-column scan and makes any retry, including a 0-row one, the
-    * heal). Returns posting+doc rows removed. */
+    * heal). The term bloom is left a SUPERSET (it may still claim the
+    * retired docs' now-gone terms) — supersets only cost false-positive
+    * scans, never correctness; `rebuildStore` re-derives it tight.
+    * Returns posting+doc rows removed. */
   private[ops] def retractLocked(
       spark: SparkSession, dir: String, ids: Seq[Long]): Long = {
     val parts = IncrementalDedup.manifestParts(spark, dir).getOrElse(

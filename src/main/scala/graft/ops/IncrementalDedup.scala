@@ -1441,6 +1441,16 @@ object IncrementalDedup {
         val (c, b) = gramBloomGeometry(math.max(1L, postings.count()))
         writeGramBloom(spark, dstDir, postings.stat.bloomFilter("shingle", c, b))
         Map("bloom_cap" -> c.toString, "bloom_bits" -> b.toString)
+      } else if (bm25 && hasParts(s"$dstDir/postings")) {
+        // bm25 term bloom: fresh sizing from the rebuilt postings —
+        // rebuild is the saturation escape hatch, the retraction
+        // tightener (the incremental sidecar stays a superset of
+        // retired terms), and the legacy-store migration path
+        val postings = spark.read.parquet(s"$dstDir/postings")
+        val (c, b) = gramBloomGeometry(math.max(1L, postings.count()))
+        writeBloomSidecar(spark, dstDir, "_term_bloom", postings
+          .select(xxhash64(col("term")).as("th")).stat.bloomFilter("th", c, b))
+        Map("term_bloom_cap" -> c.toString, "term_bloom_bits" -> b.toString)
       } else Map.empty
     // manifest LAST — the commit point; every other key carries over
     // (exact/span stores leave a rebuild binary-keyed, migrated or not)
@@ -1612,7 +1622,7 @@ object IncrementalDedup {
     * distinct grams) at 3% fp when full. Both constants ride the
     * manifest so every later batch builds MERGE-COMPATIBLE blooms
     * (same bit count ⇒ same hash count). */
-  private def gramBloomGeometry(rows: Long): (Long, Long) = {
+  private[ops] def gramBloomGeometry(rows: Long): (Long, Long) = {
     val cap = math.max(1L << 22, 4L * rows)
     // optimalNumOfBits(n, p) = -n·ln(p)/ln²2
     val bits = math.ceil(
@@ -1621,8 +1631,14 @@ object IncrementalDedup {
   }
 
   private def readGramBloom(
-      spark: SparkSession, storeDir: String): Option[Array[Byte]] = {
-    val p = new org.apache.hadoop.fs.Path(storeDir, GramBloomFile)
+      spark: SparkSession, storeDir: String): Option[Array[Byte]] =
+    readBloomSidecar(spark, storeDir, GramBloomFile)
+
+  /** Generic existence-bloom sidecar read — the gram-bloom pattern for
+    * any store (Bm25Index's `_term_bloom` reuses it). */
+  private[ops] def readBloomSidecar(
+      spark: SparkSession, storeDir: String, file: String): Option[Array[Byte]] = {
+    val p = new org.apache.hadoop.fs.Path(storeDir, file)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else {
@@ -1631,7 +1647,7 @@ object IncrementalDedup {
     }
   }
 
-  private def bloomToBytes(
+  private[ops] def bloomToBytes(
       b: org.apache.spark.util.sketch.BloomFilter): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     b.writeTo(bos)
@@ -1648,18 +1664,25 @@ object IncrementalDedup {
     * scans, never correctness. */
   private def writeGramBloom(
       spark: SparkSession, storeDir: String,
+      bloom: org.apache.spark.util.sketch.BloomFilter): Unit =
+    writeBloomSidecar(spark, storeDir, GramBloomFile, bloom)
+
+  /** Generic existence-bloom sidecar write (temp + delete + rename —
+    * see the crash notes above). */
+  private[ops] def writeBloomSidecar(
+      spark: SparkSession, storeDir: String, file: String,
       bloom: org.apache.spark.util.sketch.BloomFilter): Unit = {
     import org.apache.hadoop.fs.Path
     val root = new Path(storeDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(root)
     fs.listStatus(root)
-      .filter(_.getPath.getName.startsWith(s"$GramBloomFile.tmp-"))
+      .filter(_.getPath.getName.startsWith(s"$file.tmp-"))
       .foreach(s => fs.delete(s.getPath, false))
-    val tmp = new Path(root, s"$GramBloomFile.tmp-${ProcessHandle.current().pid()}")
+    val tmp = new Path(root, s"$file.tmp-${ProcessHandle.current().pid()}")
     val out = fs.create(tmp, true)
     try bloom.writeTo(out) finally out.close()
-    val dst = new Path(root, GramBloomFile)
+    val dst = new Path(root, file)
     fs.delete(dst, false)
     require(fs.rename(tmp, dst), s"bloom rename failed: $tmp -> $dst")
   }

@@ -165,6 +165,78 @@ class Bm25IndexSpec extends SparkSuite {
     assert(Bm25Index.readStats(spark, d) == before)
   }
 
+  test("term bloom: absent-term queries read ZERO posting rows") {
+    val d = dir("bloom")
+    Bm25Index.indexBatch(docs, d, storeParts = 64)
+    val m = IncrementalDedup.storeManifest(spark, d)
+    assert(m.contains("term_bloom_cap") && m.contains("term_bloom_bits"))
+    val absent = Seq((0L, "zzznevertokena zzznevertokenb"))
+      .toDF("query_id", "query")
+    val ioWith = recordsReadDuring {
+      assert(Bm25Index.search(spark, d, absent, k = 5).count() == 0)
+    }
+    // the only records read are the 2-row qterms checkpoint's own
+    // read-backs (query-side constant) — NO posting partition opens
+    assert(ioWith <= 8,
+      s"absent-term search read $ioWith records — bloom prune lost")
+    // the counterfactual: without the sidecar the same query opens the
+    // absent terms' hashed partitions to find nothing
+    val fs = new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(d, "_term_bloom"), false)
+    val ioWithout = recordsReadDuring {
+      assert(Bm25Index.search(spark, d, absent, k = 5).count() == 0)
+    }
+    assert(ioWithout > ioWith,
+      s"bloom bought nothing: $ioWith with vs $ioWithout without")
+    // present terms still find their docs (prune never changes results)
+    assert(rows(Bm25Index.search(spark, d, queries, k = 5)) ==
+      rows(Bm25.search(docs, queries, k = 5)))
+  }
+
+  test("term bloom merges across appends; self-heals a missing sidecar") {
+    val d = dir("bloommerge")
+    val half = docs.count() / 2
+    Bm25Index.indexBatch(docs.filter(col("doc_id") < half), d)
+    Bm25Index.indexBatch(
+      Seq((777777L, "zzzlateterm arrives here")).toDF("doc_id", "text"), d)
+    // a term only the SECOND batch carries must survive the merge
+    val q = Seq((0L, "zzzlateterm")).toDF("query_id", "query")
+    assert(Bm25Index.search(spark, d, q, k = 5)
+      .collect().map(_.getLong(1)).toSeq == Seq(777777L))
+    // crash the sidecar away: search skips the prune (still correct,
+    // both absent and present terms), the next locked cycle heals it
+    val fs = new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(d, "_term_bloom"), false)
+    assert(Bm25Index.search(spark, d,
+      Seq((0L, "zzznever")).toDF("query_id", "query"), k = 5).count() == 0)
+    assert(Bm25Index.search(spark, d, q, k = 5)
+      .collect().map(_.getLong(1)).toSeq == Seq(777777L))
+    Bm25Index.indexBatch(
+      Seq((777778L, "another doc lands")).toDF("doc_id", "text"), d)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(d, "_term_bloom")))
+    // healed bloom still covers batch-1 AND batch-2 terms
+    assert(Bm25Index.search(spark, d, q, k = 5).count() == 1)
+  }
+
+  test("rebuild regenerates the term bloom with fresh sizing") {
+    val src = dir("bloomrebuild")
+    Bm25Index.indexBatch(docs, src)
+    val dst = dir("bloomrebuild_dst")
+    IncrementalDedup.rebuildStore(spark, src, dst, 16)
+    val m = IncrementalDedup.storeManifest(spark, dst)
+    assert(m.contains("term_bloom_cap") && m.contains("term_bloom_bits"))
+    val absent = Seq((0L, "zzznevertoken")).toDF("query_id", "query")
+    val io = recordsReadDuring {
+      assert(Bm25Index.search(spark, dst, absent, k = 5).count() == 0)
+    }
+    // query-side checkpoint read-backs only — no posting partition opens
+    assert(io <= 8, s"rebuilt index read $io records for an absent term")
+    assert(rows(Bm25Index.search(spark, dst, queries, k = 5)) ==
+      rows(Bm25Index.search(spark, src, queries, k = 5)))
+  }
+
   test("fully-indexed hybrid equals the brute-force hybrid") {
     val d = dir("hybrid")
     Bm25Index.indexBatch(docs, d)
