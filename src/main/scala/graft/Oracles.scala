@@ -1274,6 +1274,14 @@ object Oracles {
         |  TRUE AS no_overremoval_ok, TRUE AS planted_recall_ok
         |FROM embeddings""".stripMargin,
 
+    // banded pair probe (r14 verdict #2): flags pinned — the planted
+    // near-dup pairs must surface in the NON-clone bands and read fully
+    // co-celled at gate scale (the q_knn_lsh convention)
+    "q_semdedup_recall_probe" ->
+      """SELECT CAST(count(*) + 25 AS BIGINT) AS n_docs,
+        |  TRUE AS near_pairs_ok, TRUE AS near_recall_ok
+        |FROM embeddings""".stripMargin,
+
     // coded (IVF-PQ) probe: recall boolean, the q_knn_lsh convention —
     // the Spark side computes recall against ITS exact brute force; the
     // oracle pins the query count and the expected flag

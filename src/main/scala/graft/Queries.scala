@@ -1113,6 +1113,31 @@ object Queries {
         (col("__caught") >= 20).as("planted_recall_ok"))
   }
 
+  /** Banded pair-probe telemetry, gated on its own guarantees (r14
+    * verdict #2; the q_knn_lsh flag convention — cells are
+    * engine-specific, so the oracle pins the flags and the doc count):
+    *  - `near_pairs_ok`: the bucket-sampled pair draw FINDS the 25
+    *    planted near-dup pairs (cosine ≈ 0.968 — below the 0.9999 clone
+    *    band, so they land in the near bands the old vector-sampled
+    *    probe was blind to);
+    *  - `near_recall_ok`: nearDupRecall ≥ 0.8 — the SAME regression
+    *    tripwire q_semantic_dedup pins for planted-pair capture (a few
+    *    gate-corpus pairs genuinely straddle cells at sf0.1, the exact
+    *    loss this probe measures); the full curve lives in the soak
+    *    (BASELINE: 1.0 at 1×, 0.865 at 10×, 0.768 at 100×). */
+  def qSemdedupRecallProbe(s: SparkSession, dir: String): DataFrame = {
+    val corpus = embeddingGateCorpus(s, dir).localCheckpoint()
+    val assigned = graft.ops.SemDedup.assign(corpus, nClusters = 16)
+      .localCheckpoint()
+    val bands = graft.ops.SemDedup.recallBands(assigned, tau = 0.95)
+    val near = bands.filterNot(_.isClone)
+    import s.implicits.newProductEncoder
+    import s.implicits.localSeqToDatasetHolder
+    Seq((corpus.count(), near.map(_.pairs).sum >= 25L,
+      graft.ops.SemDedup.nearDupRecall(bands) >= 0.8))
+      .toDF("n_docs", "near_pairs_ok", "near_recall_ok")
+  }
+
   def qEmbeddingNorm(s: SparkSession, dir: String): DataFrame =
     rd(s, dir, "embeddings").select(
       col("vec_id"),

@@ -104,6 +104,7 @@ object SparkEntry {
     "q_bm25_index" -> (Queries.qBm25Index _),
     "q_importance_topk" -> (Queries.qImportanceTopk _),
     "q_semantic_dedup" -> (Queries.qSemanticDedup _),
+    "q_semdedup_recall_probe" -> (Queries.qSemdedupRecallProbe _),
     "q_token_budget" -> (Queries.qTokenBudget _),
     "q_hybrid_search" -> (Queries.qHybridSearch _),
     "q_span_dedup" -> (Queries.qSpanDedup _),
