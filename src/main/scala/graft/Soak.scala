@@ -232,8 +232,12 @@ object Soak {
           .as("embedding"))
     }.reduce(_ unionAll _)
     val embPath = s"$tmp/embeddings"
-    scaledEmb.write.parquet(embPath)
-    val embCorpus = spark.read.parquet(embPath)
+    // materialized only for the families that read it (emb + the
+    // incremental embedding-store seeds) — a single-family re-probe of
+    // text/width/frag/cc must not pay the write
+    if (soakOnly.forall(o => o == "emb" || o == "inc"))
+      scaledEmb.write.parquet(embPath)
+    lazy val embCorpus = spark.read.parquet(embPath)
 
     // Geometry must SCALE with the corpus: 8 planes = 256 sign-buckets
     // per table, so at fixed geometry a bucket holds 800·factor/256
@@ -486,9 +490,11 @@ object Soak {
     // O(dethroned roots) in the log, and (c) the resolved read and the
     // post-compact read stay cheap as the store grows.
     val ccPairsPath = s"$tmp/cc_pairs"
-    ops.Dedup.ngramJaccardPairs(twoSrc, n = 3, threshold = 0.01)
-      .write.parquet(ccPairsPath)
-    val ccPairs = spark.read.parquet(ccPairsPath)
+    // one of the soak's most expensive jobs — cc-family only
+    if (soakOnly.forall(_ == "cc"))
+      ops.Dedup.ngramJaccardPairs(twoSrc, n = 3, threshold = 0.01)
+        .write.parquet(ccPairsPath)
+    lazy val ccPairs = spark.read.parquet(ccPairsPath)
     val ccStore = s"$tmp/cc_store"
     // parity split, not hash: batch A sees only odd-id left endpoints,
     // so clusters whose true min id is EVEN get a temporary odd

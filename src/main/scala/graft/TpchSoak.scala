@@ -66,6 +66,17 @@ object TpchSoak {
     }))
     for ((t, sh) <- strides) {
       val base = Queries.rd(spark, sfDir, t)
+      // the within-copy join invariant REQUIRES every stride to exceed
+      // its key's actual range — a larger SF silently violating it
+      // would multiply cross-copy join matches (the exact corruption
+      // the header warns about) and report a wrong curve; fail loudly
+      val maxAggs = sh.keys.toSeq.map(c => max(col(c).cast("long")).as(c))
+      val maxes = base.agg(maxAggs.head, maxAggs.tail: _*).collect().head
+      sh.keys.toSeq.zipWithIndex.foreach { case (c, i) =>
+        require(maxes.getLong(i) < sh(c),
+          s"$t.$c max ${maxes.getLong(i)} >= stride ${sh(c)} — raise the " +
+            "stride for this corpus or copies will share key ranges")
+      }
       val scaled = (0 until factor).map { i =>
         sh.foldLeft(base) { case (df, (c, stride)) =>
           df.withColumn(c, col(c) + lit(i.toLong * stride))

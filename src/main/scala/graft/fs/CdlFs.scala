@@ -491,21 +491,30 @@ final class CdlFs(
     // cascade: the retired ids, per attached id column, read from the
     // TOUCHED files only (every matching row lives in one by definition)
     // — collected BEFORE the rewrite erases them, durable only with the
-    // commit marker below
-    val idSets: Map[String, Seq[Long]] = attachments.map(_._2).distinct.map { c =>
-      val rows = readFiles(touched).filter(pred)
-        .select(col(c).cast("long").as("__id")).distinct()
-        .limit(MaxCascadeIds + 1).collect()
-      require(rows.length <= MaxCascadeIds,
-        s"cascade delete retired more than $MaxCascadeIds distinct $c values " +
-          "— split the delete (the id set must stay a driver-side takedown " +
-          "batch, not a corpus)")
-      require(!rows.exists(_.isNullAt(0)),
-        s"cascade delete: NULL $c among the deleted rows — every attached " +
-          "store's id column must be fully stamped (legacy unstamped rows " +
-          "cannot be retracted by id)")
-      c -> rows.map(_.getLong(0)).toIndexedSeq
-    }.toMap
+    // commit marker below. ONE pruned scan serves every id column: the
+    // matching rows' id projection checkpoints once and each column's
+    // distinct is a cheap job over it
+    val idCols = attachments.map(_._2).distinct
+    val idSets: Map[String, Seq[Long]] =
+      if (idCols.isEmpty) Map.empty
+      else {
+        val capture = readFiles(touched).filter(pred)
+          .select(idCols.map(c => col(c).cast("long").as(c)): _*)
+          .localCheckpoint()
+        idCols.map { c =>
+          val rows = capture.select(col(c)).distinct()
+            .limit(MaxCascadeIds + 1).collect()
+          require(rows.length <= MaxCascadeIds,
+            s"cascade delete retired more than $MaxCascadeIds distinct $c " +
+              "values — split the delete (the id set must stay a driver-side " +
+              "takedown batch, not a corpus)")
+          require(!rows.exists(_.isNullAt(0)),
+            s"cascade delete: NULL $c among the deleted rows — every attached " +
+              "store's id column must be fully stamped (legacy unstamped rows " +
+              "cannot be retracted by id)")
+          c -> rows.map(_.getLong(0)).toIndexedSeq
+        }.toMap
+      }
     // 2. rewrite ONLY the touched files, kept rows re-clustered on the
     //    same keys compact uses so take/file stats stay tight
     val keys =
@@ -734,15 +743,7 @@ final class CdlFs(
         val stores = (oldStores ++ newStores).distinct
         cascadeBody(ids, stores)
     }
-    val tmp = new Path(rootP,
-      s"$CascadePending.tmp-${ProcessHandle.current().pid()}")
-    val out = hfs.create(tmp, true)
-    try out.write(merged.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    val dst = new Path(rootP, CascadePending)
-    hfs.delete(dst, false)
-    if (!hfs.rename(tmp, dst))
-      throw new java.io.IOException(s"cascade marker rename failed: $dst")
+    writeCascadeMarkerRaw(hfs, rootP, merged)
   }
 
   private def readCascadePending()
@@ -789,29 +790,40 @@ final class CdlFs(
         val hfs = rootP.getFileSystem(hconf)
         val done = scala.collection.mutable.ListBuffer[(String, Long)]()
         var remaining = stores
-        stores.foreach { case (dir, c) =>
+        stores.foreach { case entry @ (dir, c) =>
           val ids = idSets.getOrElse(c, Nil)
           val removed =
             if (ids.isEmpty) 0L else graft.ops.Retract.retract(spark, dir, ids)
           done += dir -> removed
-          remaining = remaining.filterNot(_._1 == dir)
+          // drop EXACTLY this (dir, idCol) obligation — the same store
+          // can legitimately appear under two id columns (re-attach
+          // between cascaded deletes) and completing one must not erase
+          // the other from the marker
+          remaining = remaining.filterNot(_ == entry)
           if (remaining.isEmpty) hfs.delete(new Path(rootP, CascadePending), false)
-          else {
-            // shrink EXACTLY (no merge): this rewrite records completion
-            val tmp = new Path(rootP,
-              s"$CascadePending.tmp-${ProcessHandle.current().pid()}")
-            val out = hfs.create(tmp, true)
-            try out.write(cascadeBody(idSets, remaining)
-              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            finally out.close()
-            val dst = new Path(rootP, CascadePending)
-            hfs.delete(dst, false)
-            if (!hfs.rename(tmp, dst))
-              throw new java.io.IOException(s"cascade marker rename failed: $dst")
-          }
+          // shrink EXACTLY (no merge): this rewrite records completion
+          else writeCascadeMarkerRaw(hfs, rootP, cascadeBody(idSets, remaining))
         }
         done.toList
     }
+  }
+
+  /** The one atomic marker replace both writers share (temp-write +
+    * delete + rename): [[writeCascadePending]] merges first, the
+    * shrink path passes the exact body. */
+  private def writeCascadeMarkerRaw(
+      hfs: org.apache.hadoop.fs.FileSystem,
+      rootP: org.apache.hadoop.fs.Path, body: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val tmp = new Path(rootP,
+      s"$CascadePending.tmp-${ProcessHandle.current().pid()}")
+    val out = hfs.create(tmp, true)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dst = new Path(rootP, CascadePending)
+    hfs.delete(dst, false)
+    if (!hfs.rename(tmp, dst))
+      throw new java.io.IOException(s"cascade marker rename failed: $dst")
   }
 
   /** Drop commit-log versions made unreadable by a compact or delete

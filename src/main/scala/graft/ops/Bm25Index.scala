@@ -172,7 +172,14 @@ object Bm25Index {
       coalesce(sum(col("dl")), lit(0.0)).as("td")).collect().head
     val (dN, dNt, dTd) =
       (deltaRow.getLong(0), deltaRow.getLong(1), deltaRow.getDouble(2))
-    if (dN == 0L) return 0L
+    if (dN == 0L) {
+      // a replay-only cycle returns before the postings section below —
+      // heal a lost sidecar HERE too, or the documented "next locked
+      // cycle self-heals" contract breaks under pure-replay workloads
+      // (indexStream retries are exactly the dN == 0 shape)
+      healTermBloomLocked(spark, dir, bloomGeom)
+      return 0L
+    }
     // postings of the NOVEL docs only; row-granular (doc_id, term)
     // anti-join against the term-pruned store so a crashed append's
     // retry appends exactly the missing rows (equal terms share a bp —
@@ -238,6 +245,51 @@ object Bm25Index {
     dN
   }
 
+  /** Rebuild a MISSING term-bloom sidecar from the postings store (one
+    * term-column scan) — the self-heal for the delete-before-rename
+    * crash window, shared by the novel-batch path (via its merged
+    * write) and the replay-only early return. Runs under the held
+    * store lock; a present sidecar is a no-op probe. */
+  private def healTermBloomLocked(
+      spark: SparkSession, dir: String,
+      bloomGeom: Option[(Long, Long)]): Unit =
+    bloomGeom.foreach { case (c, b) =>
+      if (IncrementalDedup.readBloomSidecar(spark, dir, TermBloomFile).isEmpty) {
+        val readP = IncrementalDedup.readStore(spark, s"$dir/postings",
+          "term STRING, doc_id BIGINT, dl DOUBLE, tf DOUBLE, bp INT")
+        if (readP._2)
+          IncrementalDedup.writeBloomSidecar(spark, dir, TermBloomFile,
+            readP._1.select(xxhash64(col("term")).as("th"))
+              .stat.bloomFilter("th", c, b))
+      }
+    }
+
+  /** Per-JVM sidecar byte cache keyed by (path, mtime): search is the
+    * hot path and the bloom floors at ~4 MB (gramBloomGeometry's 2²²
+    * cap) — the filesystem read amortizes to one per sidecar VERSION
+    * instead of one per query; a rewritten sidecar (append/heal/
+    * rebuild) invalidates via its fresh modification time. */
+  private val bloomCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Array[Byte])]()
+
+  private def cachedTermBloom(
+      spark: SparkSession, dir: String): Option[Array[Byte]] = {
+    val p = new org.apache.hadoop.fs.Path(dir, TermBloomFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val mtime = fs.getFileStatus(p).getModificationTime
+      val key = p.toString
+      Option(bloomCache.get(key)).filter(_._1 == mtime).map(_._2).orElse {
+        val bytes = IncrementalDedup.readBloomSidecar(spark, dir, TermBloomFile)
+        bytes.foreach(v => bloomCache.put(key, (mtime, v)))
+        bytes
+      }
+    } catch {
+      case _: java.io.FileNotFoundException =>
+        bloomCache.remove(p.toString); None
+    }
+  }
+
   /** Search the index: top-`k` per query by BM25 — a PRUNED read. The
     * query's distinct terms map to candidate `bp` values driver-side
     * (a tiny local-relation job), the postings scan opens only those
@@ -276,8 +328,7 @@ object Bm25Index {
     // manifest whose sidecar is missing (crash window) just skips the
     // prune until the next locked cycle self-heals it.
     val qterms =
-      (if (manifest.contains("term_bloom_bits"))
-        IncrementalDedup.readBloomSidecar(spark, dir, TermBloomFile)
+      (if (manifest.contains("term_bloom_bits")) cachedTermBloom(spark, dir)
        else None) match {
         case Some(bytes) => qtermsAll.filter(
           graft.functions.SketchExprs.bloomMightContain(

@@ -133,6 +133,38 @@ class CascadeSpec extends SparkSuite {
     assert(fs.runCascadePending().isEmpty) // idempotent when clean
   }
 
+  test("same store under two id columns: completing one keeps the other owed") {
+    val (fs, root) = freshFs("twoids")
+    val s = s"$root/store"; val bad = s"$root/nonexistent"
+    buildStore(fs, s)
+    val rids = fs.table.orderBy("row_id").select("row_id")
+      .collect().map(_.getLong(0))
+    val (rA, rB) = (rids(0), rids(1))
+    // hand-build the marker shape a re-attach between two cascaded
+    // deletes produces: the SAME store owed under two id columns, with
+    // a failing store between them — completing the first (s, row_id)
+    // must not drop (s, chunk_id) from the marker (the old
+    // filterNot-by-dir shrink lost it, and a crash there lost the
+    // takedown obligation permanently)
+    Files.write(Paths.get(s"${fs.tableLocation}/.graft_cascade_pending"),
+      (s"""{"ids":{"row_id":[$rA],"chunk_id":[$rB]},"stores":[""" +
+        s"""{"dir":"$s","id_col":"row_id"},{"dir":"$bad","id_col":"row_id"},""" +
+        s"""{"dir":"$s","id_col":"chunk_id"}]}""").getBytes("UTF-8"))
+    intercept[RuntimeException] { fs.runCascadePending() }
+    // rA retracted; the marker still owes BOTH the failed store AND the
+    // second (s, chunk_id) obligation
+    assert(spark.read.parquet(s)
+      .filter(col("keep_doc_id") === rA).count() == 0)
+    assert(fs.cascadePendingStores == Seq(bad, s),
+      s"marker lost an obligation: ${fs.cascadePendingStores}")
+    buildStore(fs, bad) // "fix" the missing store
+    val done = fs.runCascadePending()
+    assert(done.map(_._1) == Seq(bad, s))
+    assert(spark.read.parquet(s)
+      .filter(col("keep_doc_id") === rB).count() == 0)
+    assert(fs.cascadePendingStores.isEmpty)
+  }
+
   test("delete-marker hand-off: the #cascade trailer survives a crash") {
     val (fs, root) = freshFs("handoff")
     val s1 = s"$root/store1"

@@ -220,6 +220,27 @@ class Bm25IndexSpec extends SparkSuite {
     assert(Bm25Index.search(spark, d, q, k = 5).count() == 1)
   }
 
+  test("a replay-only cycle heals a lost term bloom (dN==0 path)") {
+    val d = dir("bloomreplay")
+    Bm25Index.indexBatch(docs, d, storeParts = 64)
+    val fs = new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(d, "_term_bloom"), false)
+    // the retry workload: the SAME batch replays, zero novel docs — the
+    // heal must still run (indexStream retries are exactly this shape)
+    assert(Bm25Index.indexBatch(docs, d, storeParts = 64) == 0L)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(d, "_term_bloom")))
+    // and the healed sidecar prunes absent terms again
+    val absent = Seq((0L, "zzznevertoken")).toDF("query_id", "query")
+    val io = recordsReadDuring {
+      assert(Bm25Index.search(spark, d, absent, k = 5).count() == 0)
+    }
+    assert(io <= 8, s"healed bloom lost the prune: $io records read")
+    // present terms unaffected
+    assert(rows(Bm25Index.search(spark, d, queries, k = 5)) ==
+      rows(Bm25.search(docs, queries, k = 5)))
+  }
+
   test("rebuild regenerates the term bloom with fresh sizing") {
     val src = dir("bloomrebuild")
     Bm25Index.indexBatch(docs, src)
