@@ -77,6 +77,31 @@ object DeleteSoak {
     drive("single_doc_takedown", "name = 'doc_42.txt'")
     drive("dir_purge", "parent = '/d7'")
     drive("no_match", "name = 'absent.bin'")
+
+    // cascaded takedown (r15): ONE deleteWhere drives the whole loop —
+    // the retired row_ids ride the delete's own pruned scan, become
+    // durable with its commit marker, and retract from every attached
+    // store; the leftover counts are the no-store-scan proof at scale
+    val exactStore = s"$root/store_exact"
+    val mhStore = s"$root/store_minhash"
+    val derived = fsys.table.select(col("row_id").as("doc_id"),
+      col("data").cast("string").as("text"))
+    ops.IncrementalDedup.exactBatch(derived, exactStore)
+    ops.IncrementalDedup.minhashBatch(derived, mhStore)
+    fsys.attachStore(exactStore)
+    fsys.attachStore(mhStore)
+    val retired = fsys.table.filter(col("parent") === "/d9")
+      .select("row_id").collect().map(_.getLong(0))
+    val t0 = System.nanoTime()
+    val deleted = fsys.deleteWhere("parent = '/d9'", cascade = true)
+    val wall = (System.nanoTime() - t0) / 1e9
+    val exactLeft = spark.read.parquet(exactStore)
+      .filter(col("keep_doc_id").isin(retired.toSeq: _*)).count()
+    val mhLeft = spark.read.parquet(mhStore)
+      .filter(col("doc_id").isin(retired.toSeq: _*)).count()
+    println(f"cascade_dir_purge: rows_deleted=$deleted wall=$wall%.2fs " +
+      f"retired_ids=${retired.length} exact_left=$exactLeft mh_left=$mhLeft " +
+      f"pending=${fsys.cascadePendingStores.size}")
     spark.stop()
   }
 }
