@@ -409,6 +409,26 @@ class Cdl:
                 embs._jdf, int(n_clusters), float(tau)),
             self._spark)
 
+    def sem_dedup_recall_bands(self, embs, n_clusters=16, tau=0.95):
+        """Banded pair-sampled cell-fence recall telemetry: returns
+        (bands, near_dup_recall) where bands is a list of
+        (lo, hi, is_clone, pairs, co_celled) tuples — log the non-clone
+        recall per epoch; a falling reading is cell-straddle drift
+        showing up before surviving duplicates do."""
+        raw = list(self._spark._jvm.graft.PyBridge.semDedupRecallBands(
+            embs._jdf, int(n_clusters), float(tau)))
+        bands = []
+        near = 1.0
+        for line in raw:
+            parts = line.split("\t")
+            if parts[0] == "near_dup_recall":
+                near = float(parts[1])
+            else:
+                bands.append((float(parts[0]), float(parts[1]),
+                              parts[2] == "true", int(parts[3]),
+                              int(parts[4])))
+        return bands, near
+
     def span_dedup(self, docs, w=10):
         """ExactSubstr-style span dedup of (doc_id, text): cut every
         non-keeper occurrence of a duplicated w-token window; the global

@@ -364,6 +364,12 @@ def test_dsir_and_semdedup_over_bridge(spark):
                   cdl.sem_dedup(embs, n_clusters=2, tau=0.99).collect())
     assert kept == [1, 3]
 
+    # banded recall telemetry: the clone pair co-cells -> recall 1.0,
+    # and its pair lands in the clone band (cosine 1.0 >= 0.9999)
+    bands, near = cdl.sem_dedup_recall_bands(embs, n_clusters=2, tau=0.99)
+    assert near == 1.0
+    assert sum(b[3] for b in bands if b[2]) == 1  # one clone pair drawn
+
     # hybrid RRF: doc 1 matches lexically AND semantically -> rank 1
     hq = spark.createDataFrame(
         [(0, "alpha beta", [1.0, 0.0, 0.0])],

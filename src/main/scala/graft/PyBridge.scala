@@ -297,6 +297,21 @@ object PyBridge {
       tau: Double): DataFrame =
     graft.ops.SemDedup.dedup(embs, nClusters.intValue, tau)
 
+  /** Banded pair-sampled cell-fence recall (r15): rows as
+    * "lo\thi\tis_clone\tpairs\tco_celled" plus a final
+    * "near_dup_recall\t<v>" line — the telemetry a pipeline logs per
+    * epoch so cell-straddle drift is measured, not trusted. */
+  def semDedupRecallBands(embs: DataFrame, nClusters: java.lang.Number,
+      tau: Double): java.util.List[String] = {
+    import scala.jdk.CollectionConverters._
+    val assigned = graft.ops.SemDedup.assign(embs, nClusters.intValue)
+      .localCheckpoint()
+    val bands = graft.ops.SemDedup.recallBands(assigned, tau)
+    (bands.map(b =>
+      s"${b.lo}\t${b.hi}\t${b.isClone}\t${b.pairs}\t${b.coCelled}") :+
+      s"near_dup_recall\t${graft.ops.SemDedup.nearDupRecall(bands)}").asJava
+  }
+
   /** Span (ExactSubstr-style) dedup: duplicated w-token spans cut,
     * keepers kept. */
   def spanDedup(docs: DataFrame, w: java.lang.Number): DataFrame =

@@ -352,17 +352,30 @@ object Main {
       // cells + within-cell exact-cosine keep-one over a
       // (vec_id, embedding) parquet table
       case "semdedup" :: input :: outPath :: rest =>
-        val (kClusters, tau) = rest match {
+        val (probe, args2) = rest.partition(_ == "--probe")
+        val (kClusters, tau) = args2 match {
           case Nil             => (16, 0.95)
           case c :: Nil        => (c.toInt, 0.95)
           case c :: t :: Nil   => (c.toInt, t.toDouble)
           case other => sys.error(
-            s"usage: semdedup <in.parquet> <out.parquet> [nClusters [tau]]; got $other")
+            s"usage: semdedup <in.parquet> <out.parquet> [nClusters [tau]] [--probe]; got $other")
         }
-        val kept = graft.ops.SemDedup.dedup(
-          spark.read.parquet(input), kClusters, tau)
+        val embs = spark.read.parquet(input)
+        val kept = graft.ops.SemDedup.dedup(embs, kClusters, tau)
         kept.write.mode("overwrite").parquet(outPath)
         println(s"semdedup: kept ${spark.read.parquet(outPath).count()} rows")
+        if (probe.nonEmpty) {
+          // banded pair-sampled cell-fence recall (r15): the telemetry
+          // an operator logs per run — a falling non-clone band is
+          // cell-straddle drift before it is surviving duplicates
+          val assigned = graft.ops.SemDedup.assign(embs, kClusters)
+            .localCheckpoint()
+          val bands = graft.ops.SemDedup.recallBands(assigned, tau)
+          bands.foreach(b => println(
+            f"recall_band[${b.lo}%.4f,${b.hi}%.4f${if (b.isClone) ",clone" else ""}]: " +
+              f"${b.recall}%.4f (pairs=${b.pairs} co=${b.coCelled})"))
+          println(f"near_dup_recall: ${graft.ops.SemDedup.nearDupRecall(bands)}%.4f")
+        }
 
       // span (ExactSubstr-style) dedup (training-pipeline extension):
       // cut every non-keeper duplicated w-token window out of a
