@@ -777,10 +777,13 @@ final class CdlFs(
   /** Run (or resume) the pending cascade: retract the marker's retired
     * ids from each store still listed, shrinking the marker as each
     * completes. Returns (storeDir, rowsRemoved) for the stores finished
-    * by THIS call; a store that fails stops the run with the marker
-    * still listing it and everything after it — fix and re-run. Safe to
-    * re-run a half-finished store (per-store retraction is idempotent;
-    * its own `_retract_pending` marker heals partition-level crashes). */
+    * by THIS call. A failing store is SKIPPED — its obligation stays in
+    * the marker while every LATER store still runs (one broken store
+    * must not delay erasure in the healthy ones) — and the run then
+    * throws naming exactly the stores still owed; fix and re-run. Safe
+    * to re-run a half-finished store (per-store retraction is
+    * idempotent; its own `_retract_pending` marker heals
+    * partition-level crashes). */
   def runCascadePending(): Seq[(String, Long)] = {
     import org.apache.hadoop.fs.Path
     readCascadePending() match {
@@ -789,21 +792,33 @@ final class CdlFs(
         val rootP = new Path(tableLocation)
         val hfs = rootP.getFileSystem(hconf)
         val done = scala.collection.mutable.ListBuffer[(String, Long)]()
+        val failed = scala.collection.mutable.ListBuffer[(String, Exception)]()
         var remaining = stores
         stores.foreach { case entry @ (dir, c) =>
           val ids = idSets.getOrElse(c, Nil)
-          val removed =
-            if (ids.isEmpty) 0L else graft.ops.Retract.retract(spark, dir, ids)
-          done += dir -> removed
-          // drop EXACTLY this (dir, idCol) obligation — the same store
-          // can legitimately appear under two id columns (re-attach
-          // between cascaded deletes) and completing one must not erase
-          // the other from the marker
-          remaining = remaining.filterNot(_ == entry)
-          if (remaining.isEmpty) hfs.delete(new Path(rootP, CascadePending), false)
-          // shrink EXACTLY (no merge): this rewrite records completion
-          else writeCascadeMarkerRaw(hfs, rootP, cascadeBody(idSets, remaining))
+          try {
+            val removed =
+              if (ids.isEmpty) 0L else graft.ops.Retract.retract(spark, dir, ids)
+            done += dir -> removed
+            // drop EXACTLY this (dir, idCol) obligation — the same store
+            // can legitimately appear under two id columns (re-attach
+            // between cascaded deletes) and completing one must not erase
+            // the other from the marker
+            remaining = remaining.filterNot(_ == entry)
+            if (remaining.isEmpty)
+              hfs.delete(new Path(rootP, CascadePending), false)
+            // shrink EXACTLY (no merge): this rewrite records completion
+            else writeCascadeMarkerRaw(hfs, rootP, cascadeBody(idSets, remaining))
+          } catch {
+            case e: Exception => failed += dir -> e
+          }
         }
+        if (failed.nonEmpty)
+          throw new IllegalStateException(
+            s"cascade: ${failed.size} store(s) still owed after this run (" +
+              failed.map(_._1).mkString(", ") + ") — first failure: " +
+              s"${failed.head._2.getMessage}; fix and re-run runCascadePending",
+            failed.head._2)
         done.toList
     }
   }

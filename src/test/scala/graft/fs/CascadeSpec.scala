@@ -106,25 +106,29 @@ class CascadeSpec extends SparkSuite {
     intercept[RuntimeException] {
       fs.deleteWhere("name = 's1.txt'", cascade = true)
     }
-    // the TABLE delete committed; the cascade is owed to BOTH stores
-    // (bad failed before good was reached)
+    // the TABLE delete committed; the broken store is SKIPPED but the
+    // healthy one behind it still ran (takedown availability) — only
+    // the failed obligation stays in the marker
     assert(fs.table.filter(col("name") === "s1.txt").count() == 0)
-    assert(fs.cascadePendingStores == Seq(bad, good))
-    // a second cascaded delete must NOT be blocked by the broken store
-    // (takedown availability): its table delete commits, its ids MERGE
-    // into the pending marker, and the post-delete resume surfaces the
-    // store failure
+    assert(fs.cascadePendingStores == Seq(bad))
+    assert(spark.read.parquet(good)
+      .filter(col("keep_doc_id").isin(retired1.toSeq: _*)).count() == 0)
+    // a second cascaded delete must NOT be blocked by the broken store:
+    // its table delete commits, its ids MERGE into the pending marker
+    // (for the bad store) and retract from the good one immediately
     val retired2 = fs.table.filter(col("name") === "s2.txt")
       .select("row_id").collect().map(_.getLong(0)).toSet
     intercept[RuntimeException] {
       fs.deleteWhere("name = 's2.txt'", cascade = true)
     }
     assert(fs.table.filter(col("name") === "s2.txt").count() == 0)
-    assert(fs.cascadePendingStores == Seq(bad, good))
-    // fix the sabotage and resume: all retired ids leave BOTH stores
+    assert(fs.cascadePendingStores == Seq(bad))
+    assert(spark.read.parquet(good)
+      .filter(col("keep_doc_id").isin(retired2.toSeq: _*)).count() == 0)
+    // fix the sabotage and resume: the merged id batches leave it too
     Files.write(manifest, origManifest.getBytes("UTF-8"))
     val done = fs.runCascadePending()
-    assert(done.map(_._1) == Seq(bad, good))
+    assert(done.map(_._1) == Seq(bad))
     val all = (retired1 ++ retired2).toSeq
     for (s <- Seq(good, bad))
       assert(spark.read.parquet(s)
@@ -151,17 +155,17 @@ class CascadeSpec extends SparkSuite {
         s"""{"dir":"$s","id_col":"row_id"},{"dir":"$bad","id_col":"row_id"},""" +
         s"""{"dir":"$s","id_col":"chunk_id"}]}""").getBytes("UTF-8"))
     intercept[RuntimeException] { fs.runCascadePending() }
-    // rA retracted; the marker still owes BOTH the failed store AND the
-    // second (s, chunk_id) obligation
+    // BOTH same-dir obligations executed around the failing store (the
+    // old filterNot-by-dir shrink dropped the second from the marker
+    // the moment the first completed — a crash there lost it for good);
+    // only the failed store stays owed
     assert(spark.read.parquet(s)
-      .filter(col("keep_doc_id") === rA).count() == 0)
-    assert(fs.cascadePendingStores == Seq(bad, s),
-      s"marker lost an obligation: ${fs.cascadePendingStores}")
+      .filter(col("keep_doc_id").isin(rA, rB)).count() == 0)
+    assert(fs.cascadePendingStores == Seq(bad),
+      s"marker obligations wrong: ${fs.cascadePendingStores}")
     buildStore(fs, bad) // "fix" the missing store
     val done = fs.runCascadePending()
-    assert(done.map(_._1) == Seq(bad, s))
-    assert(spark.read.parquet(s)
-      .filter(col("keep_doc_id") === rB).count() == 0)
+    assert(done.map(_._1) == Seq(bad))
     assert(fs.cascadePendingStores.isEmpty)
   }
 
