@@ -24,6 +24,16 @@ import org.apache.spark.sql.functions._
   */
 object Soak {
 
+  /** The GRAFT_SOAK_ONLY vocabulary. A typo'd value must FAIL the run,
+    * not silently skip every family and print an empty battery that
+    * reads as a clean run (r15 ADVICE). */
+  private[graft] val KnownFamilies = Set("text", "emb", "inc", "width", "frag", "cc")
+
+  private[graft] def requireKnownFamily(soakOnly: Option[String]): Unit =
+    soakOnly.filterNot(KnownFamilies).foreach(v =>
+      sys.error(s"GRAFT_SOAK_ONLY=$v is not a soak family " +
+        s"(known: ${KnownFamilies.toSeq.sorted.mkString(", ")})"))
+
   private final class ShuffleMeter extends SparkListener {
     val writeBytes = new java.util.concurrent.atomic.AtomicLong
     val readBytes = new java.util.concurrent.atomic.AtomicLong
@@ -117,8 +127,11 @@ object Soak {
 
     // GRAFT_SOAK_ONLY=text|emb|inc|width|frag|cc restricts the battery
     // to ONE family (the others skip) — re-probing a single family at a
-    // big factor without paying the whole soak; unset runs everything
+    // big factor without paying the whole soak; unset runs everything.
+    // A typo'd value must FAIL, not silently skip every family and
+    // print an empty run that reads as clean (r15 ADVICE).
     val soakOnly = sys.env.get("GRAFT_SOAK_ONLY")
+    Soak.requireKnownFamily(soakOnly)
     def family(name: String)(body: => Seq[Run]): Seq[Run] =
       if (soakOnly.forall(_ == name)) body else Nil
 

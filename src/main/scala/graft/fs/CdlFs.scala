@@ -662,11 +662,35 @@ final class CdlFs(
     * cascaded delete knows which store ids a retired table row owns.
     * Validates the target is a real graft store (readable manifest) and
     * the column exists on the canonical schema; re-attaching updates the
-    * id column in place. */
-  def attachStore(storeDir: String, idCol: String = "row_id"): Unit = {
+    * id column in place.
+    *
+    * CONTRACT (r15 ADVICE): `idCol` must uniquely key rootfs rows —
+    * cascade retraction computes "ids retired by this delete" as the
+    * deleted rows' id values, so a NON-unique column (e.g. `chunk_id`,
+    * a per-file 0..n index) makes a cascaded delete retract ids still
+    * owned by SURVIVING rows, over-removing from the derived store.
+    * `row_id` (the ingest stamp) is the only canonical column with that
+    * guarantee; attaching any other column warns loudly, and
+    * `verifyUnique = true` proves uniqueness with one aggregate over
+    * the live table before registering (a shuffle — opt-in at scale). */
+  def attachStore(storeDir: String, idCol: String = "row_id",
+      verifyUnique: Boolean = false): Unit = {
     require(RootFs.schema.fieldNames.contains(idCol),
       s"attachStore: $idCol is not a rootfs column " +
         s"(have: ${RootFs.schema.fieldNames.mkString(", ")})")
+    if (idCol != "row_id")
+      System.err.println(s"[CdlFs] attachStore: cascade retraction " +
+        s"requires $idCol to uniquely key rootfs rows — a non-unique id " +
+        "column over-retracts from the derived store (ids still owned by " +
+        "surviving rows). Use row_id, or pass verifyUnique=true to check.")
+    if (verifyUnique) {
+      import org.apache.spark.sql.functions.{col, count}
+      val dup = table.groupBy(col(idCol)).agg(count("*").as("n"))
+        .filter(col("n") > 1).limit(1).count()
+      require(dup == 0L,
+        s"attachStore: $idCol does not uniquely key rootfs rows — a " +
+          "cascaded delete keyed on it would over-retract from the store")
+    }
     val manifest = graft.ops.IncrementalDedup.storeManifest(spark, storeDir)
     require(manifest.contains("variant"),
       s"attachStore: $storeDir has no readable _graft_store.json manifest " +
@@ -719,10 +743,24 @@ final class CdlFs(
     m.writeValueAsString(node)
   }
 
+  /** Both marker mutation paths (the merge here, the per-store shrink
+    * in [[runCascadePending]]) are read-modify-write cycles — two
+    * processes interleaving them could overwrite each other's rewrite
+    * and silently drop obligations (r15 ADVICE). Every cycle runs under
+    * the table-root [[StoreLock]]; the lock is held only for the marker
+    * RMW, never across a retraction job. */
+  private def withCascadeMarkerLock[T](body: => T): T =
+    StoreLock.withLock(tableLocation, hconf, waitMs = 60000L)(body)
+
   /** Publish/extend the cascade marker (temp-write + rename). An
     * existing marker MERGES — a second cascaded delete committing while
     * an earlier cascade is still owed must not drop the earlier ids. */
   private def writeCascadePending(
+      hfs: org.apache.hadoop.fs.FileSystem,
+      rootP: org.apache.hadoop.fs.Path, json: String): Unit =
+    withCascadeMarkerLock { writeCascadePendingLocked(hfs, rootP, json) }
+
+  private def writeCascadePendingLocked(
       hfs: org.apache.hadoop.fs.FileSystem,
       rootP: org.apache.hadoop.fs.Path, json: String): Unit = {
     import org.apache.hadoop.fs.Path
@@ -751,6 +789,22 @@ final class CdlFs(
     import org.apache.hadoop.fs.Path
     val p = new Path(tableLocation, CascadePending)
     val hfs = p.getFileSystem(hconf)
+    // r15 ADVICE recovery: marker absent but an aged orphan tmp present
+    // means a writer crashed inside the HDFS-style delete→rename window
+    // — adopt the newest tmp as the live marker (the obligations it
+    // carries are the ones the crash would otherwise silently lose) and
+    // sweep the rest. The 5 s age floor keeps a healthy concurrent
+    // writer's in-flight tmp out of reach.
+    if (!hfs.exists(p)) {
+      val orphans = cascadeOrphanTmps(hfs, new Path(tableLocation), 5000L)
+      if (orphans.nonEmpty) {
+        val newest = orphans.maxBy(_.getModificationTime)
+        // rename may lose to a writer recreating the marker — then the
+        // fresh marker (which merged or superseded the obligations) wins
+        hfs.rename(newest.getPath, p)
+        orphans.filterNot(_ eq newest).foreach(st => hfs.delete(st.getPath, false))
+      }
+    }
     if (!hfs.exists(p)) None
     else {
       val in = hfs.open(p)
@@ -793,22 +847,13 @@ final class CdlFs(
         val hfs = rootP.getFileSystem(hconf)
         val done = scala.collection.mutable.ListBuffer[(String, Long)]()
         val failed = scala.collection.mutable.ListBuffer[(String, Exception)]()
-        var remaining = stores
-        stores.foreach { case entry @ (dir, c) =>
+        stores.foreach { case (dir, c) =>
           val ids = idSets.getOrElse(c, Nil)
           try {
             val removed =
               if (ids.isEmpty) 0L else graft.ops.Retract.retract(spark, dir, ids)
             done += dir -> removed
-            // drop EXACTLY this (dir, idCol) obligation — the same store
-            // can legitimately appear under two id columns (re-attach
-            // between cascaded deletes) and completing one must not erase
-            // the other from the marker
-            remaining = remaining.filterNot(_ == entry)
-            if (remaining.isEmpty)
-              hfs.delete(new Path(rootP, CascadePending), false)
-            // shrink EXACTLY (no merge): this rewrite records completion
-            else writeCascadeMarkerRaw(hfs, rootP, cascadeBody(idSets, remaining))
+            completeCascadeObligation(hfs, rootP, dir, c, ids)
           } catch {
             case e: Exception => failed += dir -> e
           }
@@ -823,23 +868,87 @@ final class CdlFs(
     }
   }
 
-  /** The one atomic marker replace both writers share (temp-write +
-    * delete + rename): [[writeCascadePending]] merges first, the
-    * shrink path passes the exact body. */
+  /** Record one store's completed retraction in the live marker — a
+    * locked read-modify-write against the CURRENT marker, not the
+    * snapshot this run started from, so a cascaded delete that merged
+    * NEW ids concurrently is never overwritten (r15 ADVICE). The
+    * (dir, idCol) obligation drops only when every id the current
+    * marker lists for that column was in the processed set; otherwise
+    * the entry stays owed (the next resume re-retracts the union —
+    * per-store retraction is idempotent). Id columns no longer
+    * referenced by any remaining store are pruned; an empty store list
+    * deletes the marker. The same store can legitimately appear under
+    * two id columns (re-attach between cascaded deletes) and completing
+    * one must not erase the other. */
+  private[fs] def completeCascadeObligation(
+      hfs: org.apache.hadoop.fs.FileSystem,
+      rootP: org.apache.hadoop.fs.Path,
+      dir: String, c: String, processed: Seq[Long]): Unit =
+    withCascadeMarkerLock {
+      import org.apache.hadoop.fs.Path
+      readCascadePending().foreach { case (curIds, curStores) =>
+        val stillOwed = curIds.getOrElse(c, Nil).toSet -- processed
+        val stores2 =
+          if (stillOwed.isEmpty) curStores.filterNot(_ == (dir, c))
+          else curStores
+        if (stores2.isEmpty) { hfs.delete(new Path(rootP, CascadePending), false); () }
+        else {
+          val liveCols = stores2.map(_._2).toSet
+          val ids2 = curIds.filter { case (k, _) => liveCols.contains(k) }
+          writeCascadeMarkerRaw(hfs, rootP, cascadeBody(ids2, stores2))
+        }
+      }
+    }
+
+  /** The one atomic marker replace both writers share (r15 ADVICE —
+    * no delete-before-rename window): the body goes to a uniquely-named
+    * tmp, then rename straight over the live marker (POSIX rename
+    * replaces atomically on local filesystems); only when the scheme
+    * refuses an overwriting rename (HDFS) do we delete-then-rename, and
+    * a crash inside THAT window leaves the tmp as a durable recovery
+    * source that [[readCascadePending]] adopts on the next read. Stale
+    * orphan tmps from crashed writers are swept after each successful
+    * publish. */
   private def writeCascadeMarkerRaw(
       hfs: org.apache.hadoop.fs.FileSystem,
       rootP: org.apache.hadoop.fs.Path, body: String): Unit = {
     import org.apache.hadoop.fs.Path
     val tmp = new Path(rootP,
-      s"$CascadePending.tmp-${ProcessHandle.current().pid()}")
+      s"$CascadePending.tmp-${ProcessHandle.current().pid()}-${System.nanoTime()}")
     val out = hfs.create(tmp, true)
     try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val dst = new Path(rootP, CascadePending)
-    hfs.delete(dst, false)
-    if (!hfs.rename(tmp, dst))
-      throw new java.io.IOException(s"cascade marker rename failed: $dst")
+    if (!hfs.rename(tmp, dst)) {
+      // scheme without overwriting rename: open the (unavoidable)
+      // delete window, but the tmp survives a crash inside it
+      hfs.delete(dst, false)
+      if (!hfs.rename(tmp, dst))
+        throw new java.io.IOException(s"cascade marker rename failed: $dst")
+    }
+    sweepCascadeTmps(hfs, rootP)
   }
+
+  /** Orphan `.graft_cascade_pending.tmp-*` files from crashed writers.
+    * Only tmps past the age floor count — a HEALTHY concurrent writer's
+    * in-flight tmp (created, not yet renamed) must be neither adopted
+    * nor swept. */
+  private def cascadeOrphanTmps(
+      hfs: org.apache.hadoop.fs.FileSystem,
+      rootP: org.apache.hadoop.fs.Path,
+      minAgeMs: Long): Seq[org.apache.hadoop.fs.FileStatus] = {
+    import org.apache.hadoop.fs.Path
+    val glob = new Path(rootP, s"$CascadePending.tmp-*")
+    val all = Option(hfs.globStatus(glob)).map(_.toSeq).getOrElse(Nil)
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    all.filter(_.getModificationTime < cutoff)
+  }
+
+  private def sweepCascadeTmps(
+      hfs: org.apache.hadoop.fs.FileSystem,
+      rootP: org.apache.hadoop.fs.Path): Unit =
+    cascadeOrphanTmps(hfs, rootP, minAgeMs = 60000L)
+      .foreach(st => hfs.delete(st.getPath, false))
 
   /** Drop commit-log versions made unreadable by a compact or delete
     * (CommitLog.vacuum). Readable history survives; returns the dropped

@@ -264,24 +264,31 @@ object Bm25Index {
       }
     }
 
-  /** Per-JVM sidecar byte cache keyed by (path, mtime): search is the
-    * hot path and the bloom floors at ~4 MB (gramBloomGeometry's 2²²
-    * cap) — the filesystem read amortizes to one per sidecar VERSION
-    * instead of one per query; a rewritten sidecar (append/heal/
-    * rebuild) invalidates via its fresh modification time. */
+  /** Per-JVM sidecar byte cache keyed by (path, mtime, length): search
+    * is the hot path and the bloom floors at ~4 MB (gramBloomGeometry's
+    * 2²² cap) — the filesystem read amortizes to one per sidecar
+    * VERSION instead of one per query; a rewritten sidecar (append/
+    * heal/rebuild) invalidates via its fresh modification time. Length
+    * joins the key (r15 ADVICE) because mtime granularity can be as
+    * coarse as 1 s (some local/HDFS configs, object stores): two
+    * rewrites inside one tick would otherwise serve the STALE, smaller
+    * bloom to lock-free searches, silently dropping newly indexed terms
+    * — and a grown sidecar always grows its byte length (more distinct
+    * terms → larger bloom geometry or denser bitset serialization). */
   private val bloomCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Array[Byte])]()
+    new java.util.concurrent.ConcurrentHashMap[String, ((Long, Long), Array[Byte])]()
 
   private def cachedTermBloom(
       spark: SparkSession, dir: String): Option[Array[Byte]] = {
     val p = new org.apache.hadoop.fs.Path(dir, TermBloomFile)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
-      val mtime = fs.getFileStatus(p).getModificationTime
+      val st = fs.getFileStatus(p)
+      val ver = (st.getModificationTime, st.getLen)
       val key = p.toString
-      Option(bloomCache.get(key)).filter(_._1 == mtime).map(_._2).orElse {
+      Option(bloomCache.get(key)).filter(_._1 == ver).map(_._2).orElse {
         val bytes = IncrementalDedup.readBloomSidecar(spark, dir, TermBloomFile)
-        bytes.foreach(v => bloomCache.put(key, (mtime, v)))
+        bytes.foreach(v => bloomCache.put(key, (ver, v)))
         bytes
       }
     } catch {

@@ -1683,8 +1683,23 @@ object IncrementalDedup {
     val out = fs.create(tmp, true)
     try bloom.writeTo(out) finally out.close()
     val dst = new Path(root, file)
+    // caches key sidecar versions on (mtime, length), but the bloom's
+    // serialized length is GEOMETRY-fixed, so two same-geometry rewrites
+    // within one coarse mtime tick (1 s on some local/HDFS configs,
+    // object stores) would alias (r15 ADVICE). Force mtime strictly
+    // monotonic across rewrites; schemes that refuse setTimes keep the
+    // plain rename (their caches then rely on mtime alone, documented).
+    val prevMtime =
+      try Some(fs.getFileStatus(dst).getModificationTime)
+      catch { case _: java.io.FileNotFoundException => None }
     fs.delete(dst, false)
     require(fs.rename(tmp, dst), s"bloom rename failed: $tmp -> $dst")
+    prevMtime.foreach { pm =>
+      try
+        if (fs.getFileStatus(dst).getModificationTime <= pm)
+          fs.setTimes(dst, pm + 1, -1)
+      catch { case _: UnsupportedOperationException | _: java.io.IOException => () }
+    }
   }
 
   /** Read a store dir that may not exist yet (first batch): an empty

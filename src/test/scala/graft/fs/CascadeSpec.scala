@@ -169,6 +169,91 @@ class CascadeSpec extends SparkSuite {
     assert(fs.cascadePendingStores.isEmpty)
   }
 
+  test("crash in the marker swap window: the orphan tmp is adopted, not lost") {
+    // r15 ADVICE: a crash between the HDFS-style delete and rename left
+    // .graft_cascade_pending absent with the obligations stranded in a
+    // .tmp-* file — the marker then read "clean" and the takedown never
+    // completed. readCascadePending must adopt the newest aged tmp.
+    val (fs, root) = freshFs("orphan")
+    val s1 = s"$root/store1"
+    buildStore(fs, s1)
+    val rid = fs.table.limit(1).select("row_id").collect()(0).getLong(0)
+    val body =
+      s"""{"ids":{"row_id":[$rid]},"stores":[{"dir":"$s1","id_col":"row_id"}]}"""
+    val stale = """{"ids":{"row_id":[]},"stores":[]}"""
+    val loc = fs.tableLocation
+    val newer = Paths.get(s"$loc/.graft_cascade_pending.tmp-99-2")
+    val older = Paths.get(s"$loc/.graft_cascade_pending.tmp-99-1")
+    Files.write(older, stale.getBytes("UTF-8"))
+    Files.write(newer, body.getBytes("UTF-8"))
+    // age both past the 5 s healthy-writer floor; make `newer` newest
+    val now = System.currentTimeMillis()
+    Files.setLastModifiedTime(older,
+      java.nio.file.attribute.FileTime.fromMillis(now - 60000))
+    Files.setLastModifiedTime(newer,
+      java.nio.file.attribute.FileTime.fromMillis(now - 30000))
+    assert(!Files.exists(Paths.get(s"$loc/.graft_cascade_pending")))
+    // the read adopts the newest tmp as the live marker, sweeps the rest
+    assert(fs.cascadePendingStores == Seq(s1))
+    assert(Files.exists(Paths.get(s"$loc/.graft_cascade_pending")))
+    assert(!Files.exists(newer) && !Files.exists(older))
+    val done = fs.runCascadePending()
+    assert(done.map(_._1) == Seq(s1))
+    assert(fs.cascadePendingStores.isEmpty)
+    // successful publishes sweep their own tmps — none left behind
+    val leftover = Files.list(Paths.get(loc)).toArray.map(_.toString)
+      .filter(_.contains(".graft_cascade_pending.tmp-"))
+    assert(leftover.isEmpty, s"orphan tmps not swept: ${leftover.toSeq}")
+  }
+
+  test("shrink is an RMW vs the CURRENT marker: a concurrent merge survives") {
+    // r15 ADVICE: runCascadePending's per-store shrink used to rewrite
+    // the marker from the snapshot the run STARTED from — a cascaded
+    // delete merging new ids concurrently was overwritten and its
+    // obligations silently dropped. The locked RMW re-reads the live
+    // marker: ids it lists that this run did NOT process keep the
+    // obligation owed.
+    val (fs, root) = freshFs("rmw")
+    val s = s"$root/store"
+    buildStore(fs, s)
+    val rids = fs.table.orderBy("row_id").select("row_id")
+      .collect().map(_.getLong(0))
+    val (rA, rB) = (rids(0), rids(1))
+    val loc = fs.tableLocation
+    val rootP = new org.apache.hadoop.fs.Path(loc)
+    val hfs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // live marker owes BOTH ids (rB is the concurrent merge this run's
+    // snapshot never saw)
+    Files.write(Paths.get(s"$loc/.graft_cascade_pending"),
+      (s"""{"ids":{"row_id":[$rA,$rB]},"stores":[""" +
+        s"""{"dir":"$s","id_col":"row_id"}]}""").getBytes("UTF-8"))
+    // this run only processed rA → the obligation must stay owed
+    fs.completeCascadeObligation(hfs, rootP, s, "row_id", Seq(rA))
+    assert(fs.cascadePendingStores == Seq(s),
+      "obligation with an unprocessed concurrent id was dropped")
+    // processing the full current set clears it and deletes the marker
+    fs.completeCascadeObligation(hfs, rootP, s, "row_id", Seq(rA, rB))
+    assert(fs.cascadePendingStores.isEmpty)
+    assert(!Files.exists(Paths.get(s"$loc/.graft_cascade_pending")))
+  }
+
+  test("attachStore verifyUnique proves the id column keys rows") {
+    // r15 ADVICE: cascade retraction is only sound when idCol uniquely
+    // keys rootfs rows — chunk_id (a per-file 0..n index) repeats across
+    // files, so a cascaded delete keyed on it would retract ids still
+    // owned by SURVIVING rows.
+    val (fs, root) = freshFs("uniq")
+    val s = s"$root/store"
+    buildStore(fs, s)
+    fs.attachStore(s, idCol = "row_id", verifyUnique = true) // unique: fine
+    val e = intercept[IllegalArgumentException] {
+      fs.attachStore(s, idCol = "chunk_id", verifyUnique = true)
+    }
+    assert(e.getMessage.contains("does not uniquely key"))
+    // the failed attach must not have clobbered the registry entry
+    assert(fs.attachedStores == Seq(s -> "row_id"))
+  }
+
   test("delete-marker hand-off: the #cascade trailer survives a crash") {
     val (fs, root) = freshFs("handoff")
     val s1 = s"$root/store1"

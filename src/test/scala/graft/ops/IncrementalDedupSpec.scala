@@ -1220,4 +1220,28 @@ class IncrementalDedupSpec extends SparkSuite {
       IncrementalDedup.embeddingBatch(b2f, dDir, threshold = 0.95))
     assert(again == dPairs)
   }
+
+  test("bloom sidecar rewrites carry strictly monotonic mtimes") {
+    // r15 ADVICE: per-JVM caches key the sidecar version on
+    // (mtime, length), but the bloom's serialized length is
+    // geometry-fixed — two same-geometry rewrites inside one coarse
+    // mtime tick (1 s local/HDFS configs, object stores) would alias
+    // and serve the stale, smaller bloom to lock-free searches.
+    // writeBloomSidecar forces mtime strictly monotonic on rewrite.
+    val dir = Files.createTempDirectory("bloom-mono").toString
+    val p = new org.apache.hadoop.fs.Path(dir, "_t_bloom")
+    val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def bloom(n: Int) = {
+      val b = org.apache.spark.util.sketch.BloomFilter.create(1000, 0.01)
+      (0 until n).foreach(i => b.putLong(i.toLong))
+      b
+    }
+    IncrementalDedup.writeBloomSidecar(spark, dir, "_t_bloom", bloom(1))
+    val t1 = hfs.getFileStatus(p).getModificationTime
+    // second rewrite lands as fast as the fs allows — same geometry,
+    // same serialized length; only the forced mtime bump distinguishes
+    IncrementalDedup.writeBloomSidecar(spark, dir, "_t_bloom", bloom(2))
+    val t2 = hfs.getFileStatus(p).getModificationTime
+    assert(t2 > t1, s"sidecar rewrite did not advance mtime: $t1 -> $t2")
+  }
 }
