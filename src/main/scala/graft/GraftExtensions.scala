@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, OctetLength}
 import org.apache.spark.sql.types.LongType
 
-import graft.functions.{CosineSimilarity, LshSignature, NearestCell, RabinFingerprint, VectorDot}
+import graft.functions.{CosineSimilarity, LshSignature, NearestCell, NearestCellsSoft, RabinFingerprint, VectorDot}
 
 /** Session extensions registering the engine's SQL functions at session
   * build time — `spark.sql.extensions=graft.GraftExtensions` (or
@@ -70,6 +70,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         NearestCell(exprs(0),
           graft.functions.FnArgs.longArrayLit(exprs(1), "nearest_cell cells"),
           graft.functions.FnArgs.matrixLit(exprs(2), "nearest_cell centroids"))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("nearest_cells_soft"),
+      new ExpressionInfo(classOf[NearestCellsSoft].getName, "nearest_cells_soft"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 4 || exprs.length == 5,
+          "nearest_cells_soft() takes (vec, cells, centroids, band[, maxProbe])")
+        val mp = if (exprs.length == 5)
+          graft.functions.FnArgs.intLit(exprs(4), "nearest_cells_soft maxProbe")
+        else 2
+        NearestCellsSoft(exprs(0),
+          graft.functions.FnArgs.longArrayLit(exprs(1), "nearest_cells_soft cells"),
+          graft.functions.FnArgs.matrixLit(exprs(2), "nearest_cells_soft centroids"),
+          graft.functions.FnArgs.doubleLit(exprs(3), "nearest_cells_soft band"), mp)
       }))
   }
 }

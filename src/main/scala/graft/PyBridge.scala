@@ -304,8 +304,8 @@ object PyBridge {
   def semDedupRecallBands(embs: DataFrame, nClusters: java.lang.Number,
       tau: Double): java.util.List[String] = {
     import scala.jdk.CollectionConverters._
-    val assigned = graft.ops.SemDedup.assign(embs, nClusters.intValue)
-      .localCheckpoint()
+    val assigned = graft.ops.SemDedup.assignSoft(embs, nClusters.intValue)
+      .localCheckpoint() // soft probe set — the fence pairs() really uses
     val bands = graft.ops.SemDedup.recallBands(assigned, tau)
     (bands.map(b =>
       s"${b.lo}\t${b.hi}\t${b.isClone}\t${b.pairs}\t${b.coCelled}") :+

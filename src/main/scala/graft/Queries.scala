@@ -1127,8 +1127,8 @@ object Queries {
     *    (BASELINE: 1.0 at 1×, 0.865 at 10×, 0.768 at 100×). */
   def qSemdedupRecallProbe(s: SparkSession, dir: String): DataFrame = {
     val corpus = embeddingGateCorpus(s, dir).localCheckpoint()
-    val assigned = graft.ops.SemDedup.assign(corpus, nClusters = 16)
-      .localCheckpoint()
+    val assigned = graft.ops.SemDedup.assignSoft(corpus, nClusters = 16)
+      .localCheckpoint() // soft probe set — the fence pairs() really uses
     val bands = graft.ops.SemDedup.recallBands(assigned, tau = 0.95)
     val near = bands.filterNot(_.isClone)
     import s.implicits.newProductEncoder

@@ -291,7 +291,10 @@ object Soak {
         // buckets (pair yield linear in true pairs) and stratifies by
         // cosine band, so the near bands expose the straddler loss the
         // clone band masks
-        val assigned = ops.SemDedup.assign(embCorpus, k).localCheckpoint()
+        // SOFT assignment (r16): the banded probe must measure the
+        // top-2 pair-formation fence the dedup actually ships, so the
+        // straddler fix shows up here as recovered non-clone recall
+        val assigned = ops.SemDedup.assignSoft(embCorpus, k).localCheckpoint()
         val probe = ops.SemDedup.recallOfAssignment(assigned, tau = 0.95)
         println(f"semdedup_recall_probe: $probe%.4f (k=$k, sample<=2000; " +
           "vector-sampled, clone-biased — see banded rows)")

@@ -368,8 +368,8 @@ object Main {
           // banded pair-sampled cell-fence recall (r15): the telemetry
           // an operator logs per run — a falling non-clone band is
           // cell-straddle drift before it is surviving duplicates
-          val assigned = graft.ops.SemDedup.assign(embs, kClusters)
-            .localCheckpoint()
+          val assigned = graft.ops.SemDedup.assignSoft(embs, kClusters)
+            .localCheckpoint() // soft probe set — the fence pairs() uses
           val bands = graft.ops.SemDedup.recallBands(assigned, tau)
           bands.foreach(b => println(
             f"recall_band[${b.lo}%.4f,${b.hi}%.4f${if (b.isClone) ",clone" else ""}]: " +

@@ -21,6 +21,12 @@ private[graft] object FnArgs {
       s"$what must be an ARRAY<BIGINT> literal, got $other")
   }
 
+  def doubleLit(e: Expression, what: String): Double = e match {
+    case Literal(v: Double, DoubleType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be a double literal, got $other")
+  }
+
   def matrixLit(e: Expression, what: String): Array[Array[Double]] = e match {
     case Literal(v: org.apache.spark.sql.catalyst.util.ArrayData,
         ArrayType(ArrayType(DoubleType, _), _)) =>

@@ -456,6 +456,146 @@ case class NearestCell(
     copy(child = newChild)
 }
 
+/** Soft top-`maxProbe` cell assignment for SemDeDup pair formation (r15
+  * verdict #1): emits the vector's best cell, PLUS each next-best cell
+  * whose cosine margin `best - cos_i <= band`, capped at `maxProbe` —
+  * the vector then participates in pair generation in every probed
+  * cell, recovering near-duplicate pairs that straddle a k-means cell
+  * boundary (both members of a straddling cosine-≥τ pair sit near the
+  * boundary, so both carry a small margin). maxProbe > 2 exists for
+  * CORNER straddlers: measured at the 100× soak, top-2 plateaus at
+  * 0.949 because a handful of pairs split where three cells meet and
+  * the partner's cell is the vector's THIRD-nearest.
+  *
+  * Same argmax contract as [[NearestCell]] (identical accumulation
+  * order, Double.compare ordering, ties → higher cell), so element 0 is
+  * ALWAYS exactly NearestCell's answer — primary assignment semantics
+  * are unchanged, the band only widens pair FORMATION. A NaN margin
+  * (zero vector/centroid) stays single-celled. Map-only: the centroid
+  * matrix rides the expression like NearestCell's. */
+case class NearestCellsSoft(
+    child: Expression,
+    cells: Array[Long],
+    matrix: Array[Array[Double]],
+    band: Double,
+    maxProbe: Int = 2)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) =>
+      if (cells.length != matrix.length || cells.isEmpty)
+        TypeCheckResult.TypeCheckFailure(
+          s"nearest_cells_soft: ${cells.length} cells vs ${matrix.length} centroids (need equal, non-zero)")
+      else if (maxProbe < 1 || maxProbe > 4)
+        TypeCheckResult.TypeCheckFailure(
+          s"nearest_cells_soft: maxProbe $maxProbe out of [1, 4]")
+      else TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_cells_soft requires ARRAY<FLOAT|DOUBLE>, got ${other.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "nearest_cells_soft"
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val k = math.min(maxProbe, matrix.length)
+    val topCos = Array.fill(k)(Double.NegativeInfinity)
+    val topCell = Array.fill(k)(Long.MinValue)
+    var c = 0
+    while (c < matrix.length) {
+      val cent = matrix(c)
+      val n = math.min(v.numElements(), cent.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val xv = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        val yv = cent(i)
+        dot += xv * yv; na += xv * xv; nb += yv * yv
+        i += 1
+      }
+      val cos = dot / (math.sqrt(na) * math.sqrt(nb))
+      // insertion into the sorted top-k slots, NearestCell's ordering
+      // (Double.compare so NaN sorts above reals; ties → higher cell)
+      var slot = k
+      while (slot > 0 && {
+        val cmp = java.lang.Double.compare(cos, topCos(slot - 1))
+        cmp > 0 || (cmp == 0 && cells(c) > topCell(slot - 1))
+      }) slot -= 1
+      if (slot < k) {
+        var j = k - 1
+        while (j > slot) {
+          topCos(j) = topCos(j - 1); topCell(j) = topCell(j - 1); j -= 1
+        }
+        topCos(slot) = cos; topCell(slot) = cells(c)
+      }
+      c += 1
+    }
+    // emit the in-band prefix (cosines sorted desc, so once a slot
+    // falls out of band every later slot is out too); a NaN margin
+    // (zero vector) fails the <= and stays single-celled
+    var m = 1
+    while (m < k && topCos(0) - topCos(m) <= band) m += 1
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(topCell, m))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val mat = ctx.addReferenceObj("nearestCellsMatrix", matrix, "double[][]")
+      val cls = ctx.addReferenceObj("nearestCellsIds", cells, "long[]")
+      val get = if (isFloat) s"(double) $v.getFloat" else s"$v.getDouble"
+      val c = ctx.freshName("c"); val i = ctx.freshName("i")
+      val n = ctx.freshName("n"); val cent = ctx.freshName("cent")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb"); val cos = ctx.freshName("cos")
+      val tc = ctx.freshName("topCos"); val tl = ctx.freshName("topCell")
+      val kk = ctx.freshName("k"); val slot = ctx.freshName("slot")
+      val j = ctx.freshName("j"); val m = ctx.freshName("m")
+      val cmp = ctx.freshName("cmp")
+      s"""
+         |final int $kk = java.lang.Math.min($maxProbe, $mat.length);
+         |double[] $tc = new double[$kk];
+         |long[] $tl = new long[$kk];
+         |java.util.Arrays.fill($tc, Double.NEGATIVE_INFINITY);
+         |java.util.Arrays.fill($tl, Long.MIN_VALUE);
+         |for (int $c = 0; $c < $mat.length; $c++) {
+         |  double[] $cent = $mat[$c];
+         |  int $n = java.lang.Math.min($v.numElements(), $cent.length);
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double ${i}xv = $get($i);
+         |    double ${i}yv = $cent[$i];
+         |    $dot += ${i}xv * ${i}yv; $na += ${i}xv * ${i}xv; $nb += ${i}yv * ${i}yv;
+         |  }
+         |  double $cos = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  int $slot = $kk;
+         |  while ($slot > 0) {
+         |    int $cmp = java.lang.Double.compare($cos, $tc[$slot - 1]);
+         |    if ($cmp > 0 || ($cmp == 0 && $cls[$c] > $tl[$slot - 1])) $slot--;
+         |    else break;
+         |  }
+         |  if ($slot < $kk) {
+         |    for (int $j = $kk - 1; $j > $slot; $j--) {
+         |      $tc[$j] = $tc[$j - 1]; $tl[$j] = $tl[$j - 1];
+         |    }
+         |    $tc[$slot] = $cos; $tl[$slot] = $cls[$c];
+         |  }
+         |}
+         |int $m = 1;
+         |while ($m < $kk && $tc[0] - $tc[$m] <= ${band}D) $m++;
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  java.util.Arrays.copyOf($tl, $m));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object Vec {
 
   def register(spark: SparkSession): Unit = {
@@ -498,6 +638,19 @@ object Vec {
       },
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nearest_cells_soft",
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 4 || exprs.length == 5,
+          s"nearest_cells_soft() takes (vec, cells, centroids, band[, maxProbe])")
+        val mp = if (exprs.length == 5)
+          FnArgs.intLit(exprs(4), "nearest_cells_soft maxProbe") else 2
+        NearestCellsSoft(exprs(0),
+          FnArgs.longArrayLit(exprs(1), "nearest_cells_soft cells"),
+          FnArgs.matrixLit(exprs(2), "nearest_cells_soft centroids"),
+          FnArgs.doubleLit(exprs(3), "nearest_cells_soft band"), mp)
+      },
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lsh_signature",
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2 || exprs.length == 3,
@@ -525,6 +678,23 @@ object Vec {
     call_function("lsh_signature", vec,
       org.apache.spark.sql.functions.lit(planes),
       org.apache.spark.sql.functions.lit(planeOffset))
+  }
+
+  /** Map-only soft top-`maxProbe` cell ids (see NearestCellsSoft):
+    * element 0 is always [[nearestCell]]'s answer; each next-best cell
+    * joins while the cosine margin stays within `band`. */
+  def nearestCellsSoft(
+      vec: Column,
+      cells: Array[Long],
+      centroids: Array[Array[Double]],
+      band: Double,
+      maxProbe: Int = 2): Column = {
+    ensure()
+    call_function("nearest_cells_soft", vec,
+      org.apache.spark.sql.functions.typedlit(cells.toSeq),
+      org.apache.spark.sql.functions.typedlit(centroids.map(_.toSeq).toSeq),
+      org.apache.spark.sql.functions.lit(band),
+      org.apache.spark.sql.functions.lit(maxProbe))
   }
 
   /** Map-only nearest-centroid cell id (see NearestCell). `cells` and

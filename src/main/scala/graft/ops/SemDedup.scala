@@ -27,10 +27,36 @@ import org.apache.spark.sql.functions._
   * SPLIT ACROSS cells are not examined — exact clones always co-locate
   * (identical vectors have identical centroid distances and the argmax
   * tie-break is deterministic), but near-dups straddling a cell
-  * boundary can survive. Raising `iters` tightens cells; LSH
-  * (`Dedup.embeddingNearDupPairs`) is the exhaustive-recall
+  * boundary can survive. Pair formation counters exactly that loss with
+  * SOFT top-2 assignment (r15 verdict #1): a vector whose best/second
+  * cosine margin is within [[SemDedup.DefaultBand]] also forms pairs in
+  * its second-nearest cell — both members of a straddling cosine-≥τ
+  * pair sit near the shared boundary, so both carry a small margin and
+  * the pair co-buckets in one of the probed cells (corner straddlers
+  * need the top-3 probe — see [[SemDedup.DefaultMaxProbe]]). Assignment
+  * stays map-only (the fused `nearest_cells_soft` argmax); only
+  * in-band vectors duplicate, so within-cell work grows with the band
+  * fraction, not 4×. Raising `iters` tightens cells; LSH
+  * (`Dedup.embeddingNearDupPairs`) remains the exhaustive-recall
   * alternative when a missed pair is a correctness defect. */
 object SemDedup {
+
+  /** Default soft-assignment cosine margin for pair formation: vectors
+    * whose centroid cosine sits within this margin of their best cell
+    * also probe the next-nearest cell(s). Measured on the 100× soak
+    * corpus (BASELINE r16): non-clone straddler recall 0.768 (hard
+    * fence) → 0.98 at 1.2× the semdedup wall. 0 restores the paper's
+    * hard fence. */
+  val DefaultBand: Double = 0.03
+
+  /** Probe-set cap for soft assignment. 3, not 2: the 100× soak
+    * measured top-2 plateauing at 0.949 non-clone recall however wide
+    * the band (0.04 and 0.06 read identically) — the remaining true
+    * pairs split across a CORNER where three cells meet, so the
+    * partner's cell is one member's THIRD-nearest. Top-3 at band 0.03
+    * reads 0.98. Cells past the band never emit, so the common case
+    * still probes 1 cell. */
+  val DefaultMaxProbe: Int = 3
 
   /** Production cluster count for a corpus of `n` vectors: cells hold
     * ~`targetCell` members, so the within-cell pair block stays
@@ -61,24 +87,51 @@ object SemDedup {
       .select(col("id"), col("cell"), col("vec"))
   }
 
+  /** Soft-assignment variant of [[assign]] for pair formation:
+    * (id, cell, cells, vec) where `cell` is exactly [[assign]]'s
+    * primary answer and `cells` adds the second-nearest centroid for
+    * vectors within `band` of their cell boundary (see DefaultBand). */
+  def assignSoft(
+      embs: DataFrame,
+      nClusters: Int,
+      band: Double = DefaultBand,
+      iters: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      maxProbe: Int = DefaultMaxProbe): DataFrame = {
+    val cents = Similarity.kmeansCentroids(embs, nClusters, iters, idCol, vecCol)
+    Similarity.assignCellsSoft(
+      embs.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec")),
+      cents, band, maxProbe)
+      .select(col("id"), col("cell"), col("cells"), col("vec"))
+  }
+
   /** Within-cell near-duplicate pairs at exact cosine ≥ `tau`:
     * (doc_a, doc_b, cosine) with doc_a < doc_b, 4-dp rounded cosine
-    * (the family's determinism convention). */
+    * (the family's determinism convention). Pair formation probes the
+    * SOFT cell set (top-2 within `band` — straddler recovery, r15
+    * verdict #1): a vector participates in every probed cell, and the
+    * pair set dedupes the (rare) pair co-probed in both cells. */
   def pairs(
       embs: DataFrame,
       nClusters: Int,
       tau: Double,
       iters: Int = 2,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val assigned = assign(embs, nClusters, iters, idCol, vecCol)
+      vecCol: String = "embedding",
+      band: Double = DefaultBand): DataFrame = {
+    val probe = assignSoft(embs, nClusters, band, iters, idCol, vecCol)
+      .select(col("id"), col("vec"), explode(col("cells")).as("cell"))
       .localCheckpoint() // one k-means, reused by both join sides
-    assigned.as("a")
-      .join(assigned.as("b"),
+    probe.as("a")
+      .join(probe.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
         round(Similarity.cosine(col("a.vec"), col("b.vec")), 4).as("cosine"))
       .filter(col("cosine") >= tau)
+      // a pair whose members share BOTH probed cells arrives twice —
+      // dedup over the surviving (tiny) pair set only
+      .dropDuplicates("doc_a", "doc_b")
   }
 
   /** Cell-fence recall telemetry (r13 verdict #7): the paper's
@@ -159,23 +212,33 @@ object SemDedup {
     if (n == 0) return Nil
     val planes = Similarity.planesFor(n)
     val m = math.max(1L, math.round(n.toDouble / sampleN))
-    val sig = assigned.select(col("id"), col("vec"), col("cell"),
+    // a SOFT assignment ([[assignSoft]] — carries the probed cell SET)
+    // is co-celled when the probe sets overlap: that is exactly the
+    // pair-formation condition [[pairs]] applies, so the measured
+    // fraction stays the operator's true recall on the band
+    val soft = assigned.columns.contains("cells")
+    val cellCols =
+      if (soft) Seq(col("cells")) else Seq(col("cell"))
+    val sig = assigned.select((Seq(col("id"), col("vec")) ++ cellCols :+
         explode(array((0 until tables).map { t =>
           struct(lit(t).as("tbl"),
             Similarity.lshSignature(col("vec"), planes, t * planes)
               .as("bucket"))
-        }: _*)).as("tb"))
-      .select(col("id"), col("vec"), col("cell"),
-        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+        }: _*)).as("tb")): _*)
+      .select((Seq(col("id"), col("vec")) ++ cellCols ++
+        Seq(col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))): _*)
       // the bucket sample: deterministic, whole buckets — a pair's two
       // endpoints survive or fall TOGETHER, which is the whole trick
       .filter(pmod(xxhash64(col("tbl"), col("bucket")), lit(m)) === 0)
       .localCheckpoint() // both sides of the bucket self-join read it
+    val coPred =
+      if (soft) arrays_overlap(col("a.cells"), col("b.cells"))
+      else col("a.cell") === col("b.cell")
     val pairs = sig.as("a").join(sig.as("b"), Seq("tbl", "bucket"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(Similarity.cosine(col("a.vec"), col("b.vec")), 4).as("cosine"),
-        (col("a.cell") === col("b.cell")).as("co"))
+        coPred.as("co"))
       .filter(col("cosine") >= tau)
       .dropDuplicates("id_a", "id_b")
     val rows = pairs.withColumn("band",
@@ -229,7 +292,8 @@ object SemDedup {
       tau: Double,
       iters: Int = 2,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame =
+      vecCol: String = "embedding",
+      band: Double = DefaultBand): DataFrame =
     Dedup.keepRepresentatives(
-      embs, pairs(embs, nClusters, tau, iters, idCol, vecCol), idCol)
+      embs, pairs(embs, nClusters, tau, iters, idCol, vecCol, band), idCol)
 }

@@ -264,6 +264,30 @@ object Similarity {
         col("vec"), rows.map(_._1), rows.map(_._2)).as("cell"))
   }
 
+  /** Soft top-2 variant of [[assignCells]] (r15 verdict #1 — SemDeDup
+    * straddler recovery): (id, vec, cell, cells) where `cell` is
+    * exactly assignCells' primary answer (`cells(0)`) and `cells` adds
+    * the second-nearest centroid when the cosine margin is within
+    * `band`. Still map-only — one fused argmax pass, no shuffle. */
+  private[ops] def assignCellsSoft(
+      cand: DataFrame, centroids: DataFrame, band: Double,
+      maxProbe: Int = 2): DataFrame = {
+    val rows = centroids
+      .select(col("cell").cast("long"), col("centroid").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    if (rows.isEmpty) cand.select(col("id"), col("vec"))
+      .withColumn("cell", lit(0L))
+      .withColumn("cells", array(lit(0L))).limit(0)
+    else cand.select(col("id"), col("vec"),
+        graft.functions.Vec.nearestCellsSoft(
+          col("vec"), rows.map(_._1), rows.map(_._2), band, maxProbe)
+          .as("cells"))
+      .select(col("id"), col("vec"),
+        element_at(col("cells"), 1).as("cell"), col("cells"))
+  }
+
   /** IVF (inverted-file) ANN top-k: candidates are partitioned into
     * `nlist` cells by nearest centroid; each query probes only its
     * `nprobe` nearest cells. Default centroids are the first `nlist`

@@ -163,4 +163,79 @@ class SemDedupSpec extends SparkSuite {
     assert(SemDedup.nearDupRecall(healedBands) == 1.0, s"$healedBands")
     assert(SemDedup.nearDupRecall(Nil) == 1.0) // pair-free convention
   }
+
+  test("nearest_cells_soft: element 0 is the hard argmax; band widens to top-2") {
+    import spark.implicits.newProductEncoder
+    import spark.implicits.localSeqToDatasetHolder
+    // fixed centroids at the axes; v at 45° ± ε has margin ≈ 1.41ε
+    val cells = Array(0L, 1L)
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val eps = 0.02 // rad — margin ≈ 0.028
+    val vs = Seq(
+      (0L, Seq(math.cos(math.Pi / 4 - eps), math.sin(math.Pi / 4 - eps))),
+      (1L, Seq(math.cos(math.Pi / 4 + eps), math.sin(math.Pi / 4 + eps))),
+      (2L, Seq(1.0, 0.0)), // dead-center in cell 0: margin ≈ 0.29
+      (3L, Seq(0.0, 0.0))  // zero vector: NaN cosine, single cell
+    ).toDF("id", "vec")
+    def softAt(band: Double): Map[Long, Seq[Long]] = vs.select(col("id"),
+        graft.functions.Vec.nearestCellsSoft(col("vec"), cells, cents, band)
+          .as("cs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val hard = vs.select(col("id"),
+        graft.functions.Vec.nearestCell(col("vec"), cells, cents).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wide = softAt(0.05)
+    // element 0 ALWAYS equals the hard argmax — primary semantics pinned
+    wide.foreach { case (id, cs) => assert(cs.head == hard(id), s"id $id") }
+    assert(wide(0L) == Seq(0L, 1L) && wide(1L) == Seq(1L, 0L),
+      s"boundary vectors must probe both cells: $wide")
+    assert(wide(2L) == Seq(0L), "a solidly-assigned vector stays single")
+    assert(wide(3L).length == 1, "NaN margin must stay single-celled")
+    val tight = softAt(1e-9)
+    assert(tight.values.forall(_.length == 1),
+      s"near-zero band must restore the hard fence: $tight")
+  }
+
+  test("soft band recovers a pair straddling the k-means boundary") {
+    import spark.implicits.newProductEncoder
+    import spark.implicits.localSeqToDatasetHolder
+    // ids 0,1 are the k-means seeds (first in id order) at the poles —
+    // Lloyd keeps the two cells there; the planted pair sits on the 45°
+    // bisector, one member each side (margin ≈ 0.028, cosine ≈ 0.9992)
+    def at(theta: Double): Seq[Double] = Seq(math.cos(theta), math.sin(theta))
+    val jig = Seq(
+      (0L, at(0.0)), (1L, at(math.Pi / 2)),
+      (2L, at(0.05)), (3L, at(0.08)), (4L, at(-0.06)),
+      (5L, at(math.Pi / 2 - 0.05)), (6L, at(math.Pi / 2 + 0.06)),
+      (100L, at(math.Pi / 4 - 0.02)), (101L, at(math.Pi / 4 + 0.02))
+    ).toDF("vec_id", "embedding")
+    val hardCells = SemDedup.assign(jig, nClusters = 2)
+      .select("id", "cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hardCells(100L) != hardCells(101L),
+      s"fixture must straddle: $hardCells") // the loss being fixed
+    def pairSet(band: Double): Set[(Long, Long)] =
+      SemDedup.pairs(jig, nClusters = 2, tau = 0.999, band = band)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairSet(0.0).contains((100L, 101L)),
+      "band 0 is the paper's hard fence — the straddler survives")
+    assert(pairSet(0.05).contains((100L, 101L)),
+      "the soft band must recover the straddling pair")
+    // keep-one dedup over the soft pairs drops exactly one member
+    val kept = SemDedup.dedup(jig, nClusters = 2, tau = 0.999, band = 0.05)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(100L) && !kept.contains(101L), s"kept: $kept")
+    // primary assignment parity: assignSoft's cell == assign's cell
+    val soft = SemDedup.assignSoft(jig, nClusters = 2, band = 0.05)
+    val prim = soft.select("id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(prim == hardCells)
+    soft.select("cell", "cells").collect().foreach(r =>
+      assert(r.getSeq[Long](1).head == r.getLong(0)))
+    // the banded probe measures the SOFT fence: the straddler counts
+    // as co-celled because its probe sets overlap
+    val bands = SemDedup.recallBands(soft.localCheckpoint(), tau = 0.999)
+    assert(SemDedup.nearDupRecall(bands) == 1.0,
+      s"soft probe must see the recovered straddler: $bands")
+  }
 }
