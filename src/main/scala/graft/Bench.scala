@@ -26,9 +26,13 @@ import org.apache.spark.sql.SparkSession
   * System.gc() (outside any timed section) so garbage from query N is
   * never charged to query N+1.
   *
-  * The full JSON is also written to BENCH_local.json — the driver's
-  * stdout-tail capture has truncated long lines before; the file is the
-  * auditable artifact.
+  * The full JSON (all per-query maps) is written to BENCH_local.json —
+  * the auditable artifact, rewritten by the driver's own run so the
+  * round's artifact commit carries the complete map. Stdout gets a
+  * COMPACT headline line instead (r15 verdict #9: the 24 KB full line
+  * wrapped in the driver's log capture, leaving a mid-JSON fragment and
+  * a null parse in BENCH_r{N}.json): totals, calibration keys, the ten
+  * most expensive queries, and a `queries_file` pointer.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -159,13 +163,26 @@ object Bench {
       results.filter(_._1.startsWith("tpch_")).map(_._2.sec).sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","tpch_total_sec":$tpchTotal,"queries":${jmap(_.sec)},"gc_sec":${jmap(_.gcSec)},"probe_sec":${jmap(_.probeSec)},"cpu_sec":${jmap(_.cpuSec)},"calibration_sec":$calib,"io_calibration_sec":$ioCalib,"sf":"$sfDir"}"""
-    println(json)
+    // The FULL artifact (per-query sec/gc/probe/cpu maps) goes to the
+    // file; stdout gets a COMPACT line instead (r15 verdict #9): the
+    // 24 KB single-line JSON wraps in the driver's log capture, so its
+    // BENCH_r{N} artifact stored an arbitrary mid-JSON fragment and a
+    // null parse. The compact line is a few hundred bytes — it survives
+    // any line buffer — and carries the headline + calibration keys
+    // plus the ten most expensive queries inline; `queries_file` points
+    // at the complete committed map (the driver's own run rewrites that
+    // file in the working tree, so the round artifact commit carries
+    // the full per-query data).
     try {
       val out = java.nio.file.Paths.get("BENCH_local.json")
       java.nio.file.Files.write(out, json.getBytes("UTF-8"))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write BENCH_local.json: ${e.getMessage}")
     }
+    val top10 = results.sortBy(-_._2.sec).take(10)
+      .map { case (k, s) => "\"" + k + "\":" + s.sec }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"tpch_total_sec":$tpchTotal,"calibration_sec":$calib,"io_calibration_sec":$ioCalib,"queries":$top10,"queries_truncated":true,"queries_file":"BENCH_local.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
