@@ -90,18 +90,48 @@ object DeleteSoak {
     ops.IncrementalDedup.minhashBatch(derived, mhStore)
     fsys.attachStore(exactStore)
     fsys.attachStore(mhStore)
-    val retired = fsys.table.filter(col("parent") === "/d9")
-      .select("row_id").collect().map(_.getLong(0))
-    val t0 = System.nanoTime()
-    val deleted = fsys.deleteWhere("parent = '/d9'", cascade = true)
-    val wall = (System.nanoTime() - t0) / 1e9
-    val exactLeft = spark.read.parquet(exactStore)
-      .filter(col("keep_doc_id").isin(retired.toSeq: _*)).count()
-    val mhLeft = spark.read.parquet(mhStore)
-      .filter(col("doc_id").isin(retired.toSeq: _*)).count()
-    println(f"cascade_dir_purge: rows_deleted=$deleted wall=$wall%.2fs " +
-      f"retired_ids=${retired.length} exact_left=$exactLeft mh_left=$mhLeft " +
-      f"pending=${fsys.cascadePendingStores.size}")
+    // bp-partition rewrite fraction of a store dir between two snapshots
+    // — the O(touched) witness at scale (r15 verdict #2)
+    def storeSnap(dir: String): Map[String, Set[(String, Long)]] = {
+      import org.apache.hadoop.fs.Path
+      val p = new Path(dir)
+      val fs = p.getFileSystem(hconf)
+      fs.listStatus(p).filter(_.getPath.getName.startsWith("bp="))
+        .map { d =>
+          d.getPath.getName -> fs.listStatus(d.getPath)
+            .filter(_.getPath.getName.endsWith(".parquet"))
+            .map(f => (f.getPath.getName, f.getModificationTime)).toSet
+        }.toMap
+    }
+    def cascadeDrive(label: String, cond: String): Unit = {
+      val mhBefore = storeSnap(mhStore)
+      val retired = fsys.table.filter(expr(cond))
+        .select("row_id").collect().map(_.getLong(0))
+      val t0 = System.nanoTime()
+      val deleted = fsys.deleteWhere(cond, cascade = true)
+      val wall = (System.nanoTime() - t0) / 1e9
+      val mhAfter = storeSnap(mhStore)
+      val mhRewritten = mhBefore.keySet.count(k =>
+        mhBefore(k) != mhAfter.getOrElse(k, Set.empty[(String, Long)]))
+      val exactLeft = spark.read.parquet(exactStore)
+        .filter(col("keep_doc_id").isin(retired.toSeq: _*)).count()
+      val mhLeft = spark.read.parquet(mhStore)
+        .filter(col("doc_id").isin(retired.toSeq: _*)).count()
+      println(f"$label: rows_deleted=$deleted wall=$wall%.2fs " +
+        f"retired_ids=${retired.length} exact_left=$exactLeft mh_left=$mhLeft " +
+        f"mh_parts_rewritten=$mhRewritten/${mhBefore.size} " +
+        f"mh_rewrite_frac=${mhRewritten.toDouble / math.max(1, mhBefore.size)}%.4f " +
+        f"pending=${fsys.cascadePendingStores.size}")
+    }
+    // the batch shape takedowns actually arrive in (single doc / small
+    // request): the doc→bp index prunes discovery AND the rewrite to
+    // the <=bands partitions the doc's rows live in — fraction ≪ 1
+    cascadeDrive("cascade_single_doc", "name = 'doc_107.txt'")
+    // the adversarial bulk purge: retired_ids × bands rows hash into
+    // ~every partition — the rewrite honestly converges to one bounded
+    // full-store pass (never worse than O(store)); the fraction row
+    // makes that measured, not assumed
+    cascadeDrive("cascade_dir_purge", "parent = '/d9'")
     spark.stop()
   }
 }

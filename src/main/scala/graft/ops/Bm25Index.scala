@@ -323,7 +323,6 @@ object Bm25Index {
     val manifest = IncrementalDedup.storeManifest(spark, dir)
     val parts = manifest.get("store_parts").map(_.toInt).getOrElse(
       sys.error(s"$dir has no _graft_store.json manifest — not a bm25 index"))
-    val statsOpt = readStats(spark, dir)
     val qtermsAll = queries.select(col(queryIdCol).as("query_id"),
         explode(TextAnalysis.tokens(col(queryCol))).as("term"))
       .distinct()
@@ -346,21 +345,70 @@ object Bm25Index {
     val bps = qterms
       .select(IncrementalDedup.bpOf(parts, col("term")).as("bp"))
       .distinct().collect().map(_.getInt(0)).toIndexedSeq
-    val readP = IncrementalDedup.readStoreRaw(spark, s"$dir/postings",
-      "term STRING, doc_id BIGINT, dl DOUBLE, tf DOUBLE, bp INT")
-    require(statsOpt.isDefined || !readP._2,
-      s"$dir holds postings but no $StatsFile — a crash between an " +
-        "append's table writes and its stats write; run recomputeStats " +
-        "AND retry the crashed batch (a postings-only crash leaves " +
-        "orphan rows whose terms' df exceeds any recomputed n_docs)")
-    val (n, nt, td) = statsOpt.getOrElse((0L, 0L, 0.0))
-    val avgdl = if (nt == 0) 1.0 else td / nt
-    val postings =
-      (if (readP._2) IncrementalDedup.prune(readP._1, bps)
-       else readP._1.drop("bp"))
-      .join(broadcast(qterms.select("term").distinct()), Seq("term"),
-        "left_semi")
-      .localCheckpoint() // df aggregate + scoring join share one read
+    // SEQLOCK read (r15 verdict #6): the rename-fence keeps a racing
+    // retraction's partitions whole-old-or-whole-new, but a listing
+    // taken inside its two-rename window still misses the partition,
+    // and fenced-out files can vanish under an in-flight task. So the
+    // racy section — listing, pruned read, checkpoint, plus the stats
+    // the same retraction rewrites — runs under an epoch bracket:
+    // snapshot (pending, epoch) before and after; any overlapping swap
+    // shows up as a live marker, a changed epoch, or a read exception,
+    // and the attempt retries against the settled directory. Bounded:
+    // a retraction is a rare, short administrative op, so contention
+    // beyond a few rounds means something is wedged — surface it.
+    val postingsDir = s"$dir/postings"
+    var snap: Option[(Long, Double, DataFrame)] = None
+    val deadline = System.currentTimeMillis() + 120000L
+    var pendingSince = 0L
+    while (snap.isEmpty) {
+      require(System.currentTimeMillis() < deadline,
+        s"bm25 search on $dir waited out retraction swaps that never " +
+          "settled — a wedged retractor or continuous-churn starvation")
+      if (Retract.pending(spark, postingsDir)) {
+        // an in-flight swap: the LIVE retractor holds the store lock and
+        // will finish in moments — just wait. Only a marker that stays
+        // up with no progress (a crashed retractor) escalates to the
+        // locked heal; a writer re-taking the lock meanwhile throws the
+        // lock-busy error, which here just means "keep waiting".
+        val now = System.currentTimeMillis()
+        if (pendingSince == 0L) pendingSince = now
+        if (now - pendingSince > 5000L) {
+          try { ensureReadable(spark, dir); pendingSince = 0L }
+          catch { case _: IllegalStateException => () }
+        } else Thread.sleep(20L)
+      } else {
+        pendingSince = 0L
+        val e0 = Retract.epoch(spark, postingsDir)
+        try {
+          val statsOpt = readStats(spark, dir)
+          val readP = IncrementalDedup.readStoreRaw(spark, postingsDir,
+            "term STRING, doc_id BIGINT, dl DOUBLE, tf DOUBLE, bp INT")
+          require(statsOpt.isDefined || !readP._2,
+            s"$dir holds postings but no $StatsFile — a crash between an " +
+              "append's table writes and its stats write; run recomputeStats " +
+              "AND retry the crashed batch (a postings-only crash leaves " +
+              "orphan rows whose terms' df exceeds any recomputed n_docs)")
+          val p = (if (readP._2) IncrementalDedup.prune(readP._1, bps)
+                   else readP._1.drop("bp"))
+            .join(broadcast(qterms.select("term").distinct()), Seq("term"),
+              "left_semi")
+            .localCheckpoint() // df aggregate + scoring join share one read
+          if (!Retract.pending(spark, postingsDir) &&
+              Retract.epoch(spark, postingsDir) == e0) {
+            val (n0, nt0, td0) = statsOpt.getOrElse((0L, 0L, 0.0))
+            snap = Some((n0, if (nt0 == 0) 1.0 else td0 / nt0, p))
+          } // else: a swap overlapped the read — retry on settled state
+        } catch {
+          // files swapped or stats mid-rewrite under a racing retraction
+          // — retry; anything NOT explained by a swap rethrows
+          case e @ (_: org.apache.spark.SparkException |
+                    _: IllegalArgumentException)
+              if Retract.pending(spark, postingsDir) ||
+                Retract.epoch(spark, postingsDir) != e0 => ()
+        }
+      }
+    }
+    val (n, avgdl, postings) = (snap.get._1, snap.get._2, snap.get._3)
     val dfPerTerm = postings.groupBy("term")
       .agg(count(lit(1)).cast("double").as("df"))
     val scored = postings

@@ -387,9 +387,17 @@ object IncrementalDedup {
     val (digested, touchedParts, storeParts) = resolveGeometry(
       knownPartsFrom(mParts, requestedParts),
       digestedRaw, Seq(col("digest")))
+    // doc→bp retraction index: stamped at creation, adopted thereafter
+    // (keyed keep_doc_id — the column takedown retraction matches)
+    val mfE = storeManifest(spark, storeDir)
+    val docIdx = mParts.isEmpty || docIndexEnabled(mfE)
+    val dpParts = mfE.get("doc_index_parts").map(_.toInt)
+      .getOrElse(dpPartsFor(storeParts))
     checkOrWriteMeta(spark, storeDir,
       Map("variant" -> "exact", "store_parts" -> storeParts.toString) ++
-        encMeta)
+        encMeta ++
+        (if (mParts.isEmpty) Map("doc_index" -> "1",
+          "doc_index_parts" -> dpParts.toString) else Map.empty))
     val read = readStore(spark, storeDir,
       s"digest ${if (binKeys) "BINARY" else "STRING"}, keep_doc_id BIGINT, bp INT")
     val store =
@@ -420,6 +428,14 @@ object IncrementalDedup {
       // creation batch's verdict join into the caller's action just
       // moves the work under someone else's plan.)
       .localCheckpoint()
+    // retraction index BEFORE the store rows it covers (superset rule):
+    // pairs from the CHECKPOINTED verdicts — a retried batch re-derives
+    // the same pairs and the index's own anti-join dedupes them
+    if (docIdx) appendDocIndex(
+      out.filter(col("dup_of").isNull)
+        .select(col("doc_id").as("keep_doc_id"),
+          bpOf(storeParts, col("digest")).as("bp")),
+      storeDir, "keep_doc_id", dpParts)
     // persist the batch's NOVEL digests (one keeper per new digest);
     // anti-join the store so a RETRIED batch — whose keepers stay novel
     // in the verdicts but whose digests are already stored — appends
@@ -488,12 +504,20 @@ object IncrementalDedup {
       Dedup.minhashSignatures(docsNew, textCol, numHashes = numHashes),
       bands, rowsPerBand)
     // auto sizing sees banded rows = docs × bands exactly
+    val mf = storeManifest(spark, storeDir)
     val (newBanded, touchedParts, storeParts) = resolveGeometry(
-      knownParts(spark, storeDir, requestedParts),
+      knownPartsFrom(mf.get("store_parts").map(_.toInt), requestedParts),
       bandedRaw, Seq(col("band"), col("bh")))
+    // doc→bp retraction index: stamped at creation, adopted thereafter
+    // (a pre-index legacy store keeps full-scan takedown discovery)
+    val docIdx = mf.isEmpty || docIndexEnabled(mf)
+    val dpParts = mf.get("doc_index_parts").map(_.toInt)
+      .getOrElse(dpPartsFor(storeParts))
     checkOrWriteMeta(spark, storeDir, Map(
       "variant" -> "minhash", "store_parts" -> storeParts.toString,
-      "num_hashes" -> numHashes.toString, "bands" -> bands.toString))
+      "num_hashes" -> numHashes.toString, "bands" -> bands.toString) ++
+      (if (mf.isEmpty) Map("doc_index" -> "1",
+        "doc_index_parts" -> dpParts.toString) else Map.empty))
     val read = readStore(spark, storeDir,
       "doc_id BIGINT, sig ARRAY<BIGINT>, band INT, bh BIGINT, bp INT")
     val store =
@@ -522,6 +546,8 @@ object IncrementalDedup {
       // the `store` side of the join reads (unconditional — see the
       // exact variant's A/B note)
       .localCheckpoint()
+    // retraction index BEFORE the store rows it covers (superset rule)
+    if (docIdx) appendDocIndex(newBanded, storeDir, "doc_id", dpParts)
     // idempotent append: a retried batch (downstream failure, re-run)
     // must not duplicate its rows — a doubled store would inflate every
     // future batch's bucket join and break the batch-sequence =
@@ -637,9 +663,16 @@ object IncrementalDedup {
         Map("bloom_cap" -> c.toString, "bloom_bits" -> b.toString)
       case _ => Map.empty[String, String]
     }
+    // doc→bp retraction index: stamped at creation, adopted thereafter
+    val mfN = storeManifest(spark, storeDir)
+    val docIdx = !manifestExists || docIndexEnabled(mfN)
+    val dpParts = mfN.get("doc_index_parts").map(_.toInt)
+      .getOrElse(dpPartsFor(storeParts))
     checkOrWriteMeta(spark, storeDir, Map(
       "variant" -> "ngram", "store_parts" -> storeParts.toString,
-      "n" -> n.toString) ++ bloomMeta)
+      "n" -> n.toString) ++ bloomMeta ++
+      (if (!manifestExists) Map("doc_index" -> "1",
+        "doc_index_parts" -> dpParts.toString) else Map.empty))
     val read = readStore(spark, storeDir,
       "doc_id BIGINT, shingle BIGINT, nsh BIGINT, bp INT")
     // warm cycles probe the sidecar bloom: a MISS gram is definitively
@@ -724,6 +757,8 @@ object IncrementalDedup {
       }
       writeGramBloom(spark, storeDir, merged)
     }
+    // retraction index BEFORE the store rows it covers (superset rule)
+    if (docIdx) appendDocIndex(newBatch, storeDir, "doc_id", dpParts)
     appendStore(newRows, storeDir)
     if (compactFiles > 0 && touchedParts.nonEmpty)
       maybeCompactLocked(spark, storeDir, touchedParts, compactFiles)
@@ -774,12 +809,19 @@ object IncrementalDedup {
     val bandedRaw = Dedup.simhashBanded(
       Dedup.simhash(docsNew, textCol), maxHamming)
     // auto sizing sees banded rows = docs × (radius + 1) exactly
+    val mf = storeManifest(spark, storeDir)
     val (newBanded, touchedParts, storeParts) = resolveGeometry(
-      knownParts(spark, storeDir, requestedParts),
+      knownPartsFrom(mf.get("store_parts").map(_.toInt), requestedParts),
       bandedRaw, Seq(col("band"), col("bh")))
+    // doc→bp retraction index: stamped at creation, adopted thereafter
+    val docIdx = mf.isEmpty || docIndexEnabled(mf)
+    val dpParts = mf.get("doc_index_parts").map(_.toInt)
+      .getOrElse(dpPartsFor(storeParts))
     checkOrWriteMeta(spark, storeDir, Map(
       "variant" -> "simhash", "store_parts" -> storeParts.toString,
-      "max_hamming" -> maxHamming.toString))
+      "max_hamming" -> maxHamming.toString) ++
+      (if (mf.isEmpty) Map("doc_index" -> "1",
+        "doc_index_parts" -> dpParts.toString) else Map.empty))
     val read = readStore(spark, storeDir,
       "doc_id BIGINT, simhash BIGINT, band INT, bh BIGINT, bp INT")
     val store =
@@ -801,6 +843,8 @@ object IncrementalDedup {
       // the `store` side of the join reads (unconditional — see the
       // exact variant's A/B note)
       .localCheckpoint()
+    // retraction index BEFORE the store rows it covers (superset rule)
+    if (docIdx) appendDocIndex(newBanded, storeDir, "doc_id", dpParts)
     // idempotent append: ROW-granular (doc_id, band) anti-join, same
     // rationale as the minhash variant — a crashed append may have
     // committed only SOME of a doc's band rows, and deterministic
@@ -1452,6 +1496,24 @@ object IncrementalDedup {
           .select(xxhash64(col("term")).as("th")).stat.bloomFilter("th", c, b))
         Map("term_bloom_cap" -> c.toString, "term_bloom_bits" -> b.toString)
       } else Map.empty
+    // doc→bp retraction index: re-derived fresh from the rebuilt rows
+    // (bp was REHASHED above, so a carried-over index would be wrong) —
+    // and the migration path that gives a pre-index legacy store its
+    // first one, exactly like the gram bloom
+    val docIdxMeta: Map[String, String] = {
+      val idxCol = variant match {
+        case "minhash" | "simhash" | "ngram" => Some("doc_id")
+        case "exact" | "span"                => Some("keep_doc_id")
+        case _                               => None
+      }
+      idxCol match {
+        case Some(c) if hasParts(dstDir) =>
+          val dp = dpPartsFor(parts)
+          writeDocIndexFrom(spark, dstDir, dstDir, c, dp)
+          Map("doc_index" -> "1", "doc_index_parts" -> dp.toString)
+        case _ => Map.empty
+      }
+    }
     // manifest LAST — the commit point; every other key carries over
     // (exact/span stores leave a rebuild binary-keyed, migrated or not)
     val encMeta: Map[String, String] =
@@ -1459,7 +1521,8 @@ object IncrementalDedup {
         Map("key_encoding" -> "binary")
       else Map.empty
     writeManifest(dstFs, dstDir,
-      manifest + ("store_parts" -> parts.toString) ++ bloomMeta ++ encMeta)
+      manifest + ("store_parts" -> parts.toString) ++
+        bloomMeta ++ encMeta ++ docIdxMeta)
     parts
   }
 
@@ -1612,6 +1675,150 @@ object IncrementalDedup {
   private[ops] def appendStore(rows: DataFrame, storeDir: String): Unit =
     rows.repartition(col("bp"))
       .write.partitionBy("bp").mode("append").parquet(storeDir)
+
+  // ---------- doc→bp retraction index (r16, r15 verdict #2) ----------
+
+  /** Takedown discovery on a bucket-partitioned store is the one
+    * remaining O(store) term of the retraction path: rows live in the
+    * partitions their CONTENT hashes into (band/gram buckets), so
+    * finding a retired doc's partitions means scanning the whole
+    * store's id column. The doc index inverts that: a `_doc_index/`
+    * parquet table under the store root holds one (doc_id, bp) row per
+    * distinct partition a doc's rows land in, hive-partitioned by
+    * `dp = hash(doc_id)` — the split layout's `vectors/` pattern — so
+    * a takedown batch reads only the dp partitions its ids hash into
+    * (O(batch)) and prunes the store discovery scan to exactly the
+    * candidate bps. End-to-end the takedown is then O(touched), never
+    * O(store).
+    *
+    * Crash discipline (the bloom sidecar's superset rule, inverted
+    * store): index pairs append BEFORE the store rows they cover, so
+    * the index is a SUPERSET of the store at every instant — a crash
+    * between the two appends leaves pairs whose rows never landed
+    * (pruning cost only), never store rows the index misses (a silent
+    * takedown leftover). Idempotent via a dp-pruned (doc_id, bp)
+    * anti-join, so retried batches converge without duplicates.
+    *
+    * Enablement rides the manifest (`doc_index=1`, stamped at store
+    * CREATION and by `rebuildStore`): a pre-index legacy store keeps
+    * full-scan discovery — consulting a partial index would MISS rows,
+    * the one failure the takedown path cannot have. `rebuildStore` is
+    * the migration path (it re-derives the index from the rebuilt
+    * rows, exactly like the gram bloom). */
+  private[ops] val DocIndexDir = "_doc_index"
+
+  /** Index partition count, decoupled from the store's (r16 soak
+    * finding): index rows are ~12 B vs ~1 KB store rows, so at
+    * store_parts=2048 the index's own rewrite cost was pure
+    * per-partition task overhead — a bulk takedown paid a second
+    * 2048-task pass over a table 100× smaller than the store. Rides
+    * the manifest (`doc_index_parts`) so append and consult always
+    * hash identically. */
+  private[ops] def dpPartsFor(storeParts: Int): Int =
+    math.min(256, math.max(16, storeParts / 16))
+
+  private[ops] def dpOf(parts: Int, id: Column): Column =
+    pmod(xxhash64(id), lit(parts)).cast("int")
+
+  private[ops] def docIndexEnabled(manifest: Map[String, String]): Boolean =
+    manifest.get("doc_index").contains("1")
+
+  /** The index rows present for the batch's dp partitions — a pruned
+    * read (never the whole index), empty-framed when absent. */
+  private def readDocIndexPruned(
+      spark: SparkSession, storeDir: String, dps: Seq[Int]): DataFrame = {
+    val dir = new org.apache.hadoop.fs.Path(storeDir, DocIndexDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val has = fs.exists(dir) &&
+      fs.listStatus(dir).exists(_.getPath.getName.startsWith("dp="))
+    if (!has)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, bp INT, dp INT"))
+    else spark.read.parquet(dir.toString)
+      .filter(col("dp").isin(dps: _*))
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("bp").cast("int").as("bp"), col("dp").cast("int").as("dp"))
+  }
+
+  /** Append the batch's (id, bp) pairs to the index — call BEFORE the
+    * main store append (superset discipline above). `rows` is any frame
+    * carrying `idCol` and `bp`; feeding the WHOLE batch (not the
+    * anti-joined novel slice) is correct — the index's own anti-join
+    * dedupes, and it keeps this write independent of the store read. */
+  private[ops] def appendDocIndex(
+      rows: DataFrame, storeDir: String, idCol: String, dpParts: Int): Unit = {
+    val spark = rows.sparkSession
+    val pairs = rows
+      .select(col(idCol).cast("long").as("doc_id"), col("bp").cast("int").as("bp"))
+      .distinct()
+      .withColumn("dp", dpOf(dpParts, col("doc_id")))
+      .localCheckpoint() // read twice: dp collect + the append below
+    val dps = pairs.select("dp").distinct().collect()
+      .map(_.getInt(0)).toIndexedSeq
+    if (dps.isEmpty) return
+    val novel = pairs.join(
+      readDocIndexPruned(spark, storeDir, dps).select("doc_id", "bp"),
+      Seq("doc_id", "bp"), "left_anti")
+    novel.repartition(col("dp")).write.partitionBy("dp").mode("append")
+      .parquet(s"$storeDir/$DocIndexDir")
+  }
+
+  /** The candidate store partitions holding any retired id's rows,
+    * via the index: dp-pruned read + id semi-join + distinct collect
+    * (bounded by the store's partition count). Call only on
+    * [[docIndexEnabled]] stores. None = the index DIRECTORY is gone
+    * despite the manifest flag (operator damage) — the caller must
+    * fall back to full-scan discovery; trusting an absent index would
+    * silently retract nothing, the one failure takedown cannot have.
+    * (An absent index over an EMPTY store is indistinguishable and
+    * also safe under the fallback: the full scan of nothing is free.) */
+  private[ops] def docIndexBps(
+      spark: SparkSession, storeDir: String, ids: Seq[Long],
+      dpParts: Int): Option[Seq[Int]] = {
+    val dir = new org.apache.hadoop.fs.Path(storeDir, DocIndexDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return None
+    val dps = Retract.bpsOf(spark, ids, dpParts) // same pmod(xxhash64) hash
+    Some(readDocIndexPruned(spark, storeDir, dps)
+      .join(org.apache.spark.sql.functions.broadcast {
+        import spark.implicits._
+        ids.toDF("doc_id")
+      }, Seq("doc_id"), "left_semi")
+      .select("bp").distinct().collect().map(_.getInt(0)).toIndexedSeq)
+  }
+
+  /** Erase the retired ids' pairs from the index itself — run AFTER
+    * the main rewrite (the superset rule in reverse: between the two
+    * the index over-claims, which only costs pruning). The index is
+    * id-hash partitioned, so this rewrite is O(batch) by construction. */
+  private[ops] def retractDocIndex(
+      spark: SparkSession, storeDir: String, ids: Seq[Long],
+      dpParts: Int): Unit = {
+    val dir = s"$storeDir/$DocIndexDir"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    val dps = Retract.bpsOf(spark, ids, dpParts)
+    Retract.rewriteTouched(spark, dir, "dp",
+      Retract.semiOn(spark, ids, "doc_id"),
+      Retract.antiOn(spark, ids, "doc_id"),
+      prefilter = Some(col("dp").isin(dps: _*)))
+    ()
+  }
+
+  /** Derive a fresh, tight index from a (re)built store's rows — the
+    * rebuild migration path, mirroring the gram-bloom regeneration. */
+  private[ops] def writeDocIndexFrom(
+      spark: SparkSession, dataDir: String, storeDir: String,
+      idCol: String, dpParts: Int): Unit =
+    spark.read.parquet(dataDir)
+      .select(col(idCol).cast("long").as("doc_id"), col("bp").cast("int").as("bp"))
+      .distinct()
+      .withColumn("dp", dpOf(dpParts, col("doc_id")))
+      .repartition(col("dp")).write.partitionBy("dp").mode("errorifexists")
+      .parquet(s"$storeDir/$DocIndexDir")
 
   // ---------- ngram gram-bloom sidecar (r13) ----------
 

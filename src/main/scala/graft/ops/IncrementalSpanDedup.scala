@@ -99,9 +99,17 @@ object IncrementalSpanDedup {
     val (win, touchedParts, storeParts) = IncrementalDedup.resolveGeometry(
       IncrementalDedup.knownPartsFrom(mParts, requestedParts),
       winRaw, Seq(col("wh")))
+    // doc→bp retraction index: stamped at creation, adopted thereafter
+    // (keyed keep_doc_id — the column takedown retraction matches)
+    val mfS = IncrementalDedup.storeManifest(spark, storeDir)
+    val docIdx = mParts.isEmpty || IncrementalDedup.docIndexEnabled(mfS)
+    val dpParts = mfS.get("doc_index_parts").map(_.toInt)
+      .getOrElse(IncrementalDedup.dpPartsFor(storeParts))
     IncrementalDedup.checkOrWriteMeta(spark, storeDir,
       Map("variant" -> "span", "w" -> w.toString,
-        "store_parts" -> storeParts.toString) ++ encMeta)
+        "store_parts" -> storeParts.toString) ++ encMeta ++
+        (if (mParts.isEmpty) Map("doc_index" -> "1",
+          "doc_index_parts" -> dpParts.toString) else Map.empty))
     val read = IncrementalDedup.readStore(spark, storeDir,
       s"wh ${if (binKeys) "BINARY" else "STRING"}, keep_doc_id BIGINT, " +
         "keep_pos BIGINT, bp INT")
@@ -134,6 +142,14 @@ object IncrementalSpanDedup {
       // directory, and re-evaluation after the append would see this
       // batch's own keepers and mark every window a duplicate
       .localCheckpoint()
+    // retraction index BEFORE the store rows it covers (superset rule):
+    // pairs from ALL batch keepers, not the anti-joined novel slice —
+    // already-stored windows add over-claiming pairs only (pruning
+    // cost), and the index's own anti-join dedupes exact repeats
+    if (docIdx) IncrementalDedup.appendDocIndex(
+      batchKeep.select(col("bk_doc").as("keep_doc_id"),
+        IncrementalDedup.bpOf(storeParts, col("wh")).as("bp")),
+      storeDir, "keep_doc_id", dpParts)
     // persist the batch's novel window keepers; anti-join makes a
     // retried batch append nothing (equal wh shares a bp, so the pruned
     // view is a complete witness)

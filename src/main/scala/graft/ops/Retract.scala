@@ -83,11 +83,30 @@ object Retract {
         rewriteTouched(spark, dir, "bp", semiOn(spark, ids, idCol),
           antiOn(spark, ids, idCol), prefilter = prefilter)
       }
+      // bucket-partitioned stores with a doc→bp index (r16): the index
+      // names the exact candidate bps for the batch — the discovery
+      // scan prunes to them (O(touched), no full id-column pass) — and
+      // the index's own rows for the retired ids are erased afterwards
+      // (it over-claims between the two steps: pruning cost only)
+      def delIndexed(idCol: String): Long = {
+        val dpParts = manifest.get("doc_index_parts").map(_.toInt)
+          .getOrElse(manifest("store_parts").toInt)
+        val pre =
+          if (IncrementalDedup.docIndexEnabled(manifest))
+            // None (index dir gone despite the flag) → full-scan
+            // discovery, never a silent no-op takedown
+            IncrementalDedup.docIndexBps(spark, storeDir, ids, dpParts)
+              .map(bps => col("bp").isin(bps: _*))
+          else None // legacy store: full-scan discovery
+        val n = del(storeDir, idCol, prefilter = pre)
+        IncrementalDedup.retractDocIndex(spark, storeDir, ids, dpParts)
+        n
+      }
       manifest("variant") match {
-        case "exact"               => del(storeDir, "keep_doc_id")
-        case "span"                => del(storeDir, "keep_doc_id")
-        case "minhash" | "simhash" => del(storeDir, "doc_id")
-        case "ngram"               => del(storeDir, "doc_id")
+        case "exact"               => delIndexed("keep_doc_id")
+        case "span"                => delIndexed("keep_doc_id")
+        case "minhash" | "simhash" => delIndexed("doc_id")
+        case "ngram"               => delIndexed("doc_id")
         case "embedding" =>
           if (manifest.get("store_layout").contains("split")) {
             // vectors/ is id-hash partitioned: candidate bps from the
@@ -232,6 +251,56 @@ object Retract {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  private val RetractEpochFile = "_retract_epoch"
+
+  /** Swap-completion counter for LOCK-FREE readers — the seqlock half
+    * the rename-fence alone cannot give (r16, r15 verdict #6): the
+    * fence guarantees a racing reader never sees a HALF-DELETED
+    * partition, but a listing taken inside the two-rename window still
+    * misses the partition entirely, and a reader that probed the
+    * pending marker before and after its read can be fooled by a swap
+    * that started AND finished in between. [[finish]] bumps this
+    * counter exactly once per completed swap, BEFORE deleting the
+    * marker; a reader that snapshots (pending, epoch), reads, and
+    * re-snapshots therefore observes ANY overlapping swap — as a live
+    * marker or as a changed epoch — and retries. Missing file = 0
+    * (pre-epoch stores); temp-write + rename keeps the value atomic. */
+  private[ops] def epoch(spark: SparkSession, dataDir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dataDir, RetractEpochFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+    }
+  }
+
+  private def bumpEpoch(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Unit = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(root, RetractEpochFile)
+    val cur =
+      if (!fs.exists(p)) 0L
+      else {
+        val in = fs.open(p)
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+        finally in.close()
+      }
+    val tmp = new Path(root,
+      s"$RetractEpochFile.tmp-${ProcessHandle.current().pid()}")
+    val out = fs.create(tmp, true)
+    try out.write((cur + 1).toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"epoch rename failed: $p")
+  }
+
   /** Roll the staged swap forward; every step re-runs safely after a
     * crash. Partition replacement is RENAME-FENCED (r14 ADVICE): the
     * live dir first renames to an underscore-prefixed `_retractold_*`
@@ -278,6 +347,11 @@ object Retract {
         case other => sys.error(s"corrupt retract marker line: $l")
       }
     }
+    // seqlock order: bump BEFORE the marker delete — a reader that saw
+    // no marker and an unchanged epoch is guaranteed swap-free. A crash
+    // between the two re-runs finish (idempotent renames) and bumps
+    // again: spurious reader retries, never a missed swap.
+    bumpEpoch(fs, root)
     fs.delete(new Path(root, RetractPending), false)
     fs.delete(tmp, true)
   }

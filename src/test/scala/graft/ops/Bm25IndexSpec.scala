@@ -299,6 +299,52 @@ class Bm25IndexSpec extends SparkSuite {
     assert(after == rows(Bm25Index.search(spark, dst, queries, k = 5)))
   }
 
+  test("concurrent reader: searches race retraction swaps without loss (r15 #6)") {
+    // The rename-fence keeps each partition whole-old-or-whole-new, and
+    // the r16 seqlock (pending marker + swap epoch) closes the residual
+    // listing window: a search bracketing its racy read with the epoch
+    // retries any attempt a swap overlapped. Prove it under a real
+    // race: a churn thread retracts/re-appends docs that SHARE the
+    // anchor term's partition (every swap rewrites the partition the
+    // searcher needs) while the reader runs >=100 searches — the
+    // stable doc must appear in EVERY result, with no exception.
+    val d = dir("race")
+    val stable = (1L, "anchor alpha beta gamma delta")
+    val churn = (100L until 120L).map(i =>
+      (i, s"anchor filler$i words$i more$i")) // same term -> same bp
+    Bm25Index.indexBatch((stable +: churn).toDF("doc_id", "text"), d)
+    val q = Seq((0L, "anchor")).toDF("query_id", "query")
+    @volatile var stop = false
+    @volatile var churnError: Option[Throwable] = None
+    val churner = new Thread(() => {
+      try {
+        val df = churn.toDF("doc_id", "text")
+        while (!stop) {
+          Retract.retract(spark, d, churn.map(_._1))
+          Bm25Index.indexBatch(df, d)
+        }
+      } catch { case t: Throwable => churnError = Some(t) }
+    }, "bm25-churner")
+    churner.start()
+    try {
+      var misses = 0
+      for (i <- 1 to 110) {
+        val got = Bm25Index.search(spark, d, q, k = 30)
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        if (!got.contains(1L)) misses += 1
+      }
+      assert(misses == 0, s"stable doc dropped from $misses results")
+    } finally {
+      stop = true
+      churner.join(120000)
+    }
+    assert(churnError.isEmpty, s"churner failed: $churnError")
+    // settled state is consistent: the stable doc still searches
+    val fin = Bm25Index.search(spark, d, q, k = 30)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(fin.contains(1L))
+  }
+
   test("streaming twin: epoch-split index equals the one-shot build") {
     import spark.implicits._
     val work = Files.createTempDirectory("bm25stream").toString

@@ -360,4 +360,134 @@ class RetractSpec extends SparkSuite {
     assert(verdicts(31L).contains(2L))
     assert(!fs.exists(new Path(d, "_retract_pending")))
   }
+
+  // ------------------------------------------- doc→bp retraction index
+
+  private def mkDocs(n: Int): org.apache.spark.sql.DataFrame =
+    (1 to n).map(i =>
+      (i.toLong, s"document $i with words w${i}a w${i}b w${i}c w${i}d"))
+      .toDF("doc_id", "text")
+
+  test("doc index: takedown discovery prunes to the index's bps (O(touched))") {
+    import org.apache.hadoop.fs.Path
+    val d = dir("dix")
+    // 2048 docs x 16 bands over 256 partitions: one doc's rows live in
+    // <=16 of 256 bps (~6%), so the indexed path's saving dominates the
+    // read differential below regardless of row-group stat effects
+    IncrementalDedup.minhashBatch(mkDocs(2048), d, storeParts = 256)
+    val fs = new Path(d).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new Path(d, "_doc_index")), "index written at creation")
+    assert(IncrementalDedup.storeManifest(spark, d)
+      .get("doc_index").contains("1"))
+    // the index names EXACTLY the bps doc 7's band rows live in
+    val trueBps = spark.read.parquet(d).filter(col("doc_id") === 7L)
+      .select("bp").distinct().collect().map(_.getInt(0)).toSet
+    val dpParts = IncrementalDedup.storeManifest(spark, d)("doc_index_parts").toInt
+    val idxBps = IncrementalDedup.docIndexBps(spark, d, Seq(7L), dpParts)
+    assert(idxBps.map(_.toSet).contains(trueBps))
+    // input-records differential: the indexed takedown reads the dp
+    // partitions + touched bps; the legacy full-scan discovery reads
+    // the whole store id column. Same removal either way.
+    def meterRead(body: => Long): (Long, Long) = {
+      val rec = new java.util.concurrent.atomic.AtomicLong
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val m = sc.stageInfo.taskMetrics
+          if (m != null) { rec.addAndGet(m.inputMetrics.recordsRead); () }
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        val out = body
+        // listener bus is async: poll until the counter stabilizes
+        var stable = 0; var last = -1L
+        val deadline = System.currentTimeMillis() + 10000
+        while (stable < 3 && System.currentTimeMillis() < deadline) {
+          Thread.sleep(50)
+          val now = rec.get
+          if (now == last) stable += 1 else { stable = 0; last = now }
+        }
+        (out, rec.get)
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    val (removedIdx, readIdx) = meterRead(Retract.retract(spark, d, Seq(7L)))
+    assert(removedIdx == 16L) // 16 band rows
+    // the retired doc's pairs left the index itself
+    assert(IncrementalDedup.docIndexBps(spark, d, Seq(7L), dpParts)
+      .contains(Seq.empty))
+    assert(spark.read.parquet(d).filter(col("doc_id") === 7L).count() == 0)
+    // legacy twin: same store content, index disabled — full discovery
+    val d2 = dir("dix_legacy")
+    IncrementalDedup.minhashBatch(mkDocs(2048), d2, storeParts = 256)
+    val fs2 = new Path(d2).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs2.delete(new Path(d2, "_doc_index"), true)
+    val mPath = new Path(d2, "_graft_store.json")
+    val body = {
+      val in = fs2.open(mPath)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    fs2.delete(mPath, false)
+    val out2 = fs2.create(mPath, true)
+    out2.write(body.replace("\"doc_index\":\"1\",", "")
+      .replace(",\"doc_index\":\"1\"", "").getBytes("UTF-8"))
+    out2.close()
+    val (removedLeg, readLeg) = meterRead(Retract.retract(spark, d2, Seq(7L)))
+    assert(removedLeg == 16L, "legacy full-scan path removes identically")
+    // strict differential only: at THIS fixture size the dp slice the
+    // index reads (3 × idxRows/16) is a visible fraction; at real store
+    // sizes it is O(batch) while the legacy scan stays O(store) — the
+    // DeleteSoak cascade rows carry the at-scale numbers
+    assert(readIdx < readLeg,
+      s"indexed discovery must read less: $readIdx vs $readLeg")
+  }
+
+  test("doc index: flag present but directory gone falls back to full scan") {
+    import org.apache.hadoop.fs.Path
+    val d = dir("dix_gone")
+    IncrementalDedup.minhashBatch(mkDocs(32), d, storeParts = 8)
+    val fs = new Path(d).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(d, "_doc_index"), true) // operator damage
+    // trusting the flag would retract NOTHING — the fallback must not
+    assert(Retract.retract(spark, d, Seq(5L)) == 16L)
+    assert(spark.read.parquet(d).filter(col("doc_id") === 5L).count() == 0)
+  }
+
+  test("doc index: superset pairs (crash between the two appends) only cost pruning") {
+    val d = dir("dix_super")
+    IncrementalDedup.minhashBatch(mkDocs(16), d, storeParts = 8)
+    // a crashed cycle left index pairs whose store rows never landed
+    val dpS = IncrementalDedup.storeManifest(spark, d)("doc_index_parts").toInt
+    IncrementalDedup.appendDocIndex(
+      Seq((999L, 3)).toDF("doc_id", "bp"), d, "doc_id", dpS)
+    assert(Retract.retract(spark, d, Seq(999L)) == 0L) // no rows, no error
+    // and the over-claimed pair was erased with the takedown
+    assert(IncrementalDedup.docIndexBps(spark, d, Seq(999L), dpS)
+      .contains(Seq.empty))
+  }
+
+  test("doc index: retried batches do not duplicate pairs; rebuild migrates") {
+    import org.apache.hadoop.fs.Path
+    val d = dir("dix_retry")
+    val batch = mkDocs(16)
+    IncrementalDedup.minhashBatch(batch, d, storeParts = 8)
+    val once = spark.read.parquet(s"$d/_doc_index").count()
+    IncrementalDedup.minhashBatch(batch, d) // full retry, same rows
+    assert(spark.read.parquet(s"$d/_doc_index").count() == once,
+      "retried batch must not duplicate index pairs")
+    // rebuild re-derives the index against the REHASHED bps and stamps
+    // the flag — also the legacy-store migration path
+    val fs = new Path(d).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(d, "_doc_index"), true)
+    val d3 = dir("dix_rebuilt")
+    IncrementalDedup.rebuildStore(spark, d, d3, newParts = 4)
+    assert(IncrementalDedup.storeManifest(spark, d3)
+      .get("doc_index").contains("1"))
+    val trueBps = spark.read.parquet(d3).filter(col("doc_id") === 7L)
+      .select("bp").distinct().collect().map(_.getInt(0)).toSet
+    val dpR = IncrementalDedup.storeManifest(spark, d3)("doc_index_parts").toInt
+    assert(IncrementalDedup.docIndexBps(spark, d3, Seq(7L), dpR)
+      .map(_.toSet).contains(trueBps))
+    assert(Retract.retract(spark, d3, Seq(7L)) == 16L)
+  }
 }
