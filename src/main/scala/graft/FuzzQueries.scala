@@ -1430,6 +1430,157 @@ object FuzzQueries {
        |ORDER BY g ASC""".stripMargin
   }
 
+  // --- V11 grammar: ordered-set aggregates + windows over null-extended
+  // rows (r15 verdict #4) --------------------------------------------
+
+  /** Family 1 — percentile_cont / percentile_disc WITHIN GROUP: a
+    * genuine cross-engine hazard the suite never probed — the engines
+    * implement the SQL:2016 ordered-set aggregates independently
+    * (interpolation arithmetic for cont, the cume_dist>=p pick for
+    * disc). Hash-safety by construction: p is drawn from quarters
+    * {0.25, 0.5, 0.75} over INTEGER values, so the cont interpolation
+    * `a + frac(p·(n-1))·(b-a)` is an exact multiple of 0.25 in ieee754
+    * and `pc*4` casts to BIGINT losslessly in both engines. */
+  private final case class QPct(table: String, g: String, mod: Long,
+      v: String, vmod: Long, p: Double, disc: Boolean, wide: Cmp)
+
+  private def genPct(seed: Int): QPct = {
+    val rnd = new scala.util.Random(seed)
+    // table/p/disc from seed BITS (java.util.Random's first draws are
+    // near-constant across sequential seeds — the frozen-seed lesson)
+    val table = Seq("lineitem", "orders", "customer")(seed % 3)
+    val cols = tables(table)
+    val p = Seq(0.25, 0.5, 0.75)((seed / 3) % 3)
+    val disc = (seed / 9) % 2 == 1
+    val g = cols(rnd.nextInt(cols.size))
+    val v = cols(rnd.nextInt(cols.size))
+    QPct(table, g, 4L + rnd.nextInt(6), v, 11L + rnd.nextInt(89), p, disc,
+      wideArm(rnd, cols) match { case c: Cmp => c })
+  }
+
+  private def sparkOfPct(q: QPct)(s: SparkSession, dir: String): DataFrame = {
+    val fn = if (q.disc) "percentile_disc" else "percentile_cont"
+    Queries.rd(s, dir, q.table)
+      .filter(col(q.wide.c) >= q.wide.lit)
+      .select((col(q.g) % q.mod).cast("long").as("g"),
+        (col(q.v) % q.vmod).cast("long").as("v"))
+      .groupBy("g")
+      .agg(expr(s"$fn(${q.p}) WITHIN GROUP (ORDER BY v)").as("pc"),
+        count(lit(1)).as("n"))
+      .select(col("g"), (col("pc") * 4).cast("long").as("pc4"), col("n"))
+      .orderBy(col("g").asc)
+  }
+
+  private def sqlOfPct(q: QPct): String = {
+    val fn = if (q.disc) "percentile_disc" else "percentile_cont"
+    s"""SELECT CAST(g AS BIGINT) AS g,
+       |  CAST($fn(${q.p}) WITHIN GROUP (ORDER BY v) * 4 AS BIGINT) AS pc4,
+       |  CAST(count(*) AS BIGINT) AS n
+       |FROM (
+       |  SELECT ${q.g} % ${q.mod} AS g, ${q.v} % ${q.vmod} AS v
+       |  FROM ${q.table} WHERE ${q.wide.c} >= ${q.wide.lit}
+       |) sub
+       |GROUP BY g
+       |ORDER BY g ASC""".stripMargin
+  }
+
+  /** Family 2 — window functions over LEFT-JOIN null-extended rows: the
+    * v2 louter family pinned null-extension under aggregates; this runs
+    * RANK / running SUM over the null-extended frame, where the engines'
+    * DEFAULT null placement differs (Spark: NULLS FIRST asc; DuckDB:
+    * NULLS LAST) — placement is drawn explicitly, both combos.
+    * Satisfiability: the inner side keeps only high-quantity lineitems
+    * (bound 40..47 keeps ~20%, so ~35% of orders lose ALL items and
+    * null-extend — verified non-empty in both match states at sf0.001
+    * by the probe), while the outer keeps every order the wide arm
+    * admits. Determinism: the synthetic lineitem DUPLICATES
+    * (l_orderkey, l_linenumber) keys, so the output order is made total
+    * over ALL projected columns — rows tied on every projected column
+    * are interchangeable between engines (the cum-sum then assigns the
+    * same multiset of prefix sums to identical rows), and rank is
+    * tie-stable by definition. */
+  private final case class QLjWin(m: Long, jCol: String, jMod: Long,
+      desc: Boolean, nullsFirst: Boolean, cum: Boolean, bound: Long,
+      wide: Cmp)
+
+  private def genLjWin(seed: Int): QLjWin = {
+    val rnd = new scala.util.Random(seed)
+    // shape bits from the seed, not the generator's first draws
+    val cum = seed % 2 == 1
+    val desc = (seed / 2) % 2 == 1
+    val nullsFirst = (seed / 4) % 2 == 1
+    val jCands = Seq("l_partkey", "l_suppkey", "l_quantity")
+    QLjWin(3L + rnd.nextInt(5), jCands(rnd.nextInt(jCands.size)),
+      5L + rnd.nextInt(14), desc, nullsFirst, cum,
+      40L + rnd.nextInt(8),
+      wideArm(rnd, tables("orders")) match { case c: Cmp => c })
+  }
+
+  private def sparkOfLjWin(q: QLjWin)(s: SparkSession, dir: String): DataFrame = {
+    val o = Queries.rd(s, dir, "orders")
+      .filter(col(q.wide.c) >= q.wide.lit)
+      .select(col("o_orderkey").cast("long").as("k0"),
+        (col("o_custkey") % q.m).cast("long").as("p"))
+    val l = Queries.rd(s, dir, "lineitem")
+      .filter(col("l_quantity") >= q.bound)
+      .select(col("l_orderkey").cast("long").as("k0"),
+        col("l_linenumber").cast("long").as("k1"),
+        (col(q.jCol) % q.jMod).cast("long").as("j"))
+    val joined = o.join(l, Seq("k0"), "left")
+    val jSort = (q.desc, q.nullsFirst) match {
+      case (false, false) => col("j").asc_nulls_last
+      case (false, true)  => col("j").asc_nulls_first
+      case (true, false)  => col("j").desc_nulls_last
+      case (true, true)   => col("j").desc_nulls_first
+    }
+    val win = org.apache.spark.sql.expressions.Window
+    val metric =
+      if (q.cum)
+        sum(col("j")).over(win.partitionBy(col("p"))
+          .orderBy(jSort, col("k0").asc, col("k1").asc_nulls_first)
+          .rowsBetween(win.unboundedPreceding, win.currentRow))
+      else rank().over(win.partitionBy(col("p")).orderBy(jSort))
+    joined.withColumn("mt", metric.cast("long"))
+      .select("p", "k0", "k1", "j", "mt")
+      // TOTAL output order over every projected column: the synthetic
+      // lineitem carries duplicate (l_orderkey, l_linenumber) keys, so
+      // (p, k0, k1) alone leaves engine-dependent tie order — rows tied
+      // on ALL five columns are interchangeable, so this compares equal
+      .orderBy(col("p").asc, col("k0").asc, col("k1").asc_nulls_first,
+        col("j").asc_nulls_first, col("mt").asc_nulls_first)
+  }
+
+  private def sqlOfLjWin(q: QLjWin): String = {
+    val dir = if (q.desc) "DESC" else "ASC"
+    val nf = if (q.nullsFirst) "NULLS FIRST" else "NULLS LAST"
+    val metric =
+      if (q.cum)
+        s"""SUM(j) OVER (PARTITION BY p ORDER BY j $dir $nf,
+           |    k0 ASC, k1 ASC NULLS FIRST
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+      else s"RANK() OVER (PARTITION BY p ORDER BY j $dir $nf)"
+    s"""SELECT p, k0, k1, j, CAST($metric AS BIGINT) AS mt
+       |FROM (
+       |  SELECT CAST(o.o_custkey % ${q.m} AS BIGINT) AS p,
+       |         CAST(o.o_orderkey AS BIGINT) AS k0,
+       |         CAST(l.l_linenumber AS BIGINT) AS k1,
+       |         CAST(l.${q.jCol} % ${q.jMod} AS BIGINT) AS j
+       |  FROM orders o
+       |  LEFT JOIN (SELECT * FROM lineitem WHERE l_quantity >= ${q.bound}) l
+       |    ON o.o_orderkey = l.l_orderkey
+       |  WHERE o.${q.wide.c} >= ${q.wide.lit}
+       |) sub
+       |ORDER BY p ASC, k0 ASC, k1 ASC NULLS FIRST,
+       |  j ASC NULLS FIRST, mt ASC NULLS FIRST""".stripMargin
+  }
+
+  // v11, seed-scanned (main's probe): pct covers cont|disc × quarters ×
+  // the three tables; ljwin covers rank|cumsum × asc/desc ×
+  // nulls-first/last — both match states of the null-extension verified
+  // non-empty at sf0.001
+  private val pctSeeds = Seq(18000, 18001, 18004, 18008, 18011, 18013)
+  private val ljWinSeeds = Seq(19000, 19001, 19002, 19003, 19005, 19006)
+
   // v10, seed-scanned (main's probe): rangewin covers both variants
   // (peers ×4 asc/desc×nulls-first/last combos at 16000/16004/16006/
   // 16024; offset k=1/2 at 16003/16007/16011), all three tables;
@@ -1517,7 +1668,11 @@ object FuzzQueries {
       rangeWinSeeds.map(sd => s"q_fuzz_rangewin_$sd" ->
         (sparkOfRangeWin(genRangeWin(sd)) _)).toMap ++
       havingExistsSeeds.map(sd => s"q_fuzz_havexists_$sd" ->
-        (sparkOfHavingExists(genHavingExists(sd)) _)).toMap +
+        (sparkOfHavingExists(genHavingExists(sd)) _)).toMap ++
+      pctSeeds.map(sd => s"q_fuzz_pct_$sd" ->
+        (sparkOfPct(genPct(sd)) _)).toMap ++
+      ljWinSeeds.map(sd => s"q_fuzz_ljwin_$sd" ->
+        (sparkOfLjWin(genLjWin(sd)) _)).toMap +
       ("q_fuzz_empty_scalar" -> (emptyScalar _)) +
       ("q_fuzz_distinct_rows" -> (distinctRows _))
 
@@ -1554,7 +1709,10 @@ object FuzzQueries {
       rangeWinSeeds.map(sd => s"q_fuzz_rangewin_$sd" ->
         sqlOfRangeWin(genRangeWin(sd))).toMap ++
       havingExistsSeeds.map(sd => s"q_fuzz_havexists_$sd" ->
-        sqlOfHavingExists(genHavingExists(sd))).toMap +
+        sqlOfHavingExists(genHavingExists(sd))).toMap ++
+      pctSeeds.map(sd => s"q_fuzz_pct_$sd" -> sqlOfPct(genPct(sd))).toMap ++
+      ljWinSeeds.map(sd => s"q_fuzz_ljwin_$sd" ->
+        sqlOfLjWin(genLjWin(sd))).toMap +
       ("q_fuzz_empty_scalar" -> emptyScalarSql) +
       ("q_fuzz_distinct_rows" -> distinctRowsSql)
 
@@ -1578,7 +1736,8 @@ object FuzzQueries {
            name.contains("distinct") || name.contains("aggjoin") ||
            name.contains("rankgrp") || name.contains("avghav") ||
            name.contains("cumgrp") || name.contains("rangewin") ||
-           name.contains("havexists"))
+           name.contains("havexists") || name.contains("pct") ||
+           name.contains("ljwin"))
       println(s"-- $name\n${sql.replaceAll("\n+", "\n")}")
     var empty = 0
     for (dir <- dirs; (name, fn) <- queries.toSeq.sortBy(_._1)) {
