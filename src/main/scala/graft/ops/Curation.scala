@@ -230,7 +230,8 @@ object Curation {
     Result(finalDocs, funnel, () => { releaseBudget(); labeled.unpersist(); () })
   }
 
-  /** Streaming twin of the funnel (r13 verdict #5): curate a document
+  /** Streaming twin of the funnel (r13 verdict #5; near-dup stage r16,
+    * r15 verdict #5): curate a document
     * STREAM, one epoch at a time, with stage 2's dedup state in the
     * persisted exact store — the live-feed counterpart of the batch
     * backfill, under the store family's per-epoch-overwrite
@@ -250,28 +251,43 @@ object Curation {
     * batch funnel's — first-arrival keepers then coincide with global
     * min doc_id.
     *
-    * Stages 4 (token budget) and 2b (near-dup) are batch-only by
-    * construction — a global best-token prefix over an unbounded
-    * stream is ill-defined, and the near-dup pass needs the pair
-    * stores, which have their own stream twins — so configs carrying
-    * them are rejected loudly. */
+    * Stage 2b (near-dup) streams through the incremental store family
+    * (r16, lifting the old batch-only reject): the epoch's stage-2
+    * survivors run one locked [[IncrementalDedup.ngramBatch]] cycle —
+    * EXACT n-gram jaccard at the funnel's threshold, the same verify
+    * the batch stage applies after its LSH blocking — and the emitted
+    * pairs (cross-epoch included: the posting store remembers every
+    * earlier survivor) absorb into a persisted
+    * [[IncrementalComponents]] label store; an epoch doc whose resolved
+    * component root is not itself is charged to `near_dup`. Under the
+    * ascending-epoch parity precondition the root IS the global min-id
+    * representative, so epoch-union = batch-funnel including this
+    * stage's drop counts (the parity unit pins it). Both stores ride
+    * `nearDupStores = (pairStoreDir, clustersStoreDir)` — required
+    * exactly when the config carries the stage.
+    *
+    * Stage 4 (token budget) stays batch-only by construction — a
+    * global best-token prefix over an unbounded stream is ill-defined
+    * — so configs carrying it are rejected loudly. */
   def stream(
       docsStream: DataFrame,
       storeDir: String,
       resultsDir: String,
       checkpointDir: String,
       cfg: Config = Config(),
-      storeParts: Int = IncrementalDedup.AdoptOrDefaultStoreParts): org.apache.spark.sql.streaming.StreamingQuery = {
+      storeParts: Int = IncrementalDedup.AdoptOrDefaultStoreParts,
+      nearDupStores: Option[(String, String)] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     require(cfg.budget.isEmpty && cfg.budgetFraction.isEmpty,
       "the token-budget stage is batch-only: a global priority prefix " +
         "over an unbounded stream is ill-defined — run it on the backfill")
-    require(cfg.nearDup.isEmpty,
-      "the near-dup stage is batch-only here: compose the minhash store " +
-        "stream + clusters pairStream for streaming near-dup")
+    require(cfg.nearDup.isEmpty || nearDupStores.isDefined,
+      "the streaming near-dup stage needs its persistent state: pass " +
+        "nearDupStores = (pairStoreDir, clustersStoreDir)")
     docsStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        val (docsOut, funnel) = streamEpoch(batch.toDF(), storeDir, cfg, storeParts)
+        val (docsOut, funnel) =
+          streamEpoch(batch.toDF(), storeDir, cfg, storeParts, nearDupStores)
         docsOut.write.mode("overwrite").parquet(s"$resultsDir/docs/batch=$id")
         funnel.write.mode("overwrite").parquet(s"$resultsDir/funnel/batch=$id")
         ()
@@ -285,7 +301,8 @@ object Curation {
       docs: DataFrame,
       storeDir: String,
       cfg: Config,
-      storeParts: Int = IncrementalDedup.AdoptOrDefaultStoreParts): (DataFrame, DataFrame) = {
+      storeParts: Int = IncrementalDedup.AdoptOrDefaultStoreParts,
+      nearDupStores: Option[(String, String)] = None): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
     val text = col(cfg.textCol)
@@ -302,21 +319,43 @@ object Curation {
       featured.filter(col("__qpass")), storeDir, cfg.textCol, storeParts)
     val dupIds = verdicts.filter(col("dup_of").isNotNull)
       .select(col("doc_id"), lit(true).as("__dup"))
+      .localCheckpoint() // label join + the near-dup stage's anti-join
+    // stage 2b (r16): near-dup over THIS epoch's stage-2 survivors vs
+    // all earlier epochs — one locked ngram-store cycle (exact jaccard,
+    // the batch stage's verify), pairs absorbed into the persisted
+    // label store; a doc whose component root is not itself drops
+    val nearIds: Option[DataFrame] = cfg.nearDup.map { thr =>
+      val (pairStoreDir, ccStoreDir) = nearDupStores.getOrElse(sys.error(
+        "streaming near-dup stage without nearDupStores"))
+      val surv2 = featured.filter(col("__qpass"))
+        .join(dupIds, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col(cfg.textCol))
+      val pairs = IncrementalDedup.ngramBatch(
+        surv2, pairStoreDir, cfg.textCol, n = cfg.nearDupN, threshold = thr)
+      IncrementalComponents.addPairs(pairs, ccStoreDir)
+        .filter(col("v") =!= col("component"))
+        .select(col("v").as("doc_id"), lit(true).as("__neardup"))
+    }
     val contaminated = cfg.benchmark.map { bm =>
       Decontaminate.overlap(docs, bm, cfg.textCol, cfg.decontamN, cfg.minOverlap)
         .select(col("doc_id"), lit(true).as("__contam"))
     }
     val withDup = featured.join(dupIds, Seq("doc_id"), "left")
+    val withNear = nearIds match {
+      case Some(nd) => withDup.join(nd, Seq("doc_id"), "left")
+      case None => withDup.withColumn("__neardup", lit(null).cast("boolean"))
+    }
     val joined = contaminated match {
       case Some(c) =>
         val side = if (cfg.broadcastContaminated) broadcast(c) else c
-        withDup.join(side, Seq("doc_id"), "left")
-      case None => withDup.withColumn("__contam", lit(null).cast("boolean"))
+        withNear.join(side, Seq("doc_id"), "left")
+      case None => withNear.withColumn("__contam", lit(null).cast("boolean"))
     }
     val labeled = joined
       .withColumn("__exit",
         when(!col("__qpass"), lit("quality"))
           .when(coalesce(col("__dup"), lit(false)), lit("exact_dup"))
+          .when(coalesce(col("__neardup"), lit(false)), lit("near_dup"))
           .when(coalesce(col("__contam"), lit(false)), lit("contaminated")))
       .localCheckpoint()
     val agg = labeled.groupBy("__exit")
@@ -327,23 +366,35 @@ object Curation {
     def at(k: Option[String]): (Long, Long) = agg.getOrElse(k, (0L, 0L))
     val (nQ, _) = at(Some("quality"))
     val (nD, _) = at(Some("exact_dup"))
+    val (nN, _) = at(Some("near_dup"))
     val (nC, _) = at(Some("contaminated"))
     val (nS, tS) = at(None)
     val nIn = agg.values.map(_._1).sum
-    val tAfter3 = tS
-    val tAfter2 = tAfter3 + at(Some("contaminated"))._2
-    val tAfter1 = tAfter2 + at(Some("exact_dup"))._2
-    val rows = Seq(
-      Some((1, "quality", nIn, nIn - nQ, tAfter1)),
-      Some((2, "exact_dup", nIn - nQ, nIn - nQ - nD, tAfter2)),
-      cfg.benchmark.map(_ =>
-        (3, "contaminated", nIn - nQ - nD, nS, tAfter3))).flatten
+    // tokens after each stage follow from the exit sums backwards, the
+    // batch funnel's rule; executed stages number sequentially
+    val tAfterContam = tS
+    val tAfterNear = tAfterContam + at(Some("contaminated"))._2
+    val tAfterDup = tAfterNear + at(Some("near_dup"))._2
+    val tAfterQ = tAfterDup + at(Some("exact_dup"))._2
+    val out1 = nIn - nQ
+    val out2 = out1 - nD
+    val out2b = out2 - nN
+    val stages: Seq[(String, Long, Long, Long)] =
+      Seq(("quality", nIn, out1, tAfterQ),
+        ("exact_dup", out1, out2, tAfterDup)) ++
+        cfg.nearDup.map(_ =>
+          ("near_dup", out2, out2b, tAfterNear)).toSeq ++
+        cfg.benchmark.map(_ =>
+          ("contaminated", out2b, nS, tAfterContam)).toSeq
+    val rows = stages.zipWithIndex.map { case ((st, i, o, t), idx) =>
+      (idx + 1, st, i, o, t)
+    }
     val funnel = rows
       .toDF("stage_idx", "stage", "docs_in", "docs_out", "tokens_out")
       .select(col("stage_idx").cast("long"), col("stage"),
         col("docs_in"), col("docs_out"), col("tokens_out"))
     val survivors = labeled.filter(col("__exit").isNull)
-      .drop("__qpass", "__dup", "__contam", "__exit")
+      .drop("__qpass", "__dup", "__neardup", "__contam", "__exit")
     (survivors, funnel)
   }
 }

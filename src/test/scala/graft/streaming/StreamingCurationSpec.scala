@@ -265,7 +265,7 @@ class StreamingCurationSpec extends SparkSuite {
             org.apache.spark.sql.functions.col("docs_out")).as("d"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(gotDrops == wantDrops, s"stream $gotDrops vs batch $wantDrops")
-    // budget / near-dup configs are rejected loudly
+    // budget configs / store-less near-dup configs are rejected loudly
     intercept[IllegalArgumentException] {
       graft.ops.Curation.stream(stream, s"$work/store2", s"$work/out2",
         s"$work/ckpt2", cfg.copy(budget = Some(10L)))
@@ -274,5 +274,62 @@ class StreamingCurationSpec extends SparkSuite {
       graft.ops.Curation.stream(stream, s"$work/store3", s"$work/out3",
         s"$work/ckpt3", cfg.copy(nearDup = Some(0.8)))
     }
+  }
+
+  test("streaming near-dup stage: epoch union = batch funnel incl. its drops (r15 #5)") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("curneardupstream").toString
+    // long distinct sentences; a near-dup is its base with ONE word
+    // appended (word-3-gram jaccard ≈ 0.9 — above the 0.8 threshold
+    // where the batch stage's LSH blocking recall is 1, so both the
+    // batch LSH-blocked pass and the stream's ngram store find the
+    // SAME pair set and parity is exact, not statistical)
+    def sent(tag: String): String =
+      (1 to 16).map(i => s"${tag}w$i").mkString(" ")
+    val baseA = sent("a"); val baseB = sent("b")
+    val nearA = baseA + " extraone"       // cross-epoch pair with doc 1
+    val nearA2 = baseA + " extratwo"      // 3-member component {1,11,12}
+    val nearB = baseB + " extrathree"     // in-epoch pair {13, 14}
+    // ascending doc_id epochs (the parity precondition): epoch 1 seeds
+    // the keepers, epoch 2 carries a cross-epoch near-dup, a component
+    // chain, an in-epoch near pair, an exact dup, and a quality fail
+    val e1 = Seq((1L, Some(baseA)), (2L, Some(sent("c"))), (3L, Some("z!!")))
+    val e2 = Seq((10L, Some(baseA)),            // exact dup of 1
+      (11L, Some(nearA)), (12L, Some(nearA2)),  // near-dups of keeper 1
+      (13L, Some(baseB)), (14L, Some(nearB)),   // in-epoch near pair
+      (15L, Some(sent("d"))))                   // clean survivor
+    e1.toDF("doc_id", "text").coalesce(1).write.parquet(s"$work/in/f1")
+    e2.toDF("doc_id", "text").coalesce(1).write.parquet(s"$work/in/f2")
+    val cfg = graft.ops.Curation.Config(
+      minQuality = 0.4, nearDup = Some(0.8), nearDupN = 3)
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$work/in/*")
+    val q = graft.ops.Curation.stream(
+      stream, s"$work/store", s"$work/out", s"$work/ckpt", cfg,
+      nearDupStores = Some((s"$work/ngstore", s"$work/ccstore")))
+    try q.processAllAvailable() finally q.stop()
+    val res = graft.ops.Curation.run((e1 ++ e2).toDF("doc_id", "text"), cfg)
+    val wantDocs = res.docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val wantDrops = res.funnel.collect()
+      .map(r => r.getString(1) -> (r.getLong(2) - r.getLong(3))).toMap
+    res.release()
+    val gotDocs = spark.read.parquet(s"$work/out/docs")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gotDocs == wantDocs, s"stream $gotDocs vs batch $wantDocs")
+    val gotDrops = spark.read.parquet(s"$work/out/funnel")
+      .groupBy("stage").agg(
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.col("docs_in") -
+            org.apache.spark.sql.functions.col("docs_out")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotDrops == wantDrops, s"stream $gotDrops vs batch $wantDrops")
+    // non-vacuous: the near-dup stage really dropped the three planted
+    // members (11, 12 against keeper 1 — one cross-epoch, one closing a
+    // 3-member component — and 14 against in-epoch keeper 13)
+    assert(wantDrops("near_dup") == 3L, s"fixture drift: $wantDrops")
+    assert(!gotDocs.exists(Set(11L, 12L, 14L)), s"near-dups survived: $gotDocs")
+    assert(gotDocs.intersect(Set(1L, 13L, 15L)) == Set(1L, 13L, 15L))
   }
 }
