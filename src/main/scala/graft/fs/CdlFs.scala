@@ -764,7 +764,7 @@ final class CdlFs(
       hfs: org.apache.hadoop.fs.FileSystem,
       rootP: org.apache.hadoop.fs.Path, json: String): Unit = {
     import org.apache.hadoop.fs.Path
-    val merged = readCascadePending() match {
+    val merged = readCascadePending(haveLock = true) match {
       case None => json
       case Some((oldIds, oldStores)) =>
         val m = jsonMapper
@@ -784,7 +784,7 @@ final class CdlFs(
     writeCascadeMarkerRaw(hfs, rootP, merged)
   }
 
-  private def readCascadePending()
+  private def readCascadePending(haveLock: Boolean = false)
       : Option[(Map[String, Seq[Long]], Seq[(String, String)])] = {
     import org.apache.hadoop.fs.Path
     val p = new Path(tableLocation, CascadePending)
@@ -794,15 +794,29 @@ final class CdlFs(
     // — adopt the newest tmp as the live marker (the obligations it
     // carries are the ones the crash would otherwise silently lose) and
     // sweep the rest. The 5 s age floor keeps a healthy concurrent
-    // writer's in-flight tmp out of reach.
+    // writer's in-flight tmp out of reach. Adoption runs under the
+    // marker lock with a RE-CHECK (r16 review): on local filesystems
+    // rename REPLACES an existing destination, so an unlocked adopt
+    // racing a concurrent writer's fresh publish could clobber the new
+    // marker with stale content — exactly the obligation loss this
+    // path exists to prevent.
+    // (haveLock: the caller already holds the marker lock — StoreLock is
+    // NOT reentrant, so adopt inline instead of re-acquiring)
     if (!hfs.exists(p)) {
+      def adoptHeld(): Unit =
+        if (!hfs.exists(p)) { // re-check under the lock: a writer won
+          val fresh = cascadeOrphanTmps(hfs, new Path(tableLocation), 5000L)
+          if (fresh.nonEmpty) {
+            val newest = fresh.maxBy(_.getModificationTime)
+            hfs.rename(newest.getPath, p)
+            fresh.filterNot(_ eq newest)
+              .foreach(st => hfs.delete(st.getPath, false))
+          }
+        }
       val orphans = cascadeOrphanTmps(hfs, new Path(tableLocation), 5000L)
       if (orphans.nonEmpty) {
-        val newest = orphans.maxBy(_.getModificationTime)
-        // rename may lose to a writer recreating the marker — then the
-        // fresh marker (which merged or superseded the obligations) wins
-        hfs.rename(newest.getPath, p)
-        orphans.filterNot(_ eq newest).foreach(st => hfs.delete(st.getPath, false))
+        if (haveLock) adoptHeld()
+        else withCascadeMarkerLock { adoptHeld() }
       }
     }
     if (!hfs.exists(p)) None
@@ -886,7 +900,7 @@ final class CdlFs(
       dir: String, c: String, processed: Seq[Long]): Unit =
     withCascadeMarkerLock {
       import org.apache.hadoop.fs.Path
-      readCascadePending().foreach { case (curIds, curStores) =>
+      readCascadePending(haveLock = true).foreach { case (curIds, curStores) =>
         val stillOwed = curIds.getOrElse(c, Nil).toSet -- processed
         val stores2 =
           if (stillOwed.isEmpty) curStores.filterNot(_ == (dir, c))

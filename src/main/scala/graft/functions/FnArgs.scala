@@ -23,8 +23,14 @@ private[graft] object FnArgs {
 
   def doubleLit(e: Expression, what: String): Double = e match {
     case Literal(v: Double, DoubleType) => v
+    // SQL parses plain fractional literals (0.03) as DECIMAL and whole
+    // ones (0) as INTEGER — accept every exact numeric literal form
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+    case Literal(v: Int, IntegerType) => v.toDouble
+    case Literal(v: Long, LongType) => v.toDouble
+    case Literal(v: Float, org.apache.spark.sql.types.FloatType) => v.toDouble
     case other => throw new IllegalArgumentException(
-      s"$what must be a double literal, got $other")
+      s"$what must be a numeric literal, got $other")
   }
 
   def matrixLit(e: Expression, what: String): Array[Array[Double]] = e match {

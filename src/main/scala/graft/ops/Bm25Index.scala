@@ -319,7 +319,11 @@ object Bm25Index {
       b: Double = 0.75,
       queryIdCol: String = "query_id",
       queryCol: String = "query"): DataFrame = {
-    ensureReadable(spark, dir)
+    // entry heal for a CRASHED retraction's marker — but a marker held
+    // by a LIVE retractor means the lock is busy: that is the seqlock
+    // loop's polite-wait case below, not an error (r16 race test)
+    try ensureReadable(spark, dir)
+    catch { case _: IllegalStateException => () }
     val manifest = IncrementalDedup.storeManifest(spark, dir)
     val parts = manifest.get("store_parts").map(_.toInt).getOrElse(
       sys.error(s"$dir has no _graft_store.json manifest — not a bm25 index"))
@@ -399,10 +403,16 @@ object Bm25Index {
             snap = Some((n0, if (nt0 == 0) 1.0 else td0 / nt0, p))
           } // else: a swap overlapped the read — retry on settled state
         } catch {
-          // files swapped or stats mid-rewrite under a racing retraction
-          // — retry; anything NOT explained by a swap rethrows
+          // a racing retraction explains three shapes: task-level file
+          // loss (SparkException), a stats file mid-rewrite
+          // (IllegalArgumentException from the require), and the
+          // DRIVER-side listing walking a partition dir the fence just
+          // renamed away (raw FileNotFoundException from the file
+          // index). Retry each; anything NOT explained by a swap
+          // (pending marker or epoch movement) rethrows.
           case e @ (_: org.apache.spark.SparkException |
-                    _: IllegalArgumentException)
+                    _: IllegalArgumentException |
+                    _: java.io.FileNotFoundException)
               if Retract.pending(spark, postingsDir) ||
                 Retract.epoch(spark, postingsDir) != e0 => ()
         }
@@ -471,6 +481,11 @@ object Bm25Index {
       Retract.antiOn(spark, ids, "doc_id"),
       prefilter = Some(col("bp").isin(bps: _*)))
     recomputeStatsLocked(spark, dir)
+    // the retraction's consistency surface includes the stats the
+    // search scores with — re-bump the postings epoch AFTER the stats
+    // rewrite so a seqlock reader that caught the postings swap's own
+    // bump but read stats in this gap retries once more (r16 review)
+    Retract.bumpEpochAt(spark, s"$dir/postings")
     removedP + removedD
   }
 
@@ -502,16 +517,25 @@ object Bm25Index {
       spark: SparkSession, dir: String): Option[(Long, Long, Double)] = {
     val p = new org.apache.hadoop.fs.Path(dir, StatsFile)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val body =
-        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-        finally in.close()
-      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
-      Some((node.get("n_docs").asLong, node.get("n_text").asLong,
-        node.get("total_dl").asDouble))
+    var attempt = 0
+    while (true) {
+      try {
+        if (!fs.exists(p)) return None
+        val in = fs.open(p)
+        val body =
+          try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+        return Some((node.get("n_docs").asLong, node.get("n_text").asLong,
+          node.get("total_dl").asDouble))
+      } catch {
+        // exists→open races writeStats' delete→rename window (a lock-
+        // free search vs ANY locked writer, append included) — retry
+        case _: java.io.FileNotFoundException if attempt < 5 =>
+          attempt += 1; Thread.sleep(10L)
+      }
     }
+    None // unreachable
   }
 
   /** Temp-write + rename, the manifest discipline: a crash leaves the

@@ -77,7 +77,8 @@ object Curation {
       textCol: String = "text",
       broadcastContaminated: Boolean = true,
       nearDup: Option[Double] = None,
-      nearDupN: Int = 3)
+      nearDupN: Int = 3,
+      nearDupDfCap: Int = 1000)
 
   /** `docs`: the curated corpus (original columns + n_tokens, quality;
     * + cum_tokens when stage 4 ran), in stage-4 priority order when
@@ -262,7 +263,17 @@ object Curation {
     * component root is not itself is charged to `near_dup`. Under the
     * ascending-epoch parity precondition the root IS the global min-id
     * representative, so epoch-union = batch-funnel including this
-    * stage's drop counts (the parity unit pins it). Both stores ride
+    * stage's drop counts (the parity unit pins it) — with ONE
+    * documented exception inherent to streaming: near-dup similarity is
+    * not transitive, so a LATER doc can BRIDGE two already-emitted
+    * survivors into one component (jaccard(a,c) and jaccard(b,c) above
+    * threshold with jaccard(a,b) below). The batch funnel would then
+    * drop both non-min members; the stream has already shipped the
+    * earlier survivor and cannot retract it, so it keeps first-arrivals
+    * and charges only the bridge doc — the standard streaming-dedup
+    * semantic, pinned by its own unit. A backfill batch run remains the
+    * tool when retroactive component semantics are required. Both
+    * stores ride
     * `nearDupStores = (pairStoreDir, clustersStoreDir)` — required
     * exactly when the config carries the stage.
     *
@@ -330,8 +341,13 @@ object Curation {
       val surv2 = featured.filter(col("__qpass"))
         .join(dupIds, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col(cfg.textCol))
+      // dfCap rides the config (r16 review): the batch stage's exact
+      // verify has no df cutoff, so stream/batch parity additionally
+      // requires no shared gram's document frequency to exceed the cap
+      // — raise nearDupDfCap on boilerplate-heavy corpora
       val pairs = IncrementalDedup.ngramBatch(
-        surv2, pairStoreDir, cfg.textCol, n = cfg.nearDupN, threshold = thr)
+        surv2, pairStoreDir, cfg.textCol, n = cfg.nearDupN, threshold = thr,
+        dfCap = cfg.nearDupDfCap)
       IncrementalComponents.addPairs(pairs, ccStoreDir)
         .filter(col("v") =!= col("component"))
         .select(col("v").as("doc_id"), lit(true).as("__neardup"))

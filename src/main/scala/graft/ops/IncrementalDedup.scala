@@ -1745,25 +1745,27 @@ object IncrementalDedup {
   /** Append the batch's (id, bp) pairs to the index — call BEFORE the
     * main store append (superset discipline above). `rows` is any frame
     * carrying `idCol` and `bp`; feeding the WHOLE batch (not the
-    * anti-joined novel slice) is correct — the index's own anti-join
-    * dedupes, and it keeps this write independent of the store read. */
+    * anti-joined novel slice) is correct.
+    *
+    * Pure O(batch) map-side write, deliberately NO idempotency
+    * anti-join (r16 inc-soak finding): the anti-join re-read an index
+    * slice (index/dpParts rows per touched dp) on EVERY cycle — for the
+    * ngram store, whose index is as large as its posting table, that
+    * turned the bloom-pruned novel append's flat ~5 krec read into
+    * ~200 krec at the 100× soak. Replayed batches (crash retries,
+    * restarted streams) append their pairs AGAIN instead: duplicate
+    * (doc_id, bp) rows are correctness-free at the only consumer
+    * ([[docIndexBps]] collects DISTINCT bps) and are erased with the
+    * doc by [[retractDocIndex]]; growth is bounded by the replay count
+    * of each batch — crash-rare, never per-cycle. */
   private[ops] def appendDocIndex(
-      rows: DataFrame, storeDir: String, idCol: String, dpParts: Int): Unit = {
-    val spark = rows.sparkSession
-    val pairs = rows
+      rows: DataFrame, storeDir: String, idCol: String, dpParts: Int): Unit =
+    rows
       .select(col(idCol).cast("long").as("doc_id"), col("bp").cast("int").as("bp"))
       .distinct()
       .withColumn("dp", dpOf(dpParts, col("doc_id")))
-      .localCheckpoint() // read twice: dp collect + the append below
-    val dps = pairs.select("dp").distinct().collect()
-      .map(_.getInt(0)).toIndexedSeq
-    if (dps.isEmpty) return
-    val novel = pairs.join(
-      readDocIndexPruned(spark, storeDir, dps).select("doc_id", "bp"),
-      Seq("doc_id", "bp"), "left_anti")
-    novel.repartition(col("dp")).write.partitionBy("dp").mode("append")
+      .repartition(col("dp")).write.partitionBy("dp").mode("append")
       .parquet(s"$storeDir/$DocIndexDir")
-  }
 
   /** The candidate store partitions holding any retired id's rows,
     * via the index: dp-pruned read + id semi-join + distinct collect

@@ -268,13 +268,33 @@ object Retract {
   private[ops] def epoch(spark: SparkSession, dataDir: String): Long = {
     val p = new org.apache.hadoop.fs.Path(dataDir, RetractEpochFile)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) 0L
-    else {
-      val in = fs.open(p)
-      try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-      finally in.close()
+    var attempt = 0
+    while (true) {
+      try {
+        if (!fs.exists(p)) return 0L
+        val in = fs.open(p)
+        try return new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+        finally in.close()
+      } catch {
+        // exists→open races bumpEpoch's delete→rename window (µs): a
+        // vanished file here IS a concurrent bump — brief retry
+        case _: java.io.FileNotFoundException if attempt < 5 =>
+          attempt += 1; Thread.sleep(10L)
+      }
     }
+    0L // unreachable
+  }
+
+  /** Re-bump a directory's swap epoch from OUTSIDE a finish() — for
+    * retraction arms whose consistency surface extends past the data
+    * swap (r16 review: bm25's stats sidecar rewrites AFTER the postings
+    * swap already bumped, so a reader could pair new postings with
+    * stale totals; the extra bump forces its seqlock retry). Caller
+    * holds the store lock. */
+  private[ops] def bumpEpochAt(spark: SparkSession, dataDir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dataDir)
+    bumpEpoch(root.getFileSystem(spark.sparkContext.hadoopConfiguration), root)
   }
 
   private def bumpEpoch(

@@ -165,12 +165,16 @@ object SemDedup {
       sample.select(col("id").as("vec_id"), col("vec").as("embedding")),
       threshold = tau)
       .select("id_a", "id_b")
-    val cells = sample.select("id", "cell")
+    // a SOFT assignment is co-celled when the probe sets overlap — the
+    // recallBands rule; a hard one degenerates to cell equality
+    val cells = sample.select(col("id"),
+      (if (assigned.columns.contains("cells")) col("cells")
+       else array(col("cell"))).as("cs"))
     val counts = truth
-      .join(cells.select(col("id").as("id_a"), col("cell").as("ca")), Seq("id_a"))
-      .join(cells.select(col("id").as("id_b"), col("cell").as("cb")), Seq("id_b"))
+      .join(cells.select(col("id").as("id_a"), col("cs").as("ca")), Seq("id_a"))
+      .join(cells.select(col("id").as("id_b"), col("cs").as("cb")), Seq("id_b"))
       .agg(count(lit(1)).as("n"),
-        count(when(col("ca") === col("cb"), lit(1))).as("co"))
+        count(when(arrays_overlap(col("ca"), col("cb")), lit(1))).as("co"))
       .collect().head
     if (counts.getLong(0) == 0L) 1.0
     else counts.getLong(1).toDouble / counts.getLong(0)

@@ -466,15 +466,31 @@ class RetractSpec extends SparkSuite {
       .contains(Seq.empty))
   }
 
-  test("doc index: retried batches do not duplicate pairs; rebuild migrates") {
+  test("doc index: replay duplicates are harmless; rebuild migrates") {
     import org.apache.hadoop.fs.Path
     val d = dir("dix_retry")
     val batch = mkDocs(16)
     IncrementalDedup.minhashBatch(batch, d, storeParts = 8)
     val once = spark.read.parquet(s"$d/_doc_index").count()
-    IncrementalDedup.minhashBatch(batch, d) // full retry, same rows
-    assert(spark.read.parquet(s"$d/_doc_index").count() == once,
-      "retried batch must not duplicate index pairs")
+    IncrementalDedup.minhashBatch(batch, d) // full replay, same rows
+    // the index append is a pure O(batch) write with NO idempotency
+    // anti-join (the r16 soak measured the anti-join's per-cycle index
+    // read breaking the ngram bloom's flat novel appends) — a replay
+    // appends its pairs AGAIN, bounded by the replay count...
+    val twice = spark.read.parquet(s"$d/_doc_index").count()
+    assert(twice <= 2 * once, s"replay growth unbounded: $once -> $twice")
+    // ...and duplicates are correctness-free: the consult still returns
+    // the EXACT bp set and retraction erases every copy
+    val dpParts =
+      IncrementalDedup.storeManifest(spark, d)("doc_index_parts").toInt
+    val trueBps7 = spark.read.parquet(d).filter(col("doc_id") === 7L)
+      .select("bp").distinct().collect().map(_.getInt(0)).toSet
+    assert(IncrementalDedup.docIndexBps(spark, d, Seq(7L), dpParts)
+      .map(_.toSet).contains(trueBps7))
+    assert(Retract.retract(spark, d, Seq(7L)) == 16L)
+    assert(IncrementalDedup.docIndexBps(spark, d, Seq(7L), dpParts)
+      .contains(Seq.empty))
+    assert(spark.read.parquet(d).filter(col("doc_id") === 7L).count() == 0)
     // rebuild re-derives the index against the REHASHED bps and stamps
     // the flag — also the legacy-store migration path
     val fs = new Path(d).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -483,11 +499,12 @@ class RetractSpec extends SparkSuite {
     IncrementalDedup.rebuildStore(spark, d, d3, newParts = 4)
     assert(IncrementalDedup.storeManifest(spark, d3)
       .get("doc_index").contains("1"))
-    val trueBps = spark.read.parquet(d3).filter(col("doc_id") === 7L)
+    // doc 7 was retracted above — the rebuild checks pivot to doc 8
+    val trueBps = spark.read.parquet(d3).filter(col("doc_id") === 8L)
       .select("bp").distinct().collect().map(_.getInt(0)).toSet
     val dpR = IncrementalDedup.storeManifest(spark, d3)("doc_index_parts").toInt
-    assert(IncrementalDedup.docIndexBps(spark, d3, Seq(7L), dpR)
+    assert(IncrementalDedup.docIndexBps(spark, d3, Seq(8L), dpR)
       .map(_.toSet).contains(trueBps))
-    assert(Retract.retract(spark, d3, Seq(7L)) == 16L)
+    assert(Retract.retract(spark, d3, Seq(8L)) == 16L)
   }
 }

@@ -332,4 +332,42 @@ class StreamingCurationSpec extends SparkSuite {
     assert(!gotDocs.exists(Set(11L, 12L, 14L)), s"near-dups survived: $gotDocs")
     assert(gotDocs.intersect(Set(1L, 13L, 15L)) == Set(1L, 13L, 15L))
   }
+
+  test("streaming near-dup: a late bridge doc keeps first-arrivals (documented)") {
+    import spark.implicits._
+    // near-dup similarity is NOT transitive: doc 11 bridges 1 and 2
+    // (jaccard(1,11) and jaccard(2,11) >= thr while jaccard(1,2) = 0).
+    // A batch run would drop BOTH non-min members {2, 11}; the stream
+    // has already emitted 2 in epoch 1 and cannot retract it — it keeps
+    // first-arrivals and charges only the bridge. This pins the
+    // DOCUMENTED divergence so a behavior change is loud.
+    val work = Files.createTempDirectory("curbridgestream").toString
+    def sent(tag: String): String = (1 to 16).map(i => s"${tag}w$i").mkString(" ")
+    val bridge = sent("a") + " " + sent("b") // jaccard vs each base ≈ 0.47
+    val e1 = Seq((1L, Some(sent("a"))), (2L, Some(sent("b"))))
+    val e2 = Seq((11L, Some(bridge)))
+    e1.toDF("doc_id", "text").coalesce(1).write.parquet(s"$work/in/f1")
+    e2.toDF("doc_id", "text").coalesce(1).write.parquet(s"$work/in/f2")
+    val cfg = graft.ops.Curation.Config(
+      minQuality = 0.4, nearDup = Some(0.4), nearDupN = 3)
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$work/in/*")
+    val q = graft.ops.Curation.stream(
+      stream, s"$work/store", s"$work/out", s"$work/ckpt", cfg,
+      nearDupStores = Some((s"$work/ngstore", s"$work/ccstore")))
+    try q.processAllAvailable() finally q.stop()
+    val gotDocs = spark.read.parquet(s"$work/out/docs")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // both first-arrivals kept; only the bridge charged
+    assert(gotDocs == Set(1L, 2L), s"stream kept $gotDocs")
+    val nearDrops = spark.read.parquet(s"$work/out/funnel")
+      .filter(org.apache.spark.sql.functions.col("stage") === "near_dup")
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("docs_in") -
+          org.apache.spark.sql.functions.col("docs_out")))
+      .collect().head.getLong(0)
+    assert(nearDrops == 1L, s"only the bridge doc is charged: $nearDrops")
+  }
 }
