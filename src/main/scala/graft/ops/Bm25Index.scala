@@ -145,8 +145,16 @@ object Bm25Index {
         Map("term_bloom_cap" -> c.toString, "term_bloom_bits" -> b.toString)
       case _ => Map.empty[String, String]
     }
+    // doc→bp retraction index on postings/ (term-hash partitioned —
+    // the bucket-store discovery problem): stamped at creation
+    val mfB = IncrementalDedup.storeManifest(spark, dir)
+    val docIdx = !manifestExists || IncrementalDedup.docIndexEnabled(mfB)
+    val dpParts = mfB.get("doc_index_parts").map(_.toInt)
+      .getOrElse(IncrementalDedup.dpPartsFor(storeParts))
     IncrementalDedup.checkOrWriteMeta(spark, dir, Map(
-      "variant" -> "bm25", "store_parts" -> storeParts.toString) ++ bloomMeta)
+      "variant" -> "bm25", "store_parts" -> storeParts.toString) ++ bloomMeta ++
+      (if (!manifestExists) Map("doc_index" -> "1",
+        "doc_index_parts" -> dpParts.toString) else Map.empty))
     // doc-granular novelty from docs/ (pruned to the batch's id hashes);
     // dl NULL for NULL text — the search stats convention: such docs
     // count in N but not in avgdl
@@ -233,6 +241,11 @@ object Bm25Index {
       }
       IncrementalDedup.writeBloomSidecar(spark, dir, TermBloomFile, merged)
     }
+    // retraction index BEFORE the postings it covers (superset rule);
+    // feeding the whole batch's postings is correct — replays append
+    // duplicate pairs, harmless at the distinct-bps consult
+    if (docIdx) IncrementalDedup.appendDocIndex(
+      newPostings, s"$dir/postings", "doc_id", dpParts)
     IncrementalDedup.appendStore(novelPostings, s"$dir/postings")
     IncrementalDedup.appendStore(novelDocs, s"$dir/docs")
     writeStats(spark, dir, readStats(spark, dir) match {
@@ -470,16 +483,28 @@ object Bm25Index {
     * Returns posting+doc rows removed. */
   private[ops] def retractLocked(
       spark: SparkSession, dir: String, ids: Seq[Long]): Long = {
-    val parts = IncrementalDedup.manifestParts(spark, dir).getOrElse(
+    val mf = IncrementalDedup.storeManifest(spark, dir)
+    val parts = mf.get("store_parts").map(_.toInt).getOrElse(
       sys.error(s"$dir has no store_parts in its manifest"))
     val bps = Retract.bpsOf(spark, ids, parts)
+    // postings discovery prunes through the doc→bp index when present
+    // (term-hash partitions — the same O(store) discovery the dedup
+    // stores had); legacy indexes keep the full scan
+    val dpParts = mf.get("doc_index_parts").map(_.toInt).getOrElse(parts)
+    val prePost =
+      if (IncrementalDedup.docIndexEnabled(mf))
+        IncrementalDedup.docIndexBps(spark, s"$dir/postings", ids, dpParts)
+          .map(c => col("bp").isin(c: _*))
+      else None
     val removedP = Retract.rewriteTouched(spark, s"$dir/postings", "bp",
       Retract.semiOn(spark, ids, "doc_id"),
-      Retract.antiOn(spark, ids, "doc_id"))
+      Retract.antiOn(spark, ids, "doc_id"),
+      prefilter = prePost)
     val removedD = Retract.rewriteTouched(spark, s"$dir/docs", "bp",
       Retract.semiOn(spark, ids, "doc_id"),
       Retract.antiOn(spark, ids, "doc_id"),
       prefilter = Some(col("bp").isin(bps: _*)))
+    IncrementalDedup.retractDocIndex(spark, s"$dir/postings", ids, dpParts)
     recomputeStatsLocked(spark, dir)
     // the retraction's consistency surface includes the stats the
     // search scores with — re-bump the postings epoch AFTER the stats

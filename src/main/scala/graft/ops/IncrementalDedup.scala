@@ -1041,13 +1041,22 @@ object IncrementalDedup {
     val layoutMeta =
       if (manifestExists && mLayout.isEmpty) Map.empty[String, String]
       else Map("store_layout" -> storeLayout)
+    // doc→bp retraction index on the bucket-partitioned arm (inline
+    // root / split postings/): stamped at creation, adopted thereafter
+    val mfEmb = storeManifest(spark, storeDir)
+    val docIdx = !manifestExists || docIndexEnabled(mfEmb)
+    val dpParts = mfEmb.get("doc_index_parts").map(_.toInt)
+      .getOrElse(dpPartsFor(storeParts))
     checkOrWriteMeta(spark, storeDir, Map(
       "variant" -> "embedding", "store_parts" -> storeParts.toString,
       "planes" -> planes.toString, "tables" -> tables.toString) ++
-      typeMeta ++ layoutMeta)
+      typeMeta ++ layoutMeta ++
+      (if (!manifestExists) Map("doc_index" -> "1",
+        "doc_index_parts" -> dpParts.toString) else Map.empty))
     if (storeLayout == "split")
       return embeddingSplitCycle(spark, storeDir, newVecsPinned, newBucketed,
-        touchedParts, storeParts, vecType, threshold, compactFiles)
+        touchedParts, storeParts, vecType, threshold, compactFiles,
+        docIdx, dpParts)
     val read = readStore(spark, storeDir,
       s"vec_id BIGINT, vec ARRAY<${vecType.toUpperCase}>, tbl INT, " +
         "bucket BIGINT, bp INT")
@@ -1069,6 +1078,8 @@ object IncrementalDedup {
       // the `store` side of the join reads (unconditional — see the
       // exact variant's A/B note)
       .localCheckpoint()
+    // retraction index BEFORE the store rows it covers (superset rule)
+    if (docIdx) appendDocIndex(newBucketed, storeDir, "vec_id", dpParts)
     // idempotent append: a retried batch must not double its rows — a
     // doubled store would emit every cross pair twice-blocked and break
     // batch-sequence = full-corpus parity. ROW-granular (vec_id, tbl)
@@ -1099,7 +1110,9 @@ object IncrementalDedup {
       storeParts: Int,
       vecType: String,
       threshold: Double,
-      compactFiles: Int): DataFrame = {
+      compactFiles: Int,
+      docIdx: Boolean = false,
+      dpParts: Int = 0): DataFrame = {
     var t0 = System.nanoTime()
     def mark(label: String): Unit =
       if (sys.env.contains("GRAFT_SPLIT_LOG")) {
@@ -1171,6 +1184,8 @@ object IncrementalDedup {
         Seq("vec_id"), "left_anti"),
       vectorsDir)
     mark("vectors append")
+    // retraction index BEFORE the postings it covers (superset rule)
+    if (docIdx) appendDocIndex(newBucketed, postingsDir, "vec_id", dpParts)
     appendStore(
       newBucketed.join(storeP.select("vec_id", "tbl"),
         Seq("vec_id", "tbl"), "left_anti"),
@@ -1501,15 +1516,19 @@ object IncrementalDedup {
     // and the migration path that gives a pre-index legacy store its
     // first one, exactly like the gram bloom
     val docIdxMeta: Map[String, String] = {
-      val idxCol = variant match {
-        case "minhash" | "simhash" | "ngram" => Some("doc_id")
-        case "exact" | "span"                => Some("keep_doc_id")
+      // (id column, bucket-partitioned data dir the index lives under)
+      val idx: Option[(String, String)] = variant match {
+        case "minhash" | "simhash" | "ngram" => Some(("doc_id", dstDir))
+        case "exact" | "span"                => Some(("keep_doc_id", dstDir))
+        case "embedding" if split            => Some(("vec_id", s"$dstDir/postings"))
+        case "embedding"                     => Some(("vec_id", dstDir))
+        case "bm25"                          => Some(("doc_id", s"$dstDir/postings"))
         case _                               => None
       }
-      idxCol match {
-        case Some(c) if hasParts(dstDir) =>
+      idx match {
+        case Some((c, dataDir)) if hasParts(dataDir) =>
           val dp = dpPartsFor(parts)
-          writeDocIndexFrom(spark, dstDir, dstDir, c, dp)
+          writeDocIndexFrom(spark, dataDir, dataDir, c, dp)
           Map("doc_index" -> "1", "doc_index_parts" -> dp.toString)
         case _ => Map.empty
       }

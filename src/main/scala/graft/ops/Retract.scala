@@ -88,20 +88,24 @@ object Retract {
       // scan prunes to them (O(touched), no full id-column pass) — and
       // the index's own rows for the retired ids are erased afterwards
       // (it over-claims between the two steps: pruning cost only)
-      def delIndexed(idCol: String): Long = {
+      // the index lives UNDER the bucket-partitioned data dir it maps
+      // (the store root for single-table stores, `postings/` for the
+      // split/bm25 two-table layouts)
+      def delIndexedAt(dataDir: String, idCol: String): Long = {
         val dpParts = manifest.get("doc_index_parts").map(_.toInt)
           .getOrElse(manifest("store_parts").toInt)
         val pre =
           if (IncrementalDedup.docIndexEnabled(manifest))
             // None (index dir gone despite the flag) → full-scan
             // discovery, never a silent no-op takedown
-            IncrementalDedup.docIndexBps(spark, storeDir, ids, dpParts)
+            IncrementalDedup.docIndexBps(spark, dataDir, ids, dpParts)
               .map(bps => col("bp").isin(bps: _*))
           else None // legacy store: full-scan discovery
-        val n = del(storeDir, idCol, prefilter = pre)
-        IncrementalDedup.retractDocIndex(spark, storeDir, ids, dpParts)
+        val n = del(dataDir, idCol, prefilter = pre)
+        IncrementalDedup.retractDocIndex(spark, dataDir, ids, dpParts)
         n
       }
+      def delIndexed(idCol: String): Long = delIndexedAt(storeDir, idCol)
       manifest("variant") match {
         case "exact"               => delIndexed("keep_doc_id")
         case "span"                => delIndexed("keep_doc_id")
@@ -110,12 +114,13 @@ object Retract {
         case "embedding" =>
           if (manifest.get("store_layout").contains("split")) {
             // vectors/ is id-hash partitioned: candidate bps from the
-            // ids themselves — pruning end-to-end, no discovery scan
+            // ids themselves — pruning end-to-end, no discovery scan;
+            // postings/ is bucket-hash partitioned → doc index
             val parts = manifest("store_parts").toInt
-            del(s"$storeDir/postings", "vec_id") +
+            delIndexedAt(s"$storeDir/postings", "vec_id") +
               del(s"$storeDir/vectors", "vec_id",
                 prefilter = Some(col("bp").isin(bpsOf(spark, ids, parts): _*)))
-          } else del(storeDir, "vec_id")
+          } else delIndexed("vec_id")
         case "components" =>
           IncrementalComponents.retractLocked(spark, storeDir, ids)
         case "bm25" =>

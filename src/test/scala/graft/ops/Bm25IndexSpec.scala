@@ -89,6 +89,24 @@ class Bm25IndexSpec extends SparkSuite {
       s"1-term search read $lowIo of $full posting rows — pruning lost")
   }
 
+  test("postings doc index: exact bps, erased with the doc (r16)") {
+    val d = dir("dix")
+    Bm25Index.indexBatch(docs.limit(50), d)
+    val mf = IncrementalDedup.storeManifest(spark, d)
+    assert(mf.get("doc_index").contains("1"))
+    val dp = mf("doc_index_parts").toInt
+    val trueBps = spark.read.parquet(s"$d/postings")
+      .filter(col("doc_id") === 3L)
+      .select("bp").distinct().collect().map(_.getInt(0)).toSet
+    assert(IncrementalDedup.docIndexBps(spark, s"$d/postings", Seq(3L), dp)
+      .map(_.toSet).contains(trueBps))
+    Retract.retract(spark, d, Seq(3L))
+    assert(IncrementalDedup.docIndexBps(spark, s"$d/postings", Seq(3L), dp)
+      .contains(Seq.empty))
+    assert(spark.read.parquet(s"$d/postings")
+      .filter(col("doc_id") === 3L).count() == 0)
+  }
+
   test("retraction: unsearchable, stats exact, df re-adjusts") {
     val d = dir("retract")
     Bm25Index.indexBatch(docs, d)

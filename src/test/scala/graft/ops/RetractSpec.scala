@@ -105,8 +105,17 @@ class RetractSpec extends SparkSuite {
       val pre = IncrementalDedup.embeddingBatch(
         Seq((10L, v)).toDF("vec_id", "embedding"), d, layout = layout)
       assert(pre.count() == 1) // 10 ~ 1 at cosine 1.0
-      Retract.retract(spark, d, Seq(1L, 10L))
+      // the bucket-partitioned arm carries the doc→bp index (r16)
       val dataDir = if (layout == "split") s"$d/postings" else d
+      val dpParts =
+        IncrementalDedup.storeManifest(spark, d)("doc_index_parts").toInt
+      val trueBps = spark.read.parquet(dataDir).filter(col("vec_id") === 1L)
+        .select("bp").distinct().collect().map(_.getInt(0)).toSet
+      assert(IncrementalDedup.docIndexBps(spark, dataDir, Seq(1L), dpParts)
+        .map(_.toSet).contains(trueBps), s"$layout: index bps wrong")
+      Retract.retract(spark, d, Seq(1L, 10L))
+      assert(IncrementalDedup.docIndexBps(spark, dataDir, Seq(1L, 10L), dpParts)
+        .contains(Seq.empty), s"$layout: retired pairs survived the index")
       assert(spark.read.parquet(dataDir)
         .filter(col("vec_id").isin(1L, 10L)).count() == 0)
       if (layout == "split")
