@@ -292,6 +292,9 @@ final class CdlFs(
       s"zorderBy takes exactly two columns, got $zorderBy")
     val rootP = new Path(tableLocation)
     val fs = rootP.getFileSystem(hconf)
+    // the layout swap below moves staged files by rename — gate
+    // rename-less schemes up front (r16 verdict #1, AtomicRename)
+    AtomicRename.requireForSwap(rootP, hconf, "compact")
     if (CommitLog.latest(tableLocation, hconf).isEmpty)
       throw new IllegalStateException(
         s"nothing to compact: no committed version at $tableLocation")
@@ -436,6 +439,10 @@ final class CdlFs(
     import org.apache.hadoop.fs.Path
     val rootP = new Path(tableLocation)
     val hfs = rootP.getFileSystem(hconf)
+    // the source-retirement swap below is rename-fenced — gate
+    // rename-less schemes before any staging (r16 verdict #1); the
+    // sweep stays ungated: healing a committed marker must always run
+    AtomicRename.requireForSwap(rootP, hconf, "deleteWhere")
     sweepDeletePending()
     // resume an earlier pending cascade first — NON-fatally: a broken
     // derived store must not block a takedown's table delete (the legal
@@ -555,16 +562,13 @@ final class CdlFs(
       rootP: org.apache.hadoop.fs.Path, sources: Seq[String],
       cascadeJson: Option[String] = None): Unit = {
     import org.apache.hadoop.fs.Path
-    val tmp = new Path(rootP,
-      s"$DeletePending.tmp-${ProcessHandle.current().pid()}")
-    val out = hfs.create(tmp, true)
     val body = (sources ++ cascadeJson.map(CascadeTrailer + _)).mkString("\n")
-    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    val dst = new Path(rootP, DeletePending)
-    hfs.delete(dst, false)
-    if (!hfs.rename(tmp, dst))
-      throw new java.io.IOException(s"deleteWhere: marker rename failed: $dst")
+    // scheme-aware publish (r16 verdict #1): temp+rename where rename
+    // is atomic; direct overwrite-PUT on object stores (no absent or
+    // torn window between the old marker's delete and the rename)
+    AtomicRename.publishSmallFile(hfs, new Path(rootP, DeletePending),
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      s".tmp-${ProcessHandle.current().pid()}")
   }
 
   /** Roll the delete forward: move the staged rewrites in (file names
@@ -716,13 +720,10 @@ final class CdlFs(
     entries.foreach { case (d, c) =>
       val e = arr.addObject(); e.put("dir", d); e.put("id_col", c); ()
     }
-    val tmp = new Path(rootP, s"$StoresFile.tmp-${ProcessHandle.current().pid()}")
-    val out = hfs.create(tmp, true)
-    try out.write(m.writeValueAsBytes(node)) finally out.close()
-    val dst = new Path(rootP, StoresFile)
-    hfs.delete(dst, false)
-    if (!hfs.rename(tmp, dst))
-      throw new java.io.IOException(s"store registry rename failed: $dst")
+    // scheme-aware publish (r16 verdict #1) — see writeDeletePending
+    AtomicRename.publishSmallFile(hfs, new Path(rootP, StoresFile),
+      m.writeValueAsBytes(node),
+      s".tmp-${ProcessHandle.current().pid()}")
   }
 
   /** The cascade obligation as JSON: the retired id set per id column,
@@ -927,12 +928,22 @@ final class CdlFs(
       hfs: org.apache.hadoop.fs.FileSystem,
       rootP: org.apache.hadoop.fs.Path, body: String): Unit = {
     import org.apache.hadoop.fs.Path
+    val dst = new Path(rootP, CascadePending)
+    if (!AtomicRename.isAtomic(dst)) {
+      // rename-less object store (r16 verdict #1): a direct
+      // overwrite-create is one PUT — atomic on close, no delete window
+      // at all (stronger than the tmp-adoption recovery below needs)
+      val out = hfs.create(dst, true)
+      try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      sweepCascadeTmps(hfs, rootP)
+      return
+    }
     val tmp = new Path(rootP,
       s"$CascadePending.tmp-${ProcessHandle.current().pid()}-${System.nanoTime()}")
     val out = hfs.create(tmp, true)
     try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    val dst = new Path(rootP, CascadePending)
     if (!hfs.rename(tmp, dst)) {
       // scheme without overwriting rename: open the (unavoidable)
       // delete window, but the tmp survives a crash inside it

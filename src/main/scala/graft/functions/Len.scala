@@ -40,6 +40,12 @@ object Len {
     }
 
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "len", builder, "scala_udf")
+    // once-per-session guard (r16 verdict #8, see RegisterOnce): always
+    // REPLACES — Spark 4's builtin `len` is INT character/byte length,
+    // the engine's is BIGINT byte length, so a name-existence probe
+    // would wrongly keep the builtin
+    RegisterOnce(spark, "len") {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "len", builder, "scala_udf")
+    }
 }

@@ -66,6 +66,7 @@ object RabinFingerprint {
     s.getBytes("UTF-8").foldLeft(0L)((h, b) => (h * 31 + (b & 0xFF)) % Mod)
 
   def register(spark: SparkSession): Unit =
+    RegisterOnce(spark, "rabin_fingerprint") {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rabin_fingerprint",
       (exprs: Seq[Expression]) => {
@@ -74,4 +75,5 @@ object RabinFingerprint {
         RabinFingerprint(exprs.head)
       },
       "scala_udf")
+    }
 }

@@ -32,7 +32,7 @@ import org.apache.spark.unsafe.types.UTF8String
 object SketchExprs {
 
   /** Register all sketch functions on `spark` (idempotent). */
-  def register(spark: SparkSession): Unit = {
+  def register(spark: SparkSession): Unit = RegisterOnce(spark, "sketch") {
     def lit2Int(e: Expression, what: String): Int =
       FnArgs.intLit(e, what)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -598,7 +598,10 @@ case class NearestCellsSoft(
 
 object Vec {
 
-  def register(spark: SparkSession): Unit = {
+  // once-per-session guard (r16 verdict #8, see RegisterOnce): a name
+  // probe would mis-fire in GraftExtensions sessions, which pre-inject
+  // vec_dot but not vec_code/cosine_code
+  def register(spark: SparkSession): Unit = RegisterOnce(spark, "vec") {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot",
       (exprs: Seq[Expression]) => {

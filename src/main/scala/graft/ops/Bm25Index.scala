@@ -381,17 +381,23 @@ object Bm25Index {
       require(System.currentTimeMillis() < deadline,
         s"bm25 search on $dir waited out retraction swaps that never " +
           "settled — a wedged retractor or continuous-churn starvation")
-      if (Retract.pending(spark, postingsDir)) {
-        // an in-flight swap: the LIVE retractor holds the store lock and
-        // will finish in moments — just wait. Only a marker that stays
-        // up with no progress (a crashed retractor) escalates to the
-        // locked heal; a writer re-taking the lock meanwhile throws the
+      if (Retract.pending(spark, postingsDir) ||
+          Retract.armBusy(spark, postingsDir)) {
+        // an in-flight swap OR a mid-arm retraction (postings committed,
+        // docs/stats still rewriting — the arm sentinel, r16 ADVICE):
+        // the LIVE retractor holds the store lock and will finish in
+        // moments — just wait. Only a marker/sentinel that stays up with
+        // no progress (a crashed retractor) escalates to the locked
+        // heal; a writer re-taking the lock meanwhile throws the
         // lock-busy error, which here just means "keep waiting".
         val now = System.currentTimeMillis()
         if (pendingSince == 0L) pendingSince = now
         if (now - pendingSince > 5000L) {
+          // a failed heal (lock still held by the live retractor) must
+          // NOT loop hot: without the sleep this branch busy-spun
+          // exists/create metadata calls for up to ~115 s (r16 ADVICE)
           try { ensureReadable(spark, dir); pendingSince = 0L }
-          catch { case _: IllegalStateException => () }
+          catch { case _: IllegalStateException => Thread.sleep(50L) }
         } else Thread.sleep(20L)
       } else {
         pendingSince = 0L
@@ -411,6 +417,7 @@ object Bm25Index {
               "left_semi")
             .localCheckpoint() // df aggregate + scoring join share one read
           if (!Retract.pending(spark, postingsDir) &&
+              !Retract.armBusy(spark, postingsDir) &&
               Retract.epoch(spark, postingsDir) == e0) {
             val (n0, nt0, td0) = statsOpt.getOrElse((0L, 0L, 0.0))
             snap = Some((n0, if (nt0 == 0) 1.0 else td0 / nt0, p))
@@ -427,6 +434,7 @@ object Bm25Index {
                     _: IllegalArgumentException |
                     _: java.io.FileNotFoundException)
               if Retract.pending(spark, postingsDir) ||
+                Retract.armBusy(spark, postingsDir) ||
                 Retract.epoch(spark, postingsDir) != e0 => ()
         }
       }
@@ -457,15 +465,29 @@ object Bm25Index {
   }
 
   /** Read-path self-heal (the ensureReadable discipline): searches are
-    * lock-free, so a crashed retraction's pending marker is finished
-    * under a brief lock hold only when actually present. */
+    * lock-free, so a crashed retraction's pending marker — or a crashed
+    * ARM's busy sentinel (r16 ADVICE) — is finished under a brief lock
+    * hold only when actually present. The arm heal runs the arm's
+    * idempotent tail: roll the inner swaps forward, recompute the stats
+    * exactly from the post-swap docs/ (any committed rewrite state
+    * yields consistent totals), bump, then clear the sentinel. A crash
+    * BETWEEN the postings and docs rewrites still leaves retired docs/
+    * rows — the caller retries the retraction, same as every other
+    * mid-arm crash in the family — but readers are never again exposed
+    * to new-postings + stale-stats. */
   private def ensureReadable(spark: SparkSession, dir: String): Unit =
     if (Retract.pending(spark, s"$dir/postings") ||
-        Retract.pending(spark, s"$dir/docs"))
+        Retract.pending(spark, s"$dir/docs") ||
+        Retract.armBusy(spark, s"$dir/postings"))
       graft.fs.StoreLock.withLock(dir,
         spark.sparkContext.hadoopConfiguration) {
         Retract.sweep(spark, s"$dir/postings")
         Retract.sweep(spark, s"$dir/docs")
+        if (Retract.armBusy(spark, s"$dir/postings")) {
+          recomputeStatsLocked(spark, dir)
+          Retract.bumpEpochAt(spark, s"$dir/postings")
+          Retract.armClear(spark, s"$dir/postings")
+        }
       }
 
   /** Retraction arm (runs under the already-held store lock, from
@@ -487,6 +509,14 @@ object Bm25Index {
     val parts = mf.get("store_parts").map(_.toInt).getOrElse(
       sys.error(s"$dir has no store_parts in its manifest"))
     val bps = Retract.bpsOf(spark, ids, parts)
+    // ARM-BUSY SENTINEL (r16 ADVICE, medium): this arm's consistency
+    // surface is postings + docs + stats TOGETHER, but each inner swap's
+    // marker/epoch covers only itself — a reader whose whole seqlock
+    // cycle fell between the postings swap's bump and the final bump
+    // would pair new postings with stale stats and accept. Raise the
+    // sentinel BEFORE the first swap; search treats it as busy; cleared
+    // only after the final bump below. Crash → ensureReadable heals.
+    Retract.armRaise(spark, s"$dir/postings")
     // postings discovery prunes through the doc→bp index when present
     // (term-hash partitions — the same O(store) discovery the dedup
     // stores had); legacy indexes keep the full scan
@@ -509,8 +539,12 @@ object Bm25Index {
     // the retraction's consistency surface includes the stats the
     // search scores with — re-bump the postings epoch AFTER the stats
     // rewrite so a seqlock reader that caught the postings swap's own
-    // bump but read stats in this gap retries once more (r16 review)
+    // bump but read stats in this gap retries once more (r16 review),
+    // THEN drop the arm sentinel: bump-before-clear means a reader that
+    // validates against no-sentinel + unchanged-epoch provably saw no
+    // part of this arm
     Retract.bumpEpochAt(spark, s"$dir/postings")
+    Retract.armClear(spark, s"$dir/postings")
     removedP + removedD
   }
 
@@ -563,8 +597,11 @@ object Bm25Index {
     None // unreachable
   }
 
-  /** Temp-write + rename, the manifest discipline: a crash leaves the
-    * OLD totals, never a truncated file. */
+  /** Scheme-aware atomic publish (AtomicRename.publishSmallFile):
+    * temp-write + rename on rename-atomic schemes (a crash leaves the
+    * OLD totals, never a truncated file; readers retry the µs absent
+    * window), direct overwrite-PUT on object stores (atomic on close,
+    * no absent window — r16 verdict #1). */
   private def writeStats(
       spark: SparkSession, dir: String, v: (Long, Long, Double)): Unit = {
     import org.apache.hadoop.fs.Path
@@ -574,15 +611,10 @@ object Bm25Index {
     fs.listStatus(root)
       .filter(_.getPath.getName.startsWith(s"$StatsFile.tmp-"))
       .foreach(s => fs.delete(s.getPath, false))
-    val tmp = new Path(root, s"$StatsFile.tmp-${ProcessHandle.current().pid()}")
-    val out = fs.create(tmp, true)
-    // %s of the double keeps full precision (Java Double.toString round-trips)
-    try out.write(
+    // interpolated doubles keep full precision (Double.toString round-trips)
+    graft.fs.AtomicRename.publishSmallFile(fs, new Path(root, StatsFile),
       s"""{"n_docs":${v._1},"n_text":${v._2},"total_dl":${v._3}}"""
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    val dst = new Path(root, StatsFile)
-    fs.delete(dst, false)
-    require(fs.rename(tmp, dst), s"stats rename failed: $tmp -> $dst")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      s".tmp-${ProcessHandle.current().pid()}")
   }
 }

@@ -197,6 +197,31 @@ object IncrementalDedup {
     * quietly vanish. The manifest turns that into a loud
     * IllegalArgumentException on the first batch: written at store
     * creation, verified key-by-key on every later cycle. */
+  /** Feature tokens THIS binary knows how to MAINTAIN when mutating a
+    * store (r16 ADVICE #4). Each names a superset invariant a writer
+    * must uphold on every append/retract — skipping it silently
+    * corrupts later reads: `doc_index` (the `_doc_index` retraction
+    * sidecar must over-claim every stored row's bp, else an indexed
+    * takedown prunes discovery to the wrong partitions and leaves
+    * retired rows), `gram_bloom` / `term_bloom` (the bloom sidecars
+    * must stay supersets of the stored grams/terms, else pruned probes
+    * miss real duplicates). A manifest can DEMAND features via
+    * `required_features`; a writer that doesn't recognize one fails
+    * loudly here instead of appending-and-corrupting — the
+    * format-version discipline for forward compatibility. */
+  private[ops] val UnderstoodFeatures: Set[String] =
+    Set("doc_index", "gram_bloom", "term_bloom")
+
+  /** The feature tokens a creation-time `meta` implies (manifest key →
+    * token): used to stamp `required_features` into new manifests so
+    * any FUTURE binary lacking one of these maintenance obligations
+    * rejects the store instead of silently skipping the sidecar. */
+  private def featuresOf(meta: Map[String, String]): Seq[String] =
+    Seq(
+      meta.get("doc_index").filter(_ == "1").map(_ => "doc_index"),
+      meta.get("bloom_bits").map(_ => "gram_bloom"),
+      meta.get("term_bloom_bits").map(_ => "term_bloom")).flatten
+
   private[ops] def checkOrWriteMeta(
       spark: SparkSession, dir: String, meta: Map[String, String]): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir, "_graft_store.json")
@@ -220,6 +245,22 @@ object IncrementalDedup {
               "; restore or rewrite the manifest after verifying the " +
               "store's layout", e)
         }
+      // required-features gate FIRST (r16 ADVICE #4): a manifest
+      // demanding a maintenance obligation this binary doesn't
+      // implement must fail loudly BEFORE any mutation — an older
+      // writer appending to (say) a doc_index=1 store while silently
+      // skipping appendDocIndex breaks the index's superset invariant,
+      // and a later indexed takedown prunes discovery to the wrong
+      // partitions, leaving retired rows in the store.
+      val demanded = Option(node.get("required_features")).map(_.asText)
+        .toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      val unknown = demanded.filterNot(UnderstoodFeatures)
+      require(unknown.isEmpty,
+        s"store $dir requires feature(s) ${unknown.mkString(", ")} this " +
+          s"writer does not implement (understood: " +
+          s"${UnderstoodFeatures.toSeq.sorted.mkString(", ")}) — mutating " +
+          "it would silently break the feature's superset invariant; " +
+          "upgrade the writer or rebuild the store without the feature")
       val bad = meta.filter { case (k, v) =>
         node.get(k) == null || node.get(k).asText != v
       }
@@ -252,7 +293,12 @@ object IncrementalDedup {
           "refusing to adopt a foreign or pre-manifest store; migrate " +
           "it explicitly (rebuild, or write the manifest by hand after " +
           "verifying the layout)")
-      writeManifest(fs, dir, meta)
+      // stamp the maintenance obligations this meta implies so future
+      // writers that can't uphold one reject the store loudly
+      val feats = featuresOf(meta)
+      writeManifest(fs, dir,
+        if (feats.isEmpty) meta
+        else meta + ("required_features" -> feats.sorted.mkString(",")))
     }
   }
 
@@ -430,7 +476,10 @@ object IncrementalDedup {
       .localCheckpoint()
     // retraction index BEFORE the store rows it covers (superset rule):
     // pairs from the CHECKPOINTED verdicts — a retried batch re-derives
-    // the same pairs and the index's own anti-join dedupes them
+    // the same pairs, and appendDocIndex tolerates the duplicates (its
+    // per-batch distinct doesn't anti-join the stored index; repeats are
+    // erased by retractDocIndex, and the distinct-bps consult absorbs
+    // them as pruning cost only)
     if (docIdx) appendDocIndex(
       out.filter(col("dup_of").isNull)
         .select(col("doc_id").as("keep_doc_id"),
@@ -1539,9 +1588,15 @@ object IncrementalDedup {
       if (variant == "exact" || variant == "span")
         Map("key_encoding" -> "binary")
       else Map.empty
+    val merged = manifest + ("store_parts" -> parts.toString) ++
+      bloomMeta ++ encMeta ++ docIdxMeta
+    // re-stamp required_features from the REBUILT feature set (rebuild
+    // is the migration path that grants legacy stores their first
+    // sidecars — the obligations must follow, r16 ADVICE #4)
+    val feats = featuresOf(merged)
     writeManifest(dstFs, dstDir,
-      manifest + ("store_parts" -> parts.toString) ++
-        bloomMeta ++ encMeta ++ docIdxMeta)
+      if (feats.isEmpty) merged - "required_features"
+      else merged + ("required_features" -> feats.sorted.mkString(",")))
     parts
   }
 
@@ -1620,6 +1675,11 @@ object IncrementalDedup {
       def mustRename(src: Path, dst: Path): Unit =
         require(fs.rename(src, dst), s"rename failed: $src -> $dst")
       sweepCompactTrash(spark, storeDir)
+      // compaction's trash/place swap is rename-fenced — gate
+      // rename-less schemes before staging (r16 verdict #1); the trash
+      // sweep above stays ungated (heal must always run)
+      graft.fs.AtomicRename.requireForSwap(root,
+        spark.sparkContext.hadoopConfiguration, "store compaction")
       if (!fs.exists(root)) 0
       else {
         val parts = fs.listStatus(root)

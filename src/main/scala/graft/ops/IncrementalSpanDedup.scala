@@ -145,7 +145,10 @@ object IncrementalSpanDedup {
     // retraction index BEFORE the store rows it covers (superset rule):
     // pairs from ALL batch keepers, not the anti-joined novel slice —
     // already-stored windows add over-claiming pairs only (pruning
-    // cost), and the index's own anti-join dedupes exact repeats
+    // cost), and exact repeats are likewise tolerated: appendDocIndex
+    // dedupes within the batch only (no anti-join against the stored
+    // index); duplicates cost distinct-bps pruning work and are erased
+    // by retractDocIndex
     if (docIdx) IncrementalDedup.appendDocIndex(
       batchKeep.select(col("bk_doc").as("keep_doc_id"),
         IncrementalDedup.bpOf(storeParts, col("wh")).as("bp")),

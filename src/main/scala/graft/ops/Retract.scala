@@ -194,6 +194,14 @@ object Retract {
     val hasData = fs.exists(root) && fs.listStatus(root)
       .exists(_.getPath.getName.startsWith(s"$partCol="))
     if (!hasData) return 0L
+    // swap-fence scheme gate (r16 verdict #1): the whole-old/whole-new
+    // reader contract below rides atomic directory renames — on a
+    // rename-less scheme (S3A copy+delete) fail loudly BEFORE any
+    // staging, unless the operator quiesced readers and set the
+    // override. The sweep above is deliberately ungated: healing an
+    // already-committed marker must always finish.
+    graft.fs.AtomicRename.requireForSwap(root,
+      spark.sparkContext.hadoopConfiguration, "store retraction/rewrite")
     val df0 = spark.read.parquet(dataDir)
     val scan = prefilter.map(df0.filter).getOrElse(df0)
     // discovery: (id, partition) only — column-pruned, no data columns
@@ -257,6 +265,48 @@ object Retract {
   }
 
   private val RetractEpochFile = "_retract_epoch"
+  private val RetractArmFile = "_retract_arm"
+
+  /** Arm-busy sentinel for retraction arms whose consistency surface
+    * spans MULTIPLE swaps plus sidecar rewrites (r16 ADVICE, medium):
+    * bm25's arm is postings swap → docs swap → doc-index maintenance →
+    * stats rewrite → final epoch bump. Each inner swap's own marker and
+    * bump cover only itself, so a lock-free reader whose whole
+    * read-and-validate cycle fell BETWEEN the postings swap's bump and
+    * the final bump saw new postings + stale stats with no marker and
+    * an unchanged epoch — and accepted. The sentinel is raised before
+    * the first swap and cleared only AFTER the final bump; readers
+    * treat it exactly like a pending marker (busy → wait), so the
+    * docs/stats phase is observable. A crashed arm leaves the sentinel
+    * up; the owner's read-heal path (e.g. Bm25Index.ensureReadable)
+    * finishes the arm's idempotent tail (sweep + stats recompute +
+    * bump) under the store lock and clears it. Content is a debug aid
+    * (pid); only existence is read, so no write-atomicity is needed. */
+  private[ops] def armRaise(spark: SparkSession, dataDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dataDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(root)
+    val out = fs.create(new Path(root, RetractArmFile), true)
+    try out.write(ProcessHandle.current().pid().toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Clear the arm-busy sentinel — call only after the arm's final
+    * epoch bump (the bump-before-clear ordering is what lets a reader
+    * that saw no sentinel and an unchanged epoch conclude no arm
+    * overlapped its read). */
+  private[ops] def armClear(spark: SparkSession, dataDir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dataDir, RetractArmFile)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false)
+  }
+
+  /** Probe the arm-busy sentinel (lock-free read paths). */
+  private[ops] def armBusy(spark: SparkSession, dataDir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dataDir, RetractArmFile)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
 
   /** Swap-completion counter for LOCK-FREE readers — the seqlock half
     * the rename-fence alone cannot give (r16, r15 verdict #6): the
@@ -315,15 +365,14 @@ object Retract {
           java.nio.charset.StandardCharsets.UTF_8).trim.toLong
         finally in.close()
       }
-    val tmp = new Path(root,
-      s"$RetractEpochFile.tmp-${ProcessHandle.current().pid()}")
-    val out = fs.create(tmp, true)
-    try out.write((cur + 1).toString
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    fs.delete(p, false)
-    if (!fs.rename(tmp, p))
-      throw new java.io.IOException(s"epoch rename failed: $p")
+    // scheme-aware publish (r16 verdict #1): temp+rename on
+    // rename-atomic schemes (µs absent window, readers retry); direct
+    // overwrite-PUT on object stores — atomic on close, NO absent
+    // window (the old delete+copy+delete flow left the counter
+    // momentarily missing, which epoch() would misread as 0)
+    graft.fs.AtomicRename.publishSmallFile(fs, p,
+      (cur + 1).toString.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      s".tmp-${ProcessHandle.current().pid()}")
   }
 
   /** Roll the staged swap forward; every step re-runs safely after a

@@ -386,6 +386,62 @@ class Bm25IndexSpec extends SparkSuite {
       rows(Bm25Index.search(spark, oneShot, qs, k = 5)))
   }
 
+  test("arm sentinel: a LIVE mid-arm retraction blocks seqlock readers until the final bump") {
+    // r16 ADVICE (medium): retractLocked's postings swap used to finish
+    // (epoch bumped, marker gone) BEFORE the docs/stats phase, so a
+    // search whose whole read-and-validate cycle fell inside that window
+    // accepted new postings + stale stats. The arm sentinel spans the
+    // whole arm: while it is up, no search may snapshot.
+    val d = dir("armlive")
+    Bm25Index.indexBatch(docs, d)
+    val clean = rows(Bm25Index.search(spark, d, queries, k = 5))
+    val got = new java.util.concurrent.atomic.AtomicReference[Seq[String]](null)
+    graft.fs.StoreLock.withLock(d, spark.sparkContext.hadoopConfiguration,
+      owner = "live-retractor") {
+      Retract.armRaise(spark, s"$d/postings")
+      val t = new Thread(() =>
+        got.set(rows(Bm25Index.search(spark, d, queries, k = 5))))
+      t.start()
+      // the searcher must NOT complete while the arm is open (it would
+      // have read whatever half-finished state the arm was mid-way
+      // through); its entry-heal can't fire either — we hold the lock,
+      // exactly like a live retractor
+      Thread.sleep(1500)
+      assert(got.get == null,
+        "search accepted a snapshot inside an open retraction arm")
+      // retractor finishes its arm: final bump THEN clear (the ordering
+      // a validating reader relies on)
+      Retract.bumpEpochAt(spark, s"$d/postings")
+      Retract.armClear(spark, s"$d/postings")
+      t.join(60000)
+    }
+    assert(got.get != null, "search never completed after the arm closed")
+    assert(got.get == clean)
+  }
+
+  test("arm sentinel: a CRASHED mid-arm retraction heals on search entry (stats recomputed)") {
+    val d = dir("armheal")
+    Bm25Index.indexBatch(docs, d)
+    val clean = rows(Bm25Index.search(spark, d, queries, k = 5))
+    // simulate the retractor dying between the postings swap and the
+    // stats rewrite: sentinel up, stats stale (inflated n_docs would
+    // mis-score every idf if a reader trusted it)
+    val sp = java.nio.file.Paths.get(s"$d/_bm25_stats")
+    val good = new String(java.nio.file.Files.readAllBytes(sp))
+    java.nio.file.Files.write(sp, good
+      .replaceFirst("\"n_docs\":\\d+", "\"n_docs\":999999").getBytes)
+    Retract.armRaise(spark, s"$d/postings")
+    // entry-heal: the lock is FREE (holder crashed), so ensureReadable
+    // finishes the arm's idempotent tail — recompute stats exactly from
+    // docs/, bump, clear — and the search proceeds with true totals
+    val healed = rows(Bm25Index.search(spark, d, queries, k = 5))
+    assert(healed == clean,
+      "search scored with the crashed arm's stale stats")
+    assert(!Retract.armBusy(spark, s"$d/postings"), "sentinel not cleared")
+    val after = new String(java.nio.file.Files.readAllBytes(sp))
+    assert(!after.contains("999999"), s"stats not recomputed: $after")
+  }
+
   private def recordsReadDuring(body: => Unit): Long = {
     val recs = new java.util.concurrent.atomic.AtomicLong
     val l = new org.apache.spark.scheduler.SparkListener {

@@ -1253,4 +1253,40 @@ class IncrementalDedupSpec extends SparkSuite {
     val t2 = hfs.getFileStatus(p).getModificationTime
     assert(t2 > t1, s"sidecar rewrite did not advance mtime: $t1 -> $t2")
   }
+
+  test("required_features: creation stamps obligations; an unknown demanded feature refuses mutation") {
+    // r16 ADVICE #4: checkOrWriteMeta used to validate only the keys the
+    // WRITER passed — a pre-doc-index binary appending to a doc_index=1
+    // store succeeded while silently skipping appendDocIndex, breaking
+    // the index's superset invariant (a later indexed takedown would
+    // prune discovery to the wrong bps and leave retired rows). The
+    // manifest now DEMANDS its features; an unrecognizing writer fails
+    // loudly before mutating.
+    val dir = Files.createTempDirectory("reqfeat").toString + "/store"
+    IncrementalDedup.exactBatch(
+      Seq((1L, "alpha")).toDF("doc_id", "text"), dir).collect()
+    val mp = java.nio.file.Paths.get(s"$dir/_graft_store.json")
+    // hand-edits bypass the Hadoop checksum sidecar — drop it so the
+    // LocalFileSystem read doesn't fail on the stale .crc
+    val crc = java.nio.file.Paths.get(s"$dir/._graft_store.json.crc")
+    val body = new String(java.nio.file.Files.readAllBytes(mp))
+    assert(body.contains("\"required_features\":\"doc_index\""), body)
+    // a feature from the future, demanded by the store, unknown here
+    java.nio.file.Files.write(mp, body.replace(
+      "\"required_features\":\"doc_index\"",
+      "\"required_features\":\"doc_index,quantum_sketch\"").getBytes)
+    java.nio.file.Files.deleteIfExists(crc)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalDedup.exactBatch(
+        Seq((2L, "beta")).toDF("doc_id", "text"), dir).collect()
+    }
+    assert(e.getMessage.contains("quantum_sketch"), e.getMessage)
+    assert(e.getMessage.contains("does not implement"), e.getMessage)
+    // restore the manifest: the same mutation now succeeds
+    java.nio.file.Files.write(mp, body.getBytes)
+    java.nio.file.Files.deleteIfExists(crc)
+    IncrementalDedup.exactBatch(
+      Seq((2L, "beta")).toDF("doc_id", "text"), dir).collect()
+    assert(spark.read.parquet(dir).count() == 2L)
+  }
 }
