@@ -127,6 +127,30 @@ object DeleteSoak {
     // request): the doc→bp index prunes discovery AND the rewrite to
     // the <=bands partitions the doc's rows live in — fraction ≪ 1
     cascadeDrive("cascade_single_doc", "name = 'doc_107.txt'")
+    // concurrent-arm witness (r16 verdict #2): measure each arm's wall
+    // SERIALLY on byte-identical clones of the two stores, then run the
+    // real cascade — with the bounded arm pool, the cascade's store
+    // phase should track the SLOWER arm, not the sum
+    val retiredD9 = fsys.table.filter(expr("parent = '/d9'"))
+      .select("row_id").collect().map(_.getLong(0)).toSeq
+    def cloneDir(src: String, dst: String): Unit = {
+      import org.apache.hadoop.fs.{FileUtil, Path}
+      val fs = new Path(src).getFileSystem(hconf)
+      FileUtil.copy(fs, new Path(src), fs, new Path(dst), false, hconf); ()
+    }
+    cloneDir(exactStore, s"$root/clone_exact")
+    cloneDir(mhStore, s"$root/clone_mh")
+    def timeArm(dir: String): Double = {
+      val t0 = System.nanoTime()
+      ops.Retract.retract(spark, dir, retiredD9)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val wE = timeArm(s"$root/clone_exact")
+    val wM = timeArm(s"$root/clone_mh")
+    println(f"cascade_arms_serial: exact=$wE%.2fs minhash=$wM%.2fs " +
+      f"sum=${wE + wM}%.2fs slower=${math.max(wE, wM)}%.2fs " +
+      "(the dir_purge wall below carries the slower arm + the table " +
+      "delete, NOT the sum)")
     // the adversarial bulk purge: retired_ids × bands rows hash into
     // ~every partition — the rewrite honestly converges to one bounded
     // full-store pass (never worse than O(store)); the fraction row

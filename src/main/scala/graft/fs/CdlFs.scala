@@ -860,28 +860,68 @@ final class CdlFs(
       case Some((idSets, stores)) =>
         val rootP = new Path(tableLocation)
         val hfs = rootP.getFileSystem(hconf)
-        val done = scala.collection.mutable.ListBuffer[(String, Long)]()
-        val failed = scala.collection.mutable.ListBuffer[(String, Exception)]()
-        stores.foreach { case (dir, c) =>
-          val ids = idSets.getOrElse(c, Nil)
-          try {
-            val removed =
-              if (ids.isEmpty) 0L else graft.ops.Retract.retract(spark, dir, ids)
-            done += dir -> removed
-            completeCascadeObligation(hfs, rootP, dir, c, ids)
-          } catch {
-            case e: Exception => failed += dir -> e
+        val done = new java.util.concurrent
+          .ConcurrentHashMap[(String, String), java.lang.Long]()
+        val failed =
+          new java.util.concurrent.ConcurrentHashMap[String, Exception]()
+        // CONCURRENT arms (r16 verdict #2): each attached store's
+        // retraction is independent — its own StoreLock, its own
+        // directories, and the shrinking marker's RMW already serializes
+        // under the marker lock — so N stores pay max-of-walls on a
+        // bounded pool, not sum-of-walls. Entries sharing one DIRECTORY
+        // (the same store attached under two id columns) stay serial
+        // within their arm: the store lock is detect-and-fail, and two
+        // sibling arms racing it would turn a healthy cascade into a
+        // spurious lock-busy failure. Partial-failure semantics are
+        // unchanged: a failing store never blocks the others (they run
+        // regardless — now literally in parallel), its obligation stays
+        // in the marker, and the run throws naming the stores still owed.
+        val byDir = stores.groupBy(_._1)
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.max(1, math.min(byDir.size, CascadeParallelism)),
+          (r: Runnable) => {
+            val t = new Thread(r, "graft-cascade-arm"); t.setDaemon(true); t
+          })
+        try {
+          val futures = byDir.toSeq.map { case (dir, entries) =>
+            pool.submit(new Runnable {
+              override def run(): Unit = entries.foreach { case (_, c) =>
+                val ids = idSets.getOrElse(c, Nil)
+                try {
+                  val removed =
+                    if (ids.isEmpty) 0L
+                    else graft.ops.Retract.retract(spark, dir, ids)
+                  done.put((dir, c), removed)
+                  completeCascadeObligation(hfs, rootP, dir, c, ids)
+                } catch {
+                  case e: Exception => failed.putIfAbsent(dir, e); ()
+                }
+              }
+            })
           }
-        }
-        if (failed.nonEmpty)
+          futures.foreach(_.get())
+        } finally pool.shutdownNow()
+        if (!failed.isEmpty) {
+          // report in the marker's store order (deterministic across runs)
+          val failedDirs = stores.map(_._1).distinct
+            .filter(failed.containsKey)
           throw new IllegalStateException(
-            s"cascade: ${failed.size} store(s) still owed after this run (" +
-              failed.map(_._1).mkString(", ") + ") — first failure: " +
-              s"${failed.head._2.getMessage}; fix and re-run runCascadePending",
-            failed.head._2)
-        done.toList
+            s"cascade: ${failedDirs.size} store(s) still owed after this run (" +
+              failedDirs.mkString(", ") + ") — first failure: " +
+              s"${failed.get(failedDirs.head).getMessage}; fix and re-run " +
+              "runCascadePending",
+            failed.get(failedDirs.head))
+        }
+        stores.flatMap { case (dir, c) =>
+          Option(done.get((dir, c))).map(dir -> _.longValue())
+        }
     }
   }
+
+  /** Bounded width for concurrent cascade arms — enough to overlap the
+    * typical handful of attached stores' Spark jobs without oversplitting
+    * the local executor; each arm is itself a fully parallel Spark job. */
+  private val CascadeParallelism = 4
 
   /** Record one store's completed retraction in the live marker — a
     * locked read-modify-write against the CURRENT marker, not the
