@@ -179,6 +179,25 @@ class Cdl:
             self._spark._jsparkSession, url, self._catalog)
         return CdlFs(self._spark, jfs)
 
+    def model_user_storage_options(self, secrets,
+                                   secret_name="object-storage-user-0",
+                                   map_access_key="CONSOLE_ACCESS_KEY",
+                                   map_secret_key="CONSOLE_SECRET_KEY"):
+        """Resolve a ModelUser access-token secret reference (the
+        control plane's CRD spec) against ``secrets`` — a dict of
+        ``{secret_name: {key: value}}``, the K8s Secret shape — and
+        return the storage_options this Cdl's catalog produces with the
+        resolved credential pair grafted on (``fs.s3a.access.key`` /
+        ``secret.key``). Defaults mirror the CRD's serde defaults
+        (CONSOLE_* keys, the minio tenant's user-0 secret). A missing
+        secret or key raises with the reference's exact failure string.
+        Pass ``secret_name=None`` for a token-less spec (catalog
+        credentials stand)."""
+        opts = self._spark._jvm.graft.PyBridge.modelUserStorageOptions(
+            self._catalog, secrets, secret_name,
+            map_access_key, map_secret_key)
+        return dict(opts)
+
     # -- incremental dedup (graft extension; the reference's Python
     # surface has no dedup). Each call is one locked batch cycle against
     # the persisted store at `store_dir` (created on first use); the
@@ -401,13 +420,37 @@ class Cdl:
                 int(nprobe), int(rerank)),
             self._spark)
 
-    def sem_dedup(self, embs, n_clusters=16, tau=0.95):
+    def sem_dedup(self, embs, n_clusters=16, tau=0.95,
+                  band=None, max_probe=None):
         """SemDeDup keep-one semantic dedup of (vec_id, embedding) over
-        k-means cells (within-cell exact cosine >= tau)."""
+        k-means cells (within-cell exact cosine >= tau). ``band`` and
+        ``max_probe`` tune the soft-assignment straddler recovery
+        (defaults: the engine's measured 0.03 / top-3); see
+        sem_dedup_tune to derive them from a recall target."""
+        if band is None and max_probe is None:
+            return DataFrame(
+                self._spark._jvm.graft.PyBridge.semDedup(
+                    embs._jdf, int(n_clusters), float(tau)),
+                self._spark)
+        b = 0.03 if band is None else float(band)
+        m = 3 if max_probe is None else int(max_probe)
         return DataFrame(
-            self._spark._jvm.graft.PyBridge.semDedup(
-                embs._jdf, int(n_clusters), float(tau)),
+            self._spark._jvm.graft.PyBridge.semDedupWith(
+                embs._jdf, int(n_clusters), float(tau), b, m),
             self._spark)
+
+    def sem_dedup_tune(self, embs, n_clusters=16, tau=0.95,
+                       target_recall=0.95):
+        """Recall-targeted soft-assignment tuning: climbs the
+        band/max_probe ladder until the banded probe's non-clone recall
+        meets target_recall. Returns a dict with band, max_probe, the
+        recall actually measured (inspect it — the widest rung returns
+        even when the target was not met), and rungs_probed."""
+        raw = self._spark._jvm.graft.PyBridge.semDedupTune(
+            embs._jdf, int(n_clusters), float(tau), float(target_recall))
+        band, max_probe, recall, rungs = raw.split("\t")
+        return {"band": float(band), "max_probe": int(max_probe),
+                "recall": float(recall), "rungs_probed": int(rungs)}
 
     def sem_dedup_recall_bands(self, embs, n_clusters=16, tau=0.95):
         """Banded pair-sampled cell-fence recall telemetry: returns

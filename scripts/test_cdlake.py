@@ -370,6 +370,19 @@ def test_dsir_and_semdedup_over_bridge(spark):
     assert near == 1.0
     assert sum(b[3] for b in bands if b[2]) == 1  # one clone pair drawn
 
+    # straddler-recovery knobs reach the bridge (r16 verdict #3): an
+    # explicit band/max_probe routes through semDedupWith unchanged on
+    # this clone-only corpus, and the tuner returns its dict shape with
+    # the first rung already at target
+    kept2 = sorted(r["vec_id"] for r in
+                   cdl.sem_dedup(embs, n_clusters=2, tau=0.99,
+                                 band=0.06, max_probe=2).collect())
+    assert kept2 == [1, 3]
+    tuned = cdl.sem_dedup_tune(embs, n_clusters=2, tau=0.99,
+                               target_recall=0.95)
+    assert tuned["recall"] >= 0.95 and tuned["rungs_probed"] == 1
+    assert tuned["band"] > 0 and tuned["max_probe"] >= 2
+
     # hybrid RRF: doc 1 matches lexically AND semantically -> rank 1
     hq = spark.createDataFrame(
         [(0, "alpha beta", [1.0, 0.0, 0.0])],
@@ -472,6 +485,37 @@ def test_cascade_delete_over_bridge(spark):
     assert fs.cascade_pending_stores() == []
     assert fs.run_cascade_pending() == []
     assert fs.detach_store(store) is True
+
+
+def test_model_user_storage_options(spark):
+    """ModelUser secret-ref resolution over the bridge (control-plane
+    parity): the CRD's access-token reference resolves against a
+    secret map into the catalog's storage options, with the reference's
+    exact failure strings for a missing secret/key."""
+    from cdlake import Cdl
+    cdl = Cdl(spark, s3_endpoint="http://pond:9000")
+    secrets = {"object-storage-user-0": {
+        "CONSOLE_ACCESS_KEY": "ak-123", "CONSOLE_SECRET_KEY": "sk-456"}}
+    opts = cdl.model_user_storage_options(secrets)
+    assert opts["fs.s3a.access.key"] == "ak-123"
+    assert opts["fs.s3a.secret.key"] == "sk-456"
+    assert opts["fs.s3a.endpoint"] == "http://pond:9000"
+    # token-less spec: catalog credentials stand (none here)
+    bare = cdl.model_user_storage_options(secrets, secret_name=None)
+    assert "fs.s3a.access.key" not in bare
+    # the reference's exact failure strings
+    import py4j.protocol
+    try:
+        cdl.model_user_storage_options(secrets, secret_name="absent")
+        assert False, "missing secret must raise"
+    except py4j.protocol.Py4JJavaError as e:
+        assert "no such secret: absent" in str(e)
+    try:
+        cdl.model_user_storage_options(
+            {"object-storage-user-0": {"CONSOLE_ACCESS_KEY": "ak"}})
+        assert False, "missing key must raise"
+    except py4j.protocol.Py4JJavaError as e:
+        assert "no such secret key: object-storage-user-0/CONSOLE_SECRET_KEY" in str(e)
 
 
 def test_to_csv_collates_bench_outputs(tmp_path):

@@ -1574,6 +1574,205 @@ object FuzzQueries {
        |  j ASC NULLS FIRST, mt ASC NULLS FIRST""".stripMargin
   }
 
+  // ==== v12 (r17, r16 verdict #4): three dimensions the suite never
+  // drew — aggregate FILTER clauses (engines implement the SQL:2003
+  // clause independently; interaction with GROUP BY / HAVING untested),
+  // UNNEST/explode differentials (DuckDB's select-list unnest vs
+  // Spark's generator explode — NULL-array and empty-array rows must
+  // vanish identically), and DISTINCT crossed with windows / set-op
+  // arms (row-DISTINCT over window outputs; DISTINCT aggregates over a
+  // UNION ALL arm). ====
+
+  /** Family 1 — aggregate FILTER (WHERE …): cf counts a parity slice,
+    * sf sums a threshold slice (NULL over an empty slice in BOTH
+    * engines — the empty-filter contract rides every group), n anchors
+    * the unfiltered count; the HAVING variant filters ON the filtered
+    * aggregate, the interaction the verdict named. Integer-exact by
+    * construction (count/sum over modular longs). */
+  private final case class QFilt(table: String, g: String, mod: Long,
+      v: String, vmod: Long, thr: Long, having: Boolean, wide: Cmp)
+
+  private def genFilt(seed: Int): QFilt = {
+    val rnd = new scala.util.Random(seed)
+    val table = Seq("lineitem", "orders", "customer")(seed % 3)
+    val having = (seed / 3) % 2 == 1
+    val cols = tables(table)
+    QFilt(table, cols(rnd.nextInt(cols.size)), 4L + rnd.nextInt(6),
+      cols(rnd.nextInt(cols.size)), 11L + rnd.nextInt(60),
+      2L + rnd.nextInt(8), having,
+      wideArm(rnd, cols) match { case c: Cmp => c })
+  }
+
+  private def sparkOfFilt(q: QFilt)(s: SparkSession, dir: String): DataFrame = {
+    val base = Queries.rd(s, dir, q.table)
+      .filter(col(q.wide.c) >= q.wide.lit)
+      .select((col(q.g) % q.mod).cast("long").as("g"),
+        (col(q.v) % q.vmod).cast("long").as("v"))
+      .groupBy("g")
+      .agg(expr("count(*) FILTER (WHERE v % 2 = 0)").cast("long").as("cf"),
+        expr(s"sum(v) FILTER (WHERE v >= ${q.thr})").cast("long").as("sf"),
+        count(lit(1)).as("n"))
+    (if (q.having) base.filter(col("cf") >= 1) else base)
+      .orderBy(col("g").asc)
+  }
+
+  private def sqlOfFilt(q: QFilt): String = {
+    val having =
+      if (q.having) "\nHAVING count(*) FILTER (WHERE v % 2 = 0) >= 1" else ""
+    s"""SELECT CAST(g AS BIGINT) AS g,
+       |  CAST(count(*) FILTER (WHERE v % 2 = 0) AS BIGINT) AS cf,
+       |  CAST(sum(v) FILTER (WHERE v >= ${q.thr}) AS BIGINT) AS sf,
+       |  CAST(count(*) AS BIGINT) AS n
+       |FROM (
+       |  SELECT ${q.g} % ${q.mod} AS g, ${q.v} % ${q.vmod} AS v
+       |  FROM ${q.table} WHERE ${q.wide.c} >= ${q.wide.lit}
+       |) sub
+       |GROUP BY g$having
+       |ORDER BY g ASC""".stripMargin
+  }
+
+  /** Family 2 — UNNEST vs explode: a per-row CASE builds a NULL array,
+    * an EMPTY array, or a 2/3-element array whose values encode their
+    * position (e·10 + i) — ordinality tested without WITH ORDINALITY
+    * syntax (DuckDB lacks it). NULL and empty arrays must contribute
+    * ZERO rows in both engines (explode and select-list unnest agree);
+    * output totally ordered over (k, u). */
+  private final case class QUnnest(table: String, k: String, mod: Long,
+      b: String, e: String, emod: Long, three: Boolean, wide: Cmp)
+
+  private def genUnnest(seed: Int): QUnnest = {
+    val rnd = new scala.util.Random(seed)
+    val table = Seq("lineitem", "orders", "customer")(seed % 3)
+    val three = (seed / 3) % 2 == 1
+    val cols = tables(table)
+    QUnnest(table, cols(rnd.nextInt(cols.size)), 4L + rnd.nextInt(6),
+      cols(rnd.nextInt(cols.size)), cols(rnd.nextInt(cols.size)),
+      7L + rnd.nextInt(30), three,
+      wideArm(rnd, cols) match { case c: Cmp => c })
+  }
+
+  private def sparkOfUnnest(q: QUnnest)(s: SparkSession, dir: String): DataFrame = {
+    val n = if (q.three) 3 else 2
+    Queries.rd(s, dir, q.table)
+      .filter(col(q.wide.c) >= q.wide.lit)
+      .select((col(q.k) % q.mod).cast("long").as("k"),
+        (col(q.b) % 7).cast("long").as("b"),
+        (col(q.e) % q.emod).cast("long").as("e"))
+      .withColumn("arr",
+        when(col("b") === 0, lit(null).cast("array<long>"))
+          .when(col("b") === 1, array().cast("array<long>"))
+          .otherwise(array((1 to n).map(i => col("e") * 10 + i): _*)))
+      .select(col("k"), explode(col("arr")).as("u"))
+      .orderBy(col("k").asc, col("u").asc)
+  }
+
+  private def sqlOfUnnest(q: QUnnest): String = {
+    val n = if (q.three) 3 else 2
+    val elems = (1 to n).map(i => s"e * 10 + $i").mkString("[", ", ", "]")
+    s"""SELECT CAST(k AS BIGINT) AS k, CAST(u AS BIGINT) AS u
+       |FROM (
+       |  SELECT k, unnest(arr) AS u
+       |  FROM (
+       |    SELECT k,
+       |      CASE WHEN b = 0 THEN CAST(NULL AS BIGINT[])
+       |           WHEN b = 1 THEN CAST([] AS BIGINT[])
+       |           ELSE $elems END AS arr
+       |    FROM (
+       |      SELECT ${q.k} % ${q.mod} AS k, ${q.b} % 7 AS b,
+       |             ${q.e} % ${q.emod} AS e
+       |      FROM ${q.table} WHERE ${q.wide.c} >= ${q.wide.lit}
+       |    ) raw
+       |  ) sub
+       |) x
+       |ORDER BY k ASC, u ASC""".stripMargin
+  }
+
+  /** Family 3 — DISTINCT crossed with windows and set-op arms. Even
+    * seeds: row-DISTINCT over a window output (rank per value / total
+    * per partition — collapses tied frames identically in both
+    * engines; Spark rejects DISTINCT aggregates INSIDE a window frame,
+    * so the row-DISTINCT form is the cross both support). Odd seeds:
+    * COUNT(DISTINCT)/SUM(DISTINCT) over a two-table UNION ALL arm — the
+    * dedup must happen AFTER the arms merge. */
+  private final case class QWinDist(tableA: String, tableB: String,
+      g: String, g2: String, mod: Long, v: String, v2: String, vmod: Long,
+      rankVar: Boolean, union: Boolean, wide: Cmp, wide2: Cmp)
+
+  private def genWinDist(seed: Int): QWinDist = {
+    val rnd = new scala.util.Random(seed)
+    val union = seed % 2 == 1
+    val rankVar = (seed / 2) % 2 == 1
+    val tableA = Seq("lineitem", "orders", "customer")((seed / 4) % 3)
+    val tableB = Seq("orders", "customer", "lineitem")((seed / 4) % 3)
+    val ca = tables(tableA); val cb = tables(tableB)
+    QWinDist(tableA, tableB, ca(rnd.nextInt(ca.size)), cb(rnd.nextInt(cb.size)),
+      3L + rnd.nextInt(5), ca(rnd.nextInt(ca.size)), cb(rnd.nextInt(cb.size)),
+      9L + rnd.nextInt(40), rankVar, union,
+      wideArm(rnd, ca) match { case c: Cmp => c },
+      wideArm(rnd, cb) match { case c: Cmp => c })
+  }
+
+  private def sparkOfWinDist(q: QWinDist)(s: SparkSession, dir: String): DataFrame = {
+    val baseA = Queries.rd(s, dir, q.tableA)
+      .filter(col(q.wide.c) >= q.wide.lit)
+      .select((col(q.g) % q.mod).cast("long").as("p"),
+        (col(q.v) % q.vmod).cast("long").as("v"))
+    if (q.union) {
+      val baseB = Queries.rd(s, dir, q.tableB)
+        .filter(col(q.wide2.c) >= q.wide2.lit)
+        .select((col(q.g2) % q.mod).cast("long").as("p"),
+          (col(q.v2) % q.vmod).cast("long").as("v"))
+      baseA.unionByName(baseB)
+        .groupBy(col("p").as("g"))
+        .agg(countDistinct(col("v")).cast("long").as("cd"),
+          sum_distinct(col("v")).cast("long").as("sd"))
+        .orderBy(col("g").asc)
+    } else {
+      val win = org.apache.spark.sql.expressions.Window.partitionBy(col("p"))
+      val mt =
+        if (q.rankVar) rank().over(win.orderBy(col("v").asc))
+        else sum(col("v")).over(win)
+      baseA.withColumn("mt", mt.cast("long"))
+        .select("p", "mt").distinct()
+        .orderBy(col("p").asc, col("mt").asc)
+    }
+  }
+
+  private def sqlOfWinDist(q: QWinDist): String =
+    if (q.union)
+      s"""SELECT CAST(p AS BIGINT) AS g,
+         |  CAST(COUNT(DISTINCT v) AS BIGINT) AS cd,
+         |  CAST(SUM(DISTINCT v) AS BIGINT) AS sd
+         |FROM (
+         |  SELECT ${q.g} % ${q.mod} AS p, ${q.v} % ${q.vmod} AS v
+         |  FROM ${q.tableA} WHERE ${q.wide.c} >= ${q.wide.lit}
+         |  UNION ALL
+         |  SELECT ${q.g2} % ${q.mod} AS p, ${q.v2} % ${q.vmod} AS v
+         |  FROM ${q.tableB} WHERE ${q.wide2.c} >= ${q.wide2.lit}
+         |) u
+         |GROUP BY p
+         |ORDER BY g ASC""".stripMargin
+    else {
+      val metric =
+        if (q.rankVar) "RANK() OVER (PARTITION BY p ORDER BY v ASC)"
+        else "SUM(v) OVER (PARTITION BY p)"
+      s"""SELECT DISTINCT CAST(p AS BIGINT) AS p,
+         |  CAST($metric AS BIGINT) AS mt
+         |FROM (
+         |  SELECT ${q.g} % ${q.mod} AS p, ${q.v} % ${q.vmod} AS v
+         |  FROM ${q.tableA} WHERE ${q.wide.c} >= ${q.wide.lit}
+         |) sub
+         |ORDER BY p ASC, mt ASC""".stripMargin
+    }
+
+  // v12, seed-scanned (main's probe): filt covers 3 tables × both
+  // HAVING states; unnest covers 3 tables × 2/3-element arrays; windist
+  // covers distinct-over-window (rank + partition-sum) and
+  // distinct-agg-over-union shapes
+  private val filtSeeds = Seq(20000, 20001, 20002, 20003)
+  private val unnestSeeds = Seq(21000, 21001, 21002, 21003)
+  private val winDistSeeds = Seq(22000, 22001, 22002, 22003)
+
   // v11, seed-scanned (main's probe): pct covers cont|disc × quarters ×
   // the three tables; ljwin covers rank|cumsum × asc/desc ×
   // nulls-first/last — both match states of the null-extension verified
@@ -1672,7 +1871,13 @@ object FuzzQueries {
       pctSeeds.map(sd => s"q_fuzz_pct_$sd" ->
         (sparkOfPct(genPct(sd)) _)).toMap ++
       ljWinSeeds.map(sd => s"q_fuzz_ljwin_$sd" ->
-        (sparkOfLjWin(genLjWin(sd)) _)).toMap +
+        (sparkOfLjWin(genLjWin(sd)) _)).toMap ++
+      filtSeeds.map(sd => s"q_fuzz_filt_$sd" ->
+        (sparkOfFilt(genFilt(sd)) _)).toMap ++
+      unnestSeeds.map(sd => s"q_fuzz_unnest_$sd" ->
+        (sparkOfUnnest(genUnnest(sd)) _)).toMap ++
+      winDistSeeds.map(sd => s"q_fuzz_windist_$sd" ->
+        (sparkOfWinDist(genWinDist(sd)) _)).toMap +
       ("q_fuzz_empty_scalar" -> (emptyScalar _)) +
       ("q_fuzz_distinct_rows" -> (distinctRows _))
 
@@ -1712,7 +1917,12 @@ object FuzzQueries {
         sqlOfHavingExists(genHavingExists(sd))).toMap ++
       pctSeeds.map(sd => s"q_fuzz_pct_$sd" -> sqlOfPct(genPct(sd))).toMap ++
       ljWinSeeds.map(sd => s"q_fuzz_ljwin_$sd" ->
-        sqlOfLjWin(genLjWin(sd))).toMap +
+        sqlOfLjWin(genLjWin(sd))).toMap ++
+      filtSeeds.map(sd => s"q_fuzz_filt_$sd" -> sqlOfFilt(genFilt(sd))).toMap ++
+      unnestSeeds.map(sd => s"q_fuzz_unnest_$sd" ->
+        sqlOfUnnest(genUnnest(sd))).toMap ++
+      winDistSeeds.map(sd => s"q_fuzz_windist_$sd" ->
+        sqlOfWinDist(genWinDist(sd))).toMap +
       ("q_fuzz_empty_scalar" -> emptyScalarSql) +
       ("q_fuzz_distinct_rows" -> distinctRowsSql)
 
@@ -1737,7 +1947,8 @@ object FuzzQueries {
            name.contains("rankgrp") || name.contains("avghav") ||
            name.contains("cumgrp") || name.contains("rangewin") ||
            name.contains("havexists") || name.contains("pct") ||
-           name.contains("ljwin"))
+           name.contains("ljwin") || name.contains("filt") ||
+           name.contains("unnest") || name.contains("windist"))
       println(s"-- $name\n${sql.replaceAll("\n+", "\n")}")
     var empty = 0
     for (dir <- dirs; (name, fn) <- queries.toSeq.sortBy(_._1)) {

@@ -292,10 +292,59 @@ object PyBridge {
     graft.ops.HybridSearch.searchIndexed(docs, indexDir, queries,
       k.intValue, nPer.intValue, nprobe.intValue, rerank.intValue)
 
+  /** ModelUser secret-ref resolution for the Python surface (r16
+    * verdict #9; pond/ModelUser.scala — the CRD spec's consumption
+    * path): resolve the ref against a caller-supplied secret map
+    * (name → {key → value}), graft the credential pair onto a catalog
+    * built from `kwargs`, and return the resulting storage options —
+    * the same `fs.s3a.*` map the JVM side feeds the Hadoop conf.
+    * Failures throw with the reference's exact strings ("no such
+    * secret: …", "no such secret key: …/…"). A null `secretName` is the
+    * token-less spec: the catalog's own credentials stand. */
+  def modelUserStorageOptions(
+      kwargs: java.util.Map[String, String],
+      secrets: java.util.Map[String, java.util.Map[String, String]],
+      secretName: String, mapAccessKey: String,
+      mapSecretKey: String): java.util.Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    val catalog = graft.core.DatasetCatalog.fromMap(kwargs.asScala.toMap)
+      .fold(e => sys.error(e), identity)
+    val spec =
+      if (secretName == null) graft.pond.ModelUser.Spec(None)
+      else graft.pond.ModelUser.Spec(Some(
+        graft.pond.ModelUser.AccessTokenSecretRef(
+          graft.pond.ModelUser.SecretRef(mapAccessKey, mapSecretKey,
+            secretName))))
+    val store: String => Option[Map[String, Array[Byte]]] = n =>
+      Option(secrets.get(n)).map(_.asScala.toMap.map { case (k, v) =>
+        k -> v.getBytes(java.nio.charset.StandardCharsets.UTF_8) })
+    graft.pond.ModelUser.catalogWith(catalog, spec, store)
+      .fold(e => sys.error(e), c => c.storageOptions.asJava)
+  }
+
   /** SemDeDup keep-one semantic dedup over k-means cells. */
   def semDedup(embs: DataFrame, nClusters: java.lang.Number,
       tau: Double): DataFrame =
     graft.ops.SemDedup.dedup(embs, nClusters.intValue, tau)
+
+  /** [[semDedup]] with the straddler-recovery knobs exposed (r16
+    * verdict #4): `band` = soft-assignment cosine margin, `maxProbe` =
+    * probe-set cap. */
+  def semDedupWith(embs: DataFrame, nClusters: java.lang.Number,
+      tau: Double, band: Double, maxProbe: java.lang.Number): DataFrame =
+    graft.ops.SemDedup.dedup(embs, nClusters.intValue, tau,
+      band = band, maxProbe = maxProbe.intValue)
+
+  /** Recall-targeted soft-assignment tuning (r16 verdict #3): climbs
+    * the band/maxProbe ladder until the banded probe's non-clone
+    * recall meets `targetRecall`. Returns
+    * "band\tmax_probe\trecall\trungs_probed". */
+  def semDedupTune(embs: DataFrame, nClusters: java.lang.Number,
+      tau: Double, targetRecall: Double): String = {
+    val t = graft.ops.SemDedup.tuneSoft(embs, nClusters.intValue, tau,
+      targetRecall = targetRecall)
+    s"${t.band}\t${t.maxProbe}\t${t.recall}\t${t.rungsProbed}"
+  }
 
   /** Banded pair-sampled cell-fence recall (r15): rows as
     * "lo\thi\tis_clone\tpairs\tco_celled" plus a final

@@ -29,6 +29,79 @@ object Soak {
     * reads as a clean run (r15 ADVICE). */
   private[graft] val KnownFamilies = Set("text", "emb", "inc", "width", "frag", "cc")
 
+  /** The r16 churn race against the SOAK-SCALE index (verdict #5): a
+    * stable doc + churn docs sharing its anchor term graft onto the big
+    * index, a churner loops retract → re-append (each swap rewrites the
+    * anchor partition and takes SECONDS here, so the search loop's 5 s
+    * heal escalation and 120 s deadline genuinely engage), and a reader
+    * loops searches. The row reports misses (a search that lost the
+    * stable doc — must be 0), deadline trips (must be 0: a trip means
+    * the 120 s deadline is mis-derived for real swap walls), churn
+    * cycles completed, and the search wall distribution. Bounded:
+    * `maxSearches` or 5 minutes, whichever first. */
+  private def bm25ChurnRaceSoak(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      maxSearches: Int = 30): Unit = {
+    import spark.implicits._
+    // ids FAR above any scaled copy's range (copies step by 1e8, so a
+    // 9e8 graft id collided with copy 9's real docs at factor 10 — the
+    // doc-granular novelty anti-join silently dropped the "stable" doc
+    // and every search legitimately missed it; the require below makes
+    // any future collision loud instead)
+    val stableId = 90_000_000_000L
+    val stable = Seq((stableId, "zanchor zalpha zbeta zgamma"))
+    val churnDocs = (90_000_000_100L until 90_000_000_120L)
+      .map(i => (i, s"zanchor zfiller$i zw$i")).toSeq
+    val grafted = ops.Bm25Index.indexBatch(
+      (stable ++ churnDocs).toDF("doc_id", "text"), dir)
+    require(grafted == 1L + churnDocs.size,
+      s"race graft appended $grafted docs — id collision with the corpus?")
+    val q = Seq((0L, "zanchor")).toDF("query_id", "query")
+    @volatile var stop = false
+    @volatile var churnErr: Option[Throwable] = None
+    @volatile var cycles = 0
+    val churner = new Thread(() => {
+      try {
+        val df = churnDocs.toDF("doc_id", "text")
+        while (!stop) {
+          ops.Retract.retract(spark, dir, churnDocs.map(_._1))
+          ops.Bm25Index.indexBatch(df, dir)
+          cycles += 1
+        }
+      } catch { case t: Throwable => churnErr = Some(t) }
+    }, "bm25-soak-churner")
+    churner.start()
+    var misses = 0
+    var trips = 0
+    var walls = List.empty[Double]
+    val t0 = System.nanoTime()
+    var n = 0
+    try {
+      while (n < maxSearches && (System.nanoTime() - t0) < 300e9 &&
+          churnErr.isEmpty) {
+        n += 1
+        val s0 = System.nanoTime()
+        try {
+          val got = ops.Bm25Index.search(spark, dir, q, k = 30)
+            .select("doc_id").collect().map(_.getLong(0)).toSet
+          if (!got.contains(stableId)) misses += 1
+        } catch {
+          case e: Exception
+              if e.getMessage != null && e.getMessage.contains("waited out") =>
+            trips += 1
+        }
+        walls ::= (System.nanoTime() - s0) / 1e9
+      }
+    } finally { stop = true; churner.join(300000) }
+    val sorted = walls.sorted
+    println(f"bm25_churn_race_soak: searches=$n misses=$misses " +
+      f"deadline_trips=$trips churn_cycles=$cycles " +
+      f"search_wall_med=${sorted(sorted.size / 2)}%.2fs " +
+      f"max=${sorted.last}%.2fs")
+    require(churnErr.isEmpty, s"soak churner failed: $churnErr")
+    require(misses == 0, s"soak churn race: $misses searches lost the stable doc")
+  }
+
   private[graft] def requireKnownFamily(soakOnly: Option[String]): Unit =
     soakOnly.filterNot(KnownFamilies).foreach(v =>
       sys.error(s"GRAFT_SOAK_ONLY=$v is not a soak family " +
@@ -210,6 +283,19 @@ object Soak {
           Seq((0L, "c0_the c0_data c0_query")).toDF("query_id", "query"),
           k = 10)
       },
+      // r16 verdict #5: the seqlock churn race AT SOAK SCALE — on this
+      // index swap windows are seconds, the regime where the search
+      // loop's 5 s escalation and 120 s deadline actually bind (the
+      // unit race's toy store swaps in milliseconds and never
+      // exercises them). Runs as a side-block between timed rows.
+      { bm25ChurnRaceSoak(spark, s"$tmp/bm25_idx")
+        run("bm25_post_race_search") {
+          import spark.implicits._
+          // settled-state witness: the same query still answers after
+          // the race tore the anchor partition up repeatedly
+          ops.Bm25Index.search(spark, s"$tmp/bm25_idx",
+            Seq((0L, "zanchor")).toDF("query_id", "query"), k = 10)
+        } },
       // curation funnel at the gate config: copy 0 plays the benchmark
       // (every copy's windows biject, so decontamination flags exactly
       // the benchmark copy's 5-gram twins — none across copies); the
@@ -303,6 +389,15 @@ object Soak {
           f"semdedup_recall_band[${b.lo}%.4f,${b.hi}%.4f${if (b.isClone) ",clone" else ""}]: " +
             f"${b.recall}%.4f (pairs=${b.pairs} co=${b.coCelled})"))
         println(f"semdedup_neardup_recall: ${ops.SemDedup.nearDupRecall(bands)}%.4f")
+        // auto-tuned geometry (r16 verdict #3): derive band/maxProbe
+        // from the recall target instead of the hand-tuned constants —
+        // the row must hold ≥0.95 at every factor WITHOUT hand tuning
+        val t0t = System.nanoTime()
+        val tuned = ops.SemDedup.tuneSoft(embCorpus, k, tau = 0.95,
+          targetRecall = 0.95)
+        println(f"semdedup_autotune: band=${tuned.band}%.4f " +
+          f"max_probe=${tuned.maxProbe} recall=${tuned.recall}%.4f " +
+          f"rungs=${tuned.rungsProbed} wall=${(System.nanoTime() - t0t) / 1e9}%.1fs")
         Seq(run("semdedup_keep") {
           ops.SemDedup.dedup(embCorpus, nClusters = k, tau = 0.95)
         })

@@ -352,23 +352,51 @@ object Main {
       // cells + within-cell exact-cosine keep-one over a
       // (vec_id, embedding) parquet table
       case "semdedup" :: input :: outPath :: rest =>
-        val (probe, args2) = rest.partition(_ == "--probe")
-        val (kClusters, tau) = args2 match {
-          case Nil             => (16, 0.95)
-          case c :: Nil        => (c.toInt, 0.95)
-          case c :: t :: Nil   => (c.toInt, t.toDouble)
+        // r16 verdict #4: band/maxProbe (the straddler-recovery knobs)
+        // and --tune (the recall-targeted auto-tuner) reachable from the
+        // CLI — operators tuning recall at scale no longer drop to Scala
+        val (probe, rest2) = rest.partition(_ == "--probe")
+        val (tuneFlags, args2) = rest2.partition(_.startsWith("--tune"))
+        val tune = tuneFlags.headOption.map {
+          case "--tune" => 0.95
+          case s if s.startsWith("--tune=") => s.stripPrefix("--tune=").toDouble
+          case other => sys.error(s"bad flag $other; use --tune[=recall]")
+        }
+        val (kClusters, tau, band0, mp0) = args2 match {
+          case Nil                  => (16, 0.95,
+            graft.ops.SemDedup.DefaultBand, graft.ops.SemDedup.DefaultMaxProbe)
+          case c :: Nil             => (c.toInt, 0.95,
+            graft.ops.SemDedup.DefaultBand, graft.ops.SemDedup.DefaultMaxProbe)
+          case c :: t :: Nil        => (c.toInt, t.toDouble,
+            graft.ops.SemDedup.DefaultBand, graft.ops.SemDedup.DefaultMaxProbe)
+          case c :: t :: b :: Nil   => (c.toInt, t.toDouble, b.toDouble,
+            graft.ops.SemDedup.DefaultMaxProbe)
+          case c :: t :: b :: m :: Nil =>
+            (c.toInt, t.toDouble, b.toDouble, m.toInt)
           case other => sys.error(
-            s"usage: semdedup <in.parquet> <out.parquet> [nClusters [tau]] [--probe]; got $other")
+            "usage: semdedup <in.parquet> <out.parquet> " +
+              s"[nClusters [tau [band [maxProbe]]]] [--probe] [--tune[=recall]]; got $other")
         }
         val embs = spark.read.parquet(input)
-        val kept = graft.ops.SemDedup.dedup(embs, kClusters, tau)
+        val (band, mp) = tune match {
+          case None => (band0, mp0)
+          case Some(target) =>
+            val t = graft.ops.SemDedup.tuneSoft(embs, kClusters, tau,
+              targetRecall = target)
+            println(f"tuned: band=${t.band}%.4f max_probe=${t.maxProbe} " +
+              f"recall=${t.recall}%.4f rungs_probed=${t.rungsProbed}")
+            (t.band, t.maxProbe)
+        }
+        val kept = graft.ops.SemDedup.dedup(embs, kClusters, tau,
+          band = band, maxProbe = mp)
         kept.write.mode("overwrite").parquet(outPath)
         println(s"semdedup: kept ${spark.read.parquet(outPath).count()} rows")
         if (probe.nonEmpty) {
           // banded pair-sampled cell-fence recall (r15): the telemetry
           // an operator logs per run — a falling non-clone band is
           // cell-straddle drift before it is surviving duplicates
-          val assigned = graft.ops.SemDedup.assignSoft(embs, kClusters)
+          val assigned = graft.ops.SemDedup.assignSoft(embs, kClusters,
+              band = band, maxProbe = mp)
             .localCheckpoint() // soft probe set — the fence pairs() uses
           val bands = graft.ops.SemDedup.recallBands(assigned, tau)
           bands.foreach(b => println(
@@ -494,7 +522,7 @@ object Main {
           s"dsir <docs.parquet> <condition> <k> [--resample T salt] | " +
           s"hybrid <docs.parquet> <embs.parquet> <query text> <qvecId> [k] | " +
           s"budget <docs.parquet> <out.parquet> <tokenBudget> <col[:desc],...> | " +
-          s"semdedup <in.parquet> <out.parquet> [nClusters [tau]] | " +
+          s"semdedup <in.parquet> <out.parquet> [nClusters [tau [band [maxProbe]]]] [--probe] [--tune[=recall]] | " +
           s"spandedup <in.parquet> <out.parquet> [w] | cutspans <in.parquet> <spans.parquet> <out.parquet> [w] | " +
           s"curate <in.parquet> <out.parquet> [--min-quality q] [--benchmark bm.parquet] " +
           s"[--budget N | --budget-fraction f]}; got $other")

@@ -229,17 +229,21 @@ object Bm25Index {
     // false positives cost a pruned scan, never a wrong answer. The
     // batch bloom folds ALL of the batch's terms, novel or not
     // (supersets are free; exactness is rebuildStore's job).
+    // empty-batch guard: Spark's bloomFilter aggregate NPEs on a
+    // zero-row frame (an all-NULL-text epoch) — nothing to fold anyway
     bloomGeom.foreach { case (c, b) =>
-      val batchBloom = newPostings
-        .select(xxhash64(col("term")).as("th")).stat.bloomFilter("th", c, b)
-      val merged = oldBloomBytes match {
-        case Some(bytes) =>
-          val old = org.apache.spark.util.sketch.BloomFilter.readFrom(
-            new java.io.ByteArrayInputStream(bytes))
-          old.mergeInPlace(batchBloom)
-        case None => batchBloom
+      if (!newPostings.isEmpty) {
+        val batchBloom = newPostings
+          .select(xxhash64(col("term")).as("th")).stat.bloomFilter("th", c, b)
+        val merged = oldBloomBytes match {
+          case Some(bytes) =>
+            val old = org.apache.spark.util.sketch.BloomFilter.readFrom(
+              new java.io.ByteArrayInputStream(bytes))
+            old.mergeInPlace(batchBloom)
+          case None => batchBloom
+        }
+        IncrementalDedup.writeBloomSidecar(spark, dir, TermBloomFile, merged)
       }
-      IncrementalDedup.writeBloomSidecar(spark, dir, TermBloomFile, merged)
     }
     // retraction index BEFORE the postings it covers (superset rule);
     // feeding the whole batch's postings is correct — replays append

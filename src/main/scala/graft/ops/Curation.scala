@@ -308,7 +308,7 @@ object Curation {
 
   /** One epoch of [[stream]]: (survivors, funnel rows). Factored out so
     * the parity spec can drive it batch-shaped. */
-  private[ops] def streamEpoch(
+  private[graft] def streamEpoch(
       docs: DataFrame,
       storeDir: String,
       cfg: Config,
@@ -316,6 +316,26 @@ object Curation {
       nearDupStores: Option[(String, String)] = None): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // ascending-epoch precondition enforced LOUDLY and FIRST (r16
+    // verdict #6) — before any store mutation: the stage keeps
+    // FIRST-ARRIVAL survivors, which equals the batch funnel's min-id
+    // keepers only when every epoch's ids exceed all earlier epochs'.
+    // An out-of-order epoch would make a NEW doc the cluster-min root
+    // of an EXISTING component — the root-based charge would keep it
+    // while the component's earlier survivor has already shipped and
+    // cannot be retracted: two survivors, a silent correctness hole.
+    // Checked only when the near-dup stage runs (its pair store hosts
+    // the watermark); an exact replay of the LAST accepted epoch
+    // re-passes — the foreachBatch retry shape.
+    if (cfg.nearDup.isDefined) {
+      val pairStoreDir = nearDupStores.getOrElse(sys.error(
+        "streaming near-dup stage without nearDupStores"))._1
+      val bounds = docs.agg(min(col("doc_id")), max(col("doc_id")))
+        .collect().head
+      if (!bounds.isNullAt(0))
+        enforceAscendingEpoch(spark, pairStoreDir,
+          bounds.getLong(0), bounds.getLong(1))
+    }
     val text = col(cfg.textCol)
     val featured = docs
       .withColumn("n_tokens",
@@ -413,4 +433,57 @@ object Curation {
       .drop("__qpass", "__dup", "__neardup", "__contam", "__exit")
     (survivors, funnel)
   }
+
+  private val WatermarkFile = "_stream_watermark"
+
+  /** The streaming near-dup stage's ascending-epoch gate (r16 verdict
+    * #6): a sidecar under the pair store records the max doc_id across
+    * accepted epochs plus the LAST epoch's exact (min, max). A new
+    * epoch must either strictly exceed the watermark or replay the last
+    * epoch byte-for-byte in id range (Structured Streaming's
+    * foreachBatch retries exactly the most recent failed batch — the
+    * one replay shape the store cycles themselves already absorb
+    * idempotently). Anything else throws BEFORE any store mutation,
+    * naming the fix. The sidecar publishes via the scheme-aware
+    * single-file path (no torn/absent window). */
+  private[ops] def enforceAscendingEpoch(
+      spark: org.apache.spark.sql.SparkSession, pairStoreDir: String,
+      epochMin: Long, epochMax: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(pairStoreDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new Path(root, WatermarkFile)
+    val prior: Option[(Long, Long, Long)] =
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val body =
+          try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+        Some((n.get("max").asLong, n.get("last_min").asLong,
+          n.get("last_max").asLong))
+      }
+    prior match {
+      case Some((m, lm, lx)) =>
+        val replay = epochMin == lm && epochMax == lx
+        require(replay || epochMin > m,
+          s"streaming near-dup: out-of-order epoch (min doc_id $epochMin " +
+            s"does not exceed the store watermark $m at $pairStoreDir) — " +
+            "the stage keeps first-arrival survivors and cannot retract " +
+            "an already-shipped doc, so unordered ids would silently keep " +
+            "two members of one component; feed epochs in ascending " +
+            "doc_id order, or run the batch funnel as the backfill tool")
+        if (!replay) writeWatermark(fs, p, epochMax, epochMin, epochMax)
+      case None => writeWatermark(fs, p, epochMax, epochMin, epochMax)
+    }
+  }
+
+  private def writeWatermark(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, max: Long, lastMin: Long,
+      lastMax: Long): Unit =
+    graft.fs.AtomicRename.publishSmallFile(fs, p,
+      s"""{"max":$max,"last_min":$lastMin,"last_max":$lastMax}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      s".tmp-${ProcessHandle.current().pid()}")
 }

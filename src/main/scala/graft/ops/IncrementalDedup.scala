@@ -795,16 +795,23 @@ object IncrementalDedup {
     // bloom BEFORE the append (superset-at-every-instant invariant —
     // see writeGramBloom): the batch's shingles fold into the sidecar,
     // built with the manifest's (cap, bits) so the merge is compatible
+    // EMPTY batches skip the fold: Spark's bloomFilter aggregate NPEs
+    // on a zero-row frame (readFrom(null)) — the shape a streaming
+    // epoch hits when every quality survivor was an exact dup (r17
+    // find); an empty batch adds no grams, so skipping preserves the
+    // superset invariant trivially
     bloomGeom.foreach { case (c, b) =>
-      val batchBloom = newBatch.stat.bloomFilter("shingle", c, b)
-      val merged = oldBloomBytes match {
-        case Some(bytes) =>
-          val old = org.apache.spark.util.sketch.BloomFilter.readFrom(
-            new java.io.ByteArrayInputStream(bytes))
-          old.mergeInPlace(batchBloom)
-        case None => batchBloom
+      if (!newBatch.isEmpty) {
+        val batchBloom = newBatch.stat.bloomFilter("shingle", c, b)
+        val merged = oldBloomBytes match {
+          case Some(bytes) =>
+            val old = org.apache.spark.util.sketch.BloomFilter.readFrom(
+              new java.io.ByteArrayInputStream(bytes))
+            old.mergeInPlace(batchBloom)
+          case None => batchBloom
+        }
+        writeGramBloom(spark, storeDir, merged)
       }
-      writeGramBloom(spark, storeDir, merged)
     }
     // retraction index BEFORE the store rows it covers (superset rule)
     if (docIdx) appendDocIndex(newBatch, storeDir, "doc_id", dpParts)

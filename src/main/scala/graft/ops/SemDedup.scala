@@ -119,8 +119,9 @@ object SemDedup {
       iters: Int = 2,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      band: Double = DefaultBand): DataFrame = {
-    val probe = assignSoft(embs, nClusters, band, iters, idCol, vecCol)
+      band: Double = DefaultBand,
+      maxProbe: Int = DefaultMaxProbe): DataFrame = {
+    val probe = assignSoft(embs, nClusters, band, iters, idCol, vecCol, maxProbe)
       .select(col("id"), col("vec"), explode(col("cells")).as("cell"))
       .localCheckpoint() // one k-means, reused by both join sides
     probe.as("a")
@@ -297,7 +298,85 @@ object SemDedup {
       iters: Int = 2,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      band: Double = DefaultBand): DataFrame =
+      band: Double = DefaultBand,
+      maxProbe: Int = DefaultMaxProbe): DataFrame =
     Dedup.keepRepresentatives(
-      embs, pairs(embs, nClusters, tau, iters, idCol, vecCol, band), idCol)
+      embs,
+      pairs(embs, nClusters, tau, iters, idCol, vecCol, band, maxProbe),
+      idCol)
+
+  /** Result of [[tuneSoft]]: the chosen soft-assignment geometry, the
+    * recall it measured, and how many ladder rungs were probed. */
+  final case class SoftTune(
+      band: Double, maxProbe: Int, recall: Double, rungsProbed: Int)
+
+  /** The escalation ladder [[tuneSoft]] climbs: each rung widens the
+    * boundary margin or the probe-set cap from the shipped defaults.
+    * Ordered by pair-formation cost (within-cell work grows with the
+    * duplicated-vector fraction, so band doubles before maxProbe
+    * bumps). The final rung is the widest geometry the tuner will
+    * recommend — past it, LSH (`Dedup.embeddingNearDupPairs`) is the
+    * honest exhaustive-recall alternative. */
+  val TuneLadder: Seq[(Double, Int)] = Seq(
+    (DefaultBand, DefaultMaxProbe),       // shipped default (0.03, 3)
+    (2 * DefaultBand, DefaultMaxProbe),   // wider margin, same corners
+    (2 * DefaultBand, DefaultMaxProbe + 1),
+    (4 * DefaultBand, DefaultMaxProbe + 1),
+    (4 * DefaultBand, DefaultMaxProbe + 2))
+
+  /** Recall-targeted soft-assignment tuning (r16 verdict #3): the
+    * shipped (band, maxProbe) was hand-tuned on one synthetic soak
+    * corpus — at a different embedding distribution (or 1000× the
+    * scale) the fixed margin drifts. This drives the geometry from the
+    * measurement instead: ONE k-means (reused across rungs — the tuner
+    * never re-clusters), then per ladder rung a map-only soft
+    * assignment and a [[recallBands]] probe; the first rung whose
+    * non-clone recall meets `targetRecall` wins. `wallBudgetSec` bounds
+    * the climb: when a rung's probe exhausts the budget, the best rung
+    * SO FAR returns (with its measured recall, so the caller sees the
+    * shortfall instead of trusting a silent cap). Returns the widest
+    * rung's result when the target is never met — recall is reported,
+    * never assumed. Cost per rung: one n·k assignment + one
+    * bucket-sampled probe, both the same O(corpus) class as the dedup
+    * itself. */
+  def tuneSoft(
+      embs: DataFrame,
+      nClusters: Int,
+      tau: Double,
+      targetRecall: Double = 0.95,
+      iters: Int = 2,
+      sampleN: Int = 2000,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      wallBudgetSec: Double = Double.MaxValue,
+      ladder: Seq[(Double, Int)] = TuneLadder): SoftTune = {
+    require(ladder.nonEmpty, "tuneSoft: empty ladder")
+    // saturating add: the no-budget default is Double.MaxValue, whose
+    // nanos overflow a Long — a wrapped (negative) deadline would stop
+    // the climb after rung 1
+    val deadline = {
+      val now = System.nanoTime()
+      val budgetNanos = wallBudgetSec * 1e9
+      if (budgetNanos >= (Long.MaxValue - now).toDouble) Long.MaxValue
+      else now + budgetNanos.toLong
+    }
+    val cents = Similarity.kmeansCentroids(embs, nClusters, iters, idCol, vecCol)
+    val base = embs.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("vec"))
+      .localCheckpoint() // one read feeds every rung's assignment
+    var best: Option[SoftTune] = None
+    var rungs = 0
+    ladder.foreach { case (b, mp) =>
+      if (best.forall(_.recall < targetRecall) &&
+          (rungs == 0 || System.nanoTime() < deadline)) {
+        rungs += 1
+        val assigned = Similarity.assignCellsSoft(base, cents, b, mp)
+          .select(col("id"), col("cell"), col("cells"), col("vec"))
+        val r = nearDupRecall(recallBands(assigned, tau, sampleN))
+        if (best.forall(_.recall < r)) best = Some(SoftTune(b, mp, r, rungs))
+        else best = best.map(_.copy(rungsProbed = rungs))
+      }
+    }
+    best.get
+  }
 }

@@ -238,4 +238,38 @@ class SemDedupSpec extends SparkSuite {
     assert(SemDedup.nearDupRecall(bands) == 1.0,
       s"soft probe must see the recovered straddler: $bands")
   }
+
+  test("tuneSoft: climbs the ladder to the recall target, reports honestly past it") {
+    import spark.implicits.newProductEncoder
+    import spark.implicits.localSeqToDatasetHolder
+    // the straddler jig again: the hard fence misses the planted pair,
+    // so a ladder starting at band=0 must CLIMB; the shipped rung
+    // (0.03, 3) already recovers it (margin ≈ 0.028 < 0.03)
+    def at(theta: Double): Seq[Double] = Seq(math.cos(theta), math.sin(theta))
+    val jig = Seq(
+      (0L, at(0.0)), (1L, at(math.Pi / 2)),
+      (2L, at(0.05)), (3L, at(0.08)), (4L, at(-0.06)),
+      (5L, at(math.Pi / 2 - 0.05)), (6L, at(math.Pi / 2 + 0.06)),
+      (100L, at(math.Pi / 4 - 0.02)), (101L, at(math.Pi / 4 + 0.02))
+    ).toDF("vec_id", "embedding")
+    // rung 1 = the paper's hard fence (misses the straddler), rung 2 =
+    // the shipped default (recovers it): the tuner must stop at rung 2
+    val t = SemDedup.tuneSoft(jig, nClusters = 2, tau = 0.999,
+      targetRecall = 1.0,
+      ladder = Seq((0.0, 1), (SemDedup.DefaultBand, SemDedup.DefaultMaxProbe)))
+    assert(t.rungsProbed == 2 && t.band == SemDedup.DefaultBand &&
+      t.maxProbe == SemDedup.DefaultMaxProbe, t.toString)
+    assert(t.recall == 1.0, t.toString)
+    // an unreachable target: the widest rung returns WITH its measured
+    // shortfall — the caller sees the truth, never a silent cap
+    val miss = SemDedup.tuneSoft(jig, nClusters = 2, tau = 0.999,
+      targetRecall = 1.0, ladder = Seq((0.0, 1)))
+    assert(miss.recall < 1.0 && miss.band == 0.0 && miss.rungsProbed == 1,
+      miss.toString)
+    // the tuned geometry feeds dedup: the straddler pair collapses
+    val kept = SemDedup.dedup(jig, nClusters = 2, tau = 0.999,
+      band = t.band, maxProbe = t.maxProbe)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(100L) && !kept.contains(101L), s"kept: $kept")
+  }
 }

@@ -333,6 +333,48 @@ class StreamingCurationSpec extends SparkSuite {
     assert(gotDocs.intersect(Set(1L, 13L, 15L)) == Set(1L, 13L, 15L))
   }
 
+  test("streaming near-dup: an out-of-order epoch is rejected loudly; the last epoch replays") {
+    import spark.implicits._
+    // r16 verdict #6: the stage's parity precondition (every epoch's
+    // ids exceed all earlier epochs') was documented but unenforced —
+    // an unordered epoch would make a NEW doc the cluster-min root of
+    // an EXISTING component, silently keeping two members. Now the
+    // watermark sidecar rejects it BEFORE any store mutation, while an
+    // exact replay of the last epoch (the foreachBatch retry shape)
+    // still passes.
+    val work = Files.createTempDirectory("curordergate").toString
+    def sent(tag: String): String = (1 to 16).map(i => s"${tag}w$i").mkString(" ")
+    val cfg = graft.ops.Curation.Config(
+      minQuality = 0.4, nearDup = Some(0.8), nearDupN = 3)
+    val stores = Some((s"$work/ngstore", s"$work/ccstore"))
+    def epoch(rows: Seq[(Long, Option[String])]) =
+      graft.ops.Curation.streamEpoch(rows.toDF("doc_id", "text"),
+        s"$work/store", cfg, nearDupStores = stores)
+    val e1 = Seq((10L, Some(sent("a"))), (20L, Some(sent("b"))))
+    val (d1, _) = epoch(e1)
+    assert(d1.count() == 2L)
+    // replay of the SAME epoch: accepted (store cycles are idempotent)
+    val (d1r, _) = epoch(e1)
+    assert(d1r.count() == 2L)
+    // an epoch whose min id precedes the watermark: rejected up front,
+    // and the rejection mutated NOTHING (the next in-order epoch runs)
+    val e = intercept[IllegalArgumentException] {
+      epoch(Seq((5L, Some(sent("a") + " extraone"))))
+    }
+    assert(e.getMessage.contains("out-of-order epoch"), e.getMessage)
+    assert(e.getMessage.contains("ascending"), e.getMessage)
+    // the rejection fired BEFORE any store mutation: the same text
+    // arriving in order is judged against the UNPOLLUTED stores — a
+    // near-dup of keeper 10, charged as usual
+    val (d3, _) = epoch(Seq((30L, Some(sent("a") + " extraone"))))
+    assert(d3.count() == 0L)
+    // an epoch whose every quality survivor is an exact dup leaves the
+    // near-dup stage an EMPTY batch — must not crash (Spark's
+    // bloomFilter NPEs on empty frames; the fold now skips them)
+    val (d4, _) = epoch(Seq((40L, Some(sent("a")))))
+    assert(d4.count() == 0L)
+  }
+
   test("streaming near-dup: a late bridge doc keeps first-arrivals (documented)") {
     import spark.implicits._
     // near-dup similarity is NOT transitive: doc 11 bridges 1 and 2
