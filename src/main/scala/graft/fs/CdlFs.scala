@@ -439,11 +439,11 @@ final class CdlFs(
     import org.apache.hadoop.fs.Path
     val rootP = new Path(tableLocation)
     val hfs = rootP.getFileSystem(hconf)
-    // the source-retirement swap below is rename-fenced — gate
-    // rename-less schemes before any staging (r16 verdict #1); the
-    // sweep stays ungated: healing a committed marker must always run
-    AtomicRename.requireForSwap(rootP, hconf, "deleteWhere")
+    // heal FIRST (a committed marker must always roll forward, even on
+    // a scheme the gate below would refuse), THEN gate the new swap:
+    // the source-retirement below is rename-fenced (r16 verdict #1)
     sweepDeletePending()
+    AtomicRename.requireForSwap(rootP, hconf, "deleteWhere")
     // resume an earlier pending cascade first — NON-fatally: a broken
     // derived store must not block a takedown's table delete (the legal
     // priority); this delete's obligations MERGE into the marker and the

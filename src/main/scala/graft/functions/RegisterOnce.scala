@@ -20,13 +20,18 @@ private[graft] object RegisterOnce {
 
   private val done = new java.util.WeakHashMap[AnyRef, java.util.HashSet[String]]()
 
-  /** Run `body` once per (session registry, family) pair. */
+  /** Run `body` once per (session registry, family) pair. The body runs
+    * INSIDE the monitor: a losing thread must not observe the family as
+    * registered while the winner is still mid-registration (concurrent
+    * cascade arms both ensure() the sketch family — the loser would
+    * build a call_function against a name not yet bound). Registration
+    * is a handful of registry puts, so the hold is microseconds, and
+    * nothing inside body can re-enter this lock. */
   def apply(spark: SparkSession, family: String)(body: => Unit): Unit = {
     val reg: AnyRef = spark.sessionState.functionRegistry
-    val fresh = done.synchronized {
+    done.synchronized {
       val set = done.computeIfAbsent(reg, _ => new java.util.HashSet[String]())
-      set.add(family)
+      if (set.add(family)) body
     }
-    if (fresh) body
   }
 }
