@@ -376,6 +376,68 @@ object IvfIndex {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       rerank: Int = 0): DataFrame = {
+    // SEQLOCK read (r17 — the bm25 discipline ported to the ANN arm):
+    // searches are lock-free parquet reads, and a CONCURRENT
+    // `IvfIndex.retract` swaps probed-cell partitions by rename fence —
+    // whole-old, whole-new, or transiently ABSENT. A listing taken
+    // inside the two-rename window silently misses the cell (fewer
+    // neighbors, no error), and fenced-out files can vanish under an
+    // in-flight task. Bracket the racy section — listing, pruned probe,
+    // the scoring jobs, and the materializing localCheckpoint — with
+    // (pending, epoch) snapshots on assignments/ (Retract.finish bumps
+    // the shared `_retract_epoch` there) and retry any attempt a swap
+    // overlapped. Bounded like the bm25 loop: retractions are short
+    // administrative ops; waiting them out past the deadline means a
+    // wedged retractor.
+    val aDir = s"$indexDir/assignments"
+    var out: Option[DataFrame] = None
+    val deadline = System.currentTimeMillis() + 120000L
+    var pendingSince = 0L
+    while (out.isEmpty) {
+      require(System.currentTimeMillis() < deadline,
+        s"ivf search on $indexDir waited out retraction swaps that never " +
+          "settled — a wedged retractor or continuous-churn starvation")
+      if (Retract.pending(spark, aDir)) {
+        val now = System.currentTimeMillis()
+        if (pendingSince == 0L) pendingSince = now
+        if (now - pendingSince > 5000L) {
+          // crashed retractor: heal under a brief lock; a LIVE holder
+          // throws lock-busy — sleep so the loop never busy-spins
+          try { ensureReadable(spark, indexDir); pendingSince = 0L }
+          catch { case _: IllegalStateException => Thread.sleep(50L) }
+        } else Thread.sleep(20L)
+      } else {
+        pendingSince = 0L
+        val e0 = Retract.epoch(spark, aDir)
+        try {
+          val res = searchAttempt(spark, indexDir, queries, k, nprobe,
+            idCol, vecCol, rerank)
+          if (!Retract.pending(spark, aDir) &&
+              Retract.epoch(spark, aDir) == e0) out = Some(res)
+        } catch {
+          // task-level file loss, a probe of a partition the fence just
+          // renamed away, or an analysis hiccup on the mid-swap listing
+          // — retry ONLY when a swap explains it; anything else rethrows
+          case e @ (_: org.apache.spark.SparkException |
+                    _: IllegalArgumentException |
+                    _: java.io.FileNotFoundException)
+              if Retract.pending(spark, aDir) ||
+                Retract.epoch(spark, aDir) != e0 => ()
+        }
+      }
+    }
+    out.get
+  }
+
+  private def searchAttempt(
+      spark: SparkSession,
+      indexDir: String,
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int,
+      idCol: String,
+      vecCol: String,
+      rerank: Int): DataFrame = {
     ensureReadable(spark, indexDir)
     val centroids = broadcast(spark.read.parquet(s"$indexDir/centroids"))
     val qcells = queries

@@ -287,4 +287,54 @@ class IvfIndexSpec extends SparkSuite {
     IvfIndex.rebuild(spark, dir, kmeansIters = 0)
     assert(spark.read.parquet(s"$dir/centroids").count() == 8)
   }
+
+  test("concurrent reader: searches race retraction swaps without loss (r17 seqlock)") {
+    import spark.implicits._
+    // the bm25 race ported to the ANN arm: a churn thread retracts and
+    // re-appends vectors that share the STABLE vector's cell (frozen
+    // centroids — the appends re-assign identically), so every swap
+    // rewrites exactly the partition the searcher probes; the stable
+    // neighbor must appear in EVERY result, with no exception. Without
+    // the seqlock a listing inside the two-rename window silently
+    // returns fewer neighbors.
+    val dir = Files.createTempDirectory("ivfrace").toString
+    IvfIndex.build(cands, dir, nlist = 8)
+    // plant a stable clone of query 0's vector and 12 churn clones of
+    // the same direction — all land in query 0's best cell
+    val q0 = queries.filter(col("vec_id") === 0)
+    val stable = q0.select(lit(900000L).as("vec_id"), col("embedding"))
+    val churnIds: Seq[Long] = (900100L until 900112L).toList
+    val churn = churnIds.toDF("vec_id")
+      .crossJoin(q0.select(col("embedding")))
+    IvfIndex.append(stable, dir)
+    IvfIndex.append(churn, dir)
+    @volatile var stop = false
+    @volatile var churnError: Option[Throwable] = None
+    val churner = new Thread(() => {
+      try {
+        while (!stop) {
+          IvfIndex.retract(spark, dir, churnIds)
+          IvfIndex.append(churn, dir)
+        }
+      } catch { case t: Throwable => churnError = Some(t) }
+    }, "ivf-churner")
+    churner.start()
+    try {
+      var misses = 0
+      for (_ <- 1 to 80) {
+        val got = IvfIndex.search(spark, dir, q0, k = 20, nprobe = 2)
+          .select("neighbor_id").collect().map(_.getLong(0)).toSet
+        if (!got.contains(900000L)) misses += 1
+      }
+      assert(misses == 0, s"stable neighbor dropped from $misses results")
+    } finally {
+      stop = true
+      churner.join(120000)
+    }
+    assert(churnError.isEmpty, s"churner failed: $churnError")
+    // settled state consistent: the stable clone still top-1 at 1.0
+    val top = IvfIndex.search(spark, dir, q0, k = 1, nprobe = 8).collect().head
+    assert(top.getAs[Long]("neighbor_id") == 900000L &&
+      top.getAs[Double]("cosine") == 1.0)
+  }
 }
