@@ -77,6 +77,29 @@ class SwapFenceContractSpec extends SparkSuite {
     } finally c.unset(graft.fs.AtomicRename.OverrideKey)
   }
 
+  test("store compaction is gated on a rename-less scheme; override compacts correctly") {
+    val c = conf
+    val local = Files.createTempDirectory("swapfence_compact").toString
+    val dir = s"mock://$local/store"
+    // two appends fragment the store (two files per touched partition)
+    IncrementalDedup.exactBatch(Seq((1L, "alpha")).toDF("doc_id", "text"), dir)
+      .collect()
+    IncrementalDedup.exactBatch(Seq((2L, "beta")).toDF("doc_id", "text"), dir)
+      .collect()
+    val e = intercept[IllegalStateException] {
+      IncrementalDedup.compactStore(spark, dir)
+    }
+    assert(e.getMessage.contains("atomic"), e.getMessage)
+    c.setBoolean(graft.fs.AtomicRename.OverrideKey, true)
+    try {
+      IncrementalDedup.compactStore(spark, dir)
+      // rows intact after the non-atomic-rename swap (readers quiesced)
+      assert(spark.read.parquet(dir)
+        .select("keep_doc_id").collect().map(_.getLong(0)).toSet ==
+        Set(1L, 2L))
+    } finally c.unset(graft.fs.AtomicRename.OverrideKey)
+  }
+
   test("heal of an already-committed marker is never gated (roll-forward always finishes)") {
     val c = conf
     val local = Files.createTempDirectory("swapfence_heal").toString
