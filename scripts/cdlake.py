@@ -179,6 +179,16 @@ class Cdl:
             self._spark._jsparkSession, url, self._catalog)
         return CdlFs(self._spark, jfs)
 
+    def store_fsck(self, store_dir, deep=False):
+        """Audit a persisted store's invariants (read-only): returns a
+        list of (level, check, detail) tuples, empty when clean. Light
+        mode checks metadata/debris; ``deep=True`` adds content scans
+        (bucketing, doc-index superset, bloom supersets, bm25 stats and
+        referential integrity, keeper uniqueness)."""
+        raw = self._spark._jvm.graft.PyBridge.storeFsck(
+            self._spark._jsparkSession, store_dir, bool(deep))
+        return [tuple(line.split("\t", 2)) for line in raw]
+
     def model_user_storage_options(self, secrets,
                                    secret_name="object-storage-user-0",
                                    map_access_key="CONSOLE_ACCESS_KEY",

@@ -487,6 +487,32 @@ def test_cascade_delete_over_bridge(spark):
     assert fs.detach_store(store) is True
 
 
+def test_store_fsck_over_bridge(spark, tmp_path):
+    """Store fsck over py4j: a clean store audits clean at both tiers;
+    a planted violation is named by its owning check."""
+    from cdlake import Cdl
+    cdl = Cdl(spark)
+    store = str(tmp_path / "store")
+    docs = spark.createDataFrame([(1, "alpha"), (2, "beta")],
+                                 "doc_id LONG, text STRING")
+    cdl.dedup_exact(docs, store).collect()
+    assert cdl.store_fsck(store) == []
+    assert cdl.store_fsck(store, deep=True) == []
+    # corrupt: demand a feature this binary lacks
+    mp = store + "/_graft_store.json"
+    body = open(mp).read()
+    open(mp, "w").write(body.replace(
+        '"required_features":"doc_index"',
+        '"required_features":"doc_index,warp_sketch"'))
+    import os
+    crc = store + "/._graft_store.json.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    findings = cdl.store_fsck(store)
+    assert any(f[0] == "error" and f[1] == "required_features" and
+               "warp_sketch" in f[2] for f in findings), findings
+
+
 def test_model_user_storage_options(spark):
     """ModelUser secret-ref resolution over the bridge (control-plane
     parity): the CRD's access-token reference resolves against a

@@ -292,6 +292,15 @@ object PyBridge {
     graft.ops.HybridSearch.searchIndexed(docs, indexDir, queries,
       k.intValue, nPer.intValue, nprobe.intValue, rerank.intValue)
 
+  /** Store consistency audit (r17): findings as "level\tcheck\tdetail"
+    * lines, empty list = clean. `deep` adds the content-level scans. */
+  def storeFsck(spark: SparkSession, dir: String,
+      deep: Boolean): java.util.List[String] = {
+    import scala.jdk.CollectionConverters._
+    graft.ops.StoreFsck.fsck(spark, dir, deep)
+      .map(f => s"${f.level}\t${f.check}\t${f.detail}").asJava
+  }
+
   /** ModelUser secret-ref resolution for the Python surface (r16
     * verdict #9; pond/ModelUser.scala — the CRD spec's consumption
     * path): resolve the ref against a caller-supplied secret map

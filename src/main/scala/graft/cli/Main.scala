@@ -150,6 +150,25 @@ object Main {
       // store health at a glance, from ONE listing (no Spark scan):
       // geometry manifest, partitions/files/bytes, and the per-partition
       // file max — the fragmentation signal compact-store resets
+      // store consistency audit (r17): verify the invariants the crash
+      // contracts promise — light = metadata/debris, --deep = content
+      // scans (bucketing, doc-index superset, bloom supersets, bm25
+      // stats + referential, keeper uniqueness). Read-only; exits 1 on
+      // any error-level finding.
+      case "store-fsck" :: rest0 =>
+        val (deepFlag, rest) = rest0.partition(_ == "--deep")
+        val store = rest match {
+          case s :: Nil => s
+          case other => sys.error(s"usage: store-fsck <storeDir> [--deep]; got $other")
+        }
+        val findings = graft.ops.StoreFsck.fsck(spark, store,
+          deep = deepFlag.nonEmpty)
+        if (findings.isEmpty)
+          println(s"$store: clean (${if (deepFlag.nonEmpty) "deep" else "light"} fsck)")
+        else findings.foreach(f =>
+          println(s"[${f.level}] ${f.check}: ${f.detail}"))
+        if (findings.exists(_.level == "error")) sys.exit(1)
+
       case "store-info" :: store :: Nil =>
         val conf = spark.sparkContext.hadoopConfiguration
         val manifest = graft.ops.IncrementalDedup.storeManifest(spark, store)
@@ -514,7 +533,8 @@ object Main {
           s"delete <target> <condition> | vacuum <target> | " +
           s"take <target> <i,j,...> [col,col] | dedup <exact|minhash|simhash|ngram|embedding|span> <in.parquet> " +
           s"<storeDir> <out.parquet> [inline|split] (embedding) / [w] (span) | compact-store <storeDir> | " +
-          s"store-info <storeDir> | rebuild-store <src> <dst> [parts] | " +
+          s"store-info <storeDir> | store-fsck <storeDir> [--deep] | " +
+          s"rebuild-store <src> <dst> [parts] | " +
           s"retract <storeDir> <id,id,...> | ivf retract <indexDir> <id,id,...> | " +
           s"clusters {add|labels|keepers|compact} ... | " +
           s"ivf {build|append|search [nprobe [rerank]]|health} ... | " +

@@ -34,6 +34,16 @@ import org.apache.hadoop.fs.Path
   *    lock-free readers lose the whole-or-absent guarantee for the
   *    copy window and must be externally fenced.
   *
+  * The override's residual exposure is narrower than it first reads:
+  * locked writers serialize with mutations by the store lock, and the
+  * SEQLOCK readers (Bm25Index.search, IvfIndex.search) validate against
+  * the `_retract_pending` marker — which stays up for the WHOLE
+  * file-by-file copy — plus the swap epoch, so they reject any snapshot
+  * a non-atomic swap overlapped and retry on settled state. What the
+  * override actually waives is protection for OUT-OF-CONTRACT readers:
+  * raw `spark.read.parquet(storeDir)` listings taken outside both the
+  * lock and the seqlock can observe a partially copied partition.
+  *
   * Single-FILE publishes (the `_retract_epoch` counter, bm25's
   * `_bm25_stats` totals) don't need the gate: object stores replace a
   * whole object atomically on PUT, so those paths switch from

@@ -1,0 +1,332 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Store consistency auditor (`fsck`) for the persisted-store family —
+  * the operational tool a 100 TB deployment runs before trusting a
+  * store after an incident (a killed writer, a restored backup, an
+  * operator hand-edit): verify every invariant the crash contracts
+  * PROMISE instead of assuming them.
+  *
+  * Two tiers, like a filesystem fsck:
+  *  - LIGHT (default): metadata only — manifest parseable/known,
+  *    required_features understood, partition directory names in range,
+  *    layout sub-tables present, leftover marker/tmp/lock debris aged
+  *    and named. O(listing), safe to run anywhere, read-only.
+  *  - DEEP (`deep = true`): content scans — every row's `bp` recomputed
+  *    against the manifest geometry (a mis-bucketed row is invisible to
+  *    every pruned read), the doc→bp retraction index's SUPERSET
+  *    invariant (an under-claiming index makes a later indexed takedown
+  *    leave retired rows — the one failure takedown must not have), the
+  *    gram/term bloom supersets (a false negative silently drops real
+  *    duplicates from pruned probes), bm25 stats exactness + the
+  *    postings⊆docs referential invariant (the documented append-crash
+  *    shape, with the retry-the-batch remedy), and one-keeper-per-key
+  *    uniqueness for the exact/span stores (a double-commit witness).
+  *    O(store) column-pruned scans — the ngram df-pass cost class.
+  *
+  * Read-only by design: fsck NEVER mutates (no sweep, no heal) — it
+  * reports what a heal WOULD do, so it is safe against a live store
+  * (findings about in-flight markers are labeled as such). Returns
+  * findings; empty = clean. CLI: `store-fsck <dir> [--deep]`.
+  */
+object StoreFsck {
+
+  /** One finding: `level` is "error" (an invariant is violated — data
+    * loss or wrong answers possible) or "warn" (debris or an in-flight/
+    * healable state — the next locked cycle resolves it). */
+  final case class Finding(level: String, check: String, detail: String)
+
+  private def err(check: String, detail: String) = Finding("error", check, detail)
+  private def warn(check: String, detail: String) = Finding("warn", check, detail)
+
+  private val KnownVariants =
+    Set("exact", "span", "minhash", "simhash", "ngram", "embedding",
+      "components", "bm25", "ivf")
+
+  /** Audit the store at `dir`. */
+  def fsck(spark: SparkSession, dir: String, deep: Boolean = false): Seq[Finding] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq(err("store", s"$dir does not exist"))
+    val out = scala.collection.mutable.ListBuffer[Finding]()
+
+    // ---- manifest ----
+    val mf =
+      try IncrementalDedup.storeManifest(spark, dir)
+      catch {
+        case e: Exception =>
+          return Seq(err("manifest",
+            s"unreadable _graft_store.json: ${e.getMessage}"))
+      }
+    if (mf.isEmpty)
+      return Seq(err("manifest",
+        s"$dir has no _graft_store.json — foreign or pre-manifest store"))
+    val variant = mf.getOrElse("variant", "")
+    if (!KnownVariants(variant))
+      return (out += err("manifest", s"unknown variant '$variant'")).toList
+    val partsOpt = mf.get("store_parts").flatMap(s => s.toIntOption)
+    if (partsOpt.isEmpty)
+      out += err("manifest", s"store_parts missing or non-integer: " +
+        mf.getOrElse("store_parts", "<absent>"))
+    val demanded = mf.get("required_features").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    val unknownFeats = demanded.filterNot(IncrementalDedup.UnderstoodFeatures)
+    if (unknownFeats.nonEmpty)
+      out += err("required_features",
+        s"store demands feature(s) this binary does not implement: " +
+          unknownFeats.mkString(", "))
+
+    // ---- layout: the bucket-partitioned data dirs this variant owns ----
+    val split = mf.get("store_layout").contains("split")
+    // (relative data dir, partition column, bucket key columns)
+    val dataDirs: Seq[(String, String, Seq[String])] = variant match {
+      case "exact"      => Seq(("", "bp", Seq("digest")))
+      case "span"       => Seq(("", "bp", Seq("wh")))
+      case "minhash"    => Seq(("", "bp", Seq("band", "bh")))
+      case "simhash"    => Seq(("", "bp", Seq("band", "bh")))
+      case "ngram"      => Seq(("", "bp", Seq("shingle")))
+      case "embedding" if split =>
+        Seq(("postings", "bp", Seq("tbl", "bucket")),
+          ("vectors", "bp", Seq("vec_id")))
+      case "embedding"  => Seq(("", "bp", Seq("tbl", "bucket")))
+      case "bm25"       => Seq(("postings", "bp", Seq("term")),
+        ("docs", "bp", Seq("doc_id")))
+      case "components" => Seq(("labels", "bp", Seq("v")))
+      case "ivf"        => Seq(("assignments", "cell", Nil)) // cell = learned, not hashed
+      case _            => Nil
+    }
+    def abs(rel: String): String = if (rel.isEmpty) dir else s"$dir/$rel"
+
+    dataDirs.foreach { case (rel, partCol, _) =>
+      val p = new Path(abs(rel))
+      if (rel.nonEmpty && !fs.exists(p))
+        out += warn("layout", s"${abs(rel)} absent (empty store, or a " +
+          "crashed creation — the next locked cycle creates it)")
+      else if (fs.exists(p)) {
+        // partition dir names parse and sit inside the geometry
+        fs.listStatus(p).filter(_.isDirectory)
+          .map(_.getPath.getName).filter(_.startsWith(s"$partCol="))
+          .foreach { n =>
+            val v = n.stripPrefix(s"$partCol=").toLongOption
+            if (v.isEmpty)
+              out += err("partitions", s"${abs(rel)}/$n: unparseable $partCol")
+            else if (partCol == "bp")
+              partsOpt.foreach { parts =>
+                if (v.get < 0 || v.get >= parts)
+                  out += err("partitions",
+                    s"${abs(rel)}/$n outside geometry store_parts=$parts — " +
+                      "a foreign or re-bucketed partition no pruned read " +
+                      "will ever open correctly")
+              }
+          }
+        // marker / tmp / swap debris (read-only report; heals are the
+        // locked cycles' job)
+        Seq(("_retract_pending", "a committed retraction awaiting its " +
+          "roll-forward (the next locked read finishes it)"),
+          ("_retract_tmp", "pre-commit retraction staging debris"),
+          ("_retract_arm", "a retraction arm that crashed mid-flight " +
+            "(stats may be stale until the read-heal runs)"),
+          ("_compact_trash", "a crashed compaction's displaced rows " +
+            "(swept by the next locked cycle — rows are NOT lost)"))
+          .foreach { case (m, why) =>
+            if (fs.exists(new Path(p, m))) out += warn("markers",
+              s"${abs(rel)}/$m present: $why")
+          }
+      }
+    }
+    // store-root lock + tmp corpses
+    graft.fs.StoreLock.holder(dir,
+      spark.sparkContext.hadoopConfiguration).foreach { h =>
+      val age = System.currentTimeMillis() - h.sinceMs
+      out += warn("lock", s"store lock held by ${h.owner} (${age} ms): a " +
+        "live writer mid-cycle, or a crashed holder that goes stale and " +
+        "breakable after its staleMs")
+    }
+    if (fs.exists(root))
+      fs.listStatus(root).map(_.getPath.getName)
+        .filter(n => n.contains(".tmp-")).foreach(n =>
+          out += warn("debris", s"$dir/$n: orphan temp from a crashed " +
+            "writer (swept opportunistically by later cycles)"))
+    // bm25 stats sidecar presence
+    if (variant == "bm25") {
+      val hasPosts = fs.exists(new Path(dir, "postings")) &&
+        fs.listStatus(new Path(dir, "postings"))
+          .exists(_.getPath.getName.startsWith("bp="))
+      if (hasPosts && !fs.exists(new Path(dir, "_bm25_stats")))
+        out += err("bm25_stats", s"$dir holds postings but no _bm25_stats " +
+          "— run recomputeStats AND retry the crashed batch")
+    }
+    // doc-index flag vs directory
+    val docIdxFlag = IncrementalDedup.docIndexEnabled(mf)
+    val docIdxDirOf: Option[String] = variant match {
+      case "exact" | "span" | "minhash" | "simhash" | "ngram" => Some(dir)
+      case "embedding" if split => Some(s"$dir/postings")
+      case "embedding"          => Some(dir)
+      case "bm25"               => Some(s"$dir/postings")
+      case _                    => None
+    }
+    docIdxDirOf.foreach { dd =>
+      val ip = new Path(dd, IncrementalDedup.DocIndexDir)
+      if (docIdxFlag && !fs.exists(ip))
+        out += warn("doc_index", s"manifest says doc_index=1 but $ip is " +
+          "absent — takedown falls back to full-scan discovery (correct, " +
+          "slower); rebuildStore re-derives it")
+      if (!docIdxFlag && fs.exists(ip))
+        out += warn("doc_index", s"$ip exists but the manifest does not " +
+          "flag it — it will be ignored (and drift); remove or rebuild")
+    }
+
+    if (!deep) return out.toList
+
+    // ---- deep: content-level invariants ----
+    partsOpt.foreach { parts =>
+      dataDirs.foreach { case (rel, partCol, keys) =>
+        if (keys.nonEmpty) {
+          val d = abs(rel)
+          val p = new Path(d)
+          val hasData = fs.exists(p) &&
+            fs.listStatus(p).exists(_.getPath.getName.startsWith(s"$partCol="))
+          if (hasData) {
+            val df = spark.read.parquet(d)
+            // 1. bp recompute: a mis-bucketed row is unreachable to every
+            // pruned read — the silent-wrong-answer class
+            val bad = df.filter(
+              col(partCol) =!= IncrementalDedup.bpOf(parts, keys.map(col): _*))
+              .count()
+            if (bad > 0)
+              out += err("bucketing", s"$d: $bad row(s) whose $partCol does " +
+                s"not match pmod(xxhash64(${keys.mkString(",")}), $parts) — " +
+                "pruned reads will never see them; rebuildStore re-buckets")
+          }
+        }
+      }
+      // 2. doc-index SUPERSET: every stored row's (id, bp) must be claimed
+      docIdxDirOf.filter(_ => docIdxFlag).foreach { dd =>
+        val ip = new Path(dd, IncrementalDedup.DocIndexDir)
+        if (fs.exists(ip)) {
+          val idCol = variant match {
+            case "exact" | "span" => "keep_doc_id"
+            case "embedding"      => "vec_id"
+            case _                => "doc_id"
+          }
+          val dpParts = mf.get("doc_index_parts").map(_.toInt).getOrElse(parts)
+          val data = spark.read.parquet(dd)
+            .select(col(idCol).cast("long").as("doc_id"),
+              col("bp").cast("int").as("bp")).distinct()
+          val idx = spark.read.parquet(s"$dd/${IncrementalDedup.DocIndexDir}")
+            .select(col("doc_id").cast("long"), col("bp").cast("int"))
+          val missing = data.join(idx, Seq("doc_id", "bp"), "left_anti").count()
+          if (missing > 0)
+            out += err("doc_index_superset", s"$dd: $missing stored " +
+              "(id, bp) pair(s) unclaimed by _doc_index — an indexed " +
+              "takedown would prune discovery PAST them and leave retired " +
+              "rows; rebuildStore re-derives the index")
+          // dp hashing: index rows must sit in their id's dp partition
+          // (dp is the hive partition column — read it directly)
+          val wrongDp = spark.read
+            .parquet(s"$dd/${IncrementalDedup.DocIndexDir}")
+            .filter(col("dp").cast("int") =!=
+              IncrementalDedup.dpOf(dpParts, col("doc_id").cast("long")))
+            .count()
+          if (wrongDp > 0)
+            out += err("doc_index_partitioning", s"$dd: $wrongDp index " +
+              "row(s) outside their id's dp partition — consults would " +
+              "miss them")
+        }
+      }
+    }
+    // 3. bloom SUPERSETS (no false negative allowed — a miss IS absence)
+    if (variant == "ngram")
+      IncrementalDedup.readBloomSidecar(spark, dir, "_gram_bloom")
+        .foreach { bytes =>
+          val (read, has) = IncrementalDedup.readStoreRaw(spark, dir,
+            "doc_id BIGINT, shingle BIGINT, nsh BIGINT, bp INT")
+          if (has) {
+            val miss = read.filter(!graft.functions.SketchExprs
+              .bloomMightContain(col("shingle"), bytes)).count()
+            if (miss > 0)
+              out += err("gram_bloom_superset", s"$dir: $miss stored " +
+                "shingle(s) the _gram_bloom denies — pruned probes " +
+                "silently skip their partitions; rebuildStore re-derives")
+          }
+        }
+    if (variant == "bm25")
+      IncrementalDedup.readBloomSidecar(spark, dir, "_term_bloom")
+        .foreach { bytes =>
+          val (read, has) = IncrementalDedup.readStoreRaw(spark,
+            s"$dir/postings",
+            "term STRING, doc_id BIGINT, dl DOUBLE, tf DOUBLE, bp INT")
+          if (has) {
+            val miss = read.filter(!graft.functions.SketchExprs
+              .bloomMightContain(xxhash64(col("term")), bytes)).count()
+            if (miss > 0)
+              out += err("term_bloom_superset", s"$dir: $miss stored " +
+                "term posting(s) the _term_bloom denies — searches drop " +
+                "those terms driver-side; rebuildStore re-derives")
+          }
+        }
+    // 4. bm25: stats exactness + postings⊆docs referential invariant
+    if (variant == "bm25") {
+      val (docsDf, hasDocs) = IncrementalDedup.readStoreRaw(spark,
+        s"$dir/docs", "doc_id BIGINT, dl DOUBLE, bp INT")
+      val (postsDf, hasPosts) = IncrementalDedup.readStoreRaw(spark,
+        s"$dir/postings",
+        "term STRING, doc_id BIGINT, dl DOUBLE, tf DOUBLE, bp INT")
+      if (hasDocs) Bm25Index.readStats(spark, dir).foreach {
+        case (n, nt, td) =>
+          val row = docsDf.agg(count(lit(1)), count(col("dl")),
+            coalesce(sum(col("dl")), lit(0.0))).collect().head
+          val (n2, nt2, td2) = (row.getLong(0), row.getLong(1), row.getDouble(2))
+          if (n != n2 || nt != nt2 || math.abs(td - td2) > 1e-6 * math.max(1.0, td2))
+            out += err("bm25_stats", s"$dir: _bm25_stats ($n, $nt, $td) != " +
+              s"docs/ recompute ($n2, $nt2, $td2) — run recomputeStats")
+      }
+      if (hasPosts) {
+        val orphans = postsDf.select("doc_id").distinct()
+          .join(if (hasDocs) docsDf.select("doc_id").distinct()
+            else postsDf.select("doc_id").limit(0),
+            Seq("doc_id"), "left_anti").count()
+        if (orphans > 0)
+          out += err("bm25_referential", s"$dir: $orphans posting doc_id(s) " +
+            "with no docs/ row — the postings-first append-crash shape; " +
+            "RETRY the crashed batch (recomputeStats alone cannot heal df)")
+      }
+    }
+    // 5. one keeper per key (exact/span): duplicates witness a
+    // double-commit the store lock exists to prevent
+    if (variant == "exact" || variant == "span") {
+      val keyCol = if (variant == "exact") "digest" else "wh"
+      val ddl =
+        if (variant == "exact")
+          "digest BINARY, keep_doc_id BIGINT, bp INT"
+        else "wh BINARY, keep_doc_id BIGINT, keep_pos BIGINT, bp INT"
+      val (read, has) = IncrementalDedup.readStoreRaw(spark, dir, ddl)
+      if (has) {
+        val dups = read.groupBy(keyCol).agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1).count()
+        if (dups > 0)
+          out += err("keeper_uniqueness", s"$dir: $dups $keyCol value(s) " +
+            "with multiple keeper rows — a double-committed cycle; " +
+            "rebuildStore (or retract the younger keepers) to repair")
+      }
+    }
+    // 6. components: one label per vertex
+    if (variant == "components") {
+      val lp = new Path(dir, "labels")
+      if (fs.exists(lp) &&
+          fs.listStatus(lp).exists(_.getPath.getName.startsWith("bp="))) {
+        val dups = spark.read.parquet(s"$dir/labels")
+          .groupBy("v").agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1).count()
+        if (dups > 0)
+          out += err("label_uniqueness", s"$dir/labels: $dups vertex(es) " +
+            "with multiple label rows — compact() folds the merge log; " +
+            "if it persists after compact, rebuild from the pair source")
+      }
+    }
+    out.toList
+  }
+}
