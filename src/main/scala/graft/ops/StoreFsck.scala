@@ -68,7 +68,9 @@ object StoreFsck {
     if (!KnownVariants(variant))
       return (out += err("manifest", s"unknown variant '$variant'")).toList
     val partsOpt = mf.get("store_parts").flatMap(s => s.toIntOption)
-    if (partsOpt.isEmpty)
+    // ivf indexes are cell-partitioned on learned centroids — their
+    // geometry key is nlist, not store_parts
+    if (partsOpt.isEmpty && variant != "ivf")
       out += err("manifest", s"store_parts missing or non-integer: " +
         mf.getOrElse("store_parts", "<absent>"))
     val demanded = mf.get("required_features").toSeq
@@ -313,7 +315,33 @@ object StoreFsck {
             "rebuildStore (or retract the younger keepers) to repair")
       }
     }
-    // 6. components: one label per vertex
+    // 6. ivf: assignment cells must reference live centroids (an orphan
+    // cell witnesses a half-swapped recluster — its vectors are never
+    // probed because no query's nearest-centroid list can name the
+    // cell), and a coded index must be FULLY coded (null codes silently
+    // drop rows from the coded scoring pass)
+    if (variant == "ivf") {
+      val cp = new Path(dir, "centroids"); val ap = new Path(dir, "assignments")
+      if (fs.exists(cp) && fs.exists(ap) &&
+          fs.listStatus(ap).exists(_.getPath.getName.startsWith("cell="))) {
+        val cells = spark.read.parquet(s"$dir/centroids").select("cell")
+        val assigned = spark.read.parquet(s"$dir/assignments")
+        val orphanCells = assigned.select("cell").distinct()
+          .join(cells, Seq("cell"), "left_anti").count()
+        if (orphanCells > 0)
+          out += err("ivf_cell_referential", s"$dir: $orphanCells assignment " +
+            "cell(s) with no centroid row — a half-swapped recluster; those " +
+            "vectors are unreachable to every probe; rebuild() repairs")
+        if (assigned.schema.fieldNames.contains("code")) {
+          val nullCodes = assigned.filter(col("code").isNull).count()
+          if (nullCodes > 0)
+            out += err("ivf_codes", s"$dir: $nullCodes assignment row(s) " +
+              "with NULL code in a coded index — the coded scoring pass " +
+              "silently drops them; rebuild() re-codes")
+        }
+      }
+    }
+    // 7. components: one label per vertex
     if (variant == "components") {
       val lp = new Path(dir, "labels")
       if (fs.exists(lp) &&

@@ -110,6 +110,24 @@ class StoreFsckSpec extends SparkSuite {
     assert(f.exists(_.check == "keeper_uniqueness"), f.toString)
   }
 
+  test("ivf: clean index audits clean; an orphan cell is caught") {
+    val d = Files.createTempDirectory("fsck_ivf").toString + "/idx"
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") >= 5)
+    IvfIndex.build(embs, d, nlist = 4)
+    assert(StoreFsck.fsck(spark, d).isEmpty)
+    assert(StoreFsck.fsck(spark, d, deep = true).isEmpty,
+      StoreFsck.fsck(spark, d, deep = true).toString)
+    // plant an assignment in a cell no centroid names (the half-swapped
+    // recluster shape: those vectors are unreachable to every probe)
+    spark.read.parquet(s"$d/assignments").limit(1).drop("cell")
+      .withColumn("cell", lit(999L))
+      .write.mode("append").partitionBy("cell").parquet(s"$d/assignments")
+    val f = StoreFsck.fsck(spark, d, deep = true)
+      .filter(_.level == "error")
+    assert(f.exists(_.check == "ivf_cell_referential"), f.toString)
+  }
+
   test("light fsck: unknown demanded feature, debris markers, missing stats") {
     val d = tmp("light")
     IncrementalDedup.exactBatch(
