@@ -128,6 +128,35 @@ class StoreFsckSpec extends SparkSuite {
     assert(f.exists(_.check == "ivf_cell_referential"), f.toString)
   }
 
+  test("deep fsck stays clean through append -> retract -> append cycles") {
+    // the takedown family's end-to-end hygiene witness: after any mix of
+    // cycles, every invariant fsck owns must still hold — bucketing,
+    // doc-index superset, bloom supersets, bm25 stats + referential,
+    // keeper uniqueness. A violation here is a takedown bug the gate's
+    // per-op rows might only see as a wrong answer much later.
+    val batch1 = Seq((1L, "alpha beta gamma delta"),
+      (2L, "epsilon zeta eta theta"),
+      (3L, "iota kappa lambda mu")).toDF("doc_id", "text")
+    val batch2 = Seq((10L, "alpha beta gamma delta"), // re-detects vs keeper 1
+      (11L, "nu xi omicron pi")).toDF("doc_id", "text")
+    def cycle(dir: String, run: org.apache.spark.sql.DataFrame => Unit): Unit = {
+      run(batch1)
+      Retract.retract(spark, dir, Seq(2L))
+      run(batch2)
+      Retract.retract(spark, dir, Seq(10L, 11L))
+      val f = StoreFsck.fsck(spark, dir, deep = true)
+      assert(f.isEmpty, s"$dir dirty after cycles: $f")
+    }
+    val ex = tmp("cyc_ex")
+    cycle(ex, b => { IncrementalDedup.exactBatch(b, ex).collect(); () })
+    val ng = tmp("cyc_ng")
+    cycle(ng, b => { IncrementalDedup.ngramBatch(b, ng, n = 3).collect(); () })
+    val mh = tmp("cyc_mh")
+    cycle(mh, b => { IncrementalDedup.minhashBatch(b, mh).collect(); () })
+    val bm = tmp("cyc_bm")
+    cycle(bm, b => { Bm25Index.indexBatch(b, bm); () })
+  }
+
   test("light fsck: unknown demanded feature, debris markers, missing stats") {
     val d = tmp("light")
     IncrementalDedup.exactBatch(
