@@ -156,6 +156,17 @@ object DeleteSoak {
     // full-store pass (never worse than O(store)); the fraction row
     // makes that measured, not assumed
     cascadeDrive("cascade_dir_purge", "parent = '/d9'")
+    // post-takedown hygiene at scale (r17): the cascades above must
+    // leave BOTH stores passing every deep-fsck invariant — bucketing,
+    // doc-index superset, blooms, keeper uniqueness. A dirty store here
+    // is a takedown bug the leftover counts alone can miss.
+    Seq(exactStore, mhStore).foreach { s =>
+      val t0 = System.nanoTime()
+      val findings = ops.StoreFsck.fsck(spark, s, deep = true)
+      println(f"post_cascade_fsck: $s ${if (findings.isEmpty) "clean"
+        else findings.mkString("; ")} wall=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      require(findings.isEmpty, s"takedown left $s dirty: $findings")
+    }
     spark.stop()
   }
 }
