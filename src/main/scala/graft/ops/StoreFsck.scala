@@ -208,7 +208,14 @@ object StoreFsck {
       // 2. doc-index SUPERSET: every stored row's (id, bp) must be claimed
       docIdxDirOf.filter(_ => docIdxFlag).foreach { dd =>
         val ip = new Path(dd, IncrementalDedup.DocIndexDir)
-        if (fs.exists(ip)) {
+        // a fully-retracted store keeps only the index (over-claiming is
+        // legal — supersets cost pruning only): the check is vacuous
+        // without data rows, and the raw read would fail schema
+        // inference on a bp=-less directory (lifecycle-fuzzer find)
+        val ddHasData = fs.exists(new Path(dd)) &&
+          fs.listStatus(new Path(dd))
+            .exists(_.getPath.getName.startsWith("bp="))
+        if (fs.exists(ip) && ddHasData) {
           val idCol = variant match {
             case "exact" | "span" => "keep_doc_id"
             case "embedding"      => "vec_id"
@@ -218,8 +225,16 @@ object StoreFsck {
           val data = spark.read.parquet(dd)
             .select(col(idCol).cast("long").as("doc_id"),
               col("bp").cast("int").as("bp")).distinct()
-          val idx = spark.read.parquet(s"$dd/${IncrementalDedup.DocIndexDir}")
-            .select(col("doc_id").cast("long"), col("bp").cast("int"))
+          // an index dir emptied of every dp= partition while data rows
+          // remain is itself maximal under-claiming — report it as such
+          // (and a raw read of it would fail schema inference)
+          val ipHasData = fs.listStatus(ip)
+            .exists(_.getPath.getName.startsWith("dp="))
+          val idx =
+            if (ipHasData)
+              spark.read.parquet(s"$dd/${IncrementalDedup.DocIndexDir}")
+                .select(col("doc_id").cast("long"), col("bp").cast("int"))
+            else data.limit(0)
           val missing = data.join(idx, Seq("doc_id", "bp"), "left_anti").count()
           if (missing > 0)
             out += err("doc_index_superset", s"$dd: $missing stored " +
@@ -228,11 +243,13 @@ object StoreFsck {
               "rows; rebuildStore re-derives the index")
           // dp hashing: index rows must sit in their id's dp partition
           // (dp is the hive partition column — read it directly)
-          val wrongDp = spark.read
-            .parquet(s"$dd/${IncrementalDedup.DocIndexDir}")
-            .filter(col("dp").cast("int") =!=
-              IncrementalDedup.dpOf(dpParts, col("doc_id").cast("long")))
-            .count()
+          val wrongDp =
+            if (!ipHasData) 0L
+            else spark.read
+              .parquet(s"$dd/${IncrementalDedup.DocIndexDir}")
+              .filter(col("dp").cast("int") =!=
+                IncrementalDedup.dpOf(dpParts, col("doc_id").cast("long")))
+              .count()
           if (wrongDp > 0)
             out += err("doc_index_partitioning", s"$dd: $wrongDp index " +
               "row(s) outside their id's dp partition — consults would " +

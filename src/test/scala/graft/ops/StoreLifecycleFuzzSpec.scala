@@ -1,0 +1,168 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Seeded lifecycle fuzzer for the persisted-store family (r17): the
+  * directed takedown tests each pin ONE interleaving; this drives a
+  * random-but-replayable SEQUENCE of operations — append a batch,
+  * retract a random live subset, compact — against three store
+  * variants, and after EVERY step checks
+  *   1. the store's content against a plain-Scala model of the
+  *      documented contract (exact: first-arrival keeper per digest,
+  *      drop-the-row retraction, next arrival re-keeps; ngram/bm25:
+  *      rows = exactly the LIVE docs' derived rows), and
+  *   2. the full deep-fsck invariant set (bucketing, doc-index
+  *      superset, blooms, stats, uniqueness).
+  * Interleaving bugs — a retraction racing a compaction's bookkeeping,
+  * an index row surviving its store row, stats drifting off by a
+  * replay — show up as a model mismatch or a named fsck finding at the
+  * exact step that broke, with the seed to replay it. */
+class StoreLifecycleFuzzSpec extends SparkSuite {
+
+  import spark.implicits.newProductEncoder
+  import spark.implicits.localSeqToDatasetHolder
+
+  // a tiny text pool: ids arrive in ascending order (the family's
+  // streaming precondition), texts repeat so dup/re-keep paths fire
+  private def textOf(i: Long): String = {
+    val base = (i % 7) match {
+      case 0 => "alpha beta gamma delta"
+      case 1 => "epsilon zeta eta theta"
+      case 2 => "iota kappa lambda mu"
+      case 3 => "alpha beta gamma delta" // clone of case 0
+      case 4 => "nu xi omicron pi"
+      case 5 => "rho sigma tau upsilon"
+      case _ => "phi chi psi omega"
+    }
+    base
+  }
+
+  private final case class Step(kind: String, detail: String)
+
+  /** Drive `steps` random operations; `append` runs the variant's batch
+    * cycle, `check` compares store content to the model's live state. */
+  private def drive(
+      seed: Int, steps: Int, dir: String,
+      append: org.apache.spark.sql.DataFrame => Unit,
+      retractIds: Seq[Long] => Unit,
+      compact: () => Unit,
+      check: (Map[Long, String], List[Step]) => Unit): Unit = {
+    val rnd = new scala.util.Random(seed)
+    var nextId = 0L
+    var live = Map.empty[Long, String] // the model: live doc -> text
+    var hist = List.empty[Step]
+    for (step <- 1 to steps) {
+      // the store exists only after the first append — force it
+      (if (step == 1) 0 else rnd.nextInt(4)) match {
+        case 0 | 1 => // append 2-4 fresh ascending ids
+          val n = 2 + rnd.nextInt(3)
+          val batch = (0 until n).map { _ =>
+            val id = nextId; nextId += 1; (id, textOf(id))
+          }
+          hist ::= Step("append", batch.map(_._1).mkString(","))
+          append(batch.toDF("doc_id", "text"))
+          live ++= batch
+        case 2 if live.nonEmpty => // retract a random live subset
+          val ids = rnd.shuffle(live.keys.toList)
+            .take(1 + rnd.nextInt(math.min(3, live.size)))
+          hist ::= Step("retract", ids.mkString(","))
+          retractIds(ids)
+          live --= ids
+        case 2 => // nothing live to retract: append instead
+          val id = nextId; nextId += 1
+          hist ::= Step("append", id.toString)
+          append(Seq((id, textOf(id))).toDF("doc_id", "text"))
+          live += id -> textOf(id)
+        case 3 =>
+          hist ::= Step("compact", "")
+          compact()
+      }
+      val f = StoreFsck.fsck(spark, dir, deep = true)
+      assert(f.isEmpty,
+        s"seed=$seed step=$step fsck dirty: $f\nhistory=${hist.reverse}")
+      check(live, hist.reverse)
+    }
+  }
+
+  test("exact store: model parity + fsck-clean across seeded lifecycles") {
+    for (seed <- Seq(101, 202)) {
+      val dir = Files.createTempDirectory(s"lfz_ex_$seed").toString + "/s"
+      // model: keeper per digest = the contract's first-arrival rule;
+      // retraction drops the row; the next arrival of that content
+      // re-keeps. Replayed inside `check` from the live map is NOT
+      // possible (keeper identity depends on arrival order), so track
+      // keepers alongside the drive.
+      var keepers = Map.empty[String, Long] // text -> keeper id
+      drive(seed, 14, dir,
+        append = b => {
+          val rows = b.collect().map(r => (r.getLong(0), r.getString(1)))
+            .sortBy(_._1)
+          rows.foreach { case (id, t) =>
+            if (!keepers.contains(t)) keepers += t -> id
+          }
+          IncrementalDedup.exactBatch(b, dir).collect(); ()
+        },
+        retractIds = ids => {
+          Retract.retract(spark, dir, ids)
+          keepers = keepers.filterNot { case (_, k) => ids.contains(k) }
+        },
+        compact = () => { IncrementalDedup.compactStore(spark, dir); () },
+        check = (_, hist) => {
+          val got = IncrementalDedup.readStoreRaw(spark, dir,
+            "digest BINARY, keep_doc_id BIGINT, bp INT")._1
+            .select("keep_doc_id").collect().map(_.getLong(0)).toSet
+          assert(got == keepers.values.toSet,
+            s"store keepers $got != model ${keepers.values.toSet}\n$hist")
+        })
+    }
+  }
+
+  test("ngram store: live-doc posting parity + fsck-clean across seeded lifecycles") {
+    for (seed <- Seq(303, 404)) {
+      val dir = Files.createTempDirectory(s"lfz_ng_$seed").toString + "/s"
+      drive(seed, 12, dir,
+        append = b => { IncrementalDedup.ngramBatch(b, dir, n = 3).collect(); () },
+        retractIds = ids => { Retract.retract(spark, dir, ids); () },
+        compact = () => { IncrementalDedup.compactStore(spark, dir); () },
+        check = (live, hist) => {
+          // postings must be EXACTLY the live docs' distinct 3-grams —
+          // novelty anti-joins must not lose rows, retraction must not
+          // leave them (docs with dup'd text still post: the ngram
+          // store is per-doc, not keeper'd). readStoreRaw handles the
+          // fully-retracted store (no parquet files left — schema given)
+          val got = IncrementalDedup.readStoreRaw(spark, dir,
+            "doc_id BIGINT, shingle BIGINT, nsh BIGINT, bp INT")._1
+            .select("doc_id", "shingle").distinct().count()
+          val want =
+            if (live.isEmpty) 0L
+            else live.toSeq.toDF("doc_id", "text")
+              .select(col("doc_id"), explode(graft.functions.SketchExprs
+                .gramHashes(col("text"), 3, distinct = true)).as("shingle"))
+              .distinct().count()
+          assert(got == want, s"postings $got != live-doc grams $want\n$hist")
+        })
+    }
+  }
+
+  test("bm25 index: live-doc parity + stats exactness across seeded lifecycles") {
+    for (seed <- Seq(505, 606)) {
+      val dir = Files.createTempDirectory(s"lfz_bm_$seed").toString + "/s"
+      drive(seed, 12, dir,
+        append = b => { Bm25Index.indexBatch(b, dir); () },
+        retractIds = ids => { Retract.retract(spark, dir, ids); () },
+        compact = () => (), // bm25 compaction rides rebuildStore; out of scope
+        check = (live, hist) => {
+          val gotDocs = IncrementalDedup.readStoreRaw(spark, s"$dir/docs",
+            "doc_id BIGINT, dl DOUBLE, bp INT")._1
+            .select("doc_id").collect().map(_.getLong(0)).toSet
+          assert(gotDocs == live.keySet,
+            s"docs/ $gotDocs != live ${live.keySet}\n$hist")
+          // stats exactness rides the fsck deep check (bm25_stats); the
+          // membership above pins the doc-granular contract
+        })
+    }
+  }
+}
