@@ -28,7 +28,13 @@ class StoreFsckSpec extends SparkSuite {
     val bm = tmp("clean_bm"); Bm25Index.indexBatch(docs, bm)
     val cc = tmp("clean_cc")
     IncrementalComponents.addPairs(Seq((1L, 2L)).toDF("doc_a", "doc_b"), cc)
-    Seq(ex, ng, bm, cc).foreach { d =>
+    val sp = tmp("clean_sp")
+    IncrementalSpanDedup.spanBatch(docs, sp, w = 4).collect()
+    val em = tmp("clean_em")
+    IncrementalDedup.embeddingBatch(
+      Seq((1L, Seq(1.0, 0.0, 0.0)), (2L, Seq(0.0, 1.0, 0.0)))
+        .toDF("vec_id", "embedding"), em, layout = "split").collect()
+    Seq(ex, ng, bm, cc, sp, em).foreach { d =>
       assert(StoreFsck.fsck(spark, d).isEmpty, s"light fsck dirty: $d")
       assert(StoreFsck.fsck(spark, d, deep = true).isEmpty,
         s"deep fsck dirty: $d → ${StoreFsck.fsck(spark, d, deep = true)}")

@@ -147,6 +147,67 @@ class StoreLifecycleFuzzSpec extends SparkSuite {
     }
   }
 
+  test("minhash store: live-doc signature parity + fsck-clean across seeded lifecycles") {
+    for (seed <- Seq(707, 808)) {
+      val dir = Files.createTempDirectory(s"lfz_mh_$seed").toString + "/s"
+      drive(seed, 12, dir,
+        append = b => { IncrementalDedup.minhashBatch(b, dir).collect(); () },
+        retractIds = ids => { Retract.retract(spark, dir, ids); () },
+        compact = () => { IncrementalDedup.compactStore(spark, dir); () },
+        check = (live, hist) => {
+          // doc membership: signature rows for exactly the live docs
+          val got = IncrementalDedup.readStoreRaw(spark, dir,
+            "doc_id BIGINT, sig ARRAY<BIGINT>, band INT, bh BIGINT, bp INT")._1
+            .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+          assert(got == live.keySet, s"minhash docs $got != ${live.keySet}\n$hist")
+        })
+    }
+  }
+
+  test("embedding split store: live-vector parity in BOTH halves across seeded lifecycles") {
+    for (seed <- Seq(909)) {
+      val dir = Files.createTempDirectory(s"lfz_em_$seed").toString + "/s"
+      // vectors derived from the id: clones every 7 ids like the texts
+      def vecOf(i: Long): Seq[Double] = {
+        val a = Array.fill(6)(0.01); a(((i % 7) % 6).toInt) = 1.0; a.toSeq
+      }
+      val rnd = new scala.util.Random(seed)
+      var nextId = 0L
+      var live = Set.empty[Long]
+      for (step <- 1 to 10) {
+        (if (step == 1) 0 else rnd.nextInt(3)) match {
+          case 0 | 1 =>
+            val n = 2 + rnd.nextInt(3)
+            val batch = (0 until n).map { _ =>
+              val id = nextId; nextId += 1; (id, vecOf(id))
+            }
+            IncrementalDedup.embeddingBatch(
+              batch.toDF("vec_id", "embedding"), dir, layout = "split")
+              .collect()
+            live ++= batch.map(_._1)
+          case _ if live.nonEmpty =>
+            val ids = rnd.shuffle(live.toList)
+              .take(1 + rnd.nextInt(math.min(3, live.size)))
+            Retract.retract(spark, dir, ids)
+            live --= ids
+          case _ => ()
+        }
+        if (live.nonEmpty || step > 1) {
+          val f = StoreFsck.fsck(spark, dir, deep = true)
+          assert(f.isEmpty, s"seed=$seed step=$step fsck dirty: $f")
+          val posts = IncrementalDedup.readStoreRaw(spark, s"$dir/postings",
+            "vec_id BIGINT, tbl INT, bucket BIGINT, bp INT")._1
+            .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
+          val vecs = IncrementalDedup.readStoreRaw(spark, s"$dir/vectors",
+            "vec_id BIGINT, vec ARRAY<DOUBLE>, bp INT")._1
+            .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
+          assert(posts == live && vecs == live,
+            s"seed=$seed step=$step postings=$posts vectors=$vecs live=$live")
+        }
+      }
+    }
+  }
+
   test("bm25 index: live-doc parity + stats exactness across seeded lifecycles") {
     for (seed <- Seq(505, 606)) {
       val dir = Files.createTempDirectory(s"lfz_bm_$seed").toString + "/s"
