@@ -93,12 +93,15 @@ object Soak {
         walls ::= (System.nanoTime() - s0) / 1e9
       }
     } finally { stop = true; churner.join(300000) }
+    // churner-failure check FIRST (r17 ADVICE): if the churner died
+    // before the first search iteration, `walls` is empty and the
+    // percentile line's IndexOutOfBounds would mask the real cause
+    require(churnErr.isEmpty, s"soak churner failed: $churnErr")
     val sorted = walls.sorted
     println(f"bm25_churn_race_soak: searches=$n misses=$misses " +
       f"deadline_trips=$trips churn_cycles=$cycles " +
       f"search_wall_med=${sorted(sorted.size / 2)}%.2fs " +
       f"max=${sorted.last}%.2fs")
-    require(churnErr.isEmpty, s"soak churner failed: $churnErr")
     require(misses == 0, s"soak churn race: $misses searches lost the stable doc")
   }
 

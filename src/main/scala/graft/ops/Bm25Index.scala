@@ -513,6 +513,16 @@ object Bm25Index {
     val parts = mf.get("store_parts").map(_.toInt).getOrElse(
       sys.error(s"$dir has no store_parts in its manifest"))
     val bps = Retract.bpsOf(spark, ids, parts)
+    // GATE BEFORE ARM (r17 ADVICE): on a rename-less scheme without the
+    // override, rewriteTouched's own gate would throw only AFTER the
+    // sentinel below was raised — stranding it, so every subsequent
+    // search stalls ~5s treating the store as mid-arm until the
+    // entry-heal runs, for a retraction that was refused before doing
+    // any work. Probe the gate first; the inner gates stay as the
+    // enforcing check.
+    graft.fs.AtomicRename.requireForSwap(
+      new org.apache.hadoop.fs.Path(s"$dir/postings"),
+      spark.sparkContext.hadoopConfiguration, "bm25 retraction")
     // ARM-BUSY SENTINEL (r16 ADVICE, medium): this arm's consistency
     // surface is postings + docs + stats TOGETHER, but each inner swap's
     // marker/epoch covers only itself — a reader whose whole seqlock

@@ -251,8 +251,20 @@ object IvfIndex {
   def rebuild(spark: SparkSession, indexDir: String, kmeansIters: Int = 2): Unit =
     graft.fs.StoreLock.withLock(indexDir,
       spark.sparkContext.hadoopConfiguration) {
+      // swap-fence scheme gate (r17 ADVICE, medium): the rebuild swap
+      // replaces the ENTIRE live tables by directory rename — on a
+      // rename-less scheme (copy+delete) a concurrent search would read
+      // a half-copied assignments table with no loud failure, because
+      // ensureReadable's heal only fires when a table is MISSING, never
+      // partially populated. Gate at ENTRY before any staging, exactly
+      // like retract/deleteWhere/compact; sweepRebuild (the crash heal
+      // of an already-committed _rebuild_ready) stays ungated — a
+      // committed marker must always roll forward.
       sweepRebuild(spark, indexDir)
       Retract.sweep(spark, s"$indexDir/assignments")
+      graft.fs.AtomicRename.requireForSwap(
+        new org.apache.hadoop.fs.Path(indexDir),
+        spark.sparkContext.hadoopConfiguration, "ivf rebuild")
       rebuildLocked(spark, indexDir, kmeansIters)
     }
 

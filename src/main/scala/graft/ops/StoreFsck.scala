@@ -221,7 +221,22 @@ object StoreFsck {
             case "embedding"      => "vec_id"
             case _                => "doc_id"
           }
-          val dpParts = mf.get("doc_index_parts").map(_.toInt).getOrElse(parts)
+          // tolerate a corrupted manifest value (r17 ADVICE): fsck's
+          // whole job is to SURVIVE and NAME metadata damage — a bare
+          // .toInt would throw NumberFormatException here instead of
+          // emitting a finding (store_parts nearby already uses
+          // toIntOption). Non-integer → manifest finding + skip the
+          // dp-hash check (it has no trustworthy geometry to test).
+          val dpPartsOpt = mf.get("doc_index_parts") match {
+            case Some(s) =>
+              val p = s.toIntOption
+              if (p.isEmpty)
+                out += err("manifest",
+                  s"$dd: doc_index_parts non-integer: '$s' — dp-hash " +
+                    "check skipped; rebuildStore rewrites the manifest")
+              p
+            case None => Some(parts)
+          }
           val data = spark.read.parquet(dd)
             .select(col(idCol).cast("long").as("doc_id"),
               col("bp").cast("int").as("bp")).distinct()
@@ -244,11 +259,11 @@ object StoreFsck {
           // dp hashing: index rows must sit in their id's dp partition
           // (dp is the hive partition column — read it directly)
           val wrongDp =
-            if (!ipHasData) 0L
+            if (!ipHasData || dpPartsOpt.isEmpty) 0L
             else spark.read
               .parquet(s"$dd/${IncrementalDedup.DocIndexDir}")
               .filter(col("dp").cast("int") =!=
-                IncrementalDedup.dpOf(dpParts, col("doc_id").cast("long")))
+                IncrementalDedup.dpOf(dpPartsOpt.get, col("doc_id").cast("long")))
               .count()
           if (wrongDp > 0)
             out += err("doc_index_partitioning", s"$dd: $wrongDp index " +
