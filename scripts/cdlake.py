@@ -189,6 +189,17 @@ class Cdl:
             self._spark._jsparkSession, store_dir, bool(deep))
         return [tuple(line.split("\t", 2)) for line in raw]
 
+    def store_fsck_repair(self, store_dir, deep=False):
+        """Locked repair mode: audit, then APPLY each finding's named
+        heal (marker sweeps, stats recompute, bloom re-derivation,
+        doc-index rebuild, orphan-posting docs reconstruction, merge-log
+        fold). Findings with no safe automatic remedy are refused with
+        the reason. Returns (level, check, applied|refused, action)
+        tuples; re-run ``store_fsck`` to verify cleanliness."""
+        raw = self._spark._jvm.graft.PyBridge.storeFsckRepair(
+            self._spark._jsparkSession, store_dir, bool(deep))
+        return [tuple(line.split("\t", 3)) for line in raw]
+
     def model_user_storage_options(self, secrets,
                                    secret_name="object-storage-user-0",
                                    map_access_key="CONSOLE_ACCESS_KEY",

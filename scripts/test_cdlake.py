@@ -513,6 +513,24 @@ def test_store_fsck_over_bridge(spark, tmp_path):
                "warp_sketch" in f[2] for f in findings), findings
 
 
+def test_store_fsck_repair_over_bridge(spark, tmp_path):
+    """store-fsck --repair over py4j: crash debris (a stranded arm
+    sentinel) is healed by the sweep and the store re-audits clean;
+    a clean store repairs as a no-op."""
+    from cdlake import Cdl
+    cdl = Cdl(spark)
+    store = str(tmp_path / "store")
+    docs = spark.createDataFrame([(1, "alpha"), (2, "beta")],
+                                 "doc_id LONG, text STRING")
+    cdl.dedup_exact(docs, store).collect()
+    assert cdl.store_fsck_repair(store, deep=True) == []
+    # plant a stranded arm sentinel (a crashed retraction arm)
+    open(store + "/_retract_arm", "w").write("999")
+    acts = cdl.store_fsck_repair(store)
+    assert any(a[1] == "markers" and a[2] == "applied" for a in acts), acts
+    assert cdl.store_fsck(store, deep=True) == []
+
+
 def test_model_user_storage_options(spark):
     """ModelUser secret-ref resolution over the bridge (control-plane
     parity): the CRD's access-token reference resolves against a

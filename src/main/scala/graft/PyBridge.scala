@@ -301,6 +301,18 @@ object PyBridge {
       .map(f => s"${f.level}\t${f.check}\t${f.detail}").asJava
   }
 
+  /** Locked repair mode for the Python surface (r17 verdict #2):
+    * apply each finding's named heal, returning
+    * (level, check, applied|refused, action) rows — re-audit with
+    * [[storeFsck]] to verify. */
+  def storeFsckRepair(spark: SparkSession, dir: String,
+      deep: Boolean): java.util.List[String] = {
+    import scala.jdk.CollectionConverters._
+    graft.ops.StoreFsck.repair(spark, dir, deep)
+      .map(a => s"${a.finding.level}\t${a.finding.check}\t" +
+        s"${if (a.applied) "applied" else "refused"}\t${a.action}").asJava
+  }
+
   /** ModelUser secret-ref resolution for the Python surface (r16
     * verdict #9; pond/ModelUser.scala — the CRD spec's consumption
     * path): resolve the ref against a caller-supplied secret map

@@ -156,18 +156,38 @@ object Main {
       // stats + referential, keeper uniqueness). Read-only; exits 1 on
       // any error-level finding.
       case "store-fsck" :: rest0 =>
-        val (deepFlag, rest) = rest0.partition(_ == "--deep")
+        val (flags, rest) = rest0.partition(_.startsWith("--"))
+        val deep = flags.contains("--deep")
+        val doRepair = flags.contains("--repair")
+        val unknown = flags.filterNot(Set("--deep", "--repair"))
         val store = rest match {
-          case s :: Nil => s
-          case other => sys.error(s"usage: store-fsck <storeDir> [--deep]; got $other")
+          case s :: Nil if unknown.isEmpty => s
+          case other => sys.error(
+            s"usage: store-fsck <storeDir> [--deep] [--repair]; got $other" +
+              (if (unknown.nonEmpty) s" (unknown flags: ${unknown.mkString(",")})"
+               else ""))
         }
-        val findings = graft.ops.StoreFsck.fsck(spark, store,
-          deep = deepFlag.nonEmpty)
-        if (findings.isEmpty)
-          println(s"$store: clean (${if (deepFlag.nonEmpty) "deep" else "light"} fsck)")
-        else findings.foreach(f =>
-          println(s"[${f.level}] ${f.check}: ${f.detail}"))
-        if (findings.exists(_.level == "error")) sys.exit(1)
+        if (doRepair) {
+          // locked repair: apply each finding's named heal, then re-audit
+          val acts = graft.ops.StoreFsck.repair(spark, store, deep = deep)
+          acts.foreach(a => println(
+            s"[${a.finding.level}] ${a.finding.check}: ${a.finding.detail}\n" +
+              s"  -> ${if (a.applied) "repaired" else "skipped"}: ${a.action}"))
+          val after = graft.ops.StoreFsck.fsck(spark, store, deep = deep)
+          if (after.isEmpty)
+            println(s"$store: clean after repair " +
+              s"(${if (deep) "deep" else "light"} fsck)")
+          else after.foreach(f =>
+            println(s"[still ${f.level}] ${f.check}: ${f.detail}"))
+          if (after.exists(_.level == "error")) sys.exit(1)
+        } else {
+          val findings = graft.ops.StoreFsck.fsck(spark, store, deep = deep)
+          if (findings.isEmpty)
+            println(s"$store: clean (${if (deep) "deep" else "light"} fsck)")
+          else findings.foreach(f =>
+            println(s"[${f.level}] ${f.check}: ${f.detail}"))
+          if (findings.exists(_.level == "error")) sys.exit(1)
+        }
 
       case "store-info" :: store :: Nil =>
         val conf = spark.sparkContext.hadoopConfiguration
@@ -533,7 +553,7 @@ object Main {
           s"delete <target> <condition> | vacuum <target> | " +
           s"take <target> <i,j,...> [col,col] | dedup <exact|minhash|simhash|ngram|embedding|span> <in.parquet> " +
           s"<storeDir> <out.parquet> [inline|split] (embedding) / [w] (span) | compact-store <storeDir> | " +
-          s"store-info <storeDir> | store-fsck <storeDir> [--deep] | " +
+          s"store-info <storeDir> | store-fsck <storeDir> [--deep] [--repair] | " +
           s"rebuild-store <src> <dst> [parts] | " +
           s"retract <storeDir> <id,id,...> | ivf retract <indexDir> <id,id,...> | " +
           s"clusters {add|labels|keepers|compact} ... | " +

@@ -513,16 +513,11 @@ object Bm25Index {
     val parts = mf.get("store_parts").map(_.toInt).getOrElse(
       sys.error(s"$dir has no store_parts in its manifest"))
     val bps = Retract.bpsOf(spark, ids, parts)
-    // GATE BEFORE ARM (r17 ADVICE): on a rename-less scheme without the
-    // override, rewriteTouched's own gate would throw only AFTER the
-    // sentinel below was raised — stranding it, so every subsequent
-    // search stalls ~5s treating the store as mid-arm until the
-    // entry-heal runs, for a retraction that was refused before doing
-    // any work. Probe the gate first; the inner gates stay as the
-    // enforcing check.
-    graft.fs.AtomicRename.requireForSwap(
-      new org.apache.hadoop.fs.Path(s"$dir/postings"),
-      spark.sparkContext.hadoopConfiguration, "bm25 retraction")
+    // No scheme gate here (r17 ADVICE asked for gate-before-arm so a
+    // refused retraction couldn't strand the sentinel — now nothing is
+    // refused: on rename-less schemes the inner rewrites commit by
+    // pointer flip, graft.fs.PartitionPointer, so the arm proceeds on
+    // every scheme).
     // ARM-BUSY SENTINEL (r16 ADVICE, medium): this arm's consistency
     // surface is postings + docs + stats TOGETHER, but each inner swap's
     // marker/epoch covers only itself — a reader whose whole seqlock
@@ -576,7 +571,7 @@ object Bm25Index {
       recomputeStatsLocked(spark, dir)
     }
 
-  private def recomputeStatsLocked(spark: SparkSession, dir: String): Unit = {
+  private[ops] def recomputeStatsLocked(spark: SparkSession, dir: String): Unit = {
     val readD = IncrementalDedup.readStore(spark, s"$dir/docs",
       "doc_id BIGINT, dl DOUBLE, bp INT")
     val row = readD._1.agg(count(lit(1)).as("n"), count(col("dl")).as("nt"),

@@ -380,6 +380,11 @@ object IncrementalComponents {
       labels0.filter(col("bp").isin(bps: _*))).count()
     val ownOf = Retract.semiOn(spark, ids, "v")
     val namedOf = Retract.semiOn(spark, ids, "component")
+    // allowPointer=false: labels() and the compaction fold read this
+    // table with direct schema'd spark.read.parquet listings that
+    // cannot resolve a partition pointer — rename-less schemes keep
+    // the r16 gate + override contract here (the inner compactLocked
+    // swap is rename-fenced anyway)
     Retract.rewriteTouched(spark, lp, "bp",
       df => ownOf(df).unionByName(namedOf(df)),
       df => {
@@ -391,7 +396,7 @@ object IncrementalComponents {
         kept.join(broadcast(canon), Seq("component"), "left")
           .withColumn("component", coalesce(col("__new"), col("component")))
           .drop("__new")
-      })
+      }, allowPointer = false)
     removed
   }
 
@@ -421,13 +426,22 @@ object IncrementalComponents {
   /** The compaction fold body, for callers that already hold the store
     * lock (the public [[compact]], and [[addPairsLocked]]'s merge-log
     * cap). */
-  private def compactLocked(spark: SparkSession, storeDir: String): Long = {
+  private[ops] def compactLocked(spark: SparkSession, storeDir: String): Long = {
       val mm = mergeMap(spark, storeDir)
       if (mm.isEmpty) 0L
       else {
         import org.apache.hadoop.fs.Path
         val root = new Path(storeDir)
         val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // swap-fence scheme gate (r18 review: this delete+rename of the
+        // WHOLE labels table was the one store swap the r16 discipline
+        // missed — a concurrent labels() read on a rename-less scheme
+        // would list a half-copied table with no loud failure). Gated
+        // at entry before staging, like every other swap; sweepCompact
+        // (the heal of a committed _compact_ready) stays ungated.
+        graft.fs.AtomicRename.requireForSwap(root,
+          spark.sparkContext.hadoopConfiguration,
+          "clusters-store compaction fold")
         val lp = s"$storeDir/$LabelsDir"
         val base = spark.read.schema("v BIGINT, component BIGINT, bp INT")
           .parquet(lp)

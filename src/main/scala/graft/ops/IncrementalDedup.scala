@@ -332,6 +332,22 @@ object IncrementalDedup {
     require(fs.rename(tmp, p), s"manifest rename failed: $tmp -> $p")
   }
 
+  /** Rewrite an EXISTING store's manifest in place (store-fsck --repair
+    * updating bloom geometry) — [[writeManifest]] assumes the
+    * destination is absent (creation / rebuild into a fresh dir), so
+    * the update path publishes through the scheme-aware atomic
+    * small-file replace instead. Caller holds the store lock. */
+  private[ops] def updateManifest(
+      fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      meta: Map[String, String]): Unit = {
+    val json = meta.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+    graft.fs.AtomicRename.publishSmallFile(fs,
+      new org.apache.hadoop.fs.Path(dir, "_graft_store.json"),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      s".tmp-${ProcessHandle.current().pid()}")
+  }
+
   /** Shared geometry step of every batch cycle. Warm (geometry known):
     * `bp` rides the one eager checkpoint that feeds the join sides and
     * the append, and the touched-partition probe rides its
@@ -1469,8 +1485,9 @@ object IncrementalDedup {
     def hasParts(dir: String): Boolean = {
       val p = new org.apache.hadoop.fs.Path(dir)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.exists(p) &&
-        fs.listStatus(p).exists(_.getPath.getName.startsWith("bp="))
+      (fs.exists(p) &&
+        fs.listStatus(p).exists(_.getPath.getName.startsWith("bp="))) ||
+        graft.fs.PartitionPointer.hasLive(fs, p)
     }
     // key-encoding migration (r13 verdict #3): rebuilding a legacy HEX
     // exact/span store converts its md5 key to 16-byte BINARY — the
@@ -1487,7 +1504,11 @@ object IncrementalDedup {
     def rebucket(src: String, dst: String, keys: Seq[String],
         parts: Int): Unit =
       if (hasParts(src)) { // a manifest-only store rebuilds to one
-        val raw = spark.read.parquet(src).drop("bp")
+        // pointer-aware source read (rename-less schemes): a rebuild
+        // that listed only the legacy dirs would silently drop every
+        // versioned generation
+        val raw = graft.fs.PartitionPointer.readWholeInferred(spark, src)
+          .getOrElse(spark.read.parquet(src)).drop("bp")
         val converted = hexKeyCol.fold(raw)(k =>
           raw.withColumn(k, unhex(col(k))))
         converted.withColumn("bp", bpOf(parts, keys.map(col): _*))
@@ -1530,7 +1551,10 @@ object IncrementalDedup {
     val parts =
       if (requestedParts > 0) requestedParts
       else storePartsFor(
-        if (hasParts(srcData)) spark.read.parquet(srcData).count() else 0L)
+        if (hasParts(srcData))
+          graft.fs.PartitionPointer.readWholeInferred(spark, srcData)
+            .getOrElse(spark.read.parquet(srcData)).count()
+        else 0L)
     secondHalf match {
       case Some((sub, subKeys)) =>
         rebucket(s"$srcDir/postings", s"$dstDir/postings", keys, parts)
@@ -1759,8 +1783,10 @@ object IncrementalDedup {
     * coalesce into one task → one file per touched partition per
     * append. The exchange moves batch-sized data only. */
   private[ops] def appendStore(rows: DataFrame, storeDir: String): Unit =
-    rows.repartition(col("bp"))
-      .write.partitionBy("bp").mode("append").parquet(storeDir)
+    if (!graft.fs.PartitionPointer.appendPartitioned(
+        rows.sparkSession, storeDir, rows, "bp"))
+      rows.repartition(col("bp"))
+        .write.partitionBy("bp").mode("append").parquet(storeDir)
 
   // ---------- doc→bp retraction index (r16, r15 verdict #2) ----------
 
@@ -1815,17 +1841,27 @@ object IncrementalDedup {
       spark: SparkSession, storeDir: String, dps: Seq[Int]): DataFrame = {
     val dir = new org.apache.hadoop.fs.Path(storeDir, DocIndexDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val has = fs.exists(dir) &&
-      fs.listStatus(dir).exists(_.getPath.getName.startsWith("dp="))
-    if (!has)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "doc_id BIGINT, bp INT, dp INT"))
-    else spark.read.parquet(dir.toString)
-      .filter(col("dp").isin(dps: _*))
-      .select(col("doc_id").cast("long").as("doc_id"),
-        col("bp").cast("int").as("bp"), col("dp").cast("int").as("dp"))
+    // pointer-aware (the index is itself a dp-partitioned store and is
+    // retracted through rewriteTouched, so on rename-less schemes it
+    // carries its own pointer)
+    val base = graft.fs.PartitionPointer
+      .readWholeInferred(spark, dir.toString)
+      .orElse {
+        val has = fs.exists(dir) && !graft.fs.PartitionPointer.active(fs, dir) &&
+          fs.listStatus(dir).exists(_.getPath.getName.startsWith("dp="))
+        if (has) Some(spark.read.parquet(dir.toString)) else None
+      }
+    base match {
+      case None =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id BIGINT, bp INT, dp INT"))
+      case Some(df) => df
+        .filter(col("dp").isin(dps: _*))
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("bp").cast("int").as("bp"), col("dp").cast("int").as("dp"))
+    }
   }
 
   /** Append the batch's (id, bp) pairs to the index — call BEFORE the
@@ -1845,13 +1881,16 @@ object IncrementalDedup {
     * doc by [[retractDocIndex]]; growth is bounded by the replay count
     * of each batch — crash-rare, never per-cycle. */
   private[ops] def appendDocIndex(
-      rows: DataFrame, storeDir: String, idCol: String, dpParts: Int): Unit =
-    rows
+      rows: DataFrame, storeDir: String, idCol: String, dpParts: Int): Unit = {
+    val pairs = rows
       .select(col(idCol).cast("long").as("doc_id"), col("bp").cast("int").as("bp"))
       .distinct()
       .withColumn("dp", dpOf(dpParts, col("doc_id")))
-      .repartition(col("dp")).write.partitionBy("dp").mode("append")
-      .parquet(s"$storeDir/$DocIndexDir")
+    if (!graft.fs.PartitionPointer.appendPartitioned(
+        rows.sparkSession, s"$storeDir/$DocIndexDir", pairs, "dp"))
+      pairs.repartition(col("dp")).write.partitionBy("dp").mode("append")
+        .parquet(s"$storeDir/$DocIndexDir")
+  }
 
   /** The candidate store partitions holding any retired id's rows,
     * via the index: dp-pruned read + id semi-join + distinct collect
@@ -1901,7 +1940,8 @@ object IncrementalDedup {
   private[ops] def writeDocIndexFrom(
       spark: SparkSession, dataDir: String, storeDir: String,
       idCol: String, dpParts: Int): Unit =
-    spark.read.parquet(dataDir)
+    graft.fs.PartitionPointer.readWholeInferred(spark, dataDir)
+      .getOrElse(spark.read.parquet(dataDir))
       .select(col(idCol).cast("long").as("doc_id"), col("bp").cast("int").as("bp"))
       .distinct()
       .withColumn("dp", dpOf(dpParts, col("doc_id")))
@@ -2023,6 +2063,13 @@ object IncrementalDedup {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+    // pointer stores (rename-less schemes, graft.fs.PartitionPointer):
+    // live data is the pointer-resolved union of legacy hive dirs and
+    // versioned generations — a blind listing would miss the latter
+    graft.fs.PartitionPointer.readDf(spark, dir, Some(schema)) match {
+      case Some(r) => return r
+      case None    => ()
+    }
     val hasData = fs.exists(p) && fs.listStatus(p).exists { s =>
       s.getPath.getName.startsWith("bp=") ||
         s.getPath.getName.endsWith(".parquet")

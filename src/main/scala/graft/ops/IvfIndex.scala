@@ -209,9 +209,14 @@ object IvfIndex {
       spark.sparkContext.hadoopConfiguration) {
       sweepRebuild(spark, indexDir)
       val dd = ids.distinct
+      // allowPointer=false: the IVF read surface (search, occupancy,
+      // rebuild, append anti-join) lists assignments/ with direct
+      // spark.read.parquet and cannot resolve a partition pointer —
+      // rename-less schemes keep the r16 gate + override contract here
+      // until those reads are centralized
       Retract.rewriteTouched(spark, s"$indexDir/assignments", "cell",
         Retract.semiOn(spark, dd, "id"), Retract.antiOn(spark, dd, "id"),
-        sortCols = Seq("cell", "id"))
+        sortCols = Seq("cell", "id"), allowPointer = false)
     }
   }
 

@@ -186,23 +186,38 @@ object Retract {
       matcher: DataFrame => DataFrame,
       transform: DataFrame => DataFrame,
       sortCols: Seq[String] = Nil,
-      prefilter: Option[Column] = None): Long = {
+      prefilter: Option[Column] = None,
+      allowPointer: Boolean = true): Long = {
     import org.apache.hadoop.fs.Path
     sweep(spark, dataDir)
     val root = new Path(dataDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasData = fs.exists(root) && fs.listStatus(root)
-      .exists(_.getPath.getName.startsWith(s"$partCol="))
+    // rename-less schemes commit by POINTER FLIP instead of the marker
+    // + rename roll-forward (r17 verdict #1, upgrading the r16 loud
+    // refusal to real support): staging is identical, but each staged
+    // partition moves to a fresh unreferenced versioned path and ONE
+    // small-file PUT of the partition->version map commits the whole
+    // swap — see graft.fs.PartitionPointer. `allowPointer=false` callers
+    // (IVF assignments, components labels) read their stores with
+    // direct spark.read.parquet listings that cannot resolve a pointer,
+    // so they keep the r16 gate + rename path until their reads are
+    // centralized.
+    val pointerMode = !graft.fs.AtomicRename.isAtomic(root) && allowPointer
+    if (!pointerMode)
+      // swap-fence scheme gate (r16 verdict #1): the whole-old/whole-new
+      // reader contract below rides atomic directory renames — on a
+      // rename-less scheme fail loudly BEFORE any staging, unless the
+      // operator quiesced readers and set the override. The sweep above
+      // is deliberately ungated: healing an already-committed marker
+      // must always finish.
+      graft.fs.AtomicRename.requireForSwap(root,
+        spark.sparkContext.hadoopConfiguration, "store retraction/rewrite")
+    val hasData = (fs.exists(root) && fs.listStatus(root)
+      .exists(_.getPath.getName.startsWith(s"$partCol="))) ||
+      graft.fs.PartitionPointer.hasLive(fs, root)
     if (!hasData) return 0L
-    // swap-fence scheme gate (r16 verdict #1): the whole-old/whole-new
-    // reader contract below rides atomic directory renames — on a
-    // rename-less scheme (S3A copy+delete) fail loudly BEFORE any
-    // staging, unless the operator quiesced readers and set the
-    // override. The sweep above is deliberately ungated: healing an
-    // already-committed marker must always finish.
-    graft.fs.AtomicRename.requireForSwap(root,
-      spark.sparkContext.hadoopConfiguration, "store retraction/rewrite")
-    val df0 = spark.read.parquet(dataDir)
+    val df0 = graft.fs.PartitionPointer.readWholeInferred(spark, dataDir)
+      .getOrElse(spark.read.parquet(dataDir))
     val scan = prefilter.map(df0.filter).getOrElse(df0)
     // discovery: (id, partition) only — column-pruned, no data columns
     val hits = matcher(scan)
@@ -225,8 +240,13 @@ object Retract {
     val lines = touchedNames.map { n =>
       if (fs.exists(new Path(tmp, n))) s"replace:$n" else s"drop:$n"
     }
-    writeMarker(fs, root, lines)
-    finish(fs, root, lines)
+    if (pointerMode)
+      graft.fs.PartitionPointer.commitSwap(spark, root, partCol, lines,
+        tmp, () => bumpEpoch(fs, root))
+    else {
+      writeMarker(fs, root, lines)
+      finish(fs, root, lines)
+    }
     affected
   }
 
@@ -254,6 +274,10 @@ object Retract {
           .filter(_.getPath.getName.startsWith(RetractOldPrefix))
           .foreach(s => fs.delete(s.getPath, true))
     }
+    // pointer-store GC (rename-less schemes): collect grace-expired
+    // previous generations, orphan staged versions, dead tombstones —
+    // one exists() probe on stores without a pointer
+    graft.fs.PartitionPointer.sweepGarbage(spark, dataDir)
   }
 
   /** Quick marker probe for lock-free read paths (the ensureReadable

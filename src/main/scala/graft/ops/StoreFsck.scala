@@ -108,6 +108,50 @@ object StoreFsck {
         out += warn("layout", s"${abs(rel)} absent (empty store, or a " +
           "crashed creation — the next locked cycle creates it)")
       else if (fs.exists(p)) {
+        // partition-pointer integrity (rename-less schemes, r18 —
+        // graft.fs.PartitionPointer): the pointer must parse, every
+        // live entry's generation dir must exist (a dangling entry
+        // means committed data is GONE — listing damage or a bad
+        // restore), and unreferenced generations/append-staging are
+        // named as sweepable garbage
+        if (graft.fs.PartitionPointer.active(fs, p)) {
+          try {
+            val ptr = graft.fs.PartitionPointer.readPtr(fs, p).get
+            if (ptr.partCol != partCol)
+              out += err("pointer", s"${abs(rel)}: pointer partcol " +
+                s"'${ptr.partCol}' != layout '$partCol'")
+            ptr.entries.foreach { case (n, e) =>
+              if (e.live >= 0 && !fs.exists(
+                  graft.fs.PartitionPointer.versionedPath(p, n, e.live)))
+                out += err("pointer_dangling", s"${abs(rel)}/$n: pointer " +
+                  s"names live generation pv=${e.live} but the dir is " +
+                  "absent — committed rows unreachable; restore the " +
+                  "generation or rebuildStore")
+            }
+            val partsDir = new Path(p, "_parts")
+            if (fs.exists(partsDir))
+              fs.listStatus(partsDir).foreach { pd =>
+                val keep = ptr.entries.get(pd.getPath.getName).toSeq
+                  .flatMap(e => Seq(e.live, e.prev)).filter(_ >= 0).toSet
+                fs.listStatus(pd.getPath)
+                  .map(_.getPath.getName)
+                  .filter(_.startsWith("pv="))
+                  .filterNot(_.stripPrefix("pv=").toIntOption.exists(keep))
+                  .foreach(n => out += warn("pointer_orphan",
+                    s"${abs(rel)}/_parts/${pd.getPath.getName}/$n: " +
+                      "unreferenced generation (crashed swap staging) — " +
+                      "the next locked sweep collects it"))
+              }
+            fs.listStatus(p).map(_.getPath.getName)
+              .filter(_.startsWith("_append_tmp-"))
+              .foreach(n => out += warn("pointer_orphan",
+                s"${abs(rel)}/$n: append staging debris — the next " +
+                  "locked sweep collects it"))
+          } catch {
+            case e: IllegalStateException =>
+              out += err("pointer", s"${abs(rel)}: ${e.getMessage}")
+          }
+        }
         // partition dir names parse and sit inside the geometry
         fs.listStatus(p).filter(_.isDirectory)
           .map(_.getPath.getName).filter(_.startsWith(s"$partCol="))
@@ -154,9 +198,10 @@ object StoreFsck {
             "writer (swept opportunistically by later cycles)"))
     // bm25 stats sidecar presence
     if (variant == "bm25") {
-      val hasPosts = fs.exists(new Path(dir, "postings")) &&
+      val hasPosts = (fs.exists(new Path(dir, "postings")) &&
         fs.listStatus(new Path(dir, "postings"))
-          .exists(_.getPath.getName.startsWith("bp="))
+          .exists(_.getPath.getName.startsWith("bp="))) ||
+        graft.fs.PartitionPointer.hasLive(fs, new Path(dir, "postings"))
       if (hasPosts && !fs.exists(new Path(dir, "_bm25_stats")))
         out += err("bm25_stats", s"$dir holds postings but no _bm25_stats " +
           "— run recomputeStats AND retry the crashed batch")
@@ -189,10 +234,12 @@ object StoreFsck {
         if (keys.nonEmpty) {
           val d = abs(rel)
           val p = new Path(d)
-          val hasData = fs.exists(p) &&
-            fs.listStatus(p).exists(_.getPath.getName.startsWith(s"$partCol="))
+          val hasData = (fs.exists(p) &&
+            fs.listStatus(p).exists(_.getPath.getName.startsWith(s"$partCol="))) ||
+            graft.fs.PartitionPointer.hasLive(fs, p)
           if (hasData) {
-            val df = spark.read.parquet(d)
+            val df = graft.fs.PartitionPointer.readWholeInferred(spark, d)
+              .getOrElse(spark.read.parquet(d))
             // 1. bp recompute: a mis-bucketed row is unreachable to every
             // pruned read — the silent-wrong-answer class
             val bad = df.filter(
@@ -212,9 +259,10 @@ object StoreFsck {
         // legal — supersets cost pruning only): the check is vacuous
         // without data rows, and the raw read would fail schema
         // inference on a bp=-less directory (lifecycle-fuzzer find)
-        val ddHasData = fs.exists(new Path(dd)) &&
+        val ddHasData = (fs.exists(new Path(dd)) &&
           fs.listStatus(new Path(dd))
-            .exists(_.getPath.getName.startsWith("bp="))
+            .exists(_.getPath.getName.startsWith("bp="))) ||
+          graft.fs.PartitionPointer.hasLive(fs, new Path(dd))
         if (fs.exists(ip) && ddHasData) {
           val idCol = variant match {
             case "exact" | "span" => "keep_doc_id"
@@ -237,18 +285,22 @@ object StoreFsck {
               p
             case None => Some(parts)
           }
-          val data = spark.read.parquet(dd)
+          val data = graft.fs.PartitionPointer.readWholeInferred(spark, dd)
+            .getOrElse(spark.read.parquet(dd))
             .select(col(idCol).cast("long").as("doc_id"),
               col("bp").cast("int").as("bp")).distinct()
           // an index dir emptied of every dp= partition while data rows
           // remain is itself maximal under-claiming — report it as such
           // (and a raw read of it would fail schema inference)
           val ipHasData = fs.listStatus(ip)
-            .exists(_.getPath.getName.startsWith("dp="))
+            .exists(_.getPath.getName.startsWith("dp=")) ||
+            graft.fs.PartitionPointer.hasLive(fs, ip)
+          def idxRead = graft.fs.PartitionPointer
+            .readWholeInferred(spark, ip.toString)
+            .getOrElse(spark.read.parquet(s"$dd/${IncrementalDedup.DocIndexDir}"))
           val idx =
             if (ipHasData)
-              spark.read.parquet(s"$dd/${IncrementalDedup.DocIndexDir}")
-                .select(col("doc_id").cast("long"), col("bp").cast("int"))
+              idxRead.select(col("doc_id").cast("long"), col("bp").cast("int"))
             else data.limit(0)
           val missing = data.join(idx, Seq("doc_id", "bp"), "left_anti").count()
           if (missing > 0)
@@ -260,8 +312,7 @@ object StoreFsck {
           // (dp is the hive partition column — read it directly)
           val wrongDp =
             if (!ipHasData || dpPartsOpt.isEmpty) 0L
-            else spark.read
-              .parquet(s"$dd/${IncrementalDedup.DocIndexDir}")
+            else idxRead
               .filter(col("dp").cast("int") =!=
                 IncrementalDedup.dpOf(dpPartsOpt.get, col("doc_id").cast("long")))
               .count()
@@ -388,5 +439,213 @@ object StoreFsck {
       }
     }
     out.toList
+  }
+
+  /** One repair decision: what [[repair]] did (or refused to do) about
+    * a finding. `applied=false` + an action starting with "refused"
+    * marks a finding with no safe automatic remedy. */
+  final case class RepairAction(finding: Finding, action: String,
+      applied: Boolean)
+
+  /** Locked repair mode (r17 verdict #2): audit, then APPLY each
+    * finding's named remedy — reusing the existing heal entry points
+    * (marker sweeps, recomputeStats, bloom re-derivation, doc-index
+    * rebuild from a data scan, orphan-posting docs reconstruction, the
+    * clusters merge-log fold) rather than new rewrite code. Findings
+    * whose remedy needs a policy choice (which double-committed keeper
+    * survives?) or a rebuild-scale rewrite (re-bucketing, an IVF
+    * recluster) are REFUSED with the reason — repair never guesses.
+    * Runs under the store lock; the safe verification loop is
+    * `repair` then a fresh `fsck` (the CLI does both). */
+  def repair(spark: SparkSession, dir: String,
+      deep: Boolean = false): Seq[RepairAction] =
+    graft.fs.StoreLock.withLock(dir,
+      spark.sparkContext.hadoopConfiguration) {
+      repairLocked(spark, dir, deep)
+    }
+
+  private def repairLocked(spark: SparkSession, dir: String,
+      deep: Boolean): Seq[RepairAction] = {
+    import org.apache.hadoop.fs.Path
+    // drop the lock probe's self-report: repair itself holds the store
+    // lock, so the finding is always present and always ours
+    val findings = fsck(spark, dir, deep).filterNot(_.check == "lock")
+    if (findings.isEmpty) return Nil
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mf =
+      try IncrementalDedup.storeManifest(spark, dir)
+      catch { case _: Exception => Map.empty[String, String] }
+    val variant = mf.getOrElse("variant", "")
+    val split = mf.get("store_layout").contains("split")
+    val partsOpt = mf.get("store_parts").flatMap(_.toIntOption)
+    val dataRels: Seq[String] = variant match {
+      case "embedding" if split => Seq("postings", "vectors")
+      case "bm25"               => Seq("postings", "docs")
+      case "components"         => Seq("labels")
+      case "ivf"                => Seq("assignments")
+      case _                    => Seq("")
+    }
+    def abs(rel: String) = if (rel.isEmpty) dir else s"$dir/$rel"
+    // each heal runs at most once even when several findings share it
+    var swept = false
+    var statsDone = false
+    var docIdxDone = false
+    var refDone = false
+    def sweepAll(): String = {
+      if (!swept) {
+        dataRels.foreach { rel =>
+          IncrementalDedup.sweepCompactTrash(spark, abs(rel))
+          Retract.sweep(spark, abs(rel))
+        }
+        if (variant == "bm25" && Retract.armBusy(spark, s"$dir/postings")) {
+          // the crashed arm's idempotent tail (Bm25Index.ensureReadable)
+          Bm25Index.recomputeStatsLocked(spark, dir)
+          Retract.bumpEpochAt(spark, s"$dir/postings")
+          Retract.armClear(spark, s"$dir/postings")
+          statsDone = true
+        }
+        // a stranded arm sentinel on any other data dir has no sidecar
+        // tail to recompute — the safe heal is bump (force seqlock
+        // readers to re-snapshot) then clear
+        dataRels.map(abs).foreach { dd =>
+          if (Retract.armBusy(spark, dd) &&
+              !(variant == "bm25" && dd == s"$dir/postings")) {
+            Retract.bumpEpochAt(spark, dd)
+            Retract.armClear(spark, dd)
+          }
+        }
+        if (fs.exists(root))
+          fs.listStatus(root).map(_.getPath)
+            .filter(_.getName.contains(".tmp-"))
+            .foreach(p => fs.delete(p, false))
+        swept = true
+      }
+      "swept: markers rolled forward, staging/tmp corpses deleted"
+    }
+    def recomputeStats(): String = {
+      if (!statsDone) { Bm25Index.recomputeStatsLocked(spark, dir); statsDone = true }
+      "recomputed _bm25_stats exactly from docs/"
+    }
+    def healReferential(): String = {
+      if (!refDone) {
+        // the orphan-posting retry-batch: reconstruct the docs/ rows the
+        // crashed batch never wrote — postings carry (doc_id, dl), so
+        // the missing rows are derivable exactly; then the stats
+        // recompute sees a consistent index
+        val parts = partsOpt.getOrElse(
+          return "refused: no store_parts geometry to bucket the rebuilt docs rows")
+        val (postsDf, hasP) = IncrementalDedup.readStoreRaw(spark,
+          s"$dir/postings",
+          "term STRING, doc_id BIGINT, dl DOUBLE, tf DOUBLE, bp INT")
+        val (docsDf, _) = IncrementalDedup.readStoreRaw(spark,
+          s"$dir/docs", "doc_id BIGINT, dl DOUBLE, bp INT")
+        if (hasP) {
+          val orphan = postsDf.select(col("doc_id"), col("dl")).distinct()
+            .join(docsDf.select("doc_id"), Seq("doc_id"), "left_anti")
+            .withColumn("bp", IncrementalDedup.bpOf(parts, col("doc_id")))
+          IncrementalDedup.appendStore(orphan, s"$dir/docs")
+        }
+        Bm25Index.recomputeStatsLocked(spark, dir)
+        statsDone = true
+        refDone = true
+      }
+      "reconstructed missing docs/ rows from orphan postings; stats recomputed"
+    }
+    def healDocIndex(): String = {
+      if (!docIdxDone) {
+        val (dd, idCol) = variant match {
+          case "exact" | "span"     => (dir, "keep_doc_id")
+          case "embedding" if split => (s"$dir/postings", "vec_id")
+          case "embedding"          => (dir, "vec_id")
+          case "bm25"               => (s"$dir/postings", "doc_id")
+          case _                    => (dir, "doc_id")
+        }
+        val ip = new Path(dd, IncrementalDedup.DocIndexDir)
+        fs.delete(ip, true)
+        val hasData = (fs.exists(new Path(dd)) && fs.listStatus(new Path(dd))
+          .exists(_.getPath.getName.startsWith("bp="))) ||
+          graft.fs.PartitionPointer.hasLive(fs, new Path(dd))
+        val dpParts = mf.get("doc_index_parts").flatMap(_.toIntOption)
+          .orElse(partsOpt.map(IncrementalDedup.dpPartsFor))
+          .getOrElse(64)
+        if (hasData)
+          IncrementalDedup.writeDocIndexFrom(spark, dd, dd, idCol, dpParts)
+        docIdxDone = true
+      }
+      "re-derived _doc_index from a full data scan"
+    }
+    def healBloom(file: String, capKey: String, bitsKey: String): String = {
+      val (dataDir, ddl, keyExpr) =
+        if (variant == "bm25")
+          (s"$dir/postings",
+            "term STRING, doc_id BIGINT, dl DOUBLE, tf DOUBLE, bp INT",
+            xxhash64(col("term")).as("__k"))
+        else (dir, "doc_id BIGINT, shingle BIGINT, nsh BIGINT, bp INT",
+          col("shingle").as("__k"))
+      val (read, has) = IncrementalDedup.readStoreRaw(spark, dataDir, ddl)
+      if (!has) return "refused: no data rows to derive the bloom from"
+      val keys = read.select(keyExpr)
+      val (cap, bits) =
+        IncrementalDedup.gramBloomGeometry(math.max(1L, keys.count()))
+      IncrementalDedup.writeBloomSidecar(spark, dir, file,
+        keys.stat.bloomFilter("__k", cap, bits))
+      IncrementalDedup.updateManifest(fs, dir,
+        mf ++ Map(capKey -> cap.toString, bitsKey -> bits.toString))
+      s"re-derived $file tight from the live rows (cap=$cap)"
+    }
+    findings.map { f =>
+      val (action, applied): (String, Boolean) = f.check match {
+        case "lock" =>
+          ("no action: the reported holder is repair's own lock", false)
+        case "layout" =>
+          ("no action needed: the next locked cycle creates it", false)
+        case "markers" | "pointer_orphan" | "debris" => (sweepAll(), true)
+        case "bm25_stats" => (recomputeStats(), true)
+        case "bm25_referential" =>
+          val a = healReferential()
+          (a, !a.startsWith("refused"))
+        case "doc_index" | "doc_index_superset" | "doc_index_partitioning" =>
+          if (f.level == "warn" && f.detail.contains("does not flag")) {
+            // an unflagged index is ignored-and-drifting: remove it
+            val dd = if (variant == "bm25" || (variant == "embedding" && split))
+              s"$dir/postings" else dir
+            fs.delete(new Path(dd, IncrementalDedup.DocIndexDir), true)
+            ("deleted the unflagged (ignored, drifting) _doc_index", true)
+          } else (healDocIndex(), true)
+        case "gram_bloom_superset" =>
+          val a = healBloom("_gram_bloom", "bloom_cap", "bloom_bits")
+          (a, !a.startsWith("refused"))
+        case "term_bloom_superset" =>
+          val a = healBloom("_term_bloom", "term_bloom_cap", "term_bloom_bits")
+          (a, !a.startsWith("refused"))
+        case "label_uniqueness" =>
+          val folded = IncrementalComponents.compactLocked(spark, dir)
+          (s"folded the merge log into labels ($folded relabeled); if " +
+            "duplicates persist the pair source must be rebuilt", true)
+        case "keeper_uniqueness" =>
+          ("refused: choosing which double-committed keeper survives is " +
+            "a policy decision — retract the unwanted keepers, or " +
+            "rebuildStore", false)
+        case "bucketing" =>
+          ("refused: re-bucketing rows is a rebuild-scale rewrite — run " +
+            "rebuildStore", false)
+        case "ivf_cell_referential" | "ivf_codes" =>
+          ("refused: the remedy is a full recluster — run IvfIndex" +
+            ".rebuild", false)
+        case "partitions" =>
+          ("refused: a foreign or re-bucketed partition cannot be " +
+            "adopted automatically — remove it or rebuildStore", false)
+        case "pointer" | "pointer_dangling" =>
+          ("refused: the pointer or a committed generation is damaged — " +
+            "restore the missing data or rebuildStore", false)
+        case "manifest" | "required_features" | "store" =>
+          ("refused: manifest-level damage needs the operator (or " +
+            "rebuildStore, which rewrites it)", false)
+        case _ =>
+          (s"refused: no automatic remedy registered for '${f.check}'", false)
+      }
+      RepairAction(f, action, applied)
+    }
   }
 }

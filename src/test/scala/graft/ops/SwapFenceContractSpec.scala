@@ -4,19 +4,20 @@ import java.nio.file.Files
 
 import graft.SparkSuite
 
-/** Rename-less-scheme contract for the data-swap fences (r16 verdict #1,
-  * the round's one `weak`): the retraction/delete/compact swap fences
-  * assume `FileSystem.rename` is atomic, which object-store schemes
-  * don't provide (copy+delete exposes partially copied partitions to
-  * lock-free readers). The contract: mutations FAIL LOUDLY on such
-  * schemes unless the operator quiesces readers and sets the override —
-  * and under the override the swap still commits correctly (roll-forward
-  * is rename-count-agnostic; only the concurrent-reader guarantee is
-  * waived). Single-file sidecars (the `_retract_epoch` counter) publish
-  * via direct overwrite-PUT on these schemes — no temp corpses, no
-  * absent window. The `mock://` scheme (RawLocalFileSystem-backed, so
-  * behavior is real) classifies as rename-less by name — exactly like
-  * s3a would. */
+/** Rename-less-scheme contract for the data-swap fences (r16 verdict
+  * #1; upgraded r18 per the r17 verdict #1): STORE partition swaps on
+  * rename-less schemes commit by POINTER FLIP
+  * (graft.fs.PartitionPointer) — no override, no marker, full
+  * lock-free-reader safety via one atomic small-file PUT. Whole-table
+  * swaps whose readers list directories directly (table deleteWhere/
+  * compact, store compaction, IVF rebuild, clusters compaction fold)
+  * keep the r16 contract: FAIL LOUDLY unless the operator quiesces
+  * readers and sets the override, under which the swap still commits
+  * correctly. Single-file sidecars (the `_retract_epoch` counter)
+  * publish via direct overwrite-PUT on these schemes — no temp
+  * corpses, no absent window. The `mock://` scheme
+  * (RawLocalFileSystem-backed, so behavior is real) classifies as
+  * rename-less by name — exactly like s3a would. */
 class SwapFenceContractSpec extends SparkSuite {
 
   import spark.implicits.newProductEncoder
@@ -28,53 +29,51 @@ class SwapFenceContractSpec extends SparkSuite {
     spark.sparkContext.hadoopConfiguration
   }
 
-  test("retraction on a rename-less scheme fails loudly, names the fix, and stages nothing") {
+  test("retraction on a rename-less scheme commits by pointer flip — no override, no marker") {
     val c = conf
-    val local = Files.createTempDirectory("swapfence_gate").toString
+    val local = Files.createTempDirectory("swapfence_ptr").toString
     val dir = s"mock://$local/store"
     val docs = Seq((1L, "alpha beta"), (2L, "alpha beta"), (3L, "gamma"))
       .toDF("doc_id", "text")
     // creation/appends are plain parquet writes — NOT gated (no swap)
     IncrementalDedup.exactBatch(docs, dir).collect()
-    val e = intercept[IllegalStateException] {
-      Retract.retract(spark, dir, Seq(1L))
-    }
-    assert(e.getMessage.contains("atomic"), e.getMessage)
-    assert(e.getMessage.contains(graft.fs.AtomicRename.OverrideKey),
-      e.getMessage)
-    // gated BEFORE staging: no tmp dir, no marker, store intact
+    // r18: no override needed — the swap stages as always, moves each
+    // staged partition to a fresh unreferenced versioned path, and
+    // commits with ONE pointer PUT (atomic on every scheme)
+    assert(Retract.retract(spark, dir, Seq(1L)) >= 1L)
     val names = java.nio.file.Files.list(
       java.nio.file.Paths.get(s"$local/store")).toArray.map(_.toString)
-    assert(!names.exists(_.contains("_retract_tmp")), names.mkString(","))
+    // pointer committed, marker machinery never engaged
+    assert(names.exists(_.endsWith("/_pointer")), names.mkString(","))
     assert(!names.exists(_.contains("_retract_pending")), names.mkString(","))
-    assert(spark.read.parquet(dir).count() == 2L) // 1 keeper per digest + gamma
-  }
-
-  test("override (quiesced readers) retracts correctly; epoch publishes by direct PUT") {
-    val c = conf
-    val local = Files.createTempDirectory("swapfence_override").toString
-    val dir = s"mock://$local/store"
-    val docs = Seq((1L, "alpha beta"), (2L, "alpha beta"), (3L, "gamma"))
-      .toDF("doc_id", "text")
-    IncrementalDedup.exactBatch(docs, dir).collect()
-    c.setBoolean(graft.fs.AtomicRename.OverrideKey, true)
-    try {
-      assert(Retract.retract(spark, dir, Seq(1L)) >= 1L)
-      // the retired keeper is gone; the survivor's rows intact
-      val left = spark.read.parquet(dir)
-        .select("keep_doc_id").collect().map(_.getLong(0)).toSet
-      assert(!left.contains(1L) && left.contains(3L), left.toString)
-      // epoch sidecar: present, parseable, and published WITHOUT a
-      // rename (direct overwrite-PUT on rename-less schemes) — so no
-      // .tmp corpses and no absent window for readers
-      val ep = java.nio.file.Paths.get(s"$local/store/_retract_epoch")
-      assert(java.nio.file.Files.exists(ep))
-      assert(new String(java.nio.file.Files.readAllBytes(ep)).trim.toLong >= 1L)
-      val corpses = java.nio.file.Files.list(
-        java.nio.file.Paths.get(s"$local/store")).toArray.map(_.toString)
-        .filter(_.contains("_retract_epoch.tmp-"))
-      assert(corpses.isEmpty, corpses.mkString(","))
-    } finally c.unset(graft.fs.AtomicRename.OverrideKey)
+    assert(!names.exists(_.contains("_retract_tmp")), names.mkString(","))
+    // the retired keeper is gone; survivors intact (pointer-resolved read)
+    val (store, hasData) = IncrementalDedup.readStoreRaw(spark, dir,
+      "digest BINARY, keep_doc_id BIGINT, bp INT")
+    assert(hasData)
+    val left = store.select("keep_doc_id").collect().map(_.getLong(0)).toSet
+    assert(left == Set(3L), left.toString) // doc 2 was a dup of 1, never kept
+    // epoch sidecar: present, parseable, and published WITHOUT a
+    // rename (direct overwrite-PUT on rename-less schemes) — so no
+    // .tmp corpses and no absent window for readers
+    val ep = java.nio.file.Paths.get(s"$local/store/_retract_epoch")
+    assert(java.nio.file.Files.exists(ep))
+    assert(new String(java.nio.file.Files.readAllBytes(ep)).trim.toLong >= 1L)
+    val corpses = java.nio.file.Files.list(
+      java.nio.file.Paths.get(s"$local/store")).toArray.map(_.toString)
+      .filter(_.contains("_retract_epoch.tmp-"))
+    assert(corpses.isEmpty, corpses.mkString(","))
+    // re-keep semantics survive the pointer store: the content whose
+    // keeper was retired is novel again, and the append lands THROUGH
+    // the pointer (next batch's dup detection sees it)
+    val r2 = IncrementalDedup.exactBatch(
+      Seq((10L, "alpha beta"), (11L, "alpha beta")).toDF("doc_id", "text"), dir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        Option(r.get(r.fieldIndex("dup_of"))).map(_.toString))
+      .toMap
+    assert(r2(10L).isEmpty, r2.toString)      // fresh keeper
+    assert(r2(11L).contains("10"), r2.toString) // dup within the batch
   }
 
   test("store compaction is gated on a rename-less scheme; override compacts correctly") {
