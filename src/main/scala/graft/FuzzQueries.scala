@@ -1773,6 +1773,187 @@ object FuzzQueries {
   private val unnestSeeds = Seq(21000, 21001, 21002, 21003)
   private val winDistSeeds = Seq(22000, 22001, 22002, 22003)
 
+  // ---------- v13 (r17 verdict #4): CTE reuse, VALUES derived
+  // tables, GROUPING() over ROLLUP/CUBE — the three dimensions
+  // engines plan independently: Spark reuses (or re-evaluates) a
+  // twice-referenced subplan where DuckDB materializes the CTE;
+  // literal-table type coercion differs per engine; and subtotal
+  // disambiguation via GROUPING() is the shape the roll seeds
+  // deliberately avoided with mod-reduced non-null keys ----------
+
+  /** Family 1 — a WITH-clause CTE referenced TWICE. Even seeds: the
+    * CTE joined against its own max-aggregate (keep groups at >= half
+    * the max) — Spark sees one aggregate subtree under two parents
+    * (exchange/subplan reuse); DuckDB materializes. Odd seeds: the CTE
+    * self-joined on adjacent keys (g vs g+1) comparing sums. */
+  private final case class QCte(table: String, k: String, mod: Long,
+      v: String, vmod: Long, selfJoin: Boolean, wide: Cmp)
+
+  private def genCte(seed: Int): QCte = {
+    val rnd = new scala.util.Random(seed)
+    val table = Seq("lineitem", "orders", "customer")(seed % 3)
+    val cols = tables(table)
+    QCte(table, cols(rnd.nextInt(cols.size)), 5L + rnd.nextInt(8),
+      cols(rnd.nextInt(cols.size)), 17L + rnd.nextInt(40),
+      seed % 2 == 1, wideArm(rnd, cols) match { case c: Cmp => c })
+  }
+
+  private def sparkOfCte(q: QCte)(s: SparkSession, dir: String): DataFrame = {
+    // ONE DataFrame value referenced twice — the idiomatic Spark twin
+    // of the CTE: the same logical subtree under two parents, letting
+    // Catalyst reuse the exchange instead of rescanning
+    val agg = Queries.rd(s, dir, q.table)
+      .filter(col(q.wide.c) >= q.wide.lit)
+      .select((col(q.k) % q.mod).cast("long").as("g"),
+        (col(q.v) % q.vmod).cast("long").as("v"))
+      .groupBy("g")
+      .agg(sum("v").cast("long").as("s"), count(lit(1)).as("n"))
+    if (q.selfJoin)
+      agg.as("a").join(agg.as("b"),
+          col("a.g") === col("b.g") + 1L)
+        .select(col("a.g").as("g"), col("a.s").as("s"),
+          col("b.s").as("prev_s"),
+          (col("a.s") - col("b.s")).cast("long").as("delta"))
+        .orderBy(col("g").asc)
+    else
+      agg.crossJoin(agg.agg(max("s").cast("long").as("smax")))
+        .filter(col("s") * 2 >= col("smax"))
+        .select(col("g"), col("s"), col("n"), col("smax"))
+        .orderBy(col("g").asc)
+  }
+
+  private def sqlOfCte(q: QCte): String = {
+    val cte =
+      s"""WITH agg AS (
+         |  SELECT ${q.k} % ${q.mod} AS g,
+         |    CAST(sum(${q.v} % ${q.vmod}) AS BIGINT) AS s,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM ${q.table} WHERE ${q.wide.c} >= ${q.wide.lit}
+         |  GROUP BY 1
+         |)""".stripMargin
+    if (q.selfJoin)
+      s"""$cte
+         |SELECT CAST(a.g AS BIGINT) AS g, a.s AS s, b.s AS prev_s,
+         |  CAST(a.s - b.s AS BIGINT) AS delta
+         |FROM agg a JOIN agg b ON a.g = b.g + 1
+         |ORDER BY g ASC""".stripMargin
+    else
+      s"""$cte
+         |SELECT CAST(g AS BIGINT) AS g, s, n, m.smax AS smax
+         |FROM agg CROSS JOIN (SELECT CAST(max(s) AS BIGINT) AS smax FROM agg) m
+         |WHERE s * 2 >= m.smax
+         |ORDER BY g ASC""".stripMargin
+  }
+
+  /** Family 2 — a VALUES literal table joined (non-equi, banded)
+    * against the corpus: literal-table type coercion and the
+    * broadcastable tiny-side nested-loop join. The VALUES rows define
+    * value bands; each corpus row lands in at most one band. */
+  private final case class QVals(table: String, k: String, v: String,
+      vmod: Long, base: Long, width: Long, nBands: Int, wide: Cmp)
+
+  private def genVals(seed: Int): QVals = {
+    val rnd = new scala.util.Random(seed)
+    val table = Seq("lineitem", "orders", "customer")(seed % 3)
+    val cols = tables(table)
+    QVals(table, cols(rnd.nextInt(cols.size)), cols(rnd.nextInt(cols.size)),
+      40L + rnd.nextInt(30), rnd.nextInt(4).toLong, 3L + rnd.nextInt(5),
+      3 + (seed % 2), wideArm(rnd, cols) match { case c: Cmp => c })
+  }
+
+  private def bandsOf(q: QVals): Seq[(Long, Long)] =
+    (0 until q.nBands).map(i => (i.toLong, q.base + i * q.width))
+
+  private def sparkOfVals(q: QVals)(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = bandsOf(q).toDF("tag", "thr") // tiny local relation
+    Queries.rd(s, dir, q.table)
+      .filter(col(q.wide.c) >= q.wide.lit)
+      .select((col(q.v) % q.vmod).cast("long").as("v"))
+      .join(broadcast(bands),
+        col("v") >= col("thr") && col("v") < col("thr") + q.width)
+      .groupBy("tag")
+      .agg(count(lit(1)).as("n"), sum("v").cast("long").as("s"))
+      .select(col("tag").cast("long").as("tag"), col("n"), col("s"))
+      .orderBy(col("tag").asc)
+  }
+
+  private def sqlOfVals(q: QVals): String = {
+    val rows = bandsOf(q).map { case (t, thr) => s"($t, $thr)" }.mkString(", ")
+    s"""SELECT CAST(bands.tag AS BIGINT) AS tag,
+       |  CAST(count(*) AS BIGINT) AS n, CAST(sum(x.v) AS BIGINT) AS s
+       |FROM (VALUES $rows) AS bands(tag, thr)
+       |JOIN (
+       |  SELECT ${q.v} % ${q.vmod} AS v
+       |  FROM ${q.table} WHERE ${q.wide.c} >= ${q.wide.lit}
+       |) x ON x.v >= bands.thr AND x.v < bands.thr + ${q.width}
+       |GROUP BY bands.tag
+       |ORDER BY tag ASC""".stripMargin
+  }
+
+  /** Family 3 — GROUPING() projected over ROLLUP/CUBE: subtotal rows
+    * are disambiguated by the grouping flags, with NULL subtotal keys
+    * CASE-mapped to -1 so the ordered compare never hits engine NULL
+    * ordering. `gid` is computed as GROUPING(a)*2 + GROUPING(b) in
+    * BOTH engines — deliberately NOT the engines' own GROUPING_ID()
+    * whose bit order is implementation-defined. */
+  private final case class QGrp(table: String, a: String, amod: Long,
+      b: String, bmod: Long, v: String, vmod: Long, cube: Boolean,
+      wide: Cmp)
+
+  private def genGrp(seed: Int): QGrp = {
+    val rnd = new scala.util.Random(seed)
+    val table = Seq("lineitem", "orders", "customer")(seed % 3)
+    val cols = tables(table)
+    QGrp(table, cols(rnd.nextInt(cols.size)), 3L + rnd.nextInt(4),
+      cols(rnd.nextInt(cols.size)), 2L + rnd.nextInt(3),
+      cols(rnd.nextInt(cols.size)), 13L + rnd.nextInt(30),
+      (seed / 3) % 2 == 1, wideArm(rnd, cols) match { case c: Cmp => c })
+  }
+
+  private def sparkOfGrp(q: QGrp)(s: SparkSession, dir: String): DataFrame = {
+    val base = Queries.rd(s, dir, q.table)
+      .filter(col(q.wide.c) >= q.wide.lit)
+      .select((col(q.a) % q.amod).cast("long").as("a"),
+        (col(q.b) % q.bmod).cast("long").as("b"),
+        (col(q.v) % q.vmod).cast("long").as("v"))
+    val sets = if (q.cube) base.cube("a", "b") else base.rollup("a", "b")
+    // grouping() is only legal inside the aggregate — compute the
+    // engine-neutral gid there, then derive the per-key subtotal flags
+    // from its bits in the projection (gid = grouping(a)*2+grouping(b))
+    sets.agg(sum("v").cast("long").as("sv"), count(lit(1)).as("n"),
+        (grouping(col("a")) * 2 + grouping(col("b"))).cast("long").as("gid"))
+      .select(
+        when(col("gid") >= 2, lit(-1L)).otherwise(col("a")).as("ga"),
+        when(col("gid") % 2 === 1, lit(-1L)).otherwise(col("b")).as("gb"),
+        col("gid"), col("sv"), col("n"))
+      .orderBy(col("gid").asc, col("ga").asc, col("gb").asc)
+  }
+
+  private def sqlOfGrp(q: QGrp): String = {
+    val sets = if (q.cube) "CUBE(a, b)" else "ROLLUP(a, b)"
+    s"""SELECT
+       |  CAST(CASE WHEN GROUPING(a) = 1 THEN -1 ELSE a END AS BIGINT) AS ga,
+       |  CAST(CASE WHEN GROUPING(b) = 1 THEN -1 ELSE b END AS BIGINT) AS gb,
+       |  CAST(GROUPING(a) * 2 + GROUPING(b) AS BIGINT) AS gid,
+       |  CAST(sum(v) AS BIGINT) AS sv, CAST(count(*) AS BIGINT) AS n
+       |FROM (
+       |  SELECT ${q.a} % ${q.amod} AS a, ${q.b} % ${q.bmod} AS b,
+       |         ${q.v} % ${q.vmod} AS v
+       |  FROM ${q.table} WHERE ${q.wide.c} >= ${q.wide.lit}
+       |) sub
+       |GROUP BY $sets
+       |ORDER BY gid ASC, ga ASC, gb ASC""".stripMargin
+  }
+
+  // v13, seed-scanned (main's probe): cte covers both reuse shapes ×
+  // the three tables; vals covers 3- and 4-band literal tables; grp
+  // covers ROLLUP and CUBE with subtotal keys disambiguated via
+  // GROUPING() flags
+  private val cteSeeds = Seq(23000, 23001, 23002, 23003)
+  private val valsSeeds = Seq(24000, 24001, 24002, 24003)
+  private val grpSeeds = Seq(25000, 25001, 25002, 25003)
+
   // v11, seed-scanned (main's probe): pct covers cont|disc × quarters ×
   // the three tables; ljwin covers rank|cumsum × asc/desc ×
   // nulls-first/last — both match states of the null-extension verified
@@ -1877,7 +2058,13 @@ object FuzzQueries {
       unnestSeeds.map(sd => s"q_fuzz_unnest_$sd" ->
         (sparkOfUnnest(genUnnest(sd)) _)).toMap ++
       winDistSeeds.map(sd => s"q_fuzz_windist_$sd" ->
-        (sparkOfWinDist(genWinDist(sd)) _)).toMap +
+        (sparkOfWinDist(genWinDist(sd)) _)).toMap ++
+      cteSeeds.map(sd => s"q_fuzz_cte_$sd" ->
+        (sparkOfCte(genCte(sd)) _)).toMap ++
+      valsSeeds.map(sd => s"q_fuzz_vals_$sd" ->
+        (sparkOfVals(genVals(sd)) _)).toMap ++
+      grpSeeds.map(sd => s"q_fuzz_grp_$sd" ->
+        (sparkOfGrp(genGrp(sd)) _)).toMap +
       ("q_fuzz_empty_scalar" -> (emptyScalar _)) +
       ("q_fuzz_distinct_rows" -> (distinctRows _))
 
@@ -1922,7 +2109,10 @@ object FuzzQueries {
       unnestSeeds.map(sd => s"q_fuzz_unnest_$sd" ->
         sqlOfUnnest(genUnnest(sd))).toMap ++
       winDistSeeds.map(sd => s"q_fuzz_windist_$sd" ->
-        sqlOfWinDist(genWinDist(sd))).toMap +
+        sqlOfWinDist(genWinDist(sd))).toMap ++
+      cteSeeds.map(sd => s"q_fuzz_cte_$sd" -> sqlOfCte(genCte(sd))).toMap ++
+      valsSeeds.map(sd => s"q_fuzz_vals_$sd" -> sqlOfVals(genVals(sd))).toMap ++
+      grpSeeds.map(sd => s"q_fuzz_grp_$sd" -> sqlOfGrp(genGrp(sd))).toMap +
       ("q_fuzz_empty_scalar" -> emptyScalarSql) +
       ("q_fuzz_distinct_rows" -> distinctRowsSql)
 
