@@ -105,6 +105,89 @@ object Soak {
     require(misses == 0, s"soak churn race: $misses searches lost the stable doc")
   }
 
+  /** The IVF RECLUSTER churn race at soak scale (r17 verdict #6): the
+    * rebuild swaps the ENTIRE assignments+centroids layout — the
+    * largest swap window in the codebase, seconds long at 100× — now
+    * under the arm sentinel (r18) so the search seqlock observes it.
+    * A churner loops append-fresh-vectors → forced rebuild; a reader
+    * loops self-queries of a stable corpus vector (its own top-1 must
+    * be itself at cosine 1.0 — ANY mixed-generation probe set loses
+    * it). Reports misses (must be 0), deadline trips (must be 0), the
+    * rebuild cycles completed, recall-probe self-hit rate before and
+    * after the race (must both be 1.0), and the search wall
+    * distribution against the 120 s deadline. */
+  private def ivfRebuildRaceSoak(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      embCorpus: DataFrame, maxSearches: Int = 25): Unit = {
+    import spark.implicits._
+    val probeRows = embCorpus.orderBy("vec_id").limit(4).collect()
+    val stableId = probeRows.head.getLong(0)
+    val q = Seq((stableId, probeRows.head.getSeq[Double](1)))
+      .toDF("vec_id", "embedding")
+    def selfHitRate(): Double = {
+      val qs = probeRows.map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .toSeq.toDF("vec_id", "embedding")
+      val hits = ops.IvfIndex.search(spark, dir, qs, k = 3, nprobe = 4)
+        .filter(col("query_id") === col("neighbor_id")).count()
+      hits.toDouble / probeRows.length
+    }
+    val before = selfHitRate()
+    // fresh churn vectors FAR above any copy's id range (the bm25
+    // collision lesson): clones of the probe vectors under new ids
+    val churnVecs = probeRows.zipWithIndex.map { case (r, i) =>
+      (900_000_000_000L + i, r.getSeq[Double](1))
+    }.toSeq
+    @volatile var stop = false
+    @volatile var churnErr: Option[Throwable] = None
+    @volatile var cycles = 0
+    val churner = new Thread(() => {
+      try {
+        val df = churnVecs.toDF("vec_id", "embedding")
+        while (!stop) {
+          ops.IvfIndex.retract(spark, dir, churnVecs.map(_._1))
+          ops.IvfIndex.append(df, dir)
+          ops.IvfIndex.rebuild(spark, dir, kmeansIters = 1)
+          cycles += 1
+        }
+      } catch { case t: Throwable => churnErr = Some(t) }
+    }, "ivf-soak-churner")
+    churner.start()
+    var misses = 0
+    var trips = 0
+    var walls = List.empty[Double]
+    val t0 = System.nanoTime()
+    var n = 0
+    try {
+      while (n < maxSearches && (System.nanoTime() - t0) < 300e9 &&
+          churnErr.isEmpty) {
+        n += 1
+        val s0 = System.nanoTime()
+        try {
+          val got = ops.IvfIndex.search(spark, dir, q, k = 5, nprobe = 4)
+            .select("neighbor_id").collect().map(_.getLong(0)).toSet
+          if (!got.contains(stableId)) misses += 1
+        } catch {
+          case e: Exception
+              if e.getMessage != null && e.getMessage.contains("waited out") =>
+            trips += 1
+        }
+        walls ::= (System.nanoTime() - s0) / 1e9
+      }
+    } finally { stop = true; churner.join(300000) }
+    require(churnErr.isEmpty, s"ivf soak churner failed: $churnErr")
+    val sorted = walls.sorted
+    val after = selfHitRate()
+    println(f"ivf_rebuild_race_soak: searches=$n misses=$misses " +
+      f"deadline_trips=$trips rebuild_cycles=$cycles " +
+      f"selfhit_before=$before%.2f after=$after%.2f " +
+      f"search_wall_med=${sorted(sorted.size / 2)}%.2fs " +
+      f"max=${sorted.last}%.2fs deadline_margin=${120.0 / sorted.last}%.1fx")
+    require(before == 1.0 && after == 1.0,
+      f"ivf race recall probe moved: before=$before%.2f after=$after%.2f")
+    require(misses == 0,
+      s"ivf rebuild race: $misses searches lost the stable self-neighbor")
+  }
+
   private[graft] def requireKnownFamily(soakOnly: Option[String]): Unit =
     soakOnly.filterNot(KnownFamilies).foreach(v =>
       sys.error(s"GRAFT_SOAK_ONLY=$v is not a soak family " +
@@ -403,6 +486,25 @@ object Soak {
           f"rungs=${tuned.rungsProbed} wall=${(System.nanoTime() - t0t) / 1e9}%.1fs")
         Seq(run("semdedup_keep") {
           ops.SemDedup.dedup(embCorpus, nClusters = k, tau = 0.95)
+        })
+      } ++
+      // r17 verdict #6: the IVF RECLUSTER churn race at soak scale —
+      // the rebuild's whole-layout swap runs seconds here, the regime
+      // where the arm sentinel + seqlock actually bind. Build a soak
+      // index, race searches against forced append→rebuild cycles,
+      // then a settled-state witness row.
+      {
+        val ivfDir = s"$tmp/ivf_idx"
+        val nEmb2 = embCorpus.count()
+        ops.IvfIndex.build(embCorpus, ivfDir,
+          nlist = ops.SemDedup.clustersFor(nEmb2), kmeansIters = 1)
+        ivfRebuildRaceSoak(spark, ivfDir, embCorpus)
+        Seq(run("ivf_post_race_search") {
+          import spark.implicits._
+          val p = embCorpus.orderBy("vec_id").limit(1).collect().head
+          ops.IvfIndex.search(spark, ivfDir,
+            Seq((p.getLong(0), p.getSeq[Double](1)))
+              .toDF("vec_id", "embedding"), k = 5, nprobe = 4)
         })
       })
 

@@ -287,10 +287,26 @@ object Curation {
       checkpointDir: String,
       cfg: Config = Config(),
       storeParts: Int = IncrementalDedup.AdoptOrDefaultStoreParts,
-      nearDupStores: Option[(String, String)] = None): org.apache.spark.sql.streaming.StreamingQuery = {
-    require(cfg.budget.isEmpty && cfg.budgetFraction.isEmpty,
+      nearDupStores: Option[(String, String)] = None,
+      perEpochBudget: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
+    // r17 verdict #8: the GLOBAL budget stays batch-only by
+    // construction (a best-token prefix over an unbounded stream is
+    // ill-defined), but a PER-EPOCH quota — each epoch keeps its own
+    // best `budget` tokens (or `budgetFraction` of ITS surviving
+    // tokens) — is well-defined and is what streaming curation
+    // deployments actually run. It is an explicit opt-in because the
+    // semantics genuinely differ: the batch prefix ranks ALL survivors
+    // against each other; the epoch quota never lets a later epoch's
+    // better doc displace an earlier epoch's worse one (shipped docs
+    // cannot be retracted). Epoch-quota selections therefore do NOT
+    // equal a batch run over the union — run the backfill batch when
+    // the global prefix is what you need.
+    require(cfg.budget.isEmpty && cfg.budgetFraction.isEmpty || perEpochBudget,
       "the token-budget stage is batch-only: a global priority prefix " +
-        "over an unbounded stream is ill-defined — run it on the backfill")
+        "over an unbounded stream is ill-defined — run it on the " +
+        "backfill, or opt in to PER-EPOCH quota semantics (each epoch " +
+        "keeps its own best tokens; NOT the batch prefix) with " +
+        "perEpochBudget = true")
     require(cfg.nearDup.isEmpty || nearDupStores.isDefined,
       "the streaming near-dup stage needs its persistent state: pass " +
         "nearDupStores = (pairStoreDir, clustersStoreDir)")
@@ -298,7 +314,8 @@ object Curation {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         val (docsOut, funnel) =
-          streamEpoch(batch.toDF(), storeDir, cfg, storeParts, nearDupStores)
+          streamEpoch(batch.toDF(), storeDir, cfg, storeParts, nearDupStores,
+            perEpochBudget)
         docsOut.write.mode("overwrite").parquet(s"$resultsDir/docs/batch=$id")
         funnel.write.mode("overwrite").parquet(s"$resultsDir/funnel/batch=$id")
         ()
@@ -313,7 +330,8 @@ object Curation {
       storeDir: String,
       cfg: Config,
       storeParts: Int = IncrementalDedup.AdoptOrDefaultStoreParts,
-      nearDupStores: Option[(String, String)] = None): (DataFrame, DataFrame) = {
+      nearDupStores: Option[(String, String)] = None,
+      perEpochBudget: Boolean = false): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
     // ascending-epoch precondition enforced LOUDLY and FIRST (r16
@@ -415,13 +433,34 @@ object Curation {
     val out1 = nIn - nQ
     val out2 = out1 - nD
     val out2b = out2 - nN
+    val survivors = labeled.filter(col("__exit").isNull)
+      .drop("__qpass", "__dup", "__neardup", "__contam", "__exit")
+    // per-epoch token quota (r17 verdict #8, opt-in — see stream()):
+    // the SAME BudgetSample machinery as batch stage 4, applied to THIS
+    // epoch's survivors against THIS epoch's quota. `budgetFraction`
+    // resolves against the epoch's surviving tokens — "each epoch keeps
+    // its best f of what survived" — deliberately NOT the batch prefix.
+    val (outDocs, budgetStage) =
+      if (perEpochBudget && (cfg.budget.nonEmpty || cfg.budgetFraction.nonEmpty)) {
+        val b = cfg.budget.getOrElse(
+          math.floor(cfg.budgetFraction.get * tS).toLong)
+        val sel = BudgetSample.takeUntilWithRelease(
+          survivors, b, cfg.ord, cfg.textCol, tokenCol = Some("n_tokens"))
+        val picked = sel.df.localCheckpoint()
+        sel.release()
+        val row = picked
+          .agg(count(lit(1)), coalesce(sum(col("n_tokens")), lit(0L)))
+          .collect().head
+        (picked, Seq(("budget", nS, row.getLong(0), row.getLong(1))))
+      } else (survivors, Nil)
     val stages: Seq[(String, Long, Long, Long)] =
       Seq(("quality", nIn, out1, tAfterQ),
         ("exact_dup", out1, out2, tAfterDup)) ++
         cfg.nearDup.map(_ =>
           ("near_dup", out2, out2b, tAfterNear)).toSeq ++
         cfg.benchmark.map(_ =>
-          ("contaminated", out2b, nS, tAfterContam)).toSeq
+          ("contaminated", out2b, nS, tAfterContam)).toSeq ++
+        budgetStage
     val rows = stages.zipWithIndex.map { case ((st, i, o, t), idx) =>
       (idx + 1, st, i, o, t)
     }
@@ -429,9 +468,7 @@ object Curation {
       .toDF("stage_idx", "stage", "docs_in", "docs_out", "tokens_out")
       .select(col("stage_idx").cast("long"), col("stage"),
         col("docs_in"), col("docs_out"), col("tokens_out"))
-    val survivors = labeled.filter(col("__exit").isNull)
-      .drop("__qpass", "__dup", "__neardup", "__contam", "__exit")
-    (survivors, funnel)
+    (outDocs, funnel)
   }
 
   private val WatermarkFile = "_stream_watermark"

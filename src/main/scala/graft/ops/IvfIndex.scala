@@ -62,6 +62,11 @@ object IvfIndex {
           .getFileSystem(spark.sparkContext.hadoopConfiguration),
         indexDir,
         Map("variant" -> "ivf", "nlist" -> nlist.toString))
+      // seed the swap epoch at BUILD (r18): the rebuild swap destroys
+      // assignments/ (and the counter in it) — mid-swap the epoch
+      // reads 0, so readers must never legitimately hold e0 = 0 or a
+      // first-rebuild race window is seqlock-invisible (0 == 0)
+      Retract.setEpochAt(spark, s"$indexDir/assignments", 1L)
     }
 
   /** The one assignments writer all mutations share. Adds the int8 probe
@@ -189,11 +194,18 @@ object IvfIndex {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val missing = IndexTables.exists(n => !fs.exists(new Path(root, n)))
     if ((missing && fs.exists(new Path(root, RebuildReady))) ||
-        Retract.pending(spark, s"$indexDir/assignments"))
+        Retract.pending(spark, s"$indexDir/assignments") ||
+        Retract.armBusy(spark, s"$indexDir/assignments"))
       graft.fs.StoreLock.withLock(indexDir,
         spark.sparkContext.hadoopConfiguration) {
         sweepRebuild(spark, indexDir)
         Retract.sweep(spark, s"$indexDir/assignments")
+        // a crashed rebuild's stranded arm: the swap is healed above —
+        // bump (in-flight readers re-snapshot) then clear
+        if (Retract.armBusy(spark, s"$indexDir/assignments")) {
+          Retract.bumpEpochAt(spark, s"$indexDir/assignments")
+          Retract.armClear(spark, s"$indexDir/assignments")
+        }
       }
   }
 
@@ -310,15 +322,53 @@ object IvfIndex {
     writeAssignments(Similarity.assignCells(corpus, newCents),
       s"$tmp/assignments", org.apache.spark.sql.SaveMode.Overwrite)
     // commit: from here the swap rolls FORWARD (sweepRebuild finishes
-    // it after any crash); before here a crash discards tmp
+    // it after any crash); before here a crash discards tmp.
+    // ARM-BUSY SENTINEL (r18, the bm25 arm discipline on the LARGEST
+    // swap window in the codebase): the rebuild replaces BOTH live
+    // tables, and its own _rebuild_ready marker was invisible to the
+    // search seqlock — a search whose read fell inside the swap saw a
+    // transiently-missing table (rethrown: nothing explained it) or a
+    // mixed generation with no marker and an unchanged epoch, and
+    // accepted. Raise the arm BEFORE the first delete; search treats
+    // it as busy; bump-then-clear after the swap so a reader that
+    // validates against no-arm + unchanged-epoch provably saw one
+    // whole generation. A crash mid-swap leaves arm + ready up —
+    // ensureReadable's heal finishes the swap, bumps, and clears.
     fs.create(new Path(root, RebuildReady), true).close()
+    Retract.armRaise(spark, s"$indexDir/assignments")
+    // the swap DESTROYS assignments/ and its _retract_epoch with it —
+    // capture the old value and publish old+1 into the fresh dir, so
+    // successive generations stay seqlock-DISTINGUISHABLE (a plain
+    // bump would read 0 in every new generation and write 1: a reader
+    // spanning exactly one whole swap would see epoch 1 -> 1 and
+    // accept a mixed-generation probe set — the ABA this race test
+    // caught). The arm (outside the dir, also destroyed? no — the arm
+    // file lives in assignments/ too and IS destroyed: it is re-raised
+    // by armRaise ABOVE into the OLD dir... see below)
+    var preEpoch = Retract.epoch(spark, s"$indexDir/assignments")
+    if (preEpoch == 0L) {
+      // never-bumped index: the swap window's "epoch file destroyed"
+      // state ALSO reads 0, so a reader with e0 = 0 spanning the window
+      // could not distinguish it — stamp 1 first (one spurious reader
+      // retry, once per index lifetime)
+      Retract.setEpochAt(spark, s"$indexDir/assignments", 1L)
+      preEpoch = 1L
+    }
     IndexTables.foreach { n =>
       val live = new Path(root, n)
       fs.delete(live, true)
       mustRename(new Path(tmp, n), live)
     }
+    // the delete above also removed the arm sentinel with the old dir —
+    // re-raise it in the NEW dir before publishing the epoch, so the
+    // no-arm + unchanged-epoch validation stays airtight through the
+    // publish (readers in the deleted-arm window see epoch 0 or the
+    // new value, both != their pre-swap snapshot)
+    Retract.armRaise(spark, s"$indexDir/assignments")
     fs.delete(new Path(root, RebuildReady), false)
     fs.delete(tmp, true)
+    Retract.setEpochAt(spark, s"$indexDir/assignments", preEpoch + 1L)
+    Retract.armClear(spark, s"$indexDir/assignments")
   }
 
   /** Crash recovery for [[rebuildLocked]]'s swap — run under the lock
@@ -414,7 +464,11 @@ object IvfIndex {
       require(System.currentTimeMillis() < deadline,
         s"ivf search on $indexDir waited out retraction swaps that never " +
           "settled — a wedged retractor or continuous-churn starvation")
-      if (Retract.pending(spark, aDir)) {
+      if (Retract.pending(spark, aDir) || Retract.armBusy(spark, aDir)) {
+        // an in-flight retraction swap OR a mid-rebuild arm (r18: the
+        // recluster replaces BOTH tables under the sentinel) — the live
+        // holder finishes in moments; only a sentinel that stays up
+        // with no progress escalates to the locked heal
         val now = System.currentTimeMillis()
         if (pendingSince == 0L) pendingSince = now
         if (now - pendingSince > 5000L) {
@@ -430,6 +484,7 @@ object IvfIndex {
           val res = searchAttempt(spark, indexDir, queries, k, nprobe,
             idCol, vecCol, rerank)
           if (!Retract.pending(spark, aDir) &&
+              !Retract.armBusy(spark, aDir) &&
               Retract.epoch(spark, aDir) == e0) out = Some(res)
         } catch {
           // task-level file loss, a probe of a partition the fence just
@@ -439,6 +494,7 @@ object IvfIndex {
                     _: IllegalArgumentException |
                     _: java.io.FileNotFoundException)
               if Retract.pending(spark, aDir) ||
+                Retract.armBusy(spark, aDir) ||
                 Retract.epoch(spark, aDir) != e0 => ()
         }
       }
@@ -468,10 +524,20 @@ object IvfIndex {
       .select(col("query_id"), col("qvec"), col("cell"))
       // reused twice (cell list + the probe join) and tiny — pin briefly
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val probedCells = qcells.select("cell").distinct()
-      .collect().map(_.getLong(0)).toSeq
-    val assignments = probedAssignments(spark, indexDir, probedCells)
     try {
+      // INSIDE the try (r18, found by the recluster race): this collect
+      // is the first job that reads the centroid files, and a failure
+      // here used to skip the finally below — the failed attempt's
+      // qcells stayed REGISTERED in the CacheManager, whose plan key
+      // ignores the captured file listing, so every LATER attempt's
+      // identical-looking qcells silently substituted the dead
+      // generation's file list and threw FILE_NOT_EXIST at a moment no
+      // marker/arm/epoch movement explained (the seqlock guard
+      // correctly rethrew). One poisoned attempt made every subsequent
+      // search fail until the session died.
+      val probedCells = qcells.select("cell").distinct()
+        .collect().map(_.getLong(0)).toSeq
+      val assignments = probedAssignments(spark, indexDir, probedCells)
       if (rerank <= 0) {
         val scored = assignments.join(broadcast(qcells), Seq("cell"))
           .select(col("query_id"), col("id").as("neighbor_id"),

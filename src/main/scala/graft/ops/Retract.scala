@@ -376,6 +376,24 @@ object Retract {
     bumpEpoch(root.getFileSystem(spark.sparkContext.hadoopConfiguration), root)
   }
 
+  /** Write an explicit epoch value — for swaps that REPLACE the whole
+    * directory the counter lives in (IvfIndex.rebuild swaps the entire
+    * assignments/ dir, destroying `_retract_epoch` with it; a plain
+    * bump would then read 0 and write 1 in EVERY generation, making
+    * successive rebuilds seqlock-indistinguishable — the ABA a reader
+    * spanning exactly one full swap would accept). The caller captures
+    * the pre-swap epoch and publishes `old + 1` into the fresh dir.
+    * Caller holds the store lock. */
+  private[ops] def setEpochAt(
+      spark: SparkSession, dataDir: String, value: Long): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dataDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.fs.AtomicRename.publishSmallFile(fs,
+      new org.apache.hadoop.fs.Path(root, RetractEpochFile),
+      value.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      s".tmp-${ProcessHandle.current().pid()}")
+  }
+
   private def bumpEpoch(
       fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): Unit = {

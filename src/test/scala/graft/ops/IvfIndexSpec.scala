@@ -337,4 +337,58 @@ class IvfIndexSpec extends SparkSuite {
     assert(top.getAs[Long]("neighbor_id") == 900000L &&
       top.getAs[Double]("cosine") == 1.0)
   }
+
+  test("concurrent reader: searches race RECLUSTER swaps without loss (r18 arm sentinel)") {
+    import spark.implicits._
+    // the rebuild replaces BOTH live tables — the largest swap window
+    // in the codebase, previously invisible to the search seqlock (its
+    // own _rebuild_ready marker, no epoch bump): a search overlapping
+    // the swap could silently probe OLD centroids against NEW
+    // assignments and lose neighbors with no error. The arm sentinel
+    // (raised before the first delete, bump-then-cleared after) makes
+    // every overlap observable; the stable self-neighbor must appear
+    // in EVERY raced result.
+    val dir = Files.createTempDirectory("ivfrebrace").toString
+    IvfIndex.build(cands, dir, nlist = 8)
+    val q0 = queries.filter(col("vec_id") === 0)
+    val stable = q0.select(lit(910000L).as("vec_id"), col("embedding"))
+    IvfIndex.append(stable, dir)
+    @volatile var stop = false
+    @volatile var churnError: Option[Throwable] = None
+    @volatile var rebuilds = 0
+    val churner = new Thread(() => {
+      try {
+        while (!stop) {
+          IvfIndex.rebuild(spark, dir, kmeansIters = 1)
+          rebuilds += 1
+        }
+      } catch { case t: Throwable => churnError = Some(t) }
+    }, "ivf-rebuild-churner")
+    churner.start()
+    try {
+      var misses = 0
+      var n = 0
+      val t0 = System.nanoTime()
+      while (n < 60 && (System.nanoTime() - t0) < 240e9 &&
+          churnError.isEmpty) {
+        n += 1
+        val got = IvfIndex.search(spark, dir, q0, k = 20, nprobe = 8)
+          .select("neighbor_id").collect().map(_.getLong(0)).toSet
+        if (!got.contains(910000L)) misses += 1
+      }
+      assert(misses == 0, s"stable neighbor dropped from $misses results")
+      assert(n >= 10, s"race vacuous: only $n searches")
+    } finally {
+      stop = true
+      churner.join(120000)
+    }
+    assert(churnError.isEmpty, s"rebuild churner failed: $churnError")
+    assert(rebuilds >= 2, s"race vacuous: only $rebuilds rebuilds")
+    // settled state: the stable clone still top-1 at cosine 1.0, and no
+    // arm sentinel left behind
+    val top = IvfIndex.search(spark, dir, q0, k = 1, nprobe = 8).collect().head
+    assert(top.getAs[Long]("neighbor_id") == 910000L &&
+      top.getAs[Double]("cosine") == 1.0)
+    assert(!Retract.armBusy(spark, s"$dir/assignments"))
+  }
 }

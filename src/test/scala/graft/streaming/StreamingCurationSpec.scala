@@ -412,4 +412,56 @@ class StreamingCurationSpec extends SparkSuite {
       .collect().head.getLong(0)
     assert(nearDrops == 1L, s"only the bridge doc is charged: $nearDrops")
   }
+
+  test("per-epoch token budget: each epoch keeps its own quota — explicitly NOT the batch prefix (r17 #8)") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("curepochbudget").toString
+    // 8-token distinct sentences; quota 16 -> each epoch keeps exactly
+    // its two lowest-priority-ordered docs (ord = doc_id asc, total)
+    def sent(tag: String): String = (1 to 8).map(i => s"${tag}w$i").mkString(" ")
+    val cfg = graft.ops.Curation.Config(minQuality = 0.0,
+      budget = Some(16L),
+      ord = Seq(org.apache.spark.sql.functions.col("doc_id").asc))
+    val e1 = Seq((1L, Some(sent("a"))), (2L, Some(sent("b"))),
+      (3L, Some(sent("c"))))
+    val e2 = Seq((10L, Some(sent("d"))), (11L, Some(sent("e"))),
+      (12L, Some(sent("f"))))
+    e1.toDF("doc_id", "text").coalesce(1).write.parquet(s"$work/in/f1")
+    e2.toDF("doc_id", "text").coalesce(1).write.parquet(s"$work/in/f2")
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$work/in/*")
+    // without the opt-in: the batch-only contract still rejects loudly,
+    // naming the per-epoch escape hatch
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Curation.stream(stream, s"$work/store0", s"$work/out0",
+        s"$work/ckpt0", cfg)
+    }
+    assert(e.getMessage.contains("batch-only") &&
+      e.getMessage.contains("perEpochBudget"), e.getMessage)
+    val q = graft.ops.Curation.stream(
+      stream, s"$work/store", s"$work/out", s"$work/ckpt", cfg,
+      perEpochBudget = true)
+    try q.processAllAvailable() finally q.stop()
+    // EACH epoch kept its own best 16 tokens = its two lowest ids; a
+    // batch prefix over the union would have kept only {1, 2} total —
+    // the semantic difference the opt-in names
+    val gotDocs = spark.read.parquet(s"$work/out/docs")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gotDocs == Set(1L, 2L, 10L, 11L), s"epoch quotas kept $gotDocs")
+    // funnel: a budget row per epoch with exact drop counts (3 -> 2)
+    // and exact selected tokens (16)
+    val bRows = spark.read.parquet(s"$work/out/funnel")
+      .filter(org.apache.spark.sql.functions.col("stage") === "budget")
+      .select("docs_in", "docs_out", "tokens_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(bRows == Seq((3L, 2L, 16L), (3L, 2L, 16L)), bRows.toString)
+    // cum_tokens rides the output, the batch stage's contract
+    val cums = spark.read.parquet(s"$work/out/docs")
+      .select("doc_id", "cum_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cums == Map(1L -> 8L, 2L -> 16L, 10L -> 8L, 11L -> 16L),
+      cums.toString)
+  }
 }
