@@ -371,6 +371,20 @@ object PartitionPointer {
         changed = true
       }
     }
+    // 1b. superseded legacy dirs whose reference was overwritten: a
+    // second swap of the same partition sets prev to the OLD pv,
+    // dropping the PrevLegacy reference — the hidden legacy dir would
+    // otherwise never be collected (r18 review find). An entry with
+    // live >= 0 and a non-legacy prev means the legacy dir (if any) was
+    // superseded at least one full publish ago; readers that could
+    // still resolve it are >= 2 swaps stale and epoch revalidation has
+    // already sent them back.
+    entries.foreach { case (n, e) =>
+      if (e.live >= 0 && e.prev != PrevLegacy) {
+        val legacy = new Path(root, n)
+        if (fs.exists(legacy)) fs.delete(legacy, true)
+      }
+    }
     // 2. orphan pv dirs (crashed swaps staged but never referenced)
     val partsRoot = new Path(root, PartsDir)
     if (fs.exists(partsRoot)) {
