@@ -592,7 +592,16 @@ object IncrementalDedup {
     // normalizes orientation and drops self-pairs; dropDuplicates
     // collapses pairs sharing several buckets.
     val all = store.unionByName(batchBanded)
-    val cand = all.as("a").join(batchBanded.as("b"), Seq("band", "bh"))
+    // MERGE hint (r18, found at the 1000× soak): both sides of the
+    // bucket-candidate join scale with the corpus, but Catalyst's
+    // static size estimate for the computed-signature side can land
+    // under the auto-broadcast threshold — at 5M docs the optimizer
+    // tried to build a ~2.7 GB driver broadcast and died on
+    // maxResultSize (on a real cluster it would OOM executors). Pin
+    // the join to sort-merge: corpus×corpus joins must never ride a
+    // static-estimate broadcast.
+    val cand = all.as("a")
+      .join(batchBanded.as("b").hint("merge"), Seq("band", "bh"))
       .filter(col("a.doc_id") =!= col("b.doc_id"))
       .select(
         least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
@@ -788,7 +797,9 @@ object IncrementalDedup {
     val capped = flagged.join(shared, Seq("shingle"), "left_semi")
       .localCheckpoint()
     val out = capped.as("a")
-      .join(capped.filter(col("inb")).as("b"), Seq("shingle"))
+      // merge hint: corpus×corpus posting self-join — see the minhash
+      // variant's r18 note (static-estimate broadcast blowup at 1000×)
+      .join(capped.filter(col("inb")).as("b").hint("merge"), Seq("shingle"))
       .filter(col("a.doc_id") =!= col("b.doc_id") &&
         (!col("a.inb") || col("a.doc_id") < col("b.doc_id")))
       .select(
@@ -902,7 +913,10 @@ object IncrementalDedup {
     // candidates: every bucket pair touching the batch; the Hamming
     // verify needs only the two 64-bit signatures already on the rows
     val all = store.unionByName(batchBanded)
-    val out = all.as("a").join(batchBanded.as("b"), Seq("band", "bh"))
+    // merge hint: corpus×corpus candidate join — see the minhash
+    // variant's r18 note (static-estimate broadcast blowup at 1000×)
+    val out = all.as("a")
+      .join(batchBanded.as("b").hint("merge"), Seq("band", "bh"))
       .filter(col("a.doc_id") =!= col("b.doc_id"))
       .select(
         least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
@@ -1136,7 +1150,9 @@ object IncrementalDedup {
       if (read._2) prune(read._1, touchedParts) else read._1.drop("bp")
     val batchBucketed = newBucketed.drop("bp")
     val out = store.unionByName(batchBucketed).as("a")
-      .join(batchBucketed.as("b"), Seq("tbl", "bucket"))
+      // merge hint: corpus×corpus candidate join — see the minhash
+      // variant's r18 note (static-estimate broadcast blowup at 1000×)
+      .join(batchBucketed.as("b").hint("merge"), Seq("tbl", "bucket"))
       .filter(col("a.vec_id") =!= col("b.vec_id"))
       // score BEFORE the pair dedupe (cosine is symmetric, orientation
       // free): the dedupe exchange then moves 32-byte rows, not vectors
@@ -1213,7 +1229,9 @@ object IncrementalDedup {
     // exchange moves 24-byte posting rows and the pair-dedupe 16-byte
     // id pairs — vectors never ride either
     val cand = storeP.unionByName(batchP).as("a")
-      .join(batchP.as("b"), Seq("tbl", "bucket"))
+      // merge hint: corpus×corpus candidate join — see the minhash
+      // variant's r18 note (static-estimate broadcast blowup at 1000×)
+      .join(batchP.as("b").hint("merge"), Seq("tbl", "bucket"))
       .filter(col("a.vec_id") =!= col("b.vec_id"))
       .select(
         least(col("a.vec_id"), col("b.vec_id")).as("id_a"),
@@ -1644,10 +1662,20 @@ object IncrementalDedup {
       parts: Seq[Int], threshold: Int): Unit = {
     val root = new org.apache.hadoop.fs.Path(storeDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // pointer stores: a touched partition's LIVE files may sit in its
+    // versioned generation rather than the legacy hive dir
+    val ptr = graft.fs.PartitionPointer.readPtr(fs, root)
     val frag = parts.exists { p =>
-      val d = new org.apache.hadoop.fs.Path(root, s"bp=$p")
-      fs.exists(d) && fs.listStatus(d)
-        .count(_.getPath.getName.endsWith(".parquet")) > threshold
+      val name = s"bp=$p"
+      val loc: Option[org.apache.hadoop.fs.Path] =
+        ptr.flatMap(_.entries.get(name)) match {
+          case Some(e) if e.live >= 0 =>
+            Some(graft.fs.PartitionPointer.versionedPath(root, name, e.live))
+          case Some(_) => None // tombstone: nothing live to fragment
+          case None    => Some(new org.apache.hadoop.fs.Path(root, name))
+        }
+      loc.exists(d => fs.exists(d) && fs.listStatus(d)
+        .count(_.getPath.getName.endsWith(".parquet")) > threshold)
     }
     if (frag) { compactStoreLocked(spark, storeDir); () }
   }
@@ -1706,28 +1734,54 @@ object IncrementalDedup {
       def mustRename(src: Path, dst: Path): Unit =
         require(fs.rename(src, dst), s"rename failed: $src -> $dst")
       sweepCompactTrash(spark, storeDir)
-      // compaction's trash/place swap is rename-fenced — gate
-      // rename-less schemes before staging (r16 verdict #1); the trash
-      // sweep above stays ungated (heal must always run)
-      graft.fs.AtomicRename.requireForSwap(root,
-        spark.sparkContext.hadoopConfiguration, "store compaction")
+      // rename-less schemes compact by POINTER FLIP (r18, extending the
+      // r17-verdict-#1 swap-by-pointer from retraction to compaction —
+      // object stores need compaction MOST, every append adds files):
+      // stage the re-coalesced partitions to tmp, then commit them as
+      // fresh versioned generations with one pointer PUT. The atomic
+      // fast path below keeps the trash/place rename swap unchanged.
+      val pointerMode = !graft.fs.AtomicRename.isAtomic(root)
       if (!fs.exists(root)) 0
       else {
-        val parts = fs.listStatus(root)
+        val ptr = graft.fs.PartitionPointer.readPtr(fs, root)
+        // fragmented = live partition dirs holding >1 parquet file, in
+        // EITHER arm: legacy hive dirs not superseded/hidden by a
+        // pointer entry, plus live versioned generations
+        def fragged(p: Path): Boolean =
+          fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet")) > 1
+        val legacyFrag = fs.listStatus(root)
           .filter(s => s.isDirectory && s.getPath.getName.startsWith("bp="))
-        // only partitions that have actually fragmented are rewritten —
-        // a store compacted yesterday costs only this listing today
-        val frag = parts.filter(p => fs.listStatus(p.getPath)
-          .count(f => f.getPath.getName.endsWith(".parquet")) > 1)
+          .filter(s => ptr.forall(pt => !pt.entries.contains(s.getPath.getName)))
+          .filter(s => fragged(s.getPath))
+          .map(_.getPath.getName).toIndexedSeq
+        val versFrag = ptr.toSeq.flatMap(_.entries.toSeq.collect {
+          case (n, e) if e.live >= 0 &&
+              fragged(graft.fs.PartitionPointer.versionedPath(root, n, e.live)) => n
+        })
+        val frag = legacyFrag ++ versFrag
         if (frag.isEmpty) 0
-        else {
-          val fragNames = frag.map(_.getPath.getName).toSet
+        else if (pointerMode) {
+          // pointer-aware read pruned to the fragmented partitions
+          // (partition filters push into both arms); one file per
+          // partition via the same repartition-on-bp discipline
+          val fragVals = frag.map(_.stripPrefix("bp=").toInt)
+          graft.fs.PartitionPointer.readDf(spark, storeDir, None)
+            .map(_._1)
+            .getOrElse(spark.read.parquet(storeDir))
+            .filter(col("bp").isin(fragVals: _*))
+            .repartition(col("bp"))
+            .write.partitionBy("bp").mode("overwrite").parquet(tmp.toString)
+          graft.fs.PartitionPointer.commitSwap(spark, root, "bp",
+            frag.map(n => s"replace:$n"), tmp,
+            () => Retract.bumpEpochAt(spark, storeDir))
+          frag.length
+        } else {
+          val fragNames = frag.toSet
           // read ONLY the fragmented partitions (basePath keeps the bp
-          // column); one file per partition via the same repartition-on-
-          // bp discipline as appendStore
+          // column)
           spark.read
             .option("basePath", storeDir)
-            .parquet(frag.map(_.getPath.toString).toIndexedSeq: _*)
+            .parquet(frag.map(n => s"$storeDir/$n"): _*)
             .repartition(col("bp"))
             .write.partitionBy("bp").mode("overwrite").parquet(tmp.toString)
           fs.mkdirs(trash)

@@ -226,4 +226,47 @@ class StoreLifecycleFuzzSpec extends SparkSuite {
         })
     }
   }
+
+  test("pointer store (rename-less scheme): exact-store parity + fsck-clean across seeded lifecycles") {
+    // the r18 swap-by-pointer layer under the same seeded interleavings
+    // as the file:// exact store: every retraction/compaction commits
+    // by pointer flip, appends route through file moves into live
+    // generations, tombstones resurrect safely — and after EVERY step
+    // the model and the (pointer-aware) deep fsck must both hold
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.mock.impl", classOf[graft.fs.MockRemoteFileSystem].getName)
+    for (seed <- Seq(1101, 2202)) {
+      val local = Files.createTempDirectory(s"lfz_ptr_$seed").toString
+      val dir = s"mock://$local/s"
+      var keepers = Map.empty[String, Long]
+      drive(seed, 14, dir,
+        append = b => {
+          val rows = b.collect().map(r => (r.getLong(0), r.getString(1)))
+            .sortBy(_._1)
+          rows.foreach { case (id, t) =>
+            if (!keepers.contains(t)) keepers += t -> id
+          }
+          IncrementalDedup.exactBatch(b, dir).collect(); ()
+        },
+        retractIds = ids => {
+          Retract.retract(spark, dir, ids)
+          keepers = keepers.filterNot { case (_, k) => ids.contains(k) }
+        },
+        compact = () => { IncrementalDedup.compactStore(spark, dir); () },
+        check = (_, hist) => {
+          val got = IncrementalDedup.readStoreRaw(spark, dir,
+            "digest BINARY, keep_doc_id BIGINT, bp INT")._1
+            .select("keep_doc_id").collect().map(_.getLong(0)).toSet
+          assert(got == keepers.values.toSet,
+            s"pointer store keepers $got != model ${keepers.values.toSet}\n$hist")
+        })
+      // the lifecycle actually engaged the pointer layer (any seed that
+      // retracted or compacted at least once created it)
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(graft.fs.PartitionPointer.active(fs,
+        new org.apache.hadoop.fs.Path(dir)),
+        s"seed $seed never engaged the pointer layer — widen the step mix")
+    }
+  }
 }

@@ -76,27 +76,48 @@ class SwapFenceContractSpec extends SparkSuite {
     assert(r2(11L).contains("10"), r2.toString) // dup within the batch
   }
 
-  test("store compaction is gated on a rename-less scheme; override compacts correctly") {
-    val c = conf
+  test("store compaction on a rename-less scheme commits by pointer flip") {
+    conf
     val local = Files.createTempDirectory("swapfence_compact").toString
     val dir = s"mock://$local/store"
-    // two appends fragment the store (two files per touched partition)
-    IncrementalDedup.exactBatch(Seq((1L, "alpha")).toDF("doc_id", "text"), dir)
-      .collect()
+    // two same-partition appends fragment the store (two files in the
+    // touched partition) — r18: compaction no longer refuses or needs
+    // the override; it stages the coalesced partitions and commits
+    // them as fresh versioned generations with one pointer PUT
+    IncrementalDedup.exactBatch(Seq((1L, "alpha")).toDF("doc_id", "text"), dir,
+      storeParts = 1).collect() // one partition: the 2nd append fragments it
     IncrementalDedup.exactBatch(Seq((2L, "beta")).toDF("doc_id", "text"), dir)
       .collect()
-    val e = intercept[IllegalStateException] {
-      IncrementalDedup.compactStore(spark, dir)
-    }
-    assert(e.getMessage.contains("atomic"), e.getMessage)
-    c.setBoolean(graft.fs.AtomicRename.OverrideKey, true)
-    try {
-      IncrementalDedup.compactStore(spark, dir)
-      // rows intact after the non-atomic-rename swap (readers quiesced)
-      assert(spark.read.parquet(dir)
-        .select("keep_doc_id").collect().map(_.getLong(0)).toSet ==
-        Set(1L, 2L))
-    } finally c.unset(graft.fs.AtomicRename.OverrideKey)
+    assert(IncrementalDedup.compactStore(spark, dir) == 1)
+    assert(graft.fs.PartitionPointer.active(
+      new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(dir)),
+      "pointer-mode compaction must have created the pointer")
+    // rows intact through the pointer-resolved read; keeper set exact
+    val (store, has) = IncrementalDedup.readStoreRaw(spark, dir,
+      "digest BINARY, keep_doc_id BIGINT, bp INT")
+    assert(has)
+    assert(store.select("keep_doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L))
+    // every live partition holds ONE file after the compaction
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    graft.fs.PartitionPointer.readPtr(fs, root).foreach(_.entries.foreach {
+      case (n, e) if e.live >= 0 =>
+        val d = graft.fs.PartitionPointer.versionedPath(root, n, e.live)
+        val files = fs.listStatus(d)
+          .count(_.getPath.getName.endsWith(".parquet"))
+        assert(files == 1, s"$n still fragmented: $files files")
+      case _ => ()
+    })
+    // further cycles keep working against the compacted pointer store
+    val r = IncrementalDedup.exactBatch(
+      Seq((3L, "alpha")).toDF("doc_id", "text"), dir).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        Option(x.get(x.fieldIndex("dup_of"))).map(_.toString)).toMap
+    assert(r(3L).contains("1"), r.toString) // dup THROUGH the compacted store
   }
 
   test("heal of an already-committed marker is never gated (roll-forward always finishes)") {
