@@ -41,16 +41,16 @@ object Soak {
     * `maxSearches` or 5 minutes, whichever first. */
   private def bm25ChurnRaceSoak(
       spark: org.apache.spark.sql.SparkSession, dir: String,
-      maxSearches: Int = 30): Unit = {
+      graftBase: Long, maxSearches: Int = 30): Unit = {
     import spark.implicits._
-    // ids FAR above any scaled copy's range (copies step by 1e8, so a
-    // 9e8 graft id collided with copy 9's real docs at factor 10 — the
-    // doc-granular novelty anti-join silently dropped the "stable" doc
-    // and every search legitimately missed it; the require below makes
-    // any future collision loud instead)
-    val stableId = 90_000_000_000L
+    // graft ids DERIVED from the corpus max (r18): the r17 constant 9e10
+    // sat above factor 100's range but INSIDE factor 1000's (copies
+    // step by 1e8, so copy 900 reclaimed it) — the same silent-collision
+    // class one magnitude up, caught by the require below at the 1000×
+    // attempt. A corpus-derived base cannot re-break at the next factor.
+    val stableId = graftBase
     val stable = Seq((stableId, "zanchor zalpha zbeta zgamma"))
-    val churnDocs = (90_000_000_100L until 90_000_000_120L)
+    val churnDocs = (graftBase + 100L until graftBase + 120L)
       .map(i => (i, s"zanchor zfiller$i zw$i")).toSeq
     val grafted = ops.Bm25Index.indexBatch(
       (stable ++ churnDocs).toDF("doc_id", "text"), dir)
@@ -374,7 +374,9 @@ object Soak {
       // loop's 5 s escalation and 120 s deadline actually bind (the
       // unit race's toy store swaps in milliseconds and never
       // exercises them). Runs as a side-block between timed rows.
-      { bm25ChurnRaceSoak(spark, s"$tmp/bm25_idx")
+      { bm25ChurnRaceSoak(spark, s"$tmp/bm25_idx",
+          graftBase = corpus.agg(max("doc_id")).collect().head.getLong(0)
+            + 1_000_000L)
         run("bm25_post_race_search") {
           import spark.implicits._
           // settled-state witness: the same query still answers after

@@ -379,12 +379,30 @@ object Bm25Index {
     // beyond a few rounds means something is wedged — surface it.
     val postingsDir = s"$dir/postings"
     var snap: Option[(Long, Double, DataFrame)] = None
-    val deadline = System.currentTimeMillis() + 120000L
+    // PROGRESS-BASED starvation deadline (r18, re-derived at the 1000×
+    // race exactly as the r17 verdict anticipated): the old absolute
+    // 120 s budget was sized for 100×-scale swaps (max search wall
+    // 47.7 s = 2.5× margin); at 1000× (620M postings) a single CLEAN
+    // attempt walls ~140 s, so any retry would trip the deadline on a
+    // perfectly healthy store. The require exists to catch WEDGED
+    // retractors — a marker/arm/epoch state that never changes — so
+    // the clock now resets whenever the observed (pending, arm, epoch)
+    // signature MOVES: live churn gets a fresh window per swap
+    // (bounded per-cycle, corpus-scale-independent), while a crashed
+    // retractor still trips after 120 s of genuine stillness.
+    val deadlineMs = 120000L
+    var lastSig: (Boolean, Boolean, Long) = null
+    var lastProgress = System.currentTimeMillis()
     var pendingSince = 0L
     while (snap.isEmpty) {
-      require(System.currentTimeMillis() < deadline,
+      val sig = (Retract.pending(spark, postingsDir),
+        Retract.armBusy(spark, postingsDir),
+        Retract.epoch(spark, postingsDir))
+      if (sig != lastSig) { lastSig = sig; lastProgress = System.currentTimeMillis() }
+      require(System.currentTimeMillis() - lastProgress < deadlineMs,
         s"bm25 search on $dir waited out retraction swaps that never " +
-          "settled — a wedged retractor or continuous-churn starvation")
+          "settled — a wedged retractor (no marker/arm/epoch movement " +
+          s"for ${deadlineMs / 1000} s)")
       if (Retract.pending(spark, postingsDir) ||
           Retract.armBusy(spark, postingsDir)) {
         // an in-flight swap OR a mid-arm retraction (postings committed,

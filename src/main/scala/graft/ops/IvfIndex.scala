@@ -458,12 +458,23 @@ object IvfIndex {
     // wedged retractor.
     val aDir = s"$indexDir/assignments"
     var out: Option[DataFrame] = None
-    val deadline = System.currentTimeMillis() + 120000L
+    // progress-based starvation deadline — see Bm25Index.search (r18):
+    // the clock resets whenever the observed (pending, arm, epoch)
+    // signature moves, so live churn at any corpus scale gets a fresh
+    // window per swap while a wedged retractor still trips after 120 s
+    // of genuine stillness
+    val deadlineMs = 120000L
+    var lastSig: (Boolean, Boolean, Long) = null
+    var lastProgress = System.currentTimeMillis()
     var pendingSince = 0L
     while (out.isEmpty) {
-      require(System.currentTimeMillis() < deadline,
+      val sig = (Retract.pending(spark, aDir),
+        Retract.armBusy(spark, aDir), Retract.epoch(spark, aDir))
+      if (sig != lastSig) { lastSig = sig; lastProgress = System.currentTimeMillis() }
+      require(System.currentTimeMillis() - lastProgress < deadlineMs,
         s"ivf search on $indexDir waited out retraction swaps that never " +
-          "settled — a wedged retractor or continuous-churn starvation")
+          "settled — a wedged retractor (no marker/arm/epoch movement " +
+          s"for ${deadlineMs / 1000} s)")
       if (Retract.pending(spark, aDir) || Retract.armBusy(spark, aDir)) {
         // an in-flight retraction swap OR a mid-rebuild arm (r18: the
         // recluster replaces BOTH tables under the sentinel) — the live

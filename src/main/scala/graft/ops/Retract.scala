@@ -352,13 +352,25 @@ object Retract {
       try {
         if (!fs.exists(p)) return 0L
         val in = fs.open(p)
-        try return new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-        finally in.close()
+        val body =
+          try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8).trim
+          finally in.close()
+        body.toLongOption match {
+          case Some(v) => return v
+          // empty/garbled = a concurrent overwrite-create publish
+          // caught mid-write (possible only on posix-backed schemes —
+          // real object stores PUT atomically on close): transient,
+          // same retry as the vanished-file race below. Persistent
+          // garbage after the retries is real corruption — loud.
+          case None if attempt < 20 => attempt += 1; Thread.sleep(10L)
+          case None => throw new IllegalStateException(
+            s"corrupt swap-epoch counter at $p: '$body'")
+        }
       } catch {
         // exists→open races bumpEpoch's delete→rename window (µs): a
         // vanished file here IS a concurrent bump — brief retry
-        case _: java.io.FileNotFoundException if attempt < 5 =>
+        case _: java.io.FileNotFoundException if attempt < 20 =>
           attempt += 1; Thread.sleep(10L)
       }
     }
