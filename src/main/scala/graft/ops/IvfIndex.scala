@@ -196,7 +196,7 @@ object IvfIndex {
     if ((missing && fs.exists(new Path(root, RebuildReady))) ||
         Retract.pending(spark, s"$indexDir/assignments") ||
         Retract.armBusy(spark, s"$indexDir/assignments"))
-      graft.fs.StoreLock.withLock(indexDir,
+      try graft.fs.StoreLock.withLock(indexDir,
         spark.sparkContext.hadoopConfiguration) {
         sweepRebuild(spark, indexDir)
         Retract.sweep(spark, s"$indexDir/assignments")
@@ -206,6 +206,14 @@ object IvfIndex {
           Retract.bumpEpochAt(spark, s"$indexDir/assignments")
           Retract.armClear(spark, s"$indexDir/assignments")
         }
+      } catch {
+        // lock busy = a LIVE writer owns the state this heal would
+        // finish — it will complete its own arm/swap; the seqlock loop
+        // (or this read's bracket) observes the movement and retries.
+        // Before the r18 arm check this path was unreachable from a
+        // mid-attempt probe; now a search that raced an arm RAISE could
+        // land here with the rebuilder alive (full-suite race find).
+        case _: IllegalStateException => ()
       }
   }
 
