@@ -23,6 +23,18 @@ import org.apache.hadoop.fs.{FileAlreadyExistsException, Path}
   * re-acquired (one retry — two concurrent breakers still collide on
   * the create and one of them loses, keeping mutual exclusion).
   */
+/** The lock is HELD by a live (fresher-than-stale) holder — the one
+  * acquisition failure that means "defer, the owner will finish" rather
+  * than "something is damaged". Typed (r18 verdict #2) so lock-free
+  * read-heal paths (IvfIndex/Bm25Index.ensureReadable) can catch
+  * exactly this and let every other IllegalStateException — corrupt
+  * pointer, corrupt epoch counter, a failed heal inside the lock body —
+  * propagate instead of being silently deferred forever. Subclasses
+  * IllegalStateException so callers that treat "busy" generically keep
+  * working. */
+final class StoreLockBusyException(msg: String)
+  extends IllegalStateException(msg)
+
 object StoreLock {
 
   private val LockName = "_graft_lock.json"
@@ -302,7 +314,7 @@ object StoreLock {
     if (!acquired) {
       val h = holder(dir, conf)
       val ageMs = h.map(System.currentTimeMillis() - _.sinceMs)
-      throw new IllegalStateException(
+      throw new StoreLockBusyException(
         s"store $dir is locked by ${h.map(_.owner).getOrElse("<unknown>")} " +
           s"(held ${ageMs.map(a => s"${a}ms").getOrElse("?")}" +
           (if (waitMs > 0) s"; waited ${waitMs}ms" else "") + "); " +

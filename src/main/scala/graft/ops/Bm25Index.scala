@@ -340,7 +340,7 @@ object Bm25Index {
     // by a LIVE retractor means the lock is busy: that is the seqlock
     // loop's polite-wait case below, not an error (r16 race test)
     try ensureReadable(spark, dir)
-    catch { case _: IllegalStateException => () }
+    catch { case _: graft.fs.StoreLockBusyException => () }
     val manifest = IncrementalDedup.storeManifest(spark, dir)
     val parts = manifest.get("store_parts").map(_.toInt).getOrElse(
       sys.error(s"$dir has no _graft_store.json manifest — not a bm25 index"))
@@ -391,6 +391,13 @@ object Bm25Index {
     // (bounded per-cycle, corpus-scale-independent), while a crashed
     // retractor still trips after 120 s of genuine stillness.
     val deadlineMs = 120000L
+    // secondary ABSOLUTE cap (r18 ADVICE): the progress reset gives live
+    // churn a fresh window per swap, which also means a PATHOLOGICAL
+    // continuous churner (a mutation loop that never pauses) could spin
+    // this search forever — callers regain a worst-case latency bound
+    // far above any legitimate swap cadence
+    val absoluteCapMs = 30L * 60 * 1000
+    val startedMs = System.currentTimeMillis()
     var lastSig: (Boolean, Boolean, Long) = null
     var lastProgress = System.currentTimeMillis()
     var pendingSince = 0L
@@ -403,6 +410,11 @@ object Bm25Index {
         s"bm25 search on $dir waited out retraction swaps that never " +
           "settled — a wedged retractor (no marker/arm/epoch movement " +
           s"for ${deadlineMs / 1000} s)")
+      require(System.currentTimeMillis() - startedMs < absoluteCapMs,
+        s"bm25 search on $dir starved for ${absoluteCapMs / 60000} min " +
+          "under CONTINUOUS store churn — swaps kept settling-and-restarting " +
+          "faster than a clean read; pause the mutation loop or schedule " +
+          "searches off its cadence")
       if (Retract.pending(spark, postingsDir) ||
           Retract.armBusy(spark, postingsDir)) {
         // an in-flight swap OR a mid-arm retraction (postings committed,
@@ -419,7 +431,7 @@ object Bm25Index {
           // NOT loop hot: without the sleep this branch busy-spun
           // exists/create metadata calls for up to ~115 s (r16 ADVICE)
           try { ensureReadable(spark, dir); pendingSince = 0L }
-          catch { case _: IllegalStateException => Thread.sleep(50L) }
+          catch { case _: graft.fs.StoreLockBusyException => Thread.sleep(50L) }
         } else Thread.sleep(20L)
       } else {
         pendingSince = 0L

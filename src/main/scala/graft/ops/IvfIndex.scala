@@ -213,7 +213,10 @@ object IvfIndex {
         // Before the r18 arm check this path was unreachable from a
         // mid-attempt probe; now a search that raced an arm RAISE could
         // land here with the rebuilder alive (full-suite race find).
-        case _: IllegalStateException => ()
+        // TYPED (r18 verdict #2): only the lock-acquisition failure is
+        // deferrable — a corrupt pointer/epoch or a failed heal inside
+        // the lock body must SURFACE, not retry forever.
+        case _: graft.fs.StoreLockBusyException => ()
       }
   }
 
@@ -329,8 +332,33 @@ object IvfIndex {
     // index to the coded layout
     writeAssignments(Similarity.assignCells(corpus, newCents),
       s"$tmp/assignments", org.apache.spark.sql.SaveMode.Overwrite)
+    // the swap DESTROYS assignments/ and its _retract_epoch with it —
+    // capture the old value FIRST and publish old+1 into the fresh dir,
+    // so successive generations stay seqlock-DISTINGUISHABLE (a plain
+    // bump would read 0 in every new generation and write 1: a reader
+    // spanning exactly one whole swap would see epoch 1 -> 1 and
+    // accept a mixed-generation probe set — the ABA the r18 race test
+    // caught).
+    var preEpoch = Retract.epoch(spark, s"$indexDir/assignments")
+    if (preEpoch == 0L) {
+      // never-bumped index: the swap window's "epoch file destroyed"
+      // state ALSO reads 0, so a reader with e0 = 0 spanning the window
+      // could not distinguish it — stamp 1 first (one spurious reader
+      // retry, once per index lifetime)
+      Retract.setEpochAt(spark, s"$indexDir/assignments", 1L)
+      preEpoch = 1L
+    }
     // commit: from here the swap rolls FORWARD (sweepRebuild finishes
     // it after any crash); before here a crash discards tmp.
+    // The marker BODY carries the captured pre-swap epoch (r18 ADVICE,
+    // medium): the swap destroys the counter with the old dir, so a
+    // crash-then-heal that re-derived the epoch from the post-swap dir
+    // read 0 and published 1 — REGRESSING the counter onto previously
+    // published values (a cross-process reader holding the seeded
+    // first-generation e0=1 spanning crash+heal would validate no-arm +
+    // epoch==e0 and accept a mixed-generation probe set). Persisting
+    // preEpoch where the swap can't destroy it lets sweepRebuild
+    // publish preEpoch+1, keeping the counter monotone across crashes.
     // ARM-BUSY SENTINEL (r18, the bm25 arm discipline on the LARGEST
     // swap window in the codebase): the rebuild replaces BOTH live
     // tables, and its own _rebuild_ready marker was invisible to the
@@ -342,26 +370,11 @@ object IvfIndex {
     // validates against no-arm + unchanged-epoch provably saw one
     // whole generation. A crash mid-swap leaves arm + ready up —
     // ensureReadable's heal finishes the swap, bumps, and clears.
-    fs.create(new Path(root, RebuildReady), true).close()
+    graft.fs.AtomicRename.publishSmallFile(fs, new Path(root, RebuildReady),
+      s"preepoch=$preEpoch"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      s".tmp-${ProcessHandle.current().pid()}")
     Retract.armRaise(spark, s"$indexDir/assignments")
-    // the swap DESTROYS assignments/ and its _retract_epoch with it —
-    // capture the old value and publish old+1 into the fresh dir, so
-    // successive generations stay seqlock-DISTINGUISHABLE (a plain
-    // bump would read 0 in every new generation and write 1: a reader
-    // spanning exactly one whole swap would see epoch 1 -> 1 and
-    // accept a mixed-generation probe set — the ABA this race test
-    // caught). The arm (outside the dir, also destroyed? no — the arm
-    // file lives in assignments/ too and IS destroyed: it is re-raised
-    // by armRaise ABOVE into the OLD dir... see below)
-    var preEpoch = Retract.epoch(spark, s"$indexDir/assignments")
-    if (preEpoch == 0L) {
-      // never-bumped index: the swap window's "epoch file destroyed"
-      // state ALSO reads 0, so a reader with e0 = 0 spanning the window
-      // could not distinguish it — stamp 1 first (one spurious reader
-      // retry, once per index lifetime)
-      Retract.setEpochAt(spark, s"$indexDir/assignments", 1L)
-      preEpoch = 1L
-    }
     IndexTables.foreach { n =>
       val live = new Path(root, n)
       fs.delete(live, true)
@@ -371,18 +384,27 @@ object IvfIndex {
     // re-raise it in the NEW dir before publishing the epoch, so the
     // no-arm + unchanged-epoch validation stays airtight through the
     // publish (readers in the deleted-arm window see epoch 0 or the
-    // new value, both != their pre-swap snapshot)
+    // new value, both != their pre-swap snapshot). Epoch publishes
+    // BEFORE the marker delete: a crash between the two re-runs
+    // sweepRebuild, whose setEpochAt re-publishes the same value —
+    // the old marker-first order left a window (marker gone, epoch
+    // still unset) where the heal could only bump 0 -> 1.
     Retract.armRaise(spark, s"$indexDir/assignments")
+    Retract.setEpochAt(spark, s"$indexDir/assignments", preEpoch + 1L)
     fs.delete(new Path(root, RebuildReady), false)
     fs.delete(tmp, true)
-    Retract.setEpochAt(spark, s"$indexDir/assignments", preEpoch + 1L)
     Retract.armClear(spark, s"$indexDir/assignments")
   }
 
   /** Crash recovery for [[rebuildLocked]]'s swap — run under the lock
     * before any read. Marker present: the new generation was complete,
-    * finish placing whatever renames the crash interrupted. Marker
-    * absent: any tmp is a half-written build — discard it. */
+    * finish placing whatever renames the crash interrupted, then
+    * restore the swap-epoch counter from the marker's captured pre-swap
+    * value (the swap destroyed it with the old assignments dir — a heal
+    * that re-derived it from the post-swap dir read 0 and published 1,
+    * regressing the seqlock counter onto previously published values;
+    * r18 ADVICE medium). Marker absent: any tmp is a half-written
+    * build — discard it. */
   private def sweepRebuild(spark: SparkSession, indexDir: String): Unit = {
     import org.apache.hadoop.fs.Path
     val root = new Path(indexDir)
@@ -390,6 +412,16 @@ object IvfIndex {
     val tmp = new Path(root, RebuildTmp)
     val ready = new Path(root, RebuildReady)
     if (fs.exists(ready)) {
+      val preEpoch = {
+        val in = fs.open(ready)
+        val body =
+          try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8).trim
+          finally in.close()
+        if (body.startsWith("preepoch="))
+          body.stripPrefix("preepoch=").toLongOption
+        else None
+      }
       IndexTables.foreach { n =>
         val src = new Path(tmp, n)
         if (fs.exists(src)) {
@@ -397,6 +429,17 @@ object IvfIndex {
           fs.delete(live, true)
           require(fs.rename(src, live), s"rename failed: $src -> $live")
         } // src absent ⇒ this table was already placed
+      }
+      // epoch BEFORE the marker delete (same ordering as rebuildLocked):
+      // a crash between the two re-runs this sweep, which re-publishes
+      // the same value — idempotent. A body-less legacy marker (none
+      // can exist past one heal) falls back to the old bump: 0 -> 1,
+      // accepted as the one-crash legacy tail.
+      preEpoch match {
+        case Some(e) =>
+          Retract.setEpochAt(spark, s"$indexDir/assignments", e + 1L)
+        case None =>
+          Retract.bumpEpochAt(spark, s"$indexDir/assignments")
       }
       fs.delete(ready, false)
     }
@@ -472,6 +515,13 @@ object IvfIndex {
     // window per swap while a wedged retractor still trips after 120 s
     // of genuine stillness
     val deadlineMs = 120000L
+    // secondary ABSOLUTE cap (r18 ADVICE): the progress reset gives live
+    // churn a fresh window per swap, which also means a PATHOLOGICAL
+    // continuous churner (a mutation loop that never pauses) could spin
+    // this search forever — callers regain a worst-case latency bound
+    // far above any legitimate swap cadence
+    val absoluteCapMs = 30L * 60 * 1000
+    val startedMs = System.currentTimeMillis()
     var lastSig: (Boolean, Boolean, Long) = null
     var lastProgress = System.currentTimeMillis()
     var pendingSince = 0L
@@ -483,6 +533,11 @@ object IvfIndex {
         s"ivf search on $indexDir waited out retraction swaps that never " +
           "settled — a wedged retractor (no marker/arm/epoch movement " +
           s"for ${deadlineMs / 1000} s)")
+      require(System.currentTimeMillis() - startedMs < absoluteCapMs,
+        s"ivf search on $indexDir starved for ${absoluteCapMs / 60000} min " +
+          "under CONTINUOUS store churn — swaps kept settling-and-restarting " +
+          "faster than a clean read; pause the mutation loop or schedule " +
+          "searches off its cadence")
       if (Retract.pending(spark, aDir) || Retract.armBusy(spark, aDir)) {
         // an in-flight retraction swap OR a mid-rebuild arm (r18: the
         // recluster replaces BOTH tables under the sentinel) — the live
@@ -494,7 +549,7 @@ object IvfIndex {
           // crashed retractor: heal under a brief lock; a LIVE holder
           // throws lock-busy — sleep so the loop never busy-spins
           try { ensureReadable(spark, indexDir); pendingSince = 0L }
-          catch { case _: IllegalStateException => Thread.sleep(50L) }
+          catch { case _: graft.fs.StoreLockBusyException => Thread.sleep(50L) }
         } else Thread.sleep(20L)
       } else {
         pendingSince = 0L

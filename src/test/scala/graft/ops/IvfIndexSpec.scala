@@ -391,4 +391,74 @@ class IvfIndexSpec extends SparkSuite {
       top.getAs[Double]("cosine") == 1.0)
     assert(!Retract.armBusy(spark, s"$dir/assignments"))
   }
+
+  test("rebuild publishes pre-swap epoch + 1 — generations stay seqlock-distinguishable") {
+    val dir = Files.createTempDirectory("ivfepoch").toString
+    IvfIndex.build(cands, dir, nlist = 8)
+    Retract.setEpochAt(spark, s"$dir/assignments", 41L)
+    IvfIndex.rebuild(spark, dir, kmeansIters = 1)
+    assert(Retract.epoch(spark, s"$dir/assignments") == 42L)
+  }
+
+  test("crashed rebuild heal keeps the swap epoch MONOTONE (r18 ADVICE: no regression onto published values)") {
+    import org.apache.hadoop.fs.Path
+    val dir = Files.createTempDirectory("ivfepochmono").toString
+    IvfIndex.build(cands, dir, nlist = 8)
+    // advance the counter to a value a cross-process reader may
+    // legitimately hold as its e0 snapshot
+    Retract.setEpochAt(spark, s"$dir/assignments", 7L)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // fabricate rebuildLocked's crash window: new generation staged,
+    // marker committed (carrying the captured pre-swap epoch), live
+    // tables deleted — the state whose heal used to re-derive the epoch
+    // from the post-swap dir (reads 0) and publish 1, regressing the
+    // counter onto the seeded first-generation value
+    val tmp = new Path(dir, "_rebuild_tmp")
+    fs.mkdirs(tmp)
+    assert(fs.rename(new Path(dir, "centroids"), new Path(tmp, "centroids")))
+    assert(fs.rename(new Path(dir, "assignments"), new Path(tmp, "assignments")))
+    // the staged generation carries no counter of its own (writeAssignments
+    // writes data files only) — drop the one that rode along in the rename
+    // so the heal can only get the value right via the marker body
+    fs.delete(new Path(tmp, "assignments/_retract_epoch"), false)
+    graft.fs.AtomicRename.publishSmallFile(fs, new Path(dir, "_rebuild_ready"),
+      "preepoch=7".getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      ".tmp-test")
+    // reader-path heal finishes the swap
+    assert(IvfIndex.imbalance(spark, dir) >= 1.0)
+    assert(!fs.exists(new Path(dir, "_rebuild_ready")))
+    // ... and the healed epoch is preEpoch + 1, never a regressed 1
+    assert(Retract.epoch(spark, s"$dir/assignments") == 8L)
+  }
+
+  test("heal defers ONLY on lock-busy; a real failure inside the heal surfaces (typed lock signal)") {
+    import org.apache.hadoop.fs.Path
+    val dir = Files.createTempDirectory("ivftypedlock").toString
+    IvfIndex.build(cands, dir, nlist = 8)
+    // a stranded arm sentinel is the heal trigger
+    Retract.armRaise(spark, s"$dir/assignments")
+    // 1. lock held by a LIVE foreign writer: the heal defers politely —
+    // the read proceeds against the (whole) current generation
+    graft.fs.StoreLock.withLock(dir, spark.sparkContext.hadoopConfiguration,
+      owner = "otherhost:999:1") {
+      assert(IvfIndex.cellOccupancy(spark, dir).count() > 0)
+    }
+    // the deferred heal left the arm up (the foreign holder owned it)
+    assert(Retract.armBusy(spark, s"$dir/assignments"))
+    // 2. a REAL failure inside the now-acquirable heal must SURFACE:
+    // plant a corrupt partition pointer — Retract.sweep's pointer GC
+    // throws a (non-lock) IllegalStateException the old blanket catch
+    // silently deferred forever
+    val aDir = new Path(s"$dir/assignments")
+    val fs = aDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new Path(aDir, "_pointer"), true)
+    try out.write("garbage not a pointer".getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val e = intercept[IllegalStateException] {
+      IvfIndex.cellOccupancy(spark, dir).count()
+    }
+    assert(e.getMessage.contains("corrupt partition pointer"), e.getMessage)
+    assert(!e.isInstanceOf[graft.fs.StoreLockBusyException])
+  }
 }
