@@ -161,8 +161,20 @@ object Bench {
     // headline subtotal for the named TPC-H suite (VERDICT r12 #1)
     val tpchTotal =
       results.filter(_._1.startsWith("tpch_")).map(_._2.sec).sum
+    // store-lifecycle gate subtotal (r18 verdict #8): these gates run
+    // LOCKED persisted-store mutation cycles (build + incremental
+    // batches + retraction-capable swaps) inside the timed section —
+    // roughly half the battery's wall and the noisiest class. Splitting
+    // them out means a pure-SQL regression can't hide under store-cycle
+    // variance (and vice versa) without calibration arithmetic.
+    val storeGateNames = Set("q_bm25_index", "q_dedup_incremental",
+      "q_dedup_incremental_embedding", "q_dedup_incremental_ngram",
+      "q_dedup_incremental_simhash", "q_dedup_clusters_incremental",
+      "q_span_dedup_incremental")
+    val storeGatesTotal =
+      results.filter(r => storeGateNames(r._1)).map(_._2.sec).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","tpch_total_sec":$tpchTotal,"queries":${jmap(_.sec)},"gc_sec":${jmap(_.gcSec)},"probe_sec":${jmap(_.probeSec)},"cpu_sec":${jmap(_.cpuSec)},"calibration_sec":$calib,"io_calibration_sec":$ioCalib,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","tpch_total_sec":$tpchTotal,"store_gates_sec":$storeGatesTotal,"queries":${jmap(_.sec)},"gc_sec":${jmap(_.gcSec)},"probe_sec":${jmap(_.probeSec)},"cpu_sec":${jmap(_.cpuSec)},"calibration_sec":$calib,"io_calibration_sec":$ioCalib,"sf":"$sfDir"}"""
     // The FULL artifact (per-query sec/gc/probe/cpu maps) goes to the
     // file; stdout carries the headline plus the complete sec-only
     // per-query map (r16 verdict #7). The r15 wrap failure was the 24 KB
@@ -179,7 +191,7 @@ object Bench {
     // sec-only map survives the driver's line buffer), so BENCH_r{N}.json
     // is self-contained. The gc/probe/cpu diagnostic maps stay file-only.
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"tpch_total_sec":$tpchTotal,"calibration_sec":$calib,"io_calibration_sec":$ioCalib,"queries":${jmap(_.sec)},"queries_file":"BENCH_local.json","sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"tpch_total_sec":$tpchTotal,"store_gates_sec":$storeGatesTotal,"calibration_sec":$calib,"io_calibration_sec":$ioCalib,"queries":${jmap(_.sec)},"queries_file":"BENCH_local.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -92,13 +92,30 @@ object DeleteSoak {
     // scratch disk — a fixture-construction wall, not a takedown-path
     // one (the arms are O(touched) regardless; the 10×/100× rows keep
     // both stores and pin the rewrite fractions)
-    val withMinhash =
+    val soakStores =
       sys.env.getOrElse("GRAFT_SOAK_STORES", "exact,minhash")
-        .split(",").map(_.trim).contains("minhash")
+        .split(",").map(_.trim).toSet
+    val withMinhash = soakStores.contains("minhash")
+    // pointer arm (r18 verdict #5): an exact store on a RENAME-LESS
+    // scheme rides the same cascade — its retraction swaps commit by
+    // pointer flip, proving the takedown legal path end-to-end on
+    // object-store semantics. GRAFT_SOAK_STORES=exact,pointer etc.
+    val withPointer = soakStores.contains("pointer")
+    val ptrStore = s"mock://$root/store_ptr"
+    if (withPointer)
+      spark.sparkContext.hadoopConfiguration.set("fs.mock.impl",
+        classOf[graft.fs.MockRemoteFileSystem].getName)
     ops.IncrementalDedup.exactBatch(derived, exactStore)
     if (withMinhash) ops.IncrementalDedup.minhashBatch(derived, mhStore)
+    if (withPointer) ops.IncrementalDedup.exactBatch(derived, ptrStore)
     fsys.attachStore(exactStore)
     if (withMinhash) fsys.attachStore(mhStore)
+    if (withPointer) fsys.attachStore(ptrStore)
+    // pointer-aware store read for the leftover counts (a blind listing
+    // on a pointer store misses versioned generations)
+    def storeDf(dir: String) = graft.fs.PartitionPointer
+      .readWholeInferred(spark, dir)
+      .getOrElse(spark.read.parquet(dir))
     // bp-partition rewrite fraction of a store dir between two snapshots
     // — the O(touched) witness at scale (r15 verdict #2)
     def storeSnap(dir: String): Map[String, Set[(String, Long)]] = {
@@ -129,11 +146,18 @@ object DeleteSoak {
         if (!withMinhash) 0L
         else spark.read.parquet(mhStore)
           .filter(col("doc_id").isin(retired.toSeq: _*)).count()
+      val ptrLeft =
+        if (!withPointer) 0L
+        else storeDf(ptrStore)
+          .filter(col("keep_doc_id").isin(retired.toSeq: _*)).count()
       println(f"$label: rows_deleted=$deleted wall=$wall%.2fs " +
         f"retired_ids=${retired.length} exact_left=$exactLeft mh_left=$mhLeft " +
+        (if (withPointer) f"ptr_left=$ptrLeft " else "") +
         f"mh_parts_rewritten=$mhRewritten/${mhBefore.size} " +
         f"mh_rewrite_frac=${mhRewritten.toDouble / math.max(1, mhBefore.size)}%.4f " +
         f"pending=${fsys.cascadePendingStores.size}")
+      if (withPointer) require(ptrLeft == 0L,
+        s"$label: pointer store kept $ptrLeft retired rows")
     }
     // the batch shape takedowns actually arrive in (single doc / small
     // request): the doc→bp index prunes discovery AND the rewrite to
@@ -172,12 +196,26 @@ object DeleteSoak {
     // leave BOTH stores passing every deep-fsck invariant — bucketing,
     // doc-index superset, blooms, keeper uniqueness. A dirty store here
     // is a takedown bug the leftover counts alone can miss.
-    (Seq(exactStore) ++ (if (withMinhash) Seq(mhStore) else Nil)).foreach { s =>
+    (Seq(exactStore) ++ (if (withMinhash) Seq(mhStore) else Nil) ++
+      (if (withPointer) Seq(ptrStore) else Nil)).foreach { s =>
       val t0 = System.nanoTime()
       val findings = ops.StoreFsck.fsck(spark, s, deep = true)
       println(f"post_cascade_fsck: $s ${if (findings.isEmpty) "clean"
         else findings.mkString("; ")} wall=${(System.nanoTime() - t0) / 1e9}%.2fs")
       require(findings.isEmpty, s"takedown left $s dirty: $findings")
+    }
+    // pointer-arm invariants: the cascade's swaps committed by pointer
+    // flip (the pointer exists) and left NO roll-forward marker behind
+    // (pointer commits never write one — marker-empty is the
+    // object-store legal-path witness)
+    if (withPointer) {
+      val p = new org.apache.hadoop.fs.Path(ptrStore)
+      val pfs = p.getFileSystem(hconf)
+      require(graft.fs.PartitionPointer.active(pfs, p),
+        "pointer store cascade never engaged the pointer layer")
+      require(!pfs.exists(new org.apache.hadoop.fs.Path(p, "_retract_pending")),
+        "pointer store cascade left a roll-forward marker")
+      println("pointer_cascade: pointer active, marker-empty, deep-fsck clean")
     }
     spark.stop()
   }

@@ -1946,6 +1946,189 @@ object FuzzQueries {
        |ORDER BY gid ASC, ga ASC, gb ASC""".stripMargin
   }
 
+  // ---------- v14 (r18 verdict #6): datetime extract/trunc, CASE/
+  // COALESCE coercion lattices, IN-list vs VALUES-join equivalence ----
+
+  /** Family 1 — datetime truncation/extraction differentials over the
+    * corpus date columns. Engine conventions are the hazard: week
+    * numbering (both engines are ISO here — the gate pins that),
+    * day-of-week origin (Spark's `dayofweek` is 1=Sunday; DuckDB's
+    * `isodow` is 1=Monday — the Spark side renders the ISO convention
+    * explicitly as (dayofweek+5)%7+1 so BOTH sides state the SAME
+    * contract), and date_trunc's week anchor (Monday in both). Output
+    * stays engine-exact: extracted units as BIGINT, truncations as
+    * DATE (never raw timestamps — the TESTDATA nanos rule). */
+  private final case class QDt(table: String, dateCol: String,
+      unit: String, truncUnit: String, wide: Cmp)
+
+  // the testdata lineitem carries only l_shipdate (TESTDATA.md schema —
+  // no commit/receipt dates)
+  private val dtDateCols = Map(
+    "orders" -> Seq("o_orderdate"),
+    "lineitem" -> Seq("l_shipdate"))
+
+  private def genDt(seed: Int): QDt = {
+    val rnd = new scala.util.Random(seed)
+    val table = Seq("orders", "lineitem")(seed % 2)
+    val dcols = dtDateCols(table)
+    QDt(table, dcols(rnd.nextInt(dcols.size)),
+      Seq("year", "quarter", "month", "week", "isodow")(rnd.nextInt(5)),
+      Seq("year", "quarter", "month", "week")(rnd.nextInt(4)),
+      wideArm(rnd, tables(table)) match { case c: Cmp => c })
+  }
+
+  private def sparkOfDt(q: QDt)(s: SparkSession, dir: String): DataFrame = {
+    val d = col(q.dateCol)
+    val u = (q.unit match {
+      case "year"    => year(d)
+      case "quarter" => quarter(d)
+      case "month"   => month(d)
+      case "week"    => weekofyear(d) // ISO week, like DuckDB's week
+      case "isodow"  => (dayofweek(d) + lit(5)) % 7 + 1 // 1=Mon..7=Sun
+    }).cast("long")
+    Queries.rd(s, dir, q.table)
+      .filter(col(q.wide.c) >= q.wide.lit)
+      .groupBy(u.as("u"),
+        date_trunc(q.truncUnit, d).cast("date").as("t"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("u").asc, col("t").asc)
+  }
+
+  private def sqlOfDt(q: QDt): String = {
+    val u = q.unit match {
+      case "isodow" => s"EXTRACT(isodow FROM ${q.dateCol})"
+      case other    => s"EXTRACT($other FROM ${q.dateCol})"
+    }
+    s"""SELECT CAST($u AS BIGINT) AS u,
+       |  CAST(date_trunc('${q.truncUnit}', ${q.dateCol}) AS DATE) AS t,
+       |  CAST(count(*) AS BIGINT) AS n
+       |FROM ${q.table} WHERE ${q.wide.c} >= ${q.wide.lit}
+       |GROUP BY 1, 2
+       |ORDER BY u ASC, t ASC""".stripMargin
+  }
+
+  /** Family 2 — CASE/COALESCE type-coercion lattices: branches mix
+    * BIGINT and a fractional literal, so each engine coerces through
+    * ITS OWN lattice (Spark: long × double → double; DuckDB: BIGINT ×
+    * DECIMAL → DECIMAL) — divergence in the lattice or in NULLIF/
+    * COALESCE null propagation changes the grouped sums. Branch values
+    * are integer-exact, so the final BIGINT cast is lossless in both
+    * engines and the gate stays integer-exact. */
+  private final case class QCase(table: String, b: String, bmod: Long,
+      v: String, vmod: Long, t1: Long, t2: Long, nul: Long, wide: Cmp)
+
+  private def genCase(seed: Int): QCase = {
+    val rnd = new scala.util.Random(seed)
+    val table = Seq("lineitem", "orders", "customer")(seed % 3)
+    val cols = tables(table)
+    val vmod = 11L + rnd.nextInt(20)
+    QCase(table, cols(rnd.nextInt(cols.size)), 7L + rnd.nextInt(6),
+      cols(rnd.nextInt(cols.size)), vmod,
+      1L + rnd.nextInt(3), 4L + rnd.nextInt(3),
+      rnd.nextInt(vmod.toInt).toLong,
+      wideArm(rnd, cols) match { case c: Cmp => c })
+  }
+
+  private def sparkOfCase(q: QCase)(s: SparkSession, dir: String): DataFrame = {
+    val base = Queries.rd(s, dir, q.table)
+      .filter(col(q.wide.c) >= q.wide.lit)
+      .select((col(q.b) % q.bmod).cast("long").as("b"),
+        (col(q.v) % q.vmod).cast("long").as("v"))
+    base.groupBy(
+        // long/double/long branches -> double in Spark's lattice;
+        // integer-exact values make the BIGINT cast lossless
+        when(col("b") < q.t1, lit(1))
+          .when(col("b") < q.t2, lit(2.0))
+          .otherwise(lit(3)).cast("long").as("c1"))
+      .agg(count(lit(1)).as("n"),
+        // NULLIF + COALESCE null propagation (rendered as NULLIF in SQL)
+        sum(coalesce(when(col("v") === q.nul, lit(null)).otherwise(col("v")),
+          lit(-1L))).cast("long").as("s0"),
+        // int × fractional-literal branches INSIDE the aggregate
+        sum(when(col("v") % 2 === 0, col("v")).otherwise(lit(5.0)))
+          .cast("long").as("s1"))
+      .orderBy(col("c1").asc)
+  }
+
+  private def sqlOfCase(q: QCase): String =
+    s"""SELECT
+       |  CAST(CASE WHEN b < ${q.t1} THEN 1 WHEN b < ${q.t2} THEN 2.0
+       |       ELSE 3 END AS BIGINT) AS c1,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(COALESCE(NULLIF(v, ${q.nul}), -1)) AS BIGINT) AS s0,
+       |  CAST(sum(CASE WHEN v % 2 = 0 THEN v ELSE 5.0 END) AS BIGINT) AS s1
+       |FROM (
+       |  SELECT ${q.b} % ${q.bmod} AS b, ${q.v} % ${q.vmod} AS v
+       |  FROM ${q.table} WHERE ${q.wide.c} >= ${q.wide.lit}
+       |) sub
+       |GROUP BY 1
+       |ORDER BY c1 ASC""".stripMargin
+
+  /** Family 3 — IN-list vs VALUES-join equivalence: the SAME membership
+    * predicate planned two ways — a literal IN list (pushed predicate)
+    * and a semi-join against a VALUES-derived relation (join operator).
+    * Both arms ride one output with an arm tag, so any divergence
+    * between the plans (inside either engine, or across them) breaks
+    * the hash. */
+  private final case class QInVal(table: String, c: String, cmod: Long,
+      g: String, gmod: Long, members: Seq[Long], wide: Cmp)
+
+  private def genInVal(seed: Int): QInVal = {
+    val rnd = new scala.util.Random(seed)
+    val table = Seq("lineitem", "orders", "customer")(seed % 3)
+    val cols = tables(table)
+    val cmod = 7L + rnd.nextInt(8)
+    val members = rnd.shuffle((0L until cmod).toList)
+      .take(2 + rnd.nextInt(3)).sorted
+    QInVal(table, cols(rnd.nextInt(cols.size)), cmod,
+      cols(rnd.nextInt(cols.size)), 3L + rnd.nextInt(4), members,
+      wideArm(rnd, cols) match { case c: Cmp => c })
+  }
+
+  private def sparkOfInVal(q: QInVal)(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Queries.rd(s, dir, q.table)
+      .filter(col(q.wide.c) >= q.wide.lit)
+      .select((col(q.c) % q.cmod).cast("long").as("m"),
+        (col(q.g) % q.gmod).cast("long").as("g"))
+    val inArm = base.filter(col("m").isin(q.members: _*))
+      .groupBy("g").agg(count(lit(1)).as("n"))
+      .select(lit("in").as("arm"), col("g"), col("n"))
+    val vjArm = base
+      .join(broadcast(q.members.toDF("m")), Seq("m"), "left_semi")
+      .groupBy("g").agg(count(lit(1)).as("n"))
+      .select(lit("vj").as("arm"), col("g"), col("n"))
+    inArm.unionByName(vjArm).orderBy(col("arm").asc, col("g").asc)
+  }
+
+  private def sqlOfInVal(q: QInVal): String = {
+    val list = q.members.mkString(", ")
+    val rows = q.members.map(v => s"($v)").mkString(", ")
+    def sub =
+      s"""  SELECT ${q.c} % ${q.cmod} AS m, ${q.g} % ${q.gmod} AS g
+         |  FROM ${q.table} WHERE ${q.wide.c} >= ${q.wide.lit}""".stripMargin
+    s"""SELECT 'in' AS arm, CAST(g AS BIGINT) AS g,
+       |  CAST(count(*) AS BIGINT) AS n
+       |FROM (
+       |$sub
+       |) a WHERE m IN ($list) GROUP BY 2
+       |UNION ALL
+       |SELECT 'vj' AS arm, CAST(g AS BIGINT) AS g,
+       |  CAST(count(*) AS BIGINT) AS n
+       |FROM (
+       |$sub
+       |) b WHERE m IN (SELECT v FROM (VALUES $rows) AS mem(v)) GROUP BY 2
+       |ORDER BY arm ASC, g ASC""".stripMargin
+  }
+
+  // v14, seed-scanned (main's probe): dt covers both date tables ×
+  // {year,quarter,month,week,isodow} extraction × four trunc anchors;
+  // case covers the three tables with distinct NULLIF pivots; inval
+  // covers 2-4 member lists over the three tables
+  private val dtSeeds = Seq(26000, 26001, 26002, 26003)
+  private val caseSeeds = Seq(27000, 27001, 27002, 27003)
+  private val inValSeeds = Seq(28000, 28001, 28002, 28003)
+
   // v13, seed-scanned (main's probe): cte covers both reuse shapes ×
   // the three tables; vals covers 3- and 4-band literal tables; grp
   // covers ROLLUP and CUBE with subtotal keys disambiguated via
@@ -2064,7 +2247,13 @@ object FuzzQueries {
       valsSeeds.map(sd => s"q_fuzz_vals_$sd" ->
         (sparkOfVals(genVals(sd)) _)).toMap ++
       grpSeeds.map(sd => s"q_fuzz_grp_$sd" ->
-        (sparkOfGrp(genGrp(sd)) _)).toMap +
+        (sparkOfGrp(genGrp(sd)) _)).toMap ++
+      dtSeeds.map(sd => s"q_fuzz_dt_$sd" ->
+        (sparkOfDt(genDt(sd)) _)).toMap ++
+      caseSeeds.map(sd => s"q_fuzz_case_$sd" ->
+        (sparkOfCase(genCase(sd)) _)).toMap ++
+      inValSeeds.map(sd => s"q_fuzz_inval_$sd" ->
+        (sparkOfInVal(genInVal(sd)) _)).toMap +
       ("q_fuzz_empty_scalar" -> (emptyScalar _)) +
       ("q_fuzz_distinct_rows" -> (distinctRows _))
 
@@ -2112,7 +2301,11 @@ object FuzzQueries {
         sqlOfWinDist(genWinDist(sd))).toMap ++
       cteSeeds.map(sd => s"q_fuzz_cte_$sd" -> sqlOfCte(genCte(sd))).toMap ++
       valsSeeds.map(sd => s"q_fuzz_vals_$sd" -> sqlOfVals(genVals(sd))).toMap ++
-      grpSeeds.map(sd => s"q_fuzz_grp_$sd" -> sqlOfGrp(genGrp(sd))).toMap +
+      grpSeeds.map(sd => s"q_fuzz_grp_$sd" -> sqlOfGrp(genGrp(sd))).toMap ++
+      dtSeeds.map(sd => s"q_fuzz_dt_$sd" -> sqlOfDt(genDt(sd))).toMap ++
+      caseSeeds.map(sd => s"q_fuzz_case_$sd" -> sqlOfCase(genCase(sd))).toMap ++
+      inValSeeds.map(sd => s"q_fuzz_inval_$sd" ->
+        sqlOfInVal(genInVal(sd))).toMap +
       ("q_fuzz_empty_scalar" -> emptyScalarSql) +
       ("q_fuzz_distinct_rows" -> distinctRowsSql)
 

@@ -27,7 +27,8 @@ object Soak {
   /** The GRAFT_SOAK_ONLY vocabulary. A typo'd value must FAIL the run,
     * not silently skip every family and print an empty battery that
     * reads as a clean run (r15 ADVICE). */
-  private[graft] val KnownFamilies = Set("text", "emb", "inc", "width", "frag", "cc")
+  private[graft] val KnownFamilies =
+    Set("text", "emb", "inc", "width", "frag", "cc", "ptr")
 
   /** The r16 churn race against the SOAK-SCALE index (verdict #5): a
     * stable doc + churn docs sharing its anchor term graft onto the big
@@ -132,10 +133,15 @@ object Soak {
       hits.toDouble / probeRows.length
     }
     val before = selfHitRate()
-    // fresh churn vectors FAR above any copy's id range (the bm25
-    // collision lesson): clones of the probe vectors under new ids
+    // churn-vector ids DERIVED from the corpus max (r18 ADVICE — the
+    // same magnitude-constant collision class the bm25 soak fixed: the
+    // hardcoded 9e11 base sat above factor 1000's range but INSIDE a
+    // factor >= 9000's, where the race would silently degrade to
+    // appending nothing)
+    val vecBase = embCorpus.agg(max("vec_id")).collect().head.getLong(0) +
+      1_000_000L
     val churnVecs = probeRows.zipWithIndex.map { case (r, i) =>
-      (900_000_000_000L + i, r.getSeq[Double](1))
+      (vecBase + i, r.getSeq[Double](1))
     }.toSeq
     @volatile var stop = false
     @volatile var churnErr: Option[Throwable] = None
@@ -284,15 +290,62 @@ object Soak {
         (meter.inputRecords.get - i0) / 1000L)
     }
 
-    // GRAFT_SOAK_ONLY=text|emb|inc|width|frag|cc restricts the battery
-    // to ONE family (the others skip) — re-probing a single family at a
-    // big factor without paying the whole soak; unset runs everything.
-    // A typo'd value must FAIL, not silently skip every family and
-    // print an empty run that reads as clean (r15 ADVICE).
+    // GRAFT_SOAK_ONLY=text|emb|inc|width|frag|cc|ptr restricts the
+    // battery to ONE family (the others skip) — re-probing a single
+    // family at a big factor without paying the whole soak; unset runs
+    // everything. A typo'd value must FAIL, not silently skip every
+    // family and print an empty run that reads as clean (r15 ADVICE).
     val soakOnly = sys.env.get("GRAFT_SOAK_ONLY")
     Soak.requireKnownFamily(soakOnly)
     def family(name: String)(body: => Seq[Run]): Seq[Run] =
       if (soakOnly.forall(_ == name)) body else Nil
+
+    def dirBytes(path: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    }
+    def dirFiles(path: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.getContentSummary(p).getFileCount else 0L
+    }
+    // --- the 1000× fixture-seeding scratch wall (r18 verdict #3) ------
+    // The bound is CUMULATIVE: at 5M docs the inc family's stores sum to
+    // ~35 GB of fixtures while the banded-signature seed shuffle adds
+    // ~80 GB of scratch — together past this box's disk. Two knobs, both
+    // evidence-generation only (operator paths unchanged):
+    //  - GRAFT_SOAK_TEARDOWN=1 deletes each store after its last timed
+    //    row (bytes captured first, so the report keeps them): residency
+    //    becomes max-per-store instead of the sum;
+    //  - GRAFT_SOAK_SEED_CHUNKS=N seeds each store in N sequential
+    //    id-sliced appends: per-job shuffle drops to ~1/N and the
+    //    between-chunk System.gc() lets Spark's ContextCleaner drop the
+    //    previous chunk's shuffle files before the next begins.
+    val teardown = sys.env.get("GRAFT_SOAK_TEARDOWN").contains("1")
+    val seedChunks = sys.env.get("GRAFT_SOAK_SEED_CHUNKS")
+      .map(_.toInt).getOrElse(1)
+    val capturedBytes = scala.collection.mutable.Map.empty[String, Long]
+    def finishStore(name: String, path: String): Unit = if (teardown) {
+      capturedBytes(name) = dirBytes(path)
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      System.err.println(s"[soak] teardown: dropped $name " +
+        s"(${capturedBytes(name) / 1000000L} MB) after its rows")
+    }
+    def seedChunked(name: String, src: DataFrame, idCol: String)(
+        append: DataFrame => DataFrame): Run =
+      if (seedChunks <= 1) run(name)(append(src))
+      else run(name) {
+        // the timed row covers the WHOLE seed; rows reports the last
+        // chunk's batch view only (informational)
+        (0 until seedChunks - 1).foreach { i =>
+          append(src.filter(pmod(col(idCol), lit(seedChunks)) === i)).count()
+          spark.catalog.clearCache(); System.gc()
+        }
+        append(src.filter(
+          pmod(col(idCol), lit(seedChunks)) === (seedChunks - 1)))
+      }
 
     // operator configs mirror the GATE queries exactly (q_dedup_ngram_
     // jaccard / _minhash_lsh / _clusters / _keep), so the curve measures
@@ -544,23 +597,23 @@ object Soak {
         when(pmod(xxhash64(lit(0), k), lit(2)) === 0, x).otherwise(-x))
         .as("embedding"))
     val incRuns = family("inc")(Seq(
-      run("inc_minhash_seed") {
-        ops.IncrementalDedup.minhashBatch(corpus, mhStore)
+      seedChunked("inc_minhash_seed", corpus, "doc_id") { b =>
+        ops.IncrementalDedup.minhashBatch(b, mhStore)
       },
       run("inc_minhash_append_a") {
         ops.IncrementalDedup.minhashBatch(freshDocs(1), mhStore)
       },
-      run("inc_minhash_append_b") {
-        ops.IncrementalDedup.minhashBatch(freshDocs(2), mhStore)
-      },
+      { val r = run("inc_minhash_append_b") {
+          ops.IncrementalDedup.minhashBatch(freshDocs(2), mhStore)
+        }
+        finishStore("mh_store", mhStore); r },
       // posting-list store (late r12): a text doc touches ~one bucket
       // PER DISTINCT GRAM (~100), not ~16 band keys — so pruning leans
       // on auto geometry: the N× seed sizes the store to ~rows/4Ki
       // partitions (2048 at factor 10) and a 2-doc append touches
       // ~200 of them (~10%), where a hand-fixed 256 would scan ~80%
-      run("inc_ngram_seed") {
-        ops.IncrementalDedup.ngramBatch(corpus, ngStore,
-          n = 3, threshold = 0.8)
+      seedChunked("inc_ngram_seed", corpus, "doc_id") { b =>
+        ops.IncrementalDedup.ngramBatch(b, ngStore, n = 3, threshold = 0.8)
       },
       run("inc_ngram_append_a") {
         ops.IncrementalDedup.ngramBatch(freshDocs(3), ngStore,
@@ -576,13 +629,14 @@ object Soak {
       // duplicate-content appends above rightly scan their ~100
       // touched buckets. This is the common ingest case (most arriving
       // documents are new), and the bloom's whole payoff
-      run("inc_ngram_append_novel") {
-        ops.IncrementalDedup.ngramBatch(
-          baseDocs.select(
-            (col("doc_id") + lit(1500000000000L)).as("doc_id"),
-            regexp_replace(col("text"), "(^|\\s)", "$1z9novel_").as("text")),
-          ngStore, n = 3, threshold = 0.8)
-      },
+      { val r = run("inc_ngram_append_novel") {
+          ops.IncrementalDedup.ngramBatch(
+            baseDocs.select(
+              (col("doc_id") + lit(1500000000000L)).as("doc_id"),
+              regexp_replace(col("text"), "(^|\\s)", "$1z9novel_").as("text")),
+            ngStore, n = 3, threshold = 0.8)
+        }
+        finishStore("ng_store", ngStore); r },
       // window store (late r13): ~one stored row per corpus token (the
       // posting trade), auto geometry sizes partitions from the seed's
       // window count; a 2-doc append touches ~one bucket per window
@@ -590,8 +644,8 @@ object Soak {
       // bounded store fraction while the seed rightly grows with N×.
       // The two appends measure both probe outcomes: all-hit (c0_
       // content — the corpus carries the same bijection) and all-miss
-      run("inc_span_seed") {
-        ops.IncrementalSpanDedup.spanBatch(corpus, s"$tmp/span_store", w = 10)
+      seedChunked("inc_span_seed", corpus, "doc_id") { b =>
+        ops.IncrementalSpanDedup.spanBatch(b, s"$tmp/span_store", w = 10)
       },
       run("inc_span_append_dup") {
         // copy-0 content under fresh ids (freshDocs applies the same
@@ -600,29 +654,31 @@ object Soak {
         ops.IncrementalSpanDedup.spanBatch(
           freshDocs(9), s"$tmp/span_store", w = 10)
       },
-      run("inc_span_append_novel") {
-        // tokens bijected to a prefix no copy uses — every window
-        // misses the store; scans stay bounded by touched partitions
-        ops.IncrementalSpanDedup.spanBatch(
-          baseDocs.select(
-            (col("doc_id") + lit(1700000000000L)).as("doc_id"),
-            regexp_replace(col("text"), "(^|\\s)", "$1z9span_").as("text")),
-          s"$tmp/span_store", w = 10)
-      },
+      { val r = run("inc_span_append_novel") {
+          // tokens bijected to a prefix no copy uses — every window
+          // misses the store; scans stay bounded by touched partitions
+          ops.IncrementalSpanDedup.spanBatch(
+            baseDocs.select(
+              (col("doc_id") + lit(1700000000000L)).as("doc_id"),
+              regexp_replace(col("text"), "(^|\\s)", "$1z9span_").as("text")),
+            s"$tmp/span_store", w = 10)
+        }
+        finishStore("span_store", s"$tmp/span_store"); r },
       // scaled planes here too (the seed batch is the same bucket
       // self-join); the store manifest then holds them for every append
-      run("inc_embedding_seed") {
-        ops.IncrementalDedup.embeddingBatch(embCorpus, embStore,
+      seedChunked("inc_embedding_seed", embCorpus, "vec_id") { b =>
+        ops.IncrementalDedup.embeddingBatch(b, embStore,
           planes = scaledPlanes)
       },
       run("inc_embedding_append_a") {
         ops.IncrementalDedup.embeddingBatch(freshVecs(1), embStore,
           planes = scaledPlanes)
       },
-      run("inc_embedding_append_b") {
-        ops.IncrementalDedup.embeddingBatch(freshVecs(2), embStore,
-          planes = scaledPlanes)
-      },
+      { val r = run("inc_embedding_append_b") {
+          ops.IncrementalDedup.embeddingBatch(freshVecs(2), embStore,
+            planes = scaledPlanes)
+        }
+        finishStore("emb_store", embStore); r },
       // split-layout twin (late r12): same contract, but appends also
       // exercise the pruned forward-index fetch. Measured trade at 10×:
       // record counts read are similar to inline (the posting rows are
@@ -630,18 +686,19 @@ object Soak {
       // pays the extra checkpoint + vp-collect + fetch shuffle — split
       // is the at-rest/footprint choice (~10× smaller store), inline
       // the per-append-latency choice
-      run("inc_embedding_split_seed") {
-        ops.IncrementalDedup.embeddingBatch(embCorpus, embSplitStore,
+      seedChunked("inc_embedding_split_seed", embCorpus, "vec_id") { b =>
+        ops.IncrementalDedup.embeddingBatch(b, embSplitStore,
           planes = scaledPlanes, layout = "split")
       },
       run("inc_embedding_split_append_a") {
         ops.IncrementalDedup.embeddingBatch(freshVecs(3), embSplitStore,
           planes = scaledPlanes)
       },
-      run("inc_embedding_split_append_b") {
-        ops.IncrementalDedup.embeddingBatch(freshVecs(4), embSplitStore,
-          planes = scaledPlanes)
-      }))
+      { val r = run("inc_embedding_split_append_b") {
+          ops.IncrementalDedup.embeddingBatch(freshVecs(4), embSplitStore,
+            planes = scaledPlanes)
+        }
+        finishStore("emb_store_split_inc", embSplitStore); r }))
 
     // --- store footprint: bytes at rest, float vs double width --------
     // The incremental embedding store adopts the SOURCE width (r12):
@@ -762,16 +819,62 @@ object Soak {
         })
     })
 
-    def dirBytes(path: String): Long = {
-      val p = new org.apache.hadoop.fs.Path(path)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    // --- pointer-GC churn soak (r18 verdict #4) ------------------------
+    // The bm25 churn race on a RENAME-LESS scheme at soak scale: every
+    // retraction swap commits by pointer flip, so the race also measures
+    // the pointer layer's GC cadence — generations per partition must
+    // stay bounded by the one-cycle grace window (live + at most one
+    // prev), the sweep must cost O(superseded dirs), and the search
+    // walls must stay inside the progress-deadline margin.
+    val ptrRuns = family("ptr") {
+      spark.sparkContext.hadoopConfiguration.set("fs.mock.impl",
+        classOf[graft.fs.MockRemoteFileSystem].getName)
+      val ptrIdx = s"mock://$tmp/bm25_ptr_idx"
+      val buildRow = run("ptr_bm25_index_build") {
+        import spark.implicits._
+        Seq(ops.Bm25Index.indexBatch(corpus, ptrIdx)).toDF("novel")
+      }
+      bm25ChurnRaceSoak(spark, ptrIdx,
+        graftBase = corpus.agg(max("doc_id")).collect().head.getLong(0)
+          + 2_000_000L)
+      // GC cadence audit over BOTH pointer stores the race churned
+      val fsm = new org.apache.hadoop.fs.Path(ptrIdx)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Seq("postings", "docs").foreach { rel =>
+        val root = new org.apache.hadoop.fs.Path(s"$ptrIdx/$rel")
+        graft.fs.PartitionPointer.readPtr(fsm, root).foreach { ptr =>
+          val partsRoot = new org.apache.hadoop.fs.Path(root, "_parts")
+          val gens =
+            if (!fsm.exists(partsRoot)) Seq(0)
+            else fsm.listStatus(partsRoot).toIndexedSeq.map(pd =>
+              fsm.listStatus(pd.getPath)
+                .count(_.getPath.getName.startsWith("pv=")))
+          val maxGen = if (gens.isEmpty) 0 else gens.max
+          // superseded dirs awaiting the grace sweep
+          val pending = ptr.entries.values.count(_.prev !=
+            graft.fs.PartitionPointer.NoPrev)
+          val s0 = System.nanoTime()
+          graft.fs.StoreLock.withLock(ptrIdx,
+            spark.sparkContext.hadoopConfiguration) {
+            ops.Retract.sweep(spark, s"$ptrIdx/$rel")
+          }
+          val sweepSec = (System.nanoTime() - s0) / 1e9
+          println(f"pointer_churn_soak[$rel]: seq=${ptr.seq} " +
+            f"entries=${ptr.entries.size} max_generations=$maxGen " +
+            f"grace_pending=$pending sweep_sec=$sweepSec%.2f")
+          require(maxGen <= 2,
+            s"$rel: $maxGen generations on disk for one partition — the " +
+              "grace window leaked past one cycle")
+        }
+      }
+      Seq(buildRow,
+        run("ptr_post_race_search") {
+          import spark.implicits._
+          ops.Bm25Index.search(spark, ptrIdx,
+            Seq((0L, "zanchor")).toDF("query_id", "query"), k = 10)
+        })
     }
-    def dirFiles(path: String): Long = {
-      val p = new org.apache.hadoop.fs.Path(path)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.getContentSummary(p).getFileCount else 0L
-    }
+
     val storeFiles =
       Seq("frag_auto" -> fragAuto, "frag_off" -> fragOff)
         .map { case (n, p) => s""""$n":${dirFiles(p)}""" }
@@ -787,10 +890,13 @@ object Soak {
         "cc_store_merge_log" -> s"$ccStore/merges",
         "span_store" -> s"$tmp/span_store",
         "bm25_idx" -> s"$tmp/bm25_idx")
-        .map { case (n, p) => s""""$n":${dirBytes(p)}""" }
+        // teardown mode captured each store's bytes before dropping it
+        .map { case (n, p) =>
+          s""""$n":${capturedBytes.getOrElse(n, dirBytes(p))}""" }
         .mkString("{", ",", "}")
 
-    val json = (runs ++ embRuns ++ incRuns ++ widthRuns ++ fragRuns ++ ccRuns).map(r =>
+    val json = (runs ++ embRuns ++ incRuns ++ widthRuns ++ fragRuns ++
+      ccRuns ++ ptrRuns).map(r =>
       s"""{"op":"${r.name}","sec":${f"${r.sec}%.2f"},"rows":${r.rows},""" +
         s""""shuffle_write_mb":${f"${r.shuffleWriteMB}%.1f"},""" +
         s""""shuffle_read_mb":${f"${r.shuffleReadMB}%.1f"},""" +

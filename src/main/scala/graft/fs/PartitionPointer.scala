@@ -28,8 +28,14 @@ import org.apache.spark.sql.types.StructType
   *                              //  + appends write here, unchanged)
   *     _parts/bp=3/pv=2/        // versioned replacements, one pv=<K>
   *                              //  generation per committed swap
+  *     _tables/centroids/tv=1/  // versioned AUX TABLES (r19): small
+  *                              //  sibling tables whose consistency
+  *                              //  surface spans the same swap (the
+  *                              //  IVF centroids) commit in the SAME
+  *                              //  pointer PUT as the partitions
   *     _pointer                 // THE commit point: partition -> live
-  *                              //  version map, one small-file PUT
+  *                              //  version map (+ table versions), one
+  *                              //  small-file PUT
   * }}}
   *
   * Per-partition pointer entry semantics:
@@ -84,8 +90,17 @@ object PartitionPointer {
 
   val PointerFile = "_pointer"
   val PartsDir = "_parts"
+  /** Versioned AUX TABLES (r19 — the IVF rebuild's whole-layout swap):
+    * a store whose consistency surface includes a small sibling table
+    * (the IVF centroids) must commit that table IN THE SAME PUT as its
+    * partition flips, or a reader could pair new partitions with the
+    * old table. Each named table lives at `_tables/<name>/tv=<K>` under
+    * the pointer root with the live K carried by the pointer itself —
+    * one publish commits partitions + tables atomically. */
+  val TablesDir = "_tables"
   private val AppendTmpPrefix = "_append_tmp-"
   private val Magic = "graftptr1"
+  private val MagicV2 = "graftptr2"
 
   /** live = partition dropped whole; all its dirs are garbage. */
   val Tombstone: Int = -2
@@ -99,7 +114,8 @@ object PartitionPointer {
   final case class Entry(live: Int, prev: Int, chSeq: Long)
 
   final case class Ptr(seq: Long, partCol: String,
-      entries: Map[String, Entry])
+      entries: Map[String, Entry],
+      tables: Map[String, Entry] = Map.empty)
 
   def pointerPath(root: Path): Path = new Path(root, PointerFile)
 
@@ -151,7 +167,8 @@ object PartitionPointer {
 
   private def parse(body: String): Option[Ptr] = {
     val lines = body.split("\n").map(_.trim).filter(_.nonEmpty)
-    if (lines.length < 4 || lines.head != Magic) return None
+    if (lines.length < 4 ||
+        (lines.head != Magic && lines.head != MagicV2)) return None
     try {
       val seq = lines(1).stripPrefix("seq=").toLong
       val partCol = lines(2).stripPrefix("partcol=")
@@ -159,24 +176,41 @@ object PartitionPointer {
       val last = lines.last
       if (!last.startsWith("end=")) return None // torn tail
       val n = last.stripPrefix("end=").toInt
-      val entryLines = lines.slice(3, lines.length - 1)
-      if (entryLines.length != n) return None
-      val entries = entryLines.map { l =>
+      def parseEntry(l: String): (String, Entry) = {
         val t = l.split(" ")
         require(t.length == 4)
         t(0) -> Entry(t(1).toInt, t(2).toInt, t(3).toLong)
-      }.toMap
-      Some(Ptr(seq, partCol, entries))
+      }
+      // v2 carries a tables section between the header and the entries
+      // (see [[TablesDir]]); v1 bodies (pre-r19 stores) parse with an
+      // empty tables map — same magic discipline both ways
+      val (tables, entryStart) =
+        if (lines.head == MagicV2) {
+          if (!lines(3).startsWith("tables=")) return None
+          val k = lines(3).stripPrefix("tables=").toInt
+          (lines.slice(4, 4 + k).map(parseEntry).toMap, 4 + k)
+        } else (Map.empty[String, Entry], 3)
+      val entryLines = lines.slice(entryStart, lines.length - 1)
+      if (entryLines.length != n) return None
+      Some(Ptr(seq, partCol, entryLines.map(parseEntry).toMap, tables))
     } catch { case _: RuntimeException => None }
   }
 
   /** One-PUT atomic publish (overwrite-create on rename-less schemes,
     * temp+rename on atomic ones — [[AtomicRename.publishSmallFile]]). */
   def publish(fs: FileSystem, root: Path, ptr: Ptr): Unit = {
-    val body = (Seq(Magic, s"seq=${ptr.seq}", s"partcol=${ptr.partCol}") ++
-      ptr.entries.toSeq.sortBy(_._1).map { case (n, e) =>
-        s"$n ${e.live} ${e.prev} ${e.chSeq}"
-      } ++ Seq(s"end=${ptr.entries.size}")).mkString("\n")
+    def fmt(kv: (String, Entry)): String =
+      s"${kv._1} ${kv._2.live} ${kv._2.prev} ${kv._2.chSeq}"
+    // v1 body while no tables exist: byte-compatible with pre-r19
+    // pointers (and with any reader still on the v1 parser)
+    val header =
+      if (ptr.tables.isEmpty) Seq(Magic, s"seq=${ptr.seq}", s"partcol=${ptr.partCol}")
+      else Seq(MagicV2, s"seq=${ptr.seq}", s"partcol=${ptr.partCol}",
+        s"tables=${ptr.tables.size}") ++
+        ptr.tables.toSeq.sortBy(_._1).map(fmt)
+    val body = (header ++
+      ptr.entries.toSeq.sortBy(_._1).map(fmt) ++
+      Seq(s"end=${ptr.entries.size}")).mkString("\n")
     AtomicRename.publishSmallFile(fs, pointerPath(root),
       body.getBytes(java.nio.charset.StandardCharsets.UTF_8),
       s".tmp-${ProcessHandle.current().pid()}")
@@ -204,6 +238,26 @@ object PartitionPointer {
       if (vs.isEmpty) 0 else vs.max + 1
     }
   }
+
+  def tablePath(root: Path, name: String, v: Int): Path =
+    new Path(root, s"$TablesDir/$name/tv=$v")
+
+  /** [[freshVersion]] for an aux table's next generation. */
+  private def freshTableVersion(fs: FileSystem, root: Path, name: String): Int = {
+    val td = new Path(root, s"$TablesDir/$name")
+    if (!fs.exists(td)) 0
+    else {
+      val vs = fs.listStatus(td).flatMap(s =>
+        s.getPath.getName.stripPrefix("tv=").toIntOption)
+      if (vs.isEmpty) 0 else vs.max + 1
+    }
+  }
+
+  /** The LIVE versioned dir of aux table `name`, when the pointer
+    * carries one — the caller keeps its legacy location otherwise. */
+  def liveTable(fs: FileSystem, root: Path, name: String): Option[Path] =
+    readPtr(fs, root).flatMap(_.tables.get(name))
+      .collect { case e if e.live >= 0 => tablePath(root, name, e.live) }
 
   /** Pointer-aware store read: None when the dir has no pointer (caller
     * keeps its legacy read), else the resolved (frame, hasData). The
@@ -258,7 +312,8 @@ object PartitionPointer {
     * object doc). Caller holds the store lock (append cycles always
     * do), so the pointer cannot change mid-append. */
   def appendPartitioned(spark: SparkSession, dir: String,
-      rows: DataFrame, partCol: String): Boolean = {
+      rows: DataFrame, partCol: String,
+      sortCols: Seq[String] = Nil): Boolean = {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     var ptr = readPtr(fs, root).getOrElse(return false)
@@ -267,7 +322,9 @@ object PartitionPointer {
     val tmp = new Path(root,
       s"$AppendTmpPrefix${ProcessHandle.current().pid()}")
     fs.delete(tmp, true)
-    rows.repartition(col(partCol))
+    val repart = rows.repartition(col(partCol))
+    (if (sortCols.nonEmpty) repart.sortWithinPartitions(sortCols.map(col): _*)
+     else repart)
       .write.partitionBy(partCol).mode("overwrite").parquet(tmp.toString)
     val staged = fs.listStatus(tmp).toIndexedSeq.map(_.getPath)
       .filter(_.getName.startsWith(s"$partCol="))
@@ -282,7 +339,7 @@ object PartitionPointer {
         fs.delete(new Path(root, n), true)
         fs.delete(new Path(root, s"$PartsDir/$n"), true)
       }
-      ptr = Ptr(ptr.seq + 1, ptr.partCol, ptr.entries -- resurrect)
+      ptr = ptr.copy(seq = ptr.seq + 1, entries = ptr.entries -- resurrect)
       publish(fs, root, ptr)
     }
     staged.foreach { pd =>
@@ -312,7 +369,8 @@ object PartitionPointer {
     * are collected by [[sweepGarbage]] after the grace cycle. */
   def commitSwap(spark: SparkSession, root: Path, partCol: String,
       lines: Seq[String], tmp: Path,
-      bumpEpoch: () => Unit): Unit = {
+      bumpEpoch: () => Unit,
+      tableStages: Map[String, Path] = Map.empty): Unit = {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ptr0 = readPtr(fs, root).getOrElse(Ptr(0L, partCol, Map.empty))
     require(ptr0.partCol == partCol,
@@ -325,6 +383,18 @@ object PartitionPointer {
       case None =>
         if (fs.exists(new Path(root, name))) PrevLegacy else NoPrev
     }
+    // an entry's grace-held prev is about to be OVERWRITTEN by this
+    // swap's bookkeeping — delete the generation now or it leaks as an
+    // unreferenced orphan (two back-to-back swaps of one partition
+    // never give the grace sweep a later-publish window). Safe within
+    // the grace contract: the outgoing prev predates the CURRENT live
+    // generation, so only a reader two-or-more swaps stale could still
+    // hold it, and epoch revalidation has already sent such readers
+    // back to re-resolve.
+    def dropOutgoingPrev(name: String): Unit = entries.get(name).foreach { e =>
+      if (e.prev >= 0) fs.delete(versionedPath(root, name, e.prev), true)
+      else if (e.prev == PrevLegacy) fs.delete(new Path(root, name), true)
+    }
     lines.foreach { l =>
       l.split(":", 2) match {
         case Array("replace", name) =>
@@ -333,13 +403,33 @@ object PartitionPointer {
           fs.mkdirs(dst.getParent)
           require(fs.rename(new Path(tmp, name), dst),
             s"pointer stage move failed: $tmp/$name -> $dst")
+          dropOutgoingPrev(name)
           entries += name -> Entry(fresh, prevOf(name), newSeq)
         case Array("drop", name) =>
+          dropOutgoingPrev(name)
           entries += name -> Entry(Tombstone, prevOf(name), newSeq)
         case other => sys.error(s"corrupt swap line: $l")
       }
     }
-    publish(fs, root, Ptr(newSeq, partCol, entries))
+    // aux tables ride the SAME publish (see [[TablesDir]]): each staged
+    // table moves to a fresh unreferenced tv= path first, so a crash
+    // before the PUT leaves only orphans for [[sweepGarbage]]
+    var tables = ptr0.tables
+    tableStages.foreach { case (name, staged) =>
+      val fresh = freshTableVersion(fs, root, name)
+      val dst = tablePath(root, name, fresh)
+      fs.mkdirs(dst.getParent)
+      require(fs.rename(staged, dst),
+        s"pointer table stage move failed: $staged -> $dst")
+      // same outgoing-prev rule as the partitions above
+      tables.get(name).foreach { e =>
+        if (e.prev >= 0) fs.delete(tablePath(root, name, e.prev), true)
+      }
+      val prev = tables.get(name).collect { case e if e.live >= 0 => e.live }
+        .getOrElse(NoPrev)
+      tables += name -> Entry(fresh, prev, newSeq)
+    }
+    publish(fs, root, Ptr(newSeq, partCol, entries, tables))
     bumpEpoch()
     fs.delete(tmp, true)
   }
@@ -410,6 +500,32 @@ object PartitionPointer {
         changed = true
       }
     }
-    if (changed) publish(fs, root, Ptr(ptr.seq + 1, ptr.partCol, entries))
+    // 4. aux tables, same rules: grace-expired previous generations,
+    // then orphan tv dirs (crashed swaps) and table dirs the pointer no
+    // longer names at all
+    var tables = ptr.tables
+    ptr.tables.foreach { case (n, e) =>
+      if (e.prev >= 0 && ptr.seq > e.chSeq) {
+        fs.delete(tablePath(root, n, e.prev), true)
+        tables += n -> e.copy(prev = NoPrev)
+        changed = true
+      }
+    }
+    val tablesRoot = new Path(root, TablesDir)
+    if (fs.exists(tablesRoot)) {
+      fs.listStatus(tablesRoot).map(_.getPath).foreach { td =>
+        tables.get(td.getName) match {
+          case None => fs.delete(td, true)
+          case Some(e) =>
+            val keep = Seq(e.live, e.prev).filter(_ >= 0).toSet
+            fs.listStatus(td).map(_.getPath)
+              .filter(_.getName.startsWith("tv="))
+              .filterNot(_.getName.stripPrefix("tv=").toIntOption.exists(keep))
+              .foreach(p => fs.delete(p, true))
+        }
+      }
+    }
+    if (changed)
+      publish(fs, root, Ptr(ptr.seq + 1, ptr.partCol, entries, tables))
   }
 }

@@ -113,16 +113,24 @@ object IncrementalComponents {
     * corpus. */
   def labels(spark: SparkSession, storeDir: String): DataFrame = {
     ensureReadable(spark, storeDir)
-    val lp = new org.apache.hadoop.fs.Path(storeDir, LabelsDir)
-    val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(lp))
+    // merge map BEFORE the label listing — the lock-free order that
+    // makes every interleaving with a concurrent pointer-mode fold
+    // correct: the fold commits folded labels (one PUT), THEN deletes
+    // the log. A partially-deleted log can therefore only be observed
+    // with the POST-fold labels (already canonical: the stale rows'
+    // dethroned roots no longer appear as components, so applying any
+    // subset of them is a no-op), while a full log pairs correctly
+    // with either generation. Listing labels first would permit
+    // old-labels + partial-log — under-resolved components.
+    val mm = mergeMap(spark, storeDir)
+    val (base, has) = IncrementalDedup.readStoreRaw(spark,
+      s"$storeDir/$LabelsDir", "v BIGINT, component BIGINT, bp INT")
+    if (!has)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(
           "v BIGINT, component BIGINT"))
-    val base = spark.read.schema("v BIGINT, component BIGINT, bp INT")
-      .parquet(lp.toString).drop("bp")
-    resolve(base, mergeMap(spark, storeDir))
+    resolve(base.drop("bp"), mm)
   }
 
   /** Join `frame`'s `component` column through the compressed merge
@@ -152,13 +160,11 @@ object IncrementalComponents {
       requestedParts: Int): Int = {
     sweepCompact(spark, srcDir) // finish any crashed compact swap first
     Retract.sweep(spark, s"$srcDir/$LabelsDir")
-    val lp = new org.apache.hadoop.fs.Path(srcDir, LabelsDir)
-    val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val readL = IncrementalDedup.readStoreRaw(spark, s"$srcDir/$LabelsDir",
+      "v BIGINT, component BIGINT, bp INT")
     val resolved =
-      if (!fs.exists(lp)) None
-      else Some(resolve(
-        spark.read.schema("v BIGINT, component BIGINT, bp INT")
-          .parquet(lp.toString).drop("bp"),
+      if (!readL._2) None
+      else Some(resolve(readL._1.drop("bp"),
         mergeMap(spark, srcDir)).localCheckpoint())
     val parts =
       if (requestedParts > 0) requestedParts
@@ -244,9 +250,13 @@ object IncrementalComponents {
     val fs = lpPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val mm = mergeMap(spark, storeDir)
     // existing assignments of the batch's endpoints: partition-pruned to
-    // the batch's own hash range, resolved through the merge log
+    // the batch's own hash range, resolved through the merge log —
+    // pointer-aware read (rename-less schemes commit folds/retractions
+    // by pointer flip; a blind listing would miss versioned partitions)
+    val readL = IncrementalDedup.readStoreRaw(spark, lp,
+      "v BIGINT, component BIGINT, bp INT")
     val existing =
-      if (!fs.exists(lpPath))
+      if (!readL._2)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           org.apache.spark.sql.types.StructType.fromDDL(
@@ -256,9 +266,7 @@ object IncrementalComponents {
           .select(bpOf(storeParts, col("v")).as("bp")).distinct()
           .collect().map(_.getInt(0)).toIndexedSeq
         resolve(
-          spark.read.schema("v BIGINT, component BIGINT, bp INT")
-            .parquet(lp)
-            .filter(col("bp").isin(touched: _*)).drop("bp")
+          IncrementalDedup.prune(readL._1, touched).drop("bp")
             .join(verts, Seq("v"), "left_semi"),
           mm)
       }
@@ -278,8 +286,9 @@ object IncrementalComponents {
     val fresh = comp.join(verts, Seq("v"), "left_semi")
       .join(existingCk.select("v"), Seq("v"), "left_anti")
       .withColumn("bp", bpOf(storeParts, col("v")))
-    fresh.repartition(col("bp"))
-      .write.partitionBy("bp").mode("append").parquet(lp)
+    // pointer-aware append (appendStore routes through
+    // PartitionPointer.appendPartitioned on pointer stores)
+    IncrementalDedup.appendStore(fresh, lp)
     // 2. dethroned roots get a merge row: roots whose NEW component is
     //    smaller than themselves. O(touched clusters) rows.
     val dethroned = comp
@@ -380,11 +389,11 @@ object IncrementalComponents {
       labels0.filter(col("bp").isin(bps: _*))).count()
     val ownOf = Retract.semiOn(spark, ids, "v")
     val namedOf = Retract.semiOn(spark, ids, "component")
-    // allowPointer=false: labels() and the compaction fold read this
-    // table with direct schema'd spark.read.parquet listings that
-    // cannot resolve a partition pointer — rename-less schemes keep
-    // the r16 gate + override contract here (the inner compactLocked
-    // swap is rename-fenced anyway)
+    // allowPointer (r18 verdict #1): labels(), the fold, and the batch
+    // cycle all read this table through the pointer-aware readStoreRaw,
+    // so rename-less schemes commit this swap by pointer flip with NO
+    // override (and the fold itself commits by pointer too — see
+    // compactLocked)
     Retract.rewriteTouched(spark, lp, "bp",
       df => ownOf(df).unionByName(namedOf(df)),
       df => {
@@ -396,7 +405,7 @@ object IncrementalComponents {
         kept.join(broadcast(canon), Seq("component"), "left")
           .withColumn("component", coalesce(col("__new"), col("component")))
           .drop("__new")
-      }, allowPointer = false)
+      })
     removed
   }
 
@@ -433,32 +442,73 @@ object IncrementalComponents {
         import org.apache.hadoop.fs.Path
         val root = new Path(storeDir)
         val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        // swap-fence scheme gate (r18 review: this delete+rename of the
-        // WHOLE labels table was the one store swap the r16 discipline
-        // missed — a concurrent labels() read on a rename-less scheme
-        // would list a half-copied table with no loud failure). Gated
-        // at entry before staging, like every other swap; sweepCompact
-        // (the heal of a committed _compact_ready) stays ungated.
-        graft.fs.AtomicRename.requireForSwap(root,
-          spark.sparkContext.hadoopConfiguration,
-          "clusters-store compaction fold")
         val lp = s"$storeDir/$LabelsDir"
-        val base = spark.read.schema("v BIGINT, component BIGINT, bp INT")
-          .parquet(lp)
+        val lpRoot = new Path(lp)
+        // POINTER COMMIT on rename-less schemes (r18 verdict #1,
+        // upgrading the r18-review gate to real support): relabeling
+        // never moves a row between partitions, so the fold is a
+        // replace-every-partition swap — stage it, move each staged bp
+        // to a fresh unreferenced pv= path, and commit with ONE pointer
+        // PUT (no marker: a crash before the PUT rolls BACK to the
+        // unfolded state + intact log; after it, the fold is committed
+        // and the merge-log delete below is GC — replaying a stale log
+        // over folded labels is a no-op, since the dethroned roots no
+        // longer appear as any row's component).
+        val pointerMode = !graft.fs.AtomicRename.isAtomic(root) ||
+          graft.fs.PartitionPointer.active(fs, lpRoot)
+        if (!pointerMode)
+          // swap-fence scheme gate for the rename path (r18 review):
+          // sweepCompact (the heal of a committed _compact_ready) stays
+          // ungated
+          graft.fs.AtomicRename.requireForSwap(root,
+            spark.sparkContext.hadoopConfiguration,
+            "clusters-store compaction fold")
+        val (base0, hasData) = IncrementalDedup.readStoreRaw(spark, lp,
+          "v BIGINT, component BIGINT, bp INT")
+        if (!hasData) return 0L
         val obs = org.apache.spark.sql.Observation()
         val resolved = resolve(
-          base.withColumn("__prev", col("component")), mm)
+          base0.withColumn("__prev", col("component")), mm)
           .observe(obs, count(when(col("component") =!= col("__prev"),
             lit(1))).as("changed"))
           .drop("__prev")
-        val tmp = new Path(root, "_compact_tmp")
-        fs.delete(tmp, true)
-        resolved.repartition(col("bp"))
-          .write.partitionBy("bp").parquet(tmp.toString)
-        val changed = obs.get("changed").asInstanceOf[Long]
-        fs.create(new Path(root, "_compact_ready"), true).close()
-        finishSwap(fs, root)
-        changed
+        if (pointerMode) {
+          val tmp = new Path(lpRoot, "_fold_tmp")
+          fs.delete(tmp, true)
+          resolved.repartition(col("bp"))
+            .write.partitionBy("bp").parquet(tmp.toString)
+          val changed = obs.get("changed").asInstanceOf[Long]
+          val staged = fs.listStatus(tmp).toIndexedSeq
+            .map(_.getPath.getName).filter(_.startsWith("bp="))
+          // every live partition restages (the fold preserves rows);
+          // drop is defensive completeness for a live partition that
+          // somehow staged nothing
+          val liveNow: Set[String] = {
+            val legacy = fs.listStatus(lpRoot).map(_.getPath.getName)
+              .filter(_.startsWith("bp=")).toSet
+            graft.fs.PartitionPointer.readPtr(fs, lpRoot) match {
+              case Some(p) =>
+                p.entries.collect { case (n, e) if e.live >= 0 => n }.toSet ++
+                  (legacy -- p.entries.keySet)
+              case None => legacy
+            }
+          }
+          val lines = staged.map(n => s"replace:$n") ++
+            (liveNow -- staged).toSeq.sorted.map(n => s"drop:$n")
+          graft.fs.PartitionPointer.commitSwap(spark, lpRoot, "bp", lines,
+            tmp, () => Retract.bumpEpochAt(spark, lp))
+          fs.delete(new Path(root, MergesDir), true)
+          changed
+        } else {
+          val tmp = new Path(root, "_compact_tmp")
+          fs.delete(tmp, true)
+          resolved.repartition(col("bp"))
+            .write.partitionBy("bp").parquet(tmp.toString)
+          val changed = obs.get("changed").asInstanceOf[Long]
+          fs.create(new Path(root, "_compact_ready"), true).close()
+          finishSwap(fs, root)
+          changed
+        }
       }
     }
 
@@ -486,5 +536,9 @@ object IncrementalComponents {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new Path(root, "_compact_ready"))) finishSwap(fs, root)
     else fs.delete(new Path(root, "_compact_tmp"), true)
+    // pointer-mode fold staging from a pre-commit crash (roll-back:
+    // the pointer never named it); orphan pv dirs are swept by the
+    // Retract.sweep -> PartitionPointer.sweepGarbage every cycle runs
+    fs.delete(new Path(root, s"$LabelsDir/_fold_tmp"), true)
   }
 }

@@ -69,6 +69,38 @@ object IvfIndex {
       Retract.setEpochAt(spark, s"$indexDir/assignments", 1L)
     }
 
+  /** The assignments table, pointer-resolved (r18 verdict #1): on
+    * rename-less schemes mutations commit by pointer flip
+    * ([[graft.fs.PartitionPointer]]), so live rows are the resolved
+    * union of legacy `cell=` dirs and versioned generations — a blind
+    * `spark.read.parquet` listing would miss the latter. EVERY read
+    * surface (search probe, occupancy, append anti-join + width guard,
+    * rebuild corpus) goes through here; that centralization is what
+    * lets retraction AND the recluster's whole-layout swap run on
+    * object stores with NO override. Rename-atomic stores never grow a
+    * pointer, so their read is byte-identical to before. */
+  private[ops] def assignmentsDf(
+      spark: SparkSession, indexDir: String): DataFrame = {
+    val dir = s"$indexDir/assignments"
+    graft.fs.PartitionPointer.readWholeInferred(spark, dir)
+      .getOrElse(spark.read.parquet(dir))
+  }
+
+  /** The centroids table, pointer-resolved: a pointer-mode rebuild
+    * versions it under `assignments/_tables/centroids/tv=K` so the ONE
+    * pointer PUT commits centroids and cell partitions together (a
+    * two-PUT commit would let a reader pair new assignments with old
+    * centroids as a STABLE state after a crash between them). */
+  private[ops] def centroidsDf(
+      spark: SparkSession, indexDir: String): DataFrame = {
+    val aRoot = new org.apache.hadoop.fs.Path(s"$indexDir/assignments")
+    val fs = aRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.fs.PartitionPointer.liveTable(fs, aRoot, "centroids") match {
+      case Some(p) => spark.read.parquet(p.toString)
+      case None    => spark.read.parquet(s"$indexDir/centroids")
+    }
+  }
+
   /** The one assignments writer all mutations share. Adds the int8 probe
     * `code` ([[graft.functions.QuantizeCode]] — 8× smaller than the
     * double vector, the column a coded probe scans INSTEAD of `vec`) and
@@ -129,7 +161,7 @@ object IvfIndex {
       // the same partitions and make every later read throw. Upcasting
       // into a double table is exact; anything else is the caller's
       // bug, surfaced loudly here instead of at the next search.
-      val tableSchema = spark.read.parquet(s"$indexDir/assignments").schema
+      val tableSchema = assignmentsDf(spark, indexDir).schema
       val tableElem = tableSchema("vec").dataType match {
           case org.apache.spark.sql.types.ArrayType(e, _) => e
           case other => throw new IllegalStateException(
@@ -155,7 +187,7 @@ object IvfIndex {
         // WITHIN the batch (neither copy is in the table yet) — both
         // would commit and the neighbor would surface at two ranks
         .dropDuplicates("id")
-      val centroids = spark.read.parquet(s"$indexDir/centroids")
+      val centroids = centroidsDf(spark, indexDir)
       val assigned = Similarity.assignCells(cand, centroids)
         // reused by the touched probe, the anti-join, and the write
         .localCheckpoint()
@@ -166,15 +198,22 @@ object IvfIndex {
         .join(existing.select(col("id")), Seq("id"), "left_anti")
       // an index built before the code column existed stays UNCODED —
       // appending coded rows into it would leave nulls on the old rows
-      // and a coded probe would silently drop them; rebuild() upgrades
-      if (tableSchema.fieldNames.contains("code"))
-        writeAssignments(fresh, s"$indexDir/assignments",
-          org.apache.spark.sql.SaveMode.Append)
-      else fresh
-        .repartition(col("cell"))
-        .sortWithinPartitions("cell", "id")
-        .write.mode("append").partitionBy("cell")
-        .parquet(s"$indexDir/assignments")
+      // and a coded probe would silently drop them; rebuild() upgrades.
+      // Pointer stores stage-and-move per file (appendPartitioned) so
+      // rows land in each touched cell's LIVE generation, not a hidden
+      // legacy dir a versioned entry supersedes.
+      val freshRows =
+        if (tableSchema.fieldNames.contains("code"))
+          fresh.withColumn("code", graft.functions.Vec.code(col("vec")))
+        else fresh
+      if (!graft.fs.PartitionPointer.appendPartitioned(spark,
+          s"$indexDir/assignments", freshRows, "cell",
+          sortCols = Seq("cell", "id")))
+        freshRows
+          .repartition(col("cell"))
+          .sortWithinPartitions("cell", "id")
+          .write.mode("append").partitionBy("cell")
+          .parquet(s"$indexDir/assignments")
       val trigger = rebuildImbalance > 0 &&
         imbalance(spark, indexDir) > rebuildImbalance
       if (trigger) rebuildLocked(spark, indexDir, rebuildIters)
@@ -192,7 +231,14 @@ object IvfIndex {
     import org.apache.hadoop.fs.Path
     val root = new Path(indexDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val missing = IndexTables.exists(n => !fs.exists(new Path(root, n)))
+    // a table is missing only when NEITHER its legacy dir nor (for
+    // centroids) a pointer-versioned live table exists — on pointer
+    // stores the legacy centroids dir is legitimately absent once a
+    // rebuild versioned it under the assignments pointer
+    val aRoot = new Path(root, "assignments")
+    val missing = !fs.exists(aRoot) ||
+      (!fs.exists(new Path(root, "centroids")) &&
+        graft.fs.PartitionPointer.liveTable(fs, aRoot, "centroids").isEmpty)
     if ((missing && fs.exists(new Path(root, RebuildReady))) ||
         Retract.pending(spark, s"$indexDir/assignments") ||
         Retract.armBusy(spark, s"$indexDir/assignments"))
@@ -232,14 +278,13 @@ object IvfIndex {
       spark.sparkContext.hadoopConfiguration) {
       sweepRebuild(spark, indexDir)
       val dd = ids.distinct
-      // allowPointer=false: the IVF read surface (search, occupancy,
-      // rebuild, append anti-join) lists assignments/ with direct
-      // spark.read.parquet and cannot resolve a partition pointer —
-      // rename-less schemes keep the r16 gate + override contract here
-      // until those reads are centralized
+      // allowPointer (r18 verdict #1): the whole IVF read surface
+      // (search, occupancy, rebuild, append anti-join) resolves the
+      // partition pointer via assignmentsDf/centroidsDf, so rename-less
+      // schemes commit this swap by pointer flip with NO override
       Retract.rewriteTouched(spark, s"$indexDir/assignments", "cell",
         Retract.semiOn(spark, dd, "id"), Retract.antiOn(spark, dd, "id"),
-        sortCols = Seq("cell", "id"), allowPointer = false)
+        sortCols = Seq("cell", "id"))
     }
   }
 
@@ -251,7 +296,7 @@ object IvfIndex {
     * directory and so no row here. */
   def cellOccupancy(spark: SparkSession, indexDir: String): DataFrame = {
     ensureReadable(spark, indexDir)
-    spark.read.parquet(s"$indexDir/assignments")
+    assignmentsDf(spark, indexDir)
       .groupBy("cell").agg(count(lit(1)).as("n"))
   }
 
@@ -279,20 +324,14 @@ object IvfIndex {
   def rebuild(spark: SparkSession, indexDir: String, kmeansIters: Int = 2): Unit =
     graft.fs.StoreLock.withLock(indexDir,
       spark.sparkContext.hadoopConfiguration) {
-      // swap-fence scheme gate (r17 ADVICE, medium): the rebuild swap
-      // replaces the ENTIRE live tables by directory rename — on a
-      // rename-less scheme (copy+delete) a concurrent search would read
-      // a half-copied assignments table with no loud failure, because
-      // ensureReadable's heal only fires when a table is MISSING, never
-      // partially populated. Gate at ENTRY before any staging, exactly
-      // like retract/deleteWhere/compact; sweepRebuild (the crash heal
-      // of an already-committed _rebuild_ready) stays ungated — a
-      // committed marker must always roll forward.
+      // No scheme gate (r18 verdict #1 — the r17 gate upgraded to real
+      // support): on rename-less schemes the whole-layout swap commits
+      // by ONE pointer PUT covering every cell partition AND the
+      // centroids table (see rebuildLocked's pointer branch), so the
+      // recluster runs on object stores with no override and no torn
+      // reader window.
       sweepRebuild(spark, indexDir)
       Retract.sweep(spark, s"$indexDir/assignments")
-      graft.fs.AtomicRename.requireForSwap(
-        new org.apache.hadoop.fs.Path(indexDir),
-        spark.sparkContext.hadoopConfiguration, "ivf rebuild")
       rebuildLocked(spark, indexDir, kmeansIters)
     }
 
@@ -309,7 +348,7 @@ object IvfIndex {
       require(fs.rename(src, dst), s"rename failed: $src -> $dst")
     val tmp = new Path(root, RebuildTmp)
     fs.delete(tmp, true)
-    val corpus = spark.read.parquet(s"$indexDir/assignments")
+    val corpus = assignmentsDf(spark, indexDir)
       .select("id", "vec")
     // nlist comes from the build-time manifest (r14 — the former "known
     // ratchet" closed): kmeansCentroids drops cells that received no
@@ -319,7 +358,7 @@ object IvfIndex {
     // the next build().
     val nlist = IncrementalDedup.manifestValue(spark, indexDir, "nlist")
       .map(_.toInt)
-      .getOrElse(spark.read.parquet(s"$indexDir/centroids").count().toInt)
+      .getOrElse(centroidsDf(spark, indexDir).count().toInt)
     // build the COMPLETE new generation under tmp — reads the live
     // tables, writes elsewhere, so no read-under-overwrite hazard
     val cents =
@@ -332,6 +371,53 @@ object IvfIndex {
     // index to the coded layout
     writeAssignments(Similarity.assignCells(corpus, newCents),
       s"$tmp/assignments", org.apache.spark.sql.SaveMode.Overwrite)
+    // POINTER COMMIT on rename-less schemes (r18 verdict #1): the
+    // rename path below replaces whole directories, which object-store
+    // schemes implement as file-by-file copy+delete — the r17 gate
+    // refused the recluster there. Here the complete staged generation
+    // commits with ONE pointer PUT instead: every staged cell moves to
+    // a fresh unreferenced pv= path, the centroids table to a fresh
+    // tv= path, and the single publish flips all of them atomically
+    // (graft.fs.PartitionPointer.commitSwap + tableStages). The
+    // assignments DIR is never deleted, so the swap epoch counter
+    // survives — no preEpoch capture, no roll-forward marker: a crash
+    // before the PUT leaves only unreferenced orphans (roll-BACK — the
+    // rebuild simply didn't happen; sweepGarbage collects), a crash
+    // after it is fully committed. The arm sentinel brackets the whole
+    // window exactly like the rename path.
+    val aDir = s"$indexDir/assignments"
+    val aRoot = new Path(aDir)
+    if (!graft.fs.AtomicRename.isAtomic(root) ||
+        graft.fs.PartitionPointer.active(fs, aRoot)) {
+      Retract.armRaise(spark, aDir)
+      val staged = fs.listStatus(new Path(tmp, "assignments")).toIndexedSeq
+        .map(_.getPath.getName).filter(_.startsWith("cell="))
+      val liveNow: Set[String] = {
+        val legacy =
+          if (!fs.exists(aRoot)) Set.empty[String]
+          else fs.listStatus(aRoot).map(_.getPath.getName)
+            .filter(_.startsWith("cell=")).toSet
+        graft.fs.PartitionPointer.readPtr(fs, aRoot) match {
+          case Some(p) =>
+            p.entries.collect { case (n, e) if e.live >= 0 => n }.toSet ++
+              (legacy -- p.entries.keySet)
+          case None => legacy
+        }
+      }
+      val lines = staged.map(n => s"replace:$n") ++
+        (liveNow -- staged).toSeq.sorted.map(n => s"drop:$n")
+      graft.fs.PartitionPointer.commitSwap(spark, aRoot, "cell", lines,
+        new Path(tmp, "assignments"),
+        () => Retract.bumpEpochAt(spark, aDir),
+        tableStages = Map("centroids" -> new Path(tmp, "centroids")))
+      // the legacy centroids dir is superseded by the pointer's
+      // versioned table (readers resolve the pointer first) — deleting
+      // it is GC; a crash here is re-swept by sweepRebuild's hygiene
+      fs.delete(new Path(root, "centroids"), true)
+      fs.delete(tmp, true)
+      Retract.armClear(spark, aDir)
+      return
+    }
     // the swap DESTROYS assignments/ and its _retract_epoch with it —
     // capture the old value FIRST and publish old+1 into the fresh dir,
     // so successive generations stay seqlock-DISTINGUISHABLE (a plain
@@ -444,6 +530,13 @@ object IvfIndex {
       fs.delete(ready, false)
     }
     fs.delete(tmp, true)
+    // pointer-mode hygiene: a superseded legacy centroids dir (crash
+    // between the pointer PUT and its GC delete) — readers never
+    // resolve it once the pointer names a live versioned table
+    val aRoot = new Path(root, "assignments")
+    if (fs.exists(new Path(root, "centroids")) &&
+        graft.fs.PartitionPointer.liveTable(fs, aRoot, "centroids").isDefined)
+      fs.delete(new Path(root, "centroids"), true)
   }
 
   /** The assignments scan restricted to `cells` — THE partition-pruned
@@ -458,7 +551,7 @@ object IvfIndex {
     * append anti-join's witness would vanish. Dispatch on the schema. */
   private[ops] def probedAssignments(
       spark: SparkSession, indexDir: String, cells: Seq[Long]): DataFrame = {
-    val df = spark.read.parquet(s"$indexDir/assignments")
+    val df = assignmentsDf(spark, indexDir)
     val lits: Seq[Any] = df.schema("cell").dataType match {
       case org.apache.spark.sql.types.IntegerType => cells.map(_.toInt)
       case _                                      => cells
@@ -586,7 +679,7 @@ object IvfIndex {
       vecCol: String,
       rerank: Int): DataFrame = {
     ensureReadable(spark, indexDir)
-    val centroids = broadcast(spark.read.parquet(s"$indexDir/centroids"))
+    val centroids = broadcast(centroidsDf(spark, indexDir))
     val qcells = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
       .join(centroids)

@@ -252,8 +252,10 @@ object Retract {
 
   /** Heal a crashed retraction: marker present → finish the swap
     * (roll forward); marker absent → any staging dir is a pre-commit
-    * crash, discard it. Run by every locked store read. */
-  private[ops] def sweep(spark: SparkSession, dataDir: String): Unit = {
+    * crash, discard it. Run by every locked store read (private[graft]:
+    * the soak's pointer-GC cadence probe also times it, under its own
+    * lock hold). */
+  private[graft] def sweep(spark: SparkSession, dataDir: String): Unit = {
     import org.apache.hadoop.fs.Path
     val root = new Path(dataDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -33,13 +33,56 @@ import org.apache.spark.sql.functions._
   */
 object StoreFsck {
 
+  /** Structural finding identity (r18 verdict #7): repair used to
+    * dispatch on check-name STRINGS and told the two doc_index warn
+    * forms apart by detail substring — a renamed check or reworded
+    * detail silently rerouted repairs. Each kind is a case object;
+    * `name` is the stable surface string the CLI/PyBridge/tests print
+    * and match. Two kinds may share a surface name (the doc_index warn
+    * forms) while staying structurally distinct. Sealed, so the repair
+    * dispatch is compiler-checked exhaustive: a new check cannot be
+    * added without deciding its remedy. */
+  sealed abstract class Kind(val name: String)
+  object Kind {
+    case object Store extends Kind("store")
+    case object Manifest extends Kind("manifest")
+    case object RequiredFeatures extends Kind("required_features")
+    case object Layout extends Kind("layout")
+    case object Pointer extends Kind("pointer")
+    case object PointerDangling extends Kind("pointer_dangling")
+    case object PointerOrphan extends Kind("pointer_orphan")
+    case object Partitions extends Kind("partitions")
+    case object Markers extends Kind("markers")
+    case object Lock extends Kind("lock")
+    case object Debris extends Kind("debris")
+    case object Bm25Stats extends Kind("bm25_stats")
+    /** manifest says doc_index=1 but the directory is absent. */
+    case object DocIndexMissing extends Kind("doc_index")
+    /** the directory exists but the manifest does not flag it. */
+    case object DocIndexUnflagged extends Kind("doc_index")
+    case object DocIndexSuperset extends Kind("doc_index_superset")
+    case object DocIndexPartitioning extends Kind("doc_index_partitioning")
+    case object Bucketing extends Kind("bucketing")
+    case object GramBloomSuperset extends Kind("gram_bloom_superset")
+    case object TermBloomSuperset extends Kind("term_bloom_superset")
+    case object Bm25Referential extends Kind("bm25_referential")
+    case object KeeperUniqueness extends Kind("keeper_uniqueness")
+    case object IvfCellReferential extends Kind("ivf_cell_referential")
+    case object IvfCodes extends Kind("ivf_codes")
+    case object LabelUniqueness extends Kind("label_uniqueness")
+  }
+
   /** One finding: `level` is "error" (an invariant is violated — data
     * loss or wrong answers possible) or "warn" (debris or an in-flight/
-    * healable state — the next locked cycle resolves it). */
-  final case class Finding(level: String, check: String, detail: String)
+    * healable state — the next locked cycle resolves it). `check` is
+    * the kind's stable surface name. */
+  final case class Finding(level: String, kind: Kind, detail: String) {
+    def check: String = kind.name
+    override def toString: String = s"Finding($level,$check,$detail)"
+  }
 
-  private def err(check: String, detail: String) = Finding("error", check, detail)
-  private def warn(check: String, detail: String) = Finding("warn", check, detail)
+  private def err(kind: Kind, detail: String) = Finding("error", kind, detail)
+  private def warn(kind: Kind, detail: String) = Finding("warn", kind, detail)
 
   private val KnownVariants =
     Set("exact", "span", "minhash", "simhash", "ngram", "embedding",
@@ -50,7 +93,7 @@ object StoreFsck {
     import org.apache.hadoop.fs.Path
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return Seq(err("store", s"$dir does not exist"))
+    if (!fs.exists(root)) return Seq(err(Kind.Store, s"$dir does not exist"))
     val out = scala.collection.mutable.ListBuffer[Finding]()
 
     // ---- manifest ----
@@ -58,26 +101,26 @@ object StoreFsck {
       try IncrementalDedup.storeManifest(spark, dir)
       catch {
         case e: Exception =>
-          return Seq(err("manifest",
+          return Seq(err(Kind.Manifest,
             s"unreadable _graft_store.json: ${e.getMessage}"))
       }
     if (mf.isEmpty)
-      return Seq(err("manifest",
+      return Seq(err(Kind.Manifest,
         s"$dir has no _graft_store.json — foreign or pre-manifest store"))
     val variant = mf.getOrElse("variant", "")
     if (!KnownVariants(variant))
-      return (out += err("manifest", s"unknown variant '$variant'")).toList
+      return (out += err(Kind.Manifest, s"unknown variant '$variant'")).toList
     val partsOpt = mf.get("store_parts").flatMap(s => s.toIntOption)
     // ivf indexes are cell-partitioned on learned centroids — their
     // geometry key is nlist, not store_parts
     if (partsOpt.isEmpty && variant != "ivf")
-      out += err("manifest", s"store_parts missing or non-integer: " +
+      out += err(Kind.Manifest, s"store_parts missing or non-integer: " +
         mf.getOrElse("store_parts", "<absent>"))
     val demanded = mf.get("required_features").toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
     val unknownFeats = demanded.filterNot(IncrementalDedup.UnderstoodFeatures)
     if (unknownFeats.nonEmpty)
-      out += err("required_features",
+      out += err(Kind.RequiredFeatures,
         s"store demands feature(s) this binary does not implement: " +
           unknownFeats.mkString(", "))
 
@@ -105,7 +148,7 @@ object StoreFsck {
     dataDirs.foreach { case (rel, partCol, _) =>
       val p = new Path(abs(rel))
       if (rel.nonEmpty && !fs.exists(p))
-        out += warn("layout", s"${abs(rel)} absent (empty store, or a " +
+        out += warn(Kind.Layout, s"${abs(rel)} absent (empty store, or a " +
           "crashed creation — the next locked cycle creates it)")
       else if (fs.exists(p)) {
         // partition-pointer integrity (rename-less schemes, r18 —
@@ -118,16 +161,38 @@ object StoreFsck {
           try {
             val ptr = graft.fs.PartitionPointer.readPtr(fs, p).get
             if (ptr.partCol != partCol)
-              out += err("pointer", s"${abs(rel)}: pointer partcol " +
+              out += err(Kind.Pointer, s"${abs(rel)}: pointer partcol " +
                 s"'${ptr.partCol}' != layout '$partCol'")
             ptr.entries.foreach { case (n, e) =>
               if (e.live >= 0 && !fs.exists(
                   graft.fs.PartitionPointer.versionedPath(p, n, e.live)))
-                out += err("pointer_dangling", s"${abs(rel)}/$n: pointer " +
+                out += err(Kind.PointerDangling, s"${abs(rel)}/$n: pointer " +
                   s"names live generation pv=${e.live} but the dir is " +
                   "absent — committed rows unreachable; restore the " +
                   "generation or rebuildStore")
             }
+            // aux tables (r19 — the IVF centroids ride the assignments
+            // pointer): dangling live tv = committed table gone
+            ptr.tables.foreach { case (n, e) =>
+              if (e.live >= 0 && !fs.exists(
+                  graft.fs.PartitionPointer.tablePath(p, n, e.live)))
+                out += err(Kind.PointerDangling, s"${abs(rel)}: pointer " +
+                  s"names live table $n tv=${e.live} but the dir is " +
+                  "absent — restore the generation or rebuild")
+            }
+            val tablesDir = new Path(p, "_tables")
+            if (fs.exists(tablesDir))
+              fs.listStatus(tablesDir).foreach { td =>
+                val keep = ptr.tables.get(td.getPath.getName).toSeq
+                  .flatMap(e => Seq(e.live, e.prev)).filter(_ >= 0).toSet
+                fs.listStatus(td.getPath).map(_.getPath.getName)
+                  .filter(_.startsWith("tv="))
+                  .filterNot(_.stripPrefix("tv=").toIntOption.exists(keep))
+                  .foreach(n => out += warn(Kind.PointerOrphan,
+                    s"${abs(rel)}/_tables/${td.getPath.getName}/$n: " +
+                      "unreferenced table generation (crashed swap " +
+                      "staging) — the next locked sweep collects it"))
+              }
             val partsDir = new Path(p, "_parts")
             if (fs.exists(partsDir))
               fs.listStatus(partsDir).foreach { pd =>
@@ -137,19 +202,19 @@ object StoreFsck {
                   .map(_.getPath.getName)
                   .filter(_.startsWith("pv="))
                   .filterNot(_.stripPrefix("pv=").toIntOption.exists(keep))
-                  .foreach(n => out += warn("pointer_orphan",
+                  .foreach(n => out += warn(Kind.PointerOrphan,
                     s"${abs(rel)}/_parts/${pd.getPath.getName}/$n: " +
                       "unreferenced generation (crashed swap staging) — " +
                       "the next locked sweep collects it"))
               }
             fs.listStatus(p).map(_.getPath.getName)
               .filter(_.startsWith("_append_tmp-"))
-              .foreach(n => out += warn("pointer_orphan",
+              .foreach(n => out += warn(Kind.PointerOrphan,
                 s"${abs(rel)}/$n: append staging debris — the next " +
                   "locked sweep collects it"))
           } catch {
             case e: IllegalStateException =>
-              out += err("pointer", s"${abs(rel)}: ${e.getMessage}")
+              out += err(Kind.Pointer, s"${abs(rel)}: ${e.getMessage}")
           }
         }
         // partition dir names parse and sit inside the geometry
@@ -158,11 +223,11 @@ object StoreFsck {
           .foreach { n =>
             val v = n.stripPrefix(s"$partCol=").toLongOption
             if (v.isEmpty)
-              out += err("partitions", s"${abs(rel)}/$n: unparseable $partCol")
+              out += err(Kind.Partitions, s"${abs(rel)}/$n: unparseable $partCol")
             else if (partCol == "bp")
               partsOpt.foreach { parts =>
                 if (v.get < 0 || v.get >= parts)
-                  out += err("partitions",
+                  out += err(Kind.Partitions,
                     s"${abs(rel)}/$n outside geometry store_parts=$parts — " +
                       "a foreign or re-bucketed partition no pruned read " +
                       "will ever open correctly")
@@ -178,7 +243,7 @@ object StoreFsck {
           ("_compact_trash", "a crashed compaction's displaced rows " +
             "(swept by the next locked cycle — rows are NOT lost)"))
           .foreach { case (m, why) =>
-            if (fs.exists(new Path(p, m))) out += warn("markers",
+            if (fs.exists(new Path(p, m))) out += warn(Kind.Markers,
               s"${abs(rel)}/$m present: $why")
           }
       }
@@ -187,14 +252,14 @@ object StoreFsck {
     graft.fs.StoreLock.holder(dir,
       spark.sparkContext.hadoopConfiguration).foreach { h =>
       val age = System.currentTimeMillis() - h.sinceMs
-      out += warn("lock", s"store lock held by ${h.owner} (${age} ms): a " +
+      out += warn(Kind.Lock, s"store lock held by ${h.owner} (${age} ms): a " +
         "live writer mid-cycle, or a crashed holder that goes stale and " +
         "breakable after its staleMs")
     }
     if (fs.exists(root))
       fs.listStatus(root).map(_.getPath.getName)
         .filter(n => n.contains(".tmp-")).foreach(n =>
-          out += warn("debris", s"$dir/$n: orphan temp from a crashed " +
+          out += warn(Kind.Debris, s"$dir/$n: orphan temp from a crashed " +
             "writer (swept opportunistically by later cycles)"))
     // bm25 stats sidecar presence
     if (variant == "bm25") {
@@ -203,7 +268,7 @@ object StoreFsck {
           .exists(_.getPath.getName.startsWith("bp="))) ||
         graft.fs.PartitionPointer.hasLive(fs, new Path(dir, "postings"))
       if (hasPosts && !fs.exists(new Path(dir, "_bm25_stats")))
-        out += err("bm25_stats", s"$dir holds postings but no _bm25_stats " +
+        out += err(Kind.Bm25Stats, s"$dir holds postings but no _bm25_stats " +
           "— run recomputeStats AND retry the crashed batch")
     }
     // doc-index flag vs directory
@@ -218,12 +283,13 @@ object StoreFsck {
     docIdxDirOf.foreach { dd =>
       val ip = new Path(dd, IncrementalDedup.DocIndexDir)
       if (docIdxFlag && !fs.exists(ip))
-        out += warn("doc_index", s"manifest says doc_index=1 but $ip is " +
-          "absent — takedown falls back to full-scan discovery (correct, " +
-          "slower); rebuildStore re-derives it")
+        out += warn(Kind.DocIndexMissing, s"manifest says doc_index=1 but " +
+          s"$ip is absent — takedown falls back to full-scan discovery " +
+          "(correct, slower); rebuildStore re-derives it")
       if (!docIdxFlag && fs.exists(ip))
-        out += warn("doc_index", s"$ip exists but the manifest does not " +
-          "flag it — it will be ignored (and drift); remove or rebuild")
+        out += warn(Kind.DocIndexUnflagged, s"$ip exists but the manifest " +
+          "does not flag it — it will be ignored (and drift); remove or " +
+          "rebuild")
     }
 
     if (!deep) return out.toList
@@ -246,7 +312,7 @@ object StoreFsck {
               col(partCol) =!= IncrementalDedup.bpOf(parts, keys.map(col): _*))
               .count()
             if (bad > 0)
-              out += err("bucketing", s"$d: $bad row(s) whose $partCol does " +
+              out += err(Kind.Bucketing, s"$d: $bad row(s) whose $partCol does " +
                 s"not match pmod(xxhash64(${keys.mkString(",")}), $parts) — " +
                 "pruned reads will never see them; rebuildStore re-buckets")
           }
@@ -279,7 +345,7 @@ object StoreFsck {
             case Some(s) =>
               val p = s.toIntOption
               if (p.isEmpty)
-                out += err("manifest",
+                out += err(Kind.Manifest,
                   s"$dd: doc_index_parts non-integer: '$s' — dp-hash " +
                     "check skipped; rebuildStore rewrites the manifest")
               p
@@ -304,7 +370,7 @@ object StoreFsck {
             else data.limit(0)
           val missing = data.join(idx, Seq("doc_id", "bp"), "left_anti").count()
           if (missing > 0)
-            out += err("doc_index_superset", s"$dd: $missing stored " +
+            out += err(Kind.DocIndexSuperset, s"$dd: $missing stored " +
               "(id, bp) pair(s) unclaimed by _doc_index — an indexed " +
               "takedown would prune discovery PAST them and leave retired " +
               "rows; rebuildStore re-derives the index")
@@ -317,7 +383,7 @@ object StoreFsck {
                 IncrementalDedup.dpOf(dpPartsOpt.get, col("doc_id").cast("long")))
               .count()
           if (wrongDp > 0)
-            out += err("doc_index_partitioning", s"$dd: $wrongDp index " +
+            out += err(Kind.DocIndexPartitioning, s"$dd: $wrongDp index " +
               "row(s) outside their id's dp partition — consults would " +
               "miss them")
         }
@@ -333,7 +399,7 @@ object StoreFsck {
             val miss = read.filter(!graft.functions.SketchExprs
               .bloomMightContain(col("shingle"), bytes)).count()
             if (miss > 0)
-              out += err("gram_bloom_superset", s"$dir: $miss stored " +
+              out += err(Kind.GramBloomSuperset, s"$dir: $miss stored " +
                 "shingle(s) the _gram_bloom denies — pruned probes " +
                 "silently skip their partitions; rebuildStore re-derives")
           }
@@ -348,7 +414,7 @@ object StoreFsck {
             val miss = read.filter(!graft.functions.SketchExprs
               .bloomMightContain(xxhash64(col("term")), bytes)).count()
             if (miss > 0)
-              out += err("term_bloom_superset", s"$dir: $miss stored " +
+              out += err(Kind.TermBloomSuperset, s"$dir: $miss stored " +
                 "term posting(s) the _term_bloom denies — searches drop " +
                 "those terms driver-side; rebuildStore re-derives")
           }
@@ -366,7 +432,7 @@ object StoreFsck {
             coalesce(sum(col("dl")), lit(0.0))).collect().head
           val (n2, nt2, td2) = (row.getLong(0), row.getLong(1), row.getDouble(2))
           if (n != n2 || nt != nt2 || math.abs(td - td2) > 1e-6 * math.max(1.0, td2))
-            out += err("bm25_stats", s"$dir: _bm25_stats ($n, $nt, $td) != " +
+            out += err(Kind.Bm25Stats, s"$dir: _bm25_stats ($n, $nt, $td) != " +
               s"docs/ recompute ($n2, $nt2, $td2) — run recomputeStats")
       }
       if (hasPosts) {
@@ -375,7 +441,7 @@ object StoreFsck {
             else postsDf.select("doc_id").limit(0),
             Seq("doc_id"), "left_anti").count()
         if (orphans > 0)
-          out += err("bm25_referential", s"$dir: $orphans posting doc_id(s) " +
+          out += err(Kind.Bm25Referential, s"$dir: $orphans posting doc_id(s) " +
             "with no docs/ row — the postings-first append-crash shape; " +
             "RETRY the crashed batch (recomputeStats alone cannot heal df)")
       }
@@ -393,7 +459,7 @@ object StoreFsck {
         val dups = read.groupBy(keyCol).agg(count(lit(1)).as("n"))
           .filter(col("n") > 1).count()
         if (dups > 0)
-          out += err("keeper_uniqueness", s"$dir: $dups $keyCol value(s) " +
+          out += err(Kind.KeeperUniqueness, s"$dir: $dups $keyCol value(s) " +
             "with multiple keeper rows — a double-committed cycle; " +
             "rebuildStore (or retract the younger keepers) to repair")
       }
@@ -404,21 +470,27 @@ object StoreFsck {
     // cell), and a coded index must be FULLY coded (null codes silently
     // drop rows from the coded scoring pass)
     if (variant == "ivf") {
-      val cp = new Path(dir, "centroids"); val ap = new Path(dir, "assignments")
-      if (fs.exists(cp) && fs.exists(ap) &&
-          fs.listStatus(ap).exists(_.getPath.getName.startsWith("cell="))) {
-        val cells = spark.read.parquet(s"$dir/centroids").select("cell")
-        val assigned = spark.read.parquet(s"$dir/assignments")
+      val ap = new Path(dir, "assignments")
+      // pointer-aware (r19): a pointer-mode rebuild versions centroids
+      // under the assignments pointer and retires the legacy dir
+      val hasCents = fs.exists(new Path(dir, "centroids")) ||
+        graft.fs.PartitionPointer.liveTable(fs, ap, "centroids").isDefined
+      val hasAssign = (fs.exists(ap) &&
+        fs.listStatus(ap).exists(_.getPath.getName.startsWith("cell="))) ||
+        graft.fs.PartitionPointer.hasLive(fs, ap)
+      if (hasCents && hasAssign) {
+        val cells = IvfIndex.centroidsDf(spark, dir).select("cell")
+        val assigned = IvfIndex.assignmentsDf(spark, dir)
         val orphanCells = assigned.select("cell").distinct()
           .join(cells, Seq("cell"), "left_anti").count()
         if (orphanCells > 0)
-          out += err("ivf_cell_referential", s"$dir: $orphanCells assignment " +
+          out += err(Kind.IvfCellReferential, s"$dir: $orphanCells assignment " +
             "cell(s) with no centroid row — a half-swapped recluster; those " +
             "vectors are unreachable to every probe; rebuild() repairs")
         if (assigned.schema.fieldNames.contains("code")) {
           val nullCodes = assigned.filter(col("code").isNull).count()
           if (nullCodes > 0)
-            out += err("ivf_codes", s"$dir: $nullCodes assignment row(s) " +
+            out += err(Kind.IvfCodes, s"$dir: $nullCodes assignment row(s) " +
               "with NULL code in a coded index — the coded scoring pass " +
               "silently drops them; rebuild() re-codes")
         }
@@ -426,14 +498,14 @@ object StoreFsck {
     }
     // 7. components: one label per vertex
     if (variant == "components") {
-      val lp = new Path(dir, "labels")
-      if (fs.exists(lp) &&
-          fs.listStatus(lp).exists(_.getPath.getName.startsWith("bp="))) {
-        val dups = spark.read.parquet(s"$dir/labels")
+      val (labelsDf, hasLabels) = IncrementalDedup.readStoreRaw(spark,
+        s"$dir/labels", "v BIGINT, component BIGINT, bp INT")
+      if (hasLabels) {
+        val dups = labelsDf
           .groupBy("v").agg(count(lit(1)).as("n"))
           .filter(col("n") > 1).count()
         if (dups > 0)
-          out += err("label_uniqueness", s"$dir/labels: $dups vertex(es) " +
+          out += err(Kind.LabelUniqueness, s"$dir/labels: $dups vertex(es) " +
             "with multiple label rows — compact() folds the merge log; " +
             "if it persists after compact, rebuild from the pair source")
       }
@@ -469,7 +541,7 @@ object StoreFsck {
     import org.apache.hadoop.fs.Path
     // drop the lock probe's self-report: repair itself holds the store
     // lock, so the finding is always present and always ours
-    val findings = fsck(spark, dir, deep).filterNot(_.check == "lock")
+    val findings = fsck(spark, dir, deep).filterNot(_.kind == Kind.Lock)
     if (findings.isEmpty) return Nil
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -566,11 +638,20 @@ object StoreFsck {
         val hasData = (fs.exists(new Path(dd)) && fs.listStatus(new Path(dd))
           .exists(_.getPath.getName.startsWith("bp="))) ||
           graft.fs.PartitionPointer.hasLive(fs, new Path(dd))
+        // manifest-absent fallback MUST match fsck's dp-hash check and
+        // the consult paths (Retract.delIndexedAt, Bm25Index.retract),
+        // which all fall back to store_parts — the old dpPartsFor
+        // fallback rebuilt at a geometry the re-audit then flagged on
+        // every row (r18 ADVICE). Stamp the chosen value so appends and
+        // consults hash identically from here on.
         val dpParts = mf.get("doc_index_parts").flatMap(_.toIntOption)
-          .orElse(partsOpt.map(IncrementalDedup.dpPartsFor))
+          .orElse(partsOpt)
           .getOrElse(64)
         if (hasData)
           IncrementalDedup.writeDocIndexFrom(spark, dd, dd, idCol, dpParts)
+        if (!mf.get("doc_index_parts").flatMap(_.toIntOption).contains(dpParts))
+          IncrementalDedup.updateManifest(fs, dir,
+            mf ++ Map("doc_index_parts" -> dpParts.toString))
         docIdxDone = true
       }
       "re-derived _doc_index from a full data scan"
@@ -595,55 +676,58 @@ object StoreFsck {
       s"re-derived $file tight from the live rows (cap=$cap)"
     }
     findings.map { f =>
-      val (action, applied): (String, Boolean) = f.check match {
-        case "lock" =>
+      // STRUCTURAL dispatch (r18 verdict #7): sealed Kind, no default
+      // case — adding a check without deciding its remedy is a compile
+      // error, and no remedy routing rides a detail-string substring
+      val (action, applied): (String, Boolean) = f.kind match {
+        case Kind.Lock =>
           ("no action: the reported holder is repair's own lock", false)
-        case "layout" =>
+        case Kind.Layout =>
           ("no action needed: the next locked cycle creates it", false)
-        case "markers" | "pointer_orphan" | "debris" => (sweepAll(), true)
-        case "bm25_stats" => (recomputeStats(), true)
-        case "bm25_referential" =>
+        case Kind.Markers | Kind.PointerOrphan | Kind.Debris =>
+          (sweepAll(), true)
+        case Kind.Bm25Stats => (recomputeStats(), true)
+        case Kind.Bm25Referential =>
           val a = healReferential()
           (a, !a.startsWith("refused"))
-        case "doc_index" | "doc_index_superset" | "doc_index_partitioning" =>
-          if (f.level == "warn" && f.detail.contains("does not flag")) {
-            // an unflagged index is ignored-and-drifting: remove it
-            val dd = if (variant == "bm25" || (variant == "embedding" && split))
-              s"$dir/postings" else dir
-            fs.delete(new Path(dd, IncrementalDedup.DocIndexDir), true)
-            ("deleted the unflagged (ignored, drifting) _doc_index", true)
-          } else (healDocIndex(), true)
-        case "gram_bloom_superset" =>
+        case Kind.DocIndexUnflagged =>
+          // an unflagged index is ignored-and-drifting: remove it
+          val dd = if (variant == "bm25" || (variant == "embedding" && split))
+            s"$dir/postings" else dir
+          fs.delete(new Path(dd, IncrementalDedup.DocIndexDir), true)
+          ("deleted the unflagged (ignored, drifting) _doc_index", true)
+        case Kind.DocIndexMissing | Kind.DocIndexSuperset |
+            Kind.DocIndexPartitioning =>
+          (healDocIndex(), true)
+        case Kind.GramBloomSuperset =>
           val a = healBloom("_gram_bloom", "bloom_cap", "bloom_bits")
           (a, !a.startsWith("refused"))
-        case "term_bloom_superset" =>
+        case Kind.TermBloomSuperset =>
           val a = healBloom("_term_bloom", "term_bloom_cap", "term_bloom_bits")
           (a, !a.startsWith("refused"))
-        case "label_uniqueness" =>
+        case Kind.LabelUniqueness =>
           val folded = IncrementalComponents.compactLocked(spark, dir)
           (s"folded the merge log into labels ($folded relabeled); if " +
             "duplicates persist the pair source must be rebuilt", true)
-        case "keeper_uniqueness" =>
+        case Kind.KeeperUniqueness =>
           ("refused: choosing which double-committed keeper survives is " +
             "a policy decision — retract the unwanted keepers, or " +
             "rebuildStore", false)
-        case "bucketing" =>
+        case Kind.Bucketing =>
           ("refused: re-bucketing rows is a rebuild-scale rewrite — run " +
             "rebuildStore", false)
-        case "ivf_cell_referential" | "ivf_codes" =>
+        case Kind.IvfCellReferential | Kind.IvfCodes =>
           ("refused: the remedy is a full recluster — run IvfIndex" +
             ".rebuild", false)
-        case "partitions" =>
+        case Kind.Partitions =>
           ("refused: a foreign or re-bucketed partition cannot be " +
             "adopted automatically — remove it or rebuildStore", false)
-        case "pointer" | "pointer_dangling" =>
+        case Kind.Pointer | Kind.PointerDangling =>
           ("refused: the pointer or a committed generation is damaged — " +
             "restore the missing data or rebuildStore", false)
-        case "manifest" | "required_features" | "store" =>
+        case Kind.Manifest | Kind.RequiredFeatures | Kind.Store =>
           ("refused: manifest-level damage needs the operator (or " +
             "rebuildStore, which rewrites it)", false)
-        case _ =>
-          (s"refused: no automatic remedy registered for '${f.check}'", false)
       }
       RepairAction(f, action, applied)
     }

@@ -8,24 +8,9 @@ import org.apache.hadoop.fs.permission.FsPermission
 
 import graft.SparkSuite
 
-/** A "remote" Hadoop scheme backed by local disk: everything goes through
-  * the full `FileSystem` API (listing, create, open, rename) exactly as
-  * s3a would — no java.nio shortcut is possible on a `mock://` URI.
-  * Statuses are materialized eagerly because RawLocalFileSystem's lazy
-  * permission loader assumes `file:` URIs. */
-class MockRemoteFileSystem extends RawLocalFileSystem {
-  override def getUri: URI = URI.create("mock:///")
-  override def getScheme: String = "mock"
-  override def listStatus(f: Path): Array[FileStatus] =
-    super.listStatus(f).map(eager)
-  override def getFileStatus(f: Path): FileStatus =
-    eager(super.getFileStatus(f))
-  private def eager(s: FileStatus): FileStatus =
-    new FileStatus(s.getLen, s.isDirectory, s.getReplication, s.getBlockSize,
-      s.getModificationTime, s.getAccessTime,
-      if (s.isDirectory) FsPermission.getDirDefault else FsPermission.getFileDefault,
-      "test", "test", s.getPath)
-}
+// MockRemoteFileSystem moved to MAIN sources (graft/fs/
+// MockRemoteFileSystem.scala, r19) so the scale soaks can drive the
+// rename-less contract via runMain; same FQN, all tests unchanged.
 
 /** CommitLog over a NON-local scheme: snapshot isolation and time travel
   * must hold on the storage the reference was built for (datasets at

@@ -140,6 +140,37 @@ class StoreFsckRepairSpec extends SparkSuite {
     assert(after.exists(_.check == "keeper_uniqueness"), after.toString)
   }
 
+  test("doc-index rebuild on a manifest WITHOUT doc_index_parts: repair-then-fsck is clean and the geometry is stamped") {
+    // r18 ADVICE: healDocIndex's manifest-absent fallback was
+    // dpPartsFor(store_parts) while fsck's dp-hash check (and every
+    // consult path) falls back to store_parts itself — repair rebuilt
+    // at one geometry, the re-audit flagged every row at the other, and
+    // the CLI --repair exited 1 on a store it had just healed
+    val d = tmp("dpfall")
+    Bm25Index.indexBatch(
+      (1L to 30L).map(i => (i, s"token$i shared common words here"))
+        .toDF("doc_id", "text"), d)
+    val fs = new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate the legacy manifest shape: doc_index flagged, geometry
+    // key absent — and the index itself gone (the DocIndexMissing warn)
+    val mf = IncrementalDedup.storeManifest(spark, d)
+    IncrementalDedup.updateManifest(fs, d, mf - "doc_index_parts")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$d/postings",
+      IncrementalDedup.DocIndexDir), true)
+    val acts = StoreFsck.repair(spark, d, deep = true)
+    assert(acts.exists(a => a.finding.check == "doc_index" && a.applied),
+      acts.toString)
+    // the repair-then-fsck contract: CLEAN at both tiers (the old
+    // mismatched fallback flagged doc_index_partitioning on every row)
+    cleanBoth(d)
+    // and the chosen geometry is stamped so appends/consults/audits all
+    // hash identically from here on
+    val mf2 = IncrementalDedup.storeManifest(spark, d)
+    assert(mf2.get("doc_index_parts").contains(mf2("store_parts")),
+      mf2.toString)
+  }
+
   test("repair on a clean store is a no-op") {
     val d = tmp("noop")
     IncrementalDedup.exactBatch(

@@ -269,4 +269,172 @@ class StoreLifecycleFuzzSpec extends SparkSuite {
         s"seed $seed never engaged the pointer layer — widen the step mix")
     }
   }
+
+  test("pointer ivf index (rename-less scheme): live-vector parity + probe exactness across seeded lifecycles") {
+    // r19 — the IVF pointer arm: append/retract/recluster on mock://
+    // all commit by pointer flip (the recluster's single PUT covers the
+    // cell partitions AND the centroids table); after every step the
+    // live-vector set, a self-probe, and the pointer-aware deep fsck
+    // must all hold
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.mock.impl", classOf[graft.fs.MockRemoteFileSystem].getName)
+    def vecOf(i: Long): Seq[Double] = {
+      val r = new scala.util.Random(i); Seq.fill(6)(r.nextDouble() + 0.05)
+    }
+    for (seed <- Seq(3301, 3402)) {
+      val local = Files.createTempDirectory(s"lfz_ivfptr_$seed").toString
+      val dir = s"mock://$local/idx"
+      val rnd = new scala.util.Random(seed)
+      var nextId = 0L
+      var live = Set.empty[Long]
+      var hist = List.empty[Step]
+      for (step <- 1 to 10) {
+        (if (step == 1) 0 else rnd.nextInt(4)) match {
+          case 0 | 1 =>
+            val n = 2 + rnd.nextInt(3)
+            val batch = (0 until n).map { _ =>
+              val id = nextId; nextId += 1; (id, vecOf(id))
+            }
+            hist ::= Step("append", batch.map(_._1).mkString(","))
+            val df = batch.toDF("vec_id", "embedding")
+            if (step == 1) IvfIndex.build(df, dir, nlist = 4)
+            else IvfIndex.append(df, dir)
+            live ++= batch.map(_._1)
+          case 2 if live.size > 1 => // keep >= 1 live (an emptied index
+            // has no schema to read — same contract as the legacy layout)
+            val ids = rnd.shuffle(live.toList)
+              .take(1 + rnd.nextInt(math.min(3, live.size - 1)))
+            hist ::= Step("retract", ids.mkString(","))
+            IvfIndex.retract(spark, dir, ids)
+            live --= ids
+          case 2 =>
+            val id = nextId; nextId += 1
+            hist ::= Step("append", id.toString)
+            IvfIndex.append(Seq((id, vecOf(id))).toDF("vec_id", "embedding"), dir)
+            live += id
+          case 3 =>
+            hist ::= Step("rebuild", "")
+            IvfIndex.rebuild(spark, dir, kmeansIters = 1)
+        }
+        val f = StoreFsck.fsck(spark, dir, deep = true)
+        assert(f.isEmpty,
+          s"seed=$seed step=$step fsck dirty: $f\nhistory=${hist.reverse}")
+        val got = IvfIndex.assignmentsDf(spark, dir)
+          .select("id").collect().map(_.getLong(0)).toSet
+        assert(got == live,
+          s"seed=$seed step=$step vectors $got != live $live\n${hist.reverse}")
+        // probe exactness: a live vector's own direction returns itself
+        val probe = live.min
+        val q = Seq((0L, vecOf(probe))).toDF("vec_id", "embedding")
+        val top = IvfIndex.search(spark, dir, q, k = 1, nprobe = 4)
+          .collect().head
+        assert(top.getAs[Long]("neighbor_id") == probe &&
+          top.getAs[Double]("cosine") == 1.0,
+          s"seed=$seed step=$step self-probe $probe got $top\n${hist.reverse}")
+      }
+      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      assert(graft.fs.PartitionPointer.active(fs,
+        new org.apache.hadoop.fs.Path(s"$dir/assignments")),
+        s"seed $seed never engaged the pointer layer — widen the step mix")
+    }
+  }
+
+  test("pointer clusters store (rename-less scheme): resolved-label parity across seeded lifecycles") {
+    // r19 — the clusters pointer arm: every fold and retraction commits
+    // by pointer flip. Model: connected components over the FULL pair
+    // history (edges a retired doc contributed stay merged — the
+    // documented graph semantics), projected to surviving vertices and
+    // renamed to each cluster's min surviving member.
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.mock.impl", classOf[graft.fs.MockRemoteFileSystem].getName)
+    def model(pairs: Seq[(Long, Long)], retired: Set[Long]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val verts = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      val byRoot = verts.groupBy(find)
+      byRoot.values.flatMap { members =>
+        val surviving = members.filterNot(retired)
+        if (surviving.isEmpty) Nil
+        else surviving.map(_ -> surviving.min)
+      }.toMap
+    }
+    for (seed <- Seq(4401, 4502)) {
+      val local = Files.createTempDirectory(s"lfz_ccptr_$seed").toString
+      val dir = s"mock://$local/store"
+      val rnd = new scala.util.Random(seed)
+      var nextId = 0L
+      var pairs = Vector.empty[(Long, Long)]
+      var retired = Set.empty[Long]
+      var hist = List.empty[Step]
+      def freshId(): Long = { val id = nextId; nextId += 1; id }
+      def liveVerts: Seq[Long] =
+        (pairs.flatMap(p => Seq(p._1, p._2)).toSet -- retired).toSeq.sorted
+      for (step <- 1 to 12) {
+        (if (step == 1) 0 else rnd.nextInt(4)) match {
+          case 0 | 1 =>
+            val n = 1 + rnd.nextInt(2)
+            val batch = (0 until n).map { _ =>
+              val vs = liveVerts
+              val a =
+                if (vs.nonEmpty && rnd.nextBoolean()) vs(rnd.nextInt(vs.size))
+                else freshId()
+              (a, freshId())
+            }
+            hist ::= Step("pairs", batch.mkString(","))
+            IncrementalComponents.addPairs(
+              batch.toDF("doc_a", "doc_b"), dir)
+            pairs ++= batch
+          case 2 if liveVerts.nonEmpty =>
+            val vs = liveVerts
+            val v = vs(rnd.nextInt(vs.size))
+            hist ::= Step("retract", v.toString)
+            Retract.retract(spark, dir, Seq(v))
+            retired += v
+          case 2 => ()
+          case 3 =>
+            hist ::= Step("compact", "")
+            IncrementalComponents.compact(spark, dir)
+        }
+        val f = StoreFsck.fsck(spark, dir, deep = true)
+        assert(f.isEmpty,
+          s"seed=$seed step=$step fsck dirty: $f\nhistory=${hist.reverse}")
+        val got = IncrementalComponents.labels(spark, dir)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val want = model(pairs, retired)
+        assert(got == want,
+          s"seed=$seed step=$step labels $got != model $want\n${hist.reverse}")
+      }
+      // deterministic tail: a guaranteed cluster merge + fold, so every
+      // seed exercises the pointer commit at least once (a seed may
+      // legitimately draw neither a merging batch nor a retraction)
+      val (a, b, c, d) = (freshId(), freshId(), freshId(), freshId())
+      IncrementalComponents.addPairs(
+        Seq((a, b), (c, d)).toDF("doc_a", "doc_b"), dir)
+      IncrementalComponents.addPairs(
+        Seq((b, c)).toDF("doc_a", "doc_b"), dir)
+      pairs ++= Seq((a, b), (c, d), (b, c))
+      assert(IncrementalComponents.compact(spark, dir) > 0L)
+      val gotT = IncrementalComponents.labels(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotT == model(pairs, retired), s"seed=$seed tail parity")
+      val fT = StoreFsck.fsck(spark, dir, deep = true)
+      assert(fT.isEmpty, s"seed=$seed tail fsck dirty: $fT")
+      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      assert(graft.fs.PartitionPointer.active(fs,
+        new org.apache.hadoop.fs.Path(s"$dir/labels")),
+        s"seed $seed never engaged the pointer layer — widen the step mix")
+    }
+  }
 }
