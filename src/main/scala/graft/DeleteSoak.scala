@@ -28,6 +28,10 @@ object DeleteSoak {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // free dead shuffles promptly (see Soak's note: the default
+      // 30 min ContextCleaner cadence retains every prior stage's
+      // shuffle files on scratch disk for the whole run)
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -227,6 +227,15 @@ object Soak {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // shuffle files of DEAD shuffles are only freed when the
+      // ContextCleaner notices their dependency objects got GC'd — at
+      // the default 30 min periodic-GC cadence a multi-family soak
+      // retains every prior stage's shuffle on scratch disk (measured:
+      // 56 GB of blockmgr at a 100× run — the single biggest term of
+      // the "fixture-seeding disk wall"). Tighten the cadence; the
+      // between-chunk System.gc() in seedChunked does the same for the
+      // chunked seeds.
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
