@@ -85,6 +85,15 @@ import org.apache.spark.sql.types.StructType
   * documented at ops/Retract.scala (the reference stores datasets on
   * object storage, crates/cdl-fs/src/lib.rs:343-352, where rename is
   * copy+delete).
+  *
+  * Cost at object-store scale, stated: the stage→`pv=` move is itself
+  * a copy+delete on such schemes — but a SERVER-SIDE one (S3A rename
+  * issues CopyObject per file: no bytes through the client) and
+  * bounded by the TOUCHED partitions, which every swap in this engine
+  * already bounds (retraction/compaction rewrite O(touched); only the
+  * IVF recluster moves the whole layout, and that op rewrites the
+  * whole layout by definition). The commit itself stays one small PUT
+  * regardless of data volume.
   */
 object PartitionPointer {
 

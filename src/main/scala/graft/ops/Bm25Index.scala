@@ -464,8 +464,11 @@ object Bm25Index {
           // renamed away (raw FileNotFoundException from the file
           // index). Retry each; anything NOT explained by a swap
           // (pending marker or epoch movement) rethrows.
+          // AnalysisException: path RESOLUTION hit the swap instant
+          // (see IvfIndex.search — the r19 race find); same gating
           case e @ (_: org.apache.spark.SparkException |
                     _: IllegalArgumentException |
+                    _: org.apache.spark.sql.AnalysisException |
                     _: java.io.FileNotFoundException)
               if Retract.pending(spark, postingsDir) ||
                 Retract.armBusy(spark, postingsDir) ||

@@ -656,9 +656,16 @@ object IvfIndex {
         } catch {
           // task-level file loss, a probe of a partition the fence just
           // renamed away, or an analysis hiccup on the mid-swap listing
-          // — retry ONLY when a swap explains it; anything else rethrows
+          // — retry ONLY when a swap explains it; anything else
+          // rethrows. AnalysisException joins the set (r19 full-suite
+          // race find): the rename-path rebuild deletes the WHOLE live
+          // table for its swap instant, and a read whose DataFrame
+          // creation lands exactly there fails path RESOLUTION
+          // (PATH_NOT_FOUND) rather than file read — same transient,
+          // different thrower.
           case e @ (_: org.apache.spark.SparkException |
                     _: IllegalArgumentException |
+                    _: org.apache.spark.sql.AnalysisException |
                     _: java.io.FileNotFoundException)
               if Retract.pending(spark, aDir) ||
                 Retract.armBusy(spark, aDir) ||
