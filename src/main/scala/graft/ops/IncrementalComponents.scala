@@ -53,17 +53,51 @@ object IncrementalComponents {
   private def bpOf(parts: Int, v: org.apache.spark.sql.Column) =
     IncrementalDedup.bpOf(parts, v)
 
+  /** Is this failure a merge-log file/dir that VANISHED between our
+    * listing and the read job — i.e. a concurrent fold's post-commit
+    * log delete? Walks the cause chain (Spark wraps task failures). */
+  @scala.annotation.tailrec
+  private def vanishedLog(e: Throwable): Boolean = e match {
+    case null                              => false
+    case _: java.io.FileNotFoundException  => true
+    case t if t.getMessage != null &&
+        (t.getMessage.contains("FILE_NOT_EXIST") ||
+          t.getMessage.contains("PATH_NOT_FOUND") ||
+          t.getMessage.contains("does not exist")) => true
+    case t => vanishedLog(t.getCause)
+  }
+
   /** Driver-side union-find resolution of the merge log: collect the
     * (old, new) rows — bounded by merge EVENTS, not corpus — and
     * path-compress every chain to its root. Returns the compressed
-    * mapping (empty when the log is empty or absent). */
+    * mapping (empty when the log is empty or absent).
+    *
+    * Lock-free callers (labels()) can race a FOLD's post-commit log
+    * delete: the listing sees files the collect job then cannot open
+    * (r19 fold-race find). A vanished log file means the fold is
+    * COMMITTED, so a RE-READ — shorter or absent log — pairs
+    * consistently with the labels listed after this map (see labels()'
+    * ordering note); retry instead of failing the read. */
   private def mergeMap(spark: SparkSession, dir: String): Map[Long, Long] = {
     val p = new org.apache.hadoop.fs.Path(dir, MergesDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Map.empty
-    else {
+    var attempt = 0
+    while (true) {
+      if (!fs.exists(p)) return Map.empty
+      try return mergeMapOnce(spark, p.toString)
+      catch {
+        case e: Exception if attempt < 20 && vanishedLog(e) =>
+          attempt += 1; Thread.sleep(25L)
+      }
+    }
+    Map.empty // unreachable
+  }
+
+  private def mergeMapOnce(
+      spark: SparkSession, mergesPath: String): Map[Long, Long] = {
+    {
       val raw = spark.read.schema("old BIGINT, new BIGINT")
-        .parquet(p.toString)
+        .parquet(mergesPath)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       // path compression: follow chains (c3->c2, c2->c1 => c3->c1).
       // Chains are acyclic by construction (new < old always), so every
