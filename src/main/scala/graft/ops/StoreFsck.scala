@@ -241,7 +241,10 @@ object StoreFsck {
           ("_retract_arm", "a retraction arm that crashed mid-flight " +
             "(stats may be stale until the read-heal runs)"),
           ("_compact_trash", "a crashed compaction's displaced rows " +
-            "(swept by the next locked cycle — rows are NOT lost)"))
+            "(swept by the next locked cycle — rows are NOT lost)"),
+          ("_fold_tmp", "a pointer-mode fold's staging (pre-commit " +
+            "crash — the committed state is unchanged; swept by the " +
+            "next locked cycle)"))
           .foreach { case (m, why) =>
             if (fs.exists(new Path(p, m))) out += warn(Kind.Markers,
               s"${abs(rel)}/$m present: $why")
