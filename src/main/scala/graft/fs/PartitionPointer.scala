@@ -393,16 +393,23 @@ object PartitionPointer {
         if (fs.exists(new Path(root, name))) PrevLegacy else NoPrev
     }
     // an entry's grace-held prev is about to be OVERWRITTEN by this
-    // swap's bookkeeping — delete the generation now or it leaks as an
+    // swap's bookkeeping — delete the generation or it leaks as an
     // unreferenced orphan (two back-to-back swaps of one partition
     // never give the grace sweep a later-publish window). Safe within
     // the grace contract: the outgoing prev predates the CURRENT live
     // generation, so only a reader two-or-more swaps stale could still
     // hold it, and epoch revalidation has already sent such readers
-    // back to re-resolve.
+    // back to re-resolve. DEFERRED until after the publish (r19
+    // ADVICE): deleting before the PUT meant a crash in between rolled
+    // back to a pointer still NAMING the deleted prev — a one-swap-
+    // stale reader lost its files slightly before any newer pointer
+    // existed, tighter than the documented grace contract. Post-PUT
+    // the outgoing prev is referenced by nothing; a crash before the
+    // deferred delete leaves only an orphan the grace sweep collects.
+    val deferredDrops = scala.collection.mutable.ArrayBuffer.empty[Path]
     def dropOutgoingPrev(name: String): Unit = entries.get(name).foreach { e =>
-      if (e.prev >= 0) fs.delete(versionedPath(root, name, e.prev), true)
-      else if (e.prev == PrevLegacy) fs.delete(new Path(root, name), true)
+      if (e.prev >= 0) deferredDrops += versionedPath(root, name, e.prev)
+      else if (e.prev == PrevLegacy) deferredDrops += new Path(root, name)
     }
     lines.foreach { l =>
       l.split(":", 2) match {
@@ -430,9 +437,9 @@ object PartitionPointer {
       fs.mkdirs(dst.getParent)
       require(fs.rename(staged, dst),
         s"pointer table stage move failed: $staged -> $dst")
-      // same outgoing-prev rule as the partitions above
+      // same outgoing-prev rule as the partitions above (deferred)
       tables.get(name).foreach { e =>
-        if (e.prev >= 0) fs.delete(tablePath(root, name, e.prev), true)
+        if (e.prev >= 0) deferredDrops += tablePath(root, name, e.prev)
       }
       val prev = tables.get(name).collect { case e if e.live >= 0 => e.live }
         .getOrElse(NoPrev)
@@ -440,6 +447,7 @@ object PartitionPointer {
     }
     publish(fs, root, Ptr(newSeq, partCol, entries, tables))
     bumpEpoch()
+    deferredDrops.foreach(p => fs.delete(p, true))
     fs.delete(tmp, true)
   }
 

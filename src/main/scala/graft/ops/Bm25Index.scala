@@ -371,112 +371,33 @@ object Bm25Index {
     // taken inside its two-rename window still misses the partition,
     // and fenced-out files can vanish under an in-flight task. So the
     // racy section — listing, pruned read, checkpoint, plus the stats
-    // the same retraction rewrites — runs under an epoch bracket:
-    // snapshot (pending, epoch) before and after; any overlapping swap
-    // shows up as a live marker, a changed epoch, or a read exception,
-    // and the attempt retries against the settled directory. Bounded:
-    // a retraction is a rare, short administrative op, so contention
-    // beyond a few rounds means something is wedged — surface it.
+    // the same retraction rewrites — runs under the shared seqlock
+    // bracket ([[SwapRetry.seqlockRead]], the r19→r20 unification of
+    // this loop with IVF's and the clusters store's): snapshot
+    // (pending, arm, epoch) before and after; any overlapping swap
+    // shows up as a live marker, a changed epoch, or a swap-shaped
+    // read exception, and the attempt retries against the settled
+    // directory. Progress-deadline + absolute-cap bounded (both
+    // injectable via spark.graft.seqlock.*).
     val postingsDir = s"$dir/postings"
-    var snap: Option[(Long, Double, DataFrame)] = None
-    // PROGRESS-BASED starvation deadline (r18, re-derived at the 1000×
-    // race exactly as the r17 verdict anticipated): the old absolute
-    // 120 s budget was sized for 100×-scale swaps (max search wall
-    // 47.7 s = 2.5× margin); at 1000× (620M postings) a single CLEAN
-    // attempt walls ~140 s, so any retry would trip the deadline on a
-    // perfectly healthy store. The require exists to catch WEDGED
-    // retractors — a marker/arm/epoch state that never changes — so
-    // the clock now resets whenever the observed (pending, arm, epoch)
-    // signature MOVES: live churn gets a fresh window per swap
-    // (bounded per-cycle, corpus-scale-independent), while a crashed
-    // retractor still trips after 120 s of genuine stillness.
-    val deadlineMs = 120000L
-    // secondary ABSOLUTE cap (r18 ADVICE): the progress reset gives live
-    // churn a fresh window per swap, which also means a PATHOLOGICAL
-    // continuous churner (a mutation loop that never pauses) could spin
-    // this search forever — callers regain a worst-case latency bound
-    // far above any legitimate swap cadence
-    val absoluteCapMs = 30L * 60 * 1000
-    val startedMs = System.currentTimeMillis()
-    var lastSig: (Boolean, Boolean, Long) = null
-    var lastProgress = System.currentTimeMillis()
-    var pendingSince = 0L
-    while (snap.isEmpty) {
-      val sig = (Retract.pending(spark, postingsDir),
-        Retract.armBusy(spark, postingsDir),
-        Retract.epoch(spark, postingsDir))
-      if (sig != lastSig) { lastSig = sig; lastProgress = System.currentTimeMillis() }
-      require(System.currentTimeMillis() - lastProgress < deadlineMs,
-        s"bm25 search on $dir waited out retraction swaps that never " +
-          "settled — a wedged retractor (no marker/arm/epoch movement " +
-          s"for ${deadlineMs / 1000} s)")
-      require(System.currentTimeMillis() - startedMs < absoluteCapMs,
-        s"bm25 search on $dir starved for ${absoluteCapMs / 60000} min " +
-          "under CONTINUOUS store churn — swaps kept settling-and-restarting " +
-          "faster than a clean read; pause the mutation loop or schedule " +
-          "searches off its cadence")
-      if (Retract.pending(spark, postingsDir) ||
-          Retract.armBusy(spark, postingsDir)) {
-        // an in-flight swap OR a mid-arm retraction (postings committed,
-        // docs/stats still rewriting — the arm sentinel, r16 ADVICE):
-        // the LIVE retractor holds the store lock and will finish in
-        // moments — just wait. Only a marker/sentinel that stays up with
-        // no progress (a crashed retractor) escalates to the locked
-        // heal; a writer re-taking the lock meanwhile throws the
-        // lock-busy error, which here just means "keep waiting".
-        val now = System.currentTimeMillis()
-        if (pendingSince == 0L) pendingSince = now
-        if (now - pendingSince > 5000L) {
-          // a failed heal (lock still held by the live retractor) must
-          // NOT loop hot: without the sleep this branch busy-spun
-          // exists/create metadata calls for up to ~115 s (r16 ADVICE)
-          try { ensureReadable(spark, dir); pendingSince = 0L }
-          catch { case _: graft.fs.StoreLockBusyException => Thread.sleep(50L) }
-        } else Thread.sleep(20L)
-      } else {
-        pendingSince = 0L
-        val e0 = Retract.epoch(spark, postingsDir)
-        try {
-          val statsOpt = readStats(spark, dir)
-          val readP = IncrementalDedup.readStoreRaw(spark, postingsDir,
-            "term STRING, doc_id BIGINT, dl DOUBLE, tf DOUBLE, bp INT")
-          require(statsOpt.isDefined || !readP._2,
-            s"$dir holds postings but no $StatsFile — a crash between an " +
-              "append's table writes and its stats write; run recomputeStats " +
-              "AND retry the crashed batch (a postings-only crash leaves " +
-              "orphan rows whose terms' df exceeds any recomputed n_docs)")
-          val p = (if (readP._2) IncrementalDedup.prune(readP._1, bps)
-                   else readP._1.drop("bp"))
-            .join(broadcast(qterms.select("term").distinct()), Seq("term"),
-              "left_semi")
-            .localCheckpoint() // df aggregate + scoring join share one read
-          if (!Retract.pending(spark, postingsDir) &&
-              !Retract.armBusy(spark, postingsDir) &&
-              Retract.epoch(spark, postingsDir) == e0) {
-            val (n0, nt0, td0) = statsOpt.getOrElse((0L, 0L, 0.0))
-            snap = Some((n0, if (nt0 == 0) 1.0 else td0 / nt0, p))
-          } // else: a swap overlapped the read — retry on settled state
-        } catch {
-          // a racing retraction explains three shapes: task-level file
-          // loss (SparkException), a stats file mid-rewrite
-          // (IllegalArgumentException from the require), and the
-          // DRIVER-side listing walking a partition dir the fence just
-          // renamed away (raw FileNotFoundException from the file
-          // index). Retry each; anything NOT explained by a swap
-          // (pending marker or epoch movement) rethrows.
-          // AnalysisException: path RESOLUTION hit the swap instant
-          // (see IvfIndex.search — the r19 race find); same gating
-          case e @ (_: org.apache.spark.SparkException |
-                    _: IllegalArgumentException |
-                    _: org.apache.spark.sql.AnalysisException |
-                    _: java.io.FileNotFoundException)
-              if Retract.pending(spark, postingsDir) ||
-                Retract.armBusy(spark, postingsDir) ||
-                Retract.epoch(spark, postingsDir) != e0 => ()
-        }
-      }
+    val (n, avgdl, postings) = SwapRetry.seqlockRead(spark, postingsDir,
+      s"bm25 search on $dir", () => ensureReadable(spark, dir)) { () =>
+      val statsOpt = readStats(spark, dir)
+      val readP = IncrementalDedup.readStoreRaw(spark, postingsDir,
+        "term STRING, doc_id BIGINT, dl DOUBLE, tf DOUBLE, bp INT")
+      require(statsOpt.isDefined || !readP._2,
+        s"$dir holds postings but no $StatsFile — a crash between an " +
+          "append's table writes and its stats write; run recomputeStats " +
+          "AND retry the crashed batch (a postings-only crash leaves " +
+          "orphan rows whose terms' df exceeds any recomputed n_docs)")
+      val p = (if (readP._2) IncrementalDedup.prune(readP._1, bps)
+               else readP._1.drop("bp"))
+        .join(broadcast(qterms.select("term").distinct()), Seq("term"),
+          "left_semi")
+        .localCheckpoint() // df aggregate + scoring join share one read
+      val (n0, nt0, td0) = statsOpt.getOrElse((0L, 0L, 0.0))
+      (n0, if (nt0 == 0) 1.0 else td0 / nt0, p)
     }
-    val (n, avgdl, postings) = (snap.get._1, snap.get._2, snap.get._3)
     val dfPerTerm = postings.groupBy("term")
       .agg(count(lit(1)).cast("double").as("df"))
     val scored = postings

@@ -53,20 +53,6 @@ object IncrementalComponents {
   private def bpOf(parts: Int, v: org.apache.spark.sql.Column) =
     IncrementalDedup.bpOf(parts, v)
 
-  /** Is this failure a merge-log file/dir that VANISHED between our
-    * listing and the read job — i.e. a concurrent fold's post-commit
-    * log delete? Walks the cause chain (Spark wraps task failures). */
-  @scala.annotation.tailrec
-  private def vanishedLog(e: Throwable): Boolean = e match {
-    case null                              => false
-    case _: java.io.FileNotFoundException  => true
-    case t if t.getMessage != null &&
-        (t.getMessage.contains("FILE_NOT_EXIST") ||
-          t.getMessage.contains("PATH_NOT_FOUND") ||
-          t.getMessage.contains("does not exist")) => true
-    case t => vanishedLog(t.getCause)
-  }
-
   /** Driver-side union-find resolution of the merge log: collect the
     * (old, new) rows — bounded by merge EVENTS, not corpus — and
     * path-compress every chain to its root. Returns the compressed
@@ -77,20 +63,20 @@ object IncrementalComponents {
     * (r19 fold-race find). A vanished log file means the fold is
     * COMMITTED, so a RE-READ — shorter or absent log — pairs
     * consistently with the labels listed after this map (see labels()'
-    * ordering note); retry instead of failing the read. */
-  private def mergeMap(spark: SparkSession, dir: String): Map[Long, Long] = {
+    * ordering note); retry instead of failing the read
+    * ([[SwapRetry.retryVanished]] — structured vanished-file
+    * classification, deadline-bound). LOCKED callers (the batch cycle,
+    * the fold, the rebuild) never retry: no fold can race the lock they
+    * hold, so a log file vanishing under them is real damage that must
+    * surface immediately (r19 ADVICE). */
+  private def mergeMap(
+      spark: SparkSession, dir: String, locked: Boolean): Map[Long, Long] = {
     val p = new org.apache.hadoop.fs.Path(dir, MergesDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    var attempt = 0
-    while (true) {
-      if (!fs.exists(p)) return Map.empty
-      try return mergeMapOnce(spark, p.toString)
-      catch {
-        case e: Exception if attempt < 20 && vanishedLog(e) =>
-          attempt += 1; Thread.sleep(25L)
-      }
-    }
-    Map.empty // unreachable
+    def once: Map[Long, Long] =
+      if (!fs.exists(p)) Map.empty else mergeMapOnce(spark, p.toString)
+    if (locked) once
+    else SwapRetry.retryVanished(s"clusters merge-log read on $dir")(once)
   }
 
   private def mergeMapOnce(
@@ -147,24 +133,47 @@ object IncrementalComponents {
     * corpus. */
   def labels(spark: SparkSession, storeDir: String): DataFrame = {
     ensureReadable(spark, storeDir)
-    // merge map BEFORE the label listing — the lock-free order that
-    // makes every interleaving with a concurrent pointer-mode fold
-    // correct: the fold commits folded labels (one PUT), THEN deletes
-    // the log. A partially-deleted log can therefore only be observed
-    // with the POST-fold labels (already canonical: the stale rows'
-    // dethroned roots no longer appear as components, so applying any
-    // subset of them is a no-op), while a full log pairs correctly
-    // with either generation. Listing labels first would permit
-    // old-labels + partial-log — under-resolved components.
-    val mm = mergeMap(spark, storeDir)
-    val (base, has) = IncrementalDedup.readStoreRaw(spark,
-      s"$storeDir/$LabelsDir", "v BIGINT, component BIGINT, bp INT")
-    if (!has)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "v BIGINT, component BIGINT"))
-    resolve(base.drop("bp"), mm)
+    val lp = s"$storeDir/$LabelsDir"
+    val ready = new org.apache.hadoop.fs.Path(storeDir, "_compact_ready")
+    val fs = ready.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // SEQLOCK bracket (r19 ADVICE: labels() was lock-free with only the
+    // merge-log read retried — a read racing two successive pointer
+    // folds could lose its resolved generation when the second fold's
+    // commit dropped the grace-held prev, failing FILE_NOT_EXIST on the
+    // labels TABLE). Same discipline as the bm25/IVF searches: attempt,
+    // validate the (pending, epoch, fold-marker) signature unmoved,
+    // retry swap-shaped failures that signature movement explains. The
+    // attempt MATERIALIZES (localCheckpoint) so the returned frame
+    // survives any later fold's GC — the price of a consistent
+    // lock-free snapshot, proportional to paired vertices, not corpus
+    // (and the fold itself rewrites this same table wholesale). The
+    // `_compact_ready` marker joins the signature AND the busy probe:
+    // the rename-path fold's delete→rename window has no pending
+    // marker, so without it a read landing exactly there would fail
+    // unexplained.
+    SwapRetry.seqlockRead(spark, lp, s"clusters label read on $storeDir",
+      () => ensureReadable(spark, storeDir),
+      extraSig = () => fs.exists(ready),
+      busy = () => fs.exists(ready)) { () =>
+      // merge map BEFORE the label listing — the lock-free order that
+      // makes every interleaving with a concurrent pointer-mode fold
+      // correct: the fold commits folded labels (one PUT), THEN deletes
+      // the log. A partially-deleted log can therefore only be observed
+      // with the POST-fold labels (already canonical: the stale rows'
+      // dethroned roots no longer appear as components, so applying any
+      // subset of them is a no-op), while a full log pairs correctly
+      // with either generation. Listing labels first would permit
+      // old-labels + partial-log — under-resolved components.
+      val mm = mergeMap(spark, storeDir, locked = false)
+      val (base, has) = IncrementalDedup.readStoreRaw(spark, lp,
+        "v BIGINT, component BIGINT, bp INT")
+      if (!has)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "v BIGINT, component BIGINT"))
+      else resolve(base.drop("bp"), mm).localCheckpoint()
+    }
   }
 
   /** Join `frame`'s `component` column through the compressed merge
@@ -199,7 +208,7 @@ object IncrementalComponents {
     val resolved =
       if (!readL._2) None
       else Some(resolve(readL._1.drop("bp"),
-        mergeMap(spark, srcDir)).localCheckpoint())
+        mergeMap(spark, srcDir, locked = true)).localCheckpoint())
     val parts =
       if (requestedParts > 0) requestedParts
       else IncrementalDedup.storePartsFor(
@@ -282,7 +291,7 @@ object IncrementalComponents {
     val lp = s"$storeDir/$LabelsDir"
     val lpPath = new org.apache.hadoop.fs.Path(lp)
     val fs = lpPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val mm = mergeMap(spark, storeDir)
+    val mm = mergeMap(spark, storeDir, locked = true)
     // existing assignments of the batch's endpoints: partition-pruned to
     // the batch's own hash range, resolved through the merge log —
     // pointer-aware read (rename-less schemes commit folds/retractions
@@ -470,7 +479,7 @@ object IncrementalComponents {
     * lock (the public [[compact]], and [[addPairsLocked]]'s merge-log
     * cap). */
   private[ops] def compactLocked(spark: SparkSession, storeDir: String): Long = {
-      val mm = mergeMap(spark, storeDir)
+      val mm = mergeMap(spark, storeDir, locked = true)
       if (mm.isEmpty) 0L
       else {
         import org.apache.hadoop.fs.Path
@@ -540,17 +549,23 @@ object IncrementalComponents {
             .write.partitionBy("bp").parquet(tmp.toString)
           val changed = obs.get("changed").asInstanceOf[Long]
           fs.create(new Path(root, "_compact_ready"), true).close()
-          finishSwap(fs, root)
+          finishSwap(spark, fs, root)
           changed
         }
       }
     }
 
   /** Roll the compaction swap forward: place tmp as labels, drop the
-    * folded merge log, clear the marker. Every locked cycle calls
-    * [[sweepCompact]] first, so a crash mid-swap heals on the next
-    * cycle. */
+    * folded merge log, bump the labels swap epoch, clear the marker.
+    * Every locked cycle calls [[sweepCompact]] first, so a crash
+    * mid-swap heals on the next cycle. The epoch bump (r20, with the
+    * labels() seqlock bracket) makes the rename-path fold observable
+    * to lock-free readers exactly like the pointer-path fold (whose
+    * commitSwap bumps via its callback): bump BEFORE the marker
+    * delete — the arm ordering — so a reader that saw no marker and
+    * an unchanged epoch can conclude no fold overlapped its read. */
   private def finishSwap(
+      spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): Unit = {
     import org.apache.hadoop.fs.Path
@@ -561,6 +576,7 @@ object IncrementalComponents {
       require(fs.rename(tmp, live), s"rename failed: $tmp -> $live")
     }
     fs.delete(new Path(root, MergesDir), true)
+    Retract.bumpEpochAt(spark, live.toString)
     fs.delete(new Path(root, "_compact_ready"), false)
   }
 
@@ -568,7 +584,7 @@ object IncrementalComponents {
     import org.apache.hadoop.fs.Path
     val root = new Path(storeDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new Path(root, "_compact_ready"))) finishSwap(fs, root)
+    if (fs.exists(new Path(root, "_compact_ready"))) finishSwap(spark, fs, root)
     else fs.delete(new Path(root, "_compact_tmp"), true)
     // pointer-mode fold staging from a pre-commit crash (roll-back:
     // the pointer never named it); orphan pv dirs are swept by the

@@ -601,79 +601,18 @@ object IvfIndex {
     // administrative ops; waiting them out past the deadline means a
     // wedged retractor.
     val aDir = s"$indexDir/assignments"
-    var out: Option[DataFrame] = None
-    // progress-based starvation deadline — see Bm25Index.search (r18):
-    // the clock resets whenever the observed (pending, arm, epoch)
-    // signature moves, so live churn at any corpus scale gets a fresh
-    // window per swap while a wedged retractor still trips after 120 s
-    // of genuine stillness
-    val deadlineMs = 120000L
-    // secondary ABSOLUTE cap (r18 ADVICE): the progress reset gives live
-    // churn a fresh window per swap, which also means a PATHOLOGICAL
-    // continuous churner (a mutation loop that never pauses) could spin
-    // this search forever — callers regain a worst-case latency bound
-    // far above any legitimate swap cadence
-    val absoluteCapMs = 30L * 60 * 1000
-    val startedMs = System.currentTimeMillis()
-    var lastSig: (Boolean, Boolean, Long) = null
-    var lastProgress = System.currentTimeMillis()
-    var pendingSince = 0L
-    while (out.isEmpty) {
-      val sig = (Retract.pending(spark, aDir),
-        Retract.armBusy(spark, aDir), Retract.epoch(spark, aDir))
-      if (sig != lastSig) { lastSig = sig; lastProgress = System.currentTimeMillis() }
-      require(System.currentTimeMillis() - lastProgress < deadlineMs,
-        s"ivf search on $indexDir waited out retraction swaps that never " +
-          "settled — a wedged retractor (no marker/arm/epoch movement " +
-          s"for ${deadlineMs / 1000} s)")
-      require(System.currentTimeMillis() - startedMs < absoluteCapMs,
-        s"ivf search on $indexDir starved for ${absoluteCapMs / 60000} min " +
-          "under CONTINUOUS store churn — swaps kept settling-and-restarting " +
-          "faster than a clean read; pause the mutation loop or schedule " +
-          "searches off its cadence")
-      if (Retract.pending(spark, aDir) || Retract.armBusy(spark, aDir)) {
-        // an in-flight retraction swap OR a mid-rebuild arm (r18: the
-        // recluster replaces BOTH tables under the sentinel) — the live
-        // holder finishes in moments; only a sentinel that stays up
-        // with no progress escalates to the locked heal
-        val now = System.currentTimeMillis()
-        if (pendingSince == 0L) pendingSince = now
-        if (now - pendingSince > 5000L) {
-          // crashed retractor: heal under a brief lock; a LIVE holder
-          // throws lock-busy — sleep so the loop never busy-spins
-          try { ensureReadable(spark, indexDir); pendingSince = 0L }
-          catch { case _: graft.fs.StoreLockBusyException => Thread.sleep(50L) }
-        } else Thread.sleep(20L)
-      } else {
-        pendingSince = 0L
-        val e0 = Retract.epoch(spark, aDir)
-        try {
-          val res = searchAttempt(spark, indexDir, queries, k, nprobe,
-            idCol, vecCol, rerank)
-          if (!Retract.pending(spark, aDir) &&
-              !Retract.armBusy(spark, aDir) &&
-              Retract.epoch(spark, aDir) == e0) out = Some(res)
-        } catch {
-          // task-level file loss, a probe of a partition the fence just
-          // renamed away, or an analysis hiccup on the mid-swap listing
-          // — retry ONLY when a swap explains it; anything else
-          // rethrows. AnalysisException joins the set (r19 full-suite
-          // race find): the rename-path rebuild deletes the WHOLE live
-          // table for its swap instant, and a read whose DataFrame
-          // creation lands exactly there fails path RESOLUTION
-          // (PATH_NOT_FOUND) rather than file read — same transient,
-          // different thrower.
-          case e @ (_: org.apache.spark.SparkException |
-                    _: IllegalArgumentException |
-                    _: org.apache.spark.sql.AnalysisException |
-                    _: java.io.FileNotFoundException)
-              if Retract.pending(spark, aDir) ||
-                Retract.armBusy(spark, aDir) ||
-                Retract.epoch(spark, aDir) != e0 => ()
-        }
-      }
+    // shared seqlock bracket (SwapRetry, the r19→r20 unification):
+    // progress deadline resets on signature movement, absolute cap
+    // bounds a pathological continuous churner, and a swap-shaped
+    // failure (incl. the r19 race find — path RESOLUTION hitting the
+    // rename-path rebuild's whole-table-absent instant, PATH_NOT_FOUND
+    // from the analyzer) retries ONLY when marker/arm/epoch movement
+    // explains it.
+    SwapRetry.seqlockRead(spark, aDir, s"ivf search on $indexDir",
+      () => ensureReadable(spark, indexDir)) { () =>
+      searchAttempt(spark, indexDir, queries, k, nprobe,
+        idCol, vecCol, rerank)
     }
-    out.get
   }
 
   private def searchAttempt(
