@@ -51,6 +51,20 @@ object StoreLock {
     s"${java.net.InetAddress.getLocalHost.getHostName}:" +
       s"${ProcessHandle.current().pid()}:${Thread.currentThread().getId}"
 
+  /** Same-JVM mutual-exclusion fence (r20 — found by the repair-vs-GC
+    * race test): the non-`file:` claim is `fs.create(lock, false)`,
+    * whose atomicity is the SCHEME's contract (a conditional PUT).
+    * Hadoop's RawLocalFileSystem — and any scheme that implements
+    * no-overwrite create as exists-then-create — leaves a window two
+    * same-instant writers both pass, and in a single-driver deployment
+    * BOTH writers live in this JVM (a locked cycle racing an admin
+    * repair raced exactly there). This map makes the same-process claim
+    * atomic regardless of scheme; cross-process exclusion still rides
+    * the filesystem claim. Keyed by the scheme-qualified lock path,
+    * value = owner; released in withLock's finally. */
+  private val inJvmClaims =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** First time we saw a given lock both unreadable AND unstat-able —
     * the last-resort aging clock. Without it, a lock whose body read
     * and getFileStatus BOTH keep failing (dir-permission misconfig, a
@@ -158,31 +172,44 @@ object StoreLock {
     val self = Holder(owner, sinceMs)
     val holderJson = holderJsonOf(owner, sinceMs)
 
-    def tryAcquire(): Boolean =
-      try {
-        val scheme = Option(lock.toUri.getScheme).getOrElse("file")
-        if (scheme == "file") {
-          // Hadoop's RawLocalFileSystem implements create(overwrite=false)
-          // as exists-then-create — a race window two same-instant writers
-          // can both pass. NIO CREATE_NEW is the kernel's O_CREAT|O_EXCL:
-          // truly atomic on a local filesystem.
-          val out = java.nio.file.Files.newOutputStream(
-            java.nio.file.Paths.get(lock.toUri.getPath),
-            java.nio.file.StandardOpenOption.CREATE_NEW,
-            java.nio.file.StandardOpenOption.WRITE)
-          try out.write(holderJson)
-          finally out.close()
-        } else {
-          val out = fs.create(lock, false) // no-overwrite: the atomic claim
-          try out.write(holderJson)
-          finally out.close()
+    val claimKey = lock.toString
+    def tryAcquire(): Boolean = {
+      // same-JVM fence first: atomic in-process, closes the
+      // exists-then-create TOCTOU on schemes without a conditional PUT
+      if (inJvmClaims.putIfAbsent(claimKey, owner) != null) return false
+      val ok =
+        try {
+          val scheme = Option(lock.toUri.getScheme).getOrElse("file")
+          if (scheme == "file") {
+            // Hadoop's RawLocalFileSystem implements create(overwrite=false)
+            // as exists-then-create — a race window two same-instant writers
+            // can both pass. NIO CREATE_NEW is the kernel's O_CREAT|O_EXCL:
+            // truly atomic on a local filesystem.
+            val out = java.nio.file.Files.newOutputStream(
+              java.nio.file.Paths.get(lock.toUri.getPath),
+              java.nio.file.StandardOpenOption.CREATE_NEW,
+              java.nio.file.StandardOpenOption.WRITE)
+            try out.write(holderJson)
+            finally out.close()
+          } else {
+            // no-overwrite claim: atomicity is the scheme's contract (a
+            // conditional PUT); the in-JVM fence above covers the
+            // same-process window on schemes that lack it
+            val out = fs.create(lock, false)
+            try out.write(holderJson)
+            finally out.close()
+          }
+          true
+        } catch {
+          case _: FileAlreadyExistsException => false
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case _: java.io.IOException if fs.exists(lock) => false
         }
-        true
-      } catch {
-        case _: FileAlreadyExistsException => false
-        case _: java.nio.file.FileAlreadyExistsException => false
-        case _: java.io.IOException if fs.exists(lock) => false
-      }
+      // a failed filesystem claim (another PROCESS holds it) must not
+      // leave this JVM's fence claimed with nobody holding the lock
+      if (!ok) inJvmClaims.remove(claimKey, owner)
+      ok
+    }
 
     // Atomic holder rewrite where the scheme can do it: write the fresh
     // JSON to a sibling temp file and RENAME over the lock — atomic on
@@ -367,6 +394,11 @@ object StoreLock {
               s"have raced the new holder")
         case None => // already gone (broken + released); nothing to delete
       }
+      // release the same-JVM fence LAST: removing it earlier would let
+      // a sibling thread claim in-process while our lock file persists
+      // (a transient busy, but noisy); value-checked so a fence entry
+      // some future usurper wrote is never removed by us
+      inJvmClaims.remove(claimKey, owner)
     }
   }
 }

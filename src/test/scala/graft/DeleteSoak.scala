@@ -37,9 +37,16 @@ object DeleteSoak {
 
     val root = java.nio.file.Files.createTempDirectory("delete_soak").toString
     val docs = Queries.rd(spark, sfDir, "documents").select("doc_id", "text")
+    // token bijection per copy (r19 verdict #8 — Soak's corpus
+    // discipline ported here): a `c<i>_` prefix on every token keeps
+    // each copy's within-copy duplicate structure EXACT while
+    // collapsing cross-copy overlap to zero, so the minhash store's
+    // pair counts scale linearly with factor. Naive replication
+    // planted a factor-clique on every document — the by-construction
+    // quadratic that walled the 100× minhash arm in r18/r19.
     val scaled = (0 until factor).map { i =>
       docs.select((col("doc_id") + lit(i.toLong * 10_000_000L)).as("doc_id"),
-        col("text"))
+        regexp_replace(col("text"), "(^|\\s)", s"$$1c${i}_").as("text"))
     }.reduce(_ unionAll _)
     // one row per document, 64 top-level dirs → ≥64 p0-partitioned files
     val rows = scaled.select(

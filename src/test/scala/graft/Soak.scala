@@ -838,6 +838,23 @@ object Soak {
     val ptrRuns = family("ptr") {
       spark.sparkContext.hadoopConfiguration.set("fs.mock.impl",
         classOf[graft.fs.MockRemoteFileSystem].getName)
+      // latency-shaped mock (r19 verdict #9): the raw mock answers
+      // metadata ops at local-disk speed, so race margins and GC
+      // cadence numbers carried local timing. GRAFT_SOAK_MOCK_LATENCY
+      // ("put=25,list=50", ms) injects object-store-shaped latency into
+      // every PUT-shaped mutation and LIST/HEAD on the mock scheme —
+      // the churn race and sweep below then measure against it.
+      // Driver-side ops read the live conf; executor tasks snapshot it
+      // at job submit, after this point.
+      sys.env.get("GRAFT_SOAK_MOCK_LATENCY").foreach { s =>
+        val kv = s.split(",").iterator.map(_.split("=", 2))
+          .collect { case Array(k, v) => k.trim -> v.trim.toLong }.toMap
+        spark.sparkContext.hadoopConfiguration.setLong(
+          "fs.mock.latency.put.ms", kv.getOrElse("put", 0L))
+        spark.sparkContext.hadoopConfiguration.setLong(
+          "fs.mock.latency.list.ms", kv.getOrElse("list", 0L))
+        println(s"[ptr] mock latency enabled: $kv")
+      }
       val ptrIdx = s"mock://$tmp/bm25_ptr_idx"
       val buildRow = run("ptr_bm25_index_build") {
         import spark.implicits._

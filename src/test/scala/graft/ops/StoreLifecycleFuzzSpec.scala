@@ -437,4 +437,128 @@ class StoreLifecycleFuzzSpec extends SparkSuite {
         s"seed $seed never engaged the pointer layer — widen the step mix")
     }
   }
+
+  test("pointer store: fsck --repair racing GC churn phantom-heals " +
+      "nothing and loses nothing (r19 verdict #7)") {
+    // repair takes the store lock, mutations take the store lock, and
+    // every locked cycle's sweep runs the pointer GC over the grace
+    // generations the PREVIOUS cycle left — so a repair interleaved
+    // with continuous churn lists generations the very next sweep
+    // collects. The contract under test: between any two locked
+    // cycles the store is consistent, so a repair that wins the lock
+    // must find NOTHING to heal (no phantom orphans from a listing
+    // taken while generations turn over), and a repair that loses the
+    // lock must surface as lock-busy, never as a half-heal.
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.mock.impl", classOf[graft.fs.MockRemoteFileSystem].getName)
+    val local = Files.createTempDirectory("lfz_repairrace").toString
+    val dir = s"mock://$local/s"
+    var nextId = 0L
+    var keepers = Map.empty[String, Long] // churn-thread-only model
+    // mutations fail-fast on a held lock (waitMs=0) — when the racing
+    // repair wins the lock, the churn's move is EXPECTED to bounce;
+    // retrying it models a writer rescheduled around an admin pass,
+    // and the retry wrapper guards ONLY the locked store call (never
+    // the model/id bookkeeping, which must run once)
+    def withLockRetry[T](body: => T): T = {
+      var out: Option[T] = None
+      while (out.isEmpty) {
+        try out = Some(body)
+        catch {
+          case _: graft.fs.StoreLockBusyException => Thread.sleep(10L)
+        }
+      }
+      out.get
+    }
+    def appendBatch(n: Int): Unit = {
+      val b = (0 until n).map { _ =>
+        val id = nextId; nextId += 1; (id, textOf(id))
+      }
+      b.sortBy(_._1).foreach { case (id, t) =>
+        if (!keepers.contains(t)) keepers += t -> id
+      }
+      val df = b.toDF("doc_id", "text")
+      withLockRetry { IncrementalDedup.exactBatch(df, dir).collect() }
+      ()
+    }
+    appendBatch(6)
+    // engage the pointer layer before the race starts
+    val first = keepers.values.min
+    withLockRetry { Retract.retract(spark, dir, Seq(first)) }
+    keepers = keepers.filterNot(_._2 == first)
+    val fsP = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(graft.fs.PartitionPointer.active(fsP,
+      new org.apache.hadoop.fs.Path(dir)))
+    val churnErr =
+      new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val churnDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val churn = new Thread(() =>
+      try {
+        val rnd = new scala.util.Random(7501)
+        for (cycle <- 1 to 8) {
+          val victim = keepers.values.toSeq
+            .sorted.apply(rnd.nextInt(keepers.size))
+          withLockRetry { Retract.retract(spark, dir, Seq(victim)) }
+          keepers = keepers.filterNot(_._2 == victim)
+          appendBatch(2 + rnd.nextInt(2))
+          if (cycle % 3 == 0)
+            withLockRetry { IncrementalDedup.compactStore(spark, dir) }
+        }
+      } catch { case t: Throwable => churnErr.set(t) }
+      finally churnDone.set(true))
+    churn.start()
+    var cleanRepairs = 0
+    var busy = 0
+    // admin cadence: pause between repair passes — a back-to-back
+    // repair loop re-acquires the lock microseconds after releasing
+    // it and STARVES the churn (the first render of this test
+    // livelocked exactly there); the deadline bounds a wedged race
+    val raceDeadline = System.currentTimeMillis() + 180000L
+    while ((!churnDone.get() || cleanRepairs == 0) &&
+        System.currentTimeMillis() < raceDeadline) {
+      try {
+        val acts = StoreFsck.repair(spark, dir, deep = true)
+        assert(acts.isEmpty,
+          s"repair racing GC churn phantom-healed: $acts")
+        cleanRepairs += 1
+      } catch {
+        case _: graft.fs.StoreLockBusyException => busy += 1
+      }
+      Thread.sleep(400L)
+    }
+    churn.join(120000)
+    assert(churnDone.get(), "churn starved behind the repair cadence")
+    assert(churnErr.get() == null, s"churn died: ${churnErr.get()}")
+    assert(cleanRepairs >= 1,
+      s"race never exercised a repair pass ($busy lock-busy)")
+    // post-race: store content intact, deep fsck clean, one more
+    // repair still a no-op
+    assert(StoreFsck.fsck(spark, dir, deep = true).isEmpty)
+    assert(StoreFsck.repair(spark, dir, deep = true).isEmpty)
+    val got = IncrementalDedup.readStoreRaw(spark, dir,
+      "digest BINARY, keep_doc_id BIGINT, bp INT")._1
+      .select("keep_doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == keepers.values.toSet,
+      s"post-race keepers $got != model ${keepers.values.toSet}")
+    // deterministic crashed-swap tail: an unreferenced staged pv dir
+    // (the state a crash between a commitSwap's PUT and its deferred
+    // outgoing-prev deletes leaves behind) is exactly what the next
+    // locked cycle's GC must collect — the RIGHT generation: the
+    // orphan goes, every live generation stays
+    val orphan = new org.apache.hadoop.fs.Path(dir, "_parts/bp=0/pv=999")
+    fsP.mkdirs(orphan)
+    fsP.create(new org.apache.hadoop.fs.Path(orphan, "junk.parquet"), true)
+      .close()
+    graft.fs.StoreLock.withLock(dir,
+      spark.sparkContext.hadoopConfiguration) {
+      graft.fs.PartitionPointer.sweepGarbage(spark, dir)
+    }
+    assert(!fsP.exists(orphan), "orphan pv dir survived the GC sweep")
+    val got2 = IncrementalDedup.readStoreRaw(spark, dir,
+      "digest BINARY, keep_doc_id BIGINT, bp INT")._1
+      .select("keep_doc_id").collect().map(_.getLong(0)).toSet
+    assert(got2 == keepers.values.toSet,
+      "the orphan sweep touched a live generation")
+  }
 }
