@@ -2121,6 +2121,211 @@ object FuzzQueries {
        |ORDER BY arm ASC, g ASC""".stripMargin
   }
 
+  // ---------- v15 (r19 verdict #6): LATERAL correlated derived tables,
+  // integer division/modulo sign semantics, windowed aggregates over
+  // BINARY keys with explicit casts --------------------------------
+
+  /** Family 1 — LATERAL correlated derived tables: per-outer-row top-k
+    * from the inner table (the classic lateral shape), one level deeper
+    * than the v9 corrwin differential — Spark plans `lateralJoin` as a
+    * LateralJoin operator, DuckDB decorrelates the comma-LATERAL into a
+    * window; both must agree on the per-row cut. Determinism: the inner
+    * ORDER BY always ends on a key unique WITHIN the correlation group
+    * (l_linenumber within an order; o_orderkey within a customer), so
+    * the LIMIT never cuts a tie arbitrarily. Inner values are cast
+    * integer-exact BEFORE ordering/summing (l_quantity is an integral
+    * double; Spark casts by truncation, DuckDB by rounding — exact
+    * either way on integral values, stated here once). */
+  private final case class QLat(pair: Int, k: Int, gmod: Long, wide: Cmp)
+
+  private def genLat(seed: Int): QLat = {
+    val rnd = new scala.util.Random(seed)
+    val pair = seed % 2 // 0: orders⟶lineitem, 1: customer⟶orders
+    val outerCols = if (pair == 0) tables("orders") else tables("customer")
+    QLat(pair, 1 + rnd.nextInt(3), 3L + rnd.nextInt(5),
+      wideArm(rnd, outerCols) match { case c: Cmp => c })
+  }
+
+  private def sparkOfLat(q: QLat)(s: SparkSession, dir: String): DataFrame = {
+    if (q.pair == 0) {
+      val outer = Queries.rd(s, dir, "orders")
+        .filter(col(q.wide.c) >= q.wide.lit)
+        .select("o_orderkey", "o_custkey")
+      val inner = Queries.rd(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("long").as("iv"))
+        .where(col("l_orderkey") === col("o_orderkey").outer())
+        .orderBy(col("iv").desc, col("l_linenumber").asc)
+        .limit(q.k)
+        .select("iv")
+      outer.lateralJoin(inner)
+        .groupBy((col("o_custkey") % q.gmod).cast("long").as("g"))
+        .agg(count(lit(1)).as("n"), sum("iv").cast("long").as("s"))
+        .orderBy(col("g").asc)
+    } else {
+      val outer = Queries.rd(s, dir, "customer")
+        .filter(col(q.wide.c) >= q.wide.lit)
+        .select("c_custkey", "c_nationkey")
+      val inner = Queries.rd(s, dir, "orders")
+        .select(col("o_custkey"), (col("o_orderkey") % 97L).as("iv"),
+          col("o_orderkey"))
+        .where(col("o_custkey") === col("c_custkey").outer())
+        .orderBy(col("o_orderkey").desc)
+        .limit(q.k)
+        .select("iv")
+      outer.lateralJoin(inner)
+        .groupBy((col("c_nationkey") % q.gmod).cast("long").as("g"))
+        .agg(count(lit(1)).as("n"), sum("iv").cast("long").as("s"))
+        .orderBy(col("g").asc)
+    }
+  }
+
+  private def sqlOfLat(q: QLat): String =
+    if (q.pair == 0)
+      s"""SELECT CAST(o.o_custkey % ${q.gmod} AS BIGINT) AS g,
+         |  CAST(count(*) AS BIGINT) AS n, CAST(sum(t.iv) AS BIGINT) AS s
+         |FROM orders o, LATERAL (
+         |  SELECT CAST(l_quantity AS BIGINT) AS iv
+         |  FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+         |  ORDER BY CAST(l_quantity AS BIGINT) DESC, l_linenumber ASC
+         |  LIMIT ${q.k}
+         |) t
+         |WHERE o.${q.wide.c} >= ${q.wide.lit}
+         |GROUP BY 1
+         |ORDER BY g ASC""".stripMargin
+    else
+      s"""SELECT CAST(c.c_nationkey % ${q.gmod} AS BIGINT) AS g,
+         |  CAST(count(*) AS BIGINT) AS n, CAST(sum(t.iv) AS BIGINT) AS s
+         |FROM customer c, LATERAL (
+         |  SELECT o_orderkey % 97 AS iv
+         |  FROM orders o WHERE o.o_custkey = c.c_custkey
+         |  ORDER BY o_orderkey DESC
+         |  LIMIT ${q.k}
+         |) t
+         |WHERE c.${q.wide.c} >= ${q.wide.lit}
+         |GROUP BY 1
+         |ORDER BY g ASC""".stripMargin
+
+  /** Family 2 — integer division/modulo SIGN semantics: signed
+    * dividends AND divisors through truncating division, C-style
+    * modulo, and floor-modulo. The conventions are the hazard — and
+    * both sides render the SAME stated contract explicitly (the v14
+    * isodow discipline): truncation toward zero is Spark's `div`,
+    * rendered in DuckDB as trunc(a / b) (double division is exact at
+    * these magnitudes, |a| < 2^11); `%` takes the dividend's sign in
+    * BOTH engines (C-style — pinned operator-to-operator); floor-mod
+    * is Spark's `pmod` over abs(b), rendered in DuckDB by the closed
+    * form ((a % n) + n) % n. The abs() is a measured lesson (first
+    * render, seed 30001): with a NEGATIVE modulus Spark's pmod is
+    * `r < 0 ? r + n : r` — NOT the closed form, which re-mods the
+    * shifted remainder — so the two diverge there (e.g. pmod(1039-row
+    * sums vs -134); the floor-mod arm therefore pins the
+    * positive-modulus domain, pmod's intended one, while trunc-div
+    * and C-mod still sweep all four (±a, ±b) quadrants. */
+  private final case class QIdiv(table: String, a: String, amod: Long,
+      ashift: Long, b: String, bmod: Long, g: String, gmod: Long, wide: Cmp)
+
+  private def genIdiv(seed: Int): QIdiv = {
+    val rnd = new scala.util.Random(seed)
+    val table = Seq("lineitem", "orders", "customer")(seed % 3)
+    val cols = tables(table)
+    val amod = 100L + rnd.nextInt(900)
+    QIdiv(table, cols(rnd.nextInt(cols.size)), amod, amod / 2,
+      cols(rnd.nextInt(cols.size)), 4L + rnd.nextInt(5),
+      cols(rnd.nextInt(cols.size)), 3L + rnd.nextInt(4),
+      wideArm(rnd, cols) match { case c: Cmp => c })
+  }
+
+  private def sparkOfIdiv(q: QIdiv)(s: SparkSession, dir: String): DataFrame = {
+    val base = Queries.rd(s, dir, q.table)
+      .filter(col(q.wide.c) >= q.wide.lit)
+      .select(
+        (col(q.a).cast("long") % q.amod - q.ashift).as("a"),
+        // nonzero divisor, sign flipped by parity: ±1..±bmod
+        (when(col(q.b).cast("long") % 2 === 0, lit(1)).otherwise(lit(-1)) *
+          (col(q.b).cast("long") % q.bmod + q.bmod) % q.bmod
+          ).as("b0"),
+        (col(q.g).cast("long") % q.gmod).as("g"))
+      .withColumn("b", when(col("b0") === 0, lit(1)).otherwise(col("b0")))
+    base.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("a div b")).cast("long").as("dt"),
+        sum(col("a") % col("b")).cast("long").as("m"),
+        sum(pmod(col("a"), abs(col("b")))).cast("long").as("fm"))
+      .orderBy(col("g").asc)
+  }
+
+  private def sqlOfIdiv(q: QIdiv): String =
+    s"""SELECT CAST(g AS BIGINT) AS g, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(CAST(trunc(CAST(a AS DOUBLE) / b) AS BIGINT)) AS BIGINT) AS dt,
+       |  CAST(sum(a % b) AS BIGINT) AS m,
+       |  CAST(sum(((a % abs(b)) + abs(b)) % abs(b)) AS BIGINT) AS fm
+       |FROM (
+       |  SELECT a, CASE WHEN b0 = 0 THEN 1 ELSE b0 END AS b, g FROM (
+       |    SELECT ${q.a} % ${q.amod} - ${q.ashift} AS a,
+       |      (CASE WHEN ${q.b} % 2 = 0 THEN 1 ELSE -1 END) *
+       |        ((${q.b} % ${q.bmod} + ${q.bmod}) % ${q.bmod}) AS b0,
+       |      ${q.g} % ${q.gmod} AS g
+       |    FROM ${q.table} WHERE ${q.wide.c} >= ${q.wide.lit}
+       |  ) s0
+       |) sub
+       |GROUP BY 1
+       |ORDER BY g ASC""".stripMargin
+
+  /** Family 3 — windowed row_number over a BINARY sort key with
+    * explicit casts: the key is unhex(md5-prefix) — a BLOB both
+    * engines compare as unsigned lexicographic bytes — with the null
+    * position PINNED explicitly on both renderings (Spark's ASC
+    * default is nulls-first, DuckDB's nulls-last: the v2 lesson, now
+    * on a binary column). The surviving rn ≤ k rows carry the key back
+    * as upper(hex(...)) so the gate hashes the ORDER itself, not just
+    * the cut. */
+  private final case class QBinWin(pm: Long, k: Int, hlen: Int,
+      desc: Boolean, fm: Long, fv: Long)
+
+  private def genBinWin(seed: Int): QBinWin = {
+    val rnd = new scala.util.Random(seed)
+    QBinWin(4L + rnd.nextInt(8), 2 + rnd.nextInt(3),
+      Seq(6, 8, 10)(rnd.nextInt(3)), seed % 2 == 1,
+      5L + rnd.nextInt(5), rnd.nextInt(5).toLong)
+  }
+
+  private def sparkOfBinWin(q: QBinWin)(s: SparkSession, dir: String): DataFrame = {
+    val bk = unhex(substring(md5(col("text")), 1, q.hlen))
+    val ord =
+      if (q.desc) Seq(col("bk").desc_nulls_last, col("doc_id").asc)
+      else Seq(col("bk").asc_nulls_first, col("doc_id").asc)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("p").orderBy(ord: _*)
+    Queries.rd(s, dir, "documents")
+      .filter(col("doc_id") % q.fm =!= q.fv)
+      .select(col("doc_id"), (col("doc_id") % q.pm).cast("long").as("p"),
+        bk.as("bk"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= q.k)
+      .select(col("p"), col("rn"), col("doc_id"),
+        coalesce(upper(hex(col("bk"))), lit("~null~")).as("h"))
+      .orderBy(col("p").asc, col("rn").asc)
+  }
+
+  private def sqlOfBinWin(q: QBinWin): String = {
+    val dir = if (q.desc) "DESC NULLS LAST" else "ASC NULLS FIRST"
+    s"""SELECT CAST(p AS BIGINT) AS p, CAST(rn AS BIGINT) AS rn,
+       |  CAST(doc_id AS BIGINT) AS doc_id,
+       |  COALESCE(upper(hex(bk)), '~null~') AS h
+       |FROM (
+       |  SELECT doc_id, doc_id % ${q.pm} AS p,
+       |    unhex(substring(md5(text), 1, ${q.hlen})) AS bk,
+       |    row_number() OVER (
+       |      PARTITION BY doc_id % ${q.pm}
+       |      ORDER BY unhex(substring(md5(text), 1, ${q.hlen})) $dir,
+       |        doc_id ASC) AS rn
+       |  FROM documents WHERE doc_id % ${q.fm} <> ${q.fv}
+       |) sub
+       |WHERE rn <= ${q.k}
+       |ORDER BY p ASC, rn ASC""".stripMargin
+  }
+
   // v14, seed-scanned (main's probe): dt covers both date tables ×
   // {year,quarter,month,week,isodow} extraction × four trunc anchors;
   // case covers the three tables with distinct NULLIF pivots; inval
@@ -2128,6 +2333,12 @@ object FuzzQueries {
   private val dtSeeds = Seq(26000, 26001, 26002, 26003)
   private val caseSeeds = Seq(27000, 27001, 27002, 27003)
   private val inValSeeds = Seq(28000, 28001, 28002, 28003)
+  // v15, seed-scanned: lat covers both pairs × k 1-3; idiv covers the
+  // three tables with all four (±a, ±b) quadrants by construction;
+  // binwin covers asc/desc with both null positions pinned
+  private val latSeeds = Seq(29000, 29001, 29002, 29003)
+  private val idivSeeds = Seq(30000, 30001, 30002, 30003)
+  private val binWinSeeds = Seq(31000, 31001, 31002, 31003)
 
   // v13, seed-scanned (main's probe): cte covers both reuse shapes ×
   // the three tables; vals covers 3- and 4-band literal tables; grp
@@ -2253,7 +2464,13 @@ object FuzzQueries {
       caseSeeds.map(sd => s"q_fuzz_case_$sd" ->
         (sparkOfCase(genCase(sd)) _)).toMap ++
       inValSeeds.map(sd => s"q_fuzz_inval_$sd" ->
-        (sparkOfInVal(genInVal(sd)) _)).toMap +
+        (sparkOfInVal(genInVal(sd)) _)).toMap ++
+      latSeeds.map(sd => s"q_fuzz_lat_$sd" ->
+        (sparkOfLat(genLat(sd)) _)).toMap ++
+      idivSeeds.map(sd => s"q_fuzz_idiv_$sd" ->
+        (sparkOfIdiv(genIdiv(sd)) _)).toMap ++
+      binWinSeeds.map(sd => s"q_fuzz_binwin_$sd" ->
+        (sparkOfBinWin(genBinWin(sd)) _)).toMap +
       ("q_fuzz_empty_scalar" -> (emptyScalar _)) +
       ("q_fuzz_distinct_rows" -> (distinctRows _))
 
@@ -2305,7 +2522,12 @@ object FuzzQueries {
       dtSeeds.map(sd => s"q_fuzz_dt_$sd" -> sqlOfDt(genDt(sd))).toMap ++
       caseSeeds.map(sd => s"q_fuzz_case_$sd" -> sqlOfCase(genCase(sd))).toMap ++
       inValSeeds.map(sd => s"q_fuzz_inval_$sd" ->
-        sqlOfInVal(genInVal(sd))).toMap +
+        sqlOfInVal(genInVal(sd))).toMap ++
+      latSeeds.map(sd => s"q_fuzz_lat_$sd" -> sqlOfLat(genLat(sd))).toMap ++
+      idivSeeds.map(sd => s"q_fuzz_idiv_$sd" ->
+        sqlOfIdiv(genIdiv(sd))).toMap ++
+      binWinSeeds.map(sd => s"q_fuzz_binwin_$sd" ->
+        sqlOfBinWin(genBinWin(sd))).toMap +
       ("q_fuzz_empty_scalar" -> emptyScalarSql) +
       ("q_fuzz_distinct_rows" -> distinctRowsSql)
 
