@@ -381,7 +381,8 @@ object Bm25Index {
     // injectable via spark.graft.seqlock.*).
     val postingsDir = s"$dir/postings"
     val (n, avgdl, postings) = SwapRetry.seqlockRead(spark, postingsDir,
-      s"bm25 search on $dir", () => ensureReadable(spark, dir)) { () =>
+      s"bm25 search on $dir", () => ensureReadable(spark, dir),
+      refreshPath = Some(dir)) { () =>
       val statsOpt = readStats(spark, dir)
       val readP = IncrementalDedup.readStoreRaw(spark, postingsDir,
         "term STRING, doc_id BIGINT, dl DOUBLE, tf DOUBLE, bp INT")

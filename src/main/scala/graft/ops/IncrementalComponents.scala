@@ -154,7 +154,8 @@ object IncrementalComponents {
     SwapRetry.seqlockRead(spark, lp, s"clusters label read on $storeDir",
       () => ensureReadable(spark, storeDir),
       extraSig = () => fs.exists(ready),
-      busy = () => fs.exists(ready)) { () =>
+      busy = () => fs.exists(ready),
+      refreshPath = Some(storeDir)) { () =>
       // merge map BEFORE the label listing — the lock-free order that
       // makes every interleaving with a concurrent pointer-mode fold
       // correct: the fold commits folded labels (one PUT), THEN deletes

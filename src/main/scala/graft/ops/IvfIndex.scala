@@ -609,7 +609,8 @@ object IvfIndex {
     // from the analyzer) retries ONLY when marker/arm/epoch movement
     // explains it.
     SwapRetry.seqlockRead(spark, aDir, s"ivf search on $indexDir",
-      () => ensureReadable(spark, indexDir)) { () =>
+      () => ensureReadable(spark, indexDir),
+      refreshPath = Some(indexDir)) { () =>
       searchAttempt(spark, indexDir, queries, k, nprobe,
         idCol, vecCol, rerank)
     }

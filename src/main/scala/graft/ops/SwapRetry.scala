@@ -165,6 +165,15 @@ object SwapRetry {
     *                   `_compact_ready` marker): while true, WAIT like
     *                   a pending marker instead of attempting a read
     *                   the swap window would fail unexplained
+    * @param refreshPath path whose Spark-side caches (CacheManager
+    *                   entries, file-status listings) are invalidated
+    *                   via `catalog.refreshByPath` before every retry —
+    *                   a reader can fail on a listing One generation
+    *                   stale with NO live swap in evidence when a cache
+    *                   serves the dead generation's file list (the r19
+    *                   full-suite find's true class: Spark's own error
+    *                   text says "REFRESH TABLE"); the refresh makes
+    *                   the next attempt re-resolve from disk
     * @param attempt    one read attempt; must MATERIALIZE anything the
     *                   caller will consume after return (the epoch
     *                   validation covers only what ran inside it)
@@ -175,7 +184,8 @@ object SwapRetry {
       what: String,
       heal: () => Unit,
       extraSig: () => Any = () => (),
-      busy: () => Boolean = () => false)(attempt: () => T): T = {
+      busy: () => Boolean = () => false,
+      refreshPath: Option[String] = None)(attempt: () => T): T = {
     val deadlineMs =
       spark.conf.get(DeadlineConf, DefaultDeadlineMs.toString).toLong
     val absoluteCapMs =
@@ -185,6 +195,7 @@ object SwapRetry {
     var lastSig: (Boolean, Boolean, Long, Any) = null
     var lastProgress = System.currentTimeMillis()
     var pendingSince = 0L
+    var unexplainedVanishes = 0
     while (out.isEmpty) {
       val sig = (Retract.pending(spark, signalDir),
         Retract.armBusy(spark, signalDir),
@@ -228,15 +239,40 @@ object SwapRetry {
               extraSig() == x0) out = Some(res)
           // else: a swap overlapped the read — retry on settled state
         } catch {
-          // retry ONLY a swap-shaped failure that signature movement
+          // retry a swap-shaped failure that signature movement
           // EXPLAINS (a marker/sentinel up, the epoch moved, or the
-          // store-specific extra signal changed); anything unexplained
-          // — wrong shape, or a still signature — rethrows
+          // store-specific extra signal changed) — plus a BOUNDED
+          // allowance for vanished-file failures with NO movement in
+          // evidence: a stale Spark-side cache can hand an attempt a
+          // dead generation's file list when every real swap settled
+          // long ago (the r19→r20 full-suite find; Spark's own error
+          // says "REFRESH TABLE"). Those re-resolve after the refresh
+          // below; a store that is genuinely MISSING files keeps
+          // failing and rethrows once the allowance is spent — loud,
+          // just not first-exception loud. Any other unexplained
+          // shape still rethrows immediately.
           case e: Exception if transientShape(e) &&
               (Retract.pending(spark, signalDir) ||
                 Retract.armBusy(spark, signalDir) ||
                 Retract.epoch(spark, signalDir) != e0 ||
-                extraSig() != x0) => ()
+                extraSig() != x0) =>
+            refreshPath.foreach(p => spark.catalog.refreshByPath(p))
+          case e: Exception
+              if fileVanished(e) && unexplainedVanishes < 3 =>
+            unexplainedVanishes += 1
+            refreshPath.foreach(p => spark.catalog.refreshByPath(p))
+          case e: Exception if fileVanished(e) =>
+            // the allowance is spent and no swap evidence explains the
+            // vanish: surface WITH the gate state — a bare rethrow made
+            // the r20 full-suite repro undiagnosable (which leg of the
+            // gate failed? how stale was the listing?)
+            throw new IllegalStateException(
+              s"$what: vanished-file failure with NO swap evidence " +
+                s"after $unexplainedVanishes refresh retries " +
+                s"(pending=${Retract.pending(spark, signalDir)} " +
+                s"arm=${Retract.armBusy(spark, signalDir)} " +
+                s"epoch e0=$e0 now=${Retract.epoch(spark, signalDir)} " +
+                s"extra x0=$x0 now=${extraSig()})", e)
         }
       }
     }
