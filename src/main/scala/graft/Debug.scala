@@ -20,6 +20,52 @@ object Debug {
       case -1 => 0
       case i  => args(i + 1).toInt
     }
+    // --profile: attach a listener and attribute the query's wall clock
+    // to its constituent Spark jobs (no UI in the sandbox — this is the
+    // optimization guide's "look at the stages" step). Each job line
+    // carries duration, task count, and the first line of its callsite
+    // so driver-side gaps (planning, checkpoint setup, FS calls) show up
+    // as the difference between the job sum and the wall clock.
+    if (args.contains("--profile")) {
+      import org.apache.spark.scheduler._
+      final case class JobRow(id: Int, start: Long, var end: Long,
+        var nTasks: Int, site: String, var stages: Int)
+      val jobs = new java.util.concurrent.ConcurrentHashMap[Int, JobRow]()
+      val listener = new SparkListener {
+        override def onJobStart(e: SparkListenerJobStart): Unit = {
+          val site = Option(e.properties)
+            .flatMap(p => Option(p.getProperty("callSite.short")))
+            .getOrElse("?")
+          jobs.put(e.jobId, JobRow(e.jobId, e.time, e.time,
+            e.stageInfos.map(_.numTasks).sum, site, e.stageIds.size))
+        }
+        override def onJobEnd(e: SparkListenerJobEnd): Unit = {
+          val r = jobs.get(e.jobId); if (r != null) r.end = e.time
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val runs = math.max(1, repeat)
+      (1 to runs).foreach { k =>
+        jobs.clear()
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        val wall = (System.nanoTime() - t0) / 1e9
+        import scala.jdk.CollectionConverters._
+        val rows = jobs.values.asScala.toSeq.sortBy(_.start)
+        val jobSum = rows.map(r => (r.end - r.start) / 1e3).sum
+        println(f"== run $k: wall $wall%.2f s, ${rows.size} jobs, " +
+          f"job-sum $jobSum%.2f s, driver-gap ${wall - jobSum}%.2f s")
+        rows.foreach { r =>
+          println(f"  job ${r.id}%3d ${(r.end - r.start) / 1e3}%6.2f s " +
+            f"stages=${r.stages}%2d tasks=${r.nTasks}%4d  ${r.site}")
+        }
+        spark.catalog.clearCache()
+        System.gc()
+      }
+      spark.stop()
+      return
+    }
     if (repeat > 0) {
       // bench-shaped repetitions (noop sink, cache cleared between runs)
       // for chasing run-to-run variance of one query; cpu printed too —
