@@ -9,12 +9,16 @@ object Debug {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // A/B experiment knob: GRAFT_DEBUG_CONF="k=v;k2=v2" extra session conf
+    sys.env.get("GRAFT_DEBUG_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val repeat = args.indexOf("--repeat") match {
       case -1 => 0
@@ -33,9 +37,8 @@ object Debug {
       val jobs = new java.util.concurrent.ConcurrentHashMap[Int, JobRow]()
       val listener = new SparkListener {
         override def onJobStart(e: SparkListenerJobStart): Unit = {
-          val site = Option(e.properties)
-            .flatMap(p => Option(p.getProperty("callSite.short")))
-            .getOrElse("?")
+          val site = e.stageInfos.map(_.name.takeWhile(_ != '\n'))
+            .distinct.mkString(" | ")
           jobs.put(e.jobId, JobRow(e.jobId, e.time, e.time,
             e.stageInfos.map(_.numTasks).sum, site, e.stageIds.size))
         }

@@ -50,7 +50,10 @@ object Bm25 {
       docIdCol: String,
       textCol: String): DataFrame = {
     val toks = TextAnalysis.tokens(col(textCol))
-    docs
+    // fanOut: the tokenize+explode is the corpus pass's CPU cost; an
+    // under-parallel scan must not serialize it (no-op on well-split
+    // scans — see Scale.fanOutForCompute)
+    Scale.fanOutForCompute(docs, col(docIdCol))
       .select(col(docIdCol).as("doc_id"),
         size(toks).cast("double").as("dl"),
         explode(toks).as("term"))

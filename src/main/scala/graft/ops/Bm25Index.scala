@@ -110,7 +110,13 @@ object Bm25Index {
     // would otherwise double its tf in the grouped postings (the
     // docs/-side dropDuplicates can't undo that) — ids are a caller
     // contract corpus-wide, but an in-batch repeat must not corrupt
-    val docsUnique = docsNew.dropDuplicates(docIdCol)
+    // fanOut: the token explode + posting aggregation below is the
+    // batch's CPU pass; hash-repartitioning on the id BEFORE the
+    // dropDuplicates lets the dedup aggregate reuse the exchange (same
+    // key), so the spread costs no extra shuffle (no-op on well-split
+    // scans — see Scale.fanOutForCompute)
+    val docsUnique = graft.ops.Scale.fanOutForCompute(docsNew, col(docIdCol))
+      .dropDuplicates(docIdCol)
     // geometry sizes from POSTING rows (one per (doc, distinct term) —
     // the ngram store's shape) on creation; warm cycles adopt the manifest
     val mParts = IncrementalDedup.manifestParts(spark, dir)

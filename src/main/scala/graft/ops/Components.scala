@@ -79,10 +79,16 @@ object Components {
         }
       case None => df => df.localCheckpoint()
     }
-    val edges = pairs.select(
-      col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-    val sym = edges
-      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // both directions from ONE evaluation of `pairs`: the former
+    // edges ∪ edges.reversed union duplicated the (possibly expensive,
+    // un-checkpointed) pair plan into both branches — the whole pair
+    // generation ran twice during the persist's materialization. The
+    // explode emits the two orientations from a single pass instead.
+    val sym = pairs.select(explode(array(
+        struct(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst")),
+        struct(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst"))))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // fused init: label₀(v) = min(v, min over neighbors) — the vertex
     // listing has to aggregate over the edge table anyway, so the first

@@ -103,11 +103,17 @@ object Dedup {
       dfCap: Int = 1000): DataFrame = {
     val grams =
       graft.functions.SketchExprs.gramHashes(col(textCol), n, distinct = true)
-    val sh = docs.select(col("doc_id"), explode(grams).as("shingle"))
-    // per-doc distinct-shingle counts, map-only (equal to the exploded
-    // frame's per-doc row count; docs with no shingles never join a pair)
-    val sizes = docs.select(col("doc_id"),
-      coalesce(size(grams), lit(0)).cast("long").as("n_shingles"))
+    // one row per (doc, distinct gram) with the doc's gram count riding
+    // — the posting-row trade the incremental variant already uses
+    // (ngramBatchLocked): sizes are in hand at the pair join, so the two
+    // O(corpus) size-fetch joins (each of which re-evaluated gramHashes
+    // over the full corpus) disappear from the plan — 2 Exchanges and 2
+    // gram passes fewer for 8 bytes/posting-row of shuffle width.
+    // fanOut: the gram hashing is the CPU-heavy pass; an under-parallel
+    // scan (one small file) must not serialize it into one task
+    val sh = Scale.fanOutForCompute(docs, col("doc_id"))
+      .select(col("doc_id"), explode(grams).as("shingle"),
+        coalesce(size(grams), lit(0)).cast("long").as("nsh"))
     // document frequency via hash aggregate, filtered to the shingles
     // that can contribute to a pair: df in (1, dfCap]
     val shared = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
@@ -120,16 +126,13 @@ object Dedup {
       // (the return is lazy) and would pin blocks in CacheManager for
       // the session; checkpoint blocks are freed once unreachable.
       .localCheckpoint()
-    val inter = capped.withColumnRenamed("doc_id", "doc_a")
-      .join(capped.withColumnRenamed("doc_id", "doc_b"), Seq("shingle"))
+    capped.select(col("shingle"), col("doc_id").as("doc_a"),
+        col("nsh").as("size_a"))
+      .join(capped.select(col("shingle"), col("doc_id").as("doc_b"),
+        col("nsh").as("size_b")), Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
+      .groupBy("doc_a", "doc_b", "size_a", "size_b")
       .agg(count(lit(1)).as("n_common"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n_shingles", "size_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n_shingles", "size_b"), "doc_b")
       .withColumn("jaccard",
         round(col("n_common").cast("double") /
           (col("size_a") + col("size_b") - col("n_common")).cast("double"), 4))
@@ -191,7 +194,11 @@ object Dedup {
       bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sigs = minhashSignatures(docs, textCol, numHashes = numHashes)
+    // fanOut here, not in minhashSignatures: the signature op itself is
+    // pinned map-only (PlanSpec), and only pair search needs the spread
+    val sigs = minhashSignatures(
+      Scale.fanOutForCompute(docs, col("doc_id")), textCol,
+      numHashes = numHashes)
     val banded = bandSignatures(sigs, bands, rowsPerBand)
       // the signature aggregation feeds both sides of the bucket self-join;
       // materialize it once (at production scale this is the "signature
@@ -237,7 +244,9 @@ object Dedup {
       bands: Int = 16,
       threshold: Double = 0.8): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sigs = minhashSignatures(docs, textCol, n, numHashes)
+    // fanOut as in minhashLshPairs (signature compute is the heavy pass)
+    val sigs = minhashSignatures(
+      Scale.fanOutForCompute(docs, col("doc_id")), textCol, n, numHashes)
     val banded = bandSignatures(sigs, bands, rowsPerBand)
       .select("doc_id", "band", "bh")
       .localCheckpoint() // both join sides; freed once unreachable
@@ -263,7 +272,8 @@ object Dedup {
       n: Int = 3,
       maxHamming: Int = 3,
       threshold: Double = 0.9): DataFrame = {
-    val cand = simhashPairsFromSignatures(simhash(docs, textCol), maxHamming)
+    val cand = simhashPairsFromSignatures(
+      simhash(Scale.fanOutForCompute(docs, col("doc_id")), textCol), maxHamming)
       .select("doc_a", "doc_b")
     verifyPairsExact(docs, cand, textCol, n, threshold)
   }
@@ -282,9 +292,12 @@ object Dedup {
       textCol: String,
       n: Int,
       threshold: Double): DataFrame = {
-    val g = docs.select(col("doc_id"),
-      graft.functions.SketchExprs.gramHashes(col(textCol), n, distinct = true)
-        .as("g"))
+    // fanOut: gram hashing over the corpus again — same heavy pass as
+    // the blocking side, same under-parallel-scan hazard
+    val g = Scale.fanOutForCompute(docs, col("doc_id"))
+      .select(col("doc_id"),
+        graft.functions.SketchExprs.gramHashes(col(textCol), n, distinct = true)
+          .as("g"))
     cand
       .join(g.select(col("doc_id").as("doc_a"), col("g").as("ga")), "doc_a")
       .join(g.select(col("doc_id").as("doc_b"), col("g").as("gb")), "doc_b")
@@ -330,7 +343,8 @@ object Dedup {
       docs: DataFrame,
       textCol: String = "text",
       maxHamming: Int = 3): DataFrame =
-    simhashPairsFromSignatures(simhash(docs, textCol), maxHamming)
+    simhashPairsFromSignatures(
+      simhash(Scale.fanOutForCompute(docs, col("doc_id")), textCol), maxHamming)
 
   /** Banding + verify over precomputed (doc_id, simhash) signatures —
     * split out so the pigeonhole boundary is testable on planted

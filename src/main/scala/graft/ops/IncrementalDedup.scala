@@ -442,7 +442,10 @@ object IncrementalDedup {
     val (binKeys, encMeta) = keyEncodingOf(spark, storeDir, mParts.isDefined)
     val digestExpr =
       if (binKeys) unhex(md5(col(textCol))) else md5(col(textCol))
-    val digestedRaw = docsNew
+    // fanOut: md5 over full text is the batch's CPU pass; an
+    // under-parallel scan (one small file) must not serialize it —
+    // no-op when the scan already yields ≥ cores partitions
+    val digestedRaw = Scale.fanOutForCompute(docsNew, col("doc_id"))
       .filter(col(textCol).isNotNull)
       .select(col("doc_id"), digestExpr.as("digest"))
     // auto sizing sees one row per batch doc ≈ one distinct digest
@@ -566,7 +569,11 @@ object IncrementalDedup {
     // job), creation-with-auto counts the checkpointed rows to size the
     // store (banded rows = docs × bands exactly — no multiplier).
     val bandedRaw = Dedup.bandSignatures(
-      Dedup.minhashSignatures(docsNew, textCol, numHashes = numHashes),
+      Dedup.minhashSignatures(
+        // fanOut: signature compute is the batch's CPU pass (see
+        // Scale.fanOutForCompute — no-op on well-split scans)
+        Scale.fanOutForCompute(docsNew, col("doc_id")),
+        textCol, numHashes = numHashes),
       bands, rowsPerBand)
     // auto sizing sees banded rows = docs × bands exactly
     val mf = storeManifest(spark, storeDir)
@@ -708,9 +715,12 @@ object IncrementalDedup {
     // one row per (doc, distinct gram), the doc's gram count riding —
     // the posting-row trade (minhash variant doc): sizes are in hand at
     // the pair join, no O(corpus) size-fetch join afterwards
-    val rawRows = docsNew.select(col("doc_id"),
-      explode(grams).as("shingle"),
-      coalesce(size(grams), lit(0)).cast("long").as("nsh"))
+    // fanOut: gram hashing is the batch's CPU pass (see
+    // Scale.fanOutForCompute — no-op on well-split scans)
+    val rawRows = Scale.fanOutForCompute(docsNew, col("doc_id"))
+      .select(col("doc_id"),
+        explode(grams).as("shingle"),
+        coalesce(size(grams), lit(0)).cast("long").as("nsh"))
     // auto sizing sees one posting row per (doc, distinct gram) — more
     // rows per doc than the banded sketch stores, same 4 Ki target
     val mParts = manifestParts(spark, storeDir)
@@ -890,7 +900,10 @@ object IncrementalDedup {
     // bp and the touched-partition observe metric into it, creation
     // counts the checkpointed rows (docs × (radius+1) bands exactly).
     val bandedRaw = Dedup.simhashBanded(
-      Dedup.simhash(docsNew, textCol), maxHamming)
+      // fanOut: signature compute is the batch's CPU pass (see
+      // Scale.fanOutForCompute — no-op on well-split scans)
+      Dedup.simhash(Scale.fanOutForCompute(docsNew, col("doc_id")), textCol),
+      maxHamming)
     // auto sizing sees banded rows = docs × (radius + 1) exactly
     val mf = storeManifest(spark, storeDir)
     val (newBanded, touchedParts, storeParts) = resolveGeometry(
@@ -1083,9 +1096,12 @@ object IncrementalDedup {
       srcElem == org.apache.spark.sql.types.FloatType) ||
       (vecType == "double" &&
         srcElem == org.apache.spark.sql.types.DoubleType)
-    val newVecs = embsNew.select(col(idCol).cast("long").as("vec_id"),
-      (if (widthMatches) col(vecCol)
-       else transform(col(vecCol), x => x.cast(vecType))).as("vec"))
+    // fanOut: the 16-table lshSignature explode below is the batch's CPU
+    // pass (see Scale.fanOutForCompute — no-op on well-split scans)
+    val newVecs = Scale.fanOutForCompute(embsNew, col(idCol))
+      .select(col(idCol).cast("long").as("vec_id"),
+        (if (widthMatches) col(vecCol)
+         else transform(col(vecCol), x => x.cast(vecType))).as("vec"))
     // map-only bucket explode, shared with the batch path's geometry:
     // same planes ⇒ the store blocks identically for every batch
     def bucketed(v: DataFrame): DataFrame = v.select(

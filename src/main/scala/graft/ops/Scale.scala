@@ -12,6 +12,26 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
+  /** Fan a compute-heavy narrow input out to the session's full
+    * parallelism WHEN its scan under-parallelizes — scale-adaptive, not
+    * a constant: a corpus of thousands of splits (the 100 TB case)
+    * passes through untouched (the gate never fires, no shuffle is
+    * added), while a corpus whose scan yields fewer partitions than the
+    * cluster has cores (one small file, one unsplittable row group — the
+    * shape every sf0.x gate corpus has) pays one tiny hash exchange of
+    * the NARROW input so the expensive per-row work downstream (gram
+    * hashing, window md5, token explode) runs on every core instead of
+    * serializing into the scan's single task. Hash-partitioned on `key`
+    * (deterministic under task retry — no round-robin), explicit
+    * numPartitions so AQE does not re-coalesce it away by byte size:
+    * the whole point is that the downstream cost is CPU, which AQE's
+    * byte-based coalescing cannot see. */
+  private[graft] def fanOutForCompute(df: DataFrame, key: Column): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target, key)
+  }
+
   /** Skew-safe inner equi-join: the skewed (large) side is salted
     * deterministically, the other side is replicated `factor`× — hot keys
     * spread over `factor` tasks instead of one straggler. Semantics are

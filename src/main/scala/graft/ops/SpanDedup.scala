@@ -59,7 +59,10 @@ object SpanDedup {
     * fewer than w tokens contribute no windows. Map-only. */
   private[ops] def windows(
       docs: DataFrame, w: Int, idCol: String, textCol: String): DataFrame =
-    docs
+    // fanOut: the per-window slice+concat+md5 is the CPU-heavy pass of
+    // the whole operator; an under-parallel scan (one small file) must
+    // not serialize it — no-op when the scan already has ≥ cores splits
+    Scale.fanOutForCompute(docs, col(idCol))
       .select(col(idCol).as("doc_id"),
         TextAnalysis.tokens(col(textCol)).as("toks"))
       .withColumn("n", size(col("toks")))
