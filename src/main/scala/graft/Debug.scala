@@ -35,6 +35,8 @@ object Debug {
       final case class JobRow(id: Int, start: Long, var end: Long,
         var nTasks: Int, site: String, var stages: Int)
       val jobs = new java.util.concurrent.ConcurrentHashMap[Int, JobRow]()
+      val stageCpu = new java.util.concurrent.ConcurrentLinkedQueue[
+        (Int, Double, Int, String)]()
       val listener = new SparkListener {
         override def onJobStart(e: SparkListenerJobStart): Unit = {
           val site = e.stageInfos.map(_.name.takeWhile(_ != '\n'))
@@ -45,11 +47,18 @@ object Debug {
         override def onJobEnd(e: SparkListenerJobEnd): Unit = {
           val r = jobs.get(e.jobId); if (r != null) r.end = e.time
         }
+        override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+          val m = e.stageInfo.taskMetrics
+          if (m != null) stageCpu.add((e.stageInfo.stageId,
+            m.executorCpuTime / 1e9, e.stageInfo.numTasks,
+            e.stageInfo.name.takeWhile(_ != '\n')))
+        }
       }
       spark.sparkContext.addSparkListener(listener)
       val runs = math.max(1, repeat)
       (1 to runs).foreach { k =>
         jobs.clear()
+        stageCpu.clear()
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
@@ -62,6 +71,12 @@ object Debug {
         rows.foreach { r =>
           println(f"  job ${r.id}%3d ${(r.end - r.start) / 1e3}%6.2f s " +
             f"stages=${r.stages}%2d tasks=${r.nTasks}%4d  ${r.site}")
+        }
+        import scala.jdk.CollectionConverters._
+        val byCpu = stageCpu.asScala.toSeq.sortBy(-_._2)
+        println(f"  -- stage CPU total ${byCpu.map(_._2).sum}%.1f core-s; top:")
+        byCpu.take(12).foreach { case (sid, cpu, nt, nm) =>
+          println(f"  stage $sid%4d cpu $cpu%6.1f core-s tasks=$nt%4d  $nm")
         }
         spark.catalog.clearCache()
         System.gc()

@@ -87,10 +87,15 @@ object Curation {
     * unpersists the pinned intermediates once the caller is done. */
   final case class Result(docs: DataFrame, funnel: DataFrame, release: () => Unit)
 
-  def run(docs: DataFrame, cfg: Config = Config()): Result = {
-    val spark = docs.sparkSession
+  def run(docs0: DataFrame, cfg: Config = Config()): Result = {
+    val spark = docs0.sparkSession
     import spark.implicits._
     val text = col(cfg.textCol)
+    // fanOut: stage 1's feature map (tokenize + quality regexes + md5)
+    // and the decontamination gram explode are the corpus CPU passes;
+    // an under-parallel scan must not serialize them (no-op on
+    // well-split scans — see Scale.fanOutForCompute)
+    val docs = Scale.fanOutForCompute(docs0, col("doc_id"))
 
     // ---- stages 1–3 as one labeled plan -----------------------------
     val contaminated: Option[DataFrame] = cfg.benchmark.map { bm =>

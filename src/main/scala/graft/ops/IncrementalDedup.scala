@@ -442,10 +442,10 @@ object IncrementalDedup {
     val (binKeys, encMeta) = keyEncodingOf(spark, storeDir, mParts.isDefined)
     val digestExpr =
       if (binKeys) unhex(md5(col(textCol))) else md5(col(textCol))
-    // fanOut: md5 over full text is the batch's CPU pass; an
-    // under-parallel scan (one small file) must not serialize it —
-    // no-op when the scan already yields ≥ cores partitions
-    val digestedRaw = Scale.fanOutForCompute(docsNew, col("doc_id"))
+    // no fanOut here (measured): one md5 per doc is too cheap to repay
+    // the spread's exchange + per-task overhead at any batch size the
+    // under-split gate fires on — A/B'd at sf0.1, fan-out cost ~0.6-1.4s
+    val digestedRaw = docsNew
       .filter(col(textCol).isNotNull)
       .select(col("doc_id"), digestExpr.as("digest"))
     // auto sizing sees one row per batch doc ≈ one distinct digest

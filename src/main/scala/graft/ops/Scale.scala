@@ -27,7 +27,21 @@ object Scale {
     * the whole point is that the downstream cost is CPU, which AQE's
     * byte-based coalescing cannot see. */
   private[graft] def fanOutForCompute(df: DataFrame, key: Column): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
+    // streaming frames have no .rdd and their micro-batches are already
+    // planned per-trigger — pass through untouched
+    if (df.isStreaming) return df
+    if (sys.env.get("GRAFT_NO_FANOUT").contains("1")) return df // A/B switch
+    // width: BOUNDED spread, not full parallelism. The gate only fires
+    // on under-split (small) inputs, where each extra task costs a
+    // measured ~85 ms of fixed CPU (task setup + operator buffers —
+    // profiled at sf0.1: the same pair-join pipeline cost 5.8 core-s at
+    // width 1, 9.0 at width 8, 19.8 at width 32, with width 8 already
+    // capturing the whole wall-clock win). 8-way bounds that overhead
+    // at ~0.7 core-s while cutting a multi-second serial pass to ~1/8;
+    // wider only trades CPU for nothing once the serial remainder is
+    // sub-100 ms. Clamped by defaultParallelism for small machines.
+    val target = sys.env.get("GRAFT_FANOUT_PARTS").map(_.toInt).getOrElse(
+      math.min(df.sparkSession.sparkContext.defaultParallelism, 8))
     if (df.rdd.getNumPartitions >= target) df
     else df.repartition(target, key)
   }

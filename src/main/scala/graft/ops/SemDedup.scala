@@ -80,6 +80,11 @@ object SemDedup {
       iters: Int = 2,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    // no fanOut (measured at sf0.1): the argmax passes are cheap enough
+    // that the spread's exchange cost ~0.9-1.2s across the semdedup
+    // gates — and leaving the scan's partitioning alone also keeps the
+    // k-means mean's summation order (hence cell centroids) identical
+    // to every earlier round's
     val cents = Similarity.kmeansCentroids(embs, nClusters, iters, idCol, vecCol)
     Similarity.assignCells(
       embs.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec")),
@@ -99,6 +104,7 @@ object SemDedup {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       maxProbe: Int = DefaultMaxProbe): DataFrame = {
+    // no fanOut — see assign()
     val cents = Similarity.kmeansCentroids(embs, nClusters, iters, idCol, vecCol)
     Similarity.assignCellsSoft(
       embs.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec")),

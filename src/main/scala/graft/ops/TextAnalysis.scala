@@ -196,6 +196,9 @@ object TextAnalysis {
   /** One-call profile of a documents table. */
   def profile(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
+    // no fanOut (measured): the feature battery is one codegen pass —
+    // at sf0.1 the spread's exchange cost more than it saved (~0.3-0.5s
+    // on q_corpus_clean / q_text_profile)
     docs.select(
       col("doc_id"),
       tokenCount(t).as("n_tokens"),
