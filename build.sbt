@@ -26,6 +26,11 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// experiment hook: GRAFT_EXTRA_JAVA_OPTS="-Dspark.foo=bar ..." rides into
+// forked runs (SparkConf reads spark.* system properties), for full-bench
+// config A/Bs without code edits
+javaOptions ++= sys.env.get("GRAFT_EXTRA_JAVA_OPTS")
+  .map(_.split(" ").filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

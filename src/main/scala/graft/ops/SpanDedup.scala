@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Substring-level (span) deduplication — the ExactSubstr recipe: find
@@ -83,14 +84,25 @@ object SpanDedup {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(w >= 2, s"window width must be >= 2 tokens, got $w")
+    // ONE windows evaluation (r20): the old aggregate-then-probe shape
+    // evaluated the windows() subtree twice — the dup aggregate pass and
+    // the probe join side each re-ran the tokenize + per-window
+    // slice/concat/md5 map over the whole corpus, and that hash pass IS
+    // the operator's dominant CPU at every scale. The analytic-window
+    // form computes count + min-keeper over the same wh partitioning in
+    // one pass over ONE materialization of the window rows; the shuffle
+    // moves the same (doc_id, pos, wh) rows the groupBy moved (unique
+    // windows don't partially aggregate), and the per-group sort is
+    // bounded by duplicate-occurrence counts. Semantics are unchanged:
+    // keeper = min (doc_id, pos) struct per wh, emit non-keepers of
+    // windows with count ≥ 2.
     val win = windows(docs, w, idCol, textCol)
-    val dup = win.groupBy("wh")
-      .agg(count(lit(1)).as("c"),
-        min(struct(col("doc_id"), col("pos"))).as("k"))
-      .filter(col("c") >= 2)
-      .select(col("wh"), col("k.doc_id").as("kdoc"), col("k.pos").as("kpos"))
-    win.join(broadcast(dup), Seq("wh"))
-      .filter(!(col("doc_id") === col("kdoc") && col("pos") === col("kpos")))
+    val byWh = Window.partitionBy("wh")
+    win.select(col("doc_id"), col("pos"),
+        count(lit(1)).over(byWh).as("__c"),
+        min(struct(col("doc_id"), col("pos"))).over(byWh).as("__k"))
+      .filter(col("__c") >= 2 &&
+        !(col("doc_id") === col("__k.doc_id") && col("pos") === col("__k.pos")))
       .select(col("doc_id"), col("pos"))
   }
 

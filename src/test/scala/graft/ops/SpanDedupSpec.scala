@@ -62,11 +62,20 @@ class SpanDedupSpec extends SparkSuite {
     assert(SpanDedup.duplicatedSpans(once, w = 3).isEmpty)
   }
 
-  test("plan shape: spans probe duplicates via broadcast; rebuild never shuffles the corpus") {
+  test("plan shape: spans run ONE window pass (no probe re-scan); rebuild never shuffles the corpus") {
+    // r20: detection is a single analytic-window pass over one
+    // evaluation of the window rows — the old aggregate + broadcast
+    // probe shape ran the tokenize+md5 window map twice (the operator's
+    // dominant CPU at every scale). Pin: exactly one wh exchange, a
+    // Window operator, and NO join in the detection plan.
     val spans = SpanDedup.duplicatedSpans(docsDf, w = 3)
     val sPlan = spans.queryExecution.executedPlan.toString
-    assert(sPlan.contains("BroadcastHashJoin"),
-      s"window probe must broadcast the duplicated-window table:\n$sPlan")
+    assert(sPlan.contains("Window"),
+      s"span detection must be the one-pass analytic-window form:\n$sPlan")
+    assert(!sPlan.contains("Join"),
+      s"span detection must not re-scan the corpus for a probe join:\n$sPlan")
+    assert("Exchange hashpartitioning\\(wh".r.findAllIn(sPlan).size == 1,
+      s"exactly one wh exchange expected:\n$sPlan")
     val out = SpanDedup.removeSpans(docsDf, w = 3)
     val oPlan = out.queryExecution.executedPlan.toString
     // the docs-side join against the per-doc span lists is the
