@@ -103,6 +103,11 @@ object Debug {
         spark.catalog.clearCache()
         System.gc()
       }
+    } else if (args.contains("--plan")) {
+      // plan-only: build the frame (store gates still run their cycles
+      // eagerly) and print the formatted physical plan — the shape the
+      // plans/r{N} evidence files capture
+      SparkEntry.queries(name)(spark, sfDir).explain("formatted")
     } else {
       val df = SparkEntry.queries(name)(spark, sfDir)
       df.show(20, truncate = false)

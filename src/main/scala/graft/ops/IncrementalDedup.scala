@@ -1165,10 +1165,18 @@ object IncrementalDedup {
     val store =
       if (read._2) prune(read._1, touchedParts) else read._1.drop("bp")
     val batchBucketed = newBucketed.drop("bp")
-    val out = store.unionByName(batchBucketed).as("a")
+    // fanOut on the JOIN key (r20): the candidate join's reduce side is
+    // where every cosine runs, and AQE's byte-based coalescing squeezed
+    // it to 2-3 tasks at small scale (2.1 s serialized, profiled) — the
+    // explicit small-input repartition pins a parallel width the
+    // coalescer can't see past; no-op when the inputs already carry
+    // ≥ width partitions (the at-scale case)
+    val out = Scale.fanOutForCompute(
+        store.unionByName(batchBucketed), col("tbl"), col("bucket")).as("a")
       // merge hint: corpus×corpus candidate join — see the minhash
       // variant's r18 note (static-estimate broadcast blowup at 1000×)
-      .join(batchBucketed.as("b").hint("merge"), Seq("tbl", "bucket"))
+      .join(Scale.fanOutForCompute(batchBucketed, col("tbl"), col("bucket"))
+        .as("b").hint("merge"), Seq("tbl", "bucket"))
       .filter(col("a.vec_id") =!= col("b.vec_id"))
       // score BEFORE the pair dedupe (cosine is symmetric, orientation
       // free): the dedupe exchange then moves 32-byte rows, not vectors

@@ -26,7 +26,7 @@ object Scale {
     * numPartitions so AQE does not re-coalesce it away by byte size:
     * the whole point is that the downstream cost is CPU, which AQE's
     * byte-based coalescing cannot see. */
-  private[graft] def fanOutForCompute(df: DataFrame, key: Column): DataFrame = {
+  private[graft] def fanOutForCompute(df: DataFrame, key: Column*): DataFrame = {
     // streaming frames have no .rdd and their micro-batches are already
     // planned per-trigger — pass through untouched
     if (df.isStreaming) return df
@@ -43,7 +43,7 @@ object Scale {
     val target = sys.env.get("GRAFT_FANOUT_PARTS").map(_.toInt).getOrElse(
       math.min(df.sparkSession.sparkContext.defaultParallelism, 8))
     if (df.rdd.getNumPartitions >= target) df
-    else df.repartition(target, key)
+    else df.repartition(target, key: _*)
   }
 
   /** Skew-safe inner equi-join: the skewed (large) side is salted

@@ -161,6 +161,10 @@ object Similarity {
       // localCheckpoint, not persist — see lshPairs: no CacheManager
       // entry to leak, blocks freed when the frame is unreachable.
       .localCheckpoint()
+      // fanOut on the join key: the self-join's reduce side runs every
+      // cosine; an AQE-byte-coalesced (or single-block) checkpoint must
+      // not serialize it — no-op at scale (see Scale.fanOutForCompute)
+      .transform(s => Scale.fanOutForCompute(s, col("tbl"), col("bucket")))
     sig.as("a").join(sig.as("b"), Seq("tbl", "bucket"))
       .filter(col("a.id") < col("b.id"))
       // score BEFORE the pair dedupe: the cosine is a map-side fused
