@@ -105,6 +105,16 @@ object Bench {
         .agg(org.apache.spark.sql.functions.sum("id")).collect()
       (System.nanoTime() - t0) / 1e9
     }
+    // PRE-battery calibration sample (untimed, r21 verdict #6): the
+    // end-of-run probes can miss contention that was present at the
+    // start; sampling the same fixed codegen workload here lets the
+    // artifact self-describe a contended host from either end
+    val preCalib = {
+      val t0 = System.nanoTime()
+      spark.range(200000000L)
+        .agg(org.apache.spark.sql.functions.sum("id")).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
     final case class Sample(sec: Double, gcSec: Double, probeSec: Double,
         cpuSec: Double)
     def timeOne(name: String,
@@ -173,8 +183,17 @@ object Bench {
       "q_span_dedup_incremental")
     val storeGatesTotal =
       results.filter(r => storeGateNames(r._1)).map(_._2.sec).sum
+    // quiet-host detector (r21 verdict #6, ADDITIVE keys only): the
+    // recorded quiet bands on this host are calibration ≈ 0.20–0.38 s
+    // and io_calibration ≈ 0.12–0.17 s (BASELINE.md); a probe past
+    // ~1.5× the band's top means the run shared the host and its totals
+    // need calibration arithmetic before any round-over-round verdict
+    val contended =
+      calib > 0.45 || preCalib > 0.45 || ioCalib > 0.25
+    val extraKeys =
+      s""""pre_calibration_sec":$preCalib,"contended":$contended"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","tpch_total_sec":$tpchTotal,"store_gates_sec":$storeGatesTotal,"queries":${jmap(_.sec)},"gc_sec":${jmap(_.gcSec)},"probe_sec":${jmap(_.probeSec)},"cpu_sec":${jmap(_.cpuSec)},"calibration_sec":$calib,"io_calibration_sec":$ioCalib,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","tpch_total_sec":$tpchTotal,"store_gates_sec":$storeGatesTotal,"queries":${jmap(_.sec)},"gc_sec":${jmap(_.gcSec)},"probe_sec":${jmap(_.probeSec)},"cpu_sec":${jmap(_.cpuSec)},"calibration_sec":$calib,"io_calibration_sec":$ioCalib,$extraKeys,"sf":"$sfDir"}"""
     // The FULL artifact (per-query sec/gc/probe/cpu maps) goes to the
     // file; stdout carries the headline plus the complete sec-only
     // per-query map (r16 verdict #7). The r15 wrap failure was the 24 KB
@@ -191,7 +210,7 @@ object Bench {
     // sec-only map survives the driver's line buffer), so BENCH_r{N}.json
     // is self-contained. The gc/probe/cpu diagnostic maps stay file-only.
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"tpch_total_sec":$tpchTotal,"store_gates_sec":$storeGatesTotal,"calibration_sec":$calib,"io_calibration_sec":$ioCalib,"queries":${jmap(_.sec)},"queries_file":"BENCH_local.json","sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"tpch_total_sec":$tpchTotal,"store_gates_sec":$storeGatesTotal,"calibration_sec":$calib,"io_calibration_sec":$ioCalib,$extraKeys,"queries":${jmap(_.sec)},"queries_file":"BENCH_local.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

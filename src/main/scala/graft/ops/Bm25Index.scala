@@ -125,7 +125,7 @@ object Bm25Index {
         size(toks).cast("double").as("dl"), explode(toks).as("term"))
       .groupBy("term", "doc_id", "dl")
       .agg(count(lit(1)).cast("double").as("tf"))
-    val (newPostings, touchedParts, storeParts) =
+    val (newPostings, touchedParts, storeParts, nPostingRows) =
       IncrementalDedup.resolveGeometry(
         IncrementalDedup.knownPartsFrom(mParts, requestedParts),
         postingsRaw, Seq(col("term")))
@@ -145,7 +145,7 @@ object Bm25Index {
             .map(_.toLong)
         } yield (c, b)
       else Some(IncrementalDedup.gramBloomGeometry(
-        math.max(1L, newPostings.count())))
+        math.max(1L, nPostingRows)))
     val bloomMeta = bloomGeom match {
       case Some((c, b)) if !manifestExists =>
         Map("term_bloom_cap" -> c.toString, "term_bloom_bits" -> b.toString)
@@ -166,26 +166,37 @@ object Bm25Index {
     // count in N but not in avgdl
     val readD = IncrementalDedup.readStore(spark, s"$dir/docs",
       "doc_id BIGINT, dl DOUBLE, bp INT")
+    // docBps rides the checkpoint's own materialization as an observe
+    // metric (the resolveGeometry pattern, r21) — no separate probe job
+    val docObs = org.apache.spark.sql.Observation()
     val batchDocs = docsUnique
       .select(col(docIdCol).as("doc_id"), size(toks).cast("double").as("dl"))
       .withColumn("bp", IncrementalDedup.bpOf(storeParts, col("doc_id")))
+      .observe(docObs, collect_set(col("bp")).as("bps"))
       .localCheckpoint()
-    val docBps = batchDocs.select("bp").distinct()
-      .collect().map(_.getInt(0)).toIndexedSeq
+    val docBps = docObs.get("bps") match {
+      case s: scala.collection.Seq[_] =>
+        s.map(_.asInstanceOf[Number].intValue).toIndexedSeq
+      case a: Array[_] => a.toIndexedSeq.map(_.asInstanceOf[Number].intValue)
+      case other => sys.error(s"unexpected bps metric shape: $other")
+    }
     val storeD =
       if (readD._2) IncrementalDedup.prune(readD._1, docBps)
       else readD._1.drop("bp")
+    // stats delta rides the novel-docs checkpoint as observe metrics
+    // (doc-granular novelty makes retried batches contribute zero) —
+    // one action materializes the frame AND the three totals
+    val deltaObs = org.apache.spark.sql.Observation()
     val novelDocs = batchDocs
       .join(storeD.select("doc_id"), Seq("doc_id"), "left_anti")
+      .observe(deltaObs,
+        count(lit(1)).as("n"),
+        count(col("dl")).as("nt"),
+        coalesce(sum(col("dl")), lit(0.0)).as("td"))
       .localCheckpoint()
-    // stats delta off the novel set (one small aggregate; doc-granular
-    // novelty makes retried batches contribute zero)
-    val deltaRow = novelDocs.agg(
-      count(lit(1)).as("n"),
-      count(col("dl")).as("nt"),
-      coalesce(sum(col("dl")), lit(0.0)).as("td")).collect().head
-    val (dN, dNt, dTd) =
-      (deltaRow.getLong(0), deltaRow.getLong(1), deltaRow.getDouble(2))
+    val deltaM = deltaObs.get
+    val (dN, dNt, dTd) = (deltaM("n").asInstanceOf[Long],
+      deltaM("nt").asInstanceOf[Long], deltaM("td").asInstanceOf[Double])
     if (dN == 0L) {
       // a replay-only cycle returns before the postings section below —
       // heal a lost sidecar HERE too, or the documented "next locked
@@ -238,7 +249,7 @@ object Bm25Index {
     // empty-batch guard: Spark's bloomFilter aggregate NPEs on a
     // zero-row frame (an all-NULL-text epoch) — nothing to fold anyway
     bloomGeom.foreach { case (c, b) =>
-      if (!newPostings.isEmpty) {
+      if (nPostingRows > 0L) {
         val batchBloom = newPostings
           .select(xxhash64(col("term")).as("th")).stat.bloomFilter("th", c, b)
         val merged = oldBloomBytes match {
@@ -256,8 +267,10 @@ object Bm25Index {
     // duplicate pairs, harmless at the distinct-bps consult
     if (docIdx) IncrementalDedup.appendDocIndex(
       newPostings, s"$dir/postings", "doc_id", dpParts)
-    IncrementalDedup.appendStore(novelPostings, s"$dir/postings")
-    IncrementalDedup.appendStore(novelDocs, s"$dir/docs")
+    IncrementalDedup.appendStore(novelPostings, s"$dir/postings",
+      IncrementalDedup.appendWidth(touchedParts, storeParts))
+    IncrementalDedup.appendStore(novelDocs, s"$dir/docs",
+      math.max(1, docBps.size))
     writeStats(spark, dir, readStats(spark, dir) match {
       case Some((n, nt, td)) => (n + dN, nt + dNt, td + dTd)
       case None              => (dN, dNt, dTd)

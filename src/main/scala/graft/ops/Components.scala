@@ -84,11 +84,26 @@ object Components {
     // un-checkpointed) pair plan into both branches — the whole pair
     // generation ran twice during the persist's materialization. The
     // explode emits the two orientations from a single pass instead.
+    //
+    // Pre-partitioned ONCE on `src` (r21, guide §2.4): every round's
+    // propagation step joins sym against the label table on `src`, and
+    // the un-partitioned persist re-shuffled the WHOLE edge table each
+    // round — O(log diameter) full edge shuffles, the dominant moved
+    // bytes of the fixpoint at scale (labels are one row per vertex;
+    // sym is two per edge). Persisted hash partitioning is visible to
+    // the planner (InMemoryRelation preserves outputPartitioning), so
+    // each round now shuffles only the label table to meet sym's
+    // layout. Explicit numPartitions (the session's shuffle
+    // parallelism — conf-scaled, not a constant) keeps AQE from
+    // coalescing the persisted layout into something later rounds
+    // can't reuse.
+    val np = spark.sessionState.conf.numShufflePartitions
     val sym = pairs.select(explode(array(
         struct(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst")),
         struct(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst"))))
         .as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .repartition(np, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // fused init: label₀(v) = min(v, min over neighbors) — the vertex
     // listing has to aggregate over the edge table anyway, so the first

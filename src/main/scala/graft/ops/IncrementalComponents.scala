@@ -70,21 +70,30 @@ object IncrementalComponents {
     * hold, so a log file vanishing under them is real damage that must
     * surface immediately (r19 ADVICE). */
   private def mergeMap(
-      spark: SparkSession, dir: String, locked: Boolean): Map[Long, Long] = {
+      spark: SparkSession, dir: String, locked: Boolean): Map[Long, Long] =
+    mergeMapCounted(spark, dir, locked)._1
+
+  /** [[mergeMap]] plus the RAW log row count (duplicates included) from
+    * the same collect — the batch cycle's merge-log-cap check reads it
+    * instead of re-counting the log with a second job (r21). */
+  private def mergeMapCounted(
+      spark: SparkSession, dir: String,
+      locked: Boolean): (Map[Long, Long], Long) = {
     val p = new org.apache.hadoop.fs.Path(dir, MergesDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def once: Map[Long, Long] =
-      if (!fs.exists(p)) Map.empty else mergeMapOnce(spark, p.toString)
+    def once: (Map[Long, Long], Long) =
+      if (!fs.exists(p)) (Map.empty, 0L) else mergeMapOnce(spark, p.toString)
     if (locked) once
     else SwapRetry.retryVanished(s"clusters merge-log read on $dir")(once)
   }
 
   private def mergeMapOnce(
-      spark: SparkSession, mergesPath: String): Map[Long, Long] = {
+      spark: SparkSession, mergesPath: String): (Map[Long, Long], Long) = {
     {
-      val raw = spark.read.schema("old BIGINT, new BIGINT")
+      val rows = spark.read.schema("old BIGINT, new BIGINT")
         .parquet(mergesPath)
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        .collect()
+      val raw = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
       // path compression: follow chains (c3->c2, c2->c1 => c3->c1).
       // Chains are acyclic by construction (new < old always), so every
       // walk terminates. ITERATIVE walk with an explicit path, not
@@ -105,7 +114,7 @@ object IncrementalComponents {
           path.foreach(memo.update(_, r))
         }
       }
-      raw.keys.map(k => k -> memo(k)).toMap
+      (raw.keys.map(k => k -> memo(k)).toMap, rows.length.toLong)
     }
   }
 
@@ -268,21 +277,41 @@ object IncrementalComponents {
     val edges = pairs
       .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
       .localCheckpoint()
-    val verts = edges.select(col("a").as("v"))
+    val vertsRaw = edges.select(col("a").as("v"))
       .unionAll(edges.select(col("b").as("v")))
       .distinct()
-      .localCheckpoint()
     // explicit beats manifest beats batch-sized auto (the dedup-store
     // precedence; a mismatched explicit fails loudly in the meta check);
     // the streaming sentinel adopts the manifest, creates at the default
-    val storeParts = requestedParts match {
+    val knownParts: Option[Int] = requestedParts match {
       case IncrementalDedup.AutoStoreParts =>
         IncrementalDedup.manifestParts(spark, storeDir)
-          .getOrElse(IncrementalDedup.storePartsFor(verts.count()))
       case IncrementalDedup.AdoptOrDefaultStoreParts =>
-        IncrementalDedup.manifestParts(spark, storeDir)
-          .getOrElse(IncrementalDedup.DefaultStoreParts)
-      case r => r
+        Some(IncrementalDedup.manifestParts(spark, storeDir)
+          .getOrElse(IncrementalDedup.DefaultStoreParts))
+      case r => Some(r)
+    }
+    // geometry-known cycles ride the touched-partition probe on the
+    // verts checkpoint's own materialization (the resolveGeometry
+    // observe pattern, r21) — the dedicated distinct+collect probe job
+    // below is creation-only, where the store it would prune is empty
+    val (verts, touchedV, storeParts) = knownParts match {
+      case Some(p) =>
+        val obs = org.apache.spark.sql.Observation()
+        val v = vertsRaw
+          .withColumn("__bp", IncrementalDedup.bpOf(p, col("v")))
+          .observe(obs, collect_set(col("__bp")).as("touched"))
+          .localCheckpoint()
+        val t = obs.get("touched") match {
+          case s: scala.collection.Seq[_] =>
+            s.map(_.asInstanceOf[Number].intValue).toIndexedSeq
+          case a: Array[_] => a.toIndexedSeq.map(_.asInstanceOf[Number].intValue)
+          case other => sys.error(s"unexpected touched metric shape: $other")
+        }
+        (v.drop("__bp"), t, p)
+      case None =>
+        val v = vertsRaw.localCheckpoint()
+        (v, Seq.empty[Int], IncrementalDedup.storePartsFor(v.count()))
     }
     // the SHARED manifest discipline (actionable corrupt-manifest error,
     // tmp-orphan sweep, temp-write + rename) — one implementation
@@ -290,9 +319,7 @@ object IncrementalComponents {
       "variant" -> "components", "store_parts" -> storeParts.toString))
 
     val lp = s"$storeDir/$LabelsDir"
-    val lpPath = new org.apache.hadoop.fs.Path(lp)
-    val fs = lpPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val mm = mergeMap(spark, storeDir, locked = true)
+    val (mm, mmRows) = mergeMapCounted(spark, storeDir, locked = true)
     // existing assignments of the batch's endpoints: partition-pruned to
     // the batch's own hash range, resolved through the merge log —
     // pointer-aware read (rename-less schemes commit folds/retractions
@@ -306,9 +333,13 @@ object IncrementalComponents {
           org.apache.spark.sql.types.StructType.fromDDL(
             "v BIGINT, component BIGINT"))
       else {
-        val touched = verts
-          .select(bpOf(storeParts, col("v")).as("bp")).distinct()
-          .collect().map(_.getInt(0)).toIndexedSeq
+        // touched set rode the verts checkpoint (observe); creation-only
+        // cycles never reach here (an absent manifest means no data)
+        val touched =
+          if (touchedV.nonEmpty) touchedV
+          else verts
+            .select(bpOf(storeParts, col("v")).as("bp")).distinct()
+            .collect().map(_.getInt(0)).toIndexedSeq
         resolve(
           IncrementalDedup.prune(readL._1, touched).drop("bp")
             .join(verts, Seq("v"), "left_semi"),
@@ -332,7 +363,8 @@ object IncrementalComponents {
       .withColumn("bp", bpOf(storeParts, col("v")))
     // pointer-aware append (appendStore routes through
     // PartitionPointer.appendPartitioned on pointer stores)
-    IncrementalDedup.appendStore(fresh, lp)
+    IncrementalDedup.appendStore(fresh, lp,
+      IncrementalDedup.appendWidth(touchedV, storeParts))
     // 2. dethroned roots get a merge row: roots whose NEW component is
     //    smaller than themselves. O(touched clusters) rows.
     val dethroned = comp
@@ -340,24 +372,26 @@ object IncrementalComponents {
         "left_semi")
       .filter(col("component") < col("v"))
       .select(col("v").as("old"), col("component").as("new"))
-    dethroned.write.mode("append").parquet(s"$storeDir/$MergesDir")
+    // the batch's merge-row count rides the append's own materialization
+    // (observe) — the cap check below needs it and must not re-count
+    val dethObs = org.apache.spark.sql.Observation()
+    dethroned.observe(dethObs, count(lit(1)).as("n"))
+      .write.mode("append").parquet(s"$storeDir/$MergesDir")
+    val dethRows = dethObs.get("n").asInstanceOf[Long]
 
-    // merge-log residence bound: once the log (existing + this batch's
-    // rows) passes the cap, fold it into labels NOW, under the lock we
-    // already hold. The count is a parquet-metadata scan, not a data
-    // read; after the fold the log is empty, so the next cycle's
-    // driver-side collect is bounded by cap + one batch's merges.
-    if (mergeLogCap > 0) {
-      val mp = new org.apache.hadoop.fs.Path(storeDir, MergesDir)
-      if (fs.exists(mp) &&
-          spark.read.schema("old BIGINT, new BIGINT")
-            .parquet(mp.toString).count() > mergeLogCap) {
-        val folded = compactLocked(spark, storeDir)
-        if (sys.env.contains("GRAFT_COMPONENTS_LOG"))
-          System.err.println(
-            s"[components] merge-log cap $mergeLogCap hit: folded, " +
-              s"$folded labels rewritten")
-      }
+    // merge-log residence bound: once the log (pre-existing rows — the
+    // RAW count off this cycle's own mergeMap collect — plus this
+    // batch's appended merge rows) passes the cap, fold it into labels
+    // NOW, under the lock we already hold; after the fold the log is
+    // empty, so the next cycle's driver-side collect is bounded by
+    // cap + one batch's merges. (r21: the counts ride actions this
+    // cycle already runs — the dedicated parquet re-count job is gone.)
+    if (mergeLogCap > 0 && mmRows + dethRows > mergeLogCap) {
+      val folded = compactLocked(spark, storeDir)
+      if (sys.env.contains("GRAFT_COMPONENTS_LOG"))
+        System.err.println(
+          s"[components] merge-log cap $mergeLogCap hit: folded, " +
+            s"$folded labels rewritten")
     }
 
     // the batch view: resolved labels for this batch's vertices.

@@ -356,23 +356,29 @@ object IncrementalDedup {
     * checkpoint first, size from the checkpointed row count (each
     * variant's rows-per-doc shape is documented at its call site), no
     * probe at all — the store it would prune is empty. Returns
-    * (checkpointed rows carrying bp, touched partition ids, parts). */
+    * (checkpointed rows carrying bp, touched partition ids, parts,
+    * row count). The count rides the same observe/count action (r21):
+    * callers that previously ran their own `.count()`/`.isEmpty` probe
+    * jobs (bloom sizing, empty-batch guards) read it for free. */
   private[ops] def resolveGeometry(
       known: Option[Int],
       raw: DataFrame,
-      keys: Seq[Column]): (DataFrame, Seq[Int], Int) =
+      keys: Seq[Column]): (DataFrame, Seq[Int], Int, Long) =
     known match {
       case Some(parts) =>
         val obs = Observation()
         val d = raw.withColumn("bp", bpOf(parts, keys: _*))
-          .observe(obs, collect_set(col("bp")).as("touched"))
+          .observe(obs, collect_set(col("bp")).as("touched"),
+            count(lit(1)).as("n"))
           .localCheckpoint()
-        (d, intSeqOf(obs.get("touched")), parts)
+        val m = obs.get
+        (d, intSeqOf(m("touched")), parts, m("n").asInstanceOf[Long])
       case None =>
         val base = raw.localCheckpoint()
-        val parts = storePartsFor(base.count())
+        val n = base.count()
+        val parts = storePartsFor(n)
         (base.withColumn("bp", bpOf(parts, keys: _*)),
-          Seq.empty[Int], parts)
+          Seq.empty[Int], parts, n)
     }
 
   /** Partition-pruned store view: the isin over the partition column
@@ -449,7 +455,7 @@ object IncrementalDedup {
       .filter(col(textCol).isNotNull)
       .select(col("doc_id"), digestExpr.as("digest"))
     // auto sizing sees one row per batch doc ≈ one distinct digest
-    val (digested, touchedParts, storeParts) = resolveGeometry(
+    val (digested, touchedParts, storeParts, _) = resolveGeometry(
       knownPartsFrom(mParts, requestedParts),
       digestedRaw, Seq(col("digest")))
     // doc→bp retraction index: stamped at creation, adopted thereafter
@@ -514,7 +520,7 @@ object IncrementalDedup {
         .join(store.select("digest"), Seq("digest"), "left_anti")
         .select(col("digest"), col("doc_id").as("keep_doc_id"))
         .withColumn("bp", bpOf(storeParts, col("digest"))),
-      storeDir)
+      storeDir, appendWidth(touchedParts, storeParts))
     if (compactFiles > 0 && touchedParts.nonEmpty)
       maybeCompactLocked(spark, storeDir, touchedParts, compactFiles)
     // the caller-facing digest is hex STRING regardless of the at-rest
@@ -577,7 +583,7 @@ object IncrementalDedup {
       bands, rowsPerBand)
     // auto sizing sees banded rows = docs × bands exactly
     val mf = storeManifest(spark, storeDir)
-    val (newBanded, touchedParts, storeParts) = resolveGeometry(
+    val (newBanded, touchedParts, storeParts, _) = resolveGeometry(
       knownPartsFrom(mf.get("store_parts").map(_.toInt), requestedParts),
       bandedRaw, Seq(col("band"), col("bh")))
     // doc→bp retraction index: stamped at creation, adopted thereafter
@@ -642,7 +648,7 @@ object IncrementalDedup {
     appendStore(
       newBanded.join(store.select("doc_id", "band"),
         Seq("doc_id", "band"), "left_anti"),
-      storeDir)
+      storeDir, appendWidth(touchedParts, storeParts))
     if (compactFiles > 0 && touchedParts.nonEmpty)
       maybeCompactLocked(spark, storeDir, touchedParts, compactFiles)
     out
@@ -725,7 +731,7 @@ object IncrementalDedup {
     // rows per doc than the banded sketch stores, same 4 Ki target
     val mParts = manifestParts(spark, storeDir)
     val manifestExists = mParts.isDefined
-    val (newBatch, touchedParts, storeParts) = resolveGeometry(
+    val (newBatch, touchedParts, storeParts, nBatchRows) = resolveGeometry(
       knownPartsFrom(mParts, requestedParts),
       rawRows, Seq(col("shingle")))
     // gram-bloom geometry (r13): adopt from the manifest, or size at
@@ -741,7 +747,7 @@ object IncrementalDedup {
           c <- manifestValue(spark, storeDir, "bloom_cap").map(_.toLong)
           b <- manifestValue(spark, storeDir, "bloom_bits").map(_.toLong)
         } yield (c, b)
-      else Some(gramBloomGeometry(math.max(1L, newBatch.count())))
+      else Some(gramBloomGeometry(math.max(1L, nBatchRows)))
     val bloomMeta = bloomGeom match {
       case Some((c, b)) if !manifestExists =>
         Map("bloom_cap" -> c.toString, "bloom_bits" -> b.toString)
@@ -836,9 +842,10 @@ object IncrementalDedup {
     // on a zero-row frame (readFrom(null)) — the shape a streaming
     // epoch hits when every quality survivor was an exact dup (r17
     // find); an empty batch adds no grams, so skipping preserves the
-    // superset invariant trivially
+    // superset invariant trivially. The emptiness fact rides
+    // resolveGeometry's count metric — no separate isEmpty job.
     bloomGeom.foreach { case (c, b) =>
-      if (!newBatch.isEmpty) {
+      if (nBatchRows > 0L) {
         val batchBloom = newBatch.stat.bloomFilter("shingle", c, b)
         val merged = oldBloomBytes match {
           case Some(bytes) =>
@@ -852,7 +859,7 @@ object IncrementalDedup {
     }
     // retraction index BEFORE the store rows it covers (superset rule)
     if (docIdx) appendDocIndex(newBatch, storeDir, "doc_id", dpParts)
-    appendStore(newRows, storeDir)
+    appendStore(newRows, storeDir, appendWidth(touchedParts, storeParts))
     if (compactFiles > 0 && touchedParts.nonEmpty)
       maybeCompactLocked(spark, storeDir, touchedParts, compactFiles)
     out
@@ -906,7 +913,7 @@ object IncrementalDedup {
       maxHamming)
     // auto sizing sees banded rows = docs × (radius + 1) exactly
     val mf = storeManifest(spark, storeDir)
-    val (newBanded, touchedParts, storeParts) = resolveGeometry(
+    val (newBanded, touchedParts, storeParts, _) = resolveGeometry(
       knownPartsFrom(mf.get("store_parts").map(_.toInt), requestedParts),
       bandedRaw, Seq(col("band"), col("bh")))
     // doc→bp retraction index: stamped at creation, adopted thereafter
@@ -951,7 +958,7 @@ object IncrementalDedup {
     appendStore(
       newBanded.join(store.select("doc_id", "band"),
         Seq("doc_id", "band"), "left_anti"),
-      storeDir)
+      storeDir, appendWidth(touchedParts, storeParts))
     if (compactFiles > 0 && touchedParts.nonEmpty)
       maybeCompactLocked(spark, storeDir, touchedParts, compactFiles)
     out
@@ -1131,7 +1138,7 @@ object IncrementalDedup {
       if (storeLayout == "split") bucketed(newVecsPinned).drop("vec")
       else bucketed(newVecs)
     // auto sizing sees bucketed rows = vectors × tables exactly
-    val (newBucketed, touchedParts, storeParts) = resolveGeometry(
+    val (newBucketed, touchedParts, storeParts, _) = resolveGeometry(
       knownPartsFrom(mParts, requestedParts),
       bucketedRaw, Seq(col("tbl"), col("bucket")))
     // legacy (pre-vec_type) manifests: omit the key from the strict
@@ -1203,7 +1210,7 @@ object IncrementalDedup {
     appendStore(
       newBucketed.join(store.select("vec_id", "tbl"),
         Seq("vec_id", "tbl"), "left_anti"),
-      storeDir)
+      storeDir, appendWidth(touchedParts, storeParts))
     if (compactFiles > 0 && touchedParts.nonEmpty)
       maybeCompactLocked(spark, storeDir, touchedParts, compactFiles)
     out
@@ -1296,14 +1303,14 @@ object IncrementalDedup {
         (if (readV._2) prune(readV._1, batchVps) else readV._1.drop("bp"))
           .select("vec_id"),
         Seq("vec_id"), "left_anti"),
-      vectorsDir)
+      vectorsDir, math.max(1, batchVps.size))
     mark("vectors append")
     // retraction index BEFORE the postings it covers (superset rule)
     if (docIdx) appendDocIndex(newBucketed, postingsDir, "vec_id", dpParts)
     appendStore(
       newBucketed.join(storeP.select("vec_id", "tbl"),
         Seq("vec_id", "tbl"), "left_anti"),
-      postingsDir)
+      postingsDir, appendWidth(touchedParts, storeParts))
     mark("postings append")
     if (compactFiles > 0) {
       if (touchedParts.nonEmpty)
@@ -1859,12 +1866,35 @@ object IncrementalDedup {
     * bound: without it every task writes a file per bp value it holds
     * (tasks × partitions files per append); with it each bp's rows
     * coalesce into one task → one file per touched partition per
-    * append. The exchange moves batch-sized data only. */
-  private[ops] def appendStore(rows: DataFrame, storeDir: String): Unit =
+    * append. The exchange moves batch-sized data only.
+    *
+    * `widthHint` (r21, guide §2.5): the write's cost on a many-partition
+    * append is parquet FILE CREATION (one writer open/close per bp dir),
+    * which AQE's byte-based coalescing cannot see — a creation batch
+    * writing 256 bp dirs was coalesced to 2 tasks that opened the files
+    * serially. The hint is the caller's distinct-bp estimate (storeParts
+    * on creation, touched partitions on warm cycles), clamped by the
+    * session's parallelism: tiny warm appends stay narrow, creation
+    * writes spread. Hash on bp keeps one file per bp either way; 0 keeps
+    * the AQE-chosen width. */
+  /** The cycle-standard [[appendStore]] width: distinct touched
+    * partitions on warm cycles, the store's whole geometry on creation
+    * (a creation batch populates every partition its keys hash into). */
+  private[ops] def appendWidth(touched: Seq[Int], storeParts: Int): Int =
+    if (touched.nonEmpty) touched.size else storeParts
+
+  private[ops] def appendStore(
+      rows: DataFrame, storeDir: String, widthHint: Int = 0): Unit =
     if (!graft.fs.PartitionPointer.appendPartitioned(
-        rows.sparkSession, storeDir, rows, "bp"))
-      rows.repartition(col("bp"))
-        .write.partitionBy("bp").mode("append").parquet(storeDir)
+        rows.sparkSession, storeDir, rows, "bp")) {
+      val shaped =
+        if (widthHint > 0)
+          rows.repartition(math.max(1, math.min(
+            rows.sparkSession.sparkContext.defaultParallelism, widthHint)),
+            col("bp"))
+        else rows.repartition(col("bp"))
+      shaped.write.partitionBy("bp").mode("append").parquet(storeDir)
+    }
 
   // ---------- doc→bp retraction index (r16, r15 verdict #2) ----------
 

@@ -96,7 +96,7 @@ object IncrementalSpanDedup {
       if (binKeys) winRaw0.withColumn("wh", unhex(col("wh"))) else winRaw0
     // auto sizing sees the batch's window rows ≈ its token count — the
     // store grows by ≤ that many rows per batch, the posting shape
-    val (win, touchedParts, storeParts) = IncrementalDedup.resolveGeometry(
+    val (win, touchedParts, storeParts, _) = IncrementalDedup.resolveGeometry(
       IncrementalDedup.knownPartsFrom(mParts, requestedParts),
       winRaw, Seq(col("wh")))
     // doc→bp retraction index: stamped at creation, adopted thereafter
@@ -162,7 +162,7 @@ object IncrementalSpanDedup {
         .select(col("wh"), col("bk_doc").as("keep_doc_id"),
           col("bk_pos").as("keep_pos"))
         .withColumn("bp", IncrementalDedup.bpOf(storeParts, col("wh"))),
-      storeDir)
+      storeDir, IncrementalDedup.appendWidth(touchedParts, storeParts))
     if (compactFiles > 0 && touchedParts.nonEmpty)
       IncrementalDedup.maybeCompactLocked(
         spark, storeDir, touchedParts, compactFiles)

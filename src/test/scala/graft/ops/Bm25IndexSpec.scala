@@ -336,12 +336,21 @@ class Bm25IndexSpec extends SparkSuite {
     @volatile var churnError: Option[Throwable] = None
     val churner = new Thread(() => {
       try {
+        // job group (thread-local): lets teardown cancel exactly this
+        // thread's in-flight jobs if a cycle outlives the join window
+        spark.sparkContext.setJobGroup("bm25-churn", "bm25 churn race",
+          interruptOnCancel = true)
         val df = churn.toDF("doc_id", "text")
         while (!stop) {
           Retract.retract(spark, d, churn.map(_._1))
           Bm25Index.indexBatch(df, d)
         }
-      } catch { case t: Throwable => churnError = Some(t) }
+      } catch {
+        // post-stop exceptions (including a teardown cancelJobGroup) are
+        // orderly shutdown, not churn failures — only pre-stop errors
+        // indict the store machinery under race
+        case t: Throwable => if (!stop) churnError = Some(t)
+      }
     }, "bm25-churner")
     churner.start()
     try {
@@ -353,9 +362,21 @@ class Bm25IndexSpec extends SparkSuite {
       }
       assert(misses == 0, s"stable doc dropped from $misses results")
     } finally {
+      // quiesce the churner COMPLETELY before leaving the test: a churn
+      // task still in flight when the shared SparkContext stops at JVM
+      // exit lands a task result on the terminated TaskResultGetter pool
+      // (RejectedExecutionException in TaskSchedulerImpl.statusUpdate)
+      // and reddens the whole suite run. On a contended host one locked
+      // cycle can outlive the first join — cancel its job group and
+      // wait again rather than walking away from a live thread.
       stop = true
       churner.join(120000)
+      if (churner.isAlive) {
+        spark.sparkContext.cancelJobGroup("bm25-churn")
+        churner.join(120000)
+      }
     }
+    assert(!churner.isAlive, "churner thread did not terminate")
     assert(churnError.isEmpty, s"churner failed: $churnError")
     // settled state is consistent: the stable doc still searches
     val fin = Bm25Index.search(spark, d, q, k = 30)
