@@ -194,8 +194,11 @@ object Queries {
       .select("p_partkey", "p_name", "p_brand", "p_size")
       .orderBy("p_partkey")
 
-  /** Pure projection arithmetic — whole-stage-codegen map. */
-  def qProjArith(s: SparkSession, dir: String): DataFrame =
+  /** Pure projection arithmetic — whole-stage-codegen map. The
+    * pre-checkpoint projection, exposed so PlanSpec can pin column
+    * pruning and codegen AT the parquet scan (the checkpoint below
+    * hides the scan from the final plan). */
+  private[graft] def projArithProjected(s: SparkSession, dir: String): DataFrame =
     rd(s, dir, "lineitem").select(
       col("l_orderkey"), col("l_linenumber"),
       // rounding sits AT the exact decimal width of the product (2dp·2dp·2dp
@@ -204,6 +207,15 @@ object Queries {
       round(col("l_extendedprice") * (lit(1) - col("l_discount")) *
         (lit(1) + col("l_tax")), 6).as("charge"),
       round(col("l_extendedprice") * col("l_discount"), 4).as("disc_amt"))
+
+  def qProjArith(s: SparkSession, dir: String): DataFrame =
+    projArithProjected(s, dir)
+      // materialize BEFORE the global sort (r21, guide §2.5): the range
+      // partitioner's sampling pass executes the sort's child a second
+      // time, and with no exchange between scan and sort that re-runs
+      // the whole parquet scan + projection; the checkpoint makes the
+      // sample+sort read cheap local blocks instead. Result-identical.
+      .localCheckpoint()
       // (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem —
       // the computed columns break remaining ties so the order is total
       .orderBy("l_orderkey", "l_linenumber", "charge", "disc_amt")
@@ -453,6 +465,8 @@ object Queries {
       ceil(col("l_extendedprice")).cast("long").as("ceil_price"),
       floor(col("l_extendedprice")).cast("long").as("floor_price"),
       round(abs(col("l_tax") - 0.5), 4).as("abs_tax"))
+      // checkpoint-before-sort: see qProjArith (sampling double-compute)
+      .localCheckpoint()
       // see qProjArith: extra keys make the ORDER BY total despite dup
       // (l_orderkey, l_linenumber) pairs
       .orderBy("l_orderkey", "l_linenumber", "ln_price", "sqrt_qty", "mod_part")

@@ -363,28 +363,43 @@ object Bm25Index {
     val manifest = IncrementalDedup.storeManifest(spark, dir)
     val parts = manifest.get("store_parts").map(_.toInt).getOrElse(
       sys.error(s"$dir has no _graft_store.json manifest — not a bm25 index"))
-    val qtermsAll = queries.select(col(queryIdCol).as("query_id"),
+    // ONE collect job for the whole query-side prelude (r21): the
+    // distinct (query_id, term) set is broadcast-small by contract (it
+    // was already collected-equivalent — the scoring joins broadcast
+    // it), so pull it with Spark's own xxhash64 riding each row and do
+    // the bloom prune + candidate-bp derivation driver-side. Replaces
+    // the old checkpoint job + separate bps-collect job. pmod over the
+    // COLLECTED hash is bit-identical to bpOf (same xxhash64 value,
+    // same modulus arithmetic).
+    val qtermRows = queries.select(col(queryIdCol).as("query_id"),
         explode(TextAnalysis.tokens(col(queryCol))).as("term"))
       .distinct()
-      .localCheckpoint() // term list + candidate bps + two joins read it
+      .withColumn("__th", xxhash64(col("term")))
+      .collect()
     // never-indexed query terms drop DRIVER-SIDE via the term bloom
     // (r14 verdict #5): without it they'd open their hashed partitions
     // to find nothing — a miss is definitively absent (no false
     // negatives), so the prune never changes results. A bloom-keyed
     // manifest whose sidecar is missing (crash window) just skips the
     // prune until the next locked cycle self-heals it.
-    val qterms =
+    val keptRows =
       (if (manifest.contains("term_bloom_bits")) cachedTermBloom(spark, dir)
        else None) match {
-        case Some(bytes) => qtermsAll.filter(
-          graft.functions.SketchExprs.bloomMightContain(
-            xxhash64(col("term")), bytes))
-        case None => qtermsAll
+        case Some(bytes) =>
+          val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(bytes))
+          qtermRows.filter(r => bf.mightContainLong(r.getLong(2)))
+        case None => qtermRows
       }
     // candidate partitions from the query's own terms — the prune
-    val bps = qterms
-      .select(IncrementalDedup.bpOf(parts, col("term")).as("bp"))
-      .distinct().collect().map(_.getInt(0)).toIndexedSeq
+    val bps = keptRows
+      .map(r => (((r.getLong(2) % parts) + parts) % parts).toInt)
+      .distinct.toIndexedSeq
+    val qterms = {
+      import spark.implicits._
+      keptRows.map(r => (r.getLong(0), r.getString(1))).toSeq
+        .toDF("query_id", "term")
+    }
     // SEQLOCK read (r15 verdict #6): the rename-fence keeps a racing
     // retraction's partitions whole-old-or-whole-new, but a listing
     // taken inside its two-rename window still misses the partition,

@@ -636,43 +636,43 @@ object IvfIndex {
             col("cell").asc)))
       .filter(col("r") <= nprobe)
       .select(col("query_id"), col("qvec"), col("cell"))
-      // reused twice (cell list + the probe join) and tiny — pin briefly
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      // INSIDE the try (r18, found by the recluster race): this collect
-      // is the first job that reads the centroid files, and a failure
-      // here used to skip the finally below — the failed attempt's
-      // qcells stayed REGISTERED in the CacheManager, whose plan key
-      // ignores the captured file listing, so every LATER attempt's
-      // identical-looking qcells silently substituted the dead
-      // generation's file list and threw FILE_NOT_EXIST at a moment no
-      // marker/arm/epoch movement explained (the seqlock guard
-      // correctly rethrew). One poisoned attempt made every subsequent
-      // search fail until the session died.
-      val probedCells = qcells.select("cell").distinct()
-        .collect().map(_.getLong(0)).toSeq
+    // COLLECTED, not persisted (r21): the frame is (queries × nprobe)
+    // rows — broadcast-small by the same contract the scoring joins
+    // below already rely on. One collect job yields the probed-cell
+    // list for free AND replaces the old persist + collect + unpersist
+    // dance, which had a poisoning failure mode (r18: a collect failing
+    // mid-swap skipped the unpersist, and the CacheManager's plan key —
+    // blind to the captured file listing — served the dead generation's
+    // files to every later attempt). A local relation cannot poison
+    // anything: each retry recomputes it from live listings.
+    val qcellRows = qcells.collect()
+    val qcellsLocal: DataFrame = broadcast(
+      spark.createDataFrame(
+        java.util.Arrays.asList(qcellRows: _*), qcells.schema))
+    locally {
+      val probedCells = qcellRows.map(_.getLong(2)).distinct.toSeq
       val assignments = probedAssignments(spark, indexDir, probedCells)
       if (rerank <= 0) {
-        val scored = assignments.join(broadcast(qcells), Seq("cell"))
+        val scored = assignments.join(qcellsLocal, Seq("cell"))
           .select(col("query_id"), col("id").as("neighbor_id"),
             round(Similarity.cosine(col("qvec"), col("vec")), 4).as("cosine"))
         // two-stage top-k: no partition ever holds a query's whole probed set
         Similarity.twoStageTopK(scored, k)
-          .localCheckpoint() // release the qcells pin without invalidating out
+          .localCheckpoint() // materialize inside the seqlock attempt
       } else {
         require(assignments.schema.fieldNames.contains("code"),
           s"index $indexDir has no probe codes — built before the coded " +
             "layout; rebuild() upgrades it in place")
         // scoring pass: (cell, id, code) only — vec never leaves disk here
         val approx = assignments.select("cell", "id", "code")
-          .join(broadcast(qcells), Seq("cell"))
+          .join(qcellsLocal, Seq("cell"))
           .select(col("query_id"), col("id").as("neighbor_id"),
             graft.functions.Vec.cosineCode(col("qvec"), col("code")).as("cosine"))
         val cand = Similarity.twoStageTopK(approx, k * rerank)
           .select("query_id", "neighbor_id").localCheckpoint()
         val candIds = cand.select("neighbor_id").distinct()
           .collect().map(_.getLong(0)).toSeq
-        val qvecs = qcells.select("query_id", "qvec").distinct()
+        val qvecs = qcellsLocal.select("query_id", "qvec").distinct()
         val exact = assignments
           .filter(col("id").isin(candIds: _*)) // pushed; id-sorted cells
           .select(col("id").as("neighbor_id"), col("vec"))
@@ -682,6 +682,6 @@ object IvfIndex {
             round(Similarity.cosine(col("qvec"), col("vec")), 4).as("cosine"))
         Similarity.twoStageTopK(exact, k).localCheckpoint()
       }
-    } finally qcells.unpersist() // a failed probe must not pin the cache
+    }
   }
 }

@@ -42,7 +42,13 @@ object Scale {
     // sub-100 ms. Clamped by defaultParallelism for small machines.
     val target = sys.env.get("GRAFT_FANOUT_PARTS").map(_.toInt).getOrElse(
       math.min(df.sparkSession.sparkContext.defaultParallelism, 8))
-    if (df.rdd.getNumPartitions >= target) df
+    // probe via toRdd, not df.rdd (r21 verdict #7): .rdd appends a
+    // row-DESERIALIZER plan node to the subtree and pays its codegen
+    // just to read a partition count; toRdd asks the same physical plan
+    // for the same count without the extra node. (The subtree is still
+    // planned once for the probe — the count genuinely requires file
+    // splitting — but nothing beyond it.)
+    if (df.queryExecution.toRdd.getNumPartitions >= target) df
     else df.repartition(target, key: _*)
   }
 

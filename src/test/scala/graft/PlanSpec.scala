@@ -24,7 +24,10 @@ class PlanSpec extends SparkSuite {
   }
 
   test("projection pruning: arithmetic query reads only the 6 needed columns") {
-    val p = formatted(Queries.qProjArith(spark, sf))
+    // the pre-checkpoint projection: qProjArith materializes before its
+    // global sort (r21 — range-sampler double-compute), so the scan the
+    // pruning contract covers lives in this subplan, not the final frame
+    val p = formatted(Queries.projArithProjected(spark, sf))
     val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
     assert(readSchema.contains("l_orderkey"))
     assert(!readSchema.contains("l_shipdate"), readSchema)
@@ -78,8 +81,10 @@ class PlanSpec extends SparkSuite {
   }
 
   test("whole-stage codegen covers the scan->project pipeline") {
-    // AQE finalizes the physical plan only on execution
-    val df = Queries.qProjArith(spark, sf)
+    // AQE finalizes the physical plan only on execution; the
+    // pre-checkpoint projection carries the scan->project pipeline
+    // (see the pruning test above for why not the final frame)
+    val df = Queries.projArithProjected(spark, sf)
     df.collect() // executes df's own QueryExecution so AQE finalizes it
     val p = formatted(df)
     assert(p.contains("codegen id"), p) // WholeStageCodegen stage markers
