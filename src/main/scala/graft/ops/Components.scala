@@ -85,25 +85,26 @@ object Components {
     // generation ran twice during the persist's materialization. The
     // explode emits the two orientations from a single pass instead.
     //
-    // Pre-partitioned ONCE on `src` (r21, guide §2.4): every round's
-    // propagation step joins sym against the label table on `src`, and
-    // the un-partitioned persist re-shuffled the WHOLE edge table each
-    // round — O(log diameter) full edge shuffles, the dominant moved
-    // bytes of the fixpoint at scale (labels are one row per vertex;
-    // sym is two per edge). Persisted hash partitioning is visible to
-    // the planner (InMemoryRelation preserves outputPartitioning), so
-    // each round now shuffles only the label table to meet sym's
-    // layout. Explicit numPartitions (the session's shuffle
-    // parallelism — conf-scaled, not a constant) keeps AQE from
-    // coalescing the persisted layout into something later rounds
-    // can't reuse.
-    val np = spark.sessionState.conf.numShufflePartitions
+    // NOT pre-partitioned on `src` (r21 A/B, measured and rejected):
+    // hash-repartitioning sym once at the session's shuffle parallelism
+    // would let every round's propagation join reuse the persisted
+    // layout instead of re-shuffling the edge table (guide §2.4), and
+    // on paper that wins at scale — but the paired bench LOST it:
+    // q_dedup_clusters_incremental warm 7.1–7.6 s / 27 process-core-s
+    // unpartitioned vs 8.5–10.7 s / 62–66 core-s pre-partitioned at
+    // 32 partitions (3 runs each, back-to-back). The pinned-width
+    // exchange spreads the fixpoint's tiny per-round stages over 32
+    // fixed-cost tasks and more than doubles process CPU; AQE's
+    // byte-sized shuffles of the persisted (src,dst) longs are cheaper
+    // at every gate size. A deployment whose edge table is large
+    // enough to flip this trade should bucket the PAIR SOURCE instead
+    // (Scale.writeBucketed) — the fixpoint inherits the layout without
+    // a pinned in-flight exchange.
     val sym = pairs.select(explode(array(
         struct(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst")),
         struct(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst"))))
         .as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .repartition(np, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // fused init: label₀(v) = min(v, min over neighbors) — the vertex
     // listing has to aggregate over the edge table anyway, so the first
